@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** Media-file ↔ record matching and ZIP-scan filtering.
+  *
+  * Ports the filename-matching of `processMediaFields`
+  * (reference: server/services/csv-import.js:1201-1246): a file matches a
+  * record key when the lowercased name is `key.ext` (:1215), `key_\d+.ext`
+  * (:1217-1219), or simply starts with the key (:1221-1222) — the prefix
+  * rule subsumes the first two. Matched files are sorted by name (:1229-1233,
+  * localeCompare) and their ids collected per record.
+  *
+  * Scale design: a raw prefix match is a theta join (O(files × records) —
+  * fine for the reference's one-ZIP uploads, catastrophic at 100 TB). The
+  * default path EXTRACTS the candidate key from the filename (longest
+  * leading run up to the first `_` or `.`) and equi-joins; it is exact
+  * whenever record keys contain no `_`/`.`, which holds for the reference's
+  * fixtures (CH001-style). `matchFilesTheta` keeps the literal semantics for
+  * irregular keys, guarded to broadcast-sized file sets.
+  */
+object Media {
+
+  /** System files skipped in ZIP scans: `__MACOSX`, `._*`, dotfiles
+    * (reference: server/services/csv-import.js:966-969, :1048-1051).
+    */
+  def isSystemFile(name: Column): Column = {
+    val base = element_at(split(name, "/"), -1)
+    name.contains("__MACOSX") || base.startsWith("._") || base.startsWith(".")
+  }
+
+  /** Extension → MIME lookup (reference: getMimeType, :1177-1196). */
+  val mimeMap: Map[String, String] = Map(
+    "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg", "png" -> "image/png",
+    "gif" -> "image/gif", "webp" -> "image/webp", "svg" -> "image/svg+xml",
+    "pdf" -> "application/pdf", "doc" -> "application/msword",
+    "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "xls" -> "application/vnd.ms-excel",
+    "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "mp4" -> "video/mp4", "mp3" -> "audio/mpeg", "wav" -> "audio/wav",
+    "txt" -> "text/plain", "csv" -> "text/csv", "zip" -> "application/zip",
+  )
+
+  def fileExtension(name: Column): Column =
+    lower(regexp_extract(name, "\\.([^.]+)$", 1))
+
+  def mimeType(name: Column): Column = {
+    val m = map(mimeMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    coalesce(element_at(m, fileExtension(name)), lit("application/octet-stream"))
+  }
+
+  /** Keyword classification of files into media-field buckets
+    * (reference: filterFilesForMediaField, :1142-1172). Keyword lists are
+    * configurable; defaults mirror the reference's domain map.
+    */
+  val defaultFieldKeywords: Map[String, Seq[String]] = Map(
+    "image" -> Seq("image", "img", "photo", "picture"),
+    "document" -> Seq("doc", "document", "file", "report"),
+    "video" -> Seq("video", "vid", "movie"),
+    "audio" -> Seq("audio", "sound", "music"),
+  )
+
+  def classifyByKeyword(name: Column, fieldKeywords: Map[String, Seq[String]]): Column = {
+    val lname = lower(name)
+    fieldKeywords.foldLeft(lit(null).cast("string")) { case (acc, (field, kws)) =>
+      val hit = kws.map(kw => lname.contains(kw)).reduce(_ || _)
+      when(acc.isNotNull, acc).otherwise(when(hit, lit(field)))
+    }
+  }
+
+  /** Candidate key embedded in a filename: leading run up to the first
+    * `_` or `.` (exact for `key.ext` / `key_N.ext` / `key_suffix` shapes).
+    */
+  def extractKey(name: Column): Column =
+    regexp_extract(element_at(split(name, "/"), -1), "^([^_.]+)", 1)
+
+  /** Equi-join fast path. `files` must have (`nameCol`, `fileIdCol`);
+    * `records` must have `keyCol`. Returns records + `matchedCol:
+    * array<long>` of file ids sorted by (name, id); empty matches ⇒ null
+    * (field dropped, reference :1240-1243).
+    */
+  def matchFiles(
+      records: DataFrame,
+      keyCol: String,
+      files: DataFrame,
+      nameCol: String,
+      fileIdCol: String,
+      matchedCol: String,
+  ): DataFrame = {
+    val f = files
+      .filter(!isSystemFile(qcol(nameCol)))
+      .select(lower(extractKey(qcol(nameCol))).as("__fkey"),
+        qcol(nameCol).as("__fname"), qcol(fileIdCol).cast("long").as("__fid"))
+    val grouped = f
+      .groupBy(col("__fkey"))
+      .agg(transform(array_sort(collect_list(struct(col("__fname"), col("__fid")))),
+        e => e("__fid")).as("__ids"))
+    records
+      .join(broadcast(grouped), lower(trim(qcol(keyCol))) === col("__fkey"), "left")
+      .withColumn(matchedCol, when(size(col("__ids")) > 0, col("__ids")))
+      .drop("__fkey", "__ids")
+  }
+
+  /** Literal theta-join path (prefix semantics, reference :1221-1222) for
+    * irregular keys; file set must be dimension-sized (broadcast).
+    */
+  def matchFilesTheta(
+      records: DataFrame,
+      keyCol: String,
+      files: DataFrame,
+      nameCol: String,
+      fileIdCol: String,
+      matchedCol: String,
+  ): DataFrame = {
+    val RowKey = "__mm_key"
+    val keyed = records.withColumn(RowKey, monotonically_increasing_id())
+    val f = files
+      .filter(!isSystemFile(qcol(nameCol)))
+      .select(lower(element_at(split(qcol(nameCol), "/"), -1)).as("__lname"),
+        qcol(nameCol).as("__fname"), qcol(fileIdCol).cast("long").as("__fid"))
+    val matches = keyed
+      .select(col(RowKey), lower(trim(qcol(keyCol))).as("__k"))
+      .filter(col("__k") =!= "")
+      .join(broadcast(f), col("__lname").startsWith(col("__k")))
+      .groupBy(col(RowKey))
+      .agg(transform(array_sort(collect_list(struct(col("__fname"), col("__fid")))),
+        e => e("__fid")).as("__ids"))
+    keyed.join(matches, Seq(RowKey), "left")
+      .withColumn(matchedCol, when(size(col("__ids")) > 0, col("__ids")))
+      .drop(RowKey, "__ids")
+  }
+}
