@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.ParityQueries
+import graft.queries.{ParityQueries, ComponentQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,10 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.all.map(q => q.name -> q.fn).toMap
+    allDefs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  private def allDefs = ParityQueries.all ++ ComponentQueries.all
 }
