@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+/** Queries for the large-scale pipeline extensions (SURVEY §7.2 M9):
+  * dedup, similarity search, text analysis, multimodal, streaming-parity.
+  * Oracle SQL provided wherever DuckDB can express the same computation;
+  * approximate/sketch operators (minhash, simhash, IVF) are rows-only.
+  */
+object ExtensionQueries {
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+  private def qRowsOnly(name: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, None)
+
+  /** documents ∪ exact copies of every 10th doc (ids offset by 100000) —
+    * the known-duplicate corpus used by the dedup queries.
+    */
+  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (one appended token) of every 10th doc. */
+  private def docsWithVariants(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzvariant")).as("text")))
+  }
+
+  private val docsWithCopiesSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+  private val docsWithVariantsSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000, text || ' zzvariant' FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  // ------------------------------------------------------------- dedup
+  val dedupExact = q("x_dedup_exact",
+    s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+       |FROM $docsWithCopiesSql GROUP BY md5(text) HAVING count(*) > 1""".stripMargin) {
+    (s, dir) => Dedup.exactGroups(docsWithCopies(s, dir), Seq("text"), "doc_id")
+  }
+
+  val dedupMinhash = qRowsOnly("x_dedup_minhash") { (s, dir) =>
+    Dedup.minhashCandidates(docsWithVariants(s, dir), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
+  }
+
+  val dedupSimhash = qRowsOnly("x_dedup_simhash") { (s, dir) =>
+    Dedup.simhashPairs(docsWithVariants(s, dir), "doc_id", "text", maxHamming = 3)
+  }
+
+  val dedupJaccard = q("x_dedup_ngram_jaccard",
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
+       |  FROM $docsWithVariantsSql),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM toks WHERE len(t) >= 3)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       round(len(list_intersect(a.g, b.g))::DOUBLE /
+       |             len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id AND len(a.g) > 0 AND len(b.g) > 0
+       |  AND round(len(list_intersect(a.g, b.g))::DOUBLE /
+       |            len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.5""".stripMargin) {
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithVariants(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+  }
+
+  private def embWithVariants(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+    e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.01)).cast("float")).as("embedding"),
+        col("label")))
+  }
+  private val embWithVariantsSql =
+    """(SELECT vec_id, embedding, label FROM embeddings
+      | UNION ALL
+      | SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)), label
+      | FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
+
+  val dedupEmbCos = q("x_dedup_embcos",
+    s"""WITH e AS (SELECT * FROM $embWithVariantsSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |             CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |            CAST(b.embedding AS DOUBLE[])), 4) >= 0.99""".stripMargin) {
+    (s, dir) =>
+      Dedup.embeddingCosinePairs(embWithVariants(s, dir), "vec_id", "embedding",
+        "label", threshold = 0.99)
+  }
+
+  // -------------------------------------------------------- similarity
+  val knnBrute = q("x_knn_brute",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+      |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+      |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+      |r AS (SELECT query_id, neighbor_id, c,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      |      FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
+  }
+
+  val knnIvf = qRowsOnly("x_knn_ivf") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+  }
+
+  // ------------------------------------------------------------- text
+  val textTokens = q("x_text_tokens",
+    """SELECT doc_id,
+      |       len(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS n_tokens,
+      |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeishCount(col("text")).as("n_bpeish"))
+  }
+
+  val textQuality = q("x_text_quality",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+      |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio,
+      |  round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(toks), 4) AS stop_ratio,
+      |  round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_token_len
+      |FROM t""".stripMargin) { (s, dir) =>
+    val m = TextAnalysis.qualityMetrics(col("text"))
+    Tables.documents(s, dir).select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  val textLangId = q("x_text_langid",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\W+') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf'], x))) AS s_de,
+      |    len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS s_en,
+      |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una','para','por','que'], x))) AS s_es,
+      |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que'], x))) AS s_fr
+      |  FROM t),
+      |k AS (SELECT doc_id, greatest(s_de*4+3, s_en*4+2, s_es*4+1, s_fr*4+0) AS key FROM s)
+      |SELECT doc_id,
+      |       CASE WHEN key // 4 < 1 THEN 'und'
+      |            ELSE CASE key % 4 WHEN 3 THEN 'de' WHEN 2 THEN 'en'
+      |                              WHEN 1 THEN 'es' ELSE 'fr' END END AS lang_pred
+      |FROM k""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+  }
+
+  val textFingerprint = q("x_text_fingerprint",
+    """SELECT doc_id,
+      |       md5(array_to_string(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> ''), ' ')) AS fp
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+  }
+
+  // -------------------------------------------------------- streaming
+  val streamWindow = q("x_stream_window",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    EventStreams.windowedAgg(Tables.events(s, dir), "1 hour")
+  }
+
+  val sessionize = q("x_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '4 hours'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    EventStreams.sessionize(events, gapMs = 4L * 3600 * 1000)
+      .select(col("user_id"),
+        col("start").as("session_start"), col("end").as("session_end"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+  }
+
+  // -------------------------------------------------------- multimodal
+  val multimodalDecode = q("x_multimodal_decode",
+    """SELECT doc_id AS id, 'text' AS modality,
+      |       octet_length(encode(text)) AS byte_len,
+      |       CAST(octet_length(encode(text)) % 4 + 1 AS INTEGER) AS channels
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "text")
+    Multimodal.extractFeatures(media).drop("content_hash")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos,
+    knnBrute, knnIvf,
+    textTokens, textQuality, textLangId, textFingerprint,
+    streamWindow, sessionize, multimodalDecode,
+  )
+}

@@ -1,0 +1,68 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different words entirely here now today"),
+    (5L, "the quick brown fox jumps over the lazy dog extra"), // superset of 1
+  ).toDF("doc_id", "text")
+
+  test("exact groups find byte-identical texts only") {
+    val g = Dedup.exactGroups(docs, Seq("text"), "doc_id").collect()
+    g should have length 1
+    g.head.getAs[Long]("canonical_id") shouldBe 1L
+    g.head.getAs[Long]("n_dups") shouldBe 2L
+  }
+
+  test("dropExactDuplicates keeps lowest id") {
+    val kept = Dedup.dropExactDuplicates(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 3L, 4L, 5L)
+  }
+
+  test("minhash candidates rank near-dups above unrelated docs") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleSize = 3, minEstJaccard = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard")).toMap
+    cands((1L, 2L)) shouldBe 1.0 // identical docs: every band collides, est 1
+    cands.contains((1L, 4L)) shouldBe false
+    cands.getOrElse((1L, 5L), 0.0) should be > 0.5
+  }
+
+  test("exact ngram jaccard matches hand computation") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleSize = 3, threshold = 0.2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    pairs((1L, 2L)) shouldBe 1.0
+    // doc1: 7 shingles; doc5: 8 shingles, 7 shared ⇒ 7/8
+    pairs((1L, 5L)) shouldBe (7.0 / 8.0 +- 0.0001)
+    // doc3 differs in last token: shares 6 of 7; union 8 ⇒ 6/8
+    pairs((1L, 3L)) shouldBe 0.75
+    pairs.contains((1L, 4L)) shouldBe false
+  }
+
+  test("simhash: identical docs distance 0; near dups small; unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 20)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    pairs((1L, 2L)) shouldBe 0
+    pairs.get((1L, 5L)).foreach(_ should be <= 20)
+  }
+
+  test("embedding cosine pairs find scaled vectors, skip orthogonal") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), 0),
+      (2L, Array(2.0f, 0.0f, 4.0f), 0), // scaled ⇒ cosine 1
+      (3L, Array(0.0f, 5.0f, 0.0f), 0), // orthogonal
+      (4L, Array(1.0f, 0.0f, 2.0f), 1), // same as 1 but different block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", "label", 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    pairs.toSeq shouldBe Seq((1L, 2L)) // 1-4 blocked apart, 1-3 orthogonal
+  }
+}

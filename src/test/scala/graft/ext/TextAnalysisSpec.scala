@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and bpeish counts") {
+    val df = Seq("Hello, world! It's fine.").toDF("text")
+      .select(TextAnalysis.tokenCount($"text").as("t"), TextAnalysis.bpeishCount($"text").as("b"))
+    val r = df.collect().head
+    r.getAs[Int]("t") shouldBe 5 // hello world it s fine
+    r.getAs[Int]("b") shouldBe 9 // 5 words + , ! ' .
+  }
+
+  test("shingles: 3-grams, distinct, short docs empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextAnalysis.shingles($"text", 3).as("g"))
+    val rows = df.collect()
+    rows(0).getSeq[String](0) shouldBe Seq("a b c", "b c d")
+    rows(1).getSeq[String](0) shouldBe Seq.empty
+  }
+
+  test("langId picks the stopword-dominant language, und when none") {
+    val df = Seq(
+      "the cat sat on the mat and it is happy",
+      "der hund ist nicht auf der couch und die katze",
+      "xyzzy plugh quux",
+    ).toDF("text").select(TextAnalysis.langId($"text").as("lang"))
+    df.as[String].collect().toSeq shouldBe Seq("en", "de", "und")
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val df = Seq(("Hello   World", "hello world"), ("a b", "a c"))
+      .toDF("x", "y")
+      .select((TextAnalysis.fingerprint($"x") === TextAnalysis.fingerprint($"y")).as("eq"))
+    df.as[Boolean].collect().toSeq shouldBe Seq(true, false)
+  }
+
+  test("rolling hash deterministic and order sensitive") {
+    val df = Seq(("a b c", "a b c", "c b a")).toDF("x", "y", "z")
+      .select(TextAnalysis.rollingHash($"x").as("hx"),
+        TextAnalysis.rollingHash($"y").as("hy"), TextAnalysis.rollingHash($"z").as("hz"))
+    val r = df.collect().head
+    r.getAs[Long]("hx") shouldBe r.getAs[Long]("hy")
+    r.getAs[Long]("hx") should not be r.getAs[Long]("hz")
+  }
+
+  test("multimodal stub decode: deterministic features, frames partition bytes") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text", "text")
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    feats(0).byte_len shouldBe 11L
+    feats(0).channels shouldBe (11 % 4) + 1
+    feats(1).byte_len shouldBe 0L
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+    frames.count(_.getAs[Long]("id") == 1L) shouldBe 4
+    frames.filter(_.getAs[Long]("id") == 1L).map(_.getAs[Int]("frame_bytes")).sum shouldBe 11
+  }
+}
