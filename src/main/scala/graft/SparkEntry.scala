@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ParityQueries, ComponentQueries, ExtensionQueries}
+import graft.queries.{ParityQueries, ComponentQueries, ExtensionQueries, EngineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,5 +22,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  private def allDefs = ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all
+  private def allDefs =
+    ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all ++ EngineQueries.all
 }
