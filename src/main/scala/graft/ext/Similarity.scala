@@ -20,9 +20,13 @@ import graft.functions.Cols.qcol
 object Similarity {
 
   /** Cosine similarity of two equal-length float/double array columns
-    * (computed in double).
+    * (computed in double) — the native single-pass codegen Expression
+    * (graft.plans.CosineSimilarity); `cosineDeclarative` keeps the
+    * built-in-functions form for reference/testing.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column = graft.plans.CosineSimilarity(a, b)
+
+  def cosineDeclarative(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     dot / (norm(a) * norm(b))

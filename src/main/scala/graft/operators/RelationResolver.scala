@@ -26,26 +26,52 @@ import graft.registry.ContentTypeRegistry
   * `limit 1` is order-undefined; we take the match with the lowest
   * (priority, id). Oracle SQL mirrors that.
   *
-  * Scale design: the common-field cascade is NOT executed as 6 sequential
-  * joins. The target is unpivoted once into a long-format lookup frame
-  * (priority, lowercased value, id) and the incoming values equi-join it in
-  * ONE broadcast hash join; min(struct(priority, id)) per input row restores
-  * the cascade's priority order. The CONTAINS fallback is a theta join that
-  * only runs over still-unresolved rows and only when the target is under
-  * `containsGuardRows` (it is O(rows × target) — at 100 TB it must stay a
-  * dimension-side-only operation; above the guard it is skipped, matching
-  * "miss ⇒ field dropped").
+  * Scale design — the fact side NEVER shuffles on the happy path:
+  *   - ambiguity (duplicate lookup values) is resolved by pre-aggregating
+  *     the DIMENSION to one row per value (min id / min (priority, id)),
+  *     so the equality lookups are plain broadcast hash joins over the
+  *     incoming frame — map-side only, whole-stage codegen.
+  *   - the 6-field fallback cascade is ONE join against an unpivoted
+  *     (value → best (priority, id)) frame, not six sequential joins.
+  *   - only the CONTAINS fallback (a theta join) touches a row key, and it
+  *     runs exclusively over equality MISSES (usually a tiny fraction), and
+  *     only when the target is dimension-sized (`containsGuardRows` —
+  *     O(misses × target) must never run against a fact-sized target).
   */
 object RelationResolver {
 
   /** Max target rows for which the contains-fallback theta join is allowed
-    * (SURVEY §7.5.3). Dimension tables in the reference's domain are tiny;
-    * this guard keeps the O(n×m) path from ever running against a fact-sized
-    * target.
+    * (SURVEY §7.5.3). Above the guard the fallback is skipped, matching
+    * "miss ⇒ field dropped".
     */
   val containsGuardRows: Long = 1000000L
 
   private val RowKey = "__rr_key"
+
+  /** Dimension side of the explicit-field lookup: one row per lowercased
+    * value, lowest id wins (deterministic `limit 1`).
+    */
+  private def fieldLookup(target: DataFrame, targetIdCol: String, searchField: String): DataFrame =
+    target
+      .select(qcol(targetIdCol).cast("long").as("__tid"),
+        lower(trim(qcol(searchField))).as("__tval"))
+      .filter(col("__tval").isNotNull)
+      .groupBy(col("__tval")).agg(min(col("__tid")).as("__tid"))
+
+  /** CONTAINS fallback over equality misses only: adds `outCol` with the
+    * min-id target whose value contains the needle. Requires a unique
+    * per-row key to regroup the theta join's multi-matches.
+    */
+  private def containsFallback(
+      misses: DataFrame, // (RowKey, __needle)
+      target: DataFrame, targetIdCol: String, searchField: String,
+  ): DataFrame = {
+    val tgt = target.select(qcol(targetIdCol).cast("long").as("__tid"),
+      lower(trim(qcol(searchField))).as("__cval"))
+    misses
+      .join(broadcast(tgt), col("__cval").contains(col("__needle")))
+      .groupBy(col(RowKey)).agg(min(col("__tid")).as("__contains"))
+  }
 
   /** Resolve a scalar relation column with an explicit search field.
     * Adds `resolvedCol: long` (null = no match) to `incoming`.
@@ -61,38 +87,26 @@ object RelationResolver {
       resolvedCol: String,
       enableContains: Boolean = true,
   ): DataFrame = {
-    val keyed = incoming.withColumn(RowKey, monotonically_increasing_id())
-    val tgt = target.select(
-      qcol(targetIdCol).cast("long").as("__tid"),
-      lower(trim(qcol(searchField))).as("__tval"),
-    )
-
-    val exact = keyed
-      .join(broadcast(tgt), lower(trim(qcol(valueCol))) === col("__tval"), "left")
-      .groupBy(col(RowKey)).agg(min(col("__tid")).as("__exact"))
-
-    val withExact = keyed.join(exact, RowKey)
-
-    val resolved =
-      if (!enableContains) withExact.withColumn(resolvedCol, col("__exact"))
-      else {
-        // contains fallback only for rows the equality join missed
-        val misses = withExact.filter(col("__exact").isNull && !Casts.isMissing(qcol(valueCol)))
-          .select(col(RowKey), lower(trim(qcol(valueCol))).as("__needle"))
-        val contains = misses
-          .join(broadcast(tgt), col("__tval").contains(col("__needle")), "left")
-          .groupBy(col(RowKey)).agg(min(col("__tid")).as("__contains"))
-        withExact
-          .join(contains, Seq(RowKey), "left")
-          .withColumn(resolvedCol, coalesce(col("__exact"), col("__contains")))
-          .drop("__contains")
-      }
-    resolved.drop(RowKey, "__exact")
+    val lookup = fieldLookup(target, targetIdCol, searchField)
+    val exact = incoming
+      .join(broadcast(lookup), lower(trim(qcol(valueCol))) === col("__tval"), "left")
+      .withColumn(resolvedCol, col("__tid"))
+      .drop("__tval", "__tid")
+    if (!enableContains) exact
+    else {
+      val keyed = exact.withColumn(RowKey, monotonically_increasing_id())
+      val misses = keyed
+        .filter(col(resolvedCol).isNull && !Casts.isMissing(qcol(valueCol)))
+        .select(col(RowKey), lower(trim(qcol(valueCol))).as("__needle"))
+      val contains = containsFallback(misses, target, targetIdCol, searchField)
+      keyed.join(contains, Seq(RowKey), "left")
+        .withColumn(resolvedCol, coalesce(col(resolvedCol), col("__contains")))
+        .drop(RowKey, "__contains")
+    }
   }
 
-  /** Build the long-format lookup frame for the bare-value cascade:
-    * one row per (existing common field, value) with its priority.
-    * Priority 0 is reserved for the id fallback handled separately.
+  /** Dimension side of the bare-value cascade: one row per lowercased value
+    * across all present common fields, best (priority, id) wins.
     */
   private def cascadeLookup(target: DataFrame, targetIdCol: String, commonFields: Seq[String]): DataFrame = {
     val present = commonFields.zipWithIndex.collect {
@@ -104,10 +118,17 @@ object RelationResolver {
       .select(qcol(targetIdCol).cast("long").as("__tid"), explode(array(present: _*)).as("e"))
       .select(col("__tid"), col("e.prio").as("__prio"), col("e.v").as("__tval"))
       .filter(col("__tval").isNotNull && col("__tval") =!= "")
+      .groupBy(col("__tval"))
+      .agg(min(struct(col("__prio"), col("__tid"))).as("m"))
+      .select(col("__tval"), col("m").getField("__tid").as("__ftid"))
   }
 
   /** Resolve a scalar relation column with NO explicit search field — the
     * fallback cascade (J2). Adds `resolvedCol: long`.
+    *
+    * Two broadcast joins over the incoming frame (id lookup + unpivoted
+    * value lookup), coalesced in reference priority order; non-numeric
+    * values simply miss the id join (null ⇒ falls through).
     */
   def resolveBare(
       incoming: DataFrame,
@@ -118,59 +139,45 @@ object RelationResolver {
       commonFields: Seq[String] = ContentTypeRegistry.commonLookupFields,
       enableContains: Boolean = true,
   ): DataFrame = {
-    val keyed = incoming.withColumn(RowKey, monotonically_increasing_id())
-
-    // (a) numeric ⇒ id join (:556-565)
+    // (a) numeric ⇒ id join (:556-565); ids are unique, no pre-agg needed
     val ids = target.select(qcol(targetIdCol).cast("long").as("__idv")).distinct()
-    val byId = keyed
-      .filter(Casts.isNumeric(qcol(valueCol)))
-      .select(col(RowKey), trim(qcol(valueCol)).try_cast("long").as("__want"))
-      .join(broadcast(ids), col("__want") === col("__idv"), "left")
-      .groupBy(col(RowKey)).agg(min(col("__idv")).as("__byid"))
-
-    // (b) one unpivoted broadcast join replaces the 6-join cascade
+    // (b) unpivoted common-field lookup (:574-597)
     val lookup = cascadeLookup(target, targetIdCol, commonFields)
-    val byField = keyed
-      .filter(!Casts.isNumeric(qcol(valueCol)) && !Casts.isMissing(qcol(valueCol)))
-      .select(col(RowKey), lower(trim(qcol(valueCol))).as("__needle"))
-      .join(broadcast(lookup), col("__needle") === col("__tval"), "left")
-      .groupBy(col(RowKey))
-      .agg(min(struct(col("__prio"), col("__tid"))).as("m"))
-      .select(col(RowKey), col("m.__tid").as("__byfield"))
 
-    val joined = keyed
-      .join(byId, Seq(RowKey), "left")
-      .join(byField, Seq(RowKey), "left")
-      .withColumn("__resolved0", coalesce(col("__byid"), col("__byfield")))
+    val joined = incoming
+      .join(broadcast(ids), trim(qcol(valueCol)).try_cast("long") === col("__idv"), "left")
+      .join(broadcast(lookup), lower(trim(qcol(valueCol))) === col("__tval"), "left")
+      .withColumn(resolvedCol, coalesce(col("__idv"), col("__ftid")))
+      .drop("__idv", "__tval", "__ftid")
 
     // (c) contains on the FIRST present common field only (:599-613)
-    val result =
-      if (!enableContains) joined.withColumn(resolvedCol, col("__resolved0"))
-      else {
-        val firstField = commonFields.find(target.columns.contains)
-        firstField match {
-          case None => joined.withColumn(resolvedCol, col("__resolved0"))
-          case Some(f) =>
-            val tgt1 = target.select(qcol(targetIdCol).cast("long").as("__tid"),
-              lower(trim(col(f))).as("__tval"))
-            val misses = joined
-              .filter(col("__resolved0").isNull && !Casts.isMissing(qcol(valueCol)) && !Casts.isNumeric(qcol(valueCol)))
-              .select(col(RowKey), lower(trim(qcol(valueCol))).as("__needle"))
-            val contains = misses
-              .join(broadcast(tgt1), col("__tval").contains(col("__needle")), "left")
-              .groupBy(col(RowKey)).agg(min(col("__tid")).as("__contains"))
-            joined.join(contains, Seq(RowKey), "left")
-              .withColumn(resolvedCol, coalesce(col("__resolved0"), col("__contains")))
-              .drop("__contains")
-        }
-      }
-    result.drop(RowKey, "__byid", "__byfield", "__resolved0")
+    val firstField = if (enableContains) commonFields.find(target.columns.contains) else None
+    firstField match {
+      case None => joined
+      case Some(f) =>
+        val keyed = joined.withColumn(RowKey, monotonically_increasing_id())
+        val misses = keyed
+          .filter(col(resolvedCol).isNull && !Casts.isMissing(qcol(valueCol)) &&
+            !Casts.isNumeric(qcol(valueCol)))
+          .select(col(RowKey), lower(trim(qcol(valueCol))).as("__needle"))
+        val contains = containsFallback(misses, target, targetIdCol, f)
+        keyed.join(contains, Seq(RowKey), "left")
+          .withColumn(resolvedCol, coalesce(col(resolvedCol), col("__contains")))
+          .drop(RowKey, "__contains")
+    }
   }
 
   /** Resolve a multi-valued relation column (comma-separated values) with an
     * explicit search field (J3). Adds `resolvedCol: array<long>` preserving
     * element order; unresolvable elements are dropped (reference keeps only
-    * found ids, :479-489); an all-miss list resolves to an empty array.
+    * found ids, :479-489); an all-miss list resolves to null ("field
+    * dropped", :491).
+    *
+    * The equality path avoids exploding: each element of the split array is
+    * resolved via a broadcast map lookup (element_at on a map literal is
+    * not scalable — instead the exploded join regroups by a row key; the
+    * dimension is still pre-aggregated so the join itself never multiplies
+    * rows).
     */
   def resolveMultiByField(
       incoming: DataFrame,
@@ -181,7 +188,6 @@ object RelationResolver {
       resolvedCol: String,
       enableContains: Boolean = true,
   ): DataFrame = {
-    // outer key uses its own name: resolveByField generates RowKey internally
     val OuterKey = "__rr_okey"
     val keyed = incoming.withColumn(OuterKey, monotonically_increasing_id())
     val exploded = keyed

@@ -52,11 +52,15 @@ object Upsert {
       MergeResult(target.unionByName(incoming, allowMissingColumns = true), created, 0L)
     } else {
       val deduped = dedupLastWins(incoming, key).cache()
+      // one aggregate job yields both counters (count of existing-key hits
+      // = updated; remainder = created) instead of two separate counts
       val keys = target.select(col(key)).distinct()
-      val updated = deduped.join(keys, Seq(key), "left_semi").count()
-      val created = deduped.count() - updated
+        .withColumn("__ex", lit(1))
+      val r = deduped.join(keys, Seq(key), "left")
+        .agg(count(lit(1)).as("n"), count(col("__ex")).as("upd")).head()
+      val (n, updated) = (r.getLong(0), r.getLong(1))
       val kept = target.join(deduped.select(col(key)), Seq(key), "left_anti")
-      MergeResult(kept.unionByName(deduped, allowMissingColumns = true), created, updated)
+      MergeResult(kept.unionByName(deduped, allowMissingColumns = true), n - updated, updated)
     }
   }
 

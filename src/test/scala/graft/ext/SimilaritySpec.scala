@@ -14,6 +14,28 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(0.7f, 0.7f)),
   ).toDF("vec_id", "embedding")
 
+  test("native codegen cosine agrees with the declarative form") {
+    val df = Seq(
+      (Array(0.3f, -1.2f, 2.5f), Array(1.1f, 0.4f, -0.2f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+    ).toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b").as("native"),
+        Similarity.cosineDeclarative($"a", $"b").as("decl"))
+    df.collect().foreach { r =>
+      r.getAs[Double]("native") shouldBe (r.getAs[Double]("decl") +- 1e-12)
+    }
+  }
+
+  test("cosine null on length mismatch and zero vector") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f), Array(0.0f, 0.0f)))
+      .toDF("a", "b", "z")
+      .select(Similarity.cosine($"a", $"b").as("mismatch"),
+        Similarity.cosine($"a", $"z").as("zero"))
+    val r = df.collect().head
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+  }
+
   test("cosine of identical and orthogonal vectors") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(-2.0f, 1.0f)))
       .toDF("a", "b", "c")
