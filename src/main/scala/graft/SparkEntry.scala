@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ParityQueries, ComponentQueries, ExtensionQueries, EngineQueries}
+import graft.queries.{ParityQueries, ComponentQueries, ExtensionQueries, EngineQueries, CoverageQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,5 +23,6 @@ object SparkEntry {
     allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   private def allDefs =
-    ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all ++ EngineQueries.all
+    ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all ++
+      EngineQueries.all ++ CoverageQueries.all
 }
