@@ -51,19 +51,26 @@ object TextAnalysis {
 
   /** Language-ID: stopword-hit argmax over `stopwords`, alphabetical
     * language-code tie-break, "und" when no list scores ≥ 1 hit.
+    *
+    * Single pass: one tokenization, one fold accumulating all per-language
+    * counters at once. (A per-language `hits` + nested when-fold duplicates
+    * the tokenize subtree ~2^langs times — Spark does not CSE inside one
+    * projection.) Argmax-with-tie-break via the score*n + (n-1-i) encoding,
+    * identical to the DuckDB oracle's `greatest` formula.
     */
   def langId(text: Column): Column = {
-    val t = tokens(text)
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(hits(t, words).as("score"), lit(lang).as("lang"))
+    val ordered = stopwords.toSeq.sortBy(_._1) // de, en, es, fr
+    val n = ordered.size
+    val counts = aggregate(tokens(text), array_repeat(lit(0), n),
+      (acc, tok) => zip_with(acc,
+        array(ordered.map { case (_, ws) => when(tok.isin(ws: _*), 1).otherwise(0) }: _*),
+        (a, b) => a + b))
+    val key = greatest(ordered.indices.map(i =>
+      element_at(counts, i + 1) * n + lit(n - 1 - i)): _*)
+    val lang = ordered.zipWithIndex.foldLeft(lit("und")) { case (acc, ((code, _), i)) =>
+      when(pmod(key, lit(n)) === (n - 1 - i), lit(code)).otherwise(acc)
     }
-    // max by (score, then reverse-alphabetical loses to earlier code on tie):
-    // array_max on struct compares score first, then lang lexicographically —
-    // ties therefore pick the LAST language alphabetically; invert by
-    // negating nothing and instead comparing with explicit fold.
-    val best = scored.reduce((a, b) =>
-      when(b.getField("score") > a.getField("score"), b).otherwise(a))
-    when(best.getField("score") >= 1, best.getField("lang")).otherwise(lit("und"))
+    when(array_max(counts) >= 1, lang).otherwise(lit("und"))
   }
 
   /** Per-document quality metrics (length/punct/stopword ratios). */

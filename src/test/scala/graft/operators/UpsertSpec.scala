@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Upsert merge semantics + rewrite-and-swap physical write
+  * (reference: importData, server/services/csv-import.js:362-409).
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge upsert splits created/updated; within-batch dup keys last-write-wins") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val incoming = Seq((2L, "b2"), (3L, "c"), (3L, "c2")).toDF("id", "v")
+    val r = Upsert.merge(target, incoming, "id", upsert = true)
+    r.updated shouldBe 1
+    r.created shouldBe 1
+    val rows = r.merged.orderBy("id").collect()
+    rows.map(x => (x.getLong(0), x.getString(1))).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b2"), (3L, "c2")) // last occurrence of 3 wins
+  }
+
+  test("merge append keeps everything, counts created only") {
+    val target = Seq((1L, "a")).toDF("id", "v")
+    val incoming = Seq((1L, "dup"), (2L, "b")).toDF("id", "v")
+    val r = Upsert.merge(target, incoming, "id", upsert = false)
+    r.created shouldBe 2
+    r.updated shouldBe 0
+    r.merged.count() shouldBe 3
+  }
+
+  test("writeSwap atomically replaces the table directory") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/table"
+    Seq((1L, "old")).toDF("id", "v").write.parquet(dir)
+    val merged = Seq((1L, "new"), (2L, "b")).toDF("id", "v")
+    Upsert.writeSwap(spark, merged, dir)
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+    back.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((1L, "new"), (2L, "b"))
+    new java.io.File(dir + ".bak").exists() shouldBe false
+  }
+}
