@@ -100,7 +100,11 @@ object Exporter {
     keyed.join(joined, Seq(RowKey), "left").drop(RowKey, field)
   }
 
-  /** S10: CSV serialization with header + RFC quoting (built into Spark). */
+  /** S10: CSV serialization with header + RFC quoting. Spark's default
+    * escape is backslash; the reference doubles quotes
+    * (createCsvContent, reference controllers/csv-import.js:442-445) —
+    * escape='"' reproduces that.
+    */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", true).csv(path)
+    df.write.mode("overwrite").option("header", true).option("escape", "\"").csv(path)
 }
