@@ -107,12 +107,11 @@ final class Engine(
       case HeaderMapping.Direct(_, a) if a.isRelation =>
         val (target, idCol) = tables(a.target.get)
         df =
-          if (a.isMultiRelation) {
-            // bare multi: comma-split, cascade per element — explode + bare
-            val exploded = RelationResolver.resolveBare(df, a.name, target, idCol, s"__${a.name}_id")
-            exploded.withColumn(a.name, when(col(s"__${a.name}_id").isNotNull,
-              array(col(s"__${a.name}_id")))).drop(s"__${a.name}_id")
-          } else
+          if (a.isMultiRelation)
+            // bare multi: comma-split, J2 cascade per element (:475-493)
+            RelationResolver.resolveMultiBare(df, a.name, target, idCol, s"__${a.name}_ids")
+              .withColumn(a.name, col(s"__${a.name}_ids")).drop(s"__${a.name}_ids")
+          else
             RelationResolver.resolveBare(df, a.name, target, idCol, s"__${a.name}_rid")
               .withColumn(a.name, col(s"__${a.name}_rid")).drop(s"__${a.name}_rid")
       case _ => ()

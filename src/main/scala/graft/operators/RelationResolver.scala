@@ -203,4 +203,32 @@ object RelationResolver {
         when(size(col("arr")) > 0, transform(col("arr"), e => e("__rid"))).as(resolvedCol))
     keyed.join(collected, Seq(OuterKey), "left").drop(OuterKey)
   }
+
+  /** Multi-valued relation with NO explicit search field: comma-split, each
+    * element resolved through the J2 cascade (reference: processRelations
+    * :475-493 routes every element through findRelatedEntity).
+    */
+  def resolveMultiBare(
+      incoming: DataFrame,
+      valueCol: String,
+      target: DataFrame,
+      targetIdCol: String,
+      resolvedCol: String,
+      commonFields: Seq[String] = ContentTypeRegistry.commonLookupFields,
+      enableContains: Boolean = true,
+  ): DataFrame = {
+    val OuterKey = "__rr_okey"
+    val keyed = incoming.withColumn(OuterKey, monotonically_increasing_id())
+    val exploded = keyed
+      .select(col(OuterKey), posexplode_outer(Casts.splitTrim(qcol(valueCol))).as(Seq("__pos", "__elem")))
+    val resolved = resolveBare(exploded, "__elem", target, targetIdCol, "__rid",
+      commonFields, enableContains)
+    val collected = resolved
+      .groupBy(col(OuterKey))
+      .agg(array_sort(collect_list(when(col("__rid").isNotNull,
+        struct(col("__pos"), col("__rid"))))).as("arr"))
+      .select(col(OuterKey),
+        when(size(col("arr")) > 0, transform(col("arr"), e => e("__rid"))).as(resolvedCol))
+    keyed.join(collected, Seq(OuterKey), "left").drop(OuterKey)
+  }
 }

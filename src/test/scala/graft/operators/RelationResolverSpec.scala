@@ -64,6 +64,19 @@ class RelationResolverSpec extends SparkSpec {
     Option(res(2).getAs[Any]("cids")) shouldBe None // all-miss ⇒ dropped (null)
   }
 
+  test("multi bare: comma list resolved per-element through the cascade") {
+    val incoming = Seq(
+      ("r1", "2, china"),        // id + name mix
+      ("r2", "india,99,China"),  // name, dead id, name
+      ("r3", "nothing-here"),
+    ).toDF("k", "v")
+    val res = RelationResolver.resolveMultiBare(incoming, "v", countries, "id", "cids",
+      enableContains = false).orderBy("k").collect()
+    res(0).getSeq[Long](res(0).fieldIndex("cids")) shouldBe Seq(2L, 3L)
+    res(1).getSeq[Long](res(1).fieldIndex("cids")) shouldBe Seq(1L, 3L)
+    Option(res(2).getAs[Any]("cids")) shouldBe None
+  }
+
   test("deterministic tie-break: lowest id wins on duplicate values") {
     val target = Seq((5L, "dup"), (2L, "dup"), (9L, "dup")).toDF("id", "name")
     val incoming = Seq(("x", "dup")).toDF("k", "v")
