@@ -73,6 +73,34 @@ object TextAnalysis {
     when(array_max(counts) >= 1, lang).otherwise(lit("und"))
   }
 
+  /** DataFrame-level language-ID: same semantics as `langId` but via
+    * explode + conditional-count aggregation — Spark's higher-order
+    * functions (aggregate/zip_with) evaluate interpreted, while count-if
+    * aggregates stay in whole-stage codegen. Zero-token documents are
+    * preserved via the left join back ("und").
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val ordered = stopwords.toSeq.sortBy(_._1)
+    val n = ordered.size
+    val th = df.select(col(idCol).as("__lid"), explode(tokens(col(textCol))).as("__t"))
+    val counted = th.groupBy(col("__lid"))
+      .agg(count(when(col("__t").isin(ordered.head._2: _*), 1)).as("c0"),
+        ordered.tail.zipWithIndex.map { case ((_, ws), i) =>
+          count(when(col("__t").isin(ws: _*), 1)).as(s"c${i + 1}")
+        }: _*)
+    val key = greatest(ordered.indices.map(i => col(s"c$i") * n + lit(n - 1 - i)): _*)
+    val lang = ordered.zipWithIndex.foldLeft(lit("und")) { case (acc, ((code, _), i)) =>
+      when(pmod(key, lit(n)) === (n - 1 - i), lit(code)).otherwise(acc)
+    }
+    val maxScore = greatest(ordered.indices.map(i => col(s"c$i")): _*)
+    val pred = counted.select(col("__lid"),
+      when(maxScore >= 1, lang).otherwise(lit("und")).as(outCol))
+    df.join(pred, col(idCol) === col("__lid"), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("und")))
+      .drop("__lid")
+  }
+
   /** Per-document quality metrics (length/punct/stopword ratios). */
   def qualityMetrics(text: Column): Seq[(String, Column)] = {
     val t = tokens(text)

@@ -169,8 +169,8 @@ object ExtensionQueries {
       |            ELSE CASE key % 4 WHEN 3 THEN 'de' WHEN 2 THEN 'en'
       |                              WHEN 1 THEN 'es' ELSE 'fr' END END AS lang_pred
       |FROM k""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir).select(col("doc_id"),
-      TextAnalysis.langId(col("text")).as("lang_pred"))
+    TextAnalysis.withLangId(Tables.documents(s, dir), "doc_id", "text", "lang_pred")
+      .select(col("doc_id"), col("lang_pred"))
   }
 
   val textFingerprint = q("x_text_fingerprint",

@@ -31,6 +31,21 @@ class TextAnalysisSpec extends SparkSpec {
     df.as[String].collect().toSeq shouldBe Seq("en", "de", "und")
   }
 
+  test("withLangId agrees with the column form and keeps zero-token docs") {
+    val df = Seq(
+      (1L, "the cat and the hat is it"),
+      (2L, "der hund und die katze ist da"),
+      (3L, ""),
+      (4L, "xyzzy plugh"),
+    ).toDF("id", "text")
+    val viaDf = TextAnalysis.withLangId(df, "id", "text", "lang")
+      .orderBy("id").select("lang").as[String].collect().toSeq
+    val viaCol = df.orderBy("id")
+      .select(TextAnalysis.langId($"text").as("lang")).as[String].collect().toSeq
+    viaDf shouldBe viaCol
+    viaDf shouldBe Seq("en", "de", "und", "und")
+  }
+
   test("fingerprint is whitespace/case invariant") {
     val df = Seq(("Hello   World", "hello world"), ("a b", "a c"))
       .toDF("x", "y")
