@@ -31,15 +31,19 @@ object Upsert {
 
   private val OrderCol = "__ins_order"
 
-  /** Deduplicate incoming rows by key, last occurrence wins. */
+  /** Deduplicate incoming rows by key, last occurrence wins. Hash-aggregate
+    * max-by (the input-order id is the struct's leading field) instead of a
+    * window: partial aggregation map-side, no per-partition sort.
+    */
   def dedupLastWins(incoming: DataFrame, key: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(key)).orderBy(col(OrderCol).desc)
+    val others = incoming.columns.filterNot(_ == key)
     incoming
       .withColumn(OrderCol, monotonically_increasing_id())
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", OrderCol)
+      .groupBy(col(key))
+      .agg(max(struct(col(OrderCol) +: others.map(col): _*)).as("__m"))
+      .select(col(key) +: others.map(c => col("__m").getField(c).as(c)): _*)
+      // restore original column order
+      .select(incoming.columns.map(col): _*)
   }
 
   /** Pure merge: returns the merged frame plus created/updated counts.
