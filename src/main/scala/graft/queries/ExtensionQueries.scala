@@ -189,6 +189,21 @@ object ExtensionQueries {
     EventStreams.windowedAgg(Tables.events(s, dir), "1 hour")
   }
 
+  /** The same windowed aggregation through the REAL Structured Streaming
+    * path: events staged to a dir, file-source readStream with watermark,
+    * memory sink run to completion. Oracle identical to x_stream_window.
+    */
+  val streamFileWindow = q("x_stream_file_window",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val tmp = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(tmp)
+    EventStreams.runWindowedAggOnce(s, tmp, "graft_stream_win")
+  }
+
   val sessionize = q("x_sessionize",
     """WITH e AS (
       |  SELECT user_id, ts, event_id, value,
@@ -225,6 +240,6 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos,
     knnBrute, knnIvf,
     textTokens, textQuality, textLangId, textFingerprint,
-    streamWindow, sessionize, multimodalDecode,
+    streamWindow, streamFileWindow, sessionize, multimodalDecode,
   )
 }

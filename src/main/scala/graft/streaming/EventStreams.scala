@@ -28,14 +28,30 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming variant with watermark, for a parquet/json dir source. */
+  /** Streaming variant with watermark, for a parquet dir source (micros
+    * timestamps, i.e. Spark-written batches).
+    */
   def windowedAggStream(spark: SparkSession, dir: String, windowLength: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
     val stream = spark.readStream
-      .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
       .parquet(dir)
       .withWatermark("ts", watermark)
     windowedAgg(stream, windowLength)
+  }
+
+  /** Run the file-source streaming aggregation to completion over a static
+    * staging dir and return the final result — used to put the REAL
+    * streaming execution path (file source → watermark → stateful agg →
+    * memory sink) under the batch-oracle gate.
+    */
+  def runWindowedAggOnce(spark: SparkSession, dir: String, queryName: String,
+      windowLength: String = "1 hour"): DataFrame = {
+    val q = windowedAggStream(spark, dir, windowLength)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
   }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -84,6 +84,27 @@ class EngineSpec extends SparkSpec {
     res.merged.count() shouldBe 2
   }
 
+  test("importCsv assembles components with inner relations (three-segment grammar)") {
+    import org.apache.spark.sql.types._
+    val emptyPersons = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("fullName", StringType))))
+    val eng = new Engine(spark, Fixtures.registry, {
+      case "api::country.country" => (countryTable, "id")
+      case "api::person.person" => (emptyPersons, "fullName")
+    })
+    val csv = Seq(
+      ("Ada", "Main St", "NYC", "united states"),
+      ("Bob", "", "", ""),
+    ).toDF("fullName", "address.street", "address.city", "address.country.name")
+    val res = eng.importCsv(csv, "api::person.person", upsert = true, upsertField = "fullName")
+    res.created shouldBe 2
+    val rows = res.merged.orderBy("fullName").collect()
+    val ada = rows(0).getStruct(rows(0).fieldIndex("address"))
+    ada.getAs[String]("street") shouldBe "Main St"
+    ada.getAs[Long]("country") shouldBe 2L // resolved against countries
+    rows(1).isNullAt(rows(1).fieldIndex("address")) shouldBe true // all-empty ⇒ null
+  }
+
   test("importCsv aborts on schema-level validation failure (gate)") {
     val csv = Seq(("2000")).toDF("established") // required name missing
     an[IllegalArgumentException] should be thrownBy
