@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // untimed warmup: session/codegen/scan machinery init otherwise lands
+    // entirely on whichever query happens to run first
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .limit(1000).write.format("noop").mode("overwrite").save()
     val only = args.toSet // optional query-name filter for micro-benching
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
