@@ -106,6 +106,7 @@ object Components {
 
   private def assembleRepeatable(df0: DataFrame, src: ComponentSource, lookup: RelationLookup): DataFrame = {
     val rowKey = s"__comp_${src.attr.name}_key"
+    val originals = df0.columns
     val df = df0.withColumn(rowKey, monotonically_increasing_id())
 
     // comma-split each stashed column (reference :707-714); element i of
@@ -117,10 +118,13 @@ object Components {
     }
     val zipped = arrays_zip(splitCols: _*)
 
-    // explode to element rows, resolve inner relations, re-collect
+    // explode to element rows CARRYING all original columns — the chain
+    // stays linear through the groupBy (no row-key join-back: synthetic ids
+    // are not stable across plan branches)
     val exploded = df
-      .select(col(rowKey), posexplode_outer(zipped).as(Seq("__pos", "__elem")))
-      .select(col(rowKey) +: col("__pos") +:
+      .select(col(rowKey) +: originals.map(qcol) :+
+        posexplode_outer(zipped).as(Seq("__pos", "__elem")): _*)
+      .select(col(rowKey) +: col("__pos") +: originals.map(qcol) :++
         pathSeq.zipWithIndex.map { case ((path, _), i) =>
           trim(col("__elem").getField(s"__sp_$path")).as(s"__v$i")
         }: _*)
@@ -137,18 +141,19 @@ object Components {
       }
     }
     val structFields = fieldCols.sortBy(_._1).map { case (n, c) => c.as(n) }
+    // all-empty element rows are skipped via the null-skipping collect
+    // (reference :717-735) — NOT a pre-filter, which would drop rows whose
+    // every element is empty instead of giving them a null component
     val anyPresent = fieldCols.map(_._2.isNotNull).reduceOption(_ || _).getOrElse(lit(false))
 
-    val collected = resolved
-      // all-empty element rows are skipped (reference :717-735)
-      .filter(anyPresent)
+    resolved
       .groupBy(col(rowKey))
-      .agg(array_sort(collect_list(struct(col("__pos").as("__pos"),
-        struct(structFields: _*).as("__s")))).as("__arr"))
-      .select(col(rowKey),
-        when(size(col("__arr")) > 0, transform(col("__arr"), e => e("__s"))).as(src.attr.name))
-
-    df.join(collected, Seq(rowKey), "left")
-      .drop(rowKey +: src.columns.values.toSeq: _*)
+      .agg(
+        first(struct(originals.map(qcol): _*)).as("__orig"),
+        array_sort(collect_list(when(anyPresent, struct(col("__pos").as("__pos"),
+          struct(structFields: _*).as("__s"))))).as("__arr"))
+      .select(originals.map(c => col("__orig").getField(c).as(c)) :+
+        when(size(col("__arr")) > 0, transform(col("__arr"), e => e("__s"))).as(src.attr.name): _*)
+      .drop(src.columns.values.toSeq: _*)
   }
 }

@@ -114,21 +114,22 @@ object Media {
       fileIdCol: String,
       matchedCol: String,
   ): DataFrame = {
-    val RowKey = "__mm_key"
-    val keyed = records.withColumn(RowKey, monotonically_increasing_id())
+    // value-keyed: the match set depends only on the key value, so the
+    // theta join runs over DISTINCT keys and equi-joins back by value (row
+    // keys are not stable across plan branches)
     val f = files
       .filter(!isSystemFile(qcol(nameCol)))
       .select(lower(element_at(split(qcol(nameCol), "/"), -1)).as("__lname"),
         qcol(nameCol).as("__fname"), qcol(fileIdCol).cast("long").as("__fid"))
-    val matches = keyed
-      .select(col(RowKey), lower(trim(qcol(keyCol))).as("__k"))
-      .filter(col("__k") =!= "")
+    val matches = records
+      .select(lower(trim(qcol(keyCol))).as("__k"))
+      .filter(col("__k") =!= "").distinct()
       .join(broadcast(f), col("__lname").startsWith(col("__k")))
-      .groupBy(col(RowKey))
+      .groupBy(col("__k"))
       .agg(transform(array_sort(collect_list(struct(col("__fname"), col("__fid")))),
         e => e("__fid")).as("__ids"))
-    keyed.join(matches, Seq(RowKey), "left")
+    records.join(broadcast(matches), lower(trim(qcol(keyCol))) === col("__k"), "left")
       .withColumn(matchedCol, when(size(col("__ids")) > 0, col("__ids")))
-      .drop(RowKey, "__ids")
+      .drop("__k", "__ids")
   }
 }

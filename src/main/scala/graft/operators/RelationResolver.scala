@@ -46,8 +46,6 @@ object RelationResolver {
     */
   val containsGuardRows: Long = 1000000L
 
-  private val RowKey = "__rr_key"
-
   /** Dimension side of the explicit-field lookup: one row per lowercased
     * value, lowest id wins (deterministic `limit 1`).
     */
@@ -58,19 +56,22 @@ object RelationResolver {
       .filter(col("__tval").isNotNull)
       .groupBy(col("__tval")).agg(min(col("__tid")).as("__tid"))
 
-  /** CONTAINS fallback over equality misses only: adds `outCol` with the
-    * min-id target whose value contains the needle. Requires a unique
-    * per-row key to regroup the theta join's multi-matches.
+  /** CONTAINS fallback as a VALUE-keyed lookup: the contains result depends
+    * only on the needle value, so the theta join runs over DISTINCT miss
+    * values and the result equi-joins back by value. No per-row key exists
+    * anywhere — row keys (monotonically_increasing_id) are NOT stable
+    * across plan branches (AQE may plan each branch differently), and a
+    * join-back on them can mispair rows.
     */
-  private def containsFallback(
-      misses: DataFrame, // (RowKey, __needle)
+  private def containsLookup(
+      missValues: DataFrame, // (__needle) distinct
       target: DataFrame, targetIdCol: String, searchField: String,
   ): DataFrame = {
     val tgt = target.select(qcol(targetIdCol).cast("long").as("__tid"),
       lower(trim(qcol(searchField))).as("__cval"))
-    misses
+    missValues
       .join(broadcast(tgt), col("__cval").contains(col("__needle")))
-      .groupBy(col(RowKey)).agg(min(col("__tid")).as("__contains"))
+      .groupBy(col("__needle")).agg(min(col("__tid")).as("__contains"))
   }
 
   /** Resolve a scalar relation column with an explicit search field.
@@ -94,14 +95,14 @@ object RelationResolver {
       .drop("__tval", "__tid")
     if (!enableContains) exact
     else {
-      val keyed = exact.withColumn(RowKey, monotonically_increasing_id())
-      val misses = keyed
+      val missValues = exact
         .filter(col(resolvedCol).isNull && !Casts.isMissing(qcol(valueCol)))
-        .select(col(RowKey), lower(trim(qcol(valueCol))).as("__needle"))
-      val contains = containsFallback(misses, target, targetIdCol, searchField)
-      keyed.join(contains, Seq(RowKey), "left")
+        .select(lower(trim(qcol(valueCol))).as("__needle")).distinct()
+      val contains = containsLookup(missValues, target, targetIdCol, searchField)
+      exact.join(broadcast(contains),
+          lower(trim(qcol(valueCol))) === col("__needle") && col(resolvedCol).isNull, "left")
         .withColumn(resolvedCol, coalesce(col(resolvedCol), col("__contains")))
-        .drop(RowKey, "__contains")
+        .drop("__needle", "__contains")
     }
   }
 
@@ -150,20 +151,21 @@ object RelationResolver {
       .withColumn(resolvedCol, coalesce(col("__idv"), col("__ftid")))
       .drop("__idv", "__tval", "__ftid")
 
-    // (c) contains on the FIRST present common field only (:599-613)
+    // (c) contains on the FIRST present common field only (:599-613),
+    // value-keyed (see containsLookup)
     val firstField = if (enableContains) commonFields.find(target.columns.contains) else None
     firstField match {
       case None => joined
       case Some(f) =>
-        val keyed = joined.withColumn(RowKey, monotonically_increasing_id())
-        val misses = keyed
+        val missValues = joined
           .filter(col(resolvedCol).isNull && !Casts.isMissing(qcol(valueCol)) &&
             !Casts.isNumeric(qcol(valueCol)))
-          .select(col(RowKey), lower(trim(qcol(valueCol))).as("__needle"))
-        val contains = containsFallback(misses, target, targetIdCol, f)
-        keyed.join(contains, Seq(RowKey), "left")
+          .select(lower(trim(qcol(valueCol))).as("__needle")).distinct()
+        val contains = containsLookup(missValues, target, targetIdCol, f)
+        joined.join(broadcast(contains),
+            lower(trim(qcol(valueCol))) === col("__needle") && col(resolvedCol).isNull, "left")
           .withColumn(resolvedCol, coalesce(col(resolvedCol), col("__contains")))
-          .drop(RowKey, "__contains")
+          .drop("__needle", "__contains")
     }
   }
 
@@ -179,6 +181,36 @@ object RelationResolver {
     * dimension is still pre-aggregated so the join itself never multiplies
     * rows).
     */
+  /** Shared multi-value chain: explode, resolve each element via
+    * `resolveElem`, regroup. All original columns are CARRIED THROUGH the
+    * explode (first() restores them after the groupBy) — a single linear
+    * plan, never a row-key join-back (monotonically_increasing_id is not
+    * stable across plan branches).
+    */
+  private def resolveMulti(
+      incoming: DataFrame,
+      valueCol: String,
+      resolvedCol: String,
+      resolveElem: DataFrame => DataFrame,
+  ): DataFrame = {
+    val OuterKey = "__rr_okey"
+    val originals = incoming.columns
+    val keyed = incoming.withColumn(OuterKey, monotonically_increasing_id())
+    val exploded = keyed
+      .select(col(OuterKey) +: originals.map(qcol) :+
+        posexplode_outer(Casts.splitTrim(qcol(valueCol))).as(Seq("__pos", "__elem")): _*)
+    val resolved = resolveElem(exploded)
+    resolved
+      .groupBy(col(OuterKey))
+      .agg(
+        first(struct(originals.map(qcol): _*)).as("__orig"),
+        array_sort(collect_list(when(col("__rid").isNotNull,
+          struct(col("__pos"), col("__rid"))))).as("arr"))
+      // empty result ⇒ field dropped (null), matching the reference (:491)
+      .select(originals.map(c => col("__orig").getField(c).as(c)) :+
+        when(size(col("arr")) > 0, transform(col("arr"), e => e("__rid"))).as(resolvedCol): _*)
+  }
+
   def resolveMultiByField(
       incoming: DataFrame,
       valueCol: String,
@@ -187,22 +219,9 @@ object RelationResolver {
       searchField: String,
       resolvedCol: String,
       enableContains: Boolean = true,
-  ): DataFrame = {
-    val OuterKey = "__rr_okey"
-    val keyed = incoming.withColumn(OuterKey, monotonically_increasing_id())
-    val exploded = keyed
-      .select(col(OuterKey), posexplode_outer(Casts.splitTrim(qcol(valueCol))).as(Seq("__pos", "__elem")))
-    val resolved = resolveByField(exploded, "__elem", target, targetIdCol, searchField,
-      "__rid", enableContains)
-    val collected = resolved
-      .groupBy(col(OuterKey))
-      .agg(array_sort(collect_list(when(col("__rid").isNotNull,
-        struct(col("__pos"), col("__rid"))))).as("arr"))
-      // empty result ⇒ field dropped (null), matching the reference (:491)
-      .select(col(OuterKey),
-        when(size(col("arr")) > 0, transform(col("arr"), e => e("__rid"))).as(resolvedCol))
-    keyed.join(collected, Seq(OuterKey), "left").drop(OuterKey)
-  }
+  ): DataFrame =
+    resolveMulti(incoming, valueCol, resolvedCol,
+      ex => resolveByField(ex, "__elem", target, targetIdCol, searchField, "__rid", enableContains))
 
   /** Multi-valued relation with NO explicit search field: comma-split, each
     * element resolved through the J2 cascade (reference: processRelations
@@ -216,19 +235,7 @@ object RelationResolver {
       resolvedCol: String,
       commonFields: Seq[String] = ContentTypeRegistry.commonLookupFields,
       enableContains: Boolean = true,
-  ): DataFrame = {
-    val OuterKey = "__rr_okey"
-    val keyed = incoming.withColumn(OuterKey, monotonically_increasing_id())
-    val exploded = keyed
-      .select(col(OuterKey), posexplode_outer(Casts.splitTrim(qcol(valueCol))).as(Seq("__pos", "__elem")))
-    val resolved = resolveBare(exploded, "__elem", target, targetIdCol, "__rid",
-      commonFields, enableContains)
-    val collected = resolved
-      .groupBy(col(OuterKey))
-      .agg(array_sort(collect_list(when(col("__rid").isNotNull,
-        struct(col("__pos"), col("__rid"))))).as("arr"))
-      .select(col(OuterKey),
-        when(size(col("arr")) > 0, transform(col("arr"), e => e("__rid"))).as(resolvedCol))
-    keyed.join(collected, Seq(OuterKey), "left").drop(OuterKey)
-  }
+  ): DataFrame =
+    resolveMulti(incoming, valueCol, resolvedCol,
+      ex => resolveBare(ex, "__elem", target, targetIdCol, "__rid", commonFields, enableContains))
 }
