@@ -48,6 +48,18 @@ class ExporterSpec extends SparkSpec {
     out.getAs[String]("countries.name") shouldBe "China, India"
   }
 
+  test("writeCsv emits RFC doubled-quote escaping and round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_out").toString + "/out"
+    val df = Seq(("a,b", "He said \"hi\""), ("plain", "x")).toDF("c1", "c2")
+    Exporter.writeCsv(df, dir)
+    val raw = spark.read.text(dir).as[String].collect().mkString("\n")
+    raw should include("\"He said \"\"hi\"\"\"") // doubled quotes, not backslash
+    val back = spark.read.option("header", true).option("escape", "\"").csv(dir)
+      .orderBy("c1").collect()
+    back(0).getString(0) shouldBe "a,b"
+    back(0).getString(1) shouldBe "He said \"hi\""
+  }
+
   test("audit and __ columns dropped") {
     val df = Seq(("x", "t1", "t2", "z")).toDF("name", "createdAt", "updatedAt", "__v")
     Exporter.dropAudit(df).columns.toSeq shouldBe Seq("name")
