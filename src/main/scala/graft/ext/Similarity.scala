@@ -61,6 +61,22 @@ object Similarity {
         round(col("__cos"), 4).as("cosine"))
   }
 
+  /** Random-hyperplane LSH bucket id (nBits sign bits) — the classic
+    * SimHash-for-vectors blocking key: cosine-similar vectors land in the
+    * same bucket with probability (1 - θ/π)^nBits. Hyperplanes are
+    * plan-time literals from a fixed seed; the sign test reuses the native
+    * codegen cosine (sign(cos) = sign(dot)). Use as `blockCol` for
+    * Dedup.embeddingCosinePairs on unlabeled corpora.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int = 8, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (h, k) =>
+      val hCol = array(h.map(x => lit(x)): _*)
+      when(cosine(vec, hCol) > 0, lit(1 << k)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** Element-wise mean of grouped vectors (per-dimension avg via
     * posexplode), used by the Lloyd step. Returns (groupCol, centroid).
     */

@@ -106,6 +106,17 @@ object ExtensionQueries {
         "label", threshold = 0.99)
   }
 
+  /** Embedding near-dup with LSH hyperplane blocking instead of labels —
+    * the unlabeled-corpus scale path (rows-only: bucket boundaries are
+    * algorithm-specific). Variants are exact scalings so every (orig,
+    * variant) pair shares all sign bits and must be found.
+    */
+  val dedupEmbLsh = qRowsOnly("x_dedup_embcos_lsh") { (s, dir) =>
+    val withBucket = embWithVariants(s, dir)
+      .withColumn("bucket", graft.ext.Similarity.hyperplaneBucket(col("embedding"), dim = 64))
+    Dedup.embeddingCosinePairs(withBucket, "vec_id", "embedding", "bucket", threshold = 0.99)
+  }
+
   // -------------------------------------------------------- similarity
   val knnBrute = q("x_knn_brute",
     """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -237,7 +248,7 @@ object ExtensionQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos,
+    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     knnBrute, knnIvf,
     textTokens, textQuality, textLangId, textFingerprint,
     streamWindow, streamFileWindow, sessionize, multimodalDecode,

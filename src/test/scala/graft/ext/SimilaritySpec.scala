@@ -52,6 +52,20 @@ class SimilaritySpec extends SparkSpec {
     res.map(_.getAs[Int]("rank")).toSeq shouldBe Seq(1, 2, 3)
   }
 
+  test("hyperplane bucket: scaling preserves bucket, negation flips every bit") {
+    val dim = 8
+    val df = Seq(
+      (Array(1.0f, -2.0f, 0.5f, 3.0f, -1.0f, 0.1f, 2.0f, -0.7f)),
+    ).toDF("v")
+      .select(
+        Similarity.hyperplaneBucket($"v", dim).as("b"),
+        Similarity.hyperplaneBucket(transform($"v", x => (x * 2.5f).cast("float")), dim).as("scaled"),
+        Similarity.hyperplaneBucket(transform($"v", x => (-x).cast("float")), dim).as("neg"))
+    val r = df.collect().head
+    r.getAs[Int]("scaled") shouldBe r.getAs[Int]("b")
+    r.getAs[Int]("neg") shouldBe (~r.getAs[Int]("b") & 0xFF)
+  }
+
   test("ivf with full probes matches brute force on tiny corpus") {
     val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
       "vec_id", "embedding", 3).orderBy("rank")
