@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** Composed corpus-cleaning pipeline — the operator a training-data
+  * pipeline actually runs end-to-end: quality gate → language filter →
+  * exact dedup → (optional) near-dup drop via MinHash candidates.
+  *
+  * Each stage is one of the library's columnar operators; the composition
+  * stays a declarative plan: a 100 TB corpus makes one scan for the
+  * filters, one hash shuffle for exact dedup, and the banded LSH shuffles
+  * for near-dup — nothing quadratic, nothing driver-side.
+  */
+object CorpusClean {
+
+  final case class Config(
+      minTokens: Int = 20,
+      minStopRatio: Double = 0.0,
+      minAlphaRatio: Double = 0.5,
+      languages: Set[String] = Set("en"),
+      dropNearDups: Boolean = false,
+      nearDupJaccard: Double = 0.8,
+  )
+
+  /** Quality + language gate as a single predicate (one scan). */
+  def qualityPredicate(text: Column, cfg: Config): Column = {
+    val t = TextAnalysis.tokens(text)
+    val nTokens = size(t)
+    val alphaRatio = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text)
+    nTokens >= cfg.minTokens &&
+      alphaRatio >= cfg.minAlphaRatio &&
+      (size(filter(t, x => x.isin(TextAnalysis.stopwords("en"): _*))).cast("double") / nTokens
+        >= cfg.minStopRatio)
+  }
+
+  /** Run the pipeline; returns surviving rows (canonical = min id for any
+    * duplicate group).
+    */
+  def clean(df: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
+    val gated0 = df.filter(qualityPredicate(qcol(textCol), cfg))
+    val gated =
+      if (cfg.languages.isEmpty) gated0
+      else TextAnalysis.withLangId(gated0, idCol, textCol, "__lang")
+        .filter(col("__lang").isin(cfg.languages.toSeq: _*)).drop("__lang")
+    val exact = Dedup.dropExactDuplicates(gated, Seq(textCol), idCol)
+    if (!cfg.dropNearDups) exact
+    else {
+      // drop the higher id of every near-dup candidate pair
+      val drops = Dedup.minhashCandidates(exact, idCol, textCol,
+        minEstJaccard = cfg.nearDupJaccard)
+        .select(col("id_b").as("__drop")).distinct()
+      exact.join(drops, qcol(idCol).cast("long") === col("__drop"), "left_anti")
+    }
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Queries for the large-scale pipeline extensions (SURVEY §7.2 M9):
@@ -139,6 +139,38 @@ object ExtensionQueries {
       nlist = 16, nprobe = 4)
   }
 
+  /** Composed cleaning pipeline (quality gate → language filter → exact
+    * dedup) over documents + planted exact copies; SQL-expressible, so the
+    * whole composition sits under the oracle.
+    */
+  val corpusClean = q("x_corpus_clean",
+    s"""WITH d AS (SELECT doc_id, text FROM $docsWithCopiesSql),
+       |t AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS toks
+       |  FROM d),
+       |scored AS (
+       |  SELECT doc_id, text, toks,
+       |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf'], x))) AS s_de,
+       |    len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS s_en,
+       |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una','para','por','que'], x))) AS s_es,
+       |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que'], x))) AS s_fr
+       |  FROM t),
+       |gated AS (
+       |  SELECT doc_id, text FROM scored
+       |  WHERE len(toks) >= 20
+       |    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) >= 0.5
+       |    AND greatest(s_de, s_en, s_es, s_fr) >= 1
+       |    AND greatest(s_de*4+3, s_en*4+2, s_es*4+1, s_fr*4+0) % 4 = 2),
+       |deduped AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM gated)
+       |SELECT doc_id FROM deduped WHERE rn = 1""".stripMargin) { (s, dir) =>
+    CorpusClean.clean(docsWithCopies(s, dir), "doc_id", "text",
+      CorpusClean.Config(minTokens = 20, minAlphaRatio = 0.5, languages = Set("en")))
+      .select(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- text
   val textTokens = q("x_text_tokens",
     """SELECT doc_id,
@@ -249,7 +281,7 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
-    knnBrute, knnIvf,
+    knnBrute, knnIvf, corpusClean,
     textTokens, textQuality, textLangId, textFingerprint,
     streamWindow, streamFileWindow, sessionize, multimodalDecode,
   )

@@ -1,0 +1,35 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good = ("the quick brown fox jumps over the lazy dog and then " +
+    "it runs back home to rest for a while in the sun")
+
+  test("pipeline gates quality, filters language, dedups, drops near-dups") {
+    val docs = Seq(
+      (1L, good),
+      (2L, good), // exact dup of 1 ⇒ dropped
+      (3L, good + " extra trailing words here"), // near dup ⇒ dropped when enabled
+      (4L, "short text"), // fails minTokens
+      (5L, "der hund und die katze ist nicht auf der couch mit dem ball " +
+        "und der vogel ist auf dem baum mit der sonne und dem wind heute"), // German ⇒ dropped
+      (6L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12 zz13 zz14 " +
+        "zz15 zz16 zz17 zz18 zz19 zz20 zz21"), // no stopwords ⇒ lang und ⇒ dropped
+    ).toDF("doc_id", "text")
+
+    val basic = CorpusClean.clean(docs, "doc_id", "text",
+      CorpusClean.Config(minTokens = 15, minAlphaRatio = 0.5, languages = Set("en")))
+      .select("doc_id").as[Long].collect().sorted
+    basic shouldBe Array(1L, 3L)
+
+    val withNear = CorpusClean.clean(docs, "doc_id", "text",
+      CorpusClean.Config(minTokens = 15, minAlphaRatio = 0.5, languages = Set("en"),
+        dropNearDups = true, nearDupJaccard = 0.5))
+      .select("doc_id").as[Long].collect().sorted
+    withNear shouldBe Array(1L) // 3 is a near dup of 1, higher id dropped
+  }
+}
