@@ -64,8 +64,11 @@ final class Engine(
     val plan = HeaderMapper.plan(csv.columns.toSeq, ct)
     val (relErrs, relWarns) = HeaderMapper.validateRelationTargets(plan, registry)
     val result = Validator.validate(csv, plan, ct)
-    val total = csv.count()
-    val invalid = result.invalid.count()
+    // one aggregate job yields both counts — not two pipeline re-executions
+    val counts = result.routed.agg(
+      count(lit(1)).as("total"),
+      count(when(size(col(Validator.ErrorsCol)) > 0, 1)).as("invalid")).head()
+    val (total, invalid) = (counts.getLong(0), counts.getLong(1))
     ValidationReport(
       valid = plan.errors.isEmpty && relErrs.isEmpty && invalid == 0,
       errors = plan.errors ++ relErrs,
@@ -85,6 +88,16 @@ final class Engine(
       uid: String,
       upsert: Boolean = false,
       upsertField: String = "id",
+      /** media library frame from `uploadZip`/`uploadMediaZip` —
+        * (`field`, `file_id`, `name`, …); matched file ids are attached to
+        * each row's media fields (reference: controllers/csv-import.js:
+        * 267-272 → services/csv-import.js:377-379, :1201-1246)
+        */
+      mediaFiles: Option[DataFrame] = None,
+      /** row column matched against file names; defaults to `upsertField`
+        * (reference: services/csv-import.js:1205)
+        */
+      mediaMatchField: Option[String] = None,
   ): ImportResult = {
     val ct = registry.contentTypeOrThrow(uid)
     val plan = HeaderMapper.plan(csv.columns.toSeq, ct)
@@ -93,6 +106,11 @@ final class Engine(
       (plan.errors ++ relErrs).mkString("; ")) // validation gate (:241-252)
 
     val validated = Validator.validate(csv, plan, ct)
+    // valid (→ resolution pipeline) and invalid (→ error collection) both
+    // branch off the routed frame; persist it so the CSV scan + validation
+    // expressions run once, not once per consuming action
+    val routed = validated.routed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var df = validated.valid
 
     // relation resolution (J1-J3)
@@ -125,14 +143,35 @@ final class Engine(
     Components.sourcesFromPlan(plan, registry).foreach { src =>
       df = Components.assemble(df, src, lookup)
     }
+
+    // media attachment (J6/F8): per media field, prefix-match the library
+    // files against the match column and attach the sorted id array
+    // (reference: services/csv-import.js:1201-1246). The theta matcher keeps
+    // the literal exact/numbered/starts-with semantics for arbitrary keys.
+    mediaFiles.foreach { mf =>
+      val matchCol = mediaMatchField.getOrElse(upsertField)
+      val mediaAttrs = ct.attributes.filter(_.isMedia).map(_.name)
+      // media FIELD list is schema-sized — never data
+      val present = mf.select(col("field")).distinct().collect().map(_.getString(0)).toSet
+      mediaAttrs.filter(present.contains).foreach { f =>
+        df = Media.matchFilesTheta(df, matchCol,
+          mf.filter(col("field") === f), "name", "file_id", f)
+      }
+    }
     df = df.drop(Validator.RowNumCol)
 
     // load (S7/S8)
     val (target, _) = tables(uid)
+    // merge's counter aggregate materializes the deduped incoming frame
+    // (cached inside Upsert.merge) and, transitively, the routed cache; the
+    // error collection below is then a cache read, and the returned merged
+    // frame replays from the deduped cache — one execution of the scan +
+    // validation + resolution pipeline in total
     val merged = Upsert.merge(target, df, upsertField, upsert)
     val rowErrors = validated.invalid
       .select(explode(col(Validator.ErrorsCol)).as("e"))
       .limit(1000).collect().map(_.getString(0)).toSeq
+    routed.unpersist(blocking = false)
     ImportResult(merged.created, merged.updated, rowErrors,
       totalProcessed = merged.created + merged.updated,
       warnings = plan.warnings ++ relWarns, merged = merged.merged)
@@ -164,6 +203,80 @@ final class Engine(
       }
     }
     Exporter.dropAudit(df).orderBy(graft.functions.Cols.qcol(idCol)).limit(limit)
+  }
+
+  /** POST /upload-zip — extract every archive under `zipDir` and register
+    * all entries in the media library for one field
+    * (reference: services/csv-import.js:808-926). Distributed: binaryFile
+    * scan + per-partition expansion (S5), ids via the two-phase rank by
+    * (entry path, archive) — deterministic, no single-task sort (S9).
+    *
+    * Returns (`field`, `file_id`, `name` = basename, `path`, `mime`,
+    * `size`) — the shape `importCsv(mediaFiles = …)` consumes.
+    */
+  def uploadZip(zipDir: String, mediaField: String): DataFrame = {
+    val entries = graft.sources.ZipSource.readZips(spark, zipDir)
+      .select(col("archive"), col("name"), col("size"))
+    Ids.globalRowNumber(entries, Seq(col("name"), col("archive")), "file_id")
+      .select(lit(mediaField).as("field"), col("file_id"),
+        element_at(split(col("name"), "/"), -1).as("name"),
+        col("name").as("path"), Media.mimeType(col("name")).as("mime"), col("size"))
+  }
+
+  /** POST /upload-media-zip — folder-structured media upload
+    * (reference: services/csv-import.js:931-1137): entries at depth ≥ 2
+    * bucket into media fields by path segment (S6); if NO entry lands in a
+    * structured folder, every file distributes to fields by filename
+    * keyword instead (:1013-1021, F10); unique files are registered once
+    * (J8 — content-keyed on (basename, size), a documented strengthening of
+    * the reference's per-path upload cache) with distributed deterministic
+    * ids (S9).
+    *
+    * Returns (`field`, `file_id`, `name`, `path`, `mime`, `size`).
+    */
+  def uploadMediaZip(
+      zipDir: String,
+      uid: String,
+      fieldKeywords: Map[String, Seq[String]] = Media.defaultFieldKeywords,
+  ): DataFrame = {
+    val ct = registry.contentTypeOrThrow(uid)
+    val mediaFields = ct.attributes.filter(_.isMedia).map(_.name)
+    require(mediaFields.nonEmpty, s"$uid has no media fields")
+    val base = element_at(split(col("name"), "/"), -1)
+    val entries = graft.sources.ZipSource.readZips(spark, zipDir)
+      .filter(size(split(col("name"), "/")) >= 2) // root entries ignored (:971)
+      .select(col("archive"), col("name"), col("size"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = graft.sources.ZipSource.bucketByField(entries, mediaFields)
+    val structured = bucketed.filter(col("bucket").isNotNull)
+    // "any structured folder?" is ONE boolean for the whole upload — a
+    // limit-1 probe of the persisted entry list, not a data collect
+    val fielded =
+      if (!structured.isEmpty) structured.withColumnRenamed("bucket", "field")
+      else {
+        // keyword distribution — one file may serve several fields (:1017)
+        val hits = array(mediaFields.map { f =>
+          val kws = fieldKeywords.getOrElse(f, Nil)
+          if (kws.isEmpty) lit(null).cast("string")
+          else when(kws.map(kw => lower(base).contains(kw.toLowerCase)).reduce(_ || _), lit(f))
+        }: _*)
+        bucketed.drop("bucket").withColumn("field", explode(filter(hits, h => h.isNotNull)))
+      }
+    // ids are assigned only to files that belong to SOME field bucket
+    // (reference builds allUniqueFiles from folderFiles, :1028-1036), with
+    // the J8 upload-once dedup on (basename, size). Both join sides derive
+    // from `entries` — rename columns so the self-join is unambiguous.
+    val uploadable = fielded.select(col("archive"), col("name"), col("size")).distinct()
+    val unique = graft.sources.ZipSource.dedupEntries(uploadable)
+    val withIds = Ids.globalRowNumber(unique, Seq(col("name"), col("archive")), "file_id")
+      .select(base.as("__ubase"), col("size").as("__usize"), col("file_id"))
+    fielded
+      .select(col("field"), col("name").as("path"), base.as("__fbase"),
+        col("size").as("__fsize"))
+      .join(withIds, col("__fbase") === col("__ubase") && col("__fsize") === col("__usize"))
+      .select(col("field"), col("file_id"), col("__fbase").as("name"),
+        col("path"), Media.mimeType(col("path")).as("mime"), col("__fsize").as("size"))
+      .distinct()
   }
 
   /** Display attribute for relation flattening: the target's first schema

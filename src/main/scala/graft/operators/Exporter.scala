@@ -78,6 +78,13 @@ object Exporter {
 
   /** N5 multi: replace an id-array relation column with the comma-joined
     * display values (", " separator, reference :401), in id-array order.
+    *
+    * One linear explode→join→groupBy→first() chain: all original columns
+    * are carried through the explode and restored with `first()` after the
+    * regroup. Never a row-key join-back — `monotonically_increasing_id` is
+    * not branch-stable under AQE, so it is only ever used as a grouping key
+    * inside this single plan, and the original row is reconstructed from
+    * the carried struct, not re-joined.
     */
   def populateMultiRelation(
       df: DataFrame,
@@ -87,17 +94,22 @@ object Exporter {
       displayCol: String,
   ): DataFrame = {
     val RowKey = "__ex_key"
-    val keyed = df.withColumn(RowKey, monotonically_increasing_id())
+    val outCol = s"$field.$displayCol"
+    val originals = df.columns.filterNot(_ == field)
     val tgt = target.select(qcol(targetIdCol).cast("long").as("__pid"),
       qcol(displayCol).cast("string").as("__pval"))
-    val joined = keyed
-      .select(col(RowKey), posexplode_outer(qcol(field)).as(Seq("__pos", "__id")))
+    df.withColumn(RowKey, monotonically_increasing_id())
+      .select(col(RowKey) +: originals.map(qcol) :+
+        posexplode_outer(qcol(field)).as(Seq("__pos", "__id")): _*)
       .join(broadcast(tgt), col("__id") === col("__pid"), "left")
       .groupBy(col(RowKey))
-      .agg(array_join(transform(array_sort(collect_list(
-        struct(col("__pos"), col("__pval")))), e => e("__pval")), ", ")
-        .as(s"$field.$displayCol"))
-    keyed.join(joined, Seq(RowKey), "left").drop(RowKey, field)
+      .agg(
+        first(struct(originals.map(qcol): _*)).as("__orig"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("__pos"), col("__pval")))), e => e("__pval")), ", ")
+          .as("__joined"))
+      .select(originals.map(c => col("__orig").getField(c).as(c)) :+
+        col("__joined").as(outCol): _*)
   }
 
   /** S10: CSV serialization with header + RFC quoting. Spark's default

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed deterministic id assignment.
+  *
+  * `row_number()` over an un-partitioned window funnels the whole dataset
+  * through ONE task — the classic scale-killer. The zipWithIndex-style
+  * two-phase pattern here keeps the sort distributed:
+  *
+  *   1. range-repartition on the order keys (global order across partition
+  *      ids; equal keys land in the same partition, so the result is
+  *      deterministic given a total order),
+  *   2. per-partition `row_number` + a prefix-sum of partition counts
+  *      (one tiny count job — ≤ numShufflePartitions rows reach the
+  *      driver, never data).
+  *
+  * Equivalent to `row_number() OVER (ORDER BY order…)` for a total order.
+  */
+object Ids {
+
+  /** Add `idCol` = 1-based global rank by `order` (must be a total order
+    * for full determinism). Distributed: no single-task global sort.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
+    val Pid = "__gid_pid"
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn(Pid, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // partition COUNTS only — bounded by the shuffle-partition count
+    val counts = ranged.groupBy(col(Pid)).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.map { case (pid, cnt) =>
+      val entry = (pid, acc); acc += cnt; entry
+    }.toMap
+    val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
+    val offset =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedlit(offsets), col(Pid))
+    ranged
+      .withColumn(idCol, offset + row_number().over(w).cast("long"))
+      .drop(Pid)
+  }
+}

@@ -80,6 +80,11 @@ object Media {
     * `records` must have `keyCol`. Returns records + `matchedCol:
     * array<long>` of file ids sorted by (name, id); empty matches ⇒ null
     * (field dropped, reference :1240-1243).
+    *
+    * No forced broadcast: the join is a plain equi-join, so Catalyst/AQE
+    * picks broadcast when the grouped file-key frame is small (runtime
+    * stats) and a shuffle hash join when the media library outgrows the
+    * broadcast threshold — same semantics either way.
     */
   def matchFiles(
       records: DataFrame,
@@ -98,13 +103,21 @@ object Media {
       .agg(transform(array_sort(collect_list(struct(col("__fname"), col("__fid")))),
         e => e("__fid")).as("__ids"))
     records
-      .join(broadcast(grouped), lower(trim(qcol(keyCol))) === col("__fkey"), "left")
+      .join(grouped, lower(trim(qcol(keyCol))) === col("__fkey"), "left")
       .withColumn(matchedCol, when(size(col("__ids")) > 0, col("__ids")))
       .drop("__fkey", "__ids")
   }
 
+  /** Max file rows for which the theta path broadcasts the file set into a
+    * nested-loop join. Above the guard the prefix join is decomposed into
+    * per-key-length shuffle equi-joins (`lname startsWith k` ⇔
+    * `substring(lname, 1, length(k)) = k`), which scales like any hash
+    * join — never an unguarded O(keys × files) broadcast.
+    */
+  val thetaBroadcastMaxFiles: Long = 1000000L
+
   /** Literal theta-join path (prefix semantics, reference :1221-1222) for
-    * irregular keys; file set must be dimension-sized (broadcast).
+    * irregular keys.
     */
   def matchFilesTheta(
       records: DataFrame,
@@ -113,6 +126,7 @@ object Media {
       nameCol: String,
       fileIdCol: String,
       matchedCol: String,
+      broadcastMaxFiles: Long = thetaBroadcastMaxFiles,
   ): DataFrame = {
     // value-keyed: the match set depends only on the key value, so the
     // theta join runs over DISTINCT keys and equi-joins back by value (row
@@ -121,14 +135,35 @@ object Media {
       .filter(!isSystemFile(qcol(nameCol)))
       .select(lower(element_at(split(qcol(nameCol), "/"), -1)).as("__lname"),
         qcol(nameCol).as("__fname"), qcol(fileIdCol).cast("long").as("__fid"))
-    val matches = records
+    val keys = records
       .select(lower(trim(qcol(keyCol))).as("__k"))
       .filter(col("__k") =!= "").distinct()
-      .join(broadcast(f), col("__lname").startsWith(col("__k")))
+    val nFiles = f.count() // names-only scan; the guard decision needs it
+    val pairs =
+      if (nFiles <= broadcastMaxFiles)
+        keys.join(broadcast(f), col("__lname").startsWith(col("__k")))
+      else {
+        // distinct key LENGTHS (bounded by max filename length) reach the
+        // driver — never data. One shuffle equi-join per length band; both
+        // band inputs are persisted since every band re-reads them.
+        val kp = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fp = f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lens = kp.select(length(col("__k")).as("__len")).distinct()
+          .collect().map(_.getInt(0)).filter(_ > 0).sorted
+        lens.map { len =>
+          kp.filter(length(col("__k")) === len)
+            .join(fp.withColumn("__pfx", substring(col("__lname"), 1, len)),
+              col("__pfx") === col("__k"))
+            .drop("__pfx")
+        }.reduceOption(_ unionByName _)
+          .getOrElse(kp.limit(0).crossJoin(fp.limit(0)))
+      }
+    val matches = pairs
       .groupBy(col("__k"))
       .agg(transform(array_sort(collect_list(struct(col("__fname"), col("__fid")))),
         e => e("__fid")).as("__ids"))
-    records.join(broadcast(matches), lower(trim(qcol(keyCol))) === col("__k"), "left")
+    // one row per MATCHED KEY — AQE broadcasts when small, shuffles when not
+    records.join(matches, lower(trim(qcol(keyCol))) === col("__k"), "left")
       .withColumn(matchedCol, when(size(col("__ids")) > 0, col("__ids")))
       .drop("__k", "__ids")
   }

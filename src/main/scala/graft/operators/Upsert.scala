@@ -52,8 +52,10 @@ object Upsert {
     */
   def merge(target: DataFrame, incoming: DataFrame, key: String, upsert: Boolean): MergeResult = {
     if (!upsert) {
-      val created = incoming.count()
-      MergeResult(target.unionByName(incoming, allowMissingColumns = true), created, 0L)
+      // cache before the counter action: the merged frame re-reads incoming
+      val inc = incoming.cache()
+      val created = inc.count()
+      MergeResult(target.unionByName(inc, allowMissingColumns = true), created, 0L)
     } else {
       val deduped = dedupLastWins(incoming, key).cache()
       // one aggregate job yields both counters (count of existing-key hits

@@ -107,9 +107,11 @@ object CoverageQueries {
       Media.classifyByKeyword(col("name"), Media.defaultFieldKeywords).as("bucket"))
   }
 
-  /** S9: media sink — library table with deterministic ids (rank by name;
-    * the reference's media batches are single-archive sized, so the global
-    * window is bounded).
+  /** S9: media sink — library table with deterministic ids. Rank by name
+    * via the distributed two-phase id assignment (range partition +
+    * per-partition row_number + count prefix-sum), NOT an un-partitioned
+    * window: same result as `row_number() OVER (ORDER BY name)` with no
+    * single-task global sort.
     */
   val s9MediaSink = q("s9_media_sink",
     s"""WITH m AS ($mediaNamesSql)
@@ -117,9 +119,7 @@ object CoverageQueries {
        |       CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'application/pdf'
        |            ELSE 'audio/mpeg' END AS mime
        |FROM m""".stripMargin) { (s, dir) =>
-    val w = Window.orderBy(col("name"))
-    mediaNames(s, dir)
-      .withColumn("media_id", row_number().over(w).cast("long"))
+    graft.operators.Ids.globalRowNumber(mediaNames(s, dir), Seq(col("name")), "media_id")
       .select(col("media_id"), col("name"), Media.mimeType(col("name")).as("mime"))
   }
 

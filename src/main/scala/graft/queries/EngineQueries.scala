@@ -68,5 +68,109 @@ object EngineQueries {
       .withColumnRenamed("nation.n_name", "nation_name")
   }
 
-  val all: Seq[QueryDef] = Seq(ep1Import, ep3Export)
+  // ---------------------------------------------------------------- media
+  private val albumCt = ContentType("api::album.album", "Album", Seq(
+    Attribute("code", AttrKind.StringK, required = true),
+    Attribute("title", AttrKind.StringK),
+    Attribute("image", AttrKind.MediaK),
+    Attribute("document", AttrKind.MediaK)))
+  private val albumRegistry = ContentTypeRegistry(Seq(albumCt))
+
+  /** Input prep (driver-side, small): one media.zip with folder-structured
+    * entries derived from the documents table, plus system junk and
+    * root-level strays that the pipeline must ignore.
+    */
+  private def buildMediaZip(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val zipDir = s"/tmp/graft_mediazip/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val d = new java.io.File(zipDir)
+    if (d.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    d.mkdirs()
+    val ids = Tables.documents(s, dir).select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$zipDir/media.zip"))
+    def put(name: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(name.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("__MACOSX/._junk") // system — dropped by the scan
+    put(".DS_Store")       // dotfile — dropped by the scan
+    put("stray.txt")       // root-level — ignored (depth < 2)
+    put("notes/readme.txt") // unbucketed folder — dropped in structured mode
+    ids.foreach { i =>
+      if (i % 2 == 0) put(s"image/K${i}_1.png")
+      if (i % 3 == 0) put(s"document/K$i.pdf")
+    }
+    zos.close()
+    zipDir
+  }
+
+  private val mediaIdsSql =
+    """files AS (
+      |  SELECT 'image/K' || CAST(doc_id AS VARCHAR) || '_1.png' AS path
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'document/K' || CAST(doc_id AS VARCHAR) || '.pdf'
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ids AS (SELECT path, row_number() OVER (ORDER BY path) AS file_id FROM files),
+      |f AS (SELECT file_id, string_split(path, '/')[1] AS field,
+      |             string_split(path, '/')[-1] AS name
+      |      FROM ids)""".stripMargin
+
+  /** S6 (+J8/S9 composition): the uploadMediaZip mapping — REAL zip scan,
+    * folder bucketing, upload-once dedup, distributed deterministic ids.
+    */
+  val s6ZipBucketing = q("s6_zip_bucketing",
+    s"""WITH $mediaIdsSql
+       |SELECT field, file_id, name FROM f""".stripMargin) { (s, dir) =>
+    val zipDir = buildMediaZip(s, dir)
+    val engine = new Engine(s, albumRegistry,
+      _ => throw new UnsupportedOperationException("no stored tables needed"))
+    engine.uploadMediaZip(zipDir, "api::album.album")
+      .select(col("field"), col("file_id"), col("name"))
+  }
+
+  /** EP-media: the FULL media import composition through the Engine —
+    * upload-media-zip → importCsv(mediaFiles) attaches sorted matched file
+    * ids per media field (reference: controllers/csv-import.js:267-272 →
+    * services/csv-import.js:377-379, :1201-1246). Prefix semantics: code
+    * 'K2' also matches 'K20…' files, faithfully on both sides.
+    */
+  val epMediaImport = q("ep_media_import",
+    s"""WITH $mediaIdsSql,
+       |recs AS (SELECT 'K' || CAST(doc_id AS VARCHAR) AS code, source AS title
+       |         FROM documents),
+       |m AS (SELECT r.code, f.field, f.file_id, f.name
+       |      FROM recs r JOIN f ON starts_with(lower(f.name), lower(r.code))),
+       |agg AS (SELECT code, field,
+       |               array_to_string(list(file_id ORDER BY name, file_id), ',') AS ids
+       |        FROM m GROUP BY code, field)
+       |SELECT r.code, r.title,
+       |       i.ids AS image_ids, d.ids AS document_ids
+       |FROM recs r
+       |LEFT JOIN (SELECT code, ids FROM agg WHERE field = 'image') i USING (code)
+       |LEFT JOIN (SELECT code, ids FROM agg WHERE field = 'document') d USING (code)""".stripMargin) {
+    (s, dir) =>
+      val zipDir = buildMediaZip(s, dir)
+      val target = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        albumCt.sparkType(albumRegistry))
+      val engine = new Engine(s, albumRegistry,
+        { case "api::album.album" => (target, "code") })
+      val media = engine.uploadMediaZip(zipDir, "api::album.album")
+      val csv = Tables.documents(s, dir)
+        .select(concat(lit("K"), col("doc_id")).as("code"), col("source").as("title"))
+      engine.importCsv(csv, "api::album.album", upsert = false, upsertField = "code",
+          mediaFiles = Some(media))
+        .merged
+        .filter(col("code").isNotNull)
+        .select(col("code"), col("title"),
+          array_join(transform(col("image"), x => x.cast("string")), ",").as("image_ids"),
+          array_join(transform(col("document"), x => x.cast("string")), ",").as("document_ids"))
+  }
+
+  val all: Seq[QueryDef] = Seq(ep1Import, ep3Export, s6ZipBucketing, epMediaImport)
 }

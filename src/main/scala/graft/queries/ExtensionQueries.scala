@@ -60,6 +60,10 @@ object ExtensionQueries {
     Dedup.simhashPairs(docsWithVariants(s, dir), "doc_id", "text", maxHamming = 3)
   }
 
+  /** Oracle mirrors the operator's document-frequency cap (shingles with
+    * df > 1000 excluded from intersection AND sizes) so the comparison is
+    * exact at every sf, not just where no shingle hits the cap.
+    */
   val dedupJaccard = q("x_dedup_ngram_jaccard",
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
@@ -67,17 +71,23 @@ object ExtensionQueries {
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
-       |  FROM toks WHERE len(t) >= 3)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |       round(len(list_intersect(a.g, b.g))::DOUBLE /
-       |             len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
-       |FROM sh a, sh b
-       |WHERE a.doc_id < b.doc_id AND len(a.g) > 0 AND len(b.g) > 0
-       |  AND round(len(list_intersect(a.g, b.g))::DOUBLE /
-       |            len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.5""".stripMargin) {
+       |  FROM toks WHERE len(t) >= 3),
+       |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+       |exf AS (SELECT doc_id, s FROM (
+       |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex)
+       |        WHERE df <= 1000),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM exf GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = id_a
+       |JOIN sz sb ON sb.doc_id = id_b
+       |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin) {
     (s, dir) =>
       Dedup.ngramJaccardPairs(docsWithVariants(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+        shingleSize = 3, threshold = 0.5, maxShingleDf = 1000)
   }
 
   private def embWithVariants(s: SparkSession, dir: String): DataFrame = {
@@ -259,11 +269,9 @@ object ExtensionQueries {
       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
       |       count(*) AS n_events, round(sum(value), 2) AS total_value
       |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
-    import s.implicits._
     val events = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[EventStreams.Event]
-    EventStreams.sessionize(events, gapMs = 4L * 3600 * 1000)
+    EventStreams.sessionizeBatch(events, gapMs = 4L * 3600 * 1000)
       .select(col("user_id"),
         col("start").as("session_start"), col("end").as("session_end"),
         col("n_events"), round(col("total_value"), 2).as("total_value"))

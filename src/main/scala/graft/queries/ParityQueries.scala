@@ -115,14 +115,17 @@ object ParityQueries {
         size(col(Validator.ErrorsCol)).as("n_errors"))
   }
 
-  /** Row routing valid/invalid split counts (A1-adjacent). */
+  /** Row routing valid/invalid split counts (A1-adjacent). Both counts come
+    * from ONE aggregate over the routed frame — a single scan/job, not two
+    * re-executions of the validation pipeline cross-joined.
+    */
   val p6RowRouting = q("p6_row_routing",
     """SELECT count(CASE WHEN o_orderstatus IN ('O','F') THEN 1 END) AS n_valid,
       |       count(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 END) AS n_invalid
       |FROM orders""".stripMargin) { (s, dir) =>
-    val r = orderImportValidated(s, dir)
-    r.valid.agg(count(lit(1)).as("n_valid"))
-      .crossJoin(r.invalid.agg(count(lit(1)).as("n_invalid")))
+    orderImportValidated(s, dir).routed.agg(
+      count(when(size(col(Validator.ErrorsCol)) === 0, 1)).as("n_valid"),
+      count(when(size(col(Validator.ErrorsCol)) > 0, 1)).as("n_invalid"))
   }
 
   // ------------------------------------------------------------------- P9

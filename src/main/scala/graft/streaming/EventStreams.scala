@@ -79,6 +79,35 @@ object EventStreams {
     t
   }
 
+  /** Batch sessionization via the window formulation: a session break is a
+    * gap > `gapMs` from the previous event (lag), session ids are the
+    * running sum of breaks, sessions the per-(user, id) aggregate.
+    *
+    * This is the scale path for BATCH data: partitioned by user, sorted
+    * within partitions by Spark's spilling external sort — no operator ever
+    * materializes a whole user's events in task memory (a hot user is just
+    * a bigger sort run, not an OOM). `sessionize` below keeps the stateful
+    * flatMapGroupsWithState form for genuinely INCREMENTAL streaming, where
+    * each invocation sees one micro-batch's worth of a user's events —
+    * bounded by the trigger interval, not by the user's history.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    val brk = when(prev.isNull ||
+      unix_micros(col("ts")) - unix_micros(prev) > gapMs * 1000L, 1).otherwise(0)
+    events
+      .withColumn("__brk", brk) // separate projection: no nested windows
+      .withColumn("__sid", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk")
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .drop("__sid")
+  }
+
   def sessionize(events: org.apache.spark.sql.Dataset[Event], gapMs: Long): DataFrame = {
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000

@@ -40,6 +40,25 @@ class EventStreamsSpec extends SparkSpec {
     res(2).getAs[Long]("user_id") shouldBe 8L
   }
 
+  test("sessionizeBatch (window form) agrees with stateful sessionize") {
+    val t0 = ts("2024-01-01 00:00:00.000123")
+    val raw = Seq(
+      EventStreams.Event(1L, t0, 7L, "a", 1.0),
+      EventStreams.Event(2L, ts("2024-01-01 00:10:00"), 7L, "a", 2.0),
+      EventStreams.Event(3L, ts("2024-01-01 05:00:00"), 7L, "a", 4.0),
+      EventStreams.Event(4L, ts("2024-01-01 00:30:00"), 8L, "a", 8.0),
+      EventStreams.Event(5L, ts("2024-01-01 09:30:01"), 7L, "a", 16.0),
+    )
+    val cols = Seq("user_id", "start", "end", "n_events", "total_value")
+    val batch = EventStreams.sessionizeBatch(
+        raw.toDS().toDF(), gapMs = 4L * 3600 * 1000)
+      .select(cols.map(col): _*).orderBy("user_id", "start").collect()
+    val stateful = EventStreams.sessionize(raw.toDS(), gapMs = 4L * 3600 * 1000)
+      .select(cols.map(col): _*).orderBy("user_id", "start").collect()
+    batch.toSeq shouldBe stateful.toSeq
+    batch should have length 4 // 09:30:01 is > 4h past 05:00 ⇒ own session
+  }
+
   test("windowed agg runs as a real stream (MemoryStream, update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
