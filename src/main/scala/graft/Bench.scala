@@ -20,10 +20,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: session/codegen/scan machinery init otherwise lands
-    // entirely on whichever query happens to run first
+    // entirely on whichever query happens to run first, and a cold OS page
+    // cache otherwise doubles the suite (the harness may start from a cold
+    // machine) — touch EVERY input table fully, not just one
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .limit(1000).write.format("noop").mode("overwrite").save()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try {
+        if (t == "events") Tables.events(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        else spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
+      }
+    }
     val only = args.toSet // optional query-name filter for micro-benching
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }

@@ -149,6 +149,58 @@ object ExtensionQueries {
       nlist = 16, nprobe = 4)
   }
 
+  // ----------------------------------------- approximate-operator gates
+  /** Quality gates for the approximate operators: each reduces a recall
+    * measurement to a BOOLEAN row the DuckDB oracle can assert (`SELECT
+    * true`), so a quality regression in a sketch/ANN operator fails
+    * CORRECTNESS instead of hiding behind a rows-only check.
+    */
+
+  /** IVF mechanics gate: with nprobe = nlist the scan is exhaustive, so
+    * IVF must return EXACTLY the brute-force top-k neighbor sets.
+    */
+  val knnIvfRecall = q("x_knn_ivf_recall", "SELECT true AS recall_ok") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 16)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
+  }
+
+  /** MinHash gate: planted near-variants (one appended token ⇒ jaccard ≈ 1)
+    * must surface as candidates with est ≥ 0.5; recall ≥ 0.95 required.
+    */
+  val dedupMinhashRecall = q("x_dedup_minhash_recall", "SELECT true AS recall_ok") {
+    (s, dir) =>
+      val planted = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      val cands = Dedup.minhashCandidates(docsWithVariants(s, dir), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+      planted.join(cands, Seq("id_a", "id_b"), "left")
+        .agg((count(col("__hit")).cast("double") / count(lit(1)) >= 0.95).as("recall_ok"))
+  }
+
+  /** Hyperplane-LSH gate: planted variants are exact scalings, so every
+    * (orig, variant) pair shares all sign bits — recall must be 1.0.
+    */
+  val dedupEmbLshRecall = q("x_dedup_embcos_lsh_recall", "SELECT true AS recall_ok") {
+    (s, dir) =>
+      val planted = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 100000).as("id_b"))
+      val withBucket = embWithVariants(s, dir)
+        .withColumn("bucket", graft.ext.Similarity.hyperplaneBucket(col("embedding"), dim = 64))
+      val pairs = Dedup.embeddingCosinePairs(withBucket, "vec_id", "embedding",
+          "bucket", threshold = 0.99)
+        .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+      planted.join(pairs, Seq("id_a", "id_b"), "left")
+        .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
+  }
+
   /** Composed cleaning pipeline (quality gate → language filter → exact
     * dedup) over documents + planted exact copies; SQL-expressible, so the
     * whole composition sits under the oracle.
@@ -290,6 +342,7 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     knnBrute, knnIvf, corpusClean,
+    knnIvfRecall, dedupMinhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint,
     streamWindow, streamFileWindow, sessionize, multimodalDecode,
   )

@@ -47,4 +47,23 @@ class MediaSpec extends SparkSpec {
     val theta = matched(Media.matchFilesTheta(oddRecords, "key", oddFiles, "fname", "fid", "m"))
     theta("r1") shouldBe Some(Seq(1L, 2L)) // prefix semantics keep A_B_*, drop A_C
   }
+
+  test("theta above-threshold path (length-banded shuffle joins) agrees with broadcast path") {
+    // broadcastMaxFiles = 0 forces the banded fallback on the same inputs
+    val banded = matched(Media.matchFilesTheta(records, "key", files, "fname", "fid", "m",
+      broadcastMaxFiles = 0L))
+    val bcast = matched(Media.matchFilesTheta(records, "key", files, "fname", "fid", "m"))
+    banded shouldBe bcast
+    banded("r1") shouldBe Some(Seq(1L, 2L, 3L))
+
+    // separator keys of mixed lengths exercise multiple bands at once
+    val oddFiles = Seq((1L, "A_B_1.pdf"), (2L, "A_B_2.pdf"), (3L, "A_C.pdf"),
+      (4L, "LONGKEY77_x.pdf")).toDF("fid", "fname")
+    val oddRecords = Seq(("r1", "A_B"), ("r2", "LONGKEY77"), ("r3", "")).toDF("rid", "key")
+    val odd = matched(Media.matchFilesTheta(oddRecords, "key", oddFiles, "fname", "fid", "m",
+      broadcastMaxFiles = 0L))
+    odd("r1") shouldBe Some(Seq(1L, 2L))
+    odd("r2") shouldBe Some(Seq(4L))
+    odd("r3") shouldBe None // empty keys never match
+  }
 }
