@@ -24,5 +24,5 @@ object SparkEntry {
 
   private def allDefs =
     ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all ++
-      EngineQueries.all ++ CoverageQueries.all
+      EngineQueries.all ++ CoverageQueries.all ++ graft.queries.ScaleQueries.all
 }

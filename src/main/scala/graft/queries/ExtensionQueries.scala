@@ -309,6 +309,23 @@ object ExtensionQueries {
     EventStreams.runWindowedAggOnce(s, tmp, "graft_stream_win")
   }
 
+  /** Streaming exact-dedup through the REAL streaming path: events with
+    * planted full replays staged to a dir, file-source readStream →
+    * watermark → dropDuplicatesWithinWatermark → memory sink; dedup must
+    * restore the original per-type counts the oracle computes.
+    */
+  val streamDedup = q("x_stream_dedup",
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    val tmp = s"/tmp/graft_stream_dup/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    ev.unionByName(ev).write.mode("overwrite").parquet(tmp) // planted replays
+    EventStreams.runDedupOnce(s, tmp, "graft_stream_dedup")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   val sessionize = q("x_sessionize",
     """WITH e AS (
       |  SELECT user_id, ts, event_id, value,
@@ -344,6 +361,6 @@ object ExtensionQueries {
     knnBrute, knnIvf, corpusClean,
     knnIvfRecall, dedupMinhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint,
-    streamWindow, streamFileWindow, sessionize, multimodalDecode,
+    streamWindow, streamFileWindow, streamDedup, sessionize, multimodalDecode,
   )
 }

@@ -128,6 +128,28 @@ object ParityQueries {
       count(when(size(col(Validator.ErrorsCol)) > 0, 1)).as("n_invalid"))
   }
 
+  // ------------------------------------------------------------------- P2
+  /** Unknown-column pruning: an unmapped header must vanish from the valid
+    * frame (reference drops unknown columns, services/csv-import.js:78-84,
+    * :102). The surviving column SET is emitted as data so the oracle
+    * asserts the pruned schema, and the count proves rows still flow.
+    */
+  val p2UnknownPruning = q("p2_unknown_pruning",
+    """SELECT 'odate,okey,price,status' AS valid_columns, count(*) AS n_rows
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val raw = Tables.orders(s, dir).select(
+      col("o_orderkey").cast("string").as("okey"),
+      col("o_totalprice").cast("string").as("price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"),
+      col("o_orderstatus").as("status"),
+      lit("zzz").as("mystery")) // unknown header — must be pruned
+    val ct = orderImportCt
+    val res = Validator.validate(raw, HeaderMapper.plan(raw.columns.toSeq, ct), ct)
+    val survived = res.valid.drop(Validator.RowNumCol).columns.sorted.mkString(",")
+    res.routed.agg(count(lit(1)).as("n_rows"))
+      .select(lit(survived).as("valid_columns"), col("n_rows"))
+  }
+
   // ------------------------------------------------------------------- P9
   /** System-file filter over synthesized ZIP-entry names. */
   val p9SystemFiles = q("p9_system_file_filter",
@@ -325,7 +347,7 @@ object ParityQueries {
   /** All parity queries in registration order. */
   val all: Seq[QueryDef] = Seq(
     s1CsvRoundtrip, s3LookupScan, s4ExportScan,
-    p4Required, p5CastErrors, p6RowRouting, p9SystemFiles,
+    p2UnknownPruning, p4Required, p5CastErrors, p6RowRouting, p9SystemFiles,
     j1RelationEqi, j2Cascade, j3Multi, s8Upsert, a1Counters, j6MediaMatch,
     f2Containsi, f3SplitTrim, f5IsoFormat, f11ArrayJoin, l1FirstMatch,
   )

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Skew
+
+/** Scale-pattern demonstrations under the oracle gate: the techniques the
+  * 100 TB brief calls for (skew salting, bucketed co-located joins) run as
+  * first-class CORRECTNESS queries, not just utility code — the salted /
+  * bucketed plans must produce byte-identical results to the plain
+  * formulations DuckDB replays.
+  */
+object ScaleQueries {
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  /** Skewed fact→dim join via deterministic salting: customer's 25 nation
+    * keys are exactly the hot-key shape where one key pins one task; the
+    * salted join spreads each key over 8 partitions and must equal the
+    * plain join (oracle).
+    */
+  val saltedJoin = q("x_salted_join",
+    """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin) { (s, dir) =>
+    val small = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    Skew.saltedJoin(Tables.customer(s, dir), small, "c_nationkey", salt = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  /** Two-phase salted aggregation on the same hot keys: per-(key, salt)
+    * partials combine to the exact plain groupBy result.
+    */
+  val saltedAgg = q("x_salted_agg",
+    "SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey") {
+    (s, dir) =>
+      Skew.saltedAgg(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        "c_nationkey", salt = 8,
+        partial = Seq(count(lit(1)).as("__pc")),
+        combine = Seq(sum(col("__pc")).as("n_cust")))
+  }
+
+  /** Co-located join via bucketed tables: orders and lineitem are written
+    * bucketed+sorted on the order key (input prep), then joined WITHOUT a
+    * shuffle on the join key — the layout prepays the exchange, the pattern
+    * that turns a repeated 100 TB fact-fact join from per-query shuffles
+    * into a merge of pre-sorted buckets. `BucketedJoinSpec` asserts the
+    * exchange-free plan; this query asserts result parity with the plain
+    * join the oracle replays.
+    */
+  val bucketedJoin = q("x_bucketed_join",
+    """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("DROP TABLE IF EXISTS graft_orders_b")
+    s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"/tmp/graft_bucketed/$tag/orders")
+      .saveAsTable("graft_orders_b")
+    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"/tmp/graft_bucketed/$tag/lineitem")
+      .saveAsTable("graft_lineitem_b")
+    s.table("graft_lineitem_b")
+      .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
+  val all: Seq[QueryDef] = Seq(saltedJoin, saltedAgg, bucketedJoin)
+}

@@ -54,6 +54,25 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming exact-dedup: first occurrence of each `event_id` passes,
+    * replays are dropped. `dropDuplicatesWithinWatermark` is the
+    * bounded-state form — dedup state is evicted once the watermark passes,
+    * so an unbounded stream doesn't accumulate unbounded key state (plain
+    * `dropDuplicates` on a stream never evicts).
+    */
+  def runDedupOnce(spark: SparkSession, dir: String, queryName: String,
+      watermark: String = "24 hours"): DataFrame = {
+    val stream = spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+      .parquet(dir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
