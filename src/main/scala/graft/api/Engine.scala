@@ -148,7 +148,11 @@ final class Engine(
     // files against the match column and attach the sorted id array
     // (reference: services/csv-import.js:1201-1246). The theta matcher keeps
     // the literal exact/numbered/starts-with semantics for arbitrary keys.
-    mediaFiles.foreach { mf =>
+    mediaFiles.foreach { mfRaw =>
+      // the library frame is consumed once per media field (count + match
+      // join) plus the field probe — persist so its upstream (zip scan,
+      // bucketing, id assignment) runs once
+      val mf = mfRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val matchCol = mediaMatchField.getOrElse(upsertField)
       val mediaAttrs = ct.attributes.filter(_.isMedia).map(_.name)
       // media FIELD list is schema-sized — never data

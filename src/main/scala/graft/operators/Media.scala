@@ -108,16 +108,19 @@ object Media {
       .drop("__fkey", "__ids")
   }
 
-  /** Max file rows for which the theta path broadcasts the file set into a
-    * nested-loop join. Above the guard the prefix join is decomposed into
-    * per-key-length shuffle equi-joins (`lname startsWith k` ⇔
-    * `substring(lname, 1, length(k)) = k`), which scales like any hash
-    * join — never an unguarded O(keys × files) broadcast.
-    */
-  val thetaBroadcastMaxFiles: Long = 1000000L
-
   /** Literal theta-join path (prefix semantics, reference :1221-1222) for
     * irregular keys.
+    *
+    * Guarded execution: below `broadcastMaxFiles` the file set broadcasts
+    * into a nested-loop join (cheapest for dimension-sized file sets —
+    * measured faster than banding at bench scale, where the extra band
+    * shuffles cost more than the prefix evaluations). Above the guard the
+    * prefix predicate decomposes into per-key-length HASH equi-joins
+    * (`lname startsWith k` ⇔ `substring(lname, 1, length(k)) = k`):
+    * distinct key LENGTHS (bounded by max filename length, never data)
+    * reach the driver, each band is an ordinary shuffle-able join —
+    * O(matches), not O(keys × files), so a 100 TB media library never
+    * meets an unguarded broadcast. Specs assert both paths agree.
     */
   def matchFilesTheta(
       records: DataFrame,
@@ -126,7 +129,7 @@ object Media {
       nameCol: String,
       fileIdCol: String,
       matchedCol: String,
-      broadcastMaxFiles: Long = thetaBroadcastMaxFiles,
+      broadcastMaxFiles: Long = 1000000L,
   ): DataFrame = {
     // value-keyed: the match set depends only on the key value, so the
     // theta join runs over DISTINCT keys and equi-joins back by value (row
@@ -138,14 +141,11 @@ object Media {
     val keys = records
       .select(lower(trim(qcol(keyCol))).as("__k"))
       .filter(col("__k") =!= "").distinct()
-    val nFiles = f.count() // names-only scan; the guard decision needs it
     val pairs =
-      if (nFiles <= broadcastMaxFiles)
+      if (f.count() <= broadcastMaxFiles) // names-only scan; guard needs it
         keys.join(broadcast(f), col("__lname").startsWith(col("__k")))
       else {
-        // distinct key LENGTHS (bounded by max filename length) reach the
-        // driver — never data. One shuffle equi-join per length band; both
-        // band inputs are persisted since every band re-reads them.
+        // both band inputs are persisted since every band re-reads them
         val kp = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val fp = f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val lens = kp.select(length(col("__k")).as("__len")).distinct()

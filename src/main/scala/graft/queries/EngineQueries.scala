@@ -82,6 +82,9 @@ object EngineQueries {
     */
   private def buildMediaZip(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val zipDir = s"/tmp/graft_mediazip/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // deterministic content per sf dir — reuse across the queries that
+    // share it instead of rebuilding (input prep, not pipeline work)
+    if (new java.io.File(s"$zipDir/media.zip").exists()) return zipDir
     val d = new java.io.File(zipDir)
     if (d.exists()) {
       import scala.jdk.CollectionConverters._

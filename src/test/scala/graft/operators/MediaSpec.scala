@@ -52,8 +52,8 @@ class MediaSpec extends SparkSpec {
     // broadcastMaxFiles = 0 forces the banded fallback on the same inputs
     val banded = matched(Media.matchFilesTheta(records, "key", files, "fname", "fid", "m",
       broadcastMaxFiles = 0L))
-    val bcast = matched(Media.matchFilesTheta(records, "key", files, "fname", "fid", "m"))
-    banded shouldBe bcast
+    val bnl = matched(Media.matchFilesTheta(records, "key", files, "fname", "fid", "m"))
+    banded shouldBe bnl
     banded("r1") shouldBe Some(Seq(1L, 2L, 3L))
 
     // separator keys of mixed lengths exercise multiple bands at once
