@@ -356,11 +356,26 @@ object ExtensionQueries {
     Multimodal.extractFeatures(media).drop("content_hash")
   }
 
+  /** Frame-sampling plumbing: n byte-range frames per payload, boundaries
+    * replayed exactly by the oracle (a real codec would seek keyframes;
+    * the fan-out/schema/typed-Dataset shape is the cluster-relevant part).
+    */
+  val multimodalFrames = q("x_multimodal_frames",
+    """SELECT doc_id AS id, i AS frame_idx,
+      |       CAST((octet_length(encode(text)) * (i + 1)) // 8 -
+      |            (octet_length(encode(text)) * i) // 8 AS INTEGER) AS frame_bytes
+      |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)
+      |WHERE octet_length(encode(text)) > 0""".stripMargin) { (s, dir) =>
+    Multimodal.sampleFrames(
+      Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "video"), 8)
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     knnBrute, knnIvf, corpusClean,
     knnIvfRecall, dedupMinhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint,
-    streamWindow, streamFileWindow, streamDedup, sessionize, multimodalDecode,
+    streamWindow, streamFileWindow, streamDedup, sessionize,
+    multimodalDecode, multimodalFrames,
   )
 }

@@ -1,0 +1,52 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Parity of the native one-pass expressions against their declarative
+  * equivalents — the optimization must be invisible to every consumer.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "a b"),                        // fewer tokens than n ⇒ empty
+    (4L, "x y z x y z x y z"),          // repeated shingles ⇒ dedup
+    (5L, ""),                           // empty text
+  ).toDF("id", "text")
+
+  test("ShingleHashes equals xxhash64 over the declarative shingles, order included") {
+    val native = docs.select($"id",
+      TextAnalysis.shingleHashes($"text", 3).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val declarative = docs.select($"id",
+      transform(TextAnalysis.shingles($"text", 3), s => xxhash64(s)).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    native shouldBe declarative
+    native(3) shouldBe empty
+    native(4).size shouldBe 3 // 'x y z', 'y z x', 'z x y' — deduped
+  }
+
+  test("MinHashAgg: identical docs identical sigs; near docs mostly agree; merge = elementwise min") {
+    val sigExpr = org.apache.spark.sql.GraftSqlBridge.column(
+      MinHashAgg(org.apache.spark.sql.GraftSqlBridge.expression(col("__h")), 64)
+        .toAggregateExpression())
+    val sh = docs.filter($"id" <= 2).select($"id",
+      explode(TextAnalysis.shingleHashes($"text", 3)).as("__h"))
+    val sigs = sh.groupBy($"id").agg(sigExpr.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sigs(1).size shouldBe 64
+    // doc 1 and 2 share 6 of 8 shingles — most minima must agree
+    val agree = sigs(1).zip(sigs(2)).count { case (a, b) => a == b }
+    agree should be >= 40
+    agree should be < 64
+
+    // repartitioned input forces partial-buffer MERGES; result must not change
+    val sigsMerged = sh.repartition(7).groupBy($"id").agg(sigExpr.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sigsMerged shouldBe sigs
+  }
+}
