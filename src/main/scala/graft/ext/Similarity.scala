@@ -113,7 +113,10 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, nlist: Int, iters: Int = 2,
   ): DataFrame = {
     val init = corpus.orderBy(qcol(idCol)).limit(nlist)
-    val w0 = Window.orderBy(qcol(idCol)) // nlist rows only — cheap
+    // nlist rows only — the constant partition key states the intent
+    // (bounded single-partition numbering) instead of tripping the
+    // "no partition defined" scale warning on every run
+    val w0 = Window.partitionBy(lit(0)).orderBy(qcol(idCol))
     var centroids = init
       .withColumn("__rn", row_number().over(w0))
       .select((col("__rn") - 1).as("__cid"), qcol(vecCol).as("centroid"))

@@ -326,6 +326,22 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Stream-static join through the real streaming path: events enriched
+    * with the customer dimension (market segment), aggregated per segment.
+    */
+  val streamStaticJoin = q("x_stream_static_join",
+    """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val tmp = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(tmp)
+    val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    EventStreams.runEnrichedAggOnce(s, tmp, dim, "c_custkey", "c_mktsegment",
+      "graft_stream_enriched")
+  }
+
   val sessionize = q("x_sessionize",
     """WITH e AS (
       |  SELECT user_id, ts, event_id, value,
@@ -375,7 +391,7 @@ object ExtensionQueries {
     knnBrute, knnIvf, corpusClean,
     knnIvfRecall, dedupMinhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint,
-    streamWindow, streamFileWindow, streamDedup, sessionize,
+    streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     multimodalDecode, multimodalFrames,
   )
 }

@@ -73,6 +73,26 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension frame (Spark plans the static side as a broadcast per
+    * micro-batch) and aggregate per dimension attribute — the canonical
+    * "enrich the firehose with reference data" shape.
+    */
+  def runEnrichedAggOnce(spark: SparkSession, dir: String, dim: DataFrame,
+      joinKey: String, dimCol: String, queryName: String): DataFrame = {
+    val stream = spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+      .parquet(dir)
+      .withWatermark("ts", "24 hours")
+    val enriched = stream.join(dim, col("user_id") === col(joinKey), "inner")
+    val agg = enriched.groupBy(col(dimCol))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
