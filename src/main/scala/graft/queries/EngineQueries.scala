@@ -68,6 +68,43 @@ object EngineQueries {
       .withColumnRenamed("nation.n_name", "nation_name")
   }
 
+  /** EP4: component flatten driven through Engine.exportCsv — a stored
+    * table with a single component struct AND a repeatable component array
+    * exports to dot-notation columns (N4) with the audit drop (P8), all
+    * composed by the facade rather than called operator-by-operator.
+    */
+  val ep4ComponentExport = q("ep4_component_export",
+    """SELECT s_suppkey, s_name AS sname,
+      |       'st ' || CAST(s_nationkey AS VARCHAR) AS addr_street,
+      |       CAST(s_acctbal AS VARCHAR) AS addr_phone,
+      |       't' || CAST(s_suppkey % 3 AS VARCHAR) AS tags_1_label,
+      |       'x' AS tags_2_label
+      |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val addrComp = ComponentType("test.addr", Seq(
+      Attribute("street", AttrKind.StringK), Attribute("phone", AttrKind.StringK)))
+    val tagComp = ComponentType("test.tag", Seq(Attribute("label", AttrKind.StringK)))
+    val shopCt = ContentType("api::shop.shop", "Shop", Seq(
+      Attribute("sname", AttrKind.StringK),
+      Attribute("addr", AttrKind.ComponentK, component = Some("test.addr")),
+      Attribute("tags", AttrKind.ComponentK, component = Some("test.tag"),
+        repeatable = true)))
+    val reg = ContentTypeRegistry(Seq(shopCt), Seq(addrComp, tagComp))
+    val stored = Tables.supplier(s, dir).select(
+      col("s_suppkey"), col("s_name").as("sname"),
+      struct(concat(lit("st "), col("s_nationkey").cast("string")).as("street"),
+        col("s_acctbal").cast("string").as("phone")).as("addr"),
+      array(
+        struct(concat(lit("t"), (col("s_suppkey") % 3).cast("string")).as("label")),
+        struct(lit("x").as("label"))).as("tags"),
+      lit("2024").as("createdAt"))
+    val engine = new Engine(s, reg, { case "api::shop.shop" => (stored, "s_suppkey") })
+    engine.exportCsv("api::shop.shop", limit = 1000000)
+      .withColumnRenamed("addr.street", "addr_street")
+      .withColumnRenamed("addr.phone", "addr_phone")
+      .withColumnRenamed("tags.1.label", "tags_1_label")
+      .withColumnRenamed("tags.2.label", "tags_2_label")
+  }
+
   // ---------------------------------------------------------------- media
   private val albumCt = ContentType("api::album.album", "Album", Seq(
     Attribute("code", AttrKind.StringK, required = true),
@@ -175,5 +212,6 @@ object EngineQueries {
           array_join(transform(col("document"), x => x.cast("string")), ",").as("document_ids"))
   }
 
-  val all: Seq[QueryDef] = Seq(ep1Import, ep3Export, s6ZipBucketing, epMediaImport)
+  val all: Seq[QueryDef] =
+    Seq(ep1Import, ep3Export, ep4ComponentExport, s6ZipBucketing, epMediaImport)
 }
