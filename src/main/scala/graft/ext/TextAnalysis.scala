@@ -112,6 +112,24 @@ object TextAnalysis {
       .drop("__lid")
   }
 
+  /** PII-ish redaction patterns, applied in order (URL first so emails
+    * inside URLs don't split the match; then email; then phone-ish digit
+    * runs). Portable regex subset — identical semantics under Java regex
+    * (Spark) and RE2 (DuckDB oracle).
+    */
+  val redactPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?\\d[\\d -]{7,}\\d" -> "<NUM>",
+  )
+
+  /** Scrub URLs/emails/phone-like numbers from a text column — the
+    * standard pre-training privacy pass. Pure `regexp_replace` chain:
+    * codegen, no shuffle, scales as a narrow map over the corpus.
+    */
+  def redact(text: Column): Column =
+    redactPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** Per-document quality metrics (length/punct/stopword ratios). */
   def qualityMetrics(text: Column): Seq[(String, Column)] = {
     val t = tokens(text)

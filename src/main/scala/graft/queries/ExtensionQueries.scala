@@ -278,6 +278,26 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang_pred"))
   }
 
+  /** PII redaction over documents with planted URL/email/phone payloads —
+    * the oracle applies the identical pattern chain in RE2.
+    */
+  val textRedact = q("x_text_redact",
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(regexp_replace(
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |         '@example.com or +12 345 6789' || CAST(doc_id AS VARCHAR) ||
+      |         ' via https://ex.com/p?id=' || CAST(doc_id AS VARCHAR),
+      |         'https?://[^\s]+', '<URL>', 'g'),
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |         '\+?\d[\d -]{7,}\d', '<NUM>', 'g') AS redacted
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +12 345 6789"),
+      col("doc_id"), lit(" via https://ex.com/p?id="), col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.redact(planted).as("redacted"))
+  }
+
   val textFingerprint = q("x_text_fingerprint",
     """SELECT doc_id,
       |       md5(array_to_string(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> ''), ' ')) AS fp
@@ -390,7 +410,7 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     knnBrute, knnIvf, corpusClean,
     knnIvfRecall, dedupMinhashRecall, dedupEmbLshRecall,
-    textTokens, textQuality, textLangId, textFingerprint,
+    textTokens, textQuality, textLangId, textFingerprint, textRedact,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     multimodalDecode, multimodalFrames,
   )
