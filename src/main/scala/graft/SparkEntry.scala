@@ -24,5 +24,6 @@ object SparkEntry {
 
   private def allDefs =
     ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all ++
-      EngineQueries.all ++ CoverageQueries.all ++ graft.queries.ScaleQueries.all
+      EngineQueries.all ++ CoverageQueries.all ++ graft.queries.ScaleQueries.all ++
+      graft.queries.AnalyticsQueries.all
 }

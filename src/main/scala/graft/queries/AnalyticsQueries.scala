@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Aggregation-surface depth beyond the reference's count/groupBy usage
+  * (SURVEY §2.6): exact interpolated percentiles, rollup lattices, pivot —
+  * each replayed exactly by DuckDB.
+  */
+object AnalyticsQueries {
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  /** Exact linear-interpolation percentiles per group (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`). percentile_approx would NOT oracle-match —
+    * exactness is the point of the gate.
+    */
+  val percentiles = q("x_stats_percentiles",
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Rollup lattice over region → nation with the partial-aggregation
+    * benefit of a single pass (NULL marks the aggregated levels, exactly
+    * as DuckDB's ROLLUP emits them).
+    */
+  val rollup = q("x_rollup_customers",
+    """SELECT r_name, n_name, count(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  /** Pivot order statuses into columns (plan-time column set — the pivot
+    * values are declared, so no extra distinct-scan job).
+    */
+  val pivot = q("x_pivot_status",
+    """SELECT o_orderpriority,
+      |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+      |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+      |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0)).as("n_open"),
+        coalesce(col("F"), lit(0)).as("n_filled"),
+        coalesce(col("P"), lit(0)).as("n_pending"))
+  }
+
+  val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot)
+}
