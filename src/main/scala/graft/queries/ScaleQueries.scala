@@ -77,5 +77,26 @@ object ScaleQueries {
         round(sum(col("l_extendedprice")), 2).as("revenue"))
   }
 
-  val all: Seq[QueryDef] = Seq(saltedJoin, saltedAgg, bucketedJoin)
+  /** Partitioned-layout round trip: events written `partitionBy(event_type)`
+    * (input prep), read back with a partition filter + aggregate. The
+    * filter prunes at the directory level (`PartitionPruningSpec` asserts
+    * the plan); this query asserts the layout round-trips values exactly —
+    * partition columns come back from directory names, not file data.
+    */
+  val partitionedScan = q("x_partitioned_scan",
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val tmp = s"/tmp/graft_part/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(tmp).exists())
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(saltedJoin, saltedAgg, bucketedJoin, partitionedScan)
 }
