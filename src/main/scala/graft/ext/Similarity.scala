@@ -127,7 +127,10 @@ object Similarity {
         .withColumnRenamed("__cluster", "__cid")
       i += 1
     }
-    centroids
+    // nlist rows, consumed by BOTH the corpus assignment and the probe
+    // selection (and by every Lloyd iteration's lazy chain): without the
+    // persist the whole training recomputes once per consumer
+    centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** IVF top-k: scan only the `nprobe` clusters nearest to each query.
