@@ -105,6 +105,46 @@ object EngineQueries {
       .withColumnRenamed("tags.2.label", "tags_2_label")
   }
 
+  /** EP5: full-system closure — CSV-shaped strings imported through the
+    * Engine (validate → resolve the nation relation to ids → merge), then
+    * the merged table exported back through the Engine (populate the
+    * relation display value → audit drop). Import∘export must reproduce
+    * the original human-readable values.
+    */
+  val ep5Roundtrip = q("ep5_roundtrip",
+    """SELECT s_name AS sname, round(s_acctbal, 2) AS acctbal, n_name AS nation_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin) { (s, dir) =>
+    val nation = Tables.nation(s, dir)
+    val csv = Tables.supplier(s, dir)
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name").as("sname"),
+        col("n_name").as("nation.n_name"),
+        col("s_acctbal").cast("string").as("acctbal"),
+        lit("yes").as("active"))
+    val emptyTarget = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sname", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("nation", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("acctbal", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("active", org.apache.spark.sql.types.BooleanType))))
+    // phase 1: import — relation resolved to ids
+    val importEngine = new Engine(s, registry, {
+      case "api::nation.nation" => (nation, "n_nationkey")
+      case "api::supplier.supplier" => (emptyTarget, "sname")
+    })
+    val imported = importEngine
+      .importCsv(csv, "api::supplier.supplier", upsert = true, upsertField = "sname")
+      .merged
+    // phase 2: export the merged table — ids populated back to names
+    val exportEngine = new Engine(s, registry, {
+      case "api::nation.nation" => (nation, "n_nationkey")
+      case "api::supplier.supplier" => (imported, "sname")
+    })
+    exportEngine.exportCsv("api::supplier.supplier", limit = 1000000)
+      .select(col("sname"), round(col("acctbal"), 2).as("acctbal"),
+        graft.functions.Cols.qcol("nation.n_name").as("nation_name"))
+  }
+
   // ---------------------------------------------------------------- media
   private val albumCt = ContentType("api::album.album", "Album", Seq(
     Attribute("code", AttrKind.StringK, required = true),
@@ -213,5 +253,6 @@ object EngineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(ep1Import, ep3Export, ep4ComponentExport, s6ZipBucketing, epMediaImport)
+    Seq(ep1Import, ep3Export, ep4ComponentExport, ep5Roundtrip,
+      s6ZipBucketing, epMediaImport)
 }
