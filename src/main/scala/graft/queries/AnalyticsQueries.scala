@@ -67,5 +67,23 @@ object AnalyticsQueries {
         coalesce(col("P"), lit(0)).as("n_pending"))
   }
 
-  val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot)
+  /** HyperLogLog++ distinct-count sketch gated like the recall queries:
+    * the approximate per-type user counts must land within 5% of exact
+    * for every type (boolean row the oracle asserts). At 100 TB the
+    * sketch is the only affordable distinct count; the gate keeps its
+    * error visible to CORRECTNESS instead of unchecked.
+    */
+  val approxDistinctGate = q("x_approx_distinct_gate", "SELECT true AS within_5pct") {
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .agg(max(abs(col("approx") - col("exact")).cast("double") / col("exact"))
+          .as("max_err"))
+        .select((col("max_err") <= 0.05).as("within_5pct"))
+  }
+
+  val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot, approxDistinctGate)
 }
