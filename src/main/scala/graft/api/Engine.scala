@@ -274,13 +274,18 @@ final class Engine(
     val unique = graft.sources.ZipSource.dedupEntries(uploadable)
     val withIds = Ids.globalRowNumber(unique, Seq(col("name"), col("archive")), "file_id")
       .select(base.as("__ubase"), col("size").as("__usize"), col("file_id"))
+    // one row per (field, file_id): two same-(basename, size) entries in
+    // different folders collapse to the canonical upload, so a record's
+    // matched id array never carries the same id twice
     fielded
       .select(col("field"), col("name").as("path"), base.as("__fbase"),
         col("size").as("__fsize"))
       .join(withIds, col("__fbase") === col("__ubase") && col("__fsize") === col("__usize"))
-      .select(col("field"), col("file_id"), col("__fbase").as("name"),
-        col("path"), Media.mimeType(col("path")).as("mime"), col("__fsize").as("size"))
-      .distinct()
+      .groupBy(col("field"), col("file_id"))
+      .agg(first(col("__fbase")).as("name"), min(col("path")).as("path"),
+        first(col("__fsize")).as("size"))
+      .select(col("field"), col("file_id"), col("name"),
+        col("path"), Media.mimeType(col("path")).as("mime"), col("size"))
   }
 
   /** Display attribute for relation flattening: the target's first schema

@@ -23,6 +23,15 @@ object Ids {
 
   /** Add `idCol` = 1-based global rank by `order` (must be a total order
     * for full determinism). Distributed: no single-task global sort.
+    *
+    * The range-partitioned input stays persisted (MEMORY_AND_DISK — spills
+    * rather than evicts) because the offsets were computed against THAT
+    * materialization: RangePartitioner's sampling seed involves the RDD
+    * id, so a from-scratch recomputation (only possible after executor
+    * loss drops both replicas) could place boundary keys differently. For
+    * fault-tolerant cluster runs, `checkpoint()` the result and release
+    * the cache; long-lived sessions assigning ids to many large inputs
+    * should `spark.catalog.clearCache()` between batches.
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
     val Pid = "__gid_pid"

@@ -48,7 +48,10 @@ object Media {
 
   def mimeType(name: Column): Column = {
     val m = map(mimeMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    coalesce(element_at(m, fileExtension(name)), lit("application/octet-stream"))
+    // try_element_at: plain element_at THROWS on a missing map key under
+    // ANSI mode (Spark 4 default) — the octet-stream fallback must fire
+    // for unknown/missing extensions, not crash the upload
+    coalesce(try_element_at(m, fileExtension(name)), lit("application/octet-stream"))
   }
 
   /** Keyword classification of files into media-field buckets
@@ -134,29 +137,31 @@ object Media {
     // value-keyed: the match set depends only on the key value, so the
     // theta join runs over DISTINCT keys and equi-joins back by value (row
     // keys are not stable across plan branches)
+    // persisted BEFORE the guard count: otherwise an unpersisted library
+    // frame pays its full upstream pipeline twice (guard scan + join scan)
     val f = files
       .filter(!isSystemFile(qcol(nameCol)))
       .select(lower(element_at(split(qcol(nameCol), "/"), -1)).as("__lname"),
         qcol(nameCol).as("__fname"), qcol(fileIdCol).cast("long").as("__fid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = records
       .select(lower(trim(qcol(keyCol))).as("__k"))
       .filter(col("__k") =!= "").distinct()
     val pairs =
-      if (f.count() <= broadcastMaxFiles) // names-only scan; guard needs it
+      if (f.count() <= broadcastMaxFiles) // cached names frame; guard needs it
         keys.join(broadcast(f), col("__lname").startsWith(col("__k")))
       else {
-        // both band inputs are persisted since every band re-reads them
+        // keys also re-read once per band
         val kp = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val fp = f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val lens = kp.select(length(col("__k")).as("__len")).distinct()
           .collect().map(_.getInt(0)).filter(_ > 0).sorted
         lens.map { len =>
           kp.filter(length(col("__k")) === len)
-            .join(fp.withColumn("__pfx", substring(col("__lname"), 1, len)),
+            .join(f.withColumn("__pfx", substring(col("__lname"), 1, len)),
               col("__pfx") === col("__k"))
             .drop("__pfx")
         }.reduceOption(_ unionByName _)
-          .getOrElse(kp.limit(0).crossJoin(fp.limit(0)))
+          .getOrElse(kp.limit(0).crossJoin(f.limit(0)))
       }
     val matches = pairs
       .groupBy(col("__k"))

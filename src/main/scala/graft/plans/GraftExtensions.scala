@@ -24,7 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(getClass.getName, null, name)
+    new ExpressionInfo(getClass.getName, null, name, usage, "")
 
   /** (name, info, builder) triples shared by both registration paths. */
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -171,8 +171,11 @@ object EngineQueries {
     d.mkdirs()
     val ids = Tables.documents(s, dir).select(col("doc_id")).collect()
       .map(_.getLong(0)).sorted
+    // write to a temp name and rename after close: the reuse check above
+    // keys on media.zip existing, which must imply a COMPLETE archive
+    val tmpZip = s"$zipDir/media.zip.tmp"
     val zos = new java.util.zip.ZipOutputStream(
-      new java.io.FileOutputStream(s"$zipDir/media.zip"))
+      new java.io.FileOutputStream(tmpZip))
     def put(name: String): Unit = {
       zos.putNextEntry(new java.util.zip.ZipEntry(name))
       zos.write(name.getBytes("UTF-8")); zos.closeEntry()
@@ -186,6 +189,9 @@ object EngineQueries {
       if (i % 3 == 0) put(s"document/K$i.pdf")
     }
     zos.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmpZip),
+      java.nio.file.Paths.get(s"$zipDir/media.zip"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     zipDir
   }
 

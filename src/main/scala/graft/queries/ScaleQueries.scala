@@ -101,7 +101,9 @@ object ScaleQueries {
       |FROM events WHERE event_type = 'click'
       |GROUP BY user_id""".stripMargin) { (s, dir) =>
     val tmp = s"/tmp/graft_part/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (!new java.io.File(tmp).exists())
+    // _SUCCESS (not bare directory existence): a crash mid-write must not
+    // leave a partial dataset that later runs silently reuse
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists())
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
