@@ -113,5 +113,22 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
   }
 
-  val all: Seq[QueryDef] = Seq(saltedJoin, saltedAgg, bucketedJoin, partitionedScan)
+  /** JSONL round trip — the training-data interchange format: documents
+    * written as JSON lines (input prep) and read back with an EXPLICIT
+    * schema (no inference pre-scan — at 100 TB schema inference is a full
+    * extra pass). Values, including JSON string escaping of quotes/
+    * newlines/unicode, must survive the trip exactly; the oracle reads the
+    * original parquet.
+    */
+  val jsonlRoundtrip = q("x_jsonl_roundtrip",
+    "SELECT doc_id, text, source FROM documents") { (s, dir) =>
+    val tmp = s"/tmp/graft_jsonl/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists())
+      Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+        .write.mode("overwrite").json(tmp)
+    s.read.schema("doc_id long, text string, source string").json(tmp)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(saltedJoin, saltedAgg, bucketedJoin, partitionedScan, jsonlRoundtrip)
 }
