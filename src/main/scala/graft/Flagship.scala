@@ -26,7 +26,7 @@ object Flagship {
     * upserts into an initially-empty target. Returns the merged table.
     */
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"/tmp/graft_flagship/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tmp = s"/tmp/graft_flagship/${graft.queries.Staging.tag(sfDir)}"
     // 1. produce the input CSV (supplier joined to its nation name)
     Tables.supplier(spark, sfDir)
       .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))

@@ -35,11 +35,27 @@ final class Engine(
       invalidRows: Long,
       preview: Seq[Map[String, String]],
   )
-  final case class ImportResult(
-      created: Long, updated: Long,
-      errors: Seq[String], totalProcessed: Long, warnings: Seq[String],
-      merged: DataFrame,
-  )
+  /** Import output with LAZY counters and errors: `merged`'s plan carries an
+    * `observe()` node, so the caller's first action (typically the write)
+    * both materializes the data AND fills `created`/`updated` — the whole
+    * import is ONE execution. Touching a counter before any action runs a
+    * single no-op materialization; `errors` re-derives the invalid branch
+    * on demand (error reporting is the exceptional path, not the hot one).
+    * `release()` drops the media-library cache once results are consumed.
+    */
+  final class ImportResult(
+      val merged: DataFrame,
+      val warnings: Seq[String],
+      mergeResult: Upsert.MergeResult,
+      errorsThunk: () => Seq[String],
+      releaseThunk: () => Unit,
+  ) {
+    def created: Long = mergeResult.created
+    def updated: Long = mergeResult.updated
+    def totalProcessed: Long = created + updated
+    lazy val errors: Seq[String] = errorsThunk()
+    def release(): Unit = releaseThunk()
+  }
 
   /** GET /content-types — importable tables with schema summaries
     * (reference: controllers/csv-import.js:133-204).
@@ -106,11 +122,9 @@ final class Engine(
       (plan.errors ++ relErrs).mkString("; ")) // validation gate (:241-252)
 
     val validated = Validator.validate(csv, plan, ct)
-    // valid (→ resolution pipeline) and invalid (→ error collection) both
-    // branch off the routed frame; persist it so the CSV scan + validation
-    // expressions run once, not once per consuming action
-    val routed = validated.routed
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No persist of the routed frame: the import is a single action now
+    // (counters ride the merged plan via observe(), errors are lazy), so
+    // there is no second consumer to amortize a cache for
     var df = validated.valid
 
     // relation resolution (J1-J3)
@@ -148,37 +162,40 @@ final class Engine(
     // files against the match column and attach the sorted id array
     // (reference: services/csv-import.js:1201-1246). The theta matcher keeps
     // the literal exact/numbered/starts-with semantics for arbitrary keys.
+    var released: () => Unit = () => ()
     mediaFiles.foreach { mfRaw =>
-      // the library frame is consumed once per media field (count + match
-      // join) plus the field probe — persist so its upstream (zip scan,
-      // bucketing, id assignment) runs once
+      // the library frame is consumed once per media field (match join) —
+      // persist so its upstream (zip scan, bucketing, id assignment) runs
+      // once; released via ImportResult.release()
       val mf = mfRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      released = () => { mf.unpersist(blocking = false); () }
       val matchCol = mediaMatchField.getOrElse(upsertField)
       val mediaAttrs = ct.attributes.filter(_.isMedia).map(_.name)
-      // media FIELD list is schema-sized — never data
-      val present = mf.select(col("field")).distinct().collect().map(_.getString(0)).toSet
-      mediaAttrs.filter(present.contains).foreach { f =>
+      // ONE pass over the persisted library yields the present-field set
+      // AND the per-field file counts the theta guard needs (result is
+      // one row per media FIELD — schema-sized, never data)
+      val fieldCounts = mf.groupBy(col("field")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      mediaAttrs.filter(fieldCounts.contains).foreach { f =>
         df = Media.matchFilesTheta(df, matchCol,
-          mf.filter(col("field") === f), "name", "file_id", f)
+          mf.filter(col("field") === f), "name", "file_id", f,
+          knownFileCount = fieldCounts.get(f))
       }
     }
     df = df.drop(Validator.RowNumCol)
 
-    // load (S7/S8)
+    // load (S7/S8) — merge attaches the observe() counters; nothing runs
+    // until the caller acts on `merged`
     val (target, _) = tables(uid)
-    // merge's counter aggregate materializes the deduped incoming frame
-    // (cached inside Upsert.merge) and, transitively, the routed cache; the
-    // error collection below is then a cache read, and the returned merged
-    // frame replays from the deduped cache — one execution of the scan +
-    // validation + resolution pipeline in total
     val merged = Upsert.merge(target, df, upsertField, upsert)
-    val rowErrors = validated.invalid
-      .select(explode(col(Validator.ErrorsCol)).as("e"))
-      .limit(1000).collect().map(_.getString(0)).toSeq
-    routed.unpersist(blocking = false)
-    ImportResult(merged.created, merged.updated, rowErrors,
-      totalProcessed = merged.created + merged.updated,
-      warnings = plan.warnings ++ relWarns, merged = merged.merged)
+    new ImportResult(
+      merged = merged.merged,
+      warnings = plan.warnings ++ relWarns,
+      mergeResult = merged,
+      errorsThunk = () => validated.invalid
+        .select(explode(col(Validator.ErrorsCol)).as("e"))
+        .limit(1000).collect().map(_.getString(0)).toSeq,
+      releaseThunk = released)
   }
 
   /** POST /export — EP3: populate → flatten → audit-drop → cap
@@ -219,9 +236,13 @@ final class Engine(
     * `size`) — the shape `importCsv(mediaFiles = …)` consumes.
     */
   def uploadZip(zipDir: String, mediaField: String): DataFrame = {
+    // distinct + size tiebreak: one archive MAY contain duplicate entry
+    // paths (legal in ZIP) — identical (archive, name, size) triples
+    // collapse, and size disambiguates the rest, so the id order is total
+    // and file_id assignment deterministic
     val entries = graft.sources.ZipSource.readZips(spark, zipDir)
-      .select(col("archive"), col("name"), col("size"))
-    Ids.globalRowNumber(entries, Seq(col("name"), col("archive")), "file_id")
+      .select(col("archive"), col("name"), col("size")).distinct()
+    Ids.globalRowNumber(entries, Seq(col("name"), col("archive"), col("size")), "file_id")
       .select(lit(mediaField).as("field"), col("file_id"),
         element_at(split(col("name"), "/"), -1).as("name"),
         col("name").as("path"), Media.mimeType(col("name")).as("mime"), col("size"))
@@ -247,10 +268,13 @@ final class Engine(
     val mediaFields = ct.attributes.filter(_.isMedia).map(_.name)
     require(mediaFields.nonEmpty, s"$uid has no media fields")
     val base = element_at(split(col("name"), "/"), -1)
+    // entry METADATA only (archive/name/size — never content bytes),
+    // consumed by the structured-mode probe and both sides of the dedup
+    // join: one lineage-cut materialization, no lingering cache entry
     val entries = graft.sources.ZipSource.readZips(spark, zipDir)
       .filter(size(split(col("name"), "/")) >= 2) // root entries ignored (:971)
       .select(col("archive"), col("name"), col("size"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val bucketed = graft.sources.ZipSource.bucketByField(entries, mediaFields)
     val structured = bucketed.filter(col("bucket").isNotNull)
     // "any structured folder?" is ONE boolean for the whole upload — a
@@ -272,7 +296,9 @@ final class Engine(
     // from `entries` — rename columns so the self-join is unambiguous.
     val uploadable = fielded.select(col("archive"), col("name"), col("size")).distinct()
     val unique = graft.sources.ZipSource.dedupEntries(uploadable)
-    val withIds = Ids.globalRowNumber(unique, Seq(col("name"), col("archive")), "file_id")
+    // size tiebreak keeps the order total when one archive repeats a path
+    val withIds = Ids.globalRowNumber(unique,
+        Seq(col("name"), col("archive"), col("size")), "file_id")
       .select(base.as("__ubase"), col("size").as("__usize"), col("file_id"))
     // one row per (field, file_id): two same-(basename, size) entries in
     // different folders collapse to the canonical upload, so a record's

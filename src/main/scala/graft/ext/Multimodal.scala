@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise with `mapPartitions`.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (no image/audio
-  * codecs in this environment); everything around it — schema, typed
-  * encoders, partition-wise batching, feature schema — is real and is the
-  * part that matters on a cluster: the decode closure runs once per
-  * partition with zero driver involvement, so swapping in a real codec is a
-  * one-function change.
+  * The perceptual-feature step is a clearly-marked DETERMINISTIC STUB (no
+  * image/audio codecs in this environment), but `decodeImage` is a REAL
+  * byte-level decoder (PNG IHDR / JPEG SOF dimensions). Everything around
+  * them — schema, typed encoders, partition-wise batching, feature schema —
+  * is real and is the part that matters on a cluster: the decode closure
+  * runs once per partition with zero driver involvement, so swapping in a
+  * full codec is a one-function change.
   */
 object Multimodal {
 
@@ -65,6 +66,76 @@ object Multimodal {
         (m.id, i, end - start)
       }
     }.toDF("id", "frame_idx", "frame_bytes")
+  }
+
+  // ------------------------------------------------------ image metadata
+  /** Decoded image header metadata — a REAL byte-level decode (not the
+    * feature stub above): PNG dimensions from the IHDR chunk, JPEG from the
+    * SOF marker found by walking the segment stream.
+    */
+  final case class ImageMeta(id: Long, format: String, width: Int, height: Int)
+
+  /** Parse image dimensions from raw bytes.
+    *
+    *   - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
+    *     chunk is mandatory-first — width/height are the two big-endian
+    *     32-bit words at offsets 16/20.
+    *   - JPEG: `FF D8` SOI, then segments `FF <marker> <len16 incl itself>`;
+    *     the first start-of-frame marker (C0-CF except C4 DHT / C8 JPG /
+    *     CC DAC) carries precision(1) height(2) width(2).
+    *
+    * Returns None for anything unparseable — a corrupt payload must never
+    * kill a 100 TB scan.
+    */
+  def decodeImage(id: Long, b: Array[Byte]): Option[ImageMeta] = {
+    def u(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Int = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    if (b.length >= 24 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G')
+      Some(ImageMeta(id, "png", be32(16), be32(20)))
+    else if (b.length >= 4 && u(0) == 0xff && u(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u(i) != 0xff) return None
+        val marker = u(i + 1)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some(ImageMeta(id, "jpeg", be16(i + 7), be16(i + 5)))
+        i += 2 + be16(i + 2)
+      }
+      None
+    } else None
+  }
+
+  /** Partition-wise dimension extraction; undecodable payloads drop. */
+  def imageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => decodeImage(m.id, m.bytes)))
+  }
+
+  /** Deterministic synthetic image payload (valid PNG signature + IHDR, or
+    * a JPEG marker stream with COM + DQT segments before SOF0) — exercises
+    * the decoder's real parsing paths without codecs in the container.
+    */
+  def synthImage(id: Long, width: Int, height: Int, png: Boolean): Array[Byte] = {
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    if (png)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+        be32(width) ++ be32(height) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // bit depth/color/CRC filler
+    else {
+      val com = s"synthetic $id".getBytes("UTF-8")
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++                      // SOI
+        Array[Byte](0xff.toByte, 0xfe.toByte) ++ be16(com.length + 2) ++ com ++ // COM
+        Array[Byte](0xff.toByte, 0xdb.toByte) ++ be16(4) ++ Array[Byte](0, 1) ++ // DQT-ish
+        Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++        // SOF0
+        Array[Byte](8) ++ be16(height) ++ be16(width) ++
+        Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)                       // EOI
+    }
   }
 
   /** Wrap a text table as a binary media table (test/demo source: the bytes

@@ -128,9 +128,11 @@ object Similarity {
       i += 1
     }
     // nlist rows, consumed by BOTH the corpus assignment and the probe
-    // selection (and by every Lloyd iteration's lazy chain): without the
-    // persist the whole training recomputes once per consumer
-    centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // selection (and by every Lloyd iteration's lazy chain): localCheckpoint
+    // materializes the training ONCE and cuts its lineage — consumers read
+    // nlist stored rows, no cacheManager entry to leak across queries
+    // (blocks are GC-released with the frame)
+    centroids.localCheckpoint(eager = true)
   }
 
   /** IVF top-k: scan only the `nprobe` clusters nearest to each query.

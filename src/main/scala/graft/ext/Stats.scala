@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+import graft.operators.Ids
+
+/** Distributed order statistics.
+  *
+  * Spark's exact `percentile` aggregate buffers EVERY value of a group in
+  * one aggregation buffer (collect-then-sort) — at 100 TB that is an OOM on
+  * the task holding the biggest group. `quantileCont` computes the same
+  * linear-interpolation quantile (SQL `quantile_cont`) from global order
+  * statistics instead:
+  *
+  *   1. global rank over (group, value) via the range-partition + prefix-sum
+  *      rank (Ids.globalRowNumber — distributed sort, no single-task window),
+  *   2. per-group count + first-rank from one small aggregate,
+  *   3. per (group, prob) the two bracketing ranks h = (n-1)p are computed
+  *      driver-free; the ≤ |groups|·|probs|·2 needed ranks broadcast-join
+  *      back against the ranked frame (one scan picks the values),
+  *   4. v_lo + frac·(v_hi − v_lo) assembled on the tiny picked frame.
+  *
+  * Two passes over the data (rank materialization + pick scan), both fully
+  * partition-parallel; per-task memory is O(partition), never O(group).
+  */
+object Stats {
+
+  /** One row per group: (`groupCol`, `n`, one column per prob name).
+    * `probs` are (output column name, probability in [0, 1]).
+    */
+  def quantileCont(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probs: Seq[(String, Double)],
+  ): DataFrame = {
+    val base = df.select(qcol(groupCol).as("__g"), qcol(valueCol).cast("double").as("__v"))
+    val ranked = Ids.globalRowNumber(base, Seq(col("__g"), col("__v")), "__rk")
+    val stats = ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), min(col("__rk")).as("__rk0"))
+    val h = (col("__n") - 1) * col("__q.p") // fractional rank, 0-based
+    val targets = stats.select(col("__g"), col("__n"), col("__rk0"),
+      explode(array(probs.map { case (nm, p) =>
+        struct(lit(nm).as("nm"), lit(p).as("p")) }: _*)).as("__q"))
+      .select(col("__g"), col("__n"), col("__q.nm").as("__nm"),
+        (col("__rk0") + floor(h)).as("__lo"),
+        least(col("__rk0") + floor(h) + 1, col("__rk0") + col("__n") - 1).as("__hi"),
+        (h - floor(h)).as("__frac"))
+    // global ranks are unique across groups, so the pick joins on rank alone
+    val wanted = targets
+      .select(explode(array(col("__lo"), col("__hi"))).as("__rk")).distinct()
+    val picked = ranked.join(broadcast(wanted), Seq("__rk"))
+      .select(col("__rk"), col("__v"))
+    targets
+      .join(picked.select(col("__rk").as("__lo"), col("__v").as("__vlo")), Seq("__lo"))
+      .join(picked.select(col("__rk").as("__hi"), col("__v").as("__vhi")), Seq("__hi"))
+      .select(col("__g"), col("__n"), col("__nm"),
+        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo"))).as("__qv"))
+      .groupBy(col("__g"), col("__n"))
+      .pivot("__nm", probs.map(_._1))
+      .agg(first(col("__qv")))
+      .withColumnRenamed("__g", groupCol)
+      .withColumnRenamed("__n", "n")
+  }
+}

@@ -24,20 +24,21 @@ object Ids {
   /** Add `idCol` = 1-based global rank by `order` (must be a total order
     * for full determinism). Distributed: no single-task global sort.
     *
-    * The range-partitioned input stays persisted (MEMORY_AND_DISK — spills
-    * rather than evicts) because the offsets were computed against THAT
-    * materialization: RangePartitioner's sampling seed involves the RDD
-    * id, so a from-scratch recomputation (only possible after executor
-    * loss drops both replicas) could place boundary keys differently. For
-    * fault-tolerant cluster runs, `checkpoint()` the result and release
-    * the cache; long-lived sessions assigning ids to many large inputs
-    * should `spark.catalog.clearCache()` between batches.
+    * The range-partitioned input is `localCheckpoint`ed (lineage CUT, not
+    * cached) because the offsets are computed against THAT
+    * materialization: RangePartitioner samples to pick boundaries, so a
+    * from-scratch recomputation could place boundary keys differently
+    * while the stale offsets map still resolved — silently duplicating /
+    * skipping ids. With the lineage cut, losing the checkpointed blocks
+    * (executor failure) FAILS the job loudly instead; cluster runs needing
+    * fault tolerance should set a reliable `checkpoint()` dir. Blocks are
+    * released by the ContextCleaner when the frame is GC'd.
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
     val Pid = "__gid_pid"
     val ranged = df.repartitionByRange(order: _*)
       .withColumn(Pid, spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     // partition COUNTS only — bounded by the shuffle-partition count
     val counts = ranged.groupBy(col(Pid)).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

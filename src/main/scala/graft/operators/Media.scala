@@ -133,26 +133,37 @@ object Media {
       fileIdCol: String,
       matchedCol: String,
       broadcastMaxFiles: Long = 1000000L,
+      /** caller-known (upper bound on the) file count: skips the guard's
+        * count action AND the internal persist — pass it when `files` is
+        * already persisted (the Engine computes all per-field counts in one
+        * aggregate over its cached library)
+        */
+      knownFileCount: Option[Long] = None,
   ): DataFrame = {
     // value-keyed: the match set depends only on the key value, so the
     // theta join runs over DISTINCT keys and equi-joins back by value (row
     // keys are not stable across plan branches)
-    // persisted BEFORE the guard count: otherwise an unpersisted library
-    // frame pays its full upstream pipeline twice (guard scan + join scan)
-    val f = files
+    // persisted BEFORE the guard count (unless the caller supplied one):
+    // otherwise an unpersisted library frame pays its full upstream
+    // pipeline twice (guard scan + join scan)
+    val fBase = files
       .filter(!isSystemFile(qcol(nameCol)))
       .select(lower(element_at(split(qcol(nameCol), "/"), -1)).as("__lname"),
         qcol(nameCol).as("__fname"), qcol(fileIdCol).cast("long").as("__fid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lineage-cut materialization rather than persist: same spill behavior
+    // (MEMORY_AND_DISK), no cacheManager entry left behind after the query
+    val f =
+      if (knownFileCount.isDefined) fBase
+      else fBase.localCheckpoint(eager = true)
     val keys = records
       .select(lower(trim(qcol(keyCol))).as("__k"))
       .filter(col("__k") =!= "").distinct()
     val pairs =
-      if (f.count() <= broadcastMaxFiles) // cached names frame; guard needs it
+      if (knownFileCount.getOrElse(f.count()) <= broadcastMaxFiles)
         keys.join(broadcast(f), col("__lname").startsWith(col("__k")))
       else {
         // keys also re-read once per band
-        val kp = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kp = keys.localCheckpoint(eager = true)
         val lens = kp.select(length(col("__k")).as("__len")).distinct()
           .collect().map(_.getInt(0)).filter(_ > 0).sorted
         lens.map { len =>

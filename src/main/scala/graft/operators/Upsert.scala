@@ -17,8 +17,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * the LAST occurrence wins; emulated with row_number over input order
   * descending (SURVEY §7.5.5).
   *
-  * Counters (`created`/`updated`, reference :364-368) come from one extra
-  * aggregate over the key join — no driver-side iteration.
+  * Counters (`created`/`updated`, reference :364-368) come from an
+  * `observe()` over the key join inside the merged plan — collected as a
+  * side effect of the caller's action, no extra job, no driver iteration.
   *
   * Physical write is rewrite-and-swap (plain Parquet has no MERGE): write
   * merged to a temp dir, atomically move into place. At cluster scale this
@@ -27,7 +28,27 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object Upsert {
 
-  final case class MergeResult(merged: DataFrame, created: Long, updated: Long)
+  /** Merge output with LAZY counters: `created`/`updated` are collected by
+    * an `observe()` node inside `merged`'s plan, so the caller's FIRST
+    * action on `merged` (a write, a count, …) populates them for free —
+    * importCsv + write is ONE execution of the whole pipeline, not a
+    * counter job plus a replay. Reading a counter before any action has
+    * run triggers one no-op materialization as a fallback.
+    */
+  final class MergeResult(
+      val merged: DataFrame,
+      obs: org.apache.spark.sql.Observation) {
+    // positional access: metric 0 = created, 1 = updated (as passed to
+    // observe). Observation.getOrEmpty/get NPE on the schema-less fallback
+    // row in 4.1.2 — getRowOrEmpty/getRow are the safe surface.
+    private lazy val metrics: org.apache.spark.sql.Row =
+      org.apache.spark.sql.GraftSqlBridge.observationRow(obs).getOrElse {
+        merged.write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftSqlBridge.observationRowBlocking(obs)
+      }
+    def created: Long = metrics.getLong(0)
+    def updated: Long = metrics.getLong(1)
+  }
 
   private val OrderCol = "__ins_order"
 
@@ -51,22 +72,29 @@ object Upsert {
     * created = incoming count, reference :391-397).
     */
   def merge(target: DataFrame, incoming: DataFrame, key: String, upsert: Boolean): MergeResult = {
+    val obs = org.apache.spark.sql.Observation()
     if (!upsert) {
-      // cache before the counter action: the merged frame re-reads incoming
-      val inc = incoming.cache()
-      val created = inc.count()
-      MergeResult(target.unionByName(inc, allowMissingColumns = true), created, 0L)
+      // counters ride the union's incoming branch — no separate count job
+      val inc = incoming.observe(obs,
+        count(lit(1)).as("created"), lit(0L).as("updated"))
+      new MergeResult(target.unionByName(inc, allowMissingColumns = true), obs)
     } else {
-      val deduped = dedupLastWins(incoming, key).cache()
-      // one aggregate job yields both counters (count of existing-key hits
-      // = updated; remainder = created) instead of two separate counts
-      val keys = target.select(col(key)).distinct()
-        .withColumn("__ex", lit(1))
-      val r = deduped.join(keys, Seq(key), "left")
-        .agg(count(lit(1)).as("n"), count(col("__ex")).as("upd")).head()
-      val (n, updated) = (r.getLong(0), r.getLong(1))
+      // The deduped frame feeds BOTH the anti-join probe and the union
+      // branch. No cache: both branches shuffle the identical child on the
+      // same key, so ReuseExchange materializes the heavy upstream
+      // (scan → validate → resolve → partial agg) once per action.
+      val deduped = dedupLastWins(incoming, key)
+      // counters ride the union's incoming branch as a left join against
+      // the DISTINCT target keys (duplicate target keys count once):
+      // created = no key hit, updated = key hit
+      val keys = target.select(col(key)).distinct().withColumn("__ex", lit(1))
+      val inc = deduped.join(keys, Seq(key), "left")
+        .observe(obs,
+          count(when(col("__ex").isNull, 1)).as("created"),
+          count(col("__ex")).as("updated"))
+        .drop("__ex")
       val kept = target.join(deduped.select(col(key)), Seq(key), "left_anti")
-      MergeResult(kept.unionByName(deduped, allowMissingColumns = true), n - updated, updated)
+      new MergeResult(kept.unionByName(inc, allowMissingColumns = true), obs)
     }
   }
 

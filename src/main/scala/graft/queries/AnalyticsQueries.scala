@@ -13,9 +13,11 @@ object AnalyticsQueries {
   private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, Some(oracle))
 
-  /** Exact linear-interpolation percentiles per group (Spark `percentile`
-    * ≡ DuckDB `quantile_cont`). percentile_approx would NOT oracle-match —
-    * exactness is the point of the gate.
+  /** Exact linear-interpolation percentiles per group (≡ DuckDB
+    * `quantile_cont`), via the distributed rank formulation in `ext.Stats` —
+    * Spark's `percentile` aggregate would buffer every group value in one
+    * task's memory (OOM at 100 TB); percentile_approx would NOT
+    * oracle-match. Exactness AND distribution are the point of the gate.
     */
   val percentiles = q("x_stats_percentiles",
     """SELECT l_returnflag,
@@ -23,12 +25,10 @@ object AnalyticsQueries {
       |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
       |       count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-        count(lit(1)).as("n"))
+    graft.ext.Stats.quantileCont(Tables.lineitem(s, dir),
+        "l_returnflag", "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))
+      .select(col("l_returnflag"), round(col("p50"), 2).as("p50"),
+        round(col("p95"), 2).as("p95"), col("n"))
   }
 
   /** Rollup lattice over region → nation with the partial-aggregation

@@ -40,7 +40,7 @@ object CoverageQueries {
     """SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
       |       CAST(octet_length(encode(text)) AS BIGINT) AS size
       |FROM documents""".stripMargin) { (s, dir) =>
-    val zipDir = s"/tmp/graft_zips/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val zipDir = s"/tmp/graft_zips/${Staging.tag(dir)}"
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
       .collect() // input prep only: materialize the small doc set into archives
     val byed = docs.groupBy(_.getAs[String]("source"))

@@ -158,7 +158,7 @@ object EngineQueries {
     * root-level strays that the pipeline must ignore.
     */
   private def buildMediaZip(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val zipDir = s"/tmp/graft_mediazip/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val zipDir = s"/tmp/graft_mediazip/${Staging.tag(dir)}"
     // deterministic content per sf dir — reuse across the queries that
     // share it instead of rebuilding (input prep, not pipeline work)
     if (new java.io.File(s"$zipDir/media.zip").exists()) return zipDir

@@ -195,6 +195,33 @@ object ExtensionQueries {
         .agg((count(col("__hit")).cast("double") / count(lit(1)) >= 0.95).as("recall_ok"))
   }
 
+  /** SimHash mechanics gate (the analog of the IVF full-probe gate): the
+    * pigeonhole block join GUARANTEES that any pair within the hamming
+    * radius agrees on ≥ 1 signature block, so every planted (orig, variant)
+    * pair whose true signature hamming is ≤ maxHamming MUST be recovered —
+    * recall ≥ 0.95 leaves headroom only for hot-block cap drops. (A
+    * fixed-radius gate on the raw plants would be sf-dependent: one
+    * appended token on a short doc can flip well over 3 bits.) A user
+    * tuning maxHamming / block count / bucket cap now has a harness signal.
+    */
+  val dedupSimhashRecall = q("x_dedup_simhash_recall", "SELECT true AS recall_ok") {
+    (s, dir) =>
+      val docs = docsWithVariants(s, dir)
+      val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("__sh"))
+      val withinRadius = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+        .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("__ha")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("__hb")), Seq("id_b"))
+        .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= 3)
+        .select(col("id_a"), col("id_b"))
+      val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+      withinRadius.join(found, Seq("id_a", "id_b"), "left")
+        .agg(when(count(lit(1)) === 0, lit(true))
+          .otherwise(count(col("__hit")).cast("double") / count(lit(1)) >= 0.95)
+          .as("recall_ok"))
+  }
+
   /** Hyperplane-LSH gate: planted variants are exact scalings, so every
     * (orig, variant) pair shares all sign bits — recall must be 1.0.
     */
@@ -335,7 +362,7 @@ object ExtensionQueries {
     val tmp = stageOnce(
       Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"/tmp/graft_stream/${Staging.tag(dir)}")
     EventStreams.runWindowedAggOnce(s, tmp, "graft_stream_win")
   }
 
@@ -350,7 +377,7 @@ object ExtensionQueries {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val tmp = stageOnce(ev.unionByName(ev), // planted replays
-      s"/tmp/graft_stream_dup/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"/tmp/graft_stream_dup/${Staging.tag(dir)}")
     EventStreams.runDedupOnce(s, tmp, "graft_stream_dedup")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
@@ -366,7 +393,7 @@ object ExtensionQueries {
     val tmp = stageOnce(
       Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"/tmp/graft_stream/${Staging.tag(dir)}")
     val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
     EventStreams.runEnrichedAggOnce(s, tmp, dim, "c_custkey", "c_mktsegment",
       "graft_stream_enriched")
@@ -416,12 +443,34 @@ object ExtensionQueries {
       Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "video"), 8)
   }
 
+  /** REAL image decode: synthesized valid PNG/JPEG headers (dimensions
+    * derived from doc_id) parsed back by the byte-level decoder; the oracle
+    * replays the same arithmetic, so a parser bug (offset, endianness,
+    * marker walk) breaks the hash match.
+    */
+  val multimodalImageMeta = q("x_multimodal_imagemeta",
+    """SELECT doc_id AS id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |       CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
+      |       CAST((doc_id * 7) % 768 + 1 AS INTEGER) AS height
+      |FROM documents""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+      .as[Long].map { id =>
+        val w = (id % 1024 + 1).toInt
+        val h = (id * 7 % 768 + 1).toInt
+        Multimodal.MediaRow(id, Multimodal.synthImage(id, w, h, png = id % 2 == 0),
+          "image", if (id % 2 == 0) "png" else "jpeg")
+      }
+    Multimodal.imageMeta(media).toDF()
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     knnBrute, knnIvf, corpusClean,
-    knnIvfRecall, dedupMinhashRecall, dedupEmbLshRecall,
+    knnIvfRecall, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
-    multimodalDecode, multimodalFrames,
+    multimodalDecode, multimodalFrames, multimodalImageMeta,
   )
 }

@@ -36,7 +36,7 @@ object ParityQueries {
     */
   val s1CsvRoundtrip = q("s1_csv_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
-    val tmp = s"/tmp/graft_csv/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/nation"
+    val tmp = s"/tmp/graft_csv/${Staging.tag(dir)}/nation"
     Tables.nation(s, dir).write.mode("overwrite").option("header", true).csv(tmp)
     s.read.option("header", true)
       .schema("n_nationkey string, n_name string, n_regionkey string")

@@ -57,7 +57,7 @@ object ScaleQueries {
     """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = Staging.tag(dir)
     // input prep: write the bucketed layout once per sf dir; later runs
     // only (re)register the external table over the existing files
     def prep(table: String, path: String, keyCol: String, write: => Unit,
@@ -100,7 +100,7 @@ object ScaleQueries {
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events WHERE event_type = 'click'
       |GROUP BY user_id""".stripMargin) { (s, dir) =>
-    val tmp = s"/tmp/graft_part/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tmp = s"/tmp/graft_part/${Staging.tag(dir)}"
     // _SUCCESS (not bare directory existence): a crash mid-write must not
     // leave a partial dataset that later runs silently reuse
     if (!new java.io.File(s"$tmp/_SUCCESS").exists())
@@ -122,7 +122,7 @@ object ScaleQueries {
     */
   val jsonlRoundtrip = q("x_jsonl_roundtrip",
     "SELECT doc_id, text, source FROM documents") { (s, dir) =>
-    val tmp = s"/tmp/graft_jsonl/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tmp = s"/tmp/graft_jsonl/${Staging.tag(dir)}"
     if (!new java.io.File(s"$tmp/_SUCCESS").exists())
       Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
         .write.mode("overwrite").json(tmp)

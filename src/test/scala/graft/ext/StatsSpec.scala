@@ -1,0 +1,35 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Distributed quantile_cont must equal Spark's exact (but group-buffering)
+  * `percentile` aggregate on every group and prob, including 1-element
+  * groups and ties.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantileCont equals the exact percentile aggregate") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 997).map(i =>
+      (s"g${i % 5}", math.floor(rnd.nextDouble() * 1000) / 4)) ++
+      Seq(("lone", 42.5)) // 1-element group: p = the value itself
+    val df = rows.toDF("g", "v")
+    val expected = df.groupBy(col("g"))
+      .agg(expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.95)").as("p95"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val got = Stats.quantileCont(df, "g", "v", Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3), r.getLong(1))))
+      .toMap
+    got.keySet shouldBe expected.keySet
+    for ((g, (p50, p95, n)) <- expected) {
+      val (q50, q95, m) = got(g)
+      m shouldBe n
+      q50 shouldBe p50 +- 1e-9
+      q95 shouldBe p95 +- 1e-9
+    }
+  }
+}

@@ -22,8 +22,14 @@ class PartitionPruningSpec extends SparkSpec {
       case f: FileSourceScanExec => f
     }.head
     scan.partitionFilters should not be empty
-    // the pruned scan reads exactly the one matching directory
-    scan.relation.location.inputFiles.length should be > 0
+    // the pruned scan SELECTS exactly the one matching directory: every
+    // file fed to the scan lives under day=d1 (inputFiles on the relation
+    // would count the whole table — assert the selected partitions instead)
+    val selectedFiles = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    selectedFiles should not be empty
+    all(selectedFiles) should include("day=d1")
     read.count() shouldBe 25
 
     // and a non-partition filter must be pushed to parquet, not partition-pruned
