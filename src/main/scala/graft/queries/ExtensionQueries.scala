@@ -206,15 +206,17 @@ object ExtensionQueries {
     */
   val dedupSimhashRecall = q("x_dedup_simhash_recall", "SELECT true AS recall_ok") {
     (s, dir) =>
-      val docs = docsWithVariants(s, dir)
-      val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("__sh"))
+      // signatures computed ONCE (lineage-cut), shared by the true-hamming
+      // reference and the block-join under test
+      val sigs = Dedup.simhashSignatures(docsWithVariants(s, dir), "doc_id", "text")
+        .localCheckpoint(true)
       val withinRadius = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
-        .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("__ha")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("__hb")), Seq("id_b"))
+        .join(sigs.select(col("__id").as("id_a"), col("__sh").as("__ha")), Seq("id_a"))
+        .join(sigs.select(col("__id").as("id_b"), col("__sh").as("__hb")), Seq("id_b"))
         .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= 3)
         .select(col("id_a"), col("id_b"))
-      val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      val found = Dedup.simhashPairsFromSigs(sigs, maxHamming = 3)
         .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
       withinRadius.join(found, Seq("id_a", "id_b"), "left")
         .agg(when(count(lit(1)) === 0, lit(true))
