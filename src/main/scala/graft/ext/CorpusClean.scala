@@ -35,6 +35,33 @@ object CorpusClean {
         >= cfg.minStopRatio)
   }
 
+  /** Train/test decontamination by n-gram overlap (the GPT-3/Pile recipe):
+    * drop every corpus document sharing ≥ 1 word `n`-gram with the
+    * evaluation set. Both sides reduce to 64-bit hashed shingles (native
+    * one-pass `ShingleHashes`); contamination detection is a semi-join on
+    * the hash — scales with shingle co-occurrence, never pairs. The eval
+    * side's distinct hash set is dimension-sized in practice (benchmarks,
+    * not corpora), so AQE broadcasts it; documents shorter than `n` tokens
+    * have no shingles and are never flagged.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 13,
+  ): DataFrame = {
+    val docSh = corpus.select(qcol(idCol).as("__did"),
+      explode(TextAnalysis.shingleHashes(qcol(textCol), n)).as("__s"))
+    val evalSh = eval
+      .select(explode(TextAnalysis.shingleHashes(qcol(evalTextCol), n)).as("__s"))
+      .distinct()
+    val bad = docSh.join(evalSh, Seq("__s"), "left_semi")
+      .select(col("__did")).distinct()
+    corpus.join(bad, qcol(idCol) === col("__did"), "left_anti")
+  }
+
   /** Run the pipeline; returns surviving rows (canonical = min id for any
     * duplicate group).
     */

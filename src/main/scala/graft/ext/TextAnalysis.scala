@@ -154,6 +154,37 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size windows with `overlap` tokens of lookback — the standard
+    * preparation step for bounded-context training examples. One narrow
+    * pass: tokenize once (separate projection under the Generate, so the
+    * token array is computed once per row, not once per reference),
+    * generate starts at stride (chunkSize − overlap), emit
+    * (`idCol`, `chunk_idx`, `chunk`, `n_tokens`); the final window may be
+    * short, zero-token documents emit nothing. No shuffle.
+    */
+  def chunkTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int,
+  ): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val t = col("__toks")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(
+        when(size(t) > 0, transform(sequence(lit(0), size(t) - 1, lit(step)),
+          st => struct(
+            concat_ws(" ", slice(t, st + 1, lit(chunkSize))).as("chunk"),
+            least(size(t) - st, lit(chunkSize)).as("n_tokens"))))
+          .otherwise(array().cast("array<struct<chunk:string,n_tokens:int>>")))
+        .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__c.chunk").as("chunk"), col("__c.n_tokens").as("n_tokens"))
+  }
+
   /** Karp-Rabin rolling hash over normalized tokens: base-31 polynomial
     * reduced mod 2^40 each step so no Long overflow occurs (ANSI mode
     * throws on overflow — the reduced width keeps arithmetic exact).

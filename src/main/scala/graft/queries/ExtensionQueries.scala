@@ -345,6 +345,57 @@ object ExtensionQueries {
       TextAnalysis.fingerprint(col("text")).as("fp"))
   }
 
+  /** Context-window chunking (128-token windows, 32-token overlap): the
+    * oracle replays the exact window boundaries with list slicing.
+    */
+  val textChunks = q("x_text_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |c AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 96)) AS st
+      |      FROM t WHERE len(toks) > 0)
+      |SELECT doc_id, CAST(st // 96 AS INTEGER) AS chunk_idx,
+      |       array_to_string(toks[st + 1 : st + 128], ' ') AS chunk,
+      |       CAST(least(len(toks) - st, 128) AS INTEGER) AS n_tokens
+      |FROM c""".stripMargin) { (s, dir) =>
+    TextAnalysis.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 128, overlap = 32)
+  }
+
+  /** Deterministic stratified hash sampling (25% per source stratum): the
+    * md5-threshold decision is engine-portable, so DuckDB replays the
+    * EXACT sample — no RNG, no seed bookkeeping, reproducible at 100 TB.
+    */
+  val sampleStratified = q("x_sample_stratified",
+    """SELECT doc_id, source FROM documents
+      |WHERE md5(source || ':' || CAST(doc_id AS VARCHAR)) < '4'""".stripMargin) {
+    (s, dir) =>
+      graft.ext.Sampling.stratifiedHashSample(
+          Tables.documents(s, dir), col("source"), col("doc_id"), "4")
+        .select(col("doc_id"), col("source"))
+  }
+
+  /** Train/test decontamination: docs sharing any 13-gram with the planted
+    * eval set (doc_id % 17 = 0) drop — the eval docs flag themselves, so
+    * the kept set is exactly what the oracle's shingle join computes.
+    */
+  val decontaminate = q("x_decontaminate",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 12),
+      |              i -> array_to_string(toks[i : i + 12], ' '))) AS s
+      |       FROM t WHERE len(toks) >= 13),
+      |bad AS (SELECT DISTINCT d.doc_id FROM sh d
+      |        JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0) e USING (s))
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    CorpusClean.decontaminate(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 17 === 0), "text", n = 13)
+      .select(col("doc_id"))
+  }
+
   // -------------------------------------------------------- streaming
   val streamWindow = q("x_stream_window",
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -472,6 +523,7 @@ object ExtensionQueries {
     knnBrute, knnIvf, corpusClean,
     knnIvfRecall, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
+    textChunks, sampleStratified, decontaminate,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     multimodalDecode, multimodalFrames, multimodalImageMeta,
   )

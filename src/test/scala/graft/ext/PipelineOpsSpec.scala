@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Chunking / deterministic sampling / decontamination edge cases. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkTokens: stride, overlap, short tail, empty doc") {
+    val df = Seq((1L, "a b c d e"), (2L, ""), (3L, "x")).toDF("id", "text")
+    val out = TextAnalysis.chunkTokens(df, "id", "text", chunkSize = 3, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    out shouldBe Seq(
+      (1L, 0, "a b c", 3), // start 0
+      (1L, 1, "c d e", 3), // start 2 — one token of lookback
+      (1L, 2, "e", 1),     // start 4 — short tail
+      (3L, 0, "x", 1))     // doc 2 (zero tokens) emits nothing
+  }
+
+  test("hashSample is deterministic and stratified variant samples per stratum") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "src")
+    val a = Sampling.hashSample(df, col("id"), "8").select("id").as[Long].collect().sorted
+    val b = Sampling.hashSample(df, col("id"), "8").select("id").as[Long].collect().sorted
+    a shouldBe b
+    a.length should (be > 120 and be < 280) // ~50% of 400
+    val strat = Sampling.stratifiedHashSample(df, col("src"), col("id"), "4")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strat.keySet shouldBe Set("even", "odd") // both strata represented
+    all(strat.values) should (be > 20L and be < 80L) // ~25% of 200 each
+  }
+
+  test("decontaminate drops n-gram overlap with the eval set, keeps short docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with eval
+      (2L, "completely unrelated text here"),
+      (3L, "too short"),                   // < n tokens: no shingles, kept
+    ).toDF("doc_id", "text")
+    val eval = Seq("benchmark says quick brown fox etc").toDF("text")
+    val kept = CorpusClean.decontaminate(corpus, "doc_id", "text", eval, "text", n = 3)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Seq(2L, 3L)
+  }
+}
