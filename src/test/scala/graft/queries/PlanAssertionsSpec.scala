@@ -47,4 +47,44 @@ class PlanAssertionsSpec extends SparkSpec {
     windows should not be empty
     windows.foreach(w => w.partitionSpec should not be empty)
   }
+
+  test("chunking is a narrow plan: no exchange, no window, no join") {
+    val df = (1 to 50).map(i => (i.toLong, ("tok " * (i % 40)).trim)).toDF("id", "text")
+    val out = graft.ext.TextAnalysis.chunkTokens(df, "id", "text", 16, 4)
+    out.collect()
+    val plan = finalPlan(out).toString
+    (plan should not).include("Exchange")
+    (plan should not).include("Window")
+    (plan should not).include("Join")
+  }
+
+  test("hash sampling is a pushed-down filter: no exchange") {
+    val df = (1 to 200).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val out = graft.ext.Sampling.stratifiedHashSample(df, col("src"), col("id"), "8")
+    out.collect()
+    (finalPlan(out).toString should not).include("Exchange")
+  }
+
+  test("decontamination never builds a cartesian or nested-loop join") {
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, s"alpha beta gamma delta token$i epsilon zeta eta")).toDF("doc_id", "text")
+    val eval = Seq("alpha beta gamma delta token7 epsilon").toDF("text")
+    val out = graft.ext.CorpusClean.decontaminate(corpus, "doc_id", "text", eval, "text", n = 3)
+    out.collect()
+    val plan = finalPlan(out).toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("exact quantiles never collect a group into one aggregation buffer") {
+    val df = (1 to 400).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
+    val out = graft.ext.Stats.quantileCont(df, "g", "v", Seq("p50" -> 0.5))
+    out.collect()
+    val nodes = allNodes(finalPlan(out)).map(_.toString)
+    // no Percentile aggregate (the collect-then-sort buffer) anywhere
+    nodes.exists(_.contains("percentile")) shouldBe false
+    // and every window is pid-partitioned (the per-partition rank)
+    allNodes(finalPlan(out)).collect { case w: WindowExec => w }
+      .foreach(w => w.partitionSpec should not be empty)
+  }
 }
