@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture staging up front (idempotent) — a staging failure then names
+    // itself instead of surfacing as N cryptic per-query failures
+    try graft.queries.InputPrep.all(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] input prep failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

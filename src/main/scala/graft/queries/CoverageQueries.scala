@@ -36,11 +36,14 @@ object CoverageQueries {
     * binaryFile + per-partition expansion path; system entries are junk
     * that must be filtered out.
     */
-  val s5ZipScan = q("s5_zip_scan",
-    """SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
-      |       CAST(octet_length(encode(text)) AS BIGINT) AS size
-      |FROM documents""".stripMargin) { (s, dir) =>
+  /** Input prep (idempotent): one archive per document source bucket,
+    * deterministic content keyed by the staging fingerprint; a `_STAGED`
+    * marker written after the last archive closes guards against reusing
+    * a partial build.
+    */
+  def stageZips(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val zipDir = s"/tmp/graft_zips/${Staging.tag(dir)}"
+    if (new java.io.File(s"$zipDir/_STAGED").exists()) return zipDir
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
       .collect() // input prep only: materialize the small doc set into archives
     val byed = docs.groupBy(_.getAs[String]("source"))
@@ -63,6 +66,15 @@ object CoverageQueries {
       }
       zos.close()
     }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$zipDir/_STAGED"), "ok")
+    zipDir
+  }
+
+  val s5ZipScan = q("s5_zip_scan",
+    """SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS size
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val zipDir = stageZips(s, dir)
     ZipSource.readZips(s, zipDir).select(col("name"), col("size"))
   }
 

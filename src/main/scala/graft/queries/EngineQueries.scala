@@ -157,7 +157,7 @@ object EngineQueries {
     * entries derived from the documents table, plus system junk and
     * root-level strays that the pipeline must ignore.
     */
-  private def buildMediaZip(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  def stageMediaZip(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val zipDir = s"/tmp/graft_mediazip/${Staging.tag(dir)}"
     // deterministic content per sf dir — reuse across the queries that
     // share it instead of rebuilding (input prep, not pipeline work)
@@ -213,7 +213,7 @@ object EngineQueries {
   val s6ZipBucketing = q("s6_zip_bucketing",
     s"""WITH $mediaIdsSql
        |SELECT field, file_id, name FROM f""".stripMargin) { (s, dir) =>
-    val zipDir = buildMediaZip(s, dir)
+    val zipDir = stageMediaZip(s, dir)
     val engine = new Engine(s, albumRegistry,
       _ => throw new UnsupportedOperationException("no stored tables needed"))
     engine.uploadMediaZip(zipDir, "api::album.album")
@@ -241,7 +241,7 @@ object EngineQueries {
        |LEFT JOIN (SELECT code, ids FROM agg WHERE field = 'image') i USING (code)
        |LEFT JOIN (SELECT code, ids FROM agg WHERE field = 'document') d USING (code)""".stripMargin) {
     (s, dir) =>
-      val zipDir = buildMediaZip(s, dir)
+      val zipDir = stageMediaZip(s, dir)
       val target = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         albumCt.sparkType(albumRegistry))
       val engine = new Engine(s, albumRegistry,

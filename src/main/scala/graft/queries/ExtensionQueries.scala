@@ -45,6 +45,16 @@ object ExtensionQueries {
     tmp
   }
 
+  /** Input prep (idempotent): the streaming spool dirs — files that, in
+    * production, exist because events ARRIVED, not because the engine ran.
+    */
+  def stageStreams(s: SparkSession, dir: String): Unit = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    stageOnce(ev, s"/tmp/graft_stream/${Staging.tag(dir)}")
+    stageOnce(ev.unionByName(ev), s"/tmp/graft_stream_dup/${Staging.tag(dir)}")
+  }
+
   private val docsWithCopiesSql =
     """(SELECT doc_id, text FROM documents
       | UNION ALL
