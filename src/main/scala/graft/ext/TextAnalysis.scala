@@ -147,6 +147,20 @@ object TextAnalysis {
     )
   }
 
+  /** Repetition ratio (the Gopher-rules duplicate-n-gram signal): fraction
+    * of a document's word `n`-grams that are repeats of an earlier one —
+    * 0.0 for fully novel text, → 1.0 for looping boilerplate. Documents
+    * with fewer than `n` tokens score 0.0 (nothing to repeat). Pure
+    * columnar: total n-grams from the token count, distinct n-grams from
+    * the native one-pass `ShingleHashes` — no shuffle.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = size(tokens(text)) - (n - 1)
+    when(total > 0,
+      round(lit(1.0) - size(shingleHashes(text, n)).cast("double") / total, 4))
+      .otherwise(lit(0.0))
+  }
+
   /** Canonical content fingerprint: normalize (lowercase, collapse
     * whitespace via tokenization) then md5 — byte-identical duplicates AND
     * whitespace/case-variant duplicates collide.

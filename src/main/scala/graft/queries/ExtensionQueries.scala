@@ -355,6 +355,31 @@ object ExtensionQueries {
       TextAnalysis.fingerprint(col("text")).as("fp"))
   }
 
+  /** Gopher-style repetition signal: duplicate word-3-gram ratio per doc
+    * (planted loops via text doubled for doc_id % 10 = 0 push known docs
+    * toward 0.5); the oracle replays the exact distinct/total arithmetic.
+    */
+  val textRepetition = q("x_text_repetition",
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS toks
+       |  FROM (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text
+       |                            ELSE text END AS text FROM documents)),
+       |g AS (SELECT doc_id, len(toks) - 2 AS total,
+       |             len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS uniq
+       |      FROM t)
+       |SELECT doc_id,
+       |       CASE WHEN total > 0 THEN round(1 - uniq::DOUBLE / total, 4)
+       |            ELSE 0.0 END AS rep_ratio
+       |FROM g""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"))
+  }
+
   /** Context-window chunking (128-token windows, 32-token overlap): the
     * oracle replays the exact window boundaries with list slicing.
     */
@@ -533,7 +558,7 @@ object ExtensionQueries {
     knnBrute, knnIvf, corpusClean,
     knnIvfRecall, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
-    textChunks, sampleStratified, decontaminate,
+    textChunks, textRepetition, sampleStratified, decontaminate,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     multimodalDecode, multimodalFrames, multimodalImageMeta,
   )

@@ -32,6 +32,21 @@ class PipelineOpsSpec extends SparkSpec {
     all(strat.values) should (be > 20L and be < 80L) // ~25% of 200 each
   }
 
+  test("repetitionRatio: novel text 0, doubled text ~0.5, short docs 0") {
+    val df = Seq(
+      (1L, "one two three four five six"),            // all 3-grams novel
+      (2L, "a b c d a b c d"),                        // doubled: 3/6 repeats
+      (3L, "hi there"),                               // < 3 tokens
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(1L) shouldBe 0.0
+    // 6 total 3-grams, 4 distinct (abc, bcd, cda, dab): 1 - 4/6
+    out(2L) shouldBe 0.3333
+    out(3L) shouldBe 0.0
+  }
+
   test("decontaminate drops n-gram overlap with the eval set, keeps short docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with eval
