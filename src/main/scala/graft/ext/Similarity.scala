@@ -135,6 +135,17 @@ object Similarity {
     centroids.localCheckpoint(eager = true)
   }
 
+  /** Per-group per-dimension embedding mean in flat (group, dim, mean)
+    * shape — the curation-side aggregate (per-label/cluster centroids for
+    * drift checks, cluster-based filtering, label prototypes). One
+    * explode + one hash aggregate: partial aggregation map-side, shuffle
+    * carries (group, dim) partials only — never vectors.
+    */
+  def groupCentroidsFlat(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(qcol(groupCol).as("label"), posexplode(qcol(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("__x")).as("mean"))
+
   /** IVF top-k: scan only the `nprobe` clusters nearest to each query.
     * Output shape matches bruteForceTopK (approximate results).
     */

@@ -169,6 +169,19 @@ object ExtensionQueries {
       nlist = 16, nprobe = 4)
   }
 
+  /** Per-label embedding centroids (flat shape): the curation-side
+    * aggregate over vector columns — partial-aggregated per (label, dim),
+    * no vector ever crosses the shuffle whole.
+    */
+  val embCentroids = q("x_emb_centroids",
+    """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+      |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean
+      |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Similarity.groupCentroidsFlat(Tables.embeddings(s, dir), "label", "embedding")
+      .select(col("label"), col("dim"), round(col("mean"), 4).as("mean"))
+  }
+
   // ----------------------------------------- approximate-operator gates
   /** Quality gates for the approximate operators: each reduces a recall
     * measurement to a BOOLEAN row the DuckDB oracle can assert (`SELECT
@@ -555,7 +568,7 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
-    knnBrute, knnIvf, corpusClean,
+    knnBrute, knnIvf, embCentroids, corpusClean,
     knnIvfRecall, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, sampleStratified, decontaminate,
