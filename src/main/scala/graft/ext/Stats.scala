@@ -27,7 +27,9 @@ import graft.operators.Ids
 object Stats {
 
   /** One row per group: (`groupCol`, `n`, one column per prob name).
-    * `probs` are (output column name, probability in [0, 1]).
+    * `probs` are (output column name, probability in [0, 1]). Null values
+    * are excluded (SQL quantile semantics — they would otherwise rank
+    * first and shift every bracket); `n` counts non-null values.
     */
   def quantileCont(
       df: DataFrame,
@@ -36,6 +38,7 @@ object Stats {
       probs: Seq[(String, Double)],
   ): DataFrame = {
     val base = df.select(qcol(groupCol).as("__g"), qcol(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
     val ranked = Ids.globalRowNumber(base, Seq(col("__g"), col("__v")), "__rk")
     val stats = ranked.groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"), min(col("__rk")).as("__rk0"))

@@ -20,6 +20,16 @@ class UpsertSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b2"), (3L, "c2")) // last occurrence of 3 wins
   }
 
+  test("merge upsert with duplicate target keys: all dup rows replaced, key counted once") {
+    val target = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("id", "v")
+    val incoming = Seq((1L, "x")).toDF("id", "v")
+    val r = Upsert.merge(target, incoming, "id", upsert = true)
+    val rows = r.merged.collect().map(x => (x.getLong(0), x.getString(1))).sorted
+    rows shouldBe Seq((1L, "x"), (2L, "b")) // both id=1 target rows replaced
+    r.updated shouldBe 1L // distinct target keys, not target rows
+    r.created shouldBe 0L
+  }
+
   test("merge append keeps everything, counts created only") {
     val target = Seq((1L, "a")).toDF("id", "v")
     val incoming = Seq((1L, "dup"), (2L, "b")).toDF("id", "v")
