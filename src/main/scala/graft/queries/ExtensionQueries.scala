@@ -169,6 +169,29 @@ object ExtensionQueries {
       nlist = 16, nprobe = 4)
   }
 
+  /** Duplicate-cluster assembly: candidate pairs → connected components.
+    * Planted topology per 10th doc: d—d+100000, d—d+200000,
+    * d+100000—d+300000 (a depth-2 chain from the minimum), so propagation
+    * must run more than one round; ground truth is closed-form and every
+    * isolated doc keeps its own id.
+    */
+  val dedupComponents = q("x_dedup_components",
+    """SELECT doc_id AS id, doc_id AS component FROM documents
+      |UNION ALL SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 200000, doc_id FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id % 10 = 0""".stripMargin) {
+    (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val planted = d.filter(col("doc_id") % 10 === 0)
+      val nodes = d.unionByName(planted.select((col("doc_id") + 100000).as("doc_id")))
+        .unionByName(planted.select((col("doc_id") + 200000).as("doc_id")))
+        .unionByName(planted.select((col("doc_id") + 300000).as("doc_id")))
+      val edges = planted.select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+        .unionByName(planted.select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b")))
+        .unionByName(planted.select((col("doc_id") + 100000).as("id_a"), (col("doc_id") + 300000).as("id_b")))
+      Dedup.connectedComponents(nodes, "doc_id", edges)
+  }
+
   /** Per-label embedding centroids (flat shape): the curation-side
     * aggregate over vector columns — partial-aggregated per (label, dim),
     * no vector ever crosses the shuffle whole.
@@ -568,6 +591,7 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
+    dedupComponents,
     knnBrute, knnIvf, embCentroids, corpusClean,
     knnIvfRecall, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,

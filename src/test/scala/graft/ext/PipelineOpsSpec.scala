@@ -47,6 +47,26 @@ class PipelineOpsSpec extends SparkSpec {
     out(3L) shouldBe 0.0
   }
 
+  test("connectedComponents equals union-find on a random graph; isolated nodes self-label") {
+    val rnd = new scala.util.Random(11)
+    val n = 120
+    val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: plain union-find with min-root labels
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val nodesDf = (0L until n.toLong).toDF("id")
+    val edgesDf = edges.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodesDf, "id", edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+  }
+
   test("decontaminate drops n-gram overlap with the eval set, keeps short docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with eval
