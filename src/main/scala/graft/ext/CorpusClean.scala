@@ -74,10 +74,14 @@ object CorpusClean {
     val exact = Dedup.dropExactDuplicates(gated, Seq(textCol), idCol)
     if (!cfg.dropNearDups) exact
     else {
-      // drop the higher id of every near-dup candidate pair
-      val drops = Dedup.minhashCandidates(exact, idCol, textCol,
+      // candidate pairs → duplicate CLUSTERS, keep each cluster's min-id
+      // canonical: pairwise "drop id_b" would keep/drop chain members
+      // (a≈b, b≈c) depending on which pairs the LSH happened to emit
+      val pairs = Dedup.minhashCandidates(exact, idCol, textCol,
         minEstJaccard = cfg.nearDupJaccard)
-        .select(col("id_b").as("__drop")).distinct()
+      val comp = Dedup.connectedComponents(exact.select(qcol(idCol)), idCol, pairs)
+      val drops = comp.filter(col("id") =!= col("component"))
+        .select(col("id").as("__drop"))
       exact.join(drops, qcol(idCol).cast("long") === col("__drop"), "left_anti")
     }
   }
