@@ -46,6 +46,12 @@ object GraftFunctions {
         require(args.length == 2, "minhash_sig expects 2 arguments")
         MinHashAgg(args(0), intLiteral(args(1), "minhash_sig k")).toAggregateExpression()
       }),
+    ("simhash_sig",
+      info("simhash_sig", "simhash_sig(hashes) - aggregate: 64-bit simhash of token hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_sig expects 1 argument")
+        SimHashAgg(args(0)).toAggregateExpression()
+      }),
   )
 
   private def intLiteral(e: Expression, what: String): Int = e match {

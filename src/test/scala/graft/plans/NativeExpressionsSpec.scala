@@ -49,4 +49,17 @@ class NativeExpressionsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     sigsMerged shouldBe sigs
   }
+
+  test("SimHashAgg equals the declarative fold-form simhash signature") {
+    val native = graft.ext.Dedup.simhashSignatures(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declarative = docs
+      .filter(org.apache.spark.sql.functions.size(TextAnalysis.tokens($"text")) > 0) // agg form emits no row
+      .select($"id", graft.ext.Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    native shouldBe declarative
+    native.keySet should not contain 5L // empty doc: no tokens, no signature
+    // near-identical docs (one token differs) land close in hamming space
+    java.lang.Long.bitCount(native(1L) ^ native(2L)) should be <= 16
+  }
 }
