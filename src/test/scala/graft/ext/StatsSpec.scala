@@ -32,4 +32,14 @@ class StatsSpec extends SparkSpec {
       q95 shouldBe p95 +- 1e-9
     }
   }
+
+  test("boundary probs hit min/max; nulls excluded; n counts non-null") {
+    val df = Seq(("a", Some(5.0)), ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", Some(7.0))).toDF("g", "v")
+    val out = Stats.quantileCont(df, "g", "v", Seq("p0" -> 0.0, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    out("a") shouldBe ((3L, 1.0, 5.0)) // null dropped; min and max exact
+    out("b") shouldBe ((1L, 7.0, 7.0)) // singleton group: both ends equal
+  }
 }
