@@ -35,11 +35,10 @@ final class Engine(
       invalidRows: Long,
       preview: Seq[Map[String, String]],
   )
-  /** Import output with LAZY counters and errors: `merged`'s plan carries an
-    * `observe()` node, so the caller's first action (typically the write)
-    * both materializes the data AND fills `created`/`updated` — the whole
-    * import is ONE execution. Touching a counter before any action runs a
-    * single no-op materialization; `errors` re-derives the invalid branch
+  /** Import output with LAZY counters and errors: a caller that only
+    * writes `merged` (the hot path) executes the pipeline exactly once
+    * with no counter job; reading `created`/`updated` runs one dedicated
+    * column-pruned aggregate, and `errors` re-derives the invalid branch
     * on demand (error reporting is the exceptional path, not the hot one).
     * `release()` drops the media-library cache once results are consumed.
     */
@@ -184,8 +183,8 @@ final class Engine(
     }
     df = df.drop(Validator.RowNumCol)
 
-    // load (S7/S8) — merge attaches the observe() counters; nothing runs
-    // until the caller acts on `merged`
+    // load (S7/S8) — counters stay lazy; nothing runs until the caller
+    // acts on `merged` (or reads a counter)
     val (target, _) = tables(uid)
     val merged = Upsert.merge(target, df, upsertField, upsert)
     new ImportResult(

@@ -78,11 +78,14 @@ object Multimodal {
   /** Parse image dimensions from raw bytes.
     *
     *   - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
-    *     chunk is mandatory-first — width/height are the two big-endian
-    *     32-bit words at offsets 16/20.
-    *   - JPEG: `FF D8` SOI, then segments `FF <marker> <len16 incl itself>`;
-    *     the first start-of-frame marker (C0-CF except C4 DHT / C8 JPG /
-    *     CC DAC) carries precision(1) height(2) width(2).
+    *     chunk is mandatory-first — its tag is VERIFIED at offset 12
+    *     before the width/height words at offsets 16/20 are trusted.
+    *   - JPEG: `FF D8` SOI, then a marker walk that handles the
+    *     spec-legal stream structure: 0xFF fill/padding bytes before a
+    *     marker are skipped, length-less markers (TEM 0x01, RST0-7
+    *     D0-D7, SOI D8) are stepped over, EOI/SOS stop the scan, and the
+    *     first start-of-frame marker (C0-CF except C4 DHT / C8 JPG / CC
+    *     DAC) yields precision(1) height(2) width(2).
     *
     * Returns None for anything unparseable — a corrupt payload must never
     * kill a 100 TB scan.
@@ -91,17 +94,31 @@ object Multimodal {
     def u(i: Int): Int = b(i) & 0xff
     def be32(i: Int): Int = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
     def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
-    if (b.length >= 24 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G')
-      Some(ImageMeta(id, "png", be32(16), be32(20)))
-    else if (b.length >= 4 && u(0) == 0xff && u(1) == 0xd8) {
+    if (b.length >= 24 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G') {
+      val ihdr = u(12) == 'I' && u(13) == 'H' && u(14) == 'D' && u(15) == 'R'
+      if (ihdr) Some(ImageMeta(id, "png", be32(16), be32(20))) else None
+    } else if (b.length >= 4 && u(0) == 0xff && u(1) == 0xd8) {
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 1 < b.length) {
         if (u(i) != 0xff) return None
+        // fill bytes: any run of 0xFF before the marker byte is padding
+        while (i + 1 < b.length && u(i + 1) == 0xff) i += 1
+        if (i + 1 >= b.length) return None
         val marker = u(i + 1)
         if (marker >= 0xc0 && marker <= 0xcf &&
-            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 8 >= b.length) return None
           return Some(ImageMeta(id, "jpeg", be16(i + 7), be16(i + 5)))
-        i += 2 + be16(i + 2)
+        }
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS: no SOF seen
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8))
+          i += 2 // length-less marker
+        else {
+          if (i + 3 >= b.length) return None
+          val len = be16(i + 2)
+          if (len < 2) return None
+          i += 2 + len
+        }
       }
       None
     } else None

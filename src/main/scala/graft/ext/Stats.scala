@@ -21,15 +21,19 @@ import graft.operators.Ids
   *      back against the ranked frame (one scan picks the values),
   *   4. v_lo + frac·(v_hi − v_lo) assembled on the tiny picked frame.
   *
-  * Two passes over the data (rank materialization + pick scan), both fully
-  * partition-parallel; per-task memory is O(partition), never O(group).
+  * Three narrow passes over the data (rank materialization, group-stats
+  * aggregate, pick scan — the latter two over lineage-cut blocks), all
+  * fully partition-parallel; per-task memory is O(partition), never
+  * O(group).
   */
 object Stats {
 
   /** One row per group: (`groupCol`, `n`, one column per prob name).
     * `probs` are (output column name, probability in [0, 1]). Null values
-    * are excluded (SQL quantile semantics — they would otherwise rank
-    * first and shift every bracket); `n` counts non-null values.
+    * are excluded from the quantile computation (SQL quantile semantics —
+    * they would otherwise rank first and shift every bracket) but a group
+    * whose values are ALL null still emits its row with null quantiles
+    * and `n` = 0; `n` counts non-null values.
     */
   def quantileCont(
       df: DataFrame,
@@ -38,11 +42,13 @@ object Stats {
       probs: Seq[(String, Double)],
   ): DataFrame = {
     val base = df.select(qcol(groupCol).as("__g"), qcol(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-    val ranked = Ids.globalRowNumber(base, Seq(col("__g"), col("__v")), "__rk")
+    val ranked = Ids.globalRowNumber(base.filter(col("__v").isNotNull),
+      Seq(col("__g"), col("__v")), "__rk")
     val stats = ranked.groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"), min(col("__rk")).as("__rk0"))
     val h = (col("__n") - 1) * col("__q.p") // fractional rank, 0-based
+    // group-count rows only, but derived from a full ranked scan —
+    // lineage-cut so the three consumers below don't re-aggregate it
     val targets = stats.select(col("__g"), col("__n"), col("__rk0"),
       explode(array(probs.map { case (nm, p) =>
         struct(lit(nm).as("nm"), lit(p).as("p")) }: _*)).as("__q"))
@@ -50,12 +56,16 @@ object Stats {
         (col("__rk0") + floor(h)).as("__lo"),
         least(col("__rk0") + floor(h) + 1, col("__rk0") + col("__n") - 1).as("__hi"),
         (h - floor(h)).as("__frac"))
+      .localCheckpoint(eager = true)
     // global ranks are unique across groups, so the pick joins on rank alone
     val wanted = targets
       .select(explode(array(col("__lo"), col("__hi"))).as("__rk")).distinct()
+    // ONE scan of the ranked data picks every needed value; the picked
+    // frame is group-count-sized, so its reuse below is trivial
     val picked = ranked.join(broadcast(wanted), Seq("__rk"))
       .select(col("__rk"), col("__v"))
-    targets
+      .localCheckpoint(eager = true)
+    val quantiles = targets
       .join(picked.select(col("__rk").as("__lo"), col("__v").as("__vlo")), Seq("__lo"))
       .join(picked.select(col("__rk").as("__hi"), col("__v").as("__vhi")), Seq("__hi"))
       .select(col("__g"), col("__n"), col("__nm"),
@@ -63,6 +73,10 @@ object Stats {
       .groupBy(col("__g"), col("__n"))
       .pivot("__nm", probs.map(_._1))
       .agg(first(col("__qv")))
+    // restore groups whose values were all null (SQL keeps the group row)
+    base.select(col("__g")).distinct()
+      .join(quantiles, Seq("__g"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
       .withColumnRenamed("__g", groupCol)
       .withColumnRenamed("__n", "n")
   }

@@ -17,9 +17,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * the LAST occurrence wins; emulated with row_number over input order
   * descending (SURVEY §7.5.5).
   *
-  * Counters (`created`/`updated`, reference :364-368) come from an
-  * `observe()` over the key join inside the merged plan — collected as a
-  * side effect of the caller's action, no extra job, no driver iteration.
+  * Counters (`created`/`updated`, reference :364-368) are LAZY: a
+  * dedicated column-pruned aggregate over the key join runs only when a
+  * counter is read, so the common import-then-write path stays a single
+  * execution with no counter job at all.
   *
   * Physical write is rewrite-and-swap (plain Parquet has no MERGE): write
   * merged to a temp dir, atomically move into place. At cluster scale this
@@ -28,26 +29,23 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object Upsert {
 
-  /** Merge output with LAZY counters: `created`/`updated` are collected by
-    * an `observe()` node inside `merged`'s plan, so the caller's FIRST
-    * action on `merged` (a write, a count, …) populates them for free —
-    * importCsv + write is ONE execution of the whole pipeline, not a
-    * counter job plus a replay. Reading a counter before any action has
-    * run triggers one no-op materialization as a fallback.
+  /** Merge output with LAZY counters: consumers that only act on `merged`
+    * (the common import-then-write path) never pay a counter job — the
+    * whole import is their ONE action. Counters, when read, run a
+    * dedicated column-pruned aggregate over the key join.
+    *
+    * Deliberately NOT an `observe()` on the merged plan: a metrics node
+    * records only the rows the first action actually processed, so a
+    * caller whose first action is partial (`show`, `take`, `limit`) would
+    * cache silently-partial counts. A dedicated aggregate is correct
+    * under any action order.
     */
   final class MergeResult(
       val merged: DataFrame,
-      obs: org.apache.spark.sql.Observation) {
-    // positional access: metric 0 = created, 1 = updated (as passed to
-    // observe). Observation.getOrEmpty/get NPE on the schema-less fallback
-    // row in 4.1.2 — getRowOrEmpty/getRow are the safe surface.
-    private lazy val metrics: org.apache.spark.sql.Row =
-      org.apache.spark.sql.GraftSqlBridge.observationRow(obs).getOrElse {
-        merged.write.format("noop").mode("overwrite").save()
-        org.apache.spark.sql.GraftSqlBridge.observationRowBlocking(obs)
-      }
-    def created: Long = metrics.getLong(0)
-    def updated: Long = metrics.getLong(1)
+      countersThunk: () => (Long, Long)) {
+    private lazy val counters: (Long, Long) = countersThunk()
+    def created: Long = counters._1
+    def updated: Long = counters._2
   }
 
   private val OrderCol = "__ins_order"
@@ -72,29 +70,26 @@ object Upsert {
     * created = incoming count, reference :391-397).
     */
   def merge(target: DataFrame, incoming: DataFrame, key: String, upsert: Boolean): MergeResult = {
-    val obs = org.apache.spark.sql.Observation()
     if (!upsert) {
-      // counters ride the union's incoming branch — no separate count job
-      val inc = incoming.observe(obs,
-        count(lit(1)).as("created"), lit(0L).as("updated"))
-      new MergeResult(target.unionByName(inc, allowMissingColumns = true), obs)
+      new MergeResult(target.unionByName(incoming, allowMissingColumns = true),
+        () => (incoming.count(), 0L))
     } else {
       // The deduped frame feeds BOTH the anti-join probe and the union
-      // branch. No cache: both branches shuffle the identical child on the
-      // same key, so ReuseExchange materializes the heavy upstream
-      // (scan → validate → resolve → partial agg) once per action.
+      // branch. No cache: the anti-join probe is column-pruned to a
+      // distinct-keys pass by the optimizer, so per action the heavy
+      // upstream runs once full + once keys-only.
       val deduped = dedupLastWins(incoming, key)
-      // counters ride the union's incoming branch as a left join against
-      // the DISTINCT target keys (duplicate target keys count once):
-      // created = no key hit, updated = key hit
-      val keys = target.select(col(key)).distinct().withColumn("__ex", lit(1))
-      val inc = deduped.join(keys, Seq(key), "left")
-        .observe(obs,
-          count(when(col("__ex").isNull, 1)).as("created"),
-          count(col("__ex")).as("updated"))
-        .drop("__ex")
       val kept = target.join(deduped.select(col(key)), Seq(key), "left_anti")
-      new MergeResult(kept.unionByName(inc, allowMissingColumns = true), obs)
+      new MergeResult(kept.unionByName(deduped, allowMissingColumns = true),
+        () => {
+          // one aggregate over the key join (column-pruned to the key):
+          // updated = deduped keys hitting a DISTINCT target key (dup
+          // target keys count once), created = the rest
+          val keys = target.select(col(key)).distinct().withColumn("__ex", lit(1))
+          val r = deduped.join(keys, Seq(key), "left")
+            .agg(count(lit(1)).as("n"), count(col("__ex")).as("upd")).head()
+          (r.getLong(0) - r.getLong(1), r.getLong(1))
+        })
     }
   }
 

@@ -170,25 +170,27 @@ object ExtensionQueries {
   }
 
   /** Duplicate-cluster assembly: candidate pairs → connected components.
-    * Planted topology per 10th doc: d—d+100000, d—d+200000,
-    * d+100000—d+300000 (a depth-2 chain from the minimum), so propagation
-    * must run more than one round; ground truth is closed-form and every
-    * isolated doc keeps its own id.
+    * Planted topology per 10th doc: d—d+1e10, d—d+2e10, d+1e10—d+3e10
+    * (a depth-2 chain from the minimum), so propagation must run more
+    * than one round; ground truth is closed-form and every isolated doc
+    * keeps its own id. Offsets are 1e10 so planted ids can never collide
+    * with real doc_ids at any test scale factor.
     */
   val dedupComponents = q("x_dedup_components",
     """SELECT doc_id AS id, doc_id AS component FROM documents
-      |UNION ALL SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 10 = 0
-      |UNION ALL SELECT doc_id + 200000, doc_id FROM documents WHERE doc_id % 10 = 0
-      |UNION ALL SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id % 10 = 0""".stripMargin) {
+      |UNION ALL SELECT doc_id + 10000000000, doc_id FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 20000000000, doc_id FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 30000000000, doc_id FROM documents WHERE doc_id % 10 = 0""".stripMargin) {
     (s, dir) =>
+      val off = 10000000000L
       val d = Tables.documents(s, dir).select(col("doc_id"))
       val planted = d.filter(col("doc_id") % 10 === 0)
-      val nodes = d.unionByName(planted.select((col("doc_id") + 100000).as("doc_id")))
-        .unionByName(planted.select((col("doc_id") + 200000).as("doc_id")))
-        .unionByName(planted.select((col("doc_id") + 300000).as("doc_id")))
-      val edges = planted.select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
-        .unionByName(planted.select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b")))
-        .unionByName(planted.select((col("doc_id") + 100000).as("id_a"), (col("doc_id") + 300000).as("id_b")))
+      val nodes = d.unionByName(planted.select((col("doc_id") + off).as("doc_id")))
+        .unionByName(planted.select((col("doc_id") + 2 * off).as("doc_id")))
+        .unionByName(planted.select((col("doc_id") + 3 * off).as("doc_id")))
+      val edges = planted.select(col("doc_id").as("id_a"), (col("doc_id") + off).as("id_b"))
+        .unionByName(planted.select(col("doc_id").as("id_a"), (col("doc_id") + 2 * off).as("id_b")))
+        .unionByName(planted.select((col("doc_id") + off).as("id_a"), (col("doc_id") + 3 * off).as("id_b")))
       Dedup.connectedComponents(nodes, "doc_id", edges)
   }
 

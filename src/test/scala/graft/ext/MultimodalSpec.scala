@@ -19,6 +19,31 @@ class MultimodalSpec extends SparkSpec {
       Some(Multimodal.ImageMeta(9L, "jpeg", 1023, 767))
   }
 
+  test("JPEG walk handles fill bytes, length-less markers, and stops at SOS/EOI") {
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    val soi = Array[Byte](0xff.toByte, 0xd8.toByte)
+    val sof = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(99) ++ be16(77) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    // fill bytes (extra 0xFF runs) and a length-less RST marker before SOF
+    val padded = soi ++ Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0x01) ++
+      Array[Byte](0xff.toByte, 0xd0.toByte) ++ sof
+    Multimodal.decodeImage(1L, padded) shouldBe
+      Some(Multimodal.ImageMeta(1L, "jpeg", 77, 99))
+    // SOS before any SOF: dimensions unavailable, must be None (not a scan
+    // into entropy-coded data)
+    val sos = soi ++ Array[Byte](0xff.toByte, 0xda.toByte) ++ be16(4) ++
+      Array[Byte](0, 0, 0x12, 0x34)
+    Multimodal.decodeImage(2L, sos) shouldBe None
+  }
+
+  test("PNG-signature payload without an IHDR first chunk yields None") {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val notIhdr = sig ++ Array[Byte](0, 0, 0, 13) ++ "JUNK".getBytes("US-ASCII") ++
+      new Array[Byte](13)
+    Multimodal.decodeImage(3L, notIhdr) shouldBe None
+  }
+
   test("corrupt payloads yield None, never a throw") {
     Multimodal.decodeImage(1L, Array.emptyByteArray) shouldBe None
     Multimodal.decodeImage(1L, "not an image".getBytes("UTF-8")) shouldBe None
