@@ -121,9 +121,9 @@ final class Engine(
       (plan.errors ++ relErrs).mkString("; ")) // validation gate (:241-252)
 
     val validated = Validator.validate(csv, plan, ct)
-    // No persist of the routed frame: the import is a single action now
-    // (counters ride the merged plan via observe(), errors are lazy), so
-    // there is no second consumer to amortize a cache for
+    // No persist of the routed frame: the hot path (write `merged`) is a
+    // single action now — counters and errors are lazy, computed only
+    // when read — so there is no second consumer to amortize a cache for
     var df = validated.valid
 
     // relation resolution (J1-J3)

@@ -41,7 +41,11 @@ object Stats {
       valueCol: String,
       probs: Seq[(String, Double)],
   ): DataFrame = {
+    // lineage cut FIRST: the source plan executes once; the rank
+    // assignment (which range-samples, i.e. reads its input twice), the
+    // group-stats pass, and the all-groups list below all read blocks
     val base = df.select(qcol(groupCol).as("__g"), qcol(valueCol).cast("double").as("__v"))
+      .localCheckpoint(eager = true)
     val ranked = Ids.globalRowNumber(base.filter(col("__v").isNotNull),
       Seq(col("__g"), col("__v")), "__rk")
     val stats = ranked.groupBy(col("__g"))
@@ -73,9 +77,13 @@ object Stats {
       .groupBy(col("__g"), col("__n"))
       .pivot("__nm", probs.map(_._1))
       .agg(first(col("__qv")))
-    // restore groups whose values were all null (SQL keeps the group row)
-    base.select(col("__g")).distinct()
-      .join(quantiles, Seq("__g"), "left")
+    // restore groups whose values were all null (SQL keeps the group row);
+    // null-safe join key — a NULL group value is a legitimate group
+    val allGroups = base.select(col("__g")).distinct()
+    allGroups
+      .join(quantiles.withColumnRenamed("__g", "__gq"),
+        allGroups("__g") <=> col("__gq"), "left")
+      .drop("__gq")
       .withColumn("__n", coalesce(col("__n"), lit(0L)))
       .withColumnRenamed("__g", groupCol)
       .withColumnRenamed("__n", "n")

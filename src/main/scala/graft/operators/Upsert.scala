@@ -38,7 +38,10 @@ object Upsert {
     * records only the rows the first action actually processed, so a
     * caller whose first action is partial (`show`, `take`, `limit`) would
     * cache silently-partial counts. A dedicated aggregate is correct
-    * under any action order.
+    * under any action order — with ONE ordering constraint: the thunk
+    * re-reads `target`'s source, so read counters BEFORE overwriting the
+    * target in place (`writeSwap`); counters read after a swap would see
+    * the post-merge table (or a vanished directory).
     */
   final class MergeResult(
       val merged: DataFrame,
@@ -93,7 +96,10 @@ object Upsert {
     }
   }
 
-  /** Rewrite-and-swap write of a merged table directory. */
+  /** Rewrite-and-swap write of a merged table directory. If the merge's
+    * lazy counters are needed, read them BEFORE swapping: the counter
+    * aggregate re-reads the pre-merge target, which this call replaces.
+    */
   def writeSwap(spark: SparkSession, merged: DataFrame, tableDir: String): Unit = {
     val tmp = tableDir + ".tmp-" + System.nanoTime()
     merged.write.mode("overwrite").parquet(tmp)

@@ -42,4 +42,15 @@ class StatsSpec extends SparkSpec {
     out("a") shouldBe ((3L, 1.0, 5.0)) // null dropped; min and max exact
     out("b") shouldBe ((1L, 7.0, 7.0)) // singleton group: both ends equal
   }
+
+  test("NULL group key is a legitimate group; all-null groups keep their row") {
+    val df = Seq((Option.empty[String], Some(5.0)), (None, Some(1.0)),
+      (Some("b"), Some(7.0)), (Some("c"), Option.empty[Double])).toDF("g", "v")
+    val rows = Stats.quantileCont(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    rows(None) shouldBe ((2L, Some(3.0)))    // null key group computed, not zeroed
+    rows(Some("b")) shouldBe ((1L, Some(7.0)))
+    rows(Some("c")) shouldBe ((0L, None))    // all-null group keeps its row
+  }
 }
