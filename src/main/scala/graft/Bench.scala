@@ -1,16 +1,55 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the `noop`
   * sink (count() alone can skip column evaluation), and prints ONE JSON
   * line with per-query wall seconds.
+  *
+  * Env knobs (all optional):
+  *   - SPARK_GRAFT_BENCH_PHASES=1    per-query stage-metric breakdown
+  *     (executor run/CPU/GC time, input/shuffle/spill bytes, task count)
+  *     as JSON lines on STDERR — attributes wall time to executor work vs
+  *     driver-side planning, without touching the stdout contract.
+  *   - SPARK_GRAFT_BENCH_KEEPCACHE=1 skip the per-query cache clear —
+  *     emulates the pre-r3 methodology where queries inherit earlier
+  *     queries' warm state (for methodology A/B comparison only).
   */
 object Bench {
+
+  /** Accumulates completed-stage task metrics between resets. Values are
+    * summed across all stages that COMPLETE in the window, so a query's
+    * snapshot is its own stages (the bus is drained before each snapshot).
+    */
+  private final class StageMetricsListener extends SparkListener {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private def add(k: String, v: Long): Unit =
+      m.merge(k, Long.box(v), (a, b) => Long.box(a + b))
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val tm = sc.stageInfo.taskMetrics
+      if (tm != null) {
+        add("stages", 1L)
+        add("tasks", sc.stageInfo.numTasks.toLong)
+        add("run_ms", tm.executorRunTime)
+        add("cpu_ms", tm.executorCpuTime / 1000000L)
+        add("gc_ms", tm.jvmGCTime)
+        add("input_bytes", tm.inputMetrics.bytesRead)
+        add("shuffle_read_bytes", tm.shuffleReadMetrics.totalBytesRead)
+        add("shuffle_write_bytes", tm.shuffleWriteMetrics.bytesWritten)
+        add("spill_bytes", tm.memoryBytesSpilled + tm.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = m.clear()
+    def get(k: String): Long = Option(m.get(k)).map(_.longValue).getOrElse(0L)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val phases = sys.env.get("SPARK_GRAFT_BENCH_PHASES").contains("1")
+    val keepCache = sys.env.get("SPARK_GRAFT_BENCH_KEEPCACHE").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,6 +58,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val listener = new StageMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // untimed warmup: session/codegen/scan machinery init otherwise lands
     // entirely on whichever query happens to run first, and a cold OS page
     // cache otherwise doubles the suite (the harness may start from a cold
@@ -45,8 +86,8 @@ object Bench {
     }
     // compile a representative Engine pipeline on a 3-row in-memory frame:
     // validator casts, relation resolution, media theta match and the merge
-    // observe() all hit the codegen + planner caches here instead of
-    // landing on the first graded Engine query
+    // counter aggregate all hit the codegen + planner caches here instead
+    // of landing on the first graded Engine query
     try warmupEngine(spark)
     catch { case e: Throwable =>
       System.err.println(s"[bench] engine warmup failed: ${e.getMessage}")
@@ -56,17 +97,41 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
       .map { case (name, fn) =>
+      if (phases) {
+        org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+        listener.reset()
+      }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (phases) {
+        org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+        val mb = (k: String) => listener.get(k + "_bytes") / 1048576
+        System.err.println(
+          f"""{"query":"$name","sec":$sec%.3f,"stages":${listener.get("stages")},""" +
+          f""""tasks":${listener.get("tasks")},"run_ms":${listener.get("run_ms")},""" +
+          f""""cpu_ms":${listener.get("cpu_ms")},"gc_ms":${listener.get("gc_ms")},""" +
+          f""""input_mb":${mb("input")},"shread_mb":${mb("shuffle_read")},""" +
+          f""""swrite_mb":${mb("shuffle_write")},"spill_mb":${mb("spill")}}""")
+      }
       // frames persisted while building this query die with it: each query
       // is timed on its own work, and caches can't accumulate into
       // eviction pressure over the suite (drop is not timed — release is
-      // session hygiene, not query cost)
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      // session hygiene, not query cost). clearCache alone does not free
+      // localCheckpoint blocks (they release when the frame is GC'd and
+      // the ContextCleaner runs) — the explicit GC makes the between-query
+      // hygiene real instead of partial. NOTE the cluster trade-off of
+      // localCheckpoint itself: lineage is cut, so on a real cluster an
+      // executor loss during a query fails that query loudly (and the
+      // caller re-runs it) instead of silently recomputing — chosen
+      // deliberately, see operators/Ids.scala.
+      if (!keepCache) {
+        spark.catalog.clearCache()
+        System.gc()
+      }
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
@@ -78,7 +143,7 @@ object Bench {
 
   /** Untimed mini-import through the Engine facade: same operator classes
     * (Validator casts, RelationResolver join, Media.matchFilesTheta,
-    * Upsert.merge with observe counters) as the graded EP queries, on three
+    * Upsert.merge with lazy counters) as the graded EP queries, on three
     * in-memory rows.
     */
   private def warmupEngine(spark: SparkSession): Unit = {

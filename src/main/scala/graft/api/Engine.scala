@@ -35,12 +35,27 @@ final class Engine(
       invalidRows: Long,
       preview: Seq[Map[String, String]],
   )
-  /** Import output with LAZY counters and errors: a caller that only
-    * writes `merged` (the hot path) executes the pipeline exactly once
-    * with no counter job; reading `created`/`updated` runs one dedicated
-    * column-pruned aggregate, and `errors` re-derives the invalid branch
-    * on demand (error reporting is the exceptional path, not the hot one).
-    * `release()` drops the media-library cache once results are consumed.
+  /** Import output with LAZY counters and errors.
+    *
+    * Per-field execution cost (each is an INDEPENDENT pipeline run —
+    * laziness trades total work for hot-path latency):
+    *   - `merged` action: the full pipeline, once. The hot path.
+    *   - `created`/`updated` (first read): one dedicated column-pruned
+    *     aggregate over the key join — the validation/resolution upstream
+    *     re-executes, pruned to the key columns.
+    *   - `errors` (first read): re-derives the invalid branch (capped
+    *     collect) — the exceptional path, not the hot one.
+    * A caller consuming ALL of merged + counters + errors re-runs the
+    * (pruned) upstream ~3×; callers doing that repeatedly should persist
+    * their own copy of `merged`. `release()` drops the media-library
+    * cache once results are consumed — skipping it leaks that cache for
+    * the session.
+    *
+    * ORDERING: the counter aggregate re-reads the pre-merge target, so
+    * counters must run before the target directory is replaced. Use
+    * `writeTo` (snapshots counters before the swap by default, and makes
+    * a counter read after an opted-out swap a loud error) instead of
+    * sequencing `Upsert.writeSwap` by hand.
     */
   final class ImportResult(
       val merged: DataFrame,
@@ -53,6 +68,17 @@ final class Engine(
     def updated: Long = mergeResult.updated
     def totalProcessed: Long = created + updated
     lazy val errors: Seq[String] = errorsThunk()
+    /** Force the counter aggregate now (idempotent), while the pre-merge
+      * target still exists.
+      */
+    def snapshotCounters(): Unit = mergeResult.snapshotCounters()
+    /** Write `merged` over the target table via rewrite-and-swap. By
+      * default counters are snapshotted first so `created`/`updated`
+      * stay valid afterwards; `snapshotCounters = false` keeps the pure
+      * single-execution path and poisons unread counters instead.
+      */
+    def writeTo(tableDir: String, snapshotCounters: Boolean = true): Unit =
+      Upsert.writeSwap(spark, mergeResult, tableDir, snapshotCounters)
     def release(): Unit = releaseThunk()
   }
 

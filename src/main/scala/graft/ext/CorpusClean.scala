@@ -22,6 +22,14 @@ object CorpusClean {
       languages: Set[String] = Set("en"),
       dropNearDups: Boolean = false,
       nearDupJaccard: Double = 0.8,
+      /** Label-propagation round bound for duplicate-cluster assembly.
+        * Must exceed the largest near-dup cluster's DIAMETER —
+        * boilerplate-heavy corpora chain long (a≈b≈c≈…), and
+        * connectedComponents refuses loudly rather than emit
+        * silently-partial labels, so give long-chain corpora headroom
+        * here instead of letting the whole cleaning job throw.
+        */
+      componentMaxIter: Int = 20,
   )
 
   /** Quality + language gate as a single predicate (one scan). */
@@ -79,7 +87,8 @@ object CorpusClean {
       // (a≈b, b≈c) depending on which pairs the LSH happened to emit
       val pairs = Dedup.minhashCandidates(exact, idCol, textCol,
         minEstJaccard = cfg.nearDupJaccard)
-      val comp = Dedup.connectedComponents(exact.select(qcol(idCol)), idCol, pairs)
+      val comp = Dedup.connectedComponents(exact.select(qcol(idCol)), idCol, pairs,
+        maxIter = cfg.componentMaxIter)
       val drops = comp.filter(col("id") =!= col("component"))
         .select(col("id").as("__drop"))
       exact.join(drops, qcol(idCol).cast("long") === col("__drop"), "left_anti")

@@ -130,6 +130,87 @@ object Multimodal {
     media.mapPartitions(_.flatMap(m => decodeImage(m.id, m.bytes)))
   }
 
+  // ------------------------------------------------------ audio metadata
+  /** Decoded WAV header metadata — a REAL byte-level decode like
+    * `decodeImage`: RIFF/WAVE chunk walk to the `fmt ` chunk (channels,
+    * sample rate, bits per sample, block align) and the `data` chunk
+    * (payload size → frame count → duration).
+    */
+  final case class AudioMeta(id: Long, channels: Int, sample_rate: Int,
+      bits_per_sample: Int, n_frames: Long, duration_ms: Long)
+
+  /** Parse WAV metadata from raw bytes (RIFF spec):
+    *
+    *   - `RIFF` tag at 0, `WAVE` form type at 8; chunks follow from 12 as
+    *     tag(4) + LE32 size + payload, padded to word (even) boundaries —
+    *     the walk must skip the pad byte after odd-sized chunks (LIST/INFO
+    *     metadata chunks routinely precede `fmt `).
+    *   - `fmt `: channels LE16@+2, sample rate LE32@+4, block align
+    *     LE16@+12, bits per sample LE16@+14 (all offsets within the chunk
+    *     payload).
+    *   - `data`: payload size alone is needed — frames = size / blockAlign.
+    *
+    * Returns None for anything unparseable or truncated — a corrupt
+    * payload must never kill a 100 TB scan.
+    */
+  def decodeWav(id: Long, b: Array[Byte]): Option[AudioMeta] = {
+    def u(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong | (u(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var channels = -1; var rate = -1L; var block = -1; var bits = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length) {
+      val t = tag(i)
+      val size = le32(i + 4)
+      if (size < 0 || i + 8 + size > b.length) return None // truncated chunk
+      if (t == "fmt ") {
+        if (size < 16) return None
+        channels = le16(i + 10)
+        rate = le32(i + 12)
+        block = le16(i + 20)
+        bits = le16(i + 22)
+      } else if (t == "data") dataSize = size
+      i += 8 + size.toInt + (size.toInt & 1) // word-aligned chunks
+    }
+    if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || block <= 0 || dataSize < 0) None
+    else {
+      val frames = dataSize / block
+      Some(AudioMeta(id, channels, rate.toInt, bits, frames, frames * 1000L / rate))
+    }
+  }
+
+  /** Partition-wise audio-metadata extraction; undecodable payloads drop. */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => decodeWav(m.id, m.bytes)))
+  }
+
+  /** Deterministic synthetic WAV payload: RIFF/WAVE with an odd-sized LIST
+    * chunk BEFORE `fmt ` (exercises the pad-byte walk), a spec-shaped
+    * `fmt ` chunk, and a zeroed `data` chunk of `nFrames` frames.
+    */
+  def synthWav(id: Long, channels: Int, sampleRate: Int, bits: Int, nFrames: Long): Array[Byte] = {
+    def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    val block = channels * bits / 8
+    val dataSize = (nFrames * block).toInt
+    // odd payload length forces the decoder to honor word alignment
+    val infoRaw = s"INFOsynthetic $id".getBytes("US-ASCII")
+    val info = if (infoRaw.length % 2 == 1) infoRaw else infoRaw :+ 'x'.toByte
+    val list = "LIST".getBytes("US-ASCII") ++ le32(info.length.toLong) ++ info ++ Array[Byte](0)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16L) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate.toLong) ++
+      le32(sampleRate.toLong * block) ++ le16(block) ++ le16(bits)
+    val data = "data".getBytes("US-ASCII") ++ le32(dataSize.toLong) ++
+      new Array[Byte](dataSize + (dataSize & 1))
+    val body = list ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(4L + body.length) ++ "WAVE".getBytes("US-ASCII") ++ body
+  }
+
   /** Deterministic synthetic image payload (valid PNG signature + IHDR, or
     * a JPEG marker stream with COM + DQT segments before SOF0) — exercises
     * the decoder's real parsing paths without codecs in the container.

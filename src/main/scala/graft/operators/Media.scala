@@ -84,10 +84,16 @@ object Media {
     * array<long>` of file ids sorted by (name, id); empty matches ⇒ null
     * (field dropped, reference :1240-1243).
     *
-    * No forced broadcast: the join is a plain equi-join, so Catalyst/AQE
-    * picks broadcast when the grouped file-key frame is small (runtime
-    * stats) and a shuffle hash join when the media library outgrows the
-    * broadcast threshold — same semantics either way.
+    * The group-collect runs AFTER a semi-join against the record keys:
+    * only file keys some record can actually match ever build an id
+    * array. On a big media library the unmatched majority (a record
+    * subset import, a shared library) would otherwise be collected,
+    * sorted, and shuffled just to be dropped by the final left join.
+    * The semi-join needs no distinct — semi output is per-left-row.
+    *
+    * No forced broadcast anywhere: both joins are plain equi-joins, so
+    * Catalyst/AQE picks broadcast when a side is small (runtime stats)
+    * and a shuffle hash join when it isn't — same semantics either way.
     */
   def matchFiles(
       records: DataFrame,
@@ -101,7 +107,9 @@ object Media {
       .filter(!isSystemFile(qcol(nameCol)))
       .select(lower(extractKey(qcol(nameCol))).as("__fkey"),
         qcol(nameCol).as("__fname"), qcol(fileIdCol).cast("long").as("__fid"))
+    val recordKeys = records.select(lower(trim(qcol(keyCol))).as("__fkey"))
     val grouped = f
+      .join(recordKeys, Seq("__fkey"), "left_semi")
       .groupBy(col("__fkey"))
       .agg(transform(array_sort(collect_list(struct(col("__fname"), col("__fid")))),
         e => e("__fid")).as("__ids"))

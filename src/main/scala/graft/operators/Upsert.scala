@@ -39,16 +39,43 @@ object Upsert {
     * caller whose first action is partial (`show`, `take`, `limit`) would
     * cache silently-partial counts. A dedicated aggregate is correct
     * under any action order — with ONE ordering constraint: the thunk
-    * re-reads `target`'s source, so read counters BEFORE overwriting the
-    * target in place (`writeSwap`); counters read after a swap would see
-    * the post-merge table (or a vanished directory).
+    * re-reads `target`'s source, so counters must run BEFORE the target
+    * is overwritten in place. That constraint is ENFORCED, not just
+    * documented: `writeSwap(result, …)` snapshots the counters before the
+    * swap by default, and when the caller opts out of the snapshot (pure
+    * single-execution hot path) it poisons unread counters so a
+    * read-after-swap fails loudly instead of silently re-counting against
+    * the post-merge table.
     */
   final class MergeResult(
       val merged: DataFrame,
       countersThunk: () => (Long, Long)) {
-    private lazy val counters: (Long, Long) = countersThunk()
+    @volatile private var memo: Option[(Long, Long)] = None
+    @volatile private var poison: Option[String] = None
+    private def counters: (Long, Long) = synchronized {
+      memo.getOrElse {
+        poison.foreach(reason => throw new IllegalStateException(
+          s"merge counters read after the merge target was replaced ($reason); " +
+            "read created/updated (or call snapshotCounters()) before writeSwap, " +
+            "or let writeSwap snapshot them (snapshotCounters = true)"))
+        val c = countersThunk()
+        memo = Some(c)
+        c
+      }
+    }
     def created: Long = counters._1
     def updated: Long = counters._2
+    /** Force the counter aggregate NOW (idempotent) — run this while the
+      * pre-merge target still exists if counters are wanted after a swap.
+      */
+    def snapshotCounters(): Unit = counters
+    /** Called after the merge target has been replaced: any counters not
+      * yet computed become loud errors (re-running the thunk would count
+      * against the post-merge table — silently wrong, never acceptable).
+      */
+    def invalidateUnread(reason: String): Unit = synchronized {
+      if (memo.isEmpty) poison = Some(reason)
+    }
   }
 
   private val OrderCol = "__ins_order"
@@ -96,9 +123,27 @@ object Upsert {
     }
   }
 
-  /** Rewrite-and-swap write of a merged table directory. If the merge's
-    * lazy counters are needed, read them BEFORE swapping: the counter
-    * aggregate re-reads the pre-merge target, which this call replaces.
+  /** Rewrite-and-swap of a merge result. By default the lazy counters are
+    * snapshotted BEFORE the swap (one column-pruned aggregate — the
+    * reference import API returns created/updated on every import, so
+    * counters-after-write is the natural call order and must be correct).
+    * `snapshotCounters = false` keeps the pure single-execution hot path
+    * for callers that never read counters; with it, any later counter
+    * read fails loudly instead of silently re-counting against the
+    * post-merge table.
+    */
+  def writeSwap(spark: SparkSession, result: MergeResult, tableDir: String,
+      snapshotCounters: Boolean): Unit = {
+    if (snapshotCounters) result.snapshotCounters()
+    writeSwap(spark, result.merged, tableDir)
+    result.invalidateUnread(s"writeSwap to $tableDir")
+  }
+
+  /** Rewrite-and-swap write of a merged table directory. Raw-frame form:
+    * prefer `writeSwap(spark, result: MergeResult, …)`, which keeps the
+    * merge's lazy counters safe across the swap; with this form the
+    * caller must read counters BEFORE swapping (the counter aggregate
+    * re-reads the pre-merge target, which this call replaces).
     */
   def writeSwap(spark: SparkSession, merged: DataFrame, tableDir: String): Unit = {
     val tmp = tableDir + ".tmp-" + System.nanoTime()

@@ -53,6 +53,69 @@ object ExtensionQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     stageOnce(ev, s"/tmp/graft_stream/${Staging.tag(dir)}")
     stageOnce(ev.unionByName(ev), s"/tmp/graft_stream_dup/${Staging.tag(dir)}")
+    stageSessionSpool(s, dir)
+  }
+
+  /** Session gap shared by the batch and incremental sessionize queries. */
+  private val SessGapMs = 4L * 3600 * 1000
+  /** Watermark delay for the incremental run — must cover the spool's
+    * full event-time span (see runSessionizeOnce).
+    */
+  private val SessWatermarkDelay = "35 days"
+
+  /** Sessionize spool: events split into `nSlices` ts-ranged files so the
+    * file source (maxFilesPerTrigger=1, mtime order) delivers them as an
+    * ordered feed — open sessions must survive between micro-batches —
+    * plus two far-future sentinel files whose events push the final
+    * watermark past every real session's end+gap, firing the event-time
+    * timeouts that close trailing sessions (sentinel user_id -1 rows are
+    * dropped by runSessionizeOnce). Fixture prep, untimed: a real spool
+    * exists because events arrived; only its arrival ORDER is synthesized
+    * here, via explicit per-file mtimes.
+    */
+  def stageSessionSpool(s: SparkSession, dir: String, nSlices: Int = 8): String = {
+    val tmp = s"/tmp/graft_stream_sess/${Staging.tag(dir)}"
+    val done = new java.io.File(s"$tmp/_SPOOL_DONE")
+    if (done.exists()) return tmp
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .localCheckpoint(eager = true) // consumed nSlices+2 times below
+    val us = unix_micros(col("ts"))
+    val bounds = ev.select(percentile_approx(us,
+        typedLit((1 until nSlices).map(_.toDouble / nSlices)), lit(10000)).as("b"))
+      .head().getSeq[Long](0)
+    val maxUs = ev.agg(max(us)).head().getLong(0)
+    val slice = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(us > b, 1).otherwise(0)
+    }
+    val delayUs = 35L * 24 * 3600 * 1000000L // = SessWatermarkDelay
+    val sentinels = Seq(maxUs + delayUs + 2 * SessGapMs * 1000,
+      maxUs + delayUs + 3 * SessGapMs * 1000)
+    import s.implicits._
+    val dirFile = new java.io.File(tmp)
+    dirFile.mkdirs()
+    val slices: Seq[org.apache.spark.sql.DataFrame] =
+      (0 until nSlices).map(i => ev.filter(slice === i)) ++
+        sentinels.zipWithIndex.map { case (ts, i) =>
+          Seq((-1L - i, new java.sql.Timestamp(ts / 1000), -1L, "sentinel", 0.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value")
+            .withColumn("ts", timestamp_micros(lit(ts)))
+        }
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val stage = s"$tmp/.stage_$i"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $stage"))
+      val target = new java.io.File(tmp, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // arrival order = slice order: the file source processes oldest-first
+      target.setLastModified(1600000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+    done.createNewFile()
+    tmp
   }
 
   private val docsWithCopiesSql =
@@ -545,6 +608,33 @@ object ExtensionQueries {
         col("n_events"), round(col("total_value"), 2).as("total_value"))
   }
 
+  /** The SAME sessionization through the real incremental path: file
+    * source delivering ts-ordered spool files one per micro-batch, open
+    * sessions carried in the state store between batches, event-time
+    * timeouts closing them. Oracle identical to x_sessionize — the
+    * incremental operator must reproduce the batch window formulation
+    * exactly.
+    */
+  val streamSessionize = q("x_stream_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '4 hours'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    val tmp = stageSessionSpool(s, dir)
+    EventStreams.runSessionizeOnce(s, tmp, "graft_stream_sess",
+        gapMs = SessGapMs, watermarkDelay = SessWatermarkDelay)
+      .select(col("user_id"),
+        col("start").as("session_start"), col("end").as("session_end"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+  }
+
   // -------------------------------------------------------- multimodal
   val multimodalDecode = q("x_multimodal_decode",
     """SELECT doc_id AS id, 'text' AS modality,
@@ -591,6 +681,32 @@ object ExtensionQueries {
     Multimodal.imageMeta(media).toDF()
   }
 
+  /** REAL audio decode: synthesized RIFF/WAVE payloads (fmt parameters
+    * derived from doc_id, an odd-sized LIST chunk planted before fmt)
+    * parsed back by the byte-level chunk walk; the oracle replays the same
+    * arithmetic, so an offset/endianness/padding bug breaks the hash.
+    */
+  val multimodalAudioMeta = q("x_multimodal_audiometa",
+    """SELECT doc_id AS id,
+      |       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+      |       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER) AS sample_rate,
+      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS bits_per_sample,
+      |       doc_id % 500 + 1 AS n_frames,
+      |       (doc_id % 500 + 1) * 1000 //
+      |         (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) AS duration_ms
+      |FROM documents""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+      .as[Long].map { id =>
+        val ch = (id % 2 + 1).toInt
+        val rate = (id % 3) match { case 0L => 8000; case 1L => 16000; case _ => 44100 }
+        val bits = if (id % 2 == 0) 16 else 8
+        Multimodal.MediaRow(id, Multimodal.synthWav(id, ch, rate, bits, id % 500 + 1),
+          "audio", "wav")
+      }
+    Multimodal.audioMeta(media).toDF()
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     dedupComponents,
@@ -599,6 +715,7 @@ object ExtensionQueries {
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, sampleStratified, decontaminate,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
-    multimodalDecode, multimodalFrames, multimodalImageMeta,
+    streamSessionize,
+    multimodalDecode, multimodalFrames, multimodalImageMeta, multimodalAudioMeta,
   )
 }

@@ -12,11 +12,20 @@ package graft.queries
 object Staging {
   def tag(dir: String): String = {
     val base = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val files = Option(new java.io.File(dir).listFiles())
+    val entries = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val listing = files
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    // sf tables are Spark-written DIRECTORIES named <table>.parquet; a
+    // directory's own length/mtime does not reliably change when a data
+    // file inside is rewritten in place — fingerprint the data files one
+    // level down, not the directory entry
+    val listing = entries.flatMap { f =>
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName)
+          .map(c => s"${f.getName}/${c.getName}:${c.length}:${c.lastModified}")
+      else Array(s"${f.getName}:${f.length}:${f.lastModified}")
+    }.mkString("|")
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes("UTF-8"))
     s"${base}_${md5.take(6).map("%02x".format(_)).mkString}"

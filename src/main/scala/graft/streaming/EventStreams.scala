@@ -97,7 +97,13 @@ object EventStreams {
       event_type: String, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
       n_events: Long, total_value: Double)
-  private final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  /** Open-session accumulator (epoch-micros bounds). Not private: the
+    * streaming state store serializes it through a codegen'd encoder, and
+    * Janino cannot reference a Scala-private class from generated code
+    * (the batch replay path never hits that encoder, so `private`
+    * compiled fine until the incremental form ran as a REAL stream).
+    */
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
   /** Stateful sessionization: events for a user belong to one session while
     * gaps stay under `gapMs`; a session closes on gap timeout (streaming)
@@ -145,6 +151,87 @@ object EventStreams {
       .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
         count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .drop("__sid")
+  }
+
+  /** Genuinely INCREMENTAL sessionization: same gap semantics as
+    * `sessionizeBatch`, but an open session lives in the state store
+    * ACROSS micro-batches and closes through one of two paths —
+    * (a) a later batch brings an event past the gap (the state rolls into
+    * a new session), or (b) the event-time watermark passes `end + gap`
+    * and the timeout fires. Unlike `sessionize` below (which closes every
+    * group at end-of-invocation — batch replay semantics), this is the
+    * form a 24/7 stream runs: state is bounded by open sessions, and
+    * emission needs no end-of-stream.
+    */
+  def sessionizeIncremental(events: org.apache.spark.sql.Dataset[Event],
+      gapMs: Long): org.apache.spark.sql.Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (!it.hasNext) {
+            // timeout: the watermark passed end+gap, the open session is final
+            val closed = state.getOption.map(st =>
+              Session(userId, fromMicros(st.start), fromMicros(st.end), st.n, st.total))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              if (st == null) st = SessionState(t, t, 0L, 0.0)
+              else if (t - st.end > gapUs) {
+                out += Session(userId, fromMicros(st.start), fromMicros(st.end), st.n, st.total)
+                st = SessionState(t, t, 0L, 0.0)
+              }
+              st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+            }
+            state.update(st)
+            // close when the watermark passes the gap; the API requires a
+            // timeout above the current watermark, so a session already
+            // older than it (no later events for this user) closes on the
+            // very next trigger
+            state.setTimeoutTimestamp(
+              math.max(st.end / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** Run the incremental sessionizer over a staged spool dir to completion
+    * — the REAL streaming path (file source, one file per micro-batch in
+    * mtime order, state store carrying open sessions between batches,
+    * event-time timeouts closing them). The spool's trailing
+    * watermark-flush sentinel rows (negative user ids) are dropped from
+    * the result; with them the final watermark passes every real
+    * session's end+gap, so the output equals `sessionizeBatch` on the
+    * same events.
+    *
+    * `watermarkDelay` must cover the spool's full time span: files are
+    * ordered by mtime, not by data, so a smaller delay could drop
+    * boundary events as late.
+    */
+  def runSessionizeOnce(spark: SparkSession, dir: String, queryName: String,
+      gapMs: Long, watermarkDelay: String = "30 days"): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+    val q = sessionizeIncremental(stream, gapMs)
+      .filter(_.user_id >= 0)
+      .toDF()
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
   }
 
   def sessionize(events: org.apache.spark.sql.Dataset[Event], gapMs: Long): DataFrame = {

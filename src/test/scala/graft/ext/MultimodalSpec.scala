@@ -55,6 +55,31 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0)) shouldBe None
   }
 
+  test("WAV decode: synthesized header round-trips through the chunk walk") {
+    // synthWav plants an odd-sized LIST chunk before fmt — the walk must
+    // skip its pad byte to land on the fmt tag
+    val b = Multimodal.synthWav(7L, channels = 2, sampleRate = 16000, bits = 16, nFrames = 100)
+    Multimodal.decodeWav(7L, b) shouldBe
+      Some(Multimodal.AudioMeta(7L, 2, 16000, 16, 100L, 100L * 1000 / 16000))
+    // mono 8-bit: blockAlign 1
+    val m = Multimodal.synthWav(8L, channels = 1, sampleRate = 8000, bits = 8, nFrames = 8000)
+    Multimodal.decodeWav(8L, m) shouldBe
+      Some(Multimodal.AudioMeta(8L, 1, 8000, 8, 8000L, 1000L))
+  }
+
+  test("WAV decode: corrupt/truncated payloads yield None, never a throw") {
+    Multimodal.decodeWav(1L, Array.emptyByteArray) shouldBe None
+    Multimodal.decodeWav(1L, "RIFFxxxxNOPE".getBytes("US-ASCII")) shouldBe None
+    // valid header, data chunk declared past the end of the payload
+    val good = Multimodal.synthWav(1L, 2, 16000, 16, 10)
+    Multimodal.decodeWav(1L, good.take(good.length - 5)) shouldBe None
+    // fmt chunk shorter than the spec's 16 bytes
+    val shortFmt = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ new Array[Byte](4)
+    Multimodal.decodeWav(1L, shortFmt) shouldBe None
+  }
+
   test("imageMeta runs partition-wise over a Dataset") {
     import spark.implicits._
     val media = spark.createDataset(Seq(

@@ -39,6 +39,39 @@ class UpsertSpec extends SparkSpec {
     r.merged.count() shouldBe 3
   }
 
+  test("writeSwap(MergeResult) default: counters read AFTER the swap are the pre-swap truth") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/table"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    val target = spark.read.parquet(dir)
+    val incoming = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
+    val r = Upsert.merge(target, incoming, "id", upsert = true)
+    Upsert.writeSwap(spark, r, dir, snapshotCounters = true)
+    // post-swap the table holds all 3 keys; a naive re-count would say
+    // updated=2/created=0 — the snapshot taken before the swap must win
+    r.created shouldBe 1
+    r.updated shouldBe 1
+    spark.read.parquet(dir).count() shouldBe 3
+  }
+
+  test("writeSwap(MergeResult) opt-out: unread counters fail loudly after the swap") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/table"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    val target = spark.read.parquet(dir)
+    val incoming = Seq((1L, "x"), (2L, "b")).toDF("id", "v")
+    val r = Upsert.merge(target, incoming, "id", upsert = true)
+    Upsert.writeSwap(spark, r, dir, snapshotCounters = false)
+    val e = intercept[IllegalStateException] { r.created }
+    e.getMessage should include("writeSwap")
+    // counters read BEFORE an opted-out swap stay valid afterwards
+    val dir2 = Files.createTempDirectory("graft_upsert").toString + "/table"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir2)
+    val r2 = Upsert.merge(spark.read.parquet(dir2), incoming, "id", upsert = true)
+    r2.updated shouldBe 1
+    Upsert.writeSwap(spark, r2, dir2, snapshotCounters = false)
+    r2.updated shouldBe 1
+    r2.created shouldBe 1
+  }
+
   test("writeSwap atomically replaces the table directory") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/table"
     Seq((1L, "old")).toDF("id", "v").write.parquet(dir)

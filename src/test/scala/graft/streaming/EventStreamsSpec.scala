@@ -59,6 +59,43 @@ class EventStreamsSpec extends SparkSpec {
     batch should have length 4 // 09:30:01 is > 4h past 05:00 ⇒ own session
   }
 
+  test("incremental sessionize over a multi-file spool equals sessionizeBatch") {
+    val gap = 4L * 3600 * 1000
+    // user 7: session spanning files 1+2, then a gap-break session in file 2;
+    // user 8: single-event session in file 1 (closes only via the sentinel
+    // timeout); user 9: events split across files within the gap
+    val f1 = Seq(
+      EventStreams.Event(1L, ts("2024-01-01 00:00:00.000123"), 7L, "a", 1.0),
+      EventStreams.Event(2L, ts("2024-01-01 00:10:00"), 7L, "a", 2.0),
+      EventStreams.Event(4L, ts("2024-01-01 00:30:00"), 8L, "a", 8.0),
+      EventStreams.Event(6L, ts("2024-01-01 02:00:00"), 9L, "a", 32.0))
+    val f2 = Seq(
+      EventStreams.Event(3L, ts("2024-01-01 03:59:00"), 7L, "a", 4.0), // within gap: same session
+      EventStreams.Event(5L, ts("2024-01-01 09:30:01"), 7L, "a", 16.0), // past gap: new session
+      EventStreams.Event(7L, ts("2024-01-01 05:30:00"), 9L, "a", 64.0))
+    // sentinel far past every end+gap (watermark delay 1h in this spec)
+    val sent1 = Seq(EventStreams.Event(-1L, ts("2024-02-01 00:00:00"), -1L, "s", 0.0))
+    val sent2 = Seq(EventStreams.Event(-2L, ts("2024-02-01 01:00:00"), -1L, "s", 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_spool").toString
+    Seq(f1, f2, sent1, sent2).zipWithIndex.foreach { case (evs, i) =>
+      val stage = s"$dir/.stage_$i"
+      evs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(dir, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1600000000000L + i * 60000L)
+    }
+    val cols = Seq("user_id", "start", "end", "n_events", "total_value")
+    val inc = EventStreams.runSessionizeOnce(spark, dir, "sess_spec_inc",
+        gapMs = gap, watermarkDelay = "1 hour")
+      .select(cols.map(col): _*).orderBy("user_id", "start").collect()
+    val batch = EventStreams.sessionizeBatch((f1 ++ f2).toDS().toDF(), gapMs = gap)
+      .select(cols.map(col): _*).orderBy("user_id", "start").collect()
+    inc.toSeq shouldBe batch.toSeq
+    inc should have length 4 // 7:(2 sessions) 8:(1) 9:(1 spanning files)
+  }
+
   test("windowed agg runs as a real stream (MemoryStream, update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
