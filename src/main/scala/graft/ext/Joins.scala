@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark's optimizer has no native operator for, composed
+  * from shuffle + spilling-sort primitives (SURVEY §2 preference order:
+  * compose existing ops before custom plans).
+  */
+object Joins {
+
+  /** AS-OF join (point-in-time lookup): for every left row, attach the
+    * payload of the single right row with the same key and the greatest
+    * `rightTs <= leftTs` — "each event sees the latest snapshot at its
+    * time". The naive formulation is a range join (`l.key = r.key AND
+    * r.ts <= l.ts` + a max-per-row dedup) whose intermediate is
+    * O(events × snapshots-per-key); this is the union + running-last
+    * form instead:
+    *
+    *   1. interleave both sides, tagged, into one frame keyed by
+    *      (key, ts, side) with right rows sorting BEFORE left rows on ts
+    *      ties — that makes the match inclusive (`<=`, DuckDB ASOF
+    *      semantics);
+    *   2. one window per key ordered by (ts, side) carries the most
+    *      recent right payload forward (`last(…, ignoreNulls)`);
+    *   3. keep the left rows.
+    *
+    * Cost: ONE hash shuffle of both sides + one spilling external sort
+    * per partition — O((|L|+|R|) log) with no pair blow-up, the same
+    * shape as `sessionizeBatch`. A hot key is one big sort run, not an
+    * OOM. Left rows with a null key or null ts (or keys absent from the
+    * right) get a null payload, matching SQL ASOF LEFT JOIN.
+    *
+    * `payloadCols` are the right columns to attach; their names must not
+    * collide with left columns.
+    */
+  def asofJoin(
+      left: DataFrame,
+      leftKey: Column,
+      leftTs: Column,
+      right: DataFrame,
+      rightKey: Column,
+      rightTs: Column,
+      payloadCols: Seq[String],
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(leftKey.as("__k"), leftTs.as("__ts"),
+      lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
+    // right rows with a null key/ts can never be the latest match of an
+    // equality+<= join — drop them so they don't pollute the null-key
+    // window partition that left null-key rows land in
+    val r = right
+      .filter(rightKey.isNotNull && rightTs.isNotNull)
+      .select(rightKey.as("__k"), rightTs.as("__ts"),
+        lit(0).as("__side"), struct(payloadCols.map(col): _*).as("__r"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: payloadCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+}

@@ -35,4 +35,31 @@ object Sampling {
   ): DataFrame =
     hashSample(df, concat(stratum.cast("string"), lit(":"), key.cast("string")),
       thresholdHex)
+
+  /** Fractional rate → 8-hex-digit threshold for the lexicographic md5
+    * compare: keeps exactly floor(rate·2³²)/2³² of a uniform hash space
+    * (resolution ~2.3e-10). Rate 1.0 maps to "g", which sorts above every
+    * hex digest — keep-all without a special case in the predicate.
+    */
+  def rateToHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate outside [0,1]: $rate")
+    if (rate >= 1.0) "g"
+    else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** Weighted dataset mixing — the "web at 30%, books at 100%, forums at
+    * 5%" recipe of a training-data mix: each stratum keeps its own
+    * fraction, decided per row from the same salted content hash as
+    * `stratifiedHashSample` (deterministic, engine-replayable, map-only).
+    * Rows whose stratum is absent from `weights` drop (their threshold is
+    * the empty string, below every digest).
+    */
+  def weightedMix(
+      df: DataFrame, stratum: Column, key: Column, weights: Map[String, Double],
+  ): DataFrame = {
+    val thr = weights.foldLeft(lit("")) { case (acc, (s, rate)) =>
+      when(stratum.cast("string") === s, lit(rateToHex(rate))).otherwise(acc)
+    }
+    df.filter(md5(concat(stratum.cast("string"), lit(":"), key.cast("string"))) < thr)
+  }
 }

@@ -54,4 +54,37 @@ object Ids {
       .withColumn(idCol, offset + row_number().over(w).cast("long"))
       .drop(Pid)
   }
+
+  /** Add `outCol` = EXCLUSIVE prefix sum of `value` over the total order
+    * `order` (the sum of all values strictly before the row; first row
+    * gets 0) — `sum() OVER (ORDER BY … ROWS BETWEEN UNBOUNDED PRECEDING
+    * AND 1 PRECEDING)` without the single-task global window. Same
+    * two-phase shape as `globalRowNumber` (and the same lineage-cut
+    * rationale): range partition on the order keys, per-partition window
+    * sum, per-partition TOTALS (≤ shuffle-partition-count rows, never
+    * data) prefix-summed on the driver into offsets.
+    */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
+    val Pid = "__gps_pid"
+    val V = "__gps_v"
+    val ranged = df.withColumn(V, value.cast("long"))
+      .repartitionByRange(order: _*)
+      .withColumn(Pid, spark_partition_id())
+      .localCheckpoint(eager = true)
+    val sums = ranged.groupBy(col(Pid)).agg(sum(col(V)).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = sums.map { case (pid, s) =>
+      val entry = (pid, acc); acc += s; entry
+    }.toMap
+    val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offset =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedlit(offsets), col(Pid))
+    ranged
+      .withColumn(outCol, offset + coalesce(sum(col(V)).over(w), lit(0L)))
+      .drop(Pid, V)
+  }
 }

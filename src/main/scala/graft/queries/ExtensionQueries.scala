@@ -73,8 +73,8 @@ object ExtensionQueries {
     * exists because events arrived; only its arrival ORDER is synthesized
     * here, via explicit per-file mtimes.
     */
-  def stageSessionSpool(s: SparkSession, dir: String, nSlices: Int = 8): String = {
-    val tmp = s"/tmp/graft_stream_sess/${Staging.tag(dir)}"
+  def stageSessionSpool(s: SparkSession, dir: String, nSlices: Int = 4): String = {
+    val tmp = s"/tmp/graft_stream_sess/${Staging.tag(dir)}_n$nSlices"
     val done = new java.io.File(s"$tmp/_SPOOL_DONE")
     if (done.exists()) return tmp
     val ev = Tables.events(s, dir)
@@ -511,6 +511,70 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"))
   }
 
+  /** Weighted dataset mixing: per-source keep rates decided by the salted
+    * md5 threshold (rate → 8-hex-digit prefix), so DuckDB replays the
+    * EXACT mix; sources without a weight drop entirely.
+    */
+  private val mixWeights = Seq(
+    "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1)
+  val weightedMix = q("x_weighted_mix",
+    s"""SELECT doc_id, source FROM documents
+       |WHERE md5(source || ':' || CAST(doc_id AS VARCHAR)) <
+       |  CASE source ${mixWeights.map { case (s, r) =>
+             s"WHEN '$s' THEN '${graft.ext.Sampling.rateToHex(r)}'" }.mkString(" ")}
+       |  ELSE '' END""".stripMargin) { (s, dir) =>
+    graft.ext.Sampling.weightedMix(
+        Tables.documents(s, dir), col("source"), col("doc_id"), mixWeights.toMap)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Sequence packing (128-token training sequences): the corpus token
+    * stream concatenated in doc_id order and split into fixed windows —
+    * documents spanning boundaries emit one row per overlapped sequence.
+    * The oracle replays the exclusive prefix sum + integer arithmetic, so
+    * an off-by-one in the distributed prefix sum breaks the hash.
+    */
+  val packSequences = q("x_pack_sequences",
+    """WITH t AS (
+      |  SELECT doc_id, len(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |         CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+      |  FROM t),
+      |e AS (
+      |  SELECT doc_id, n, st, unnest(generate_series(st // 128, (st + n - 1) // 128)) AS seq_id
+      |  FROM c WHERE n > 0)
+      |SELECT doc_id, seq_id,
+      |       greatest(seq_id * 128 - st, 0) AS doc_from,
+      |       least((seq_id + 1) * 128, st + n) - st AS doc_to,
+      |       greatest(st - seq_id * 128, 0) AS seq_off
+      |FROM e""".stripMargin) { (s, dir) =>
+    graft.ext.Packing.packSequences(Tables.documents(s, dir), "doc_id", "text", 128)
+  }
+
+  /** AS-OF join (point-in-time lookup): each event sees its user's latest
+    * order-day snapshot at event time. DuckDB's native ASOF LEFT JOIN is
+    * the oracle for the union + running-last formulation.
+    */
+  val asofJoin = q("x_asof_join",
+    """WITH snap AS (
+      |  SELECT o_custkey AS k, o_orderdate AS sts,
+      |         round(sum(o_totalprice), 2) AS snap_total, count(*) AS snap_orders
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, s.snap_total, s.snap_orders
+      |FROM events e ASOF LEFT JOIN snap s ON e.user_id = s.k AND e.ts >= s.sts""".stripMargin) {
+    (s, dir) =>
+      val snap = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(round(sum(col("o_totalprice")), 2).as("snap_total"),
+          count(lit(1)).as("snap_orders"))
+      val events = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      graft.ext.Joins.asofJoin(events, col("user_id"), col("ts"),
+          snap, col("o_custkey"), col("o_orderdate"), Seq("snap_total", "snap_orders"))
+        .select(col("event_id"), col("user_id"), col("snap_total"), col("snap_orders"))
+  }
+
   /** Train/test decontamination: docs sharing any 13-gram with the planted
     * eval set (doc_id % 17 = 0) drop — the eval docs flag themselves, so
     * the kept set is exactly what the oracle's shingle join computes.
@@ -714,6 +778,7 @@ object ExtensionQueries {
     knnIvfRecall, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, sampleStratified, decontaminate,
+    weightedMix, packSequences, asofJoin,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize,
     multimodalDecode, multimodalFrames, multimodalImageMeta, multimodalAudioMeta,

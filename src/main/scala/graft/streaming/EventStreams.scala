@@ -217,20 +217,29 @@ object EventStreams {
     * boundary events as late.
     */
   def runSessionizeOnce(spark: SparkSession, dir: String, queryName: String,
-      gapMs: Long, watermarkDelay: String = "30 days"): DataFrame = {
+      gapMs: Long, watermarkDelay: String = "35 days"): DataFrame = {
     import spark.implicits._
-    val stream = spark.readStream
-      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withWatermark("ts", watermarkDelay)
-      .as[Event]
-    val q = sessionizeIncremental(stream, gapMs)
-      .filter(_.user_id >= 0)
-      .toDF()
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    // a multi-batch run pays (state partitions × batches) state-store
+    // maintenance tasks; the session-wide shuffle width (sized for batch
+    // analytics) is far past what per-user session state needs here, so
+    // narrow it for this self-contained run — on a real deployment the
+    // stream job sets its own width once at startup
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withWatermark("ts", watermarkDelay)
+        .as[Event]
+      val q = sessionizeIncremental(stream, gapMs)
+        .filter(_.user_id >= 0)
+        .toDF()
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 

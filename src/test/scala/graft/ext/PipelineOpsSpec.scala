@@ -67,6 +67,62 @@ class PipelineOpsSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("packSequences: spanning docs, empty docs, exact boundary arithmetic") {
+    val df = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, ""), (4L, "i"))
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(df, "doc_id", "text", seqLen = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    // token stream: [a b c | d] [e f g h] [i] — doc 2 spans seqs 0 and 1,
+    // doc 3 (zero tokens) vanishes but still occupies prefix-sum position
+    out shouldBe Seq(
+      (1L, 0L, 0L, 3L, 0L), // doc 1 fully in seq 0 at offset 0
+      (2L, 0L, 0L, 1L, 3L), // doc 2 tokens [0,1) fill seq 0's tail
+      (2L, 1L, 1L, 5L, 0L), // doc 2 tokens [1,5) open seq 1
+      (4L, 2L, 0L, 1L, 0L)) // doc 4 opens seq 2
+  }
+
+  test("asofJoin: inclusive match, no-prior null, null key, absent key") {
+    val events = Seq(
+      (10L, 1L, 10L), (11L, 1L, 5L), (12L, 1L, 4L), (13L, 2L, 10L),
+    ).toDF("eid", "k", "t")
+      .unionByName(Seq((14L, Option.empty[Long], 10L)).toDF("eid", "k", "t"))
+    val snaps = Seq((1L, 5L, "A"), (1L, 8L, "B"), (3L, 1L, "C")).toDF("k2", "t2", "v")
+    val out = Joins.asofJoin(events, col("k"), col("t"), snaps, col("k2"), col("t2"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    out shouldBe Map(
+      10L -> Some("B"), // latest of A@5, B@8
+      11L -> Some("A"), // equal ts matches (inclusive)
+      12L -> None,      // before the first snapshot
+      13L -> None,      // key absent from right
+      14L -> None)      // null key never matches
+  }
+
+  test("weightedMix: full rate keeps stratum, zero rate and absent strata drop") {
+    val df = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val kept = Sampling.weightedMix(df, col("src"), col("id"),
+        Map("src0" -> 1.0, "src1" -> 0.0))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept shouldBe Map("src0" -> 100L) // src1 rate 0, src2 unlisted
+    // a fractional rate is deterministic and roughly proportional
+    val half = Sampling.weightedMix(df, col("src"), col("id"), Map("src2" -> 0.5))
+      .count()
+    val half2 = Sampling.weightedMix(df, col("src"), col("id"), Map("src2" -> 0.5))
+      .count()
+    half shouldBe half2
+    half.toInt should (be > 25 and be < 75)
+  }
+
+  test("globalPrefixSum matches a single-partition window cumsum") {
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("id", "v")
+    val got = graft.operators.Ids.globalPrefixSum(df, Seq(col("id")), col("v"), "ps")
+      .select("id", "ps").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val expected = (1L to 500L).map { i => val e = i -> acc; acc += i % 7; e }.toMap
+    got shouldBe expected
+  }
+
   test("decontaminate drops n-gram overlap with the eval set, keeps short docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with eval
