@@ -5,8 +5,21 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the `noop`
-  * sink (count() alone can skip column evaluation), and prints ONE JSON
-  * line with per-query wall seconds.
+  * sink (count() alone can skip column evaluation), and prints per-query
+  * wall seconds as JSON.
+  *
+  * Output contract, hardened after two rounds of harness tail-truncation
+  * (the capture keeps only the LAST ~2 KB of stdout, so a single giant
+  * JSON line loses its head — r3/r4 each lost 8 per-query timings):
+  *   1. one small `{"query":name,"sec":s}` line per query, streamed as it
+  *      finishes (partially survives any capture window; human-greppable);
+  *   2. the full one-line contract JSON (metric/value/unit/queries/sf) —
+  *      intact whenever the capture window is big enough;
+  *   3. a final SMALL summary line (totals, no per-query map) that always
+  *      fits the tail window, so the harness has a parseable last line
+  *      even when (2) is decapitated;
+  *   4. the full contract JSON is ALSO written to BENCH_LOCAL.json in the
+  *      working directory — the committed file is the complete record.
   *
   * Env knobs (all optional):
   *   - SPARK_GRAFT_BENCH_PHASES=1    per-query stage-metric breakdown
@@ -132,12 +145,26 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
       }
+      println(f"""{"query":"$name","sec":$sec%.3f}""")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // complete record to a file the repo commits — immune to capture limits
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
+    println(full)
+    // small LAST line: guaranteed inside any tail-capture window
+    val (maxName, maxSec) =
+      if (results.nonEmpty) results.maxBy(_._2) else ("none", 0.0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.size},"max_query":"$maxName","max_sec":$maxSec%.3f,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -33,8 +33,18 @@ object Joins {
     * right) get a null payload, matching SQL ASOF LEFT JOIN.
     *
     * `payloadCols` are the right columns to attach; their names must not
-    * collide with left columns.
+    * collide with left columns. The internal plan reserves the column
+    * names `__k __ts __side __l __r __m __tb*` — a `require` rejects
+    * inputs using them rather than silently mis-joining.
+    *
+    * Duplicate right rows on (key, ts): without `rightTiebreak` the
+    * carried payload is whichever duplicate the sort happens to place
+    * last — nondeterministic run to run. Pass `rightTiebreak` columns
+    * forming a total order over such duplicates (e.g. a snapshot id) to
+    * pin the winner: the GREATEST tiebreak value wins.
     */
+  private val Reserved = Set("__k", "__ts", "__side", "__l", "__r", "__m")
+
   def asofJoin(
       left: DataFrame,
       leftKey: Column,
@@ -43,19 +53,31 @@ object Joins {
       rightKey: Column,
       rightTs: Column,
       payloadCols: Seq[String],
+      rightTiebreak: Seq[Column] = Nil,
   ): DataFrame = {
+    val bad = (left.columns ++ right.columns)
+      .filter(c => Reserved(c) || c.startsWith("__tb")).distinct
+    require(bad.isEmpty,
+      s"asofJoin reserves internal column names ${Reserved.mkString(", ")} and the __tb* prefix; " +
+        s"rename input column(s): ${bad.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val l = left.select(leftKey.as("__k"), leftTs.as("__ts"),
       lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
     // right rows with a null key/ts can never be the latest match of an
     // equality+<= join — drop them so they don't pollute the null-key
     // window partition that left null-key rows land in
+    val tb = rightTiebreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }
     val r = right
       .filter(rightKey.isNotNull && rightTs.isNotNull)
-      .select(rightKey.as("__k"), rightTs.as("__ts"),
-        lit(0).as("__side"), struct(payloadCols.map(col): _*).as("__r"))
+      .select(Seq(rightKey.as("__k"), rightTs.as("__ts"),
+        lit(0).as("__side"), struct(payloadCols.map(col): _*).as("__r")) ++ tb: _*)
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+    // left rows carry null __tb*: irrelevant to the order because __side
+    // already separates sides, and ties among left rows need no breaking
+    // (each keeps its own payload lookup)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(Seq(col("__ts"), col("__side")) ++
+        rightTiebreak.indices.map(i => col(s"__tb$i")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

@@ -63,6 +63,12 @@ object Ids {
     * rationale): range partition on the order keys, per-partition window
     * sum, per-partition TOTALS (≤ shuffle-partition-count rows, never
     * data) prefix-summed on the driver into offsets.
+    *
+    * Null `value`s (including values whose long cast nulls out) contribute
+    * 0 — both in the per-partition totals (coalesced, so an all-null
+    * partition is a 0 offset, not a driver NPE) and in the within-partition
+    * window sum (SQL sum skips nulls) — so every row still gets a defined
+    * prefix over the total order.
     */
   def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
       outCol: String): DataFrame = {
@@ -72,7 +78,8 @@ object Ids {
       .repartitionByRange(order: _*)
       .withColumn(Pid, spark_partition_id())
       .localCheckpoint(eager = true)
-    val sums = ranged.groupBy(col(Pid)).agg(sum(col(V)).as("__s"))
+    val sums = ranged.groupBy(col(Pid))
+      .agg(coalesce(sum(col(V)), lit(0L)).as("__s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets: Map[Int, Long] = sums.map { case (pid, s) =>

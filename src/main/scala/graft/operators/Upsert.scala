@@ -49,7 +49,11 @@ object Upsert {
     */
   final class MergeResult(
       val merged: DataFrame,
-      countersThunk: () => (Long, Long)) {
+      countersThunk: () => (Long, Long),
+      // does the counter thunk re-read the merge target? The append path's
+      // thunk counts only `incoming`, so replacing the target can't skew
+      // it and a post-swap read stays safe (no poisoning).
+      targetDependentCounters: Boolean = true) {
     @volatile private var memo: Option[(Long, Long)] = None
     @volatile private var poison: Option[String] = None
     private def counters: (Long, Long) = synchronized {
@@ -72,9 +76,11 @@ object Upsert {
     /** Called after the merge target has been replaced: any counters not
       * yet computed become loud errors (re-running the thunk would count
       * against the post-merge table — silently wrong, never acceptable).
+      * A no-op when the thunk never reads the target (append mode): the
+      * count stays correct after any number of swaps.
       */
     def invalidateUnread(reason: String): Unit = synchronized {
-      if (memo.isEmpty) poison = Some(reason)
+      if (targetDependentCounters && memo.isEmpty) poison = Some(reason)
     }
   }
 
@@ -102,7 +108,7 @@ object Upsert {
   def merge(target: DataFrame, incoming: DataFrame, key: String, upsert: Boolean): MergeResult = {
     if (!upsert) {
       new MergeResult(target.unionByName(incoming, allowMissingColumns = true),
-        () => (incoming.count(), 0L))
+        () => (incoming.count(), 0L), targetDependentCounters = false)
     } else {
       // The deduped frame feeds BOTH the anti-join probe and the union
       // branch. No cache: the anti-join probe is column-pruned to a

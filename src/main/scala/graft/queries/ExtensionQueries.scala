@@ -84,7 +84,11 @@ object ExtensionQueries {
     val bounds = ev.select(percentile_approx(us,
         typedLit((1 until nSlices).map(_.toDouble / nSlices)), lit(10000)).as("b"))
       .head().getSeq[Long](0)
-    val maxUs = ev.agg(max(us)).head().getLong(0)
+    val maxRow = ev.agg(max(us)).head()
+    if (maxRow.isNullAt(0))
+      sys.error(s"stageSessionSpool: events table under $dir is empty — " +
+        "cannot stage a session spool with no events")
+    val maxUs = maxRow.getLong(0)
     val slice = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(us > b, 1).otherwise(0)
     }
@@ -104,9 +108,13 @@ object ExtensionQueries {
     slices.zipWithIndex.foreach { case (df, i) =>
       val stage = s"$tmp/.stage_$i"
       df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $stage"))
+      val parts = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      // coalesce(1) must yield exactly one part — a second one would be
+      // silently dropped and the spool would lose events
+      require(parts.length == 1,
+        s"stageSessionSpool: expected exactly 1 part file in $stage, found ${parts.length}")
+      val part = parts.head
       val target = new java.io.File(tmp, f"spool_$i%03d.parquet")
       java.nio.file.Files.move(part.toPath, target.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

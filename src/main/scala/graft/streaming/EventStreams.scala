@@ -154,14 +154,26 @@ object EventStreams {
   }
 
   /** Genuinely INCREMENTAL sessionization: same gap semantics as
-    * `sessionizeBatch`, but an open session lives in the state store
-    * ACROSS micro-batches and closes through one of two paths —
-    * (a) a later batch brings an event past the gap (the state rolls into
-    * a new session), or (b) the event-time watermark passes `end + gap`
-    * and the timeout fires. Unlike `sessionize` below (which closes every
-    * group at end-of-invocation — batch replay semantics), this is the
-    * form a 24/7 stream runs: state is bounded by open sessions, and
-    * emission needs no end-of-stream.
+    * `sessionizeBatch` under in-order delivery, but an open session lives
+    * in the state store ACROSS micro-batches and closes through one of two
+    * paths — (a) a later batch brings an event past the gap (the state
+    * rolls into a new session), or (b) the event-time watermark passes
+    * `end + gap` and the timeout fires. Unlike `sessionize` below (which
+    * closes every group at end-of-invocation — batch replay semantics),
+    * this is the form a 24/7 stream runs: state is bounded by open
+    * sessions, and emission needs no end-of-stream.
+    *
+    * Out-of-order delivery ACROSS micro-batches (an event above the
+    * watermark but older than the open session's end — within a batch the
+    * group is sorted first) is handled, not corrupted: an event inside or
+    * within `gap` of the open span merges via span min/max (the end never
+    * moves backward), and a straggler older than `start - gap` — whose
+    * batch-semantics session may already be closed and emitted — becomes
+    * its own best-effort singleton session instead of rewriting the open
+    * span. Exact equality with `sessionizeBatch` therefore holds when
+    * cross-batch disorder stays within `gap` of the open session (always
+    * true for an ordered spool); beyond that the divergence is confined
+    * to the straggler's own row.
     */
   def sessionizeIncremental(events: org.apache.spark.sql.Dataset[Event],
       gapMs: Long): org.apache.spark.sql.Dataset[Session] = {
@@ -184,12 +196,22 @@ object EventStreams {
             var st = state.getOption.orNull
             sorted.foreach { e =>
               val t = toMicros(e.ts)
-              if (st == null) st = SessionState(t, t, 0L, 0.0)
-              else if (t - st.end > gapUs) {
+              if (st == null)
+                st = SessionState(t, t, 1L, e.value)
+              else if (t > st.end + gapUs) {
                 out += Session(userId, fromMicros(st.start), fromMicros(st.end), st.n, st.total)
-                st = SessionState(t, t, 0L, 0.0)
-              }
-              st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+                st = SessionState(t, t, 1L, e.value)
+              } else if (t < st.start - gapUs)
+                // cross-batch straggler the open session can't reach: its
+                // batch-semantics session may already be emitted, so a
+                // singleton beats rewriting the open span
+                out += Session(userId, fromMicros(t), fromMicros(t), 1L, e.value)
+              else
+                // in-order extension (t ≥ end) and within-watermark
+                // disorder (start−gap ≤ t ≤ end) take the same merge:
+                // span min/max — end never moves backward
+                st = SessionState(math.min(st.start, t), math.max(st.end, t),
+                  st.n + 1, st.total + e.value)
             }
             state.update(st)
             // close when the watermark passes the gap; the API requires a

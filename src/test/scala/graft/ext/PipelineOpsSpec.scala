@@ -99,6 +99,38 @@ class PipelineOpsSpec extends SparkSpec {
       14L -> None)      // null key never matches
   }
 
+  test("asofJoin: reserved internal names rejected; tiebreak pins duplicate-(key,ts) winner") {
+    val events = Seq((10L, 1L, 10L)).toDF("eid", "k", "t")
+    val badLeft = Seq((10L, 1L, 10L)).toDF("__side", "k", "t")
+    val snaps = Seq((1L, 5L, "A")).toDF("k2", "t2", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asofJoin(badLeft, col("k"), col("t"), snaps, col("k2"), col("t2"), Seq("v"))
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asofJoin(events, col("k"), col("t"),
+        snaps.withColumnRenamed("v", "__tb0"), col("k2"), col("t2"), Seq("__tb0"))
+    // duplicate (key, ts) right rows: the greatest tiebreak value wins
+    val dup = Seq((1L, 5L, 1L, "old"), (1L, 5L, 2L, "new"), (1L, 5L, 0L, "older"))
+      .toDF("k2", "t2", "ver", "v")
+    val out = Joins.asofJoin(events, col("k"), col("t"), dup, col("k2"), col("t2"),
+        Seq("v"), rightTiebreak = Seq(col("ver")))
+      .collect().map(_.getAs[String]("v"))
+    out shouldBe Array("new")
+  }
+
+  test("globalPrefixSum: null and all-null values contribute 0, no driver NPE") {
+    val df = Seq[(Long, Option[Long])](
+      (1L, None), (2L, Some(3L)), (3L, None), (4L, Some(2L)), (5L, None))
+      .toDF("id", "v")
+    val got = graft.operators.Ids.globalPrefixSum(df, Seq(col("id")), col("v"), "ps")
+      .select("id", "ps").as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L)
+    // every value null (every range partition sums to NULL pre-coalesce)
+    val allNull = Seq[(Long, Option[Long])]((1L, None), (2L, None)).toDF("id", "v")
+    val zeros = graft.operators.Ids.globalPrefixSum(allNull, Seq(col("id")), col("v"), "ps")
+      .select("ps").as[Long].collect().toSeq
+    zeros shouldBe Seq(0L, 0L)
+  }
+
   test("weightedMix: full rate keeps stratum, zero rate and absent strata drop") {
     val df = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val kept = Sampling.weightedMix(df, col("src"), col("id"),

@@ -72,6 +72,20 @@ class UpsertSpec extends SparkSpec {
     r2.created shouldBe 1
   }
 
+  test("append mode: counters stay readable after an opted-out swap (no target dependence)") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/table"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    val target = spark.read.parquet(dir)
+    val incoming = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    val r = Upsert.merge(target, incoming, "id", upsert = false)
+    Upsert.writeSwap(spark, r, dir, snapshotCounters = false)
+    // the append thunk counts only `incoming` — replacing the target can't
+    // skew it, so no poisoning applies
+    r.created shouldBe 2
+    r.updated shouldBe 0
+    spark.read.parquet(dir).count() shouldBe 3
+  }
+
   test("writeSwap atomically replaces the table directory") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/table"
     Seq((1L, "old")).toDF("id", "v").write.parquet(dir)

@@ -96,6 +96,45 @@ class EventStreamsSpec extends SparkSpec {
     inc should have length 4 // 7:(2 sessions) 8:(1) 9:(1 spanning files)
   }
 
+  test("incremental sessionize survives cross-batch out-of-order events") {
+    val gap = 1L * 3600 * 1000
+    // user 7: batch 2 delivers an event OLDER than the open session's end
+    // (within the watermark). The end must not move backward: 02:50 is
+    // 50 min past the true end 02:00 — same session iff the span held.
+    // user 8: a straggler older than start-gap becomes its own singleton.
+    val f1 = Seq(
+      EventStreams.Event(1L, ts("2024-01-01 01:00:00"), 7L, "a", 1.0),
+      EventStreams.Event(2L, ts("2024-01-01 02:00:00"), 7L, "a", 2.0),
+      EventStreams.Event(10L, ts("2024-01-01 10:00:00"), 8L, "a", 8.0))
+    val f2 = Seq(
+      EventStreams.Event(3L, ts("2024-01-01 01:10:00"), 7L, "a", 4.0), // inside open span
+      EventStreams.Event(4L, ts("2024-01-01 02:50:00"), 7L, "a", 16.0), // extends true end
+      EventStreams.Event(11L, ts("2024-01-01 05:00:00"), 8L, "a", 32.0)) // straggler
+    val sent1 = Seq(EventStreams.Event(-1L, ts("2024-03-01 00:00:00"), -1L, "s", 0.0))
+    val sent2 = Seq(EventStreams.Event(-2L, ts("2024-03-02 00:00:00"), -1L, "s", 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_ooo").toString
+    Seq(f1, f2, sent1, sent2).zipWithIndex.foreach { case (evs, i) =>
+      val stage = s"$dir/.stage_$i"
+      evs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(dir, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1600000000000L + i * 60000L)
+    }
+    val cols = Seq("user_id", "start", "end", "n_events", "total_value")
+    // 30-day delay keeps the f2 stragglers above the watermark; the
+    // March sentinels still push it past every real end+gap
+    val inc = EventStreams.runSessionizeOnce(spark, dir, "sess_spec_ooo",
+        gapMs = gap, watermarkDelay = "30 days")
+      .select(cols.map(col): _*).orderBy("user_id", "start").collect()
+    val batch = EventStreams.sessionizeBatch((f1 ++ f2).toDS().toDF(), gapMs = gap)
+      .select(cols.map(col): _*).orderBy("user_id", "start").collect()
+    inc.toSeq shouldBe batch.toSeq
+    inc should have length 3 // 7:[01:00–02:50]×4 events, 8:[05:00], 8:[10:00]
+    inc(0).getAs[Long]("n_events") shouldBe 4L
+  }
+
   test("windowed agg runs as a real stream (MemoryStream, update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
