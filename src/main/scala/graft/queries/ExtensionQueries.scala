@@ -708,10 +708,15 @@ object ExtensionQueries {
   }
 
   // -------------------------------------------------------- multimodal
+  /** Feature extraction over text payloads: the real decoder dispatch
+    * (no PNG/WAV signature → 1 channel). content_hash (CRC32) is dropped
+    * here — DuckDB has no CRC32 to replay; the phash branch is fully
+    * oracled by `x_multimodal_phash` below.
+    */
   val multimodalDecode = q("x_multimodal_decode",
     """SELECT doc_id AS id, 'text' AS modality,
       |       octet_length(encode(text)) AS byte_len,
-      |       CAST(octet_length(encode(text)) % 4 + 1 AS INTEGER) AS channels
+      |       CAST(1 AS INTEGER) AS channels
       |FROM documents""".stripMargin) { (s, dir) =>
     val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "text")
     Multimodal.extractFeatures(media).drop("content_hash")
@@ -779,6 +784,93 @@ object ExtensionQueries {
     Multimodal.audioMeta(media).toDF()
   }
 
+  /** Synthetic phash PNG: dimensions/color type/cell pattern all derive
+    * from the BASE doc id (so a perturbed variant keeps the base geometry),
+    * written out under `outId`. Cell (bx,by) value =
+    * (base·37 + bx·17 + by·29) % 251; the perturbed variant bumps cell
+    * (0,0) by +7 mod 251 — a near-identical image whose hash differs in at
+    * most a few bits.
+    */
+  private def phashPng(base: Long, outId: Long, perturb: Boolean): Multimodal.MediaRow = {
+    val w = 8 * (base % 4 + 2).toInt
+    val h = 8 * ((base * 3) % 5 + 2).toInt
+    val ct = (base % 3) match { case 0L => 0; case 1L => 2; case _ => 6 }
+    val bytes = Multimodal.synthPng(outId, w, h, ct, (bx, by) => {
+      val v = ((base * 37 + bx * 17 + by * 29) % 251).toInt
+      if (perturb && bx == 0 && by == 0) (v + 7) % 251 else v
+    })
+    Multimodal.MediaRow(outId, bytes, "image", "png")
+  }
+
+  /** REAL perceptual hashing end-to-end: complete synthetic PNGs (deflated
+    * + per-row-filtered IDAT, CRCs) are pixel-decoded with JDK zlib, then
+    * average-hashed. The oracle rebuilds the expected hash bit string from
+    * the cell arithmetic alone — an inflate/unfilter/luma/downsample bug
+    * anywhere in the pipeline breaks the match.
+    */
+  val multimodalPhash = q("x_multimodal_phash",
+    """WITH cells AS (
+      |  SELECT doc_id, by, bx, (doc_id * 37 + bx * 17 + by * 29) % 251 AS v
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS by)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bx)),
+      |m AS (SELECT doc_id, sum(v) // 64 AS mean FROM cells GROUP BY doc_id)
+      |SELECT c.doc_id AS id,
+      |       CAST(8 * (c.doc_id % 4 + 2) AS INTEGER) AS width,
+      |       CAST(8 * ((c.doc_id * 3) % 5 + 2) AS INTEGER) AS height,
+      |       string_agg(CASE WHEN c.v > m.mean THEN '1' ELSE '0' END, ''
+      |                  ORDER BY c.by, c.bx) AS phash_bits
+      |FROM cells c JOIN m USING (doc_id)
+      |GROUP BY c.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+      .as[Long].map(id => phashPng(id, id, perturb = false))
+    Multimodal.imagePhash(media).toDF().drop("phash")
+  }
+
+  /** Image near-dup: perceptual hashes fed through the SAME pigeonhole
+    * block join as SimHash text dedup (`simhashPairsFromSigs`) — hamming
+    * ≤ 3 pairs among base images + perturbed variants. Exact oracle: the
+    * pair set is replayed in SQL from the cell arithmetic (the block cap
+    * is lifted far above the corpus so banding is lossless and the
+    * pigeonhole guarantee makes the banded join EQUAL the true pair set).
+    */
+  val dedupPhash = q("x_dedup_phash",
+    """WITH all_docs AS (
+      |  SELECT doc_id AS vid, doc_id AS base, FALSE AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, TRUE FROM documents WHERE doc_id % 10 = 0),
+      |cells AS (
+      |  SELECT vid, by, bx,
+      |         CASE WHEN pert AND bx = 0 AND by = 0
+      |              THEN ((base * 37 + bx * 17 + by * 29) % 251 + 7) % 251
+      |              ELSE (base * 37 + bx * 17 + by * 29) % 251 END AS v
+      |  FROM all_docs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS by)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bx)),
+      |m AS (SELECT vid, sum(v) // 64 AS mean FROM cells GROUP BY vid),
+      |bits AS (
+      |  SELECT c.vid, c.by, c.bx, (c.v > m.mean) AS bit
+      |  FROM cells c JOIN m USING (vid))
+      |SELECT a.vid AS id_a, b.vid AS id_b,
+      |       CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+      |FROM bits a JOIN bits b ON a.vid < b.vid AND a.by = b.by AND a.bx = b.bx
+      |GROUP BY a.vid, b.vid
+      |HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+      .as[Long].flatMap { id =>
+        val base = phashPng(id, id, perturb = false)
+        if (id % 10 == 0) Seq(base, phashPng(id, id + 100000, perturb = true))
+        else Seq(base)
+      }
+    val sigs = Multimodal.imagePhash(media).toDF()
+      .select(col("id").as("__id"), col("phash").as("__sh"))
+      .localCheckpoint(eager = true)
+    Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, maxBucketSize = 1000000)
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     dedupComponents,
@@ -790,5 +882,6 @@ object ExtensionQueries {
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize,
     multimodalDecode, multimodalFrames, multimodalImageMeta, multimodalAudioMeta,
+    multimodalPhash, dedupPhash,
   )
 }

@@ -80,6 +80,104 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.decodeWav(1L, shortFmt) shouldBe None
   }
 
+  private def cellFn(base: Long)(bx: Int, by: Int): Int =
+    ((base * 37 + bx * 17 + by * 29) % 251).toInt
+
+  test("PNG pixel decode round-trips synthPng for every color type and filter") {
+    // h >= 5 rows ⇒ all five filter types appear (row y uses filter y%5)
+    for ((ct, id) <- Seq((0, 3L), (2, 4L), (6, 5L))) {
+      val w = 24; val h = 16
+      val b = Multimodal.synthPng(id, w, h, ct, cellFn(id))
+      val img = Multimodal.decodePngPixels(id, b).getOrElse(fail(s"ct=$ct did not decode"))
+      img.width shouldBe w
+      img.height shouldBe h
+      img.channels shouldBe (if (ct == 0) 1 else if (ct == 2) 3 else 4)
+      for (y <- 0 until h; x <- 0 until w)
+        withClue(s"ct=$ct ($x,$y): ") {
+          img.gray(y * w + x) shouldBe cellFn(id)(x * 8 / w, y * 8 / h)
+        }
+    }
+  }
+
+  test("PNG pixel decode agrees with the JDK's own ImageIO decoder") {
+    for ((ct, id) <- Seq((0, 11L), (2, 12L), (6, 13L))) {
+      val w = 32; val h = 24
+      val b = Multimodal.synthPng(id, w, h, ct, cellFn(id))
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      ref should not be null
+      ref.getWidth shouldBe w
+      ref.getHeight shouldBe h
+      val img = Multimodal.decodePngPixels(id, b).get
+      for (y <- 0 until h; x <- 0 until w) {
+        // raw raster sample (getRGB would gamma-convert grayscale to
+        // sRGB); synth pixels have R=G=B, so channel 0 IS the luma
+        val expected = ref.getRaster.getSample(x, y, 0)
+        withClue(s"ct=$ct ($x,$y): ") { img.gray(y * w + x) shouldBe expected }
+      }
+    }
+  }
+
+  test("averageHash: hand-computed bits on an 8x8 one-pixel-per-cell image") {
+    // gray values 0..63: mean of cell means = (0+..+63)/64 = 31 (floor);
+    // bit k set iff k > 31 ⇒ top half of the image dark, bottom half set
+    val gray = Array.tabulate(64)(identity)
+    val hash = Multimodal.averageHash(8, 8, gray)
+    Multimodal.hashBits(hash) shouldBe ("0" * 32 + "1" * 32)
+    hash shouldBe 0x00000000ffffffffL
+  }
+
+  test("PNG pixel decode: corrupt payloads yield None, never a throw") {
+    val good = Multimodal.synthPng(1L, 16, 16, 2, cellFn(1L))
+    Multimodal.decodePngPixels(1L, good).isDefined shouldBe true
+    // flip one byte inside the first IDAT payload: CRC check must reject
+    val bitflip = good.clone()
+    bitflip(8 + 25 + 12) = (bitflip(8 + 25 + 12) ^ 0x01).toByte
+    Multimodal.decodePngPixels(1L, bitflip) shouldBe None
+    // truncation mid-chunk
+    Multimodal.decodePngPixels(1L, good.take(good.length / 2)) shouldBe None
+    // unsupported: 16-bit depth (patch IHDR byte + fix its CRC)
+    val deep = good.clone()
+    deep(8 + 8 + 8) = 16.toByte
+    val crc = new java.util.zip.CRC32
+    crc.update(deep, 8 + 4, 4 + 13)
+    val cv = crc.getValue.toInt
+    deep(8 + 8 + 13) = (cv >>> 24).toByte; deep(8 + 8 + 14) = (cv >>> 16).toByte
+    deep(8 + 8 + 15) = (cv >>> 8).toByte; deep(8 + 8 + 16) = cv.toByte
+    Multimodal.decodePngPixels(1L, deep) shouldBe None
+    Multimodal.decodePngPixels(1L, "not a png".getBytes("UTF-8")) shouldBe None
+    Multimodal.decodePngPixels(1L, Array.emptyByteArray) shouldBe None
+  }
+
+  test("imagePhash + extractFeatures dispatch run partition-wise") {
+    import spark.implicits._
+    val png = Multimodal.synthPng(1L, 16, 16, 2, cellFn(1L))
+    val wav = Multimodal.synthWav(2L, channels = 2, sampleRate = 8000, bits = 16, nFrames = 10)
+    val txt = "plain text".getBytes("UTF-8")
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, png, "image", "png"),
+      Multimodal.MediaRow(2L, wav, "audio", "wav"),
+      Multimodal.MediaRow(3L, txt, "text", "txt")))
+    val ph = Multimodal.imagePhash(media).collect()
+    ph.map(_.id).toSeq shouldBe Seq(1L) // only the PNG decodes to pixels
+    ph.head.phash_bits shouldBe Multimodal.hashBits(ph.head.phash)
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    feats.map(_.channels).toSeq shouldBe Seq(3, 2, 1) // png RGB, wav stereo, text
+    feats(0).content_hash shouldBe ph.head.phash // image branch: perceptual
+    val c = new java.util.zip.CRC32; c.update(txt)
+    feats(2).content_hash shouldBe c.getValue // fallback branch: byte CRC
+  }
+
+  test("near-identical images land within hamming 3 of each other") {
+    val base = Multimodal.decodePngPixels(1L,
+      Multimodal.synthPng(1L, 32, 32, 2, cellFn(9L))).get
+    val pert = Multimodal.decodePngPixels(2L,
+      Multimodal.synthPng(2L, 32, 32, 2, (bx, by) =>
+        if (bx == 0 && by == 0) (cellFn(9L)(0, 0) + 7) % 251 else cellFn(9L)(bx, by))).get
+    val ha = Multimodal.averageHash(32, 32, base.gray)
+    val hb = Multimodal.averageHash(32, 32, pert.gray)
+    java.lang.Long.bitCount(ha ^ hb) should be <= 3
+  }
+
   test("imageMeta runs partition-wise over a Dataset") {
     import spark.implicits._
     val media = spark.createDataset(Seq(
