@@ -54,6 +54,7 @@ object ExtensionQueries {
     stageOnce(ev, s"/tmp/graft_stream/${Staging.tag(dir)}")
     stageOnce(ev.unionByName(ev), s"/tmp/graft_stream_dup/${Staging.tag(dir)}")
     stageSessionSpool(s, dir)
+    stageUpsertSpool(s, dir)
   }
 
   /** Session gap shared by the batch and incremental sessionize queries. */
@@ -119,6 +120,45 @@ object ExtensionQueries {
       java.nio.file.Files.move(part.toPath, target.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // arrival order = slice order: the file source processes oldest-first
+      target.setLastModified(1600000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+    done.createNewFile()
+    tmp
+  }
+
+  /** Upsert spool: `nSlices` "import wave" files — slice i holds the
+    * events with event_id % nSlices == i, pre-deduped to ONE row per
+    * user_id (the max-(ts, event_id) row, so each file is a well-formed
+    * import batch with unique keys) — delivered in slice order via
+    * explicit mtimes. Cross-batch key overlap is the point: most users
+    * appear in several slices, so later batches UPDATE rows earlier
+    * batches created. Everything is a deterministic function of the
+    * events table, so a SQL oracle can replay both the final table and
+    * the created/updated split.
+    */
+  def stageUpsertSpool(s: SparkSession, dir: String, nSlices: Int = 4): String = {
+    val tmp = s"/tmp/graft_stream_upsert/${Staging.tag(dir)}_n$nSlices"
+    val done = new java.io.File(s"$tmp/_SPOOL_DONE")
+    if (done.exists()) return tmp
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    new java.io.File(tmp).mkdirs()
+    (0 until nSlices).foreach { i =>
+      val slice = ev.filter(col("event_id") % nSlices === i)
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+      val stage = s"$tmp/.stage_$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val parts = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"stageUpsertSpool: expected exactly 1 part file in $stage, found ${parts.length}")
+      val target = new java.io.File(tmp, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(parts.head.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       target.setLastModified(1600000000000L + i * 60000L)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     }
@@ -660,6 +700,50 @@ object ExtensionQueries {
       "graft_stream_enriched")
   }
 
+  /** Streaming incremental upsert (CDC-into-table): the upsert spool's
+    * files merged into a live parquet table one micro-batch at a time via
+    * the SAME Upsert.merge + writeSwap as the batch import. The oracle
+    * replays the end state from first principles: per user, the staged
+    * row of the LAST slice containing that user (slices are event_id %
+    * 4; each staged file keeps the max-(ts,event_id) row per user).
+    */
+  val streamUpsert = q("x_stream_upsert",
+    """WITH sliced AS (
+      |  SELECT event_id, ts, user_id, event_type, value, event_id % 4 AS slice,
+      |         row_number() OVER (PARTITION BY event_id % 4, user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |staged AS (SELECT * FROM sliced WHERE rn = 1),
+      |final AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY slice DESC) AS rn2
+      |  FROM staged)
+      |SELECT event_id, ts, user_id, event_type, value FROM final WHERE rn2 = 1""".stripMargin) {
+    (s, dir) =>
+    val spool = stageUpsertSpool(s, dir)
+    val table = s"/tmp/graft_stream_upsert_tbl/${Staging.tag(dir)}"
+    EventStreams.runUpsertOnce(s, spool, table, "user_id")
+    s.read.parquet(table)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** The created/updated split of the SAME incremental run, summed across
+    * micro-batches (a fresh run against its own table dir — counters are
+    * engine output, not a replay): a user's first slice creates, each
+    * later slice updates, so created = distinct users and updated =
+    * (slice,user) pairs minus created.
+    */
+  val streamUpsertCounters = q("x_stream_upsert_counters",
+    """WITH staged AS (SELECT DISTINCT event_id % 4 AS slice, user_id FROM events)
+      |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS created,
+      |       CAST(count(*) - count(DISTINCT user_id) AS BIGINT) AS updated
+      |FROM staged""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val spool = stageUpsertSpool(s, dir)
+    val table = s"/tmp/graft_stream_upsert_tbl/${Staging.tag(dir)}_counters"
+    val (created, updated) = EventStreams.runUpsertOnce(s, spool, table, "user_id")
+    Seq((created, updated)).toDF("created", "updated")
+  }
+
   val sessionize = q("x_sessionize",
     """WITH e AS (
       |  SELECT user_id, ts, event_id, value,
@@ -880,7 +964,7 @@ object ExtensionQueries {
     textChunks, textRepetition, sampleStratified, decontaminate,
     weightedMix, packSequences, asofJoin,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
-    streamSessionize,
+    streamSessionize, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalImageMeta, multimodalAudioMeta,
     multimodalPhash, dedupPhash,
   )

@@ -265,6 +265,53 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** CDC-into-table: run a file-source spool through `Upsert.merge` +
+    * `writeSwap` one micro-batch at a time — batch import semantics
+    * applied INCREMENTALLY, the canonical shape for a continuously
+    * imported content type (each arriving file updates-or-creates by
+    * `key` against the live table). Returns total (created, updated)
+    * summed across micro-batches: each batch's counters are snapshotted
+    * BEFORE its swap by `writeSwap`'s default, so the sum is the pre-swap
+    * truth per batch by construction.
+    *
+    * The result after the whole spool equals ONE batch merge of the
+    * concatenated files (last file wins per key) — the equivalence the
+    * `x_stream_upsert` oracle checks end-to-end.
+    *
+    * `tableDir` is deleted first: the run IS the table's history, so a
+    * leftover generation from an earlier run would corrupt both the
+    * content and the created/updated split.
+    */
+  def runUpsertOnce(spark: SparkSession, spoolDir: String, tableDir: String,
+      key: String): (Long, Long) = {
+    val dir = new java.io.File(tableDir)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    var created = 0L
+    var updated = 0L
+    val stream = spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(spoolDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val target =
+          if (new java.io.File(tableDir).exists()) spark.read.parquet(tableDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val r = graft.operators.Upsert.merge(target, batch.toDF(), key, upsert = true)
+        graft.operators.Upsert.writeSwap(spark, r, tableDir, snapshotCounters = true)
+        // the swap replaced files under the SAME path: drop any cached
+        // file listing so the next batch's read sees the new generation
+        spark.catalog.refreshByPath(tableDir)
+        created += r.created
+        updated += r.updated
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (created, updated)
+  }
+
   def sessionize(events: org.apache.spark.sql.Dataset[Event], gapMs: Long): DataFrame = {
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000

@@ -135,6 +135,36 @@ class EventStreamsSpec extends SparkSpec {
     inc(0).getAs[Long]("n_events") shouldBe 4L
   }
 
+  test("incremental upsert: per-batch merges equal one merge of the whole spool") {
+    // batch 1 creates users 1,2; batch 2 updates user 2 and creates user 3
+    val f1 = Seq(
+      EventStreams.Event(1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0),
+      EventStreams.Event(2L, ts("2024-01-01 00:01:00"), 2L, "a", 2.0))
+    val f2 = Seq(
+      EventStreams.Event(3L, ts("2024-01-01 01:00:00"), 2L, "b", 4.0),
+      EventStreams.Event(4L, ts("2024-01-01 01:01:00"), 3L, "b", 8.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_spool").toString
+    Seq(f1, f2).zipWithIndex.foreach { case (evs, i) =>
+      val stage = s"$dir/.stage_$i"
+      evs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(dir, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1600000000000L + i * 60000L)
+    }
+    val table = java.nio.file.Files.createTempDirectory("graft_upsert_tbl").toString + "/t"
+    val (created, updated) = EventStreams.runUpsertOnce(spark, dir, table, "user_id")
+    created shouldBe 3L
+    updated shouldBe 1L
+    val got = spark.read.parquet(table)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    // equals ONE merge of f1++f2 (last occurrence per user wins)
+    got shouldBe Seq((1L, 1L, "a", 1.0), (3L, 2L, "b", 4.0), (4L, 3L, "b", 8.0))
+  }
+
   test("windowed agg runs as a real stream (MemoryStream, update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
