@@ -146,6 +146,147 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(avg(col("__x")).as("mean"))
 
+  // --------------------------------------------- product quantization
+  /** Product-quantization ANN — the memory-bounded third leg beside brute
+    * force and IVF. Vectors are L2-normalized, split into `m` subvectors,
+    * and each subvector quantized to one of `ksub` per-subspace centroids
+    * (independent Lloyd k-means per subspace, all m subspaces trained in
+    * ONE set of Spark aggregations). A corpus vector is then `m` small
+    * codes instead of `dim` floats — at 100 TB the codes table is the
+    * only thing the query path scans (m bytes-ish per vector vs 4·dim).
+    *
+    * Query scoring is asymmetric distance computation: since the corpus
+    * is normalized, cosine(q, x) = Σⱼ dot(q̂ⱼ, x̂ⱼ) ≈ Σⱼ dot(q̂ⱼ,
+    * centroid[j, codeⱼ(x)]) — per query a lookup table of m·ksub partial
+    * dots (broadcast), and the corpus-side work is one map-side-combined
+    * sum over the codes, no vector arithmetic at all.
+    */
+
+  /** Squared L2 distance of two numeric array columns (in double). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Dot product of two numeric array columns (in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Explode (id, vec) into m L2-NORMALIZED subvector rows
+    * (`__id`, `__j`, `__sv`). The norm is a separate projection column so
+    * it is evaluated once per row, not once per element (Spark does not
+    * CSE duplicated subtrees inside one projection).
+    */
+  private def subspaces(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, sub: Int): DataFrame =
+    df.withColumn("__n", norm(qcol(vecCol)))
+      .select(qcol(idCol).cast("long").as("__id"),
+        inline(array((0 until m).map(j =>
+          struct(lit(j).as("__j"),
+            transform(slice(qcol(vecCol), j * sub + 1, sub),
+              x => x.cast("double") / col("__n")).as("__sv"))): _*)))
+
+  /** Nearest per-subspace centroid for every subvector row: broadcast
+    * m·ksub centroids, min-(distance, cid) struct via partial-aggregated
+    * min — no window, ties to the smallest cid.
+    */
+  private def assignPq(sv: DataFrame, centroids: DataFrame): DataFrame =
+    sv.join(broadcast(centroids), Seq("__j"))
+      .select(col("__id"), col("__j"), col("__sv"),
+        struct(l2sq(col("__sv"), col("centroid")).as("d"), col("__cid").as("cid")).as("__sc"))
+      .groupBy(col("__id"), col("__j"))
+      .agg(first(col("__sv")).as("__sv"), min(col("__sc")).as("__m"))
+      .select(col("__id"), col("__j"), col("__sv"),
+        col("__m").getField("cid").as("__code"))
+
+  /** Train per-subspace codebooks: deterministic init from the `ksub`
+    * lowest ids' own subvectors, then `iters` Lloyd rounds (assign via
+    * broadcast min-distance, update via per-(subspace, code, dim) mean —
+    * the same aggregation shape as `trainCentroids`, m codebooks at
+    * once). Returns (`__j`, `__cid`, `centroid`), localCheckpoint'ed
+    * (consumed by encoding AND every query LUT).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    val dim = corpus.select(size(qcol(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val sv = subspaces(corpus, idCol, vecCol, m, sub).localCheckpoint(eager = true)
+    val w0 = Window.partitionBy(col("__j")).orderBy(col("__id"))
+    var centroids = subspaces(corpus.orderBy(qcol(idCol)).limit(ksub),
+        idCol, vecCol, m, sub)
+      .withColumn("__rn", row_number().over(w0))
+      .select(col("__j"), (col("__rn") - 1).as("__cid"), col("__sv").as("centroid"))
+    var i = 0
+    while (i < iters) {
+      centroids = assignPq(sv, centroids)
+        .select(col("__j"), col("__code"), posexplode(col("__sv")).as(Seq("__pos", "__x")))
+        .groupBy(col("__j"), col("__code"), col("__pos"))
+        .agg(avg(col("__x")).as("__mn"))
+        .groupBy(col("__j"), col("__code"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__mn")))),
+          e => e("__mn")).as("centroid"))
+        .withColumnRenamed("__code", "__cid")
+      i += 1
+    }
+    centroids.localCheckpoint(eager = true)
+  }
+
+  /** Encode the corpus against trained codebooks: (`__id`, `__j`,
+    * `__code`) — m small integers per vector, the only corpus-side state
+    * the query path reads.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int, sub: Int): DataFrame =
+    assignPq(subspaces(corpus, idCol, vecCol, m, sub), centroids)
+      .select(col("__id"), col("__j"), col("__code"))
+
+  /** All approximate query↔corpus cosines via the ADC lookup table:
+    * (query_id, neighbor_id, cosine_pq), self-pairs excluded. The LUT
+    * (queries × m × ksub partial dots) is broadcast; corpus-side cost is
+    * one equi-join on (subspace, code) + a map-side-combined sum.
+    */
+  def pqScores(queries: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, codes: DataFrame, m: Int, sub: Int): DataFrame = {
+    val lut = subspaces(queries, idCol, vecCol, m, sub)
+      .join(broadcast(centroids), Seq("__j"))
+      .select(col("__id").as("query_id"), col("__j"), col("__cid").as("__code"),
+        dot(col("__sv"), col("centroid")).as("__p"))
+    codes.join(broadcast(lut), Seq("__j", "__code"))
+      .filter(col("query_id") =!= col("__id"))
+      .groupBy(col("query_id"), col("__id"))
+      .agg(sum(col("__p")).as("cosine_pq"))
+      .select(col("query_id"), col("__id").as("neighbor_id"), col("cosine_pq"))
+  }
+
+  /** PQ top-k: output shape matches bruteForceTopK (approximate results,
+    * `cosine_pq` = ADC-approximated cosine).
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      iters: Int = 2,
+  ): DataFrame = {
+    val dim = corpus.select(size(qcol(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val centroids = pqTrain(corpus, idCol, vecCol, m, ksub, iters)
+    val codes = pqEncode(corpus, idCol, vecCol, centroids, m, sub)
+    val scored = pqScores(queries, idCol, vecCol, centroids, codes, m, sub)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine_pq"), 4).as("cosine_pq"))
+  }
+
   /** IVF top-k: scan only the `nprobe` clusters nearest to each query.
     * Output shape matches bruteForceTopK (approximate results).
     */

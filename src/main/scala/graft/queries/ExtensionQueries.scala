@@ -280,6 +280,16 @@ object ExtensionQueries {
       nlist = 16, nprobe = 4)
   }
 
+  /** Product-quantization ANN (8 subspaces × 16 codes over the 64-dim
+    * embeddings): approximate ranks, so rows-only — quality is gated by
+    * the lossless-mechanics and error-band gates below.
+    */
+  val knnPq = qRowsOnly("x_knn_pq") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
+      m = 8, ksub = 16, iters = 2)
+  }
+
   /** Duplicate-cluster assembly: candidate pairs → connected components.
     * Planted topology per 10th doc: d—d+1e10, d—d+2e10, d+1e10—d+3e10
     * (a depth-2 chain from the minimum), so propagation must run more
@@ -338,6 +348,49 @@ object ExtensionQueries {
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
       .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
+  }
+
+  /** PQ mechanics gate (the quantization analog of the IVF full-probe
+    * gate): on a corpus of exactly ksub vectors, the deterministic init
+    * makes every subvector its own centroid and Lloyd keeps them there —
+    * quantization is LOSSLESS, so PQ's approximate cosine is the exact
+    * cosine and the top-k must equal brute force.
+    */
+  val knnPqRecall = q("x_knn_pq_recall", "SELECT true AS recall_ok") { (s, dir) =>
+    val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+    val queries = emb16.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb16, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity.pqTopK(queries, emb16, "vec_id", "embedding", 5,
+        m = 8, ksub = 16, iters = 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+      .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
+  }
+
+  /** PQ error-band gate: over every scored (query, corpus) pair, the
+    * ADC-approximated cosine must stay within a band of the exact cosine
+    * (measured on this corpus: avg ≈ 0.073–0.076 and max ≈ 0.31–0.39
+    * across sf0.001/0.01/0.1; bands give ~1.5× headroom — deterministic
+    * pipeline, so drift means a code change, not noise).
+    */
+  val knnPqErr = q("x_knn_pq_err", "SELECT true AS err_ok") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", centroids, m = 8, sub = 8)
+    val approx = Similarity.pqScores(queries, "vec_id", "embedding", centroids, codes,
+      m = 8, sub = 8)
+    val q_ = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("__qv"))
+    val exact = emb.select(col("vec_id").cast("long").as("neighbor_id"),
+        col("embedding").as("__cv"))
+      .join(broadcast(q_), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__qv"), col("__cv")).as("__c"))
+    approx.join(exact, Seq("query_id", "neighbor_id"))
+      .agg((avg(abs(col("cosine_pq") - col("__c"))) <= 0.12 &&
+        max(abs(col("cosine_pq") - col("__c"))) <= 0.6).as("err_ok"))
   }
 
   /** MinHash gate: planted near-variants (one appended token ⇒ jaccard ≈ 1)
@@ -958,8 +1011,9 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     dedupComponents,
-    knnBrute, knnIvf, embCentroids, corpusClean,
-    knnIvfRecall, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
+    knnBrute, knnIvf, knnPq, embCentroids, corpusClean,
+    knnIvfRecall, knnPqRecall, knnPqErr,
+    dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, sampleStratified, decontaminate,
     weightedMix, packSequences, asofJoin,

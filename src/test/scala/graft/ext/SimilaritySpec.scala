@@ -66,6 +66,39 @@ class SimilaritySpec extends SparkSpec {
     r.getAs[Int]("neg") shouldBe (~r.getAs[Int]("b") & 0xFF)
   }
 
+  test("pq with ksub = corpus size is lossless: equals brute force") {
+    // 5 vectors, ksub 5: init makes every subvector its own centroid and
+    // Lloyd keeps them (singleton cells), so ADC cosines are exact
+    val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
+      "vec_id", "embedding", 3).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    val pq = Similarity.pqTopK(corpus.filter($"vec_id" === 0), corpus,
+      "vec_id", "embedding", 3, m = 2, ksub = 5, iters = 1).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    pq shouldBe brute
+  }
+
+  test("pq codes: identical vectors share codes, ADC prefers the twin") {
+    val withTwin = corpus.unionByName(
+      Seq((10L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")) // copy of id 1
+    val centroids = Similarity.pqTrain(withTwin, "vec_id", "embedding", m = 2, ksub = 3, iters = 2)
+    val codes = Similarity.pqEncode(withTwin, "vec_id", "embedding", centroids, m = 2, sub = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // exact copies must quantize identically in every subspace
+    codes((1L, 0)) shouldBe codes((10L, 0))
+    codes((1L, 1)) shouldBe codes((10L, 1))
+    // and the twin must rank first for a query equal to it
+    val top = Similarity.pqTopK(withTwin.filter($"vec_id" === 10), withTwin,
+      "vec_id", "embedding", 1, m = 2, ksub = 3, iters = 2)
+      .select("neighbor_id").as[Long].collect()
+    top.head shouldBe 1L
+  }
+
+  test("pq requires dim divisible by m") {
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.pqTopK(corpus, corpus, "vec_id", "embedding", 3, m = 3)
+  }
+
   test("ivf with full probes matches brute force on tiny corpus") {
     val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
       "vec_id", "embedding", 3).orderBy("rank")
