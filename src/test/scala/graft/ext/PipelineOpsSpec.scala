@@ -65,6 +65,28 @@ class PipelineOpsSpec extends SparkSpec {
     val got = Dedup.connectedComponents(nodesDf, "id", edgesDf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got shouldBe expected
+    // the star-contraction form must produce the identical labeling
+    val star = Dedup.starContractComponents(nodesDf, "id", edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    star shouldBe expected
+  }
+
+  test("star contraction: path longer than maxIter converges via the fallback") {
+    val n = 64L // path 0—1—…—63: diameter 63, far past maxIter 5
+    val nodesDf = (0L until n).toDF("id")
+    val edgesDf = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val viaFallback = Dedup.connectedComponents(nodesDf, "id", edgesDf, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaFallback shouldBe (0L until n).map(_ -> 0L).toMap
+    // strict mode still refuses instead of returning partial labels
+    an[IllegalStateException] should be thrownBy
+      Dedup.connectedComponents(nodesDf, "id", edgesDf, maxIter = 5, starFallback = false)
+    // isolated nodes self-label through the fallback path too
+    val nodes2 = ((0L until n) ++ Seq(200L)).toDF("id")
+    val star = Dedup.starContractComponents(nodes2, "id", edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    star(200L) shouldBe 200L
+    star(63L) shouldBe 0L
   }
 
   test("packSequences: spanning docs, empty docs, exact boundary arithmetic") {
