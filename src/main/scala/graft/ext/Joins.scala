@@ -42,8 +42,15 @@ object Joins {
     * last — nondeterministic run to run. Pass `rightTiebreak` columns
     * forming a total order over such duplicates (e.g. a snapshot id) to
     * pin the winner: the GREATEST tiebreak value wins.
+    *
+    * `tolerance` caps staleness (the point-in-time feature-lookup rule
+    * "use the latest snapshot, but never one older than X"): a matched
+    * snapshot with `rightTs < leftTs - tolerance` yields NULL payload —
+    * the match is still the LATEST snapshot (never an older in-window
+    * one), it is just refused when too stale. Pass an interval (for
+    * timestamp ts) or numeric difference (for numeric ts).
     */
-  private val Reserved = Set("__k", "__ts", "__side", "__l", "__r", "__m")
+  private val Reserved = Set("__k", "__ts", "__side", "__l", "__r", "__m", "__rts")
 
   def asofJoin(
       left: DataFrame,
@@ -54,6 +61,7 @@ object Joins {
       rightTs: Column,
       payloadCols: Seq[String],
       rightTiebreak: Seq[Column] = Nil,
+      tolerance: Option[Column] = None,
   ): DataFrame = {
     val bad = (left.columns ++ right.columns)
       .filter(c => Reserved(c) || c.startsWith("__tb")).distinct
@@ -69,8 +77,10 @@ object Joins {
     val tb = rightTiebreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }
     val r = right
       .filter(rightKey.isNotNull && rightTs.isNotNull)
-      .select(Seq(rightKey.as("__k"), rightTs.as("__ts"),
-        lit(0).as("__side"), struct(payloadCols.map(col): _*).as("__r")) ++ tb: _*)
+      .select(Seq(rightKey.as("__k"), rightTs.as("__ts"), lit(0).as("__side"),
+        // the snapshot's own ts rides inside the payload struct so the
+        // staleness test can read it after the window carry
+        struct(payloadCols.map(col) :+ rightTs.as("__rts"): _*).as("__r")) ++ tb: _*)
     val u = l.unionByName(r, allowMissingColumns = true)
     // left rows carry null __tb*: irrelevant to the order because __side
     // already separates sides, and ties among left rows need no breaking
@@ -79,8 +89,13 @@ object Joins {
       .orderBy(Seq(col("__ts"), col("__side")) ++
         rightTiebreak.indices.map(i => col(s"__tb$i")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = tolerance match {
+      case Some(tol) => col("__m").getField("__rts") >= col("__ts") - tol
+      case None => lit(true)
+    }
     u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__l.*") +: payloadCols.map(c => col("__m").getField(c).as(c)): _*)
+      .select(col("__l.*") +:
+        payloadCols.map(c => when(fresh, col("__m").getField(c)).as(c)): _*)
   }
 }

@@ -753,6 +753,30 @@ object ExtensionQueries {
       "graft_stream_enriched")
   }
 
+  /** AS-OF with a staleness cap: the point-in-time lookup refuses the
+    * latest snapshot when it is older than the tolerance (feature-store
+    * semantics — stale features are worse than missing ones). Oracle is
+    * DuckDB's native ASOF plus the explicit staleness filter.
+    */
+  val asofTolerance = q("x_asof_tolerance",
+    """WITH snap AS (
+      |  SELECT o_custkey AS k, o_orderdate AS sts,
+      |         round(sum(o_totalprice), 2) AS snap_total
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id,
+      |       CASE WHEN s.sts >= e.ts - INTERVAL 8600 DAY THEN s.snap_total END AS snap_total
+      |FROM events e ASOF LEFT JOIN snap s ON e.user_id = s.k AND e.ts >= s.sts""".stripMargin) {
+    (s, dir) =>
+      val snap = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(round(sum(col("o_totalprice")), 2).as("snap_total"))
+      val events = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      graft.ext.Joins.asofJoin(events, col("user_id"), col("ts"),
+          snap, col("o_custkey"), col("o_orderdate"), Seq("snap_total"),
+          tolerance = Some(expr("INTERVAL 8600 DAYS")))
+        .select(col("event_id"), col("user_id"), col("snap_total"))
+  }
+
   /** Streaming incremental upsert (CDC-into-table): the upsert spool's
     * files merged into a live parquet table one micro-batch at a time via
     * the SAME Upsert.merge + writeSwap as the batch import. The oracle
@@ -1016,7 +1040,7 @@ object ExtensionQueries {
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, sampleStratified, decontaminate,
-    weightedMix, packSequences, asofJoin,
+    weightedMix, packSequences, asofJoin, asofTolerance,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalImageMeta, multimodalAudioMeta,

@@ -153,6 +153,19 @@ class PipelineOpsSpec extends SparkSpec {
     zeros shouldBe Seq(0L, 0L)
   }
 
+  test("asofJoin tolerance: stale matches null out, fresh ones survive") {
+    val events = Seq((10L, 1L, 10L), (11L, 1L, 6L)).toDF("eid", "k", "t")
+    val snaps = Seq((1L, 5L, "A"), (1L, 8L, "B")).toDF("k2", "t2", "v")
+    def run(tol: Long) =
+      Joins.asofJoin(events, col("k"), col("t"), snaps, col("k2"), col("t2"),
+          Seq("v"), tolerance = Some(lit(tol)))
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    // tol 2: event@10 matched B@8 (10-8 ≤ 2 fresh); event@6 matched A@5 fresh
+    run(2L) shouldBe Map(10L -> Some("B"), 11L -> Some("A"))
+    // tol 1: B@8 is 2 stale for event@10 → null; A@5 still fresh for event@6
+    run(1L) shouldBe Map(10L -> None, 11L -> Some("A"))
+  }
+
   test("weightedMix: full rate keeps stratum, zero rate and absent strata drop") {
     val df = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val kept = Sampling.weightedMix(df, col("src"), col("id"),
