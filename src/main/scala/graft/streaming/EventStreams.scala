@@ -288,6 +288,20 @@ object EventStreams {
     if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
     var created = 0L
     var updated = 0L
+    // per-batch merges are small (one spool file vs the live table); the
+    // session-wide analytics shuffle width just multiplies task overhead
+    // across batches — narrow it for this self-contained run (same knob
+    // as runSessionizeOnce; a real deployment sets its own width once)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try runUpsertStream(spark, spoolDir, tableDir, key,
+      (c, u) => { created += c; updated += u })
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    (created, updated)
+  }
+
+  private def runUpsertStream(spark: SparkSession, spoolDir: String, tableDir: String,
+      key: String, onBatch: (Long, Long) => Unit): Unit = {
     val stream = spark.readStream
       .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
       .option("maxFilesPerTrigger", "1")
@@ -303,13 +317,11 @@ object EventStreams {
         // the swap replaced files under the SAME path: drop any cached
         // file listing so the next batch's read sees the new generation
         spark.catalog.refreshByPath(tableDir)
-        created += r.created
-        updated += r.updated
+        onBatch(r.created, r.updated)
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    (created, updated)
   }
 
   def sessionize(events: org.apache.spark.sql.Dataset[Event], gapMs: Long): DataFrame = {

@@ -62,12 +62,15 @@ class TextAnalysisSpec extends SparkSpec {
     r.getAs[Long]("hx") should not be r.getAs[Long]("hz")
   }
 
-  test("multimodal stub decode: deterministic features, frames partition bytes") {
+  test("multimodal text decode: fallback features, frames partition bytes") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val feats = Multimodal.extractFeatures(media).collect().sortBy(_.id)
     feats(0).byte_len shouldBe 11L
-    feats(0).channels shouldBe (11 % 4) + 1
+    feats(0).channels shouldBe 1 // no PNG/WAV signature: fallback branch
+    val crc = new java.util.zip.CRC32
+    crc.update("hello world".getBytes("UTF-8"))
+    feats(0).content_hash shouldBe crc.getValue
     feats(1).byte_len shouldBe 0L
     val frames = Multimodal.sampleFrames(media, 4).collect()
     frames.count(_.getAs[Long]("id") == 1L) shouldBe 4
