@@ -44,13 +44,19 @@ object Multimodal {
 
   /** Real feature extraction, dispatching on what the payload decodes as:
     * PNG pixels → (color channels, perceptual hash); WAV → (fmt channels,
-    * byte CRC); anything else → (1, byte CRC).
+    * byte CRC); anything else → (1, byte CRC). A PNG too small for the
+    * 8×8 hash grid (tracking pixels are legitimate corpus content) keeps
+    * its decoded channel count and falls back to the CRC fingerprint —
+    * never a throw.
     */
   private def decodeFeatures(m: MediaRow): MediaFeatures =
     decodePngPixels(m.id, m.bytes) match {
-      case Some(img) =>
+      case Some(img) if img.width >= 8 && img.height >= 8 =>
         MediaFeatures(m.id, m.modality, m.bytes.length.toLong,
           img.channels, averageHash(img.width, img.height, img.gray))
+      case Some(img) =>
+        MediaFeatures(m.id, m.modality, m.bytes.length.toLong,
+          img.channels, crc32(m.bytes))
       case None =>
         val ch = decodeWav(m.id, m.bytes).map(_.channels).getOrElse(1)
         MediaFeatures(m.id, m.modality, m.bytes.length.toLong, ch, crc32(m.bytes))
@@ -243,7 +249,9 @@ object Multimodal {
     var sawEnd = false
     while (!sawEnd && i + 12 <= b.length) {
       val len = be32(i)
-      if (len < 0 || i + 12 + len > b.length) return None // truncated chunk
+      // Long arithmetic: a crafted ~2^31 length would wrap the Int sum
+      // past the bound check and crash the CRC read instead of returning
+      if (len < 0 || i.toLong + 12 + len > b.length) return None // truncated chunk
       val tag = new String(b, i + 4, 4, "US-ASCII")
       val crc = new java.util.zip.CRC32
       crc.update(b, i + 4, 4 + len)
@@ -264,8 +272,13 @@ object Multimodal {
     }
     if (!sawEnd || w <= 0 || h <= 0 || idat.size == 0) return None
     val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    // declared-dimension sanity cap BEFORE allocating: a few hundred
+    // crafted bytes must not become a negative-size throw (Int overflow
+    // of (1+stride)*h) or a multi-GB allocation on an executor
+    val rawLen = (1L + w.toLong * bpp) * h
+    if (rawLen > (1L << 28)) return None // > 256 MiB declared: refuse
     val stride = w * bpp
-    val raw = new Array[Byte]((1 + stride) * h)
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -379,15 +392,17 @@ object Multimodal {
   }
 
   /** Partition-wise perceptual hashing; payloads that don't decode as
-    * supported PNGs drop.
+    * supported PNGs — or are smaller than the 8×8 hash grid — drop.
     */
   def imagePhash(media: Dataset[MediaRow]): Dataset[ImagePhash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
-      decodePngPixels(m.id, m.bytes).map { img =>
-        val hash = averageHash(img.width, img.height, img.gray)
-        ImagePhash(m.id, img.width, img.height, hash, hashBits(hash))
-      }
+      decodePngPixels(m.id, m.bytes)
+        .filter(img => img.width >= 8 && img.height >= 8)
+        .map { img =>
+          val hash = averageHash(img.width, img.height, img.gray)
+          ImagePhash(m.id, img.width, img.height, hash, hashBits(hash))
+        }
     })
   }
 

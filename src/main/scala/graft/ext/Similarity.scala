@@ -200,22 +200,18 @@ object Similarity {
       .select(col("__id"), col("__j"), col("__sv"),
         col("__m").getField("cid").as("__code"))
 
-  /** Train per-subspace codebooks: deterministic init from the `ksub`
-    * lowest ids' own subvectors, then `iters` Lloyd rounds (assign via
-    * broadcast min-distance, update via per-(subspace, code, dim) mean —
-    * the same aggregation shape as `trainCentroids`, m codebooks at
-    * once). Returns (`__j`, `__cid`, `centroid`), localCheckpoint'ed
-    * (consumed by encoding AND every query LUT).
+  /** Train per-subspace codebooks over a prebuilt (checkpointed)
+    * subspace frame: deterministic init from the `ksub` lowest ids' own
+    * subvectors, then `iters` Lloyd rounds (assign via broadcast
+    * min-distance, update via per-(subspace, code, dim) mean — the same
+    * aggregation shape as `trainCentroids`, m codebooks at once).
+    * Returns (`__j`, `__cid`, `centroid`), localCheckpoint'ed (consumed
+    * by encoding AND every query LUT).
     */
-  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iters: Int = 2): DataFrame = {
-    val dim = corpus.select(size(qcol(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    val sub = dim / m
-    val sv = subspaces(corpus, idCol, vecCol, m, sub).localCheckpoint(eager = true)
+  private def pqTrainSv(sv: DataFrame, ksub: Int, iters: Int): DataFrame = {
     val w0 = Window.partitionBy(col("__j")).orderBy(col("__id"))
-    var centroids = subspaces(corpus.orderBy(qcol(idCol)).limit(ksub),
-        idCol, vecCol, m, sub)
+    val initIds = sv.select(col("__id")).distinct().orderBy(col("__id")).limit(ksub)
+    var centroids = sv.join(broadcast(initIds), Seq("__id"))
       .withColumn("__rn", row_number().over(w0))
       .select(col("__j"), (col("__rn") - 1).as("__cid"), col("__sv").as("centroid"))
     var i = 0
@@ -231,6 +227,37 @@ object Similarity {
       i += 1
     }
     centroids.localCheckpoint(eager = true)
+  }
+
+  /** Standalone codebook training (see `pqTrainSv`); prefer `pqModel`
+    * when codes are also needed — it shares ONE subspace pass between
+    * training and encoding.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    val dim = corpus.select(size(qcol(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    pqTrainSv(subspaces(corpus, idCol, vecCol, m, dim / m)
+      .localCheckpoint(eager = true), ksub, iters)
+  }
+
+  /** Trained PQ state: codebooks + corpus codes + geometry. */
+  final case class PqModel(centroids: DataFrame, codes: DataFrame, m: Int, sub: Int)
+
+  /** Build codebooks AND corpus codes with ONE dim probe and ONE
+    * normalized-subspace pass over the corpus (checkpointed, shared by
+    * every Lloyd round and the final encode) — the full-corpus work of a
+    * PQ index build happens exactly once.
+    */
+  def pqModel(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2): PqModel = {
+    val dim = corpus.select(size(qcol(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val sv = subspaces(corpus, idCol, vecCol, m, sub).localCheckpoint(eager = true)
+    val centroids = pqTrainSv(sv, ksub, iters)
+    val codes = assignPq(sv, centroids).select(col("__id"), col("__j"), col("__code"))
+    PqModel(centroids, codes, m, sub)
   }
 
   /** Encode the corpus against trained codebooks: (`__id`, `__j`,
@@ -273,12 +300,9 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 2,
   ): DataFrame = {
-    val dim = corpus.select(size(qcol(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    val sub = dim / m
-    val centroids = pqTrain(corpus, idCol, vecCol, m, ksub, iters)
-    val codes = pqEncode(corpus, idCol, vecCol, centroids, m, sub)
-    val scored = pqScores(queries, idCol, vecCol, centroids, codes, m, sub)
+    val model = pqModel(corpus, idCol, vecCol, m, ksub, iters)
+    val scored = pqScores(queries, idCol, vecCol, model.centroids, model.codes,
+      model.m, model.sub)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_pq").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -156,6 +156,13 @@ object Upsert {
     merged.write.mode("overwrite").parquet(tmp)
     val dir = Paths.get(tableDir)
     val bak = Paths.get(tableDir + ".bak")
+    if (Files.exists(bak)) {
+      // a crash between the two moves of an earlier swap leaves a stale
+      // .bak; ATOMIC_MOVE onto a non-empty directory would fail, wedging
+      // every later swap of this table — clear it first
+      import scala.jdk.CollectionConverters._
+      Files.walk(bak).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    }
     if (Files.exists(dir)) {
       Files.move(dir, bak, StandardCopyOption.ATOMIC_MOVE)
     }

@@ -106,25 +106,29 @@ object ExtensionQueries {
             .toDF("event_id", "ts", "user_id", "event_type", "value")
             .withColumn("ts", timestamp_micros(lit(ts)))
         }
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val stage = s"$tmp/.stage_$i"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val parts = new java.io.File(stage).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      // coalesce(1) must yield exactly one part — a second one would be
-      // silently dropped and the spool would lose events
-      require(parts.length == 1,
-        s"stageSessionSpool: expected exactly 1 part file in $stage, found ${parts.length}")
-      val part = parts.head
-      val target = new java.io.File(tmp, f"spool_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, target.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // arrival order = slice order: the file source processes oldest-first
-      target.setLastModified(1600000000000L + i * 60000L)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
-    }
+    slices.zipWithIndex.foreach { case (df, i) => stageSpoolFile(df, tmp, i) }
     done.createNewFile()
     tmp
+  }
+
+  /** Write one spool slice as a single parquet file `spool_NNN.parquet`
+    * under `tmp`, with mtime = slice order (the file source processes
+    * oldest-first, so arrival order IS slice order). coalesce(1) must
+    * yield exactly one part — a second one would be silently dropped and
+    * the spool would lose events.
+    */
+  private def stageSpoolFile(df: org.apache.spark.sql.DataFrame, tmp: String, i: Int): Unit = {
+    val stage = s"$tmp/.stage_$i"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    require(parts.length == 1,
+      s"stageSpoolFile: expected exactly 1 part file in $stage, found ${parts.length}")
+    val target = new java.io.File(tmp, f"spool_$i%03d.parquet")
+    java.nio.file.Files.move(parts.head.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target.setLastModified(1600000000000L + i * 60000L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
   }
 
   /** Upsert spool: `nSlices` "import wave" files — slice i holds the
@@ -150,17 +154,7 @@ object ExtensionQueries {
         .withColumn("__rn", row_number().over(Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)))
         .filter(col("__rn") === 1).drop("__rn")
-      val stage = s"$tmp/.stage_$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(stage)
-      val parts = new java.io.File(stage).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      require(parts.length == 1,
-        s"stageUpsertSpool: expected exactly 1 part file in $stage, found ${parts.length}")
-      val target = new java.io.File(tmp, f"spool_$i%03d.parquet")
-      java.nio.file.Files.move(parts.head.toPath, target.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      target.setLastModified(1600000000000L + i * 60000L)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+      stageSpoolFile(slice, tmp, i)
     }
     done.createNewFile()
     tmp
@@ -377,10 +371,9 @@ object ExtensionQueries {
   val knnPqErr = q("x_knn_pq_err", "SELECT true AS err_ok") { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
-    val centroids = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
-    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", centroids, m = 8, sub = 8)
-    val approx = Similarity.pqScores(queries, "vec_id", "embedding", centroids, codes,
-      m = 8, sub = 8)
+    val model = Similarity.pqModel(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    val approx = Similarity.pqScores(queries, "vec_id", "embedding",
+      model.centroids, model.codes, model.m, model.sub)
     val q_ = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").as("__qv"))
     val exact = emb.select(col("vec_id").cast("long").as("neighbor_id"),

@@ -148,6 +148,47 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.decodePngPixels(1L, Array.emptyByteArray) shouldBe None
   }
 
+  private def pngChunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val body = tag.getBytes("US-ASCII") ++ payload
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    be32(payload.length) ++ body ++ be32(crc.getValue.toInt)
+  }
+
+  test("hostile PNGs degrade to None: huge chunk length, huge declared dims") {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    // chunk length near Int.MaxValue: the bound check must not overflow
+    // into accepting it and then crash the CRC read
+    val hugeLen = sig ++ Array[Byte](0x7f, -1, -1, 0x74) ++
+      "IHDR".getBytes("US-ASCII") ++ new Array[Byte](32)
+    Multimodal.decodePngPixels(1L, hugeLen) shouldBe None
+    // structurally valid PNG (real CRCs) declaring 2^30 x 4 pixels: the
+    // raw-size cap must refuse BEFORE allocating, not throw
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val bigDims = sig ++
+      pngChunk("IHDR", be32(0x40000000) ++ be32(4) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      pngChunk("IDAT", Array[Byte](1, 2, 3)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    Multimodal.decodePngPixels(1L, bigDims) shouldBe None
+  }
+
+  test("valid PNG smaller than the 8x8 hash grid falls back, never throws") {
+    val tiny = Multimodal.synthPng(1L, 4, 4, 2, (_, _) => 100) // real 4x4 PNG
+    Multimodal.decodePngPixels(1L, tiny).isDefined shouldBe true
+    import spark.implicits._
+    val media = spark.createDataset(Seq(Multimodal.MediaRow(1L, tiny, "image", "png")))
+    // too small to hash: dropped from the phash surface...
+    Multimodal.imagePhash(media).collect() shouldBe empty
+    // ...but features keep the decoded channel count with the CRC fallback
+    val f = Multimodal.extractFeatures(media).collect().head
+    f.channels shouldBe 3
+    val crc = new java.util.zip.CRC32; crc.update(tiny)
+    f.content_hash shouldBe crc.getValue
+  }
+
   test("imagePhash + extractFeatures dispatch run partition-wise") {
     import spark.implicits._
     val png = Multimodal.synthPng(1L, 16, 16, 2, cellFn(1L))
