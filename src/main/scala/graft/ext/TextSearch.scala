@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** Keyword retrieval over the documents table: BM25 (Robertson/Walker,
+  * the TREC-standard probabilistic ranking function) as a distributed
+  * inverted-index join — the lexical leg of the search surface beside
+  * the embedding ANN in [[Similarity]].
+  *
+  * Scale shape: the QUERY VOCABULARY is broadcast and applied to the
+  * token stream BEFORE the term-frequency aggregation, so the only
+  * corpus-wide shuffle carries (doc, query-term) rows — postings for
+  * terms nobody asked about never leave the scan. Document length rides
+  * the exploded rows (no second join against a lengths table); corpus
+  * stats (N, average length) are a one-row broadcast cross join, so the
+  * whole computation is one declarative plan with no driver-side state.
+  */
+object TextSearch {
+
+  /** BM25 score for every (query, document) pair sharing at least one
+    * term: (`query_id`, `doc_id`, `score`). Query terms are de-duplicated
+    * (BM25 treats the query as a set). Documents with zero tokens score
+    * nothing but still count toward N and the average length.
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    val toks = docs.select(qcol(idCol).cast("long").as("__d"),
+      TextAnalysis.tokens(qcol(textCol)).as("__t"))
+    // two column-pruned corpus passes: token stream + 2-scalar stats
+    val stats = toks.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__t"))).as("__avg"))
+    val qterms = queries.select(qcol(qidCol).cast("long").as("__q"),
+      explode(TextAnalysis.tokens(qcol(qtextCol))).as("__term")).distinct()
+    val vocab = qterms.select(col("__term")).distinct()
+    // query-vocabulary semi-join BELOW the tf aggregation: only matching
+    // tokens shuffle; length rides along (first() per (doc, term))
+    val posts = toks
+      .select(col("__d"), size(col("__t")).cast("double").as("__len"),
+        explode(col("__t")).as("__term"))
+      .join(broadcast(vocab), Seq("__term"))
+      .groupBy(col("__d"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__len")).as("__len"))
+    // document frequency per query term (bounded by the query vocabulary)
+    val dfreq = posts.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    posts
+      .join(broadcast(qterms), Seq("__term"))
+      .join(broadcast(dfreq), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * (k1 + 1) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / col("__avg"))))
+      .groupBy(col("__q"), col("__d"))
+      .agg(sum(col("__s")).as("score"))
+      .select(col("__q").as("query_id"), col("__d").as("doc_id"), col("score"))
+  }
+
+  /** Top-k BM25 results per query: (`query_id`, `rank`, `doc_id`,
+    * `score`), ties broken by doc id.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+}

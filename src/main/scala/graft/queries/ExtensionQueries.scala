@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis, TextSearch}
 import graft.streaming.EventStreams
 
 /** Queries for the large-scale pipeline extensions (SURVEY §7.2 M9):
@@ -861,6 +861,40 @@ object ExtensionQueries {
         col("n_events"), round(col("total_value"), 2).as("total_value"))
   }
 
+  /** BM25 keyword retrieval (k1=1.2, b=0.75) for three fixed queries over
+    * the documents table — the lexical-search leg beside embedding ANN.
+    * The oracle replays the whole scoring pipeline (tokenize → query-term
+    * postings → df → idf → per-term score → per-doc sum) in SQL; the
+    * scored SET is compared (no rank column), so near-tie float ordering
+    * cannot flake the hash while tf/idf/length arithmetic stays fully
+    * gated.
+    */
+  val textBm25 = q("x_text_bm25",
+    """WITH q(qid, qtext) AS (VALUES (0, 'window merge scan'),
+      |                             (1, 'fast customer join'),
+      |                             (2, 'stream batch value')),
+      |toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') t
+      |         FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(CAST(len(t) AS DOUBLE)) avg_len FROM toks),
+      |qterms AS (SELECT DISTINCT qid, unnest(list_filter(string_split_regex(lower(trim(qtext)), '\W+'), x -> x <> '')) term
+      |           FROM q),
+      |posts AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf, CAST(any_value(len) AS DOUBLE) len
+      |          FROM (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks)
+      |          WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM posts GROUP BY 1)
+      |SELECT qt.qid AS query_id, p.doc_id,
+      |       round(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * p.tf * 2.2 /
+      |                 (p.tf + 1.2 * (0.25 + 0.75 * p.len / s.avg_len))), 4) AS score
+      |FROM posts p JOIN qterms qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+      (2L, "stream batch value")).toDF("qid", "qtext")
+    TextSearch.bm25Scores(Tables.documents(s, dir), "doc_id", "text",
+        queries, "qid", "qtext")
+      .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
   // -------------------------------------------------------- multimodal
   /** Feature extraction over text payloads: the real decoder dispatch
     * (no PNG/WAV signature → 1 channel). content_hash (CRC32) is dropped
@@ -1032,7 +1066,7 @@ object ExtensionQueries {
     knnIvfRecall, knnPqRecall, knnPqErr,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
-    textChunks, textRepetition, sampleStratified, decontaminate,
+    textChunks, textRepetition, textBm25, sampleStratified, decontaminate,
     weightedMix, packSequences, asofJoin, asofTolerance,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize, streamUpsert, streamUpsertCounters,
