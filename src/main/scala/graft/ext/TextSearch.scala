@@ -68,7 +68,10 @@ object TextSearch {
   }
 
   /** Top-k BM25 results per query: (`query_id`, `rank`, `doc_id`,
-    * `score`), ties broken by doc id.
+    * `score`). Ranking orders by the score ROUNDED to 4 decimals (then
+    * doc id): last-ulp differences from summation order collapse into
+    * the deterministic doc-id tiebreak, so the ranking is reproducible
+    * across engines/runs instead of hostage to float addition order.
     */
   def bm25TopK(
       docs: DataFrame,
@@ -82,11 +85,39 @@ object TextSearch {
       b: Double = 0.75,
   ): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(round(col("score"), 4).desc, col("doc_id"))
     bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol, k1, b)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 4).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher): combine several
+    * per-query rankings — e.g. BM25 and embedding k-NN, the standard
+    * hybrid-retrieval pair — into one, scoring each doc Σᵣ 1/(k0+rank).
+    * Rank-based, so the rankers' score scales never need calibrating;
+    * a doc missing from one ranking simply contributes nothing there.
+    *
+    * Inputs: frames of (`query_id`, `doc_id`, `rank`); output
+    * (`query_id`, `rank`, `doc_id`, `rrf_score`) capped at `k`, ties by
+    * doc id. Each fused sum has one term per ranker (≤ a handful), so
+    * the float sum is order-insensitive in practice and the ranking
+    * deterministic.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val scored = rankings
+      .map(_.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(k0) + col("rank"))).as("__rrf")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__rrf")).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf_score"), 6).as("rrf_score"))
   }
 }

@@ -85,5 +85,36 @@ object AnalyticsQueries {
         .select((col("max_err") <= 0.05).as("within_5pct"))
   }
 
-  val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot, approxDistinctGate)
+  /** percentile_approx rank-error gate (the quantile analog of the HLL
+    * gate above): the sketch's answer must sit within 2/accuracy of the
+    * target RANK — the guarantee Spark's QuantileSummaries documents.
+    * The approximate VALUE can't be oracle-matched (DuckDB's sketch
+    * differs), but the rank bound is engine-independent: rank(v) is
+    * counted exactly, two-sided (count< and count≤ bracket the target,
+    * so duplicates can't fake a failure). At 100 TB the sketch is the
+    * affordable quantile; this keeps its error visible to CORRECTNESS.
+    */
+  val approxQuantileGate = q("x_approx_quantile_gate", "SELECT true AS rank_ok") {
+    (s, dir) =>
+      val v = Tables.lineitem(s, dir).select(col("l_extendedprice").cast("double").as("v"))
+      val qs = Seq(0.5, 0.9, 0.99)
+      val acc = 1000
+      val eps = 2.0 / acc // documented bound is 1/acc; 2× headroom
+      // 3 approximate values — a bounded driver read, like a dim probe
+      val a = v.agg(percentile_approx(col("v"), typedLit(qs), lit(acc)).as("a"))
+        .head().getSeq[Double](0)
+      val checks = qs.zipWithIndex.flatMap { case (_, i) =>
+        Seq(sum(when(col("v") < a(i), 1L).otherwise(0L)).as(s"lo$i"),
+          sum(when(col("v") <= a(i), 1L).otherwise(0L)).as(s"hi$i"))
+      }
+      val r = v.agg(count(lit(1)).as("n"), checks: _*)
+      val n = col("n").cast("double")
+      val ok = qs.zipWithIndex.map { case (q, i) =>
+        (col(s"hi$i") >= (lit(q) - eps) * n) && (col(s"lo$i") <= (lit(q) + eps) * n)
+      }.reduce(_ && _)
+      r.select(ok.as("rank_ok"))
+  }
+
+  val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot, approxDistinctGate,
+    approxQuantileGate)
 }

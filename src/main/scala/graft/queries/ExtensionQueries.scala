@@ -895,6 +895,68 @@ object ExtensionQueries {
       .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Hybrid retrieval: BM25 lexical ranks fused with embedding-cosine
+    * ranks by reciprocal-rank fusion (1/(60+rank), the standard
+    * score-scale-free combiner). Query q fuses text query q's BM25
+    * top-20 with vector q's k-NN top-20 (documents and embeddings share
+    * the id space). The oracle replays BOTH rankers and the fusion —
+    * rank parity is safe because BM25 ranks order by the ROUNDED score
+    * (ulp noise collapses into the doc-id tiebreak) and fused sums have
+    * ≤ 2 terms (order-exact float addition).
+    */
+  val hybridRrf = q("x_hybrid_rrf",
+    """WITH q(qid, qtext) AS (VALUES (0, 'window merge scan'),
+      |                             (1, 'fast customer join'),
+      |                             (2, 'stream batch value')),
+      |toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') t
+      |         FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(CAST(len(t) AS DOUBLE)) avg_len FROM toks),
+      |qterms AS (SELECT DISTINCT qid, unnest(list_filter(string_split_regex(lower(trim(qtext)), '\W+'), x -> x <> '')) term
+      |           FROM q),
+      |posts AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf, CAST(any_value(len) AS DOUBLE) len
+      |          FROM (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks)
+      |          WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM posts GROUP BY 1),
+      |bscore AS (
+      |  SELECT qt.qid, p.doc_id,
+      |         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * p.tf * 2.2 /
+      |             (p.tf + 1.2 * (0.25 + 0.75 * p.len / s.avg_len))) score
+      |  FROM posts p JOIN qterms qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
+      |  GROUP BY 1, 2),
+      |b20 AS (SELECT qid, doc_id, rnk FROM (
+      |          SELECT qid, doc_id,
+      |                 row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id) rnk
+      |          FROM bscore) WHERE rnk <= 20),
+      |kq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |kscored AS (
+      |  SELECT kq.qid, e.vec_id AS doc_id,
+      |         list_cosine_similarity(CAST(kq.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) c
+      |  FROM kq, embeddings e WHERE e.vec_id <> kq.qid),
+      |k20 AS (SELECT qid, doc_id, rnk FROM (
+      |          SELECT qid, doc_id,
+      |                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, doc_id) rnk
+      |          FROM kscored) WHERE rnk <= 20),
+      |fused AS (SELECT qid, doc_id, sum(1.0 / (60 + rnk)) rrf
+      |          FROM (SELECT * FROM b20 UNION ALL SELECT * FROM k20) GROUP BY 1, 2)
+      |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+      |       round(rrf, 6) AS rrf_score
+      |FROM (SELECT qid, doc_id, rrf,
+      |             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) rank
+      |      FROM fused)
+      |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+      (2L, "stream batch value")).toDF("qid", "qtext")
+    val bm25 = TextSearch.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        queries, "qid", "qtext", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(s, dir)
+    val knn = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb,
+        "vec_id", "embedding", 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    TextSearch.rrfFuse(Seq(bm25, knn), k = 10)
+  }
+
   // -------------------------------------------------------- multimodal
   /** Feature extraction over text payloads: the real decoder dispatch
     * (no PNG/WAV signature → 1 channel). content_hash (CRC32) is dropped
@@ -1066,7 +1128,7 @@ object ExtensionQueries {
     knnIvfRecall, knnPqRecall, knnPqErr,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
-    textChunks, textRepetition, textBm25, sampleStratified, decontaminate,
+    textChunks, textRepetition, textBm25, hybridRrf, sampleStratified, decontaminate,
     weightedMix, packSequences, asofJoin, asofTolerance,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize, streamUpsert, streamUpsertCounters,

@@ -41,6 +41,19 @@ class TextSearchSpec extends SparkSpec {
     top.toSeq shouldBe Seq((1, 1L), (2, 3L))
   }
 
+  test("rrfFuse: sums 1/(k0+rank) across rankers, caps at k, ties by doc id") {
+    val a = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 20L, 1), (0L, 40L, 2)).toDF("query_id", "doc_id", "rank")
+    val fused = TextSearch.rrfFuse(Seq(a, b), k = 3, k0 = 60)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // doc 20: 1/62 + 1/61 ≈ 0.032523 — in both rankers, wins
+    // doc 10: 1/61 ≈ 0.016393; doc 40: 1/62 ≈ 0.016129; doc 30 cut at k=3
+    fused.map(t => (t._1, t._2)).toSeq shouldBe Seq((1, 20L), (2, 10L), (3, 40L))
+    fused(0)._3 shouldBe (1.0 / 62 + 1.0 / 61 +- 1e-6)
+    fused(1)._3 shouldBe (1.0 / 61 +- 1e-6)
+  }
+
   test("terms absent from the corpus and empty queries yield no noise") {
     val q = Seq((0L, "durian mangosteen"), (1L, ""), (2L, "banana")).toDF("qid", "qtext")
     val got = TextSearch.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext")
