@@ -44,13 +44,17 @@ object TextSearch {
       explode(TextAnalysis.tokens(qcol(qtextCol))).as("__term")).distinct()
     val vocab = qterms.select(col("__term")).distinct()
     // query-vocabulary semi-join BELOW the tf aggregation: only matching
-    // tokens shuffle; length rides along (first() per (doc, term))
+    // tokens shuffle; length rides along (first() per (doc, term)).
+    // posts feeds BOTH the scoring join and the df aggregate — the
+    // lineage cut materializes it once (bounded: matched docs × query
+    // terms), instead of the df branch re-running the corpus scan
     val posts = toks
       .select(col("__d"), size(col("__t")).cast("double").as("__len"),
         explode(col("__t")).as("__term"))
       .join(broadcast(vocab), Seq("__term"))
       .groupBy(col("__d"), col("__term"))
       .agg(count(lit(1)).cast("double").as("__tf"), first(col("__len")).as("__len"))
+      .localCheckpoint(eager = true)
     // document frequency per query term (bounded by the query vocabulary)
     val dfreq = posts.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
     posts
