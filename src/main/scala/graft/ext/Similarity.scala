@@ -311,6 +311,57 @@ object Similarity {
         round(col("cosine_pq"), 4).as("cosine_pq"))
   }
 
+  /** IVF × PQ composed (the FAISS IVF-PQ layout with global codebooks,
+    * `by_residual=false`): prune the scan to the `nprobe` coarse
+    * clusters nearest each query, then score ONLY those docs' PQ codes
+    * through the ADC lookup table. At 100 TB the query path reads
+    * nprobe/nlist of the corpus and m small codes per vector — the cap
+    * of both pruning axes at once. (Here the cluster attach is an
+    * id-equi-join; a production layout writes the codes table
+    * partitioned by cluster so the probe filter is partition pruning.)
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+  ): DataFrame = {
+    val coarse = trainCentroids(corpus, idCol, vecCol, nlist)
+    val clusterOf = assign(corpus, (idCol, vecCol), coarse)
+      .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
+    val model = pqModel(corpus, idCol, vecCol, m, ksub, iters)
+    val q = queries.select(qcol(idCol).cast("long").as("query_id"), qcol(vecCol).as("__qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(cosine(col("__qv"), col("centroid")).desc, col("__cid"))
+    val probes = q.crossJoin(broadcast(coarse))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__cid").as("__cluster"))
+    val lut = subspaces(queries, idCol, vecCol, model.m, model.sub)
+      .join(broadcast(model.centroids), Seq("__j"))
+      .select(col("__id").as("query_id"), col("__j"), col("__cid").as("__code"),
+        dot(col("__sv"), col("centroid")).as("__p"))
+    val scored = model.codes
+      .join(clusterOf, Seq("__id"))
+      .join(broadcast(probes), Seq("__cluster"))
+      .filter(col("query_id") =!= col("__id"))
+      .join(broadcast(lut), Seq("query_id", "__j", "__code"))
+      .groupBy(col("query_id"), col("__id"))
+      .agg(sum(col("__p")).as("cosine_pq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("__id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__id").as("neighbor_id"),
+        round(col("cosine_pq"), 4).as("cosine_pq"))
+  }
+
   /** IVF top-k: scan only the `nprobe` clusters nearest to each query.
     * Output shape matches bruteForceTopK (approximate results).
     */

@@ -344,6 +344,32 @@ object ExtensionQueries {
       .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
   }
 
+  /** IVF × PQ composed ANN: cluster pruning over code-only scoring —
+    * approximate twice over, so rows-only; gated by the combined
+    * mechanics gate below.
+    */
+  val knnIvfPq = qRowsOnly("x_knn_ivfpq") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4, m = 8, ksub = 16, iters = 2)
+  }
+
+  /** IVF×PQ combined mechanics gate: with nprobe = nlist (exhaustive
+    * probing) AND ksub = corpus size (lossless quantization) BOTH
+    * approximations vanish, so the composition must equal brute force.
+    */
+  val knnIvfPqRecall = q("x_knn_ivfpq_recall", "SELECT true AS recall_ok") { (s, dir) =>
+    val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+    val queries = emb16.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb16, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfpq = Similarity.ivfPqTopK(queries, emb16, "vec_id", "embedding", 5,
+        nlist = 4, nprobe = 4, m = 8, ksub = 16, iters = 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left")
+      .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
+  }
+
   /** PQ mechanics gate (the quantization analog of the IVF full-probe
     * gate): on a corpus of exactly ksub vectors, the deterministic init
     * makes every subvector its own centroid and Lloyd keeps them there —
@@ -1124,8 +1150,8 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     dedupComponents,
-    knnBrute, knnIvf, knnPq, embCentroids, corpusClean,
-    knnIvfRecall, knnPqRecall, knnPqErr,
+    knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
+    knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, textBm25, hybridRrf, sampleStratified, decontaminate,

@@ -99,6 +99,16 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTopK(corpus, corpus, "vec_id", "embedding", 3, m = 3)
   }
 
+  test("ivf-pq with full probes and lossless codes matches brute force") {
+    val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
+      "vec_id", "embedding", 3).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    val ivfpq = Similarity.ivfPqTopK(corpus.filter($"vec_id" === 0), corpus,
+      "vec_id", "embedding", 3, nlist = 2, nprobe = 2, m = 2, ksub = 5, iters = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    ivfpq shouldBe brute // both approximation axes disabled ⇒ exact
+  }
+
   test("ivf with full probes matches brute force on tiny corpus") {
     val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
       "vec_id", "embedding", 3).orderBy("rank")
