@@ -1,13 +1,16 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, language-ID, quality scoring, fingerprinting.
   *
   * All pure Column expressions (whole-stage codegen, no UDFs) so a 100 TB
-  * documents scan stays a single narrow pass — no shuffle, no python.
+  * documents scan stays a single narrow pass — no shuffle, no python —
+  * except `unigramSurprisal`, which by nature aggregates corpus-level
+  * statistics first.
   */
 object TextAnalysis {
 
@@ -207,5 +210,40 @@ object TextAnalysis {
     val M = 1L << 40
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(M)), lit(M)))
+  }
+
+  /** Unigram language-model surprisal per document — the simplest
+    * CCNet-style perplexity quality signal: train add-one-smoothed
+    * unigram log-probs ON the corpus itself, then score every document
+    * by its mean per-token surprisal −ln p(t) (nats; perplexity =
+    * exp of it). Unusually HIGH surprisal flags rare-token noise,
+    * unusually LOW flags boilerplate — both ends are what a corpus
+    * cleaner trims.
+    *
+    * Scale shape: term counts are one hash aggregate (vocab-sized,
+    * lineage-cut — they feed the totals AND the scoring join), totals
+    * derive from the counts (no extra corpus pass), and scoring joins
+    * the exploded tokens against the vocab-sized counts frame (AQE
+    * broadcasts it when small). Documents with zero tokens keep a row
+    * with null surprisal.
+    *
+    * Output: (`doc_id`, `n_tokens`, `avg_surprisal`).
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(qcol(idCol).cast("long").as("doc_id"),
+      tokens(qcol(textCol)).as("__t"))
+    val ex = base.select(col("doc_id"), explode(col("__t")).as("__term"))
+    val tc = ex.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint(eager = true)
+    val tot = tc.agg(sum(col("__c")).as("__tt"), count(lit(1)).cast("double").as("__v"))
+    val scored = ex.join(tc, Seq("__term"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (-log((col("__c") + 1) / (col("__tt") + col("__v")))).as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__s")).as("avg_surprisal"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_surprisal"))
   }
 }

@@ -921,6 +921,29 @@ object ExtensionQueries {
       .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Unigram-LM surprisal (CCNet-style perplexity quality signal,
+    * simplified to a fully replayable form): add-one-smoothed unigram
+    * log-probs trained on the corpus itself, documents scored by mean
+    * per-token −ln p(t). The oracle replays counts, smoothing, and the
+    * averaged logs in SQL.
+    */
+  val textSurprisal = q("x_text_surprisal",
+    """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') t
+      |              FROM documents),
+      |ex AS (SELECT doc_id, unnest(t) term FROM toks),
+      |tc AS (SELECT term, CAST(count(*) AS DOUBLE) c FROM ex GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) tt, CAST(count(*) AS DOUBLE) v FROM tc),
+      |sc AS (SELECT e.doc_id, count(*) n,
+      |              avg(-ln((tc.c + 1) / (tot.tt + tot.v))) s
+      |       FROM ex e JOIN tc USING (term) CROSS JOIN tot GROUP BY 1)
+      |SELECT t.doc_id, coalesce(s.n, 0) AS n_tokens,
+      |       round(s.s, 4) AS avg_surprisal
+      |FROM toks t LEFT JOIN sc s USING (doc_id)""".stripMargin) { (s, dir) =>
+    TextAnalysis.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_surprisal"), 4).as("avg_surprisal"))
+  }
+
   /** Hybrid retrieval: BM25 lexical ranks fused with embedding-cosine
     * ranks by reciprocal-rank fusion (1/(60+rank), the standard
     * score-scale-free combiner). Query q fuses text query q's BM25
@@ -1154,7 +1177,8 @@ object ExtensionQueries {
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
-    textChunks, textRepetition, textBm25, hybridRrf, sampleStratified, decontaminate,
+    textChunks, textRepetition, textBm25, textSurprisal, hybridRrf,
+    sampleStratified, decontaminate,
     weightedMix, packSequences, asofJoin, asofTolerance,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize, streamUpsert, streamUpsertCounters,

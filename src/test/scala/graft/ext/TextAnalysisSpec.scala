@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("unigramSurprisal: hand-computed smoothed log-probs, null for empty docs") {
+    // counts: a=2 b=1 c=1, T=4, V=3 → p(a)=3/7, p(b)=p(c)=2/7
+    val docs = Seq((1L, "a a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    got(1L)._1 shouldBe 3L
+    got(1L)._2.get shouldBe ((2 * -math.log(3.0 / 7) - math.log(2.0 / 7)) / 3 +- 1e-9)
+    got(2L)._1 shouldBe 1L
+    got(2L)._2.get shouldBe (-math.log(2.0 / 7) +- 1e-9)
+    got(3L) shouldBe (0L, None)
+  }
+
   test("token and bpeish counts") {
     val df = Seq("Hello, world! It's fine.").toDF("text")
       .select(TextAnalysis.tokenCount($"text").as("t"), TextAnalysis.bpeishCount($"text").as("b"))
