@@ -52,13 +52,24 @@ object Similarity {
     val c = corpus.select(qcol(idCol).cast("long").as("neighbor_id"), qcol(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("__cos"))
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKPerQuery(scored, "cosine", "neighbor_id", k)
+  }
+
+  /** Shared top-k epilogue for every ranked retrieval operator: rank per
+    * query by the score ROUNDED to `roundTo` decimals, then the id —
+    * last-ulp float differences (summation order, engine libm) collapse
+    * into the deterministic id tiebreak, so rankings reproduce across
+    * engines and runs. Output: (query_id, rank, idCol, scoreCol).
+    */
+  private[ext] def topKPerQuery(scored: DataFrame, scoreCol: String,
+      idCol: String, k: Int, roundTo: Int = 4): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id"))
+      .orderBy(round(col(scoreCol), roundTo).desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("__cos"), 4).as("cosine"))
+      .select(col("query_id"), col("rank"), col(idCol),
+        round(col(scoreCol), roundTo).as(scoreCol))
   }
 
   /** Random-hyperplane LSH bucket id (nBits sign bits) — the classic
@@ -269,23 +280,29 @@ object Similarity {
     assignPq(subspaces(corpus, idCol, vecCol, m, sub), centroids)
       .select(col("__id"), col("__j"), col("__code"))
 
+  /** ADC lookup table for a query set: (query_id, __j, __code, __p)
+    * where __p = dot(query subvector j, codebook j's centroid `__code`)
+    * — queries × m × ksub rows, always broadcast-sized.
+    */
+  private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    subspaces(queries, idCol, vecCol, model.m, model.sub)
+      .join(broadcast(model.centroids), Seq("__j"))
+      .select(col("__id").as("query_id"), col("__j"), col("__cid").as("__code"),
+        dot(col("__sv"), col("centroid")).as("__p"))
+
   /** All approximate query↔corpus cosines via the ADC lookup table:
     * (query_id, neighbor_id, cosine_pq), self-pairs excluded. The LUT
     * (queries × m × ksub partial dots) is broadcast; corpus-side cost is
     * one equi-join on (subspace, code) + a map-side-combined sum.
     */
   def pqScores(queries: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, codes: DataFrame, m: Int, sub: Int): DataFrame = {
-    val lut = subspaces(queries, idCol, vecCol, m, sub)
-      .join(broadcast(centroids), Seq("__j"))
-      .select(col("__id").as("query_id"), col("__j"), col("__cid").as("__code"),
-        dot(col("__sv"), col("centroid")).as("__p"))
-    codes.join(broadcast(lut), Seq("__j", "__code"))
+      model: PqModel): DataFrame =
+    model.codes.join(broadcast(pqLut(queries, idCol, vecCol, model)), Seq("__j", "__code"))
       .filter(col("query_id") =!= col("__id"))
       .groupBy(col("query_id"), col("__id"))
       .agg(sum(col("__p")).as("cosine_pq"))
       .select(col("query_id"), col("__id").as("neighbor_id"), col("cosine_pq"))
-  }
 
   /** PQ top-k: output shape matches bruteForceTopK (approximate results,
     * `cosine_pq` = ADC-approximated cosine).
@@ -301,14 +318,7 @@ object Similarity {
       iters: Int = 2,
   ): DataFrame = {
     val model = pqModel(corpus, idCol, vecCol, m, ksub, iters)
-    val scored = pqScores(queries, idCol, vecCol, model.centroids, model.codes,
-      model.m, model.sub)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_pq").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine_pq"), 4).as("cosine_pq"))
+    topKPerQuery(pqScores(queries, idCol, vecCol, model), "cosine_pq", "neighbor_id", k)
   }
 
   /** IVF × PQ composed (the FAISS IVF-PQ layout with global codebooks,
@@ -332,7 +342,7 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 2,
   ): DataFrame = {
-    val coarse = trainCentroids(corpus, idCol, vecCol, nlist)
+    val coarse = trainCentroids(corpus, idCol, vecCol, nlist, iters)
     val clusterOf = assign(corpus, (idCol, vecCol), coarse)
       .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
     val model = pqModel(corpus, idCol, vecCol, m, ksub, iters)
@@ -343,23 +353,16 @@ object Similarity {
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("__cid").as("__cluster"))
-    val lut = subspaces(queries, idCol, vecCol, model.m, model.sub)
-      .join(broadcast(model.centroids), Seq("__j"))
-      .select(col("__id").as("query_id"), col("__j"), col("__cid").as("__code"),
-        dot(col("__sv"), col("centroid")).as("__p"))
     val scored = model.codes
       .join(clusterOf, Seq("__id"))
       .join(broadcast(probes), Seq("__cluster"))
       .filter(col("query_id") =!= col("__id"))
-      .join(broadcast(lut), Seq("query_id", "__j", "__code"))
+      .join(broadcast(pqLut(queries, idCol, vecCol, model)),
+        Seq("query_id", "__j", "__code"))
       .groupBy(col("query_id"), col("__id"))
       .agg(sum(col("__p")).as("cosine_pq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_pq").desc, col("__id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("__id").as("neighbor_id"),
-        round(col("cosine_pq"), 4).as("cosine_pq"))
+      .withColumnRenamed("__id", "neighbor_id")
+    topKPerQuery(scored, "cosine_pq", "neighbor_id", k)
   }
 
   /** IVF top-k: scan only the `nprobe` clusters nearest to each query.
@@ -390,12 +393,7 @@ object Similarity {
     val scored = probes.join(assigned, Seq("__cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("__cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("__cos"), 4).as("cosine"))
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKPerQuery(scored, "cosine", "neighbor_id", k)
   }
 }

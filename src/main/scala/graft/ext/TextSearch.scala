@@ -87,15 +87,10 @@ object TextSearch {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-  ): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("score"), 4).desc, col("doc_id"))
-    bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol, k1, b)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        round(col("score"), 4).as("score"))
-  }
+  ): DataFrame =
+    Similarity.topKPerQuery(
+      bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol, k1, b),
+      "score", "doc_id", k)
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher): combine several
     * per-query rankings — e.g. BM25 and embedding k-NN, the standard
@@ -117,11 +112,6 @@ object TextSearch {
       .reduce(_.unionByName(_))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__rrf")).as("rrf_score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf_score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        round(col("rrf_score"), 6).as("rrf_score"))
+    Similarity.topKPerQuery(scored, "rrf_score", "doc_id", k, roundTo = 6)
   }
 }

@@ -260,7 +260,7 @@ object ExtensionQueries {
       |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
       |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
       |r AS (SELECT query_id, neighbor_id, c,
-      |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      |             row_number() OVER (PARTITION BY query_id ORDER BY round(c, 4) DESC, neighbor_id) AS rank
       |      FROM scored)
       |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin) {
     (s, dir) =>
@@ -398,8 +398,7 @@ object ExtensionQueries {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
     val model = Similarity.pqModel(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
-    val approx = Similarity.pqScores(queries, "vec_id", "embedding",
-      model.centroids, model.codes, model.m, model.sub)
+    val approx = Similarity.pqScores(queries, "vec_id", "embedding", model)
     val q_ = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").as("__qv"))
     val exact = emb.select(col("vec_id").cast("long").as("neighbor_id"),
@@ -949,9 +948,10 @@ object ExtensionQueries {
     * score-scale-free combiner). Query q fuses text query q's BM25
     * top-20 with vector q's k-NN top-20 (documents and embeddings share
     * the id space). The oracle replays BOTH rankers and the fusion —
-    * rank parity is safe because BM25 ranks order by the ROUNDED score
-    * (ulp noise collapses into the doc-id tiebreak) and fused sums have
-    * ≤ 2 terms (order-exact float addition).
+    * rank parity is safe because EVERY ranking (BM25, cosine, fused)
+    * orders by the ROUNDED score (ulp noise collapses into the doc-id
+    * tiebreak on both engines) and fused sums have ≤ 2 terms
+    * (order-exact float addition).
     */
   val hybridRrf = q("x_hybrid_rrf",
     """WITH q(qid, qtext) AS (VALUES (0, 'window merge scan'),
@@ -983,14 +983,14 @@ object ExtensionQueries {
       |  FROM kq, embeddings e WHERE e.vec_id <> kq.qid),
       |k20 AS (SELECT qid, doc_id, rnk FROM (
       |          SELECT qid, doc_id,
-      |                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, doc_id) rnk
+      |                 row_number() OVER (PARTITION BY qid ORDER BY round(c, 4) DESC, doc_id) rnk
       |          FROM kscored) WHERE rnk <= 20),
       |fused AS (SELECT qid, doc_id, sum(1.0 / (60 + rnk)) rrf
       |          FROM (SELECT * FROM b20 UNION ALL SELECT * FROM k20) GROUP BY 1, 2)
       |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, doc_id,
       |       round(rrf, 6) AS rrf_score
       |FROM (SELECT qid, doc_id, rrf,
-      |             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) rank
+      |             row_number() OVER (PARTITION BY qid ORDER BY round(rrf, 6) DESC, doc_id) rank
       |      FROM fused)
       |WHERE rank <= 10""".stripMargin) { (s, dir) =>
     import s.implicits._
