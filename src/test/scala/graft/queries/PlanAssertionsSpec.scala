@@ -76,6 +76,29 @@ class PlanAssertionsSpec extends SparkSpec {
     (plan should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("bm25 scoring never sort-merges: vocabulary and stats sides broadcast") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"alpha beta gamma tok${i % 9} delta")).toDF("doc_id", "text")
+    val qs = Seq((0L, "alpha delta"), (1L, "gamma")).toDF("qid", "qtext")
+    val out = graft.ext.TextSearch.bm25Scores(docs, "doc_id", "text", qs, "qid", "qtext")
+    out.collect()
+    val plan = finalPlan(out).toString
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("pq query path joins codes against a broadcast ADC table — no corpus-side sort-merge") {
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat))).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.pqTopK(corpus.filter($"vec_id" < 2), corpus,
+      "vec_id", "embedding", 3, m = 2, ksub = 4, iters = 1)
+    out.collect()
+    val plan = finalPlan(out).toString
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("SortMergeJoin")
+  }
+
   test("exact quantiles never collect a group into one aggregation buffer") {
     val df = (1 to 400).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
     val out = graft.ext.Stats.quantileCont(df, "g", "v", Seq("p50" -> 0.5))
