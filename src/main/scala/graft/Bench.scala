@@ -8,18 +8,19 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * sink (count() alone can skip column evaluation), and prints per-query
   * wall seconds as JSON.
   *
-  * Output contract, hardened after two rounds of harness tail-truncation
-  * (the capture keeps only the LAST ~2 KB of stdout, so a single giant
-  * JSON line loses its head — r3/r4 each lost 8 per-query timings):
-  *   1. one small `{"query":name,"sec":s}` line per query, streamed as it
-  *      finishes (partially survives any capture window; human-greppable);
-  *   2. the full one-line contract JSON (metric/value/unit/queries/sf) —
-  *      intact whenever the capture window is big enough;
-  *   3. a final SMALL summary line (totals, no per-query map) that always
-  *      fits the tail window, so the harness has a parseable last line
-  *      even when (2) is decapitated;
-  *   4. the full contract JSON is ALSO written to BENCH_LOCAL.json in the
-  *      working directory — the committed file is the complete record.
+  * Output contract, hardened after three rounds of harness tail-truncation
+  * (the capture keeps only the LAST few KB of stdout; in r5 the giant
+  * one-line queries map itself consumed most of the window and pushed out
+  * 25 of 97 per-query lines):
+  *   1. one small `{"q":name,"sec":s}` line per query, streamed as it
+  *      finishes — the ONLY per-query stdout; truncation can only lose
+  *      the oldest few lines, never a map head;
+  *   2. a final SMALL summary line (totals, no per-query map) that always
+  *      fits the tail window, so the harness has a parseable last line;
+  *   3. the full contract JSON (metric/value/unit/queries/sf) goes ONLY
+  *      to BENCH_LOCAL.json in the working directory — the committed file
+  *      is the complete record, and stdout no longer carries a line that
+  *      can eat the capture window.
   *
   * Env knobs (all optional):
   *   - SPARK_GRAFT_BENCH_PHASES=1    per-query stage-metric breakdown
@@ -145,7 +146,7 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
       }
-      println(f"""{"query":"$name","sec":$sec%.3f}""")
+      println(f"""{"q":"$name","sec":$sec%.3f}""")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
@@ -160,7 +161,8 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
     }
-    println(full)
+    // the full map goes to the file ONLY: on stdout its ~2.5 KB line was
+    // exactly what crowded per-query lines out of the tail capture
     // small LAST line: guaranteed inside any tail-capture window
     val (maxName, maxSec) =
       if (results.nonEmpty) results.maxBy(_._2) else ("none", 0.0)

@@ -285,7 +285,10 @@ object Multimodal {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // zero progress without completion covers BOTH the truncated
+        // stream (needsInput) and the hostile FDICT preset-dictionary
+        // header (needsDictionary) — either would spin this loop forever
+        if (n == 0 && !inf.finished()) return None
         off += n
       }
       if (off != raw.length) return None

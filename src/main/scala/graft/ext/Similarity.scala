@@ -222,6 +222,10 @@ object Similarity {
   private def pqTrainSv(sv: DataFrame, ksub: Int, iters: Int): DataFrame = {
     val w0 = Window.partitionBy(col("__j")).orderBy(col("__id"))
     val initIds = sv.select(col("__id")).distinct().orderBy(col("__id")).limit(ksub)
+    // silent underfill would make callers (ivfPqTopK) score against a
+    // smaller codebook with no signal — fail loudly instead
+    require(initIds.count() == ksub,
+      s"PQ training needs >= $ksub distinct ids to seed $ksub centroids per subspace")
     var centroids = sv.join(broadcast(initIds), Seq("__id"))
       .withColumn("__rn", row_number().over(w0))
       .select(col("__j"), (col("__rn") - 1).as("__cid"), col("__sv").as("centroid"))
@@ -244,9 +248,19 @@ object Similarity {
     * when codes are also needed — it shares ONE subspace pass between
     * training and encoding.
     */
+  /** Probe the embedding dimension from the first corpus row, with a
+    * clear failure on an empty corpus (a bare .head() would throw an
+    * uninformative NoSuchElementException from deep inside the plan).
+    */
+  private def probeDim(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(qcol(vecCol))).head(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot train a PQ/IVF model on an empty corpus (vector column '$vecCol')"))
+      .getInt(0)
+
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int = 2): DataFrame = {
-    val dim = corpus.select(size(qcol(vecCol))).head().getInt(0)
+    val dim = probeDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     pqTrainSv(subspaces(corpus, idCol, vecCol, m, dim / m)
       .localCheckpoint(eager = true), ksub, iters)
@@ -262,7 +276,7 @@ object Similarity {
     */
   def pqModel(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int = 2): PqModel = {
-    val dim = corpus.select(size(qcol(vecCol))).head().getInt(0)
+    val dim = probeDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     val sv = subspaces(corpus, idCol, vecCol, m, sub).localCheckpoint(eager = true)

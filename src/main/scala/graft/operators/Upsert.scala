@@ -151,15 +151,36 @@ object Upsert {
     * caller must read counters BEFORE swapping (the counter aggregate
     * re-reads the pre-merge target, which this call replaces).
     */
-  def writeSwap(spark: SparkSession, merged: DataFrame, tableDir: String): Unit = {
-    val tmp = tableDir + ".tmp-" + System.nanoTime()
-    merged.write.mode("overwrite").parquet(tmp)
+  /** Crash recovery for the two-move swap: if a prior swap died between
+    * move(dir->bak) and move(tmp->dir), the table dir is missing and .bak
+    * holds the ONLY copy — move it back. Callers that read `tableDir` as
+    * a merge target MUST call this before the existence check (a missing
+    * dir would otherwise read as an empty table and the next swap's
+    * leftover cleanup would permanently destroy the last generation).
+    * No-op when the dir exists or there is no .bak.
+    */
+  def restoreIfCrashed(tableDir: String): Unit = {
     val dir = Paths.get(tableDir)
     val bak = Paths.get(tableDir + ".bak")
+    if (Files.exists(bak) && !Files.exists(dir)) {
+      Files.move(bak, dir, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  def writeSwap(spark: SparkSession, merged: DataFrame, tableDir: String): Unit = {
+    val dir = Paths.get(tableDir)
+    val bak = Paths.get(tableDir + ".bak")
+    // defense-in-depth: restore a crashed swap before the lazy `merged`
+    // plan executes (read-path callers should already have called
+    // restoreIfCrashed before building the merge)
+    restoreIfCrashed(tableDir)
+    val tmp = tableDir + ".tmp-" + System.nanoTime()
+    merged.write.mode("overwrite").parquet(tmp)
     if (Files.exists(bak)) {
-      // a crash between the two moves of an earlier swap leaves a stale
-      // .bak; ATOMIC_MOVE onto a non-empty directory would fail, wedging
-      // every later swap of this table — clear it first
+      // dir also exists (the missing-dir case was restored above), so
+      // this .bak is a true post-swap leftover; ATOMIC_MOVE onto a
+      // non-empty directory would fail and wedge every later swap of
+      // this table — clear it first
       import scala.jdk.CollectionConverters._
       Files.walk(bak).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
     }

@@ -308,6 +308,10 @@ object EventStreams {
       .parquet(spoolDir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // recover a half-finished swap BEFORE the existence check: a
+        // missing dir with a .bak is the crashed-swap state, not an
+        // empty table (Upsert.restoreIfCrashed doc)
+        graft.operators.Upsert.restoreIfCrashed(tableDir)
         val target =
           if (new java.io.File(tableDir).exists()) spark.read.parquet(tableDir)
           else spark.createDataFrame(

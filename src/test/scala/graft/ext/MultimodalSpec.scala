@@ -173,6 +173,15 @@ class MultimodalSpec extends SparkSpec {
       pngChunk("IDAT", Array[Byte](1, 2, 3)) ++
       pngChunk("IEND", Array.emptyByteArray)
     Multimodal.decodePngPixels(1L, bigDims) shouldBe None
+    // zlib stream with the FDICT preset-dictionary bit: inflate() returns
+    // 0 with needsDictionary() (not needsInput()) — the inflate loop must
+    // bail out, not spin forever (CMF=0x78, FLG=0x20 keeps the %31 check:
+    // (0x7820 % 31) == 0, FDICT bit set; 4 dict-id bytes follow)
+    val fdict = sig ++
+      pngChunk("IHDR", be32(4) ++ be32(4) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      pngChunk("IDAT", Array[Byte](0x78, 0x20, 0, 0, 0, 1)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    Multimodal.decodePngPixels(1L, fdict) shouldBe None
   }
 
   test("valid PNG smaller than the 8x8 hash grid falls back, never throws") {

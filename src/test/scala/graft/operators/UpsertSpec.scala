@@ -95,4 +95,37 @@ class UpsertSpec extends SparkSpec {
     back.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((1L, "new"), (2L, "b"))
     new java.io.File(dir + ".bak").exists() shouldBe false
   }
+
+  test("restoreIfCrashed recovers a swap that died between its two moves") {
+    // crashed-swap state: dir is GONE, .bak holds the only generation
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/table"
+    Seq((1L, "survivor")).toDF("id", "v").write.parquet(dir + ".bak")
+    Upsert.restoreIfCrashed(dir)
+    spark.read.parquet(dir).collect().map(_.getString(1)).toSeq shouldBe Seq("survivor")
+    new java.io.File(dir + ".bak").exists() shouldBe false
+    // no-op when the dir exists (a true post-swap leftover must NOT be
+    // moved over a live table)
+    Seq((9L, "leftover")).toDF("id", "v").write.parquet(dir + ".bak")
+    Upsert.restoreIfCrashed(dir)
+    spark.read.parquet(dir).collect().map(_.getString(1)).toSeq shouldBe Seq("survivor")
+    new java.io.File(dir + ".bak").exists() shouldBe true
+  }
+
+  test("writeSwap after a crashed swap preserves the stranded generation") {
+    // the data-loss scenario from the crash-recovery doc: .bak is the only
+    // copy; a later writeSwap must restore it (so the lazy merge reads it)
+    // rather than deleting it as a leftover
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/table"
+    Seq((1L, "old")).toDF("id", "v").write.parquet(dir + ".bak")
+    // build the merge against the RESTORED table path, as a recovered
+    // caller would (restoreIfCrashed first, then read)
+    Upsert.restoreIfCrashed(dir)
+    val target = spark.read.parquet(dir)
+    val r = Upsert.merge(target, Seq((2L, "new")).toDF("id", "v"), "id", upsert = true)
+    Upsert.writeSwap(spark, r, dir, snapshotCounters = true)
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+    back.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((1L, "old"), (2L, "new"))
+    r.created shouldBe 1
+    r.updated shouldBe 0
+  }
 }
