@@ -71,20 +71,159 @@ object Multimodal {
     media.mapPartitions(_.map(decodeFeatures))
   }
 
-  /** Frame-sampling plumbing for video-like payloads: emit `n` byte-range
-    * "frames" per payload (a real implementation would seek keyframes).
+  // ------------------------------------------------------- GIF frames
+  /** One decoded animation frame: placement + timing from the stream
+    * structure (image descriptor, graphic-control extension) and
+    * `mean_luma` from the REAL pixels — the integer mean of the frame's
+    * LZW-decompressed palette indices mapped through the (grayscale)
+    * palette. `left_px`/`top_px` (not `left`/`top`) so a SQL oracle can
+    * use the names unquoted.
     */
-  def sampleFrames(media: Dataset[MediaRow], n: Int): DataFrame = {
-    import media.sparkSession.implicits._
-    media.flatMap { m =>
-      val len = m.bytes.length
-      if (len == 0) Iterator.empty
-      else (0 until n).iterator.map { i =>
-        val start = (len.toLong * i / n).toInt
-        val end = (len.toLong * (i + 1) / n).toInt
-        (m.id, i, end - start)
+  final case class GifFrame(id: Long, frame_idx: Int, left_px: Int, top_px: Int,
+      width: Int, height: Int, delay_cs: Int, mean_luma: Int)
+
+  /** REAL animated-GIF frame decode on public JDK primitives — the
+    * frame-sampling surface for video-like payloads (GIF is the one
+    * multi-frame container fully decodable without codec libraries):
+    *
+    *   1. `GIF87a`/`GIF89a` signature, logical screen descriptor, global
+    *      color table skip;
+    *   2. block walk: graphic-control extensions carry the per-frame
+    *      delay (centiseconds); other extensions skip via their
+    *      sub-block lengths; `0x3B` trailer REQUIRED (a truncated stream
+    *      is corrupt, not a shorter animation);
+    *   3. per image descriptor: placement + dimensions, local color
+    *      table skip, then a full GIF-LZW decompression of the pixel
+    *      data (variable code width m+1..12 bits LSB-first, clear/EOI
+    *      codes, the KwKwK self-reference case) — the pixel count must
+    *      come out exactly `width·height`;
+    *   4. the luma of palette index v is v itself under the grayscale
+    *      palette `synthGif` writes (and any monochrome-ramp GIF); the
+    *      per-frame mean is all-integer → SQL-replayable.
+    *
+    * Returns Nil for anything unparseable, truncated, oversized
+    * (declared > 2^26 pixels — refuse before allocating), or interlaced —
+    * a corrupt payload must never kill a 100 TB scan.
+    */
+  def decodeGifFrames(id: Long, b: Array[Byte]): Seq[GifFrame] = {
+    def u(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    if (b.length < 14) return Nil
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return Nil
+    val frames = scala.collection.mutable.ArrayBuffer[GifFrame]()
+    try {
+      var i = 6
+      val packed = u(i + 4)
+      i += 7
+      if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1))
+      var delay = 0
+      var idx = 0
+      while (true) {
+        u(i) match {
+          case 0x3b => return frames.toSeq // trailer: the only clean exit
+          case 0x21 => // extension block
+            val label = u(i + 1)
+            i += 2
+            if (label == 0xf9 && u(i) >= 4) delay = le16(i + 2)
+            while (u(i) != 0) i += 1 + u(i) // sub-blocks
+            i += 1
+          case 0x2c => // image descriptor
+            val left = le16(i + 1); val top = le16(i + 3)
+            val w = le16(i + 5); val h = le16(i + 7)
+            val ipacked = u(i + 9)
+            i += 10
+            if ((ipacked & 0x80) != 0) i += 3 * (1 << ((ipacked & 7) + 1))
+            if ((ipacked & 0x40) != 0) return Nil // interlaced: unsupported
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return Nil
+            val mcs = u(i); i += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (u(i) != 0) { data.write(b, i + 1, u(i)); i += 1 + u(i) }
+            i += 1
+            gifLzwDecode(mcs, data.toByteArray, w * h) match {
+              case None => return Nil
+              case Some(px) =>
+                var sum = 0L; var k = 0
+                while (k < px.length) { sum += px(k) & 0xff; k += 1 }
+                frames += GifFrame(id, idx, left, top, w, h, delay,
+                  (sum / px.length).toInt)
+                idx += 1; delay = 0
+            }
+          case _ => return Nil // unknown block type: corrupt
+        }
       }
-    }.toDF("id", "frame_idx", "frame_bytes")
+      Nil // unreachable
+    } catch { case _: ArrayIndexOutOfBoundsException => Nil } // truncated
+  }
+
+  /** GIF-flavor LZW decompression (spec appendix F): initial code width
+    * `mcs`+1 bits growing to 12, codes packed LSB-first across the
+    * concatenated sub-block payload, `2^mcs` = clear, +1 = end-of-info.
+    * Returns None unless EOI lands exactly at `nPix` decoded pixels.
+    */
+  private def gifLzwDecode(mcs: Int, data: Array[Byte], nPix: Int): Option[Array[Byte]] = {
+    if (mcs < 2 || mcs > 8) return None
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val out = new Array[Byte](nPix)
+    var outLen = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var dictSize = eoi + 1
+    var codeSize = mcs + 1
+    var prev = -1
+    var first = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    while (true) {
+      if (bitPos + codeSize > totalBits) return None // ran out before EOI
+      var code = 0
+      var k = 0
+      while (k < codeSize) {
+        val p = bitPos + k
+        if (((data(p >> 3) >> (p & 7)) & 1) != 0) code |= 1 << k
+        k += 1
+      }
+      bitPos += codeSize
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = mcs + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outLen == nPix) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code after clear: literal only
+        if (outLen >= nPix) return None
+        out(outLen) = code.toByte; outLen += 1
+        first = code; prev = code
+      } else {
+        var sp = 0
+        var cur = code
+        if (code >= dictSize) { // the KwKwK self-reference case
+          if (code > dictSize) return None
+          stack(sp) = first.toByte; sp += 1
+          cur = prev
+        }
+        while (cur >= clear) { // prefix chains are strictly decreasing
+          stack(sp) = suffix(cur); sp += 1; cur = prefix(cur)
+        }
+        first = cur
+        stack(sp) = cur.toByte; sp += 1
+        if (outLen + sp > nPix) return None
+        while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first.toByte; dictSize += 1
+          if (dictSize >= (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    None // unreachable
+  }
+
+  /** Partition-wise GIF frame extraction; undecodable payloads drop. */
+  def gifFrames(media: Dataset[MediaRow]): Dataset[GifFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => decodeGifFrames(m.id, m.bytes)))
   }
 
   // ------------------------------------------------------ image metadata
@@ -538,6 +677,88 @@ object Multimodal {
         Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1) ++
         Array[Byte](0xff.toByte, 0xd9.toByte)                       // EOI
     }
+  }
+
+  /** Deterministic COMPLETE synthetic animated GIF (GIF89a, 256-entry
+    * grayscale global palette so palette index == luma, per-frame
+    * graphic-control delays, real LZW-packed pixel data, trailer):
+    * `nFrames` frames of `w`×`h` pixels on a (w+2)×(h+2) canvas, frame f
+    * placed at `offset(f)` with `delay(f)` centiseconds and pixel (x,y)
+    * valued `pixel(f, x, y)` & 0xFF. The LZW stream is the fixed-width
+    * "compression-free" form — a CLEAR code every 254 literals keeps the
+    * dictionary below the 9-bit boundary — which any spec-complete
+    * decoder (including ImageIO's) accepts.
+    */
+  def synthGif(id: Long, w: Int, h: Int, nFrames: Int,
+      pixel: (Int, Int, Int) => Int, delay: Int => Int,
+      offset: Int => (Int, Int) = _ => (0, 0)): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w + 2); le16(h + 2) // canvas leaves room for frame offsets <= 2
+    out.write(0xf7) // global color table, 2^8 entries
+    out.write(0); out.write(0)
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    var f = 0
+    while (f < nFrames) {
+      out.write(0x21); out.write(0xf9); out.write(4) // graphic control ext
+      out.write(0); le16(delay(f)); out.write(0); out.write(0)
+      val (l, t) = offset(f)
+      out.write(0x2c); le16(l); le16(t); le16(w); le16(h)
+      out.write(0) // no local table, not interlaced
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = (pixel(f, x, y) & 0xff).toByte; x += 1 }
+        y += 1
+      }
+      val lzw = gifLzwEncode(8, px)
+      out.write(8)
+      var p = 0
+      while (p < lzw.length) {
+        val n = math.min(255, lzw.length - p)
+        out.write(n); out.write(lzw, p, n); p += n
+      }
+      out.write(0)
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Fixed-width GIF-LZW packing of raw pixel indices: CLEAR, then
+    * literal codes with a CLEAR re-issued every 128 literals (the decoder
+    * adds one dictionary entry per literal; capping well below the
+    * 2^(mcs+1) boundary keeps the code width at mcs+1 bits under BOTH
+    * width-growth conventions — grow-at-2^n and the grow-at-2^n−1
+    * variant some decoders use), then EOI. Valid, merely uncompressed —
+    * the standard way to write GIF without implementing the string table.
+    */
+  private def gifLzwEncode(mcs: Int, pixels: Array[Byte]): Array[Byte] = {
+    val clear = 1 << mcs
+    val codeSize = mcs + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var nbits = 0
+    def put(code: Int): Unit = {
+      cur |= code << nbits
+      nbits += codeSize
+      while (nbits >= 8) { out.write(cur & 0xff); cur >>>= 8; nbits -= 8 }
+    }
+    put(clear)
+    var sinceClear = 0
+    var k = 0
+    while (k < pixels.length) {
+      if (sinceClear == 128) { put(clear); sinceClear = 0 }
+      put(pixels(k) & 0xff)
+      sinceClear += 1
+      k += 1
+    }
+    put(clear + 1) // EOI
+    if (nbits > 0) out.write(cur & 0xff)
+    out.toByteArray
   }
 
   /** Wrap a text table as a binary media table (test/demo source: the bytes

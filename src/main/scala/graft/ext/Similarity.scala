@@ -104,7 +104,7 @@ object Similarity {
     * the (cosine, -cid, cid) struct max picks highest similarity, smallest
     * cid on ties.
     */
-  private def assign(df: DataFrame, cols: (String, String), centroids: DataFrame): DataFrame = {
+  private[ext] def assign(df: DataFrame, cols: (String, String), centroids: DataFrame): DataFrame = {
     val (idCol, vecCol) = cols
     val scored = df.crossJoin(broadcast(centroids))
       .select(qcol(idCol).as("__aid"), qcol(vecCol).as("__av"),
@@ -116,14 +116,66 @@ object Similarity {
         col("__m").getField("cid").as("__cluster"))
   }
 
+  /** Bounded deterministic training input for the ANN index builders —
+    * the FAISS discipline: learn codebooks/centroids from a SAMPLE, then
+    * assign/encode the full corpus exactly once. At 100 TB you never run
+    * multiple full-corpus Lloyd passes (each expanding k-way through the
+    * centroid broadcast) to learn a handful of centroids.
+    *
+    * Selection is the `cap` lowest md5(id) digests — content-keyed like
+    * [[Sampling.hashSample]] (stable under repartitioning, retries and
+    * incremental appends), made EXACT without a corpus-wide sort by a
+    * two-step plan: a map-only digest-threshold prefilter sized to ~2·cap
+    * expected survivors (one pass, no shuffle), then the precise top-cap
+    * TakeOrdered over that bounded remainder. Returns None when the
+    * corpus already fits the cap (training on everything is then both
+    * cheaper and exact); `cap = Int.MaxValue` skips even the count —
+    * the mechanics gates use it to pin training == corpus.
+    */
+  private[ext] def trainSampleIds(
+      corpus: DataFrame, idCol: String, cap: Int): Option[DataFrame] = {
+    require(cap > 0, s"training cap must be positive: $cap")
+    if (cap == Int.MaxValue) return None
+    val ids = corpus.select(qcol(idCol).cast("long").as("__sid"))
+    val n = ids.count()
+    if (n <= cap) return None
+    val h = md5(col("__sid").cast("string"))
+    val rate = math.min(1.0, 2.0 * cap / n)
+    Some(ids.filter(h < lit(Sampling.rateToHex(rate)))
+      .orderBy(h, col("__sid"))
+      .limit(cap)
+      .localCheckpoint(eager = true))
+  }
+
+  /** Restrict `df` to the bounded training sample (broadcast semi-join on
+    * the sampled ids — the sample is cap-bounded by construction), or
+    * return it unchanged when the corpus already fits the cap. The
+    * sampled frame is checkpointed: every Lloyd iteration re-reads ≤ cap
+    * stored rows instead of re-scanning the corpus.
+    */
+  private def trainingFrame(df: DataFrame, idCol: String, cap: Int,
+      idExpr: Column): DataFrame =
+    trainSampleIds(df, idCol, cap) match {
+      case Some(ids) =>
+        df.join(broadcast(ids), idExpr === col("__sid")).drop("__sid")
+          .localCheckpoint(eager = true)
+      case None => df
+    }
+
   /** Train `nlist` centroids with `iters` Lloyd iterations; deterministic
     * init from the `nlist` lowest ids (TakeOrdered — no global sort).
-    * Returns (__cid, centroid).
+    * Training input is capped at `maxTrainRows` rows (≤ 0 → the
+    * FAISS-style default 100·nlist; Int.MaxValue → full corpus) via
+    * [[trainSampleIds]]; callers assign the FULL corpus against the
+    * returned centroids exactly once. Returns (__cid, centroid).
     */
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, nlist: Int, iters: Int = 2,
+      maxTrainRows: Int = 0,
   ): DataFrame = {
-    val init = corpus.orderBy(qcol(idCol)).limit(nlist)
+    val cap = if (maxTrainRows <= 0) 100 * nlist else maxTrainRows
+    val train = trainingFrame(corpus, idCol, cap, qcol(idCol).cast("long"))
+    val init = train.orderBy(qcol(idCol)).limit(nlist)
     // nlist rows only — the constant partition key states the intent
     // (bounded single-partition numbering) instead of tripping the
     // "no partition defined" scale warning on every run
@@ -133,7 +185,7 @@ object Similarity {
       .select((col("__rn") - 1).as("__cid"), qcol(vecCol).as("centroid"))
     var i = 0
     while (i < iters) {
-      val assigned = assign(corpus, (idCol, vecCol), centroids)
+      val assigned = assign(train, (idCol, vecCol), centroids)
       centroids = meanVectors(assigned, "__cluster", vecCol)
         .withColumnRenamed("__cluster", "__cid")
       i += 1
@@ -258,11 +310,19 @@ object Similarity {
         s"cannot train a PQ/IVF model on an empty corpus (vector column '$vecCol')"))
       .getInt(0)
 
+  /** Resolve the PQ training cap: ≤ 0 → the FAISS-style default
+    * 256·ksub sampled rows; Int.MaxValue → full corpus (gates).
+    */
+  private def pqCap(maxTrainRows: Int, ksub: Int): Int =
+    if (maxTrainRows <= 0) 256 * ksub else maxTrainRows
+
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+      m: Int, ksub: Int, iters: Int = 2, maxTrainRows: Int = 0): DataFrame = {
     val dim = probeDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    pqTrainSv(subspaces(corpus, idCol, vecCol, m, dim / m)
+    val train = trainingFrame(corpus, idCol, pqCap(maxTrainRows, ksub),
+      qcol(idCol).cast("long"))
+    pqTrainSv(subspaces(train, idCol, vecCol, m, dim / m)
       .localCheckpoint(eager = true), ksub, iters)
   }
 
@@ -275,12 +335,21 @@ object Similarity {
     * PQ index build happens exactly once.
     */
   def pqModel(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iters: Int = 2): PqModel = {
+      m: Int, ksub: Int, iters: Int = 2, maxTrainRows: Int = 0): PqModel = {
     val dim = probeDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     val sv = subspaces(corpus, idCol, vecCol, m, sub).localCheckpoint(eager = true)
-    val centroids = pqTrainSv(sv, ksub, iters)
+    // train on a bounded slice of the SHARED subspace pass (broadcast
+    // semi-join on the sampled ids — checkpointed so Lloyd iterations
+    // read ≤ cap·m stored rows); the final encode still covers all of sv
+    val svTrain = trainSampleIds(corpus, idCol, pqCap(maxTrainRows, ksub)) match {
+      case Some(ids) =>
+        sv.join(broadcast(ids), col("__id") === col("__sid")).drop("__sid")
+          .localCheckpoint(eager = true)
+      case None => sv
+    }
+    val centroids = pqTrainSv(svTrain, ksub, iters)
     val codes = assignPq(sv, centroids).select(col("__id"), col("__j"), col("__code"))
     PqModel(centroids, codes, m, sub)
   }
@@ -296,12 +365,14 @@ object Similarity {
 
   /** ADC lookup table for a query set: (query_id, __j, __code, __p)
     * where __p = dot(query subvector j, codebook j's centroid `__code`)
-    * — queries × m × ksub rows, always broadcast-sized.
+    * — queries × m × ksub rows, always broadcast-sized. Takes the raw
+    * codebook frame + geometry so it works identically for an in-memory
+    * [[PqModel]] and a loaded [[AnnIndex]] table.
     */
-  private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
-      model: PqModel): DataFrame =
-    subspaces(queries, idCol, vecCol, model.m, model.sub)
-      .join(broadcast(model.centroids), Seq("__j"))
+  private[ext] def pqLut(queries: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int, sub: Int): DataFrame =
+    subspaces(queries, idCol, vecCol, m, sub)
+      .join(broadcast(centroids), Seq("__j"))
       .select(col("__id").as("query_id"), col("__j"), col("__cid").as("__code"),
         dot(col("__sv"), col("centroid")).as("__p"))
 
@@ -312,7 +383,9 @@ object Similarity {
     */
   def pqScores(queries: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame =
-    model.codes.join(broadcast(pqLut(queries, idCol, vecCol, model)), Seq("__j", "__code"))
+    model.codes.join(
+      broadcast(pqLut(queries, idCol, vecCol, model.centroids, model.m, model.sub)),
+      Seq("__j", "__code"))
       .filter(col("query_id") =!= col("__id"))
       .groupBy(col("query_id"), col("__id"))
       .agg(sum(col("__p")).as("cosine_pq"))
@@ -330,54 +403,31 @@ object Similarity {
       m: Int = 4,
       ksub: Int = 16,
       iters: Int = 2,
+      maxTrainRows: Int = 0,
   ): DataFrame = {
-    val model = pqModel(corpus, idCol, vecCol, m, ksub, iters)
+    val model = pqModel(corpus, idCol, vecCol, m, ksub, iters, maxTrainRows)
     topKPerQuery(pqScores(queries, idCol, vecCol, model), "cosine_pq", "neighbor_id", k)
   }
 
-  /** IVF × PQ composed (the FAISS IVF-PQ layout with global codebooks,
-    * `by_residual=false`): prune the scan to the `nprobe` coarse
-    * clusters nearest each query, then score ONLY those docs' PQ codes
-    * through the ADC lookup table. At 100 TB the query path reads
-    * nprobe/nlist of the corpus and m small codes per vector — the cap
-    * of both pruning axes at once. (Here the cluster attach is an
-    * id-equi-join; a production layout writes the codes table
-    * partitioned by cluster so the probe filter is partition pruning.)
+  /** Per-query top-nprobe coarse clusters: (query_id, __cluster) —
+    * queries × nprobe rows, broadcast-sized. Shared by the in-memory IVF
+    * scan and the persisted IVF×PQ index reader ([[AnnIndex]]).
     */
-  def ivfPqTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      m: Int = 8,
-      ksub: Int = 16,
-      iters: Int = 2,
-  ): DataFrame = {
-    val coarse = trainCentroids(corpus, idCol, vecCol, nlist, iters)
-    val clusterOf = assign(corpus, (idCol, vecCol), coarse)
-      .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
-    val model = pqModel(corpus, idCol, vecCol, m, ksub, iters)
-    val q = queries.select(qcol(idCol).cast("long").as("query_id"), qcol(vecCol).as("__qv"))
+  private[ext] def probeClusters(q: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(cosine(col("__qv"), col("centroid")).desc, col("__cid"))
-    val probes = q.crossJoin(broadcast(coarse))
+    q.crossJoin(broadcast(centroids))
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("__cid").as("__cluster"))
-    val scored = model.codes
-      .join(clusterOf, Seq("__id"))
-      .join(broadcast(probes), Seq("__cluster"))
-      .filter(col("query_id") =!= col("__id"))
-      .join(broadcast(pqLut(queries, idCol, vecCol, model)),
-        Seq("query_id", "__j", "__code"))
-      .groupBy(col("query_id"), col("__id"))
-      .agg(sum(col("__p")).as("cosine_pq"))
-      .withColumnRenamed("__id", "neighbor_id")
-    topKPerQuery(scored, "cosine_pq", "neighbor_id", k)
+      .select(col("query_id"), col("__qv"), col("__cid").as("__cluster"))
   }
+
+  // IVF × PQ composed ANN lives in [[AnnIndex]]: the 100 TB shape is a
+  // PERSISTED codes table partitioned by coarse cluster, where the
+  // per-query nprobe filter becomes parquet partition pruning — an
+  // in-memory composition would need a corpus-sized cluster-attach
+  // shuffle join on the query path (the r5 scale finding).
 
   /** IVF top-k: scan only the `nprobe` clusters nearest to each query.
     * Output shape matches bruteForceTopK (approximate results).
@@ -390,19 +440,16 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
+      maxTrainRows: Int = 0,
   ): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nlist)
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist,
+      maxTrainRows = maxTrainRows)
     val assigned = assign(corpus, (idCol, vecCol), centroids)
       .select(qcol(idCol).cast("long").as("neighbor_id"), qcol(vecCol).as("__cv"),
         col("__cluster"))
 
     val q = queries.select(qcol(idCol).cast("long").as("query_id"), qcol(vecCol).as("__qv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(cosine(col("__qv"), col("centroid")).desc, col("__cid"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("__qv"), col("__cid").as("__cluster"))
+    val probes = probeClusters(q, centroids, nprobe)
 
     val scored = probes.join(assigned, Seq("__cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))

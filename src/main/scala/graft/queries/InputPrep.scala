@@ -15,6 +15,7 @@ object InputPrep {
     CoverageQueries.stageZips(spark, sfDir)
     EngineQueries.stageMediaZip(spark, sfDir)
     ExtensionQueries.stageStreams(spark, sfDir)
+    ExtensionQueries.stageAnnIndexes(spark, sfDir)
     ScaleQueries.stageBucketed(spark, sfDir)
     ScaleQueries.stagePartitioned(spark, sfDir)
     ScaleQueries.stageJsonl(spark, sfDir)

@@ -117,6 +117,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF frame decode round-trips synthGif: count, geometry, delays, pixel means") {
+    val id = 42L
+    val w = 10; val h = 7; val nf = 3
+    def pix(f: Int, x: Int, y: Int): Int = (f * 13 + x * 7 + y * 3) % 256
+    val b = Multimodal.synthGif(id, w, h, nf, pix, f => 10 * f + 5, f => (f % 2, f % 3))
+    val frames = Multimodal.decodeGifFrames(id, b)
+    frames.map(_.frame_idx) shouldBe Seq(0, 1, 2)
+    frames.foreach { fr =>
+      fr.width shouldBe w
+      fr.height shouldBe h
+      fr.left_px shouldBe fr.frame_idx % 2
+      fr.top_px shouldBe fr.frame_idx % 3
+      fr.delay_cs shouldBe 10 * fr.frame_idx + 5
+      val expect = (for (y <- 0 until h; x <- 0 until w) yield pix(fr.frame_idx, x, y).toLong)
+        .sum / (w * h)
+      fr.mean_luma shouldBe expect.toInt
+    }
+  }
+
+  test("GIF LZW stream decodes identically under the JDK's own ImageIO reader") {
+    val id = 43L
+    val w = 40; val h = 20 // > 128 px per frame: exercises the re-CLEAR cadence
+    def pix(f: Int, x: Int, y: Int): Int = (f * 31 + x * 5 + y * 11) % 256
+    val b = Multimodal.synthGif(id, w, h, 2, pix, _ => 4)
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+    val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+    reader.setInput(in)
+    reader.getNumImages(true) shouldBe 2
+    for (f <- 0 until 2) {
+      val img = reader.read(f)
+      img.getWidth shouldBe w
+      img.getHeight shouldBe h
+      for (y <- 0 until h; x <- 0 until w) {
+        // grayscale palette: index == each RGB channel value
+        (img.getRGB(x, y) & 0xff) shouldBe pix(f, x, y)
+      }
+    }
+    reader.dispose()
+  }
+
+  test("GIF frame decode: corrupt payloads yield Nil, never a throw") {
+    val good = Multimodal.synthGif(1L, 9, 9, 2, (f, x, y) => f + x + y, _ => 1)
+    Multimodal.decodeGifFrames(1L, good) should have size 2
+    // truncation anywhere (header, palette, mid-LZW, missing trailer)
+    for (cut <- Seq(3, 10, 400, good.length - 1)) {
+      Multimodal.decodeGifFrames(1L, good.take(cut)) shouldBe Nil
+    }
+    // wrong signature / non-GIF bytes / empty
+    Multimodal.decodeGifFrames(1L, "GIF00a garbage".getBytes("US-ASCII")) shouldBe Nil
+    Multimodal.decodeGifFrames(1L, "not a gif at all".getBytes("US-ASCII")) shouldBe Nil
+    Multimodal.decodeGifFrames(1L, Array.emptyByteArray) shouldBe Nil
+    // hostile dimensions: 65535x65535 frame must refuse before allocating
+    val huge = good.clone()
+    // image descriptor of frame 0 starts after header(13) + GCT(768) + GCE(8)
+    val desc = 13 + 768 + 8
+    huge(desc + 5) = 0xff.toByte; huge(desc + 6) = 0xff.toByte
+    huge(desc + 7) = 0xff.toByte; huge(desc + 8) = 0xff.toByte
+    Multimodal.decodeGifFrames(1L, huge) shouldBe Nil
+  }
+
   test("averageHash: hand-computed bits on an 8x8 one-pixel-per-cell image") {
     // gray values 0..63: mean of cell means = (0+..+63)/64 = 31 (floor);
     // bit k set iff k > 31 ⇒ top half of the image dark, bottom half set

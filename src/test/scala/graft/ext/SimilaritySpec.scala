@@ -99,14 +99,57 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTopK(corpus, corpus, "vec_id", "embedding", 3, m = 3)
   }
 
-  test("ivf-pq with full probes and lossless codes matches brute force") {
+  test("ivf-pq (persisted, cluster-partitioned) with full probes and lossless codes matches brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpq"
     val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
       "vec_id", "embedding", 3).orderBy("rank")
       .select("neighbor_id").as[Long].collect().toSeq
-    val ivfpq = Similarity.ivfPqTopK(corpus.filter($"vec_id" === 0), corpus,
+    val ivfpq = AnnIndex.ivfPqTopKVia(dir, corpus.filter($"vec_id" === 0), corpus,
       "vec_id", "embedding", 3, nlist = 2, nprobe = 2, m = 2, ksub = 5, iters = 1)
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
     ivfpq shouldBe brute // both approximation axes disabled ⇒ exact
+    // the on-disk layout IS cluster-partitioned (directory-per-cluster)
+    val parts = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("__cluster=")).map(_.getName).sorted
+    parts should not be empty
+  }
+
+  test("persisted pq index round-trips: loaded model equals the in-memory one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
+    val model = Similarity.pqModel(corpus, "vec_id", "embedding", m = 2, ksub = 3, iters = 2)
+    AnnIndex.writePq(model, dir)
+    val loaded = AnnIndex.readPq(spark, dir)
+    loaded.m shouldBe model.m
+    loaded.sub shouldBe model.sub
+    loaded.codes.orderBy("__id", "__j").collect().toSeq shouldBe
+      model.codes.orderBy("__id", "__j").collect().toSeq
+    // and the indexed query path reproduces the inline one exactly
+    val inline = Similarity.pqTopK(corpus.filter($"vec_id" === 0), corpus,
+      "vec_id", "embedding", 3, m = 2, ksub = 3, iters = 2)
+      .orderBy("rank").collect().toSeq
+    val indexed = AnnIndex.pqTopK(spark, dir, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3).orderBy("rank").collect().toSeq
+    indexed shouldBe inline
+  }
+
+  test("training sample is bounded, deterministic, and inert below the cap") {
+    val big = (0L until 200L).map(i =>
+      (i, Array(i.toFloat, (i % 7).toFloat))).toDF("vec_id", "embedding")
+    // above the cap: bounded and stable across invocations
+    val s1 = Similarity.trainSampleIds(big, "vec_id", 20)
+    val s2 = Similarity.trainSampleIds(big, "vec_id", 20)
+    s1 should not be empty
+    val ids1 = s1.get.as[Long].collect().toSeq
+    ids1.length should be <= 20
+    ids1.length should be >= 10 // the 2x-headroom prefilter cannot starve
+    ids1 shouldBe s2.get.as[Long].collect().toSeq
+    // below the cap: no sampling (full-corpus training is exact and cheap)
+    Similarity.trainSampleIds(big, "vec_id", 200) shouldBe None
+    Similarity.trainSampleIds(big, "vec_id", Int.MaxValue) shouldBe None
+    // trained centroids still come back complete under a tight cap
+    val cents = Similarity.trainCentroids(big, "vec_id", "embedding",
+      nlist = 4, iters = 1, maxTrainRows = 20)
+    cents.count() shouldBe 4
   }
 
   test("ivf with full probes matches brute force on tiny corpus") {

@@ -75,7 +75,7 @@ class TextAnalysisSpec extends SparkSpec {
     r.getAs[Long]("hx") should not be r.getAs[Long]("hz")
   }
 
-  test("multimodal text decode: fallback features, frames partition bytes") {
+  test("multimodal text decode: fallback features; text payloads yield no frames") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val feats = Multimodal.extractFeatures(media).collect().sortBy(_.id)
@@ -85,8 +85,7 @@ class TextAnalysisSpec extends SparkSpec {
     crc.update("hello world".getBytes("UTF-8"))
     feats(0).content_hash shouldBe crc.getValue
     feats(1).byte_len shouldBe 0L
-    val frames = Multimodal.sampleFrames(media, 4).collect()
-    frames.count(_.getAs[Long]("id") == 1L) shouldBe 4
-    frames.filter(_.getAs[Long]("id") == 1L).map(_.getAs[Int]("frame_bytes")).sum shouldBe 11
+    // frame extraction is a REAL GIF decode now: text bytes drop
+    Multimodal.gifFrames(media).collect() shouldBe empty
   }
 }

@@ -99,6 +99,29 @@ class PlanAssertionsSpec extends SparkSpec {
     (plan should not).include("SortMergeJoin")
   }
 
+  test("ivf-pq indexed query path: nprobe is parquet partition pruning, no sort-merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpq"
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.ext.AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
+      nlist = 4, m = 2, ksub = 4, iters = 1)
+    val index = graft.ext.AnnIndex.readIvfPq(spark, dir)
+    val out = graft.ext.AnnIndex.ivfPqTopK(spark, index,
+      corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1)
+    out.collect()
+    val plan = finalPlan(out)
+    (plan.toString should not).include("SortMergeJoin")
+    // the codes scan must carry a partition filter on __cluster — the
+    // probe selection prunes cluster DIRECTORIES, it does not read-then-
+    // filter the corpus
+    val scans = allNodes(plan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val codeScans = scans.filter(_.partitionFilters.nonEmpty)
+    codeScans should not be empty
+    codeScans.head.partitionFilters.map(_.toString).mkString should include("__cluster")
+  }
+
   test("exact quantiles never collect a group into one aggregation buffer") {
     val df = (1 to 400).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
     val out = graft.ext.Stats.quantileCont(df, "g", "v", Seq("p50" -> 0.5))
