@@ -62,6 +62,15 @@ object ExtensionQueries {
       m = 8, ksub = 16, iters = 2)
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq",
       nlist = 16, m = 8, ksub = 16, iters = 2)
+    // the small gate indexes over the 16-vector sub-corpus: lossless
+    // (ksub = corpus size) so the recall/persistence gates can pin
+    // exact-equality semantics; staged like any fixture so gate runs
+    // measure the QUERY path, not a rebuild
+    val emb16 = emb.filter(col("vec_id") < 16)
+    AnnIndex.buildIvfPq(emb16, "vec_id", "embedding", s"$tmp/ivfpq_gate16",
+      nlist = 4, m = 8, ksub = 16, iters = 1)
+    AnnIndex.buildPq(emb16, "vec_id", "embedding", s"$tmp/pq_gate16",
+      m = 8, ksub = 16, iters = 2)
     done.createNewFile()
     tmp
   }
@@ -382,21 +391,19 @@ object ExtensionQueries {
   }
 
   /** IVF×PQ combined mechanics gate — runs through the SAME persisted
-    * partition-pruned path as `x_knn_ivfpq`: with nprobe = nlist
-    * (exhaustive probing) AND ksub = corpus size (lossless quantization)
-    * BOTH approximations vanish, so the composition must equal brute
-    * force. The throwaway index build is content-fingerprinted like
-    * every staged fixture.
+    * partition-pruned path as `x_knn_ivfpq`, against the staged 16-vector
+    * gate index: with nprobe = nlist (exhaustive probing) AND ksub =
+    * corpus size (lossless quantization) BOTH approximations vanish, so
+    * the composition must equal brute force.
     */
   val knnIvfPqRecall = q("x_knn_ivfpq_recall", "SELECT true AS recall_ok") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
     val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
     val queries = emb16.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(queries, emb16, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"))
-    val ivfpq = AnnIndex.ivfPqTopKVia(
-        s"/tmp/graft_annindex/${Staging.tag(dir)}_gate16",
-        queries, emb16, "vec_id", "embedding", 5,
-        nlist = 4, nprobe = 4, m = 8, ksub = 16, iters = 1)
+    val ivfpq = AnnIndex.ivfPqTopK(s, AnnIndex.readIvfPq(s, s"$idx/ivfpq_gate16"),
+        queries, "vec_id", "embedding", 5, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left")
       .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
@@ -447,16 +454,20 @@ object ExtensionQueries {
   /** Index-persistence gate: the top-k served from the PERSISTED PQ index
     * must equal the top-k of an in-memory model trained inline with the
     * same geometry — write → read loses nothing (codebooks, codes, and
-    * the rounding/tiebreak epilogue all round-trip). Both sides use the
-    * deterministic trainer, so inequality means a persistence bug, not
-    * noise.
+    * the rounding/tiebreak epilogue all round-trip). Runs on the staged
+    * 16-vector gate index (persistence is mechanics; the full-corpus
+    * staged index's QUALITY is separately gated by `x_knn_pq_err`), so
+    * the inline retrain that gives the gate its independence stays
+    * sub-second. Both sides use the deterministic trainer — inequality
+    * means a persistence bug, not noise.
     */
   val knnPqPersist = q("x_knn_pq_persist", "SELECT true AS persist_ok") { (s, dir) =>
-    val emb = Tables.embeddings(s, dir)
-    val queries = emb.filter(col("vec_id") < 5)
-    val indexed = AnnIndex.pqTopK(s, s"${stageAnnIndexes(s, dir)}/pq",
+    val idx = stageAnnIndexes(s, dir)
+    val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+    val queries = emb16.filter(col("vec_id") < 5)
+    val indexed = AnnIndex.pqTopK(s, s"$idx/pq_gate16",
       queries, "vec_id", "embedding", 5)
-    val inline = Similarity.pqTopK(queries, emb, "vec_id", "embedding", 5,
+    val inline = Similarity.pqTopK(queries, emb16, "vec_id", "embedding", 5,
         m = 8, ksub = 16, iters = 2)
       .withColumnRenamed("cosine_pq", "__c2")
     indexed.join(inline, Seq("query_id", "rank", "neighbor_id"), "full")
