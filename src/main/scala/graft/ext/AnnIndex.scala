@@ -82,6 +82,62 @@ object AnnIndex {
       "cosine_pq", "neighbor_id", k)
   }
 
+  // ----------------------------------------------------------- IVF-flat
+  /** A loaded IVF-flat index: coarse centroids in hand, full vectors left
+    * ON DISK partitioned by cluster (`vectorsPath`).
+    */
+  final case class IvfIndex(coarse: DataFrame, vectorsPath: String, nlist: Int)
+
+  /** Build the IVF-flat index: centroids trained on a bounded sample, the
+    * full corpus assigned ONCE and written partitioned by cluster. The
+    * in-memory [[Similarity.ivfTopK]] re-assigns the corpus per query
+    * batch — fine ad hoc, but at 100 TB assignment is a full corpus pass
+    * and the cluster join a corpus-sized shuffle; this layout pays both
+    * once at build time.
+    */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist, iters,
+      maxTrainRows)
+    writeMeta(spark, dir, m = 0, sub = 0, nlist)
+    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    Similarity.assign(corpus, (idCol, vecCol), coarse)
+      .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
+        col("__cluster"))
+      .write.partitionBy("__cluster").mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  def readIvf(spark: SparkSession, dir: String): IvfIndex = {
+    val (_, _, nlist) = readMeta(spark, dir)
+    require(nlist > 0, s"$dir has no coarse quantizer (nlist=$nlist)")
+    IvfIndex(spark.read.parquet(s"$dir/coarse"), s"$dir/vectors", nlist)
+  }
+
+  /** IVF-flat top-k against the persisted index: nprobe coarse clusters
+    * per query (broadcast centroids), the probed-cluster union as a
+    * PartitionFilter on the vectors scan, exact codegen cosine on the
+    * surviving nprobe/nlist of the corpus. Output shape matches
+    * bruteForceTopK.
+    */
+  def ivfTopK(spark: SparkSession, index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(qcol(idCol).cast("long").as("query_id"),
+      qcol(vecCol).as("__qv"))
+    val probes = probeClusters(q, index.coarse, nprobe)
+      .localCheckpoint(eager = true) // reused by the collect AND the join
+    val probed = probes.select(col("__cluster")).distinct()
+      .collect().map(_.getInt(0)) // ≤ nlist values by construction
+    val vectors = spark.read.parquet(index.vectorsPath)
+      .filter(col("__cluster").isin(probed.map(Int.box): _*))
+    val scored = vectors
+      .join(broadcast(probes), Seq("__cluster"))
+      .filter(col("query_id") =!= col("__id"))
+      .select(col("query_id"), col("__id").as("neighbor_id"),
+        Similarity.cosine(col("__qv"), col("__vec")).as("cosine"))
+    topKPerQuery(scored, "cosine", "neighbor_id", k)
+  }
+
   // ------------------------------------------------------------ IVF×PQ
   /** Build the composed IVF×PQ index (FAISS layout with global codebooks,
     * `by_residual=false`): coarse centroids + PQ codebooks trained on

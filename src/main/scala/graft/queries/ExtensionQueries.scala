@@ -60,6 +60,8 @@ object ExtensionQueries {
     val emb = Tables.embeddings(s, dir)
     AnnIndex.buildPq(emb, "vec_id", "embedding", s"$tmp/pq",
       m = 8, ksub = 16, iters = 2)
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", s"$tmp/ivf",
+      nlist = 16, iters = 2)
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq",
       nlist = 16, m = 8, ksub = 16, iters = 2)
     // the small gate indexes over the 16-vector sub-corpus: lossless
@@ -298,10 +300,15 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
   }
 
+  /** IVF-flat ANN against the PERSISTED cluster-partitioned index: the
+    * nprobe filter is parquet partition pruning; scoring is exact codegen
+    * cosine over the surviving nprobe/nlist of the corpus.
+    */
   val knnIvf = qRowsOnly("x_knn_ivf") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
-    Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
-      nlist = 16, nprobe = 4)
+    AnnIndex.ivfTopK(s, AnnIndex.readIvf(s, s"$idx/ivf"),
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5, nprobe = 4)
   }
 
   /** Product-quantization ANN (8 subspaces × 16 codes over the 64-dim
@@ -362,16 +369,18 @@ object ExtensionQueries {
     * CORRECTNESS instead of hiding behind a rows-only check.
     */
 
-  /** IVF mechanics gate: with nprobe = nlist the scan is exhaustive, so
+  /** IVF mechanics gate — through the SAME persisted partition-pruned
+    * path as `x_knn_ivf`: with nprobe = nlist the scan is exhaustive, so
     * IVF must return EXACTLY the brute-force top-k neighbor sets.
     */
   val knnIvfRecall = q("x_knn_ivf_recall", "SELECT true AS recall_ok") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"))
-    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5,
-        nlist = 16, nprobe = 16)
+    val ivf = AnnIndex.ivfTopK(s, AnnIndex.readIvf(s, s"$idx/ivf"),
+        queries, "vec_id", "embedding", 5, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
       .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))

@@ -161,4 +161,26 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSeq
     ivf shouldBe brute // nprobe = nlist ⇒ exhaustive ⇒ exact
   }
+
+  test("persisted ivf-flat index: pruned path equals the in-memory form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivf"
+    AnnIndex.buildIvf(corpus, "vec_id", "embedding", dir, nlist = 2, iters = 1)
+    val index = AnnIndex.readIvf(spark, dir)
+    index.nlist shouldBe 2
+    // full probes through the persisted layout == brute (exhaustive)
+    val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
+      "vec_id", "embedding", 3).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    val indexed = AnnIndex.ivfTopK(spark, index, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3, nprobe = 2).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    indexed shouldBe brute
+    // nprobe=1 prunes: the result only contains vectors of probed clusters
+    val pruned = AnnIndex.ivfTopK(spark, index, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3, nprobe = 1).collect()
+    pruned.length should be <= 3
+    // and the on-disk layout is directory-per-cluster
+    new java.io.File(s"$dir/vectors").listFiles()
+      .count(_.getName.startsWith("__cluster=")) shouldBe 2
+  }
 }

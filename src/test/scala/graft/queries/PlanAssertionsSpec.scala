@@ -99,6 +99,21 @@ class PlanAssertionsSpec extends SparkSpec {
     (plan should not).include("SortMergeJoin")
   }
 
+  /** The probe-side scan of a persisted ANN index must carry a partition
+    * filter on __cluster (directory pruning, not read-then-filter) and
+    * the whole query must stay broadcast-joined.
+    */
+  private def assertPrunedAnnPlan(out: DataFrame): Unit = {
+    out.collect()
+    val plan = finalPlan(out)
+    (plan.toString should not).include("SortMergeJoin")
+    val scans = allNodes(plan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val prunedScans = scans.filter(_.partitionFilters.nonEmpty)
+    prunedScans should not be empty
+    prunedScans.head.partitionFilters.map(_.toString).mkString should include("__cluster")
+  }
+
   test("ivf-pq indexed query path: nprobe is parquet partition pruning, no sort-merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpq"
     val corpus = (0 until 64).map(i =>
@@ -107,19 +122,20 @@ class PlanAssertionsSpec extends SparkSpec {
     graft.ext.AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
       nlist = 4, m = 2, ksub = 4, iters = 1)
     val index = graft.ext.AnnIndex.readIvfPq(spark, dir)
-    val out = graft.ext.AnnIndex.ivfPqTopK(spark, index,
-      corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1)
-    out.collect()
-    val plan = finalPlan(out)
-    (plan.toString should not).include("SortMergeJoin")
-    // the codes scan must carry a partition filter on __cluster — the
-    // probe selection prunes cluster DIRECTORIES, it does not read-then-
-    // filter the corpus
-    val scans = allNodes(plan)
-      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-    val codeScans = scans.filter(_.partitionFilters.nonEmpty)
-    codeScans should not be empty
-    codeScans.head.partitionFilters.map(_.toString).mkString should include("__cluster")
+    assertPrunedAnnPlan(graft.ext.AnnIndex.ivfPqTopK(spark, index,
+      corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1))
+  }
+
+  test("ivf-flat indexed query path: nprobe is parquet partition pruning, no sort-merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivf"
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.ext.AnnIndex.buildIvf(corpus, "vec_id", "embedding", dir,
+      nlist = 4, iters = 1)
+    val index = graft.ext.AnnIndex.readIvf(spark, dir)
+    assertPrunedAnnPlan(graft.ext.AnnIndex.ivfTopK(spark, index,
+      corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1))
   }
 
   test("exact quantiles never collect a group into one aggregation buffer") {
