@@ -960,6 +960,32 @@ object ExtensionQueries {
         col("n_events"), round(col("total_value"), 2).as("total_value"))
   }
 
+  /** The SAME incremental sessionization on Spark 4's transformWithState
+    * API (explicit keyed ValueState + event-time timers, RocksDB state
+    * store) — the v2 stateful-processing path must reproduce the batch
+    * window formulation exactly, like the legacy-API form above. Oracle
+    * identical to x_sessionize / x_stream_sessionize.
+    */
+  val streamSessionizeTws = q("x_stream_sessionize_tws",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '4 hours'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    val tmp = stageSessionSpool(s, dir)
+    EventStreams.runSessionizeTwsOnce(s, tmp, "graft_stream_sess_tws",
+        gapMs = SessGapMs, watermarkDelay = SessWatermarkDelay)
+      .select(col("user_id"),
+        col("start").as("session_start"), col("end").as("session_end"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+  }
+
   /** BM25 keyword retrieval (k1=1.2, b=0.75) for three fixed queries over
     * the documents table — the lexical-search leg beside embedding ANN.
     * The oracle replays the whole scoring pipeline (tokenize → query-term
@@ -1282,7 +1308,7 @@ object ExtensionQueries {
     sampleStratified, decontaminate,
     weightedMix, packSequences, asofJoin, asofTolerance,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
-    streamSessionize, streamUpsert, streamUpsertCounters,
+    streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalImageMeta, multimodalAudioMeta,
     multimodalPhash, dedupPhash,
   )

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Structured-Streaming surface over the `events` table shape
@@ -178,7 +179,6 @@ object EventStreams {
   def sessionizeIncremental(events: org.apache.spark.sql.Dataset[Event],
       gapMs: Long): org.apache.spark.sql.Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapUs = gapMs * 1000
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -191,28 +191,7 @@ object EventStreams {
             state.remove()
             closed.iterator
           } else {
-            val sorted = it.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
-            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var st = state.getOption.orNull
-            sorted.foreach { e =>
-              val t = toMicros(e.ts)
-              if (st == null)
-                st = SessionState(t, t, 1L, e.value)
-              else if (t > st.end + gapUs) {
-                out += Session(userId, fromMicros(st.start), fromMicros(st.end), st.n, st.total)
-                st = SessionState(t, t, 1L, e.value)
-              } else if (t < st.start - gapUs)
-                // cross-batch straggler the open session can't reach: its
-                // batch-semantics session may already be emitted, so a
-                // singleton beats rewriting the open span
-                out += Session(userId, fromMicros(t), fromMicros(t), 1L, e.value)
-              else
-                // in-order extension (t ≥ end) and within-watermark
-                // disorder (start−gap ≤ t ≤ end) take the same merge:
-                // span min/max — end never moves backward
-                st = SessionState(math.min(st.start, t), math.max(st.end, t),
-                  st.n + 1, st.total + e.value)
-            }
+            val (closed, st) = advanceSession(userId, state.getOption.orNull, it, gapMs)
             state.update(st)
             // close when the watermark passes the gap; the API requires a
             // timeout above the current watermark, so a session already
@@ -220,9 +199,136 @@ object EventStreams {
             // very next trigger
             state.setTimeoutTimestamp(
               math.max(st.end / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
-            out.iterator
+            closed.iterator
           }
       }
+  }
+
+  /** The SAME incremental sessionization on Spark 4's
+    * `transformWithState` API — explicit keyed [[ValueState]] plus
+    * event-time timers instead of the legacy `GroupState` timeout. Gap,
+    * span-merge, and cross-batch-straggler semantics are identical to
+    * [[sessionizeIncremental]] (one shared worker, `advanceSession`).
+    *
+    * Timer discipline differs from the legacy API and is the one real
+    * migration hazard: `setTimeoutTimestamp` REPLACED the pending
+    * timeout, while `registerTimer` ACCUMULATES timers — so a session
+    * extended across batches leaves stale earlier timers behind. Each
+    * firing therefore re-checks liveness against the state: a timer
+    * whose watermark has not actually passed `end + gap` (the session
+    * grew since it was registered) is ignored; the timer registered
+    * with the extended end performs the close. Requires the RocksDB
+    * state store provider (`runSessionizeTwsOnce` sets it).
+    */
+  private class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, it: Iterator[Event],
+        timers: TimerValues): Iterator[Session] = {
+      val (closed, st) = advanceSession(userId,
+        if (session.exists()) session.get() else null, it, gapMs)
+      session.update(st)
+      getHandle.registerTimer(
+        math.max(st.end / 1000 + gapMs, timers.getCurrentWatermarkInMs() + 1))
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (!session.exists()) return Iterator.empty // already closed
+      val st = session.get()
+      if (timers.getCurrentWatermarkInMs() < st.end / 1000 + gapMs)
+        Iterator.empty // stale timer: the session was extended since
+      else {
+        session.clear()
+        Iterator.single(
+          Session(userId, fromMicros(st.start), fromMicros(st.end), st.n, st.total))
+      }
+    }
+  }
+
+  def sessionizeTws(events: org.apache.spark.sql.Dataset[Event],
+      gapMs: Long): org.apache.spark.sql.Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The batch-advance worker shared by BOTH incremental sessionizers:
+    * fold one micro-batch's (sorted-here) events for a user into the
+    * open-session state. Returns (sessions closed by roll-over or
+    * stragglers, the open state after the batch — never null, a batch
+    * has ≥ 1 event).
+    */
+  private def advanceSession(userId: Long, openState: SessionState,
+      it: Iterator[Event], gapMs: Long): (Seq[Session], SessionState) = {
+    val gapUs = gapMs * 1000
+    val sorted = it.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var st = openState
+    sorted.foreach { e =>
+      val t = toMicros(e.ts)
+      if (st == null)
+        st = SessionState(t, t, 1L, e.value)
+      else if (t > st.end + gapUs) {
+        out += Session(userId, fromMicros(st.start), fromMicros(st.end), st.n, st.total)
+        st = SessionState(t, t, 1L, e.value)
+      } else if (t < st.start - gapUs)
+        // cross-batch straggler the open session can't reach: its
+        // batch-semantics session may already be emitted, so a
+        // singleton beats rewriting the open span
+        out += Session(userId, fromMicros(t), fromMicros(t), 1L, e.value)
+      else
+        // in-order extension (t ≥ end) and within-watermark
+        // disorder (start−gap ≤ t ≤ end) take the same merge:
+        // span min/max — end never moves backward
+        st = SessionState(math.min(st.start, t), math.max(st.end, t),
+          st.n + 1, st.total + e.value)
+    }
+    (out.toSeq, st)
+  }
+
+  /** [[runSessionizeOnce]] for the `transformWithState` form: same spool
+    * protocol, with the RocksDB state store provider switched in for the
+    * run (the v2 stateful operator requires it; the session-wide default
+    * stays untouched afterwards).
+    */
+  def runSessionizeTwsOnce(spark: SparkSession, dir: String, queryName: String,
+      gapMs: Long, watermarkDelay: String = "35 days"): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withWatermark("ts", watermarkDelay)
+        .as[Event]
+      val q = sessionizeTws(stream, gapMs)
+        .filter(_.user_id >= 0)
+        .toDF()
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    spark.table(queryName)
   }
 
   /** Run the incremental sessionizer over a staged spool dir to completion

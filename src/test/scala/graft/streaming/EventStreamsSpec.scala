@@ -135,6 +135,47 @@ class EventStreamsSpec extends SparkSpec {
     inc(0).getAs[Long]("n_events") shouldBe 4L
   }
 
+  /** Write event batches as an mtime-ordered spool (one file per batch). */
+  private def writeSpool(dir: String, files: Seq[Seq[EventStreams.Event]]): Unit =
+    files.zipWithIndex.foreach { case (evs, i) =>
+      val stage = s"$dir/.stage_$i"
+      evs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(dir, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1600000000000L + i * 60000L)
+    }
+
+  test("transformWithState sessionize equals sessionizeBatch, stale timers inert") {
+    val gap = 1L * 3600 * 1000
+    // user 7's session EXTENDS across batches: batch 1 registers a timer
+    // for end1+gap; batch 2 moves the end later. The batch-1 timer fires
+    // first and must be ignored (the session is still live) — the
+    // accumulated-timers hazard of the v2 API. User 8 closes only via
+    // its (live) timer; user 7's second session breaks in-batch.
+    val f1 = Seq(
+      EventStreams.Event(1L, ts("2024-01-01 01:00:00.000123"), 7L, "a", 1.0),
+      EventStreams.Event(10L, ts("2024-01-01 01:20:00"), 8L, "a", 8.0))
+    val f2 = Seq(
+      EventStreams.Event(2L, ts("2024-01-01 01:50:00"), 7L, "a", 2.0), // extends
+      EventStreams.Event(3L, ts("2024-01-01 06:00:00"), 7L, "a", 4.0)) // new session
+    val sent1 = Seq(EventStreams.Event(-1L, ts("2024-02-01 00:00:00"), -1L, "s", 0.0))
+    val sent2 = Seq(EventStreams.Event(-2L, ts("2024-02-01 01:00:00"), -1L, "s", 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_tws").toString
+    writeSpool(dir, Seq(f1, f2, sent1, sent2))
+    val cols = Seq("user_id", "start", "end", "n_events", "total_value")
+    val tws = EventStreams.runSessionizeTwsOnce(spark, dir, "sess_spec_tws",
+        gapMs = gap, watermarkDelay = "30 days")
+      .select(cols.map(col): _*).orderBy("user_id", "start").collect()
+    val batch = EventStreams.sessionizeBatch((f1 ++ f2).toDS().toDF(), gapMs = gap)
+      .select(cols.map(col): _*).orderBy("user_id", "start").collect()
+    tws.toSeq shouldBe batch.toSeq
+    tws should have length 3 // 7:[01:00–01:50]x2, 7:[06:00], 8:[01:20]
+    tws(0).getAs[Long]("n_events") shouldBe 2L
+    tws(0).getAs[Timestamp]("start") shouldBe ts("2024-01-01 01:00:00.000123")
+  }
+
   test("incremental upsert: per-batch merges equal one merge of the whole spool") {
     // batch 1 creates users 1,2; batch 2 updates user 2 and creates user 3
     val f1 = Seq(
