@@ -226,6 +226,95 @@ object Multimodal {
     media.mapPartitions(_.flatMap(m => decodeGifFrames(m.id, m.bytes)))
   }
 
+  // ------------------------------------------------------- AVI frames
+  /** One AVI video frame's stream facts: byte size from its `movi`
+    * chunk, keyframe flag from the `idx1` index, timing from the main
+    * header's microseconds-per-frame (the codec payload itself stays
+    * opaque — decoding it needs codec libraries by design).
+    */
+  final case class AviFrame(id: Long, frame_idx: Int, width: Int, height: Int,
+      us_per_frame: Long, size: Int, keyframe: Boolean)
+
+  /** REAL AVI container walk — the RIFF sibling of `decodeWav` for
+    * video payloads:
+    *
+    *   1. `RIFF` size-checked envelope, `AVI ` form type;
+    *   2. `LIST hdrl` → `avih` main header: dwMicroSecPerFrame,
+    *      dwTotalFrames, dwWidth, dwHeight;
+    *   3. `LIST movi` → one `##db`/`##dc` chunk per video frame (size =
+    *      the frame's compressed byte length), word-aligned like every
+    *      RIFF chunk;
+    *   4. `idx1` (when present) → AVIIF_KEYFRAME (0x10) per entry, joined
+    *      to frames by order; without it every frame reports keyframe
+    *      (the spec default for unindexed streams).
+    *
+    * The frame COUNT must agree between `movi` and the header's
+    * dwTotalFrames — disagreement marks a corrupt container. Returns Nil
+    * for anything unparseable or truncated.
+    */
+  def decodeAviFrames(id: Long, b: Array[Byte]): Seq[AviFrame] = {
+    def u(i: Int): Int = b(i) & 0xff
+    def le32(i: Int): Long =
+      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong | (u(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return Nil
+    val riffSize = le32(4)
+    if (riffSize < 4 || 8 + riffSize > b.length) return Nil
+    try {
+      var width = -1; var height = -1; var usPerFrame = -1L; var totalFrames = -1L
+      val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+      var keyflags: Array[Boolean] = null
+      // walk a chunk run [from, until): LIST recurses, avih/movi/idx1 parse
+      def walk(from: Int, until: Int): Boolean = {
+        var i = from
+        while (i + 8 <= until) {
+          val t = tag(i)
+          val size = le32(i + 4)
+          if (size < 0 || i + 8 + size > until) return false // truncated chunk
+          t match {
+            case "LIST" =>
+              if (size < 4) return false
+              val listType = tag(i + 8)
+              if (listType == "hdrl" || listType == "movi") {
+                if (!walk(i + 12, i + 8 + size.toInt)) return false
+              } // strl and other lists: stream details we don't need
+            case "avih" =>
+              if (size < 40) return false
+              usPerFrame = le32(i + 8)
+              totalFrames = le32(i + 8 + 16)
+              width = le32(i + 8 + 32).toInt
+              height = le32(i + 8 + 36).toInt
+            case "idx1" =>
+              val n = (size / 16).toInt
+              keyflags = Array.tabulate(n) { k =>
+                (le32(i + 8 + k * 16 + 4) & 0x10L) != 0 // AVIIF_KEYFRAME
+              }
+            case vid if vid(0).isDigit && vid(1).isDigit &&
+                vid(2) == 'd' && (vid(3) == 'b' || vid(3) == 'c') =>
+              sizes += size.toInt // ##db / ##dc: one video frame
+            case _ => // audio chunks (##wb), JUNK, etc.: skip
+          }
+          i += 8 + size.toInt + (size.toInt & 1) // word-aligned
+        }
+        true
+      }
+      if (!walk(12, 8 + riffSize.toInt)) return Nil
+      if (width <= 0 || height <= 0 || usPerFrame <= 0) return Nil
+      if (totalFrames != sizes.length) return Nil // header/movi disagree
+      if (keyflags != null && keyflags.length != sizes.length) return Nil
+      sizes.toSeq.zipWithIndex.map { case (sz, f) =>
+        AviFrame(id, f, width, height, usPerFrame, sz,
+          if (keyflags == null) true else keyflags(f))
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => Nil } // truncated
+  }
+
+  /** Partition-wise AVI frame extraction; undecodable payloads drop. */
+  def aviFrames(media: Dataset[MediaRow]): Dataset[AviFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => decodeAviFrames(m.id, m.bytes)))
+  }
+
   // ------------------------------------------------------ image metadata
   /** Decoded image header metadata — a REAL byte-level decode (not the
     * feature stub above): PNG dimensions from the IHDR chunk, JPEG from the
@@ -759,6 +848,58 @@ object Multimodal {
     put(clear + 1) // EOI
     if (nbits > 0) out.write(cur & 0xff)
     out.toByteArray
+  }
+
+  /** Deterministic COMPLETE synthetic AVI container (RIFF envelope,
+    * `LIST hdrl` with a spec-shaped `avih` main header, a `LIST strl`
+    * with a `vids` stream header, `LIST movi` with one `00dc` chunk per
+    * frame — odd sizes exercise the word-alignment pad — and an `idx1`
+    * index carrying the keyframe flags). Frame f's payload is
+    * `frameSize(f)` deterministic bytes; `keyframe(f)` sets AVIIF_KEYFRAME
+    * in idx1.
+    */
+  def synthAvi(id: Long, width: Int, height: Int, usPerFrame: Long,
+      frameSize: Int => Int, nFrames: Int,
+      keyframe: Int => Boolean = _ % 2 == 0): Array[Byte] = {
+    def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ le32(4L + body.length) ++
+        listType.getBytes("US-ASCII") ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    // avih: usPerFrame, maxBytesPerSec, padding, flags, totalFrames,
+    // initialFrames, streams, bufferSize, width, height, reserved[4]
+    val avih = chunk("avih", le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(nFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width.toLong) ++ le32(height.toLong) ++ new Array[Byte](16))
+    // strh: fccType 'vids', fccHandler, flags, prio+lang, initial,
+    // scale, rate, start, length (frames), bufferSize, quality,
+    // sampleSize, rcFrame
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++ "SYNT".getBytes("US-ASCII") ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++
+      le32(1000000L / math.max(1, usPerFrame)) ++ le32(0) ++ le32(nFrames.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(width) ++ le16(height))
+    val strf = chunk("strf", new Array[Byte](40)) // BITMAPINFOHEADER-sized stub
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val frames = (0 until nFrames).map { f =>
+      val n = frameSize(f)
+      chunk("00dc", Array.tabulate(n)(k => ((id * 31 + f * 7 + k) & 0xff).toByte))
+    }
+    val movi = list("movi", frames.flatten.toArray)
+    // idx1 entries: ckid, dwFlags (0x10 = keyframe), dwOffset, dwSize
+    var off = 4L // offsets are relative to the start of the movi list data
+    val idxEntries = (0 until nFrames).flatMap { f =>
+      val e = "00dc".getBytes("US-ASCII") ++
+        le32(if (keyframe(f)) 0x10L else 0L) ++ le32(off) ++ le32(frameSize(f).toLong)
+      off += 8 + frameSize(f) + (frameSize(f) & 1)
+      e
+    }.toArray
+    val body = hdrl ++ movi ++ chunk("idx1", idxEntries)
+    "RIFF".getBytes("US-ASCII") ++ le32(4L + body.length) ++
+      "AVI ".getBytes("US-ASCII") ++ body
   }
 
   /** Wrap a text table as a binary media table (test/demo source: the bytes

@@ -422,15 +422,19 @@ object ExtensionQueries {
     * gate): on a corpus of exactly ksub vectors, the deterministic init
     * makes every subvector its own centroid and Lloyd keeps them there —
     * quantization is LOSSLESS, so PQ's approximate cosine is the exact
-    * cosine and the top-k must equal brute force.
+    * cosine and the top-k must equal brute force. Runs through the
+    * staged lossless gate index; with `x_knn_pq_persist` pinning
+    * staged == inline-trained, lossless-indexed == brute here implies
+    * the same for the inline form (and SimilaritySpec pins inline
+    * losslessness directly on a 5-vector corpus).
     */
   val knnPqRecall = q("x_knn_pq_recall", "SELECT true AS recall_ok") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
     val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
     val queries = emb16.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(queries, emb16, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"))
-    val pq = Similarity.pqTopK(queries, emb16, "vec_id", "embedding", 5,
-        m = 8, ksub = 16, iters = 1)
+    val pq = AnnIndex.pqTopK(s, s"$idx/pq_gate16", queries, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     brute.join(pq, Seq("query_id", "neighbor_id"), "left")
       .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
@@ -1162,6 +1166,36 @@ object ExtensionQueries {
     Multimodal.gifFrames(media).toDF()
   }
 
+  /** REAL AVI container walk: complete synthetic AVI files (RIFF
+    * envelope, avih main header, movi frame chunks with odd sizes
+    * exercising word alignment, idx1 keyframe index — all derived from
+    * doc_id) parsed back frame-by-frame. The codec payload stays opaque
+    * by design (no codec libraries); geometry, timing, per-frame sizes
+    * and keyframe cadence are all oracle-replayed, so an offset,
+    * alignment, list-recursion, or index-join bug breaks the hash.
+    */
+  val multimodalAviFrames = q("x_multimodal_aviframes",
+    """SELECT doc_id AS id, CAST(f.f AS INTEGER) AS frame_idx,
+      |       CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+      |       CAST((doc_id * 3) % 480 + 16 AS INTEGER) AS height,
+      |       (doc_id % 3 + 1) * 33333 AS us_per_frame,
+      |       CAST((doc_id * 7 + f.f * 11) % 200 + 1 AS INTEGER) AS size,
+      |       f.f % 2 = 0 AS keyframe
+      |FROM documents
+      |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
+      |WHERE f.f < doc_id % 4 + 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+      .as[Long].map { id =>
+        val nf = (id % 4 + 1).toInt
+        Multimodal.MediaRow(id, Multimodal.synthAvi(id,
+          (id % 640 + 16).toInt, (id * 3 % 480 + 16).toInt,
+          (id % 3 + 1) * 33333L,
+          f => ((id * 7 + f * 11) % 200 + 1).toInt, nf), "video", "avi")
+      }
+    Multimodal.aviFrames(media).toDF()
+  }
+
   /** REAL image decode: synthesized valid PNG/JPEG headers (dimensions
     * derived from doc_id) parsed back by the byte-level decoder; the oracle
     * replays the same arithmetic, so a parser bug (offset, endianness,
@@ -1309,7 +1343,8 @@ object ExtensionQueries {
     weightedMix, packSequences, asofJoin, asofTolerance,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
-    multimodalDecode, multimodalFrames, multimodalImageMeta, multimodalAudioMeta,
+    multimodalDecode, multimodalFrames, multimodalAviFrames,
+    multimodalImageMeta, multimodalAudioMeta,
     multimodalPhash, dedupPhash,
   )
 }

@@ -177,6 +177,36 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.decodeGifFrames(1L, huge) shouldBe Nil
   }
 
+  test("AVI frame walk round-trips synthAvi: geometry, timing, sizes, keyframes") {
+    val id = 77L
+    val sizes = Array(33, 200, 7, 120) // odd sizes exercise the pad walk
+    val b = Multimodal.synthAvi(id, 320, 240, 40000L, sizes(_), 4, _ % 3 == 0)
+    val frames = Multimodal.decodeAviFrames(id, b)
+    frames.map(_.frame_idx) shouldBe Seq(0, 1, 2, 3)
+    frames.foreach { fr =>
+      fr.width shouldBe 320
+      fr.height shouldBe 240
+      fr.us_per_frame shouldBe 40000L
+      fr.size shouldBe sizes(fr.frame_idx)
+      fr.keyframe shouldBe (fr.frame_idx % 3 == 0)
+    }
+  }
+
+  test("AVI frame walk: corrupt payloads yield Nil, never a throw") {
+    val good = Multimodal.synthAvi(1L, 64, 48, 33333L, f => f + 5, 3)
+    Multimodal.decodeAviFrames(1L, good) should have size 3
+    for (cut <- Seq(5, 20, 100, good.length - 1)) {
+      Multimodal.decodeAviFrames(1L, good.take(cut)) shouldBe Nil
+    }
+    Multimodal.decodeAviFrames(1L, "RIFFxxxxWAVE".getBytes("US-ASCII")) shouldBe Nil
+    Multimodal.decodeAviFrames(1L, Array.emptyByteArray) shouldBe Nil
+    // header/movi frame-count disagreement is corrupt, not a best guess:
+    // patch avih's dwTotalFrames (RIFF 12 + LIST hdr 12 + chunk hdr 8 + 16)
+    val lied = good.clone()
+    lied(12 + 12 + 8 + 16) = 9
+    Multimodal.decodeAviFrames(1L, lied) shouldBe Nil
+  }
+
   test("averageHash: hand-computed bits on an 8x8 one-pixel-per-cell image") {
     // gray values 0..63: mean of cell means = (0+..+63)/64 = 31 (floor);
     // bit k set iff k > 31 ⇒ top half of the image dark, bottom half set
