@@ -98,4 +98,71 @@ object Joins {
       .select(col("__l.*") +:
         payloadCols.map(c => when(fresh, col("__m").getField(c)).as(c)): _*)
   }
+
+  /** Interval-containment (range) join: every (left interval, right
+    * point) pair with `start <= ts <= end` (inclusive both ends, SQL
+    * BETWEEN semantics), optionally under an extra equi-key. The naive
+    * theta-join formulation has no equi-condition, so Spark executes it
+    * as BroadcastNestedLoopJoin/Cartesian — O(|L|·|R|) pairs examined,
+    * the classic range-join scale trap. This is the bucketized equi-join
+    * form instead:
+    *
+    *   1. each interval EXPLODES into the fixed-width time buckets it
+    *      overlaps (`sequence` of bucket indices — exact decimal floor
+    *      division, no double rounding at micro-timestamp magnitudes);
+    *   2. each point maps to its single bucket;
+    *   3. an equi-join on (bucket, extra key) co-locates only rows that
+    *      CAN match; the exact containment predicate then filters
+    *      bucket-local pairs.
+    *
+    * Cost: |L|·(span/bucketWidth) + |R| rows through one hash shuffle;
+    * candidate pairs are bucket-local instead of all-pairs. Size
+    * `bucketWidth` near the typical interval length: too small
+    * replicates intervals, too large widens bucket-local candidate sets.
+    * A pathological interval replicates only ITS OWN row; intervals
+    * spanning more than `maxBucketsPerInterval` buckets are DROPPED
+    * (documented cap, same discipline as the dedup hot-bucket caps — a
+    * runaway interval must not explode the build side). Inverted or
+    * null intervals and null points drop (no match is possible).
+    *
+    * `startExpr`/`endExpr`/`tsExpr` must be mutually comparable numerics
+    * (for timestamps pass `unix_micros(col)`); left and right column
+    * names must be disjoint (the output carries both sides' columns).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      startExpr: Column,
+      endExpr: Column,
+      right: DataFrame,
+      tsExpr: Column,
+      bucketWidth: Long,
+      leftExtraKey: Option[Column] = None,
+      rightExtraKey: Option[Column] = None,
+      maxBucketsPerInterval: Int = 10000,
+  ): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(leftExtraKey.isDefined == rightExtraKey.isDefined,
+      "extra equi-keys must be given for both sides or neither")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"rangeJoin output carries both sides' columns; " +
+      s"rename colliding column(s): ${dup.mkString(", ")}")
+    // exact bucket index: decimal floor-division (a double divide loses
+    // integer precision beyond 2^53 — micro-timestamps get close)
+    def bidx(c: Column): Column =
+      floor(c.cast("decimal(30,0)") / lit(bucketWidth)).cast("long")
+    val l = left.select(struct(left.columns.map(col): _*).as("__l"),
+        startExpr.cast("long").as("__s"), endExpr.cast("long").as("__e"),
+        leftExtraKey.getOrElse(lit(0)).as("__xk"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull && col("__s") <= col("__e"))
+      .filter(bidx(col("__e")) - bidx(col("__s")) < maxBucketsPerInterval)
+      .withColumn("__b", explode(sequence(bidx(col("__s")), bidx(col("__e")))))
+    val r = right.select(struct(right.columns.map(col): _*).as("__r"),
+        tsExpr.cast("long").as("__t"),
+        rightExtraKey.getOrElse(lit(0)).as("__xk"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__b", bidx(col("__t")))
+    l.join(r, Seq("__b", "__xk"))
+      .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
+      .select(col("__l.*"), col("__r.*"))
+  }
 }

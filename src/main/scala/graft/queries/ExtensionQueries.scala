@@ -873,6 +873,46 @@ object ExtensionQueries {
         .select(col("event_id"), col("user_id"), col("snap_total"))
   }
 
+  /** Interval-containment range join through the bucketized equi-join
+    * form (naive BETWEEN theta joins fall to BroadcastNestedLoop /
+    * Cartesian — the range-join scale trap): per-user sessions become
+    * intervals, every event whose ts falls inside an interval matches
+    * (cross-user on purpose — genuine containment, not session
+    * membership), aggregated per session. The oracle replays it as a
+    * straight `ON ts BETWEEN start AND end` join, so bucket boundary
+    * bugs (inclusive ends, bucket-crossing intervals, the decimal floor)
+    * break the hash.
+    */
+  val rangeJoinSessions = q("x_range_join",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '4 hours'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+      |sess AS (SELECT user_id su, min(ts) st, max(ts) en
+      |         FROM s GROUP BY user_id, sid)
+      |SELECT su AS s_user, st AS session_start,
+      |       count(*) AS n_in_window, round(sum(ev.value), 2) AS sum_value
+      |FROM sess JOIN events ev ON ev.ts BETWEEN st AND en
+      |GROUP BY su, st""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val sess = EventStreams.sessionizeBatch(events, gapMs = 4L * 3600 * 1000)
+      .select(col("user_id").as("s_user"), col("start"), col("end"))
+    val pts = events.select(col("ts").as("ev_ts"), col("value"))
+    graft.ext.Joins.rangeJoin(sess,
+        unix_micros(col("start")), unix_micros(col("end")),
+        pts, unix_micros(col("ev_ts")), bucketWidth = 86400000000L)
+      .groupBy(col("s_user"), col("start"))
+      .agg(count(lit(1)).as("n_in_window"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("s_user"), col("start").as("session_start"),
+        col("n_in_window"), col("sum_value"))
+  }
+
   /** Streaming incremental upsert (CDC-into-table): the upsert spool's
     * files merged into a live parquet table one micro-batch at a time via
     * the SAME Upsert.merge + writeSwap as the batch import. The oracle
@@ -1340,7 +1380,7 @@ object ExtensionQueries {
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate,
-    weightedMix, packSequences, asofJoin, asofTolerance,
+    weightedMix, packSequences, asofJoin, asofTolerance, rangeJoinSessions,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,

@@ -139,6 +139,50 @@ class PipelineOpsSpec extends SparkSpec {
     out shouldBe Array("new")
   }
 
+  test("rangeJoin: inclusive bounds, bucket-crossing intervals, drops and caps") {
+    // buckets of width 10: interval [5, 25] crosses three buckets; every
+    // containment must surface exactly ONCE (no per-bucket duplicates)
+    val intervals = Seq((1L, 5L, 25L), (2L, 30L, 30L), (3L, 40L, 35L))
+      .toDF("iid", "s", "e") // iid 3 is inverted: drops
+      .unionByName(Seq((4L, Option.empty[Long], Option(50L))).toDF("iid", "s", "e"))
+    val points = Seq((100L, 5L), (101L, 25L), (102L, 26L), (103L, 30L), (104L, 15L))
+      .toDF("pid", "t")
+      .unionByName(Seq((105L, Option.empty[Long])).toDF("pid", "t"))
+    val out = Joins.rangeJoin(intervals, col("s"), col("e"), points, col("t"),
+        bucketWidth = 10L)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    out shouldBe Set(
+      (1L, 100L), // start-inclusive
+      (1L, 101L), // end-inclusive, two buckets from the start
+      (1L, 104L), // mid-bucket
+      (2L, 103L)) // single-point interval
+    // extra equi-key separates tenants sharing time ranges
+    val li = Seq((1L, 0L, 100L, "a"), (2L, 0L, 100L, "b")).toDF("iid", "s", "e", "ik")
+    val pi = Seq((100L, 50L, "a"), (101L, 50L, "c")).toDF("pid", "t", "pk")
+    val keyed = Joins.rangeJoin(li, col("s"), col("e"), pi, col("t"), 10L,
+        leftExtraKey = Some(col("ik")), rightExtraKey = Some(col("pk")))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    keyed shouldBe Set((1L, 100L))
+    // the bucket-span cap drops runaway intervals instead of exploding
+    val wide = Seq((9L, 0L, 1000000L)).toDF("iid", "s", "e")
+    Joins.rangeJoin(wide, col("s"), col("e"), points, col("t"), 10L,
+      maxBucketsPerInterval = 100).collect() shouldBe empty
+    // colliding column names rejected
+    an[IllegalArgumentException] should be thrownBy
+      Joins.rangeJoin(intervals, col("s"), col("e"),
+        points.withColumnRenamed("pid", "iid"), col("t"), 10L)
+  }
+
+  test("rangeJoin plans as an equi-join: no nested-loop, no cartesian") {
+    val intervals = (1 to 50).map(i => (i.toLong, i * 10L, i * 10L + 15L)).toDF("iid", "s", "e")
+    val points = (1 to 300).map(i => (1000L + i, i * 2L)).toDF("pid", "t")
+    val out = Joins.rangeJoin(intervals, col("s"), col("e"), points, col("t"), 10L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    (plan should not).include("BroadcastNestedLoopJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
   test("globalPrefixSum: null and all-null values contribute 0, no driver NPE") {
     val df = Seq[(Long, Option[Long])](
       (1L, None), (2L, Some(3L)), (3L, None), (4L, Some(2L)), (5L, None))
