@@ -71,8 +71,10 @@ object ExtensionQueries {
     val emb16 = emb.filter(col("vec_id") < 16)
     AnnIndex.buildIvfPq(emb16, "vec_id", "embedding", s"$tmp/ivfpq_gate16",
       nlist = 4, m = 8, ksub = 16, iters = 1)
+    // iters=1: on the lossless ksub==corpus geometry Lloyd is at its
+    // fixpoint after init, so iteration count cannot change the result
     AnnIndex.buildPq(emb16, "vec_id", "embedding", s"$tmp/pq_gate16",
-      m = 8, ksub = 16, iters = 2)
+      m = 8, ksub = 16, iters = 1)
     done.createNewFile()
     tmp
   }
@@ -481,7 +483,7 @@ object ExtensionQueries {
     val indexed = AnnIndex.pqTopK(s, s"$idx/pq_gate16",
       queries, "vec_id", "embedding", 5)
     val inline = Similarity.pqTopK(queries, emb16, "vec_id", "embedding", 5,
-        m = 8, ksub = 16, iters = 2)
+        m = 8, ksub = 16, iters = 1)
       .withColumnRenamed("cosine_pq", "__c2")
     indexed.join(inline, Seq("query_id", "rank", "neighbor_id"), "full")
       .agg((count(lit(1)) === count(col("cosine_pq")) &&
