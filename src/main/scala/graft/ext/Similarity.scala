@@ -431,6 +431,13 @@ object Similarity {
 
   /** IVF top-k: scan only the `nprobe` clusters nearest to each query.
     * Output shape matches bruteForceTopK (approximate results).
+    *
+    * AD-HOC form: assigns the corpus against the centroids on every
+    * call — a full corpus pass plus a corpus-sized cluster shuffle per
+    * query batch. For repeated querying (and at 100 TB, always) build
+    * the persisted cluster-partitioned layout instead —
+    * [[AnnIndex.buildIvf]]/[[AnnIndex.ivfTopK]] turn the nprobe filter
+    * into parquet partition pruning and pay assignment once.
     */
   def ivfTopK(
       queries: DataFrame,
