@@ -76,11 +76,8 @@ object AnnIndex {
 
   /** PQ top-k against a persisted index (build once, query many). */
   def pqTopK(spark: SparkSession, dir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val model = readPq(spark, dir)
-    topKPerQuery(Similarity.pqScores(queries, idCol, vecCol, model),
-      "cosine_pq", "neighbor_id", k)
-  }
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    Similarity.pqTopKWithModel(queries, idCol, vecCol, readPq(spark, dir), k)
 
   // ----------------------------------------------------------- IVF-flat
   /** A loaded IVF-flat index: coarse centroids in hand, full vectors left
@@ -202,6 +199,55 @@ object AnnIndex {
       .agg(sum(col("__p")).as("cosine_pq"))
       .withColumnRenamed("__id", "neighbor_id")
     topKPerQuery(scored, "cosine_pq", "neighbor_id", k)
+  }
+
+  // ----------------------------------------------------- incremental append
+  /** Append new corpus rows to a persisted index WITHOUT retraining —
+    * the maintenance operation between periodic rebuilds. Codebooks
+    * (and for the IVF layouts the coarse quantizer) are FROZEN: new
+    * vectors are assigned/encoded against the stored tables and their
+    * codes/vectors appended to the on-disk layout (parquet append
+    * respects the cluster partitioning, so new rows land in their
+    * cluster directories and partition pruning keeps working). Encoding
+    * is deterministic given the codebooks, so append(build(A), B)
+    * equals encode(A∪B) against A's codebooks EXACTLY — the
+    * `x_knn_pq_append` gate pins it. Quantization quality drifts as the
+    * data distribution moves away from the training sample; that is the
+    * standard trade (FAISS `add` semantics) — rebuild on your cadence,
+    * append in between. Caller owns id uniqueness across appends.
+    */
+  def appendPq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val model = readPq(spark, dir)
+    Similarity.pqEncode(rows, idCol, vecCol, model.centroids, model.m, model.sub)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** [[appendPq]] for the IVF-flat layout: assign against the frozen
+    * coarse centroids, append into the cluster partitions.
+    */
+  def appendIvf(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val index = readIvf(spark, dir)
+    Similarity.assign(rows, (idCol, vecCol), index.coarse)
+      .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
+        col("__cluster"))
+      .write.mode("append").partitionBy("__cluster").parquet(index.vectorsPath)
+  }
+
+  /** [[appendPq]] for the IVF×PQ layout: frozen coarse quantizer AND
+    * frozen codebooks; one assign + one encode of the new rows, appended
+    * into the cluster partitions.
+    */
+  def appendIvfPq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val index = readIvfPq(spark, dir)
+    val coarse = index.coarse
+    val clusterOf = Similarity.assign(rows, (idCol, vecCol), coarse)
+      .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
+    Similarity.pqEncode(rows, idCol, vecCol, index.codebooks, index.m, index.sub)
+      .join(clusterOf, Seq("__id"))
+      .write.mode("append").partitionBy("__cluster").parquet(index.codesPath)
   }
 
   /** Build-and-query convenience for tests/gates: stages the index under

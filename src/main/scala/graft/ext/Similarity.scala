@@ -406,8 +406,15 @@ object Similarity {
       maxTrainRows: Int = 0,
   ): DataFrame = {
     val model = pqModel(corpus, idCol, vecCol, m, ksub, iters, maxTrainRows)
-    topKPerQuery(pqScores(queries, idCol, vecCol, model), "cosine_pq", "neighbor_id", k)
+    pqTopKWithModel(queries, idCol, vecCol, model, k)
   }
+
+  /** PQ top-k against an already-built model (in-memory or loaded via
+    * [[AnnIndex.readPq]]) — zero training on the query path.
+    */
+  def pqTopKWithModel(queries: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, k: Int): DataFrame =
+    topKPerQuery(pqScores(queries, idCol, vecCol, model), "cosine_pq", "neighbor_id", k)
 
   /** Per-query top-nprobe coarse clusters: (query_id, __cluster) —
     * queries × nprobe rows, broadcast-sized. Shared by the in-memory IVF

@@ -75,6 +75,12 @@ object ExtensionQueries {
     // fixpoint after init, so iteration count cannot change the result
     AnnIndex.buildPq(emb16, "vec_id", "embedding", s"$tmp/pq_gate16",
       m = 8, ksub = 16, iters = 1)
+    // incremental-maintenance fixture: built on the first half, second
+    // half APPENDED with frozen codebooks (x_knn_pq_append)
+    AnnIndex.buildPq(emb16.filter(col("vec_id") < 8), "vec_id", "embedding",
+      s"$tmp/pq_append16", m = 8, ksub = 8, iters = 1)
+    AnnIndex.appendPq(s, s"$tmp/pq_append16",
+      emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
     done.createNewFile()
     tmp
   }
@@ -489,6 +495,33 @@ object ExtensionQueries {
       .agg((count(lit(1)) === count(col("cosine_pq")) &&
         count(lit(1)) === count(col("__c2")) &&
         max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("persist_ok"))
+  }
+
+  /** Index-append gate (incremental maintenance): an index built on half
+    * the corpus and APPENDED with the other half under frozen codebooks
+    * must serve exactly the top-k of a one-shot encode of the full
+    * corpus against those same codebooks — parquet append preserved
+    * every code and the layout. Encoding is deterministic given the
+    * codebooks, so inequality means an append bug (lost rows, double
+    * rows, partition misplacement), not quantization noise.
+    */
+  val knnPqAppend = q("x_knn_pq_append", "SELECT true AS append_ok") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+    val queries = emb16.filter(col("vec_id") < 5)
+    val appended = AnnIndex.readPq(s, s"$idx/pq_append16")
+    val indexed = AnnIndex.pqTopK(s, s"$idx/pq_append16",
+      queries, "vec_id", "embedding", 5)
+    val oneShot = Similarity.pqTopKWithModel(queries, "vec_id", "embedding",
+        Similarity.PqModel(appended.centroids,
+          Similarity.pqEncode(emb16, "vec_id", "embedding",
+            appended.centroids, appended.m, appended.sub),
+          appended.m, appended.sub), 5)
+      .withColumnRenamed("cosine_pq", "__c2")
+    indexed.join(oneShot, Seq("query_id", "rank", "neighbor_id"), "full")
+      .agg((count(lit(1)) === count(col("cosine_pq")) &&
+        count(lit(1)) === count(col("__c2")) &&
+        max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("append_ok"))
   }
 
   /** MinHash gate: planted near-variants (one appended token ⇒ jaccard ≈ 1)
@@ -1377,7 +1410,7 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
     dedupComponents,
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
-    knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist,
+    knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, textBm25, textSurprisal, hybridRrf,

@@ -132,6 +132,36 @@ class SimilaritySpec extends SparkSpec {
     indexed shouldBe inline
   }
 
+  test("append to persisted indexes: frozen-codebook encode, pruning intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val a = corpus.filter($"vec_id" < 3)
+    val b = corpus.filter($"vec_id" >= 3)
+    // PQ: appended codes == one-shot encode of the union vs frozen codebooks
+    AnnIndex.buildPq(a, "vec_id", "embedding", s"$base/pq", m = 2, ksub = 3, iters = 1)
+    AnnIndex.appendPq(spark, s"$base/pq", b, "vec_id", "embedding")
+    val model = AnnIndex.readPq(spark, s"$base/pq")
+    val expect = Similarity.pqEncode(corpus, "vec_id", "embedding",
+      model.centroids, model.m, model.sub)
+    model.codes.orderBy("__id", "__j").collect().toSeq shouldBe
+      expect.orderBy("__id", "__j").collect().toSeq
+    // IVF-flat: appended vectors land in cluster partitions; full probes == brute
+    AnnIndex.buildIvf(a, "vec_id", "embedding", s"$base/ivf", nlist = 2, iters = 1)
+    AnnIndex.appendIvf(spark, s"$base/ivf", b, "vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
+      "vec_id", "embedding", 3).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    val ivf = AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, s"$base/ivf"),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    ivf shouldBe brute
+    // IVF×PQ: appended lossless codes through the pruned path == brute
+    AnnIndex.buildIvfPq(a, "vec_id", "embedding", s"$base/ivfpq",
+      nlist = 2, m = 2, ksub = 3, iters = 1)
+    AnnIndex.appendIvfPq(spark, s"$base/ivfpq", b, "vec_id", "embedding")
+    val appendedCodes = spark.read.parquet(s"$base/ivfpq/codes")
+    appendedCodes.select("__id").distinct().count() shouldBe 5
+  }
+
   test("training sample is bounded, deterministic, and inert below the cap") {
     val big = (0L until 200L).map(i =>
       (i, Array(i.toFloat, (i % 7).toFloat))).toDF("vec_id", "embedding")
