@@ -47,6 +47,49 @@ object Sampling {
     else f"${math.floor(rate * 4294967296.0).toLong}%08x"
   }
 
+  /** Temperature-weighted mixing (the mT5/multilingual-sampling recipe):
+    * stratum s keeps rows at a rate making its expected share of the kept
+    * corpus ∝ n_s^alpha — alpha = 1 preserves natural proportions,
+    * alpha → 0 flattens toward uniform-per-stratum, in between
+    * upweights rare strata relative to their size. `targetFraction`
+    * scales the expected TOTAL kept to that fraction of the corpus;
+    * per-stratum rates cap at 1 (a filter cannot upsample — a rare
+    * stratum the formula would oversample is simply kept whole).
+    *
+    * rate_s = min(1, N·targetFraction · (n_s^alpha / Σ_t n_t^alpha) / n_s)
+    *
+    * One bounded aggregate (one row per stratum — collected, like every
+    * bounded driver read in this codebase) computes the counts; the
+    * per-row decision is then the same salted-md5 threshold as
+    * [[weightedMix]] — deterministic and engine-replayable. alpha = 0.5
+    * uses `sqrt` (correctly rounded under IEEE-754, so an external
+    * engine recomputing the rates gets bit-identical thresholds);
+    * other alphas go through `pow`, whose last-ulp behavior is libm-
+    * specific — fine for production, but pin 0.5 where a foreign engine
+    * must replay the exact row set.
+    */
+  def temperatureMix(
+      df: DataFrame, stratum: Column, key: Column,
+      alpha: Double = 0.5, targetFraction: Double = 0.5,
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha outside (0,1]: $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction outside (0,1]: $targetFraction")
+    val counts = df.groupBy(stratum.cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // deterministic float-sum order
+    def p(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val z = counts.map { case (_, n) => p(n) }.sum
+    val total = counts.map(_._2).sum.toDouble * targetFraction
+    // operation ORDER mirrors the SQL oracle exactly: total * (p/z) / n
+    val weights = counts.map { case (s, n) =>
+      s -> math.min(1.0, total * (p(n) / z) / n.toDouble)
+    }.toMap
+    weightedMix(df, stratum, key, weights)
+  }
+
   /** Weighted dataset mixing — the "web at 30%, books at 100%, forums at
     * 5%" recipe of a training-data mix: each stratum keeps its own
     * fraction, decided per row from the same salted content hash as

@@ -760,6 +760,40 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Temperature-weighted mixing (mT5-style p ∝ n^α): strata are
+    * deliberately SKEWED (doc_id % 7 buckets ⇒ ~1:2:4 sizes) so the
+    * formula has something to do — the rare stratum's rate boosts past
+    * 1 and CAPS (the 'g' keep-all threshold), mid and common keep
+    * graduated fractions. α = 0.5 end-to-end: sqrt is correctly rounded
+    * under IEEE-754, so DuckDB recomputing counts → rates → md5
+    * thresholds reproduces the exact row set (sum order pinned by
+    * ORDER BY on both engines).
+    */
+  val temperatureMixQ = q("x_temperature_mix",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id % 7 = 0 THEN 'rare'
+      |              WHEN doc_id % 7 IN (1, 2) THEN 'mid'
+      |              ELSE 'common' END AS bucket
+      |  FROM documents),
+      |c AS (SELECT bucket AS s, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY 1),
+      |tot AS (SELECT sum(n ORDER BY s) AS nn, sum(sqrt(n) ORDER BY s) AS z FROM c),
+      |r AS (SELECT s, least(1.0, (nn * 0.7) * (sqrt(n) / z) / n) AS rate FROM c, tot),
+      |thr AS (SELECT s, CASE WHEN rate >= 1.0 THEN 'g'
+      |                       ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END AS h
+      |        FROM r)
+      |SELECT d.doc_id, d.bucket FROM d JOIN thr ON thr.s = d.bucket
+      |WHERE md5(d.bucket || ':' || CAST(d.doc_id AS VARCHAR)) < thr.h""".stripMargin) {
+    (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, "rare")
+          .when((col("doc_id") % 7).isin(1, 2), "mid")
+          .otherwise("common").as("bucket"))
+      graft.ext.Sampling.temperatureMix(d, col("bucket"), col("doc_id"),
+          alpha = 0.5, targetFraction = 0.7)
+        .select(col("doc_id"), col("bucket"))
+  }
+
   /** Sequence packing (128-token training sequences): the corpus token
     * stream concatenated in doc_id order and split into fixed windows —
     * documents spanning boundaries emit one row per overlapped sequence.
@@ -1415,7 +1449,8 @@ object ExtensionQueries {
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate,
-    weightedMix, packSequences, asofJoin, asofTolerance, rangeJoinSessions,
+    weightedMix, temperatureMixQ, packSequences, asofJoin, asofTolerance,
+    rangeJoinSessions,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,

@@ -139,6 +139,33 @@ class PipelineOpsSpec extends SparkSpec {
     out shouldBe Array("new")
   }
 
+  test("temperatureMix: rare strata boost toward uniform, total tracks the target") {
+    // 1000 rows, 10:1 skew: natural shares 10/11 vs 1/11; alpha 0.5
+    // shifts toward sqrt shares ~0.76/0.24
+    val df = ((1 to 1000).map(i => (i.toLong, if (i <= 909) "big" else "small")))
+      .toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, col("src"), col("id"),
+        alpha = 0.5, targetFraction = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val total = kept.values.sum
+    // md5 thresholds are binomial around the expectation: wide bands
+    total.toDouble shouldBe (500.0 +- 80.0)
+    // the small stratum's KEPT share must exceed its natural 1/11 share
+    kept("small").toDouble / total should be > 0.15
+    // alpha = 1 reproduces plain proportional sampling rates
+    val prop = Sampling.temperatureMix(df, col("src"), col("id"),
+        alpha = 1.0, targetFraction = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    prop("big").toDouble / prop.values.sum shouldBe (909.0 / 1000.0 +- 0.08)
+    // determinism: identical call, identical row set
+    val again = Sampling.temperatureMix(df, col("src"), col("id"),
+        alpha = 0.5, targetFraction = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    Sampling.temperatureMix(df, col("src"), col("id"),
+        alpha = 0.5, targetFraction = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq shouldBe again
+  }
+
   test("rangeJoin: inclusive bounds, bucket-crossing intervals, drops and caps") {
     // buckets of width 10: interval [5, 25] crosses three buckets; every
     // containment must surface exactly ONCE (no per-bucket duplicates)
