@@ -151,6 +151,40 @@ object Upsert {
     * caller must read counters BEFORE swapping (the counter aggregate
     * re-reads the pre-merge target, which this call replaces).
     */
+  /** Snapshot diff — the CDC extract, inverse of `merge`: classify every
+    * key across two generations of a table as `insert` (new key),
+    * `delete` (key gone), or `update` (key present in both, any
+    * non-key column changed). Unchanged keys are dropped — at 100 TB
+    * the diff is small even when the snapshots are not, and downstream
+    * (incremental re-embedding, re-deduplication, index append) only
+    * wants the delta.
+    *
+    * One full outer join on the key; change detection is PER-COLUMN
+    * null-safe equality (`<=>`) — no row hashing, so there are no
+    * false collisions and an external engine replays it with
+    * `IS DISTINCT FROM`. Both frames must share the schema. Output:
+    * the key column + `change` ('insert' | 'update' | 'delete').
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String): DataFrame = {
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"snapshotDiff needs identical schemas; " +
+        s"got ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val payload = before.columns.filterNot(_ == key).toSeq
+    val b = before.select(col(key).as("__bk") +:
+      payload.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(col(key).as("__ak") +:
+      payload.map(c => col(c).as(s"__a_$c")): _*)
+    val changed = payload.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, col("__bk") === col("__ak"), "full_outer")
+      .withColumn("change",
+        when(col("__bk").isNull, "insert")
+          .when(col("__ak").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("__ak"), col("__bk")).as(key), col("change"))
+  }
+
   /** Crash recovery for the two-move swap: if a prior swap died between
     * move(dir->bak) and move(tmp->dir), the table dir is missing and .bak
     * holds the ONLY copy — move it back. Callers that read `tableDir` as

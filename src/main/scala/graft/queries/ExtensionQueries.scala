@@ -760,6 +760,41 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Snapshot diff (CDC extract): two per-user aggregate snapshots built
+    * from deterministic event slices — `after` gains the 9th slice
+    * (updates for users whose newest data landed there), loses every
+    * user_id % 13 == 0 (deletes), and picks up users first seen in the
+    * 9th slice (inserts). The oracle replays the full-outer
+    * IS-DISTINCT-FROM classification; unchanged users must vanish.
+    */
+  val snapshotDiffQ = q("x_snapshot_diff",
+    """WITH b AS (
+      |  SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv
+      |  FROM events WHERE event_id % 10 < 8 GROUP BY 1),
+      |a AS (
+      |  SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv
+      |  FROM events WHERE event_id % 10 < 9 AND user_id % 13 <> 0 GROUP BY 1)
+      |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |       CASE WHEN b.user_id IS NULL THEN 'insert'
+      |            WHEN a.user_id IS NULL THEN 'delete'
+      |            WHEN a.n IS DISTINCT FROM b.n OR a.sv IS DISTINCT FROM b.sv
+      |            THEN 'update' END AS change
+      |FROM b FULL OUTER JOIN a USING (user_id)
+      |WHERE (CASE WHEN b.user_id IS NULL THEN 'insert'
+      |            WHEN a.user_id IS NULL THEN 'delete'
+      |            WHEN a.n IS DISTINCT FROM b.n OR a.sv IS DISTINCT FROM b.sv
+      |            THEN 'update' END) IS NOT NULL""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    def snap(f: org.apache.spark.sql.Column) = events.filter(f)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+    graft.operators.Upsert.snapshotDiff(
+      snap(col("event_id") % 10 < 8),
+      snap(col("event_id") % 10 < 9 && col("user_id") % 13 =!= 0),
+      "user_id")
+  }
+
   /** Temperature-weighted mixing (mT5-style p ∝ n^α): strata are
     * deliberately SKEWED (doc_id % 7 buckets ⇒ ~1:2:4 sizes) so the
     * formula has something to do — the rare stratum's rate boosts past
@@ -1450,7 +1485,7 @@ object ExtensionQueries {
     textChunks, textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate,
     weightedMix, temperatureMixQ, packSequences, asofJoin, asofTolerance,
-    rangeJoinSessions,
+    rangeJoinSessions, snapshotDiffQ,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,

@@ -96,6 +96,28 @@ class UpsertSpec extends SparkSpec {
     new java.io.File(dir + ".bak").exists() shouldBe false
   }
 
+  test("snapshotDiff classifies insert/update/delete, drops unchanged, null-safe") {
+    val before = Seq(
+      (1L, Option("a"), Option(1.0)),  // unchanged
+      (2L, Option("b"), Option(2.0)),  // value changes
+      (3L, Option.empty[String], Option(3.0)), // null -> value: update
+      (4L, Option("d"), Option(4.0)),  // deleted
+      (6L, Option("f"), Option.empty[Double])) // null stays null: unchanged
+      .toDF("id", "s", "v")
+    val after = Seq(
+      (1L, Option("a"), Option(1.0)),
+      (2L, Option("b"), Option(9.0)),
+      (3L, Option("c"), Option(3.0)),
+      (5L, Option("e"), Option(5.0)),  // inserted
+      (6L, Option("f"), Option.empty[Double]))
+      .toDF("id", "s", "v")
+    val out = Upsert.snapshotDiff(before, after, "id")
+      .as[(Long, String)].collect().toMap
+    out shouldBe Map(2L -> "update", 3L -> "update", 4L -> "delete", 5L -> "insert")
+    an[IllegalArgumentException] should be thrownBy
+      Upsert.snapshotDiff(before, after.drop("v"), "id")
+  }
+
   test("restoreIfCrashed recovers a swap that died between its two moves") {
     // crashed-swap state: dir is GONE, .bak holds the only generation
     val dir = Files.createTempDirectory("graft_upsert").toString + "/table"
