@@ -75,9 +75,19 @@ object Sampling {
     require(alpha > 0 && alpha <= 1, s"alpha outside (0,1]: $alpha")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction outside (0,1]: $targetFraction")
-    val counts = df.groupBy(stratum.cast("string").as("__s"))
+    // the collect is bounded by STRATUM CARDINALITY (sources/languages/
+    // domains-class columns, not row-proportional); a mistaken
+    // high-cardinality stratum (e.g. a document id) must fail loudly,
+    // not OOM the driver
+    val maxStrata = 100000
+    val countsDf = df.groupBy(stratum.cast("string").as("__s"))
       .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .limit(maxStrata + 1)
+    val rows = countsDf.collect()
+    require(rows.length <= maxStrata,
+      s"temperatureMix stratum column has > $maxStrata distinct values — " +
+        "that is a key, not a stratum; mix on a bounded column")
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // deterministic float-sum order
     def p(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)

@@ -164,6 +164,9 @@ object Upsert {
     * false collisions and an external engine replays it with
     * `IS DISTINCT FROM`. Both frames must share the schema. Output:
     * the key column + `change` ('insert' | 'update' | 'delete').
+    * A NULL key never equi-matches, so a null-key row in `before`
+    * classifies as delete and one in `after` as insert — the SQL
+    * FULL OUTER JOIN convention, replayed identically by the oracle.
     */
   def snapshotDiff(before: DataFrame, after: DataFrame, key: String): DataFrame = {
     require(before.columns.toSeq == after.columns.toSeq,
