@@ -153,7 +153,10 @@ object Multimodal {
         }
       }
       Nil // unreachable
-    } catch { case _: ArrayIndexOutOfBoundsException => Nil } // truncated
+      // IndexOutOfBoundsException, not just its Array subclass: the
+      // sub-block copy path (ByteArrayOutputStream.write range check)
+      // throws the PLAIN variant on a payload truncated mid-sub-block
+    } catch { case _: IndexOutOfBoundsException => Nil } // truncated
   }
 
   /** GIF-flavor LZW decompression (spec appendix F): initial code width
@@ -285,10 +288,18 @@ object Multimodal {
               width = le32(i + 8 + 32).toInt
               height = le32(i + 8 + 36).toInt
             case "idx1" =>
+              // only VIDEO entries join the frame list by order — a
+              // normal interleaved AVI indexes its audio (##wb) chunks
+              // here too, and counting those would break the
+              // frames-vs-index cross-check for every real-world file
               val n = (size / 16).toInt
-              keyflags = Array.tabulate(n) { k =>
-                (le32(i + 8 + k * 16 + 4) & 0x10L) != 0 // AVIIF_KEYFRAME
-              }
+              keyflags = (0 until n).flatMap { k =>
+                val ck = tag(i + 8 + k * 16)
+                if (ck(0).isDigit && ck(1).isDigit &&
+                    ck(2) == 'd' && (ck(3) == 'b' || ck(3) == 'c'))
+                  Some((le32(i + 8 + k * 16 + 4) & 0x10L) != 0) // AVIIF_KEYFRAME
+                else None
+              }.toArray
             case vid if vid(0).isDigit && vid(1).isDigit &&
                 vid(2) == 'd' && (vid(3) == 'b' || vid(3) == 'c') =>
               sizes += size.toInt // ##db / ##dc: one video frame
@@ -306,7 +317,9 @@ object Multimodal {
         AviFrame(id, f, width, height, usPerFrame, sz,
           if (keyflags == null) true else keyflags(f))
       }
-    } catch { case _: ArrayIndexOutOfBoundsException => Nil } // truncated
+      // plain IndexOutOfBoundsException: covers the Array subclass AND
+      // StringIndexOutOfBounds from the 4-byte tag reads
+    } catch { case _: IndexOutOfBoundsException => Nil } // truncated
   }
 
   /** Partition-wise AVI frame extraction; undecodable payloads drop. */
@@ -860,7 +873,8 @@ object Multimodal {
     */
   def synthAvi(id: Long, width: Int, height: Int, usPerFrame: Long,
       frameSize: Int => Int, nFrames: Int,
-      keyframe: Int => Boolean = _ % 2 == 0): Array[Byte] = {
+      keyframe: Int => Boolean = _ % 2 == 0,
+      interleaveAudio: Boolean = false): Array[Byte] = {
     def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
     def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
     def chunk(tag: String, payload: Array[Byte]): Array[Byte] =
@@ -884,18 +898,31 @@ object Multimodal {
       le32(0) ++ le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(width) ++ le16(height))
     val strf = chunk("strf", new Array[Byte](40)) // BITMAPINFOHEADER-sized stub
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    // the real-world interleaved layout: each video frame optionally
+    // followed by an audio chunk (`01wb`), BOTH indexed in idx1 — a
+    // frame walk that counts index entries naively would double-count
+    val audioLen = 10
     val frames = (0 until nFrames).map { f =>
       val n = frameSize(f)
-      chunk("00dc", Array.tabulate(n)(k => ((id * 31 + f * 7 + k) & 0xff).toByte))
+      chunk("00dc", Array.tabulate(n)(k => ((id * 31 + f * 7 + k) & 0xff).toByte)) ++
+        (if (interleaveAudio)
+          chunk("01wb", Array.tabulate(audioLen)(k => ((id + f + k) & 0xff).toByte))
+        else Array.emptyByteArray)
     }
     val movi = list("movi", frames.flatten.toArray)
     // idx1 entries: ckid, dwFlags (0x10 = keyframe), dwOffset, dwSize
     var off = 4L // offsets are relative to the start of the movi list data
     val idxEntries = (0 until nFrames).flatMap { f =>
-      val e = "00dc".getBytes("US-ASCII") ++
+      val v = "00dc".getBytes("US-ASCII") ++
         le32(if (keyframe(f)) 0x10L else 0L) ++ le32(off) ++ le32(frameSize(f).toLong)
       off += 8 + frameSize(f) + (frameSize(f) & 1)
-      e
+      val a = if (interleaveAudio) {
+        val e = "01wb".getBytes("US-ASCII") ++
+          le32(0L) ++ le32(off) ++ le32(audioLen.toLong)
+        off += 8 + audioLen
+        e
+      } else Array.emptyByteArray
+      v ++ a
     }.toArray
     val body = hdrl ++ movi ++ chunk("idx1", idxEntries)
     "RIFF".getBytes("US-ASCII") ++ le32(4L + body.length) ++

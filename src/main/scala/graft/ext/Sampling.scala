@@ -78,8 +78,10 @@ object Sampling {
     // the collect is bounded by STRATUM CARDINALITY (sources/languages/
     // domains-class columns, not row-proportional); a mistaken
     // high-cardinality stratum (e.g. a document id) must fail loudly,
-    // not OOM the driver
-    val maxStrata = 100000
+    // not OOM the driver. The cap also matches what weightedMix's
+    // nested-when threshold expression supports — Catalyst tree
+    // recursion would overflow far below the old 100k figure.
+    val maxStrata = 1000
     val countsDf = df.groupBy(stratum.cast("string").as("__s"))
       .agg(count(lit(1)).as("__n"))
       .limit(maxStrata + 1)
@@ -87,8 +89,12 @@ object Sampling {
     require(rows.length <= maxStrata,
       s"temperatureMix stratum column has > $maxStrata distinct values — " +
         "that is a key, not a stratum; mix on a bounded column")
-    val counts = rows.map(r => r.getString(0) -> r.getLong(1))
+    // null strata drop, matching weightedMix (their threshold would be
+    // the empty string anyway — and a null must not NPE the rate math)
+    val counts = rows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // deterministic float-sum order
+    require(counts.nonEmpty, "temperatureMix: no non-null strata")
     def p(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
     val z = counts.map { case (_, n) => p(n) }.sum

@@ -173,16 +173,19 @@ object Upsert {
       s"snapshotDiff needs identical schemas; " +
         s"got ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
     val payload = before.columns.filterNot(_ == key).toSeq
-    val b = before.select(col(key).as("__bk") +:
+    // presence markers, NOT key nullness, decide which side a row came
+    // from: a null-KEY row also has a null key column after the join,
+    // so testing __bk/__ak would misclassify it
+    val b = before.select(Seq(col(key).as("__bk"), lit(true).as("__bp")) ++
       payload.map(c => col(c).as(s"__b_$c")): _*)
-    val a = after.select(col(key).as("__ak") +:
+    val a = after.select(Seq(col(key).as("__ak"), lit(true).as("__ap")) ++
       payload.map(c => col(c).as(s"__a_$c")): _*)
     val changed = payload.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     b.join(a, col("__bk") === col("__ak"), "full_outer")
       .withColumn("change",
-        when(col("__bk").isNull, "insert")
-          .when(col("__ak").isNull, "delete")
+        when(col("__bp").isNull, "insert")
+          .when(col("__ap").isNull, "delete")
           .when(changed, "update"))
       .filter(col("change").isNotNull)
       .select(coalesce(col("__ak"), col("__bk")).as(key), col("change"))

@@ -160,8 +160,10 @@ class MultimodalSpec extends SparkSpec {
   test("GIF frame decode: corrupt payloads yield Nil, never a throw") {
     val good = Multimodal.synthGif(1L, 9, 9, 2, (f, x, y) => f + x + y, _ => 1)
     Multimodal.decodeGifFrames(1L, good) should have size 2
-    // truncation anywhere (header, palette, mid-LZW, missing trailer)
-    for (cut <- Seq(3, 10, 400, good.length - 1)) {
+    // truncation anywhere: header, palette, INSIDE an image-data
+    // sub-block (the copy path throws the PLAIN IndexOutOfBounds, not
+    // the Array subclass), missing trailer
+    for (cut <- Seq(3, 10, 400, 13 + 768 + 8 + 10 + 5, good.length - 1)) {
       Multimodal.decodeGifFrames(1L, good.take(cut)) shouldBe Nil
     }
     // wrong signature / non-GIF bytes / empty
@@ -190,6 +192,17 @@ class MultimodalSpec extends SparkSpec {
       fr.size shouldBe sizes(fr.frame_idx)
       fr.keyframe shouldBe (fr.frame_idx % 3 == 0)
     }
+  }
+
+  test("AVI frame walk: interleaved audio chunks don't break the idx1 join") {
+    // the normal real-world layout: ##dc video + ##wb audio, BOTH in idx1
+    val sizes = Array(15, 40)
+    val b = Multimodal.synthAvi(5L, 100, 80, 50000L, sizes(_), 2,
+      _ == 0, interleaveAudio = true)
+    val frames = Multimodal.decodeAviFrames(5L, b)
+    frames should have size 2 // audio chunks are neither frames nor index rows
+    frames.map(_.size).toSeq shouldBe sizes.toSeq
+    frames.map(_.keyframe).toSeq shouldBe Seq(true, false)
   }
 
   test("AVI frame walk: corrupt payloads yield Nil, never a throw") {

@@ -164,6 +164,13 @@ class PipelineOpsSpec extends SparkSpec {
     Sampling.temperatureMix(df, col("src"), col("id"),
         alpha = 0.5, targetFraction = 0.5)
       .select("id").as[Long].collect().sorted.toSeq shouldBe again
+    // null strata drop (weightedMix semantics) instead of NPE-ing the
+    // driver-side rate computation
+    val withNull = df.unionByName(
+      Seq((9999L, Option.empty[String])).toDF("id", "src"))
+    val nn = Sampling.temperatureMix(withNull, col("src"), col("id"),
+      alpha = 0.5, targetFraction = 0.5)
+    nn.filter(col("src").isNull).count() shouldBe 0L
   }
 
   test("rangeJoin: inclusive bounds, bucket-crossing intervals, drops and caps") {

@@ -116,6 +116,16 @@ class UpsertSpec extends SparkSpec {
     out shouldBe Map(2L -> "update", 3L -> "update", 4L -> "delete", 5L -> "insert")
     an[IllegalArgumentException] should be thrownBy
       Upsert.snapshotDiff(before, after.drop("v"), "id")
+    // NULL keys never equi-match (SQL convention): a null-key row only
+    // in `before` is a DELETE, only in `after` an INSERT — presence is
+    // decided by side markers, not by the (null) key column
+    val nb = Seq((Option(1L), "x")).toDF("id", "s")
+      .unionByName(Seq((Option.empty[Long], "gone")).toDF("id", "s"))
+    val na = Seq((Option(1L), "x")).toDF("id", "s")
+      .unionByName(Seq((Option.empty[Long], "new")).toDF("id", "s"))
+    val nout = Upsert.snapshotDiff(nb, na, "id")
+      .select("change").as[String].collect().sorted.toSeq
+    nout shouldBe Seq("delete", "insert")
   }
 
   test("restoreIfCrashed recovers a swap that died between its two moves") {
