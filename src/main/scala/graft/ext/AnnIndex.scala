@@ -201,6 +201,39 @@ object AnnIndex {
     topKPerQuery(scored, "cosine_pq", "neighbor_id", k)
   }
 
+  // ------------------------------------------------------ atomic rebuild
+  /** Atomic index REBUILD: the periodic retrain that resets append
+    * drift. The new generation builds in a sibling temp directory, then
+    * replaces `dir` through the two-move swap protocol the table
+    * upserts already use ([[graft.operators.Upsert.swapDirs]]) — a
+    * concurrent reader holds either the old generation or the new one,
+    * never a half-written index (the plain builders' in-place overwrite
+    * of meta/codebooks/codes is NOT safe under concurrent reads).
+    */
+  def rebuildPq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      m: Int, ksub: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
+    val tmp = dir + ".build-" + System.nanoTime()
+    buildPq(corpus, idCol, vecCol, tmp, m, ksub, iters, maxTrainRows)
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** [[rebuildPq]] for the IVF-flat layout. */
+  def rebuildIvf(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
+    val tmp = dir + ".build-" + System.nanoTime()
+    buildIvf(corpus, idCol, vecCol, tmp, nlist, iters, maxTrainRows)
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** [[rebuildPq]] for the IVF×PQ layout. */
+  def rebuildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int, m: Int, ksub: Int, iters: Int = 2,
+      maxTrainRows: Int = 0): Unit = {
+    val tmp = dir + ".build-" + System.nanoTime()
+    buildIvfPq(corpus, idCol, vecCol, tmp, nlist, m, ksub, iters, maxTrainRows)
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
   // ----------------------------------------------------- incremental append
   /** Append new corpus rows to a persisted index WITHOUT retraining —
     * the maintenance operation between periodic rebuilds. Codebooks

@@ -208,30 +208,46 @@ object Upsert {
   }
 
   def writeSwap(spark: SparkSession, merged: DataFrame, tableDir: String): Unit = {
-    val dir = Paths.get(tableDir)
-    val bak = Paths.get(tableDir + ".bak")
     // defense-in-depth: restore a crashed swap before the lazy `merged`
     // plan executes (read-path callers should already have called
     // restoreIfCrashed before building the merge)
     restoreIfCrashed(tableDir)
     val tmp = tableDir + ".tmp-" + System.nanoTime()
     merged.write.mode("overwrite").parquet(tmp)
+    swapDirs(tmp, tableDir)
+  }
+
+  /** The two-move atomic directory replacement underlying `writeSwap`,
+    * usable for ANY on-disk artifact (single parquet table or a
+    * multi-table directory like an ANN index): `tmpDir` becomes
+    * `targetDir`; a concurrent reader sees the old generation or the
+    * new one, never a partial or mixed state. Includes the full crash
+    * discipline — restore a stranded `.bak` whose dir is missing, clear
+    * a true post-swap leftover, and clean up the replaced generation.
+    */
+  def swapDirs(tmpDir: String, targetDir: String): Unit = {
+    val dir = Paths.get(targetDir)
+    val bak = Paths.get(targetDir + ".bak")
+    restoreIfCrashed(targetDir)
     if (Files.exists(bak)) {
       // dir also exists (the missing-dir case was restored above), so
       // this .bak is a true post-swap leftover; ATOMIC_MOVE onto a
       // non-empty directory would fail and wedge every later swap of
-      // this table — clear it first
-      import scala.jdk.CollectionConverters._
-      Files.walk(bak).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      // this target — clear it first
+      deleteTree(bak)
     }
     if (Files.exists(dir)) {
       Files.move(dir, bak, StandardCopyOption.ATOMIC_MOVE)
     }
-    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmpDir), dir, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(bak)) {
       // best-effort cleanup of the previous generation
-      import scala.jdk.CollectionConverters._
-      Files.walk(bak).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      deleteTree(bak)
     }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(q => Files.deleteIfExists(q))
   }
 }

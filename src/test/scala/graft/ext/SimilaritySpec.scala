@@ -162,6 +162,25 @@ class SimilaritySpec extends SparkSpec {
     appendedCodes.select("__id").distinct().count() shouldBe 5
   }
 
+  test("atomic index rebuild: swap replaces whole generations, recovers a crashed swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
+    val a = corpus.filter($"vec_id" < 3)
+    // first rebuild: target doesn't exist yet — plain install
+    AnnIndex.rebuildPq(a, "vec_id", "embedding", dir, m = 2, ksub = 3, iters = 1)
+    AnnIndex.readPq(spark, dir).codes.select("__id").distinct().count() shouldBe 3
+    // second rebuild over the full corpus replaces the generation atomically
+    AnnIndex.rebuildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
+    AnnIndex.readPq(spark, dir).codes.select("__id").distinct().count() shouldBe 5
+    new java.io.File(dir + ".bak").exists() shouldBe false
+    // crashed-swap state (dir gone, .bak holds the only index): the next
+    // rebuild restores it before swapping — never deletes the only copy
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".bak"))
+    AnnIndex.rebuildPq(a, "vec_id", "embedding", dir, m = 2, ksub = 3, iters = 1)
+    AnnIndex.readPq(spark, dir).codes.select("__id").distinct().count() shouldBe 3
+    new java.io.File(dir + ".bak").exists() shouldBe false
+  }
+
   test("training sample is bounded, deterministic, and inert below the cap") {
     val big = (0L until 200L).map(i =>
       (i, Array(i.toFloat, (i % 7).toFloat))).toDF("vec_id", "embedding")
