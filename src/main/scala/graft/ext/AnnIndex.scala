@@ -27,17 +27,88 @@ import graft.ext.Similarity.{PqModel, pqLut, probeClusters, topKPerQuery}
   *   meta/       one row: m, sub (subvector width), nlist (-1 for flat PQ)
   *   codebooks/  (__j, __cid, centroid)        — m·ksub rows
   *   coarse/     (__cid, centroid)             — nlist rows (IVF×PQ only)
-  *   codes/      (__id, __j, __code)           — flat PQ
+  *   codes/      (__id, __j, __code, __seq)    — flat PQ
   *               (__cluster=K/ …)              — IVF×PQ, cluster-partitioned
+  *   vectors/    (__id, __vec, __seq, __cluster=K/) — IVF-flat; also kept
+  *               by IVF×PQ when built with `keepVectors` (refine re-rank)
+  *   tombstones/ (__id, __seq)                 — delete/update log
   * }}}
+  *
+  * Maintenance model (FAISS `remove_ids`/`add` semantics): every stored
+  * row carries the maintenance sequence number `__seq` it was written at
+  * (0 for the initial build). [[deleteIds]] appends (id, seq) tombstones;
+  * a stored row is LIVE iff it was written AFTER the newest tombstone for
+  * its id, so delete → re-append (= [[updatePq]] etc.) supersedes the
+  * tombstone instead of being killed by it. Query paths subtract the
+  * tombstone table through one broadcast join (the table is
+  * delete-volume-sized, not corpus-sized); [[rebuildPq]] and friends
+  * compact — the fresh generation carries no tombstones.
+  *
+  * Concurrency: readers are safe against [[rebuildPq]]'s two-move swap,
+  * but MAINTENANCE ops (append/delete/update) racing a rebuild of the
+  * same index can land writes in the generation the swap is about to
+  * discard — the caller must serialize maintenance against rebuilds of
+  * one index (a lock/lease around the maintenance window); appends and
+  * deletes among themselves are append-only and need only the id-
+  * uniqueness discipline documented on [[appendPq]].
   */
 object AnnIndex {
 
+  // ------------------------------------------------ tombstones / liveness
+  private def tombstonesPath(dir: String) = s"$dir/tombstones"
+
+  private def readTombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (new java.io.File(tombstonesPath(dir)).exists())
+      Some(spark.read.parquet(tombstonesPath(dir)))
+    else None
+
+  /** Sequence number the NEXT maintenance write (append or delete) gets:
+    * one past the newest tombstone. Appends between deletes may share a
+    * number — liveness only compares row seq against TOMBSTONE seq, and
+    * a delete always bumps past every row it must kill.
+    */
+  private def nextSeq(spark: SparkSession, dir: String): Long =
+    readTombstones(spark, dir)
+      .map(_.agg(max(col("__seq"))).head().getLong(0) + 1L)
+      .getOrElse(0L)
+
+  /** Keep only live rows: a row is dead iff a tombstone for its id exists
+    * with tombstone seq >= row seq. One broadcast join against the per-id
+    * max of the tombstone table — nothing corpus-sized moves.
+    */
+  private def liveOnly(spark: SparkSession, dir: String, rows: DataFrame): DataFrame =
+    readTombstones(spark, dir) match {
+      case None => rows
+      case Some(t) =>
+        val dead = t.groupBy(col("__id")).agg(max(col("__seq")).as("__tseq"))
+        // legacy rows written before the tombstone layout carry no __seq —
+        // treat them as generation 0
+        val seq = if (rows.columns.contains("__seq"))
+          coalesce(col("__seq"), lit(0L)) else lit(0L)
+        rows.join(broadcast(dead), Seq("__id"), "left")
+          .filter(col("__tseq").isNull || seq > col("__tseq"))
+          .drop("__tseq")
+    }
+
+  /** Delete ids from a persisted index (any layout) by appending
+    * tombstones — the FAISS `remove_ids` maintenance op, O(|ids|): no
+    * codes/vectors file is rewritten; the query path subtracts the
+    * tombstone table via one broadcast join and the next rebuild
+    * compacts. Deleting an absent id is a harmless no-op tombstone.
+    */
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
+    val seq = nextSeq(spark, dir)
+    ids.select(qcol(idCol).cast("long").as("__id")).distinct()
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").parquet(tombstonesPath(dir))
+  }
+
   /** A loaded IVF×PQ index: coarse centroids + codebooks in hand, codes
     * left ON DISK (`codesPath`) so each query plans its own pruned scan.
+    * `dir` is the index root (tombstones, optional refine vectors).
     */
   final case class IvfPqIndex(coarse: DataFrame, codebooks: DataFrame,
-      codesPath: String, m: Int, sub: Int)
+      codesPath: String, m: Int, sub: Int, dir: String)
 
   private def writeMeta(spark: SparkSession, dir: String, m: Int, sub: Int,
       nlist: Int): Unit = {
@@ -57,7 +128,8 @@ object AnnIndex {
     val spark = model.centroids.sparkSession
     writeMeta(spark, dir, model.m, model.sub, nlist = -1)
     model.centroids.write.mode("overwrite").parquet(s"$dir/codebooks")
-    model.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    model.codes.withColumn("__seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
   /** Train + encode + persist in one call (the index-build job). */
@@ -71,7 +143,8 @@ object AnnIndex {
   def readPq(spark: SparkSession, dir: String): PqModel = {
     val (m, sub, _) = readMeta(spark, dir)
     PqModel(spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"), m, sub)
+      liveOnly(spark, dir, spark.read.parquet(s"$dir/codes")).drop("__seq"),
+      m, sub)
   }
 
   /** PQ top-k against a persisted index (build once, query many). */
@@ -81,9 +154,11 @@ object AnnIndex {
 
   // ----------------------------------------------------------- IVF-flat
   /** A loaded IVF-flat index: coarse centroids in hand, full vectors left
-    * ON DISK partitioned by cluster (`vectorsPath`).
+    * ON DISK partitioned by cluster (`vectorsPath`). `dir` is the index
+    * root (tombstones).
     */
-  final case class IvfIndex(coarse: DataFrame, vectorsPath: String, nlist: Int)
+  final case class IvfIndex(coarse: DataFrame, vectorsPath: String, nlist: Int,
+      dir: String)
 
   /** Build the IVF-flat index: centroids trained on a bounded sample, the
     * full corpus assigned ONCE and written partitioned by cluster. The
@@ -101,14 +176,14 @@ object AnnIndex {
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     Similarity.assign(corpus, (idCol, vecCol), coarse)
       .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
-        col("__cluster"))
+        lit(0L).as("__seq"), col("__cluster"))
       .write.partitionBy("__cluster").mode("overwrite").parquet(s"$dir/vectors")
   }
 
   def readIvf(spark: SparkSession, dir: String): IvfIndex = {
     val (_, _, nlist) = readMeta(spark, dir)
     require(nlist > 0, s"$dir has no coarse quantizer (nlist=$nlist)")
-    IvfIndex(spark.read.parquet(s"$dir/coarse"), s"$dir/vectors", nlist)
+    IvfIndex(spark.read.parquet(s"$dir/coarse"), s"$dir/vectors", nlist, dir)
   }
 
   /** IVF-flat top-k against the persisted index: nprobe coarse clusters
@@ -125,8 +200,9 @@ object AnnIndex {
       .localCheckpoint(eager = true) // reused by the collect AND the join
     val probed = probes.select(col("__cluster")).distinct()
       .collect().map(_.getInt(0)) // ≤ nlist values by construction
-    val vectors = spark.read.parquet(index.vectorsPath)
-      .filter(col("__cluster").isin(probed.map(Int.box): _*))
+    val vectors = liveOnly(spark, index.dir,
+      spark.read.parquet(index.vectorsPath)
+        .filter(col("__cluster").isin(probed.map(Int.box): _*)))
     val scored = vectors
       .join(broadcast(probes), Seq("__cluster"))
       .filter(col("query_id") =!= col("__id"))
@@ -144,26 +220,39 @@ object AnnIndex {
     */
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       nlist: Int, m: Int, ksub: Int, iters: Int = 2,
-      maxTrainRows: Int = 0): Unit = {
+      maxTrainRows: Int = 0,
+      /** Also keep the exact vectors, cluster-partitioned like the codes
+        * (FAISS refine/IndexRefineFlat shape): [[ivfPqTopKRefined]] then
+        * re-scores the ADC shortlist against them. Costs the flat-vector
+        * storage on top of the codes — the standard recall-for-space
+        * trade.
+        */
+      keepVectors: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist, iters,
       maxTrainRows)
-    val clusterOf = Similarity.assign(corpus, (idCol, vecCol), coarse)
+    val assigned = Similarity.assign(corpus, (idCol, vecCol), coarse)
+    val clusterOf = assigned
       .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
     val model = Similarity.pqModel(corpus, idCol, vecCol, m, ksub, iters,
       maxTrainRows)
     writeMeta(spark, dir, model.m, model.sub, nlist)
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     model.centroids.write.mode("overwrite").parquet(s"$dir/codebooks")
-    model.codes.join(clusterOf, Seq("__id"))
+    model.codes.join(clusterOf, Seq("__id")).withColumn("__seq", lit(0L))
       .write.partitionBy("__cluster").mode("overwrite").parquet(s"$dir/codes")
+    if (keepVectors)
+      assigned
+        .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
+          lit(0L).as("__seq"), col("__cluster"))
+        .write.partitionBy("__cluster").mode("overwrite").parquet(s"$dir/vectors")
   }
 
   def readIvfPq(spark: SparkSession, dir: String): IvfPqIndex = {
     val (m, sub, nlist) = readMeta(spark, dir)
     require(nlist > 0, s"$dir is a flat PQ index, not IVF×PQ (nlist=$nlist)")
     IvfPqIndex(spark.read.parquet(s"$dir/coarse"),
-      spark.read.parquet(s"$dir/codebooks"), s"$dir/codes", m, sub)
+      spark.read.parquet(s"$dir/codebooks"), s"$dir/codes", m, sub, dir)
   }
 
   /** IVF×PQ top-k against the persisted index. The query path:
@@ -181,6 +270,17 @@ object AnnIndex {
     */
   def ivfPqTopK(spark: SparkSession, index: IvfPqIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val (scored, _, _) = adcScored(spark, index, queries, idCol, vecCol, nprobe)
+    topKPerQuery(scored, "cosine_pq", "neighbor_id", k)
+  }
+
+  /** The shared ADC scoring pipeline of [[ivfPqTopK]] and
+    * [[ivfPqTopKRefined]]: returns (scored pairs, probed cluster ids,
+    * broadcastable (query_id, __qv) frame).
+    */
+  private def adcScored(spark: SparkSession, index: IvfPqIndex,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int): (DataFrame, Array[Int], DataFrame) = {
     val q = queries.select(qcol(idCol).cast("long").as("query_id"),
       qcol(vecCol).as("__qv"))
     val probes = probeClusters(q, index.coarse, nprobe)
@@ -188,8 +288,9 @@ object AnnIndex {
       .localCheckpoint(eager = true) // reused by the collect AND the join
     val probed = probes.select(col("__cluster")).distinct()
       .collect().map(_.getInt(0)) // ≤ nlist values by construction
-    val codes = spark.read.parquet(index.codesPath)
-      .filter(col("__cluster").isin(probed.map(Int.box): _*))
+    val codes = liveOnly(spark, index.dir,
+      spark.read.parquet(index.codesPath)
+        .filter(col("__cluster").isin(probed.map(Int.box): _*)))
     val scored = codes
       .join(broadcast(probes), Seq("__cluster"))
       .filter(col("query_id") =!= col("__id"))
@@ -198,7 +299,43 @@ object AnnIndex {
       .groupBy(col("query_id"), col("__id"))
       .agg(sum(col("__p")).as("cosine_pq"))
       .withColumnRenamed("__id", "neighbor_id")
-    topKPerQuery(scored, "cosine_pq", "neighbor_id", k)
+    (scored, probed, q)
+  }
+
+  /** IVF×PQ top-k with an EXACT re-rank epilogue (the FAISS refine /
+    * IndexRefineFlat stage): the ADC pipeline produces a top-(k·refine)
+    * shortlist per query, the shortlist's exact vectors are fetched from
+    * the index's cluster-partitioned `vectors/` table (kept by
+    * `buildIvfPq(keepVectors = true)`), and exact cosine re-scores the
+    * shortlist before the final cut to k — ADC misrankings INSIDE the
+    * shortlist vanish, so recall@k is ≥ plain [[ivfPqTopK]] whenever the
+    * true neighbors reach the shortlist at all.
+    *
+    * Scale shape (plan-asserted): the vectors scan is pruned to the SAME
+    * probed cluster directories as the codes scan, and the shortlist
+    * (queries × k·refine rows, broadcast-sized by construction) joins
+    * into it as a broadcast — no corpus-sized shuffle joins the query
+    * path; the only exchanges are over shortlist-sized frames.
+    */
+  def ivfPqTopKRefined(spark: SparkSession, index: IvfPqIndex,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int, nprobe: Int,
+      refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1: $refine")
+    require(new java.io.File(s"${index.dir}/vectors").exists(),
+      s"${index.dir} has no vectors/ table — build with keepVectors = true " +
+        "to enable exact re-ranking")
+    val (scored, probed, q) = adcScored(spark, index, queries, idCol, vecCol, nprobe)
+    val shortlist = topKPerQuery(scored, "cosine_pq", "neighbor_id", k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(q, Seq("query_id")) // attach the query vector (both tiny)
+    val vectors = liveOnly(spark, index.dir,
+      spark.read.parquet(s"${index.dir}/vectors")
+        .filter(col("__cluster").isin(probed.map(Int.box): _*)))
+      .select(col("__id").as("neighbor_id"), col("__vec"))
+    val exact = vectors.join(broadcast(shortlist), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__qv"), col("__vec")).as("cosine"))
+    topKPerQuery(exact, "cosine", "neighbor_id", k)
   }
 
   // ------------------------------------------------------ atomic rebuild
@@ -208,7 +345,10 @@ object AnnIndex {
     * upserts already use ([[graft.operators.Upsert.swapDirs]]) — a
     * concurrent reader holds either the old generation or the new one,
     * never a half-written index (the plain builders' in-place overwrite
-    * of meta/codebooks/codes is NOT safe under concurrent reads).
+    * of meta/codebooks/codes is NOT safe under concurrent reads). The
+    * swap also COMPACTS: tombstones and superseded code generations
+    * vanish with the old directory. Maintenance writers must not race
+    * the swap (object doc).
     */
   def rebuildPq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       m: Int, ksub: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
@@ -247,12 +387,16 @@ object AnnIndex {
     * `x_knn_pq_append` gate pins it. Quantization quality drifts as the
     * data distribution moves away from the training sample; that is the
     * standard trade (FAISS `add` semantics) — rebuild on your cadence,
-    * append in between. Caller owns id uniqueness across appends.
+    * append in between. Caller owns id uniqueness across appends (use
+    * [[updatePq]] to re-add an existing id) and must serialize
+    * maintenance against rebuilds of the same index (object doc).
     */
   def appendPq(spark: SparkSession, dir: String, rows: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val model = readPq(spark, dir)
+    val seq = nextSeq(spark, dir)
     Similarity.pqEncode(rows, idCol, vecCol, model.centroids, model.m, model.sub)
+      .withColumn("__seq", lit(seq))
       .write.mode("append").parquet(s"$dir/codes")
   }
 
@@ -262,25 +406,85 @@ object AnnIndex {
   def appendIvf(spark: SparkSession, dir: String, rows: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val index = readIvf(spark, dir)
+    val seq = nextSeq(spark, dir)
     Similarity.assign(rows, (idCol, vecCol), index.coarse)
       .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
-        col("__cluster"))
+        lit(seq).as("__seq"), col("__cluster"))
       .write.mode("append").partitionBy("__cluster").parquet(index.vectorsPath)
   }
 
   /** [[appendPq]] for the IVF×PQ layout: frozen coarse quantizer AND
     * frozen codebooks; one assign + one encode of the new rows, appended
-    * into the cluster partitions.
+    * into the cluster partitions. An index built with `keepVectors` also
+    * gets the rows' exact vectors appended, so the refine path stays
+    * complete.
     */
   def appendIvfPq(spark: SparkSession, dir: String, rows: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val index = readIvfPq(spark, dir)
     val coarse = index.coarse
-    val clusterOf = Similarity.assign(rows, (idCol, vecCol), coarse)
+    val seq = nextSeq(spark, dir)
+    val assigned = Similarity.assign(rows, (idCol, vecCol), coarse)
+    val clusterOf = assigned
       .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
     Similarity.pqEncode(rows, idCol, vecCol, index.codebooks, index.m, index.sub)
-      .join(clusterOf, Seq("__id"))
+      .join(clusterOf, Seq("__id")).withColumn("__seq", lit(seq))
       .write.mode("append").partitionBy("__cluster").parquet(index.codesPath)
+    if (new java.io.File(s"$dir/vectors").exists())
+      assigned
+        .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
+          lit(seq).as("__seq"), col("__cluster"))
+        .write.mode("append").partitionBy("__cluster").parquet(s"$dir/vectors")
+  }
+
+  // ------------------------------------------------------ delete / update
+  /** Update (re-embed) existing rows in a persisted flat-PQ index:
+    * tombstone the old generation, then re-encode the new rows against
+    * the frozen codebooks — the delete's sequence number supersedes the
+    * old code rows and the re-append lands one past it, so exactly the
+    * new encoding is live (FAISS has no in-place update either;
+    * remove_ids + add is the documented recipe). Rows whose id was never
+    * indexed insert cleanly (their tombstone kills nothing).
+    */
+  def updatePq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    deleteIds(spark, dir, rows, idCol)
+    appendPq(spark, dir, rows, idCol, vecCol)
+  }
+
+  /** [[updatePq]] for the IVF-flat layout. */
+  def updateIvf(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    deleteIds(spark, dir, rows, idCol)
+    appendIvf(spark, dir, rows, idCol, vecCol)
+  }
+
+  /** [[updatePq]] for the IVF×PQ layout. A re-embedded row may move to a
+    * DIFFERENT coarse cluster; the old cluster's stale codes are dead via
+    * the tombstone, so partition pruning stays correct.
+    */
+  def updateIvfPq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    deleteIds(spark, dir, rows, idCol)
+    appendIvfPq(spark, dir, rows, idCol, vecCol)
+  }
+
+  /** Apply a [[graft.operators.Upsert.snapshotDiff]] CDC frame (`change`
+    * ∈ insert/update/delete + the key column) to a persisted IVF×PQ
+    * index — the snapshotDiff → index maintenance loop: deletes
+    * tombstone, updates tombstone + re-encode, inserts append. `rows`
+    * must carry the new embeddings for the insert/update keys.
+    */
+  def applyDiffIvfPq(spark: SparkSession, dir: String, diff: DataFrame,
+      keyCol: String, rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val dels = diff.filter(col("change").isin("delete", "update"))
+      .select(qcol(keyCol).as(keyCol))
+    deleteIds(spark, dir, dels, keyCol)
+    val upserts = rows.join(
+      diff.filter(col("change").isin("insert", "update"))
+        .select(qcol(keyCol).cast("long").as("__uid")),
+      qcol(idCol).cast("long") === col("__uid"), "left_semi")
+    appendIvfPq(spark, dir, upserts, idCol, vecCol)
   }
 
   /** Build-and-query convenience for tests/gates: stages the index under

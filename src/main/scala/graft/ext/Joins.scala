@@ -123,11 +123,26 @@ object Joins {
     * spanning more than `maxBucketsPerInterval` buckets are DROPPED
     * (documented cap, same discipline as the dedup hot-bucket caps — a
     * runaway interval must not explode the build side). Inverted or
-    * null intervals and null points drop (no match is possible).
+    * null intervals and null points drop (no match is possible) — and so
+    * do rows whose EXTRA equi-key is null, on either side: the bucket
+    * join has standard SQL equi-join null semantics, so a null tenant
+    * key never matches anything (not even another null). Coalesce the
+    * key to a sentinel before calling if null-matches-null is intended.
     *
     * `startExpr`/`endExpr`/`tsExpr` must be mutually comparable numerics
     * (for timestamps pass `unix_micros(col)`); left and right column
     * names must be disjoint (the output carries both sides' columns).
+    *
+    * `narrowPayload`: the default plan replicates each FULL left row
+    * into every bucket it overlaps — right for the common
+    * narrow-interval case (one extra copy of a session row costs
+    * nothing). With a WIDE interval payload (feature structs, text) the
+    * replication multiplies real bytes through the shuffle; `true`
+    * switches to a (rowid, start, end, key)-only bucket join and
+    * re-attaches the payload by rowid afterwards — one extra
+    * left-row-sized equi-join (AQE broadcasts it when small) in exchange
+    * for an exploded side that never carries payload. Same results,
+    * bit for bit.
     */
   def rangeJoin(
       left: DataFrame,
@@ -139,6 +154,7 @@ object Joins {
       leftExtraKey: Option[Column] = None,
       rightExtraKey: Option[Column] = None,
       maxBucketsPerInterval: Int = 10000,
+      narrowPayload: Boolean = false,
   ): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     require(leftExtraKey.isDefined == rightExtraKey.isDefined,
@@ -150,19 +166,36 @@ object Joins {
     // integer precision beyond 2^53 — micro-timestamps get close)
     def bidx(c: Column): Column =
       floor(c.cast("decimal(30,0)") / lit(bucketWidth)).cast("long")
-    val l = left.select(struct(left.columns.map(col): _*).as("__l"),
+    val lBase = left.select(struct(left.columns.map(col): _*).as("__l"),
         startExpr.cast("long").as("__s"), endExpr.cast("long").as("__e"),
         leftExtraKey.getOrElse(lit(0)).as("__xk"))
       .filter(col("__s").isNotNull && col("__e").isNotNull && col("__s") <= col("__e"))
       .filter(bidx(col("__e")) - bidx(col("__s")) < maxBucketsPerInterval)
-      .withColumn("__b", explode(sequence(bidx(col("__s")), bidx(col("__e")))))
     val r = right.select(struct(right.columns.map(col): _*).as("__r"),
         tsExpr.cast("long").as("__t"),
         rightExtraKey.getOrElse(lit(0)).as("__xk"))
       .filter(col("__t").isNotNull)
       .withColumn("__b", bidx(col("__t")))
-    l.join(r, Seq("__b", "__xk"))
-      .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
-      .select(col("__l.*"), col("__r.*"))
+    if (!narrowPayload) {
+      val l = lBase.withColumn("__b",
+        explode(sequence(bidx(col("__s")), bidx(col("__e")))))
+      l.join(r, Seq("__b", "__xk"))
+        .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
+        .select(col("__l.*"), col("__r.*"))
+    } else {
+      // materialize the rowid ONCE (lineage cut): the exploded side and
+      // the payload re-attach must agree on it, and
+      // monotonically_increasing_id is only stable within one execution
+      val keyed = lBase.withColumn("__rowid", monotonically_increasing_id())
+        .localCheckpoint(eager = true)
+      val lNarrow = keyed
+        .select(col("__rowid"), col("__s"), col("__e"), col("__xk"))
+        .withColumn("__b", explode(sequence(bidx(col("__s")), bidx(col("__e")))))
+      val matched = lNarrow.join(r, Seq("__b", "__xk"))
+        .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
+        .select(col("__rowid"), col("__r"))
+      matched.join(keyed.select(col("__rowid"), col("__l")), Seq("__rowid"))
+        .select(col("__l.*"), col("__r.*"))
+    }
   }
 }

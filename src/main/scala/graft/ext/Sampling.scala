@@ -78,10 +78,11 @@ object Sampling {
     // the collect is bounded by STRATUM CARDINALITY (sources/languages/
     // domains-class columns, not row-proportional); a mistaken
     // high-cardinality stratum (e.g. a document id) must fail loudly,
-    // not OOM the driver. The cap also matches what weightedMix's
-    // nested-when threshold expression supports — Catalyst tree
-    // recursion would overflow far below the old 100k figure.
-    val maxStrata = 1000
+    // not OOM the driver. weightedMix's map-literal threshold holds any
+    // cardinality this cap admits (~a few MB of driver rows at the cap —
+    // per-domain mixing at 10k-100k strata is in range; a document id
+    // is not).
+    val maxStrata = 100000
     val countsDf = df.groupBy(stratum.cast("string").as("__s"))
       .agg(count(lit(1)).as("__n"))
       .limit(maxStrata + 1)
@@ -110,15 +111,25 @@ object Sampling {
     * 5%" recipe of a training-data mix: each stratum keeps its own
     * fraction, decided per row from the same salted content hash as
     * `stratifiedHashSample` (deterministic, engine-replayable, map-only).
-    * Rows whose stratum is absent from `weights` drop (their threshold is
-    * the empty string, below every digest).
+    * Rows whose stratum is absent from `weights` (or null) drop — their
+    * threshold coalesces to the empty string, below every digest.
+    *
+    * The per-stratum threshold is ONE map literal probed with
+    * `try_element_at` — constant-size expression tree and an O(1) hash
+    * lookup per row regardless of stratum cardinality, so per-DOMAIN
+    * mixes (10k-100k strata) plan and run like a 5-stratum mix. (A
+    * per-stratum when-chain — the obvious spelling — walks a
+    * cardinality-deep tree per row and overflows Catalyst well below
+    * 10k branches.)
     */
   def weightedMix(
       df: DataFrame, stratum: Column, key: Column, weights: Map[String, Double],
   ): DataFrame = {
-    val thr = weights.foldLeft(lit("")) { case (acc, (s, rate)) =>
-      when(stratum.cast("string") === s, lit(rateToHex(rate))).otherwise(acc)
-    }
+    require(weights.nonEmpty, "weightedMix: empty weights map")
+    val thrMap = typedLit(weights.map { case (s, rate) => s -> rateToHex(rate) })
+    // try_element_at: null on missing key AND on null stratum (ANSI
+    // element_at would throw on the first unweighted stratum instead)
+    val thr = coalesce(try_element_at(thrMap, stratum.cast("string")), lit(""))
     df.filter(md5(concat(stratum.cast("string"), lit(":"), key.cast("string"))) < thr)
   }
 }

@@ -127,10 +127,15 @@ object Similarity {
     * incremental appends), made EXACT without a corpus-wide sort by a
     * two-step plan: a map-only digest-threshold prefilter sized to ~2·cap
     * expected survivors (one pass, no shuffle), then the precise top-cap
-    * TakeOrdered over that bounded remainder. Returns None when the
-    * corpus already fits the cap (training on everything is then both
-    * cheaper and exact); `cap = Int.MaxValue` skips even the count —
-    * the mechanics gates use it to pin training == corpus.
+    * TakeOrdered over that bounded remainder. The prefilter population is
+    * binomial, so a shortfall below cap is possible (vanishingly so at
+    * the 2× headroom, but tiny caps see it) — in that case the
+    * TakeOrdered falls back to the unfiltered ids (still no global
+    * sort), keeping the result the true cap lowest digests in every
+    * case. Returns None when the corpus already fits the cap (training
+    * on everything is then both cheaper and exact); `cap = Int.MaxValue`
+    * skips even the count — the mechanics gates use it to pin
+    * training == corpus.
     */
   private[ext] def trainSampleIds(
       corpus: DataFrame, idCol: String, cap: Int): Option[DataFrame] = {
@@ -141,8 +146,10 @@ object Similarity {
     if (n <= cap) return None
     val h = md5(col("__sid").cast("string"))
     val rate = math.min(1.0, 2.0 * cap / n)
-    Some(ids.filter(h < lit(Sampling.rateToHex(rate)))
-      .orderBy(h, col("__sid"))
+    val pre = ids.filter(h < lit(Sampling.rateToHex(rate)))
+      .localCheckpoint(eager = true) // counted, then read again by the top-cap
+    val base = if (pre.count() >= cap) pre else ids
+    Some(base.orderBy(h, col("__sid"))
       .limit(cap)
       .localCheckpoint(eager = true))
   }

@@ -55,15 +55,24 @@ object ExtensionQueries {
     */
   def stageAnnIndexes(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_annindex/${Staging.tag(dir)}"
-    val done = new java.io.File(s"$tmp/_INDEX_DONE")
+    // the marker name carries a FIXTURE VERSION + the build geometry: any
+    // change to the staging recipe below (index layout, geometry, the
+    // append/delete fixture splits) must bump it, or an old staged /tmp
+    // index would silently gate the new code against the old layout
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v2_m8k16n16kv")
     if (done.exists()) return tmp
+    // a stale generation (older marker or half-built) must not leak files
+    // (e.g. append-mode tombstones) into the fresh build
+    val tmpDir = new java.io.File(tmp)
+    if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
     val emb = Tables.embeddings(s, dir)
     AnnIndex.buildPq(emb, "vec_id", "embedding", s"$tmp/pq",
       m = 8, ksub = 16, iters = 2)
     AnnIndex.buildIvf(emb, "vec_id", "embedding", s"$tmp/ivf",
       nlist = 16, iters = 2)
+    // keepVectors: the refine gate re-ranks against the exact vectors
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq",
-      nlist = 16, m = 8, ksub = 16, iters = 2)
+      nlist = 16, m = 8, ksub = 16, iters = 2, keepVectors = true)
     // the small gate indexes over the 16-vector sub-corpus: lossless
     // (ksub = corpus size) so the recall/persistence gates can pin
     // exact-equality semantics; staged like any fixture so gate runs
@@ -81,6 +90,19 @@ object ExtensionQueries {
       s"$tmp/pq_append16", m = 8, ksub = 8, iters = 1)
     AnnIndex.appendPq(s, s"$tmp/pq_append16",
       emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
+    // delete/update-maintenance fixture (x_knn_pq_delete): build on the
+    // first half, append the second, tombstone-delete {3, 11} (one built
+    // id, one appended id), then UPDATE id 6 by re-appending its own
+    // embedding — the update must supersede its tombstone AND not leave
+    // the original generation double-counted in the ADC sum
+    AnnIndex.buildIvfPq(emb16.filter(col("vec_id") < 8), "vec_id", "embedding",
+      s"$tmp/ivfpq_del16", nlist = 4, m = 8, ksub = 8, iters = 1)
+    AnnIndex.appendIvfPq(s, s"$tmp/ivfpq_del16",
+      emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
+    AnnIndex.deleteIds(s, s"$tmp/ivfpq_del16",
+      emb16.filter(col("vec_id").isin(3, 11)), "vec_id")
+    AnnIndex.updateIvfPq(s, s"$tmp/ivfpq_del16",
+      emb16.filter(col("vec_id") === 6), "vec_id", "embedding")
     done.createNewFile()
     tmp
   }
@@ -524,6 +546,70 @@ object ExtensionQueries {
         max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("append_ok"))
   }
 
+  /** Index delete/update gate (the snapshotDiff → index CDC loop): the
+    * staged fixture is build(A) + append(B) + tombstone-delete(D = {3,
+    * 11}) + update(id 6 re-appended), served through the SAME persisted
+    * partition-pruned ivfPqTopK path as `x_knn_ivfpq`. It must equal a
+    * one-shot encode of (A ∪ B) ∖ D against the same frozen quantizers
+    * (FAISS remove_ids semantics: rebuild-equivalence modulo training,
+    * which IS frozen here — encoding is deterministic, so inequality
+    * means a liveness bug: a surviving deleted row, a tombstone killing
+    * the updated row, or the update's two generations both alive and
+    * double-summed by the ADC aggregate). nprobe = nlist, so no
+    * candidate hides behind cluster pruning.
+    */
+  val knnPqDelete = q("x_knn_pq_delete", "SELECT true AS delete_ok") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+    val queries = emb16.filter(col("vec_id") < 5)
+    val index = AnnIndex.readIvfPq(s, s"$idx/ivfpq_del16")
+    val served = AnnIndex.ivfPqTopK(s, index, queries, "vec_id", "embedding",
+      5, nprobe = 4)
+    val refCorpus = emb16.filter(!col("vec_id").isin(3, 11))
+    val ref = Similarity.pqTopKWithModel(queries, "vec_id", "embedding",
+        Similarity.PqModel(index.codebooks,
+          Similarity.pqEncode(refCorpus, "vec_id", "embedding",
+            index.codebooks, index.m, index.sub),
+          index.m, index.sub), 5)
+      .withColumnRenamed("cosine_pq", "__c2")
+    served.join(ref, Seq("query_id", "rank", "neighbor_id"), "full")
+      .agg((count(lit(1)) === count(col("cosine_pq")) &&
+        count(lit(1)) === count(col("__c2")) &&
+        max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("delete_ok"))
+  }
+
+  /** Refine (exact re-rank) gate: `ivfPqTopKRefined` re-scores the ADC
+    * shortlist against the index's kept exact vectors before the cut to
+    * k, so its recall@k vs brute force must be ≥ the plain ADC path's
+    * on the SAME staged index and probes — and the refined scores are
+    * exact cosines, so every (query, neighbor) it returns must carry the
+    * brute-force cosine bit-for-bit (both sides round to 4 via the
+    * shared epilogue).
+    */
+  val knnIvfPqRefine = q("x_knn_ivfpq_refine", "SELECT true AS refine_ok") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = AnnIndex.readIvfPq(s, s"$idx/ivfpq")
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint(eager = true) // consumed by both recall joins
+    val refined = AnnIndex.ivfPqTopKRefined(s, index, queries,
+        "vec_id", "embedding", 5, nprobe = 4, refine = 4)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("__rc"))
+    val plain = AnnIndex.ivfPqTopK(s, index, queries,
+        "vec_id", "embedding", 5, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val refinedRecall = brute.join(refined, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(col("__rc")).as("__n"), count(lit(1)).as("__d"),
+        max(abs(col("__rc") - col("cosine"))).as("__maxerr"))
+    val plainRecall = brute.join(plain, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(col("__hit")).as("__pn"))
+    refinedRecall.crossJoin(plainRecall)
+      .select((col("__n") >= col("__pn") &&
+        coalesce(col("__maxerr") <= 1e-9, lit(true))).as("refine_ok"))
+  }
+
   /** MinHash gate: planted near-variants (one appended token ⇒ jaccard ≈ 1)
     * must surface as candidates with est ≥ 0.5; recall ≥ 0.95 required.
     */
@@ -758,6 +844,32 @@ object ExtensionQueries {
     graft.ext.Sampling.weightedMix(
         Tables.documents(s, dir), col("source"), col("doc_id"), mixWeights.toMap)
       .select(col("doc_id"), col("source"))
+  }
+
+  /** High-cardinality weighted mixing (the per-DOMAIN mix): a 12 000-entry
+    * weights map over `l_orderkey % 12000` strata, rates formula-derived
+    * (residue mod 97 → 1%..97%) so the oracle RECOMPUTES every threshold
+    * in SQL instead of embedding 12k literals. Exercises the map-literal
+    * threshold path at a cardinality the when-chain form could not plan;
+    * the per-row decision (salted md5 vs rate→hex threshold) is the same
+    * engine-portable arithmetic as `x_weighted_mix`/`x_temperature_mix`,
+    * so the kept row set hash-matches exactly.
+    */
+  private val wideMixWeights: Map[String, Double] =
+    (0 until 12000).map(i => i.toString -> ((i % 97) + 1) / 100.0).toMap
+  val weightedMixWide = q("x_weighted_mix_wide",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |WHERE md5(CAST(l_orderkey % 12000 AS VARCHAR) || ':' ||
+      |          CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR))
+      |  < printf('%08x', CAST(floor((((l_orderkey % 12000) % 97) + 1) / 100.0
+      |                               * 4294967296.0) AS BIGINT))""".stripMargin) {
+    (s, dir) =>
+      graft.ext.Sampling.weightedMix(
+          Tables.lineitem(s, dir),
+          col("l_orderkey") % 12000,
+          concat(col("l_orderkey"), lit("_"), col("l_linenumber")),
+          wideMixWeights)
+        .select(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** Snapshot diff (CDC extract): two per-user aggregate snapshots built
@@ -1015,6 +1127,55 @@ object ExtensionQueries {
         round(sum(col("value")), 2).as("sum_value"))
       .select(col("s_user"), col("start").as("session_start"),
         col("n_in_window"), col("sum_value"))
+  }
+
+  /** The same interval-containment join with a WIDE interval payload
+    * (six md5-string feature columns per session) through the
+    * `narrowPayload` plan: only (rowid, start, end) ride the bucket
+    * explosion + shuffle, the payload re-attaches by rowid afterwards —
+    * the wide-interval-payload variant of `x_range_join` (plan-asserted
+    * payload-free explode in PlanAssertionsSpec). The oracle recomputes
+    * the payload from first principles, so a re-attach bug (wrong rowid,
+    * lost duplicate) breaks the hash, not just the shape.
+    */
+  val rangeJoinWide = q("x_range_join_wide",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '4 hours'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+      |sess AS (SELECT user_id su, min(ts) st, max(ts) en
+      |         FROM s GROUP BY user_id, sid)
+      |SELECT su AS s_user, st AS session_start,
+      |       md5(CAST(su AS VARCHAR) || ':1') AS p1,
+      |       md5(CAST(su AS VARCHAR) || ':2') AS p2,
+      |       md5(CAST(su AS VARCHAR) || ':3') AS p3,
+      |       md5(CAST(su AS VARCHAR) || ':4') AS p4,
+      |       md5(CAST(su AS VARCHAR) || ':5') AS p5,
+      |       md5(CAST(su AS VARCHAR) || ':6') AS p6,
+      |       count(*) AS n_in_window, round(sum(ev.value), 2) AS sum_value
+      |FROM sess JOIN events ev ON ev.ts BETWEEN st AND en
+      |GROUP BY su, st""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val pcols = (1 to 6).map(i =>
+      md5(concat(col("s_user").cast("string"), lit(s":$i"))).as(s"p$i"))
+    val sess = EventStreams.sessionizeBatch(events, gapMs = 4L * 3600 * 1000)
+      .select(Seq(col("user_id").as("s_user"), col("start"), col("end")) ++ pcols: _*)
+    val pts = events.select(col("ts").as("ev_ts"), col("value"))
+    graft.ext.Joins.rangeJoin(sess,
+        unix_micros(col("start")), unix_micros(col("end")),
+        pts, unix_micros(col("ev_ts")), bucketWidth = 86400000000L,
+        narrowPayload = true)
+      .groupBy(Seq(col("s_user"), col("start")) ++ (1 to 6).map(i => col(s"p$i")): _*)
+      .agg(count(lit(1)).as("n_in_window"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(Seq(col("s_user"), col("start").as("session_start")) ++
+        (1 to 6).map(i => col(s"p$i")) ++
+        Seq(col("n_in_window"), col("sum_value")): _*)
   }
 
   /** Streaming incremental upsert (CDC-into-table): the upsert spool's
@@ -1480,12 +1641,13 @@ object ExtensionQueries {
     dedupComponents,
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
+    knnPqDelete, knnIvfPqRefine,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate,
-    weightedMix, temperatureMixQ, packSequences, asofJoin, asofTolerance,
-    rangeJoinSessions, snapshotDiffQ,
+    weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
+    rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
     streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,

@@ -207,6 +207,35 @@ class PipelineOpsSpec extends SparkSpec {
         points.withColumnRenamed("pid", "iid"), col("t"), 10L)
   }
 
+  test("rangeJoin narrowPayload: identical results, duplicates and wide payload intact") {
+    // wide-ish payload + a DUPLICATE interval row: the rowid re-attach
+    // must return each duplicate its own payload copy, exactly like the
+    // payload-replicating default
+    val intervals = Seq(
+      (1L, 5L, 25L, "payload-one"), (2L, 30L, 30L, "payload-two"),
+      (1L, 5L, 25L, "payload-one"), // exact duplicate row
+    ).toDF("iid", "s", "e", "blob")
+    val points = Seq((100L, 5L), (101L, 25L), (102L, 26L), (103L, 30L), (104L, 15L))
+      .toDF("pid", "t")
+    def run(narrow: Boolean) =
+      Joins.rangeJoin(intervals, col("s"), col("e"), points, col("t"),
+          bucketWidth = 10L, narrowPayload = narrow)
+        .select("iid", "blob", "pid").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val narrow = run(true)
+    narrow shouldBe run(false)
+    // the duplicate interval matched twice per contained point
+    narrow.count(_ == ((1L, "payload-one", 104L))) shouldBe 2
+    // extra equi-key works through the narrow path too
+    val li = Seq((1L, 0L, 100L, "a"), (2L, 0L, 100L, "b")).toDF("iid", "s", "e", "ik")
+    val pi = Seq((100L, 50L, "a"), (101L, 50L, "c")).toDF("pid", "t", "pk")
+    Joins.rangeJoin(li, col("s"), col("e"), pi, col("t"), 10L,
+        leftExtraKey = Some(col("ik")), rightExtraKey = Some(col("pk")),
+        narrowPayload = true)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet shouldBe Set((1L, 100L))
+  }
+
   test("rangeJoin plans as an equi-join: no nested-loop, no cartesian") {
     val intervals = (1 to 50).map(i => (i.toLong, i * 10L, i * 10L + 15L)).toDF("iid", "s", "e")
     val points = (1 to 300).map(i => (1000L + i, i * 2L)).toDF("pid", "t")
@@ -257,6 +286,22 @@ class PipelineOpsSpec extends SparkSpec {
       .count()
     half shouldBe half2
     half.toInt should (be > 25 and be < 75)
+  }
+
+  test("weightedMix at high stratum cardinality: 20k-entry map plans and decides per stratum") {
+    // one row per stratum at rate 1.0 on evens / 0.0 on odds: the kept set
+    // is exactly the evens — a when-chain spelling could not even PLAN a
+    // 20k-branch threshold (Catalyst tree recursion), the map literal must
+    val df = (0L until 20000L).map(i => (i, s"d$i")).toDF("id", "dom")
+    val weights = (0 until 20000).map(i =>
+      s"d$i" -> (if (i % 2 == 0) 1.0 else 0.0)).toMap
+    val kept = Sampling.weightedMix(df, col("dom"), col("id"), weights)
+      .select("id").as[Long].collect().sorted
+    kept shouldBe (0L until 20000L by 2).toArray
+    // null strata drop rather than NPE/throw (try_element_at path)
+    val withNull = Seq((1L, "d0"), (2L, null)).toDF("id", "dom")
+    Sampling.weightedMix(withNull, col("dom"), col("id"), Map("d0" -> 1.0))
+      .select("id").as[Long].collect().toSeq shouldBe Seq(1L)
   }
 
   test("globalPrefixSum matches a single-partition window cumsum") {

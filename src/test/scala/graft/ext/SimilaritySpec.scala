@@ -232,4 +232,136 @@ class SimilaritySpec extends SparkSpec {
     new java.io.File(s"$dir/vectors").listFiles()
       .count(_.getName.startsWith("__cluster=")) shouldBe 2
   }
+
+  test("tombstone delete: served top-k equals frozen-codebook encode of the surviving corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
+    AnnIndex.buildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
+    AnnIndex.deleteIds(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    val model = AnnIndex.readPq(spark, dir)
+    // the deleted id's codes are gone from the live view...
+    model.codes.filter($"__id" === 1L).count() shouldBe 0
+    // ...and the served ranking equals a one-shot encode of corpus ∖ {1}
+    val served = AnnIndex.pqTopK(spark, dir, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3).orderBy("rank").collect().toSeq
+    val ref = Similarity.pqTopKWithModel(corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding",
+      Similarity.PqModel(model.centroids,
+        Similarity.pqEncode(corpus.filter($"vec_id" =!= 1L), "vec_id", "embedding",
+          model.centroids, model.m, model.sub), model.m, model.sub), 3)
+      .orderBy("rank").collect().toSeq
+    served shouldBe ref
+    // deleting an absent id is a no-op on the live view
+    AnnIndex.deleteIds(spark, dir, Seq(99L).toDF("vec_id"), "vec_id")
+    AnnIndex.readPq(spark, dir).codes.select("__id").distinct().count() shouldBe 4
+  }
+
+  test("update supersedes its tombstone: exactly the new encoding is live, no double count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
+    AnnIndex.buildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
+    // re-embed id 2 with a different vector (near id 0's direction)
+    val newRow = Seq((2L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    AnnIndex.updatePq(spark, dir, newRow, "vec_id", "embedding")
+    val model = AnnIndex.readPq(spark, dir)
+    // one live generation: m code rows for the updated id, not 2m
+    model.codes.filter($"__id" === 2L).count() shouldBe 2
+    val updatedCorpus = corpus.filter($"vec_id" =!= 2L).unionByName(newRow)
+    val served = AnnIndex.pqTopK(spark, dir, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 4).orderBy("rank").collect().toSeq
+    val ref = Similarity.pqTopKWithModel(corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding",
+      Similarity.PqModel(model.centroids,
+        Similarity.pqEncode(updatedCorpus, "vec_id", "embedding",
+          model.centroids, model.m, model.sub), model.m, model.sub), 4)
+      .orderBy("rank").collect().toSeq
+    served shouldBe ref
+    // delete-after-update kills the newest generation too
+    AnnIndex.deleteIds(spark, dir, Seq(2L).toDF("vec_id"), "vec_id")
+    AnnIndex.readPq(spark, dir).codes.filter($"__id" === 2L).count() shouldBe 0
+  }
+
+  test("rebuild compacts tombstones: the fresh generation serves deleted ids again") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
+    AnnIndex.rebuildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
+    AnnIndex.deleteIds(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    new java.io.File(s"$dir/tombstones").exists() shouldBe true
+    AnnIndex.rebuildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
+    new java.io.File(s"$dir/tombstones").exists() shouldBe false
+    AnnIndex.readPq(spark, dir).codes.select("__id").distinct().count() shouldBe 5
+  }
+
+  test("ivf-flat and ivf-pq delete through the pruned query paths") {
+    val base = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.buildIvf(corpus, "vec_id", "embedding", s"$base/ivf", nlist = 2, iters = 1)
+    AnnIndex.deleteIds(spark, s"$base/ivf", Seq(1L).toDF("vec_id"), "vec_id")
+    val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0),
+      corpus.filter($"vec_id" =!= 1L), "vec_id", "embedding", 3).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    val ivf = AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, s"$base/ivf"),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    ivf shouldBe brute
+    // lossless ivf-pq (ksub = corpus size): delete + full probes == brute
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", s"$base/ivfpq",
+      nlist = 2, m = 2, ksub = 5, iters = 1)
+    AnnIndex.deleteIds(spark, s"$base/ivfpq", Seq(1L).toDF("vec_id"), "vec_id")
+    val ivfpq = AnnIndex.ivfPqTopK(spark, AnnIndex.readIvfPq(spark, s"$base/ivfpq"),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    ivfpq shouldBe brute
+  }
+
+  test("refined ivf-pq: exact re-rank of an exhaustive shortlist equals brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpq"
+    // DELIBERATELY lossy quantization (ksub 2 < corpus 5): the ADC ranking
+    // degrades, but refine with a shortlist covering the corpus re-scores
+    // with exact cosine — the final top-k must equal brute force anyway
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
+      nlist = 2, m = 2, ksub = 2, iters = 1, keepVectors = true)
+    val index = AnnIndex.readIvfPq(spark, dir)
+    val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
+      "vec_id", "embedding", 3).orderBy("rank").collect().toSeq
+    val refined = AnnIndex.ivfPqTopKRefined(spark, index,
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2,
+      refine = 2) // 3·2 = 6 ≥ corpus: the shortlist is everything
+    refined.orderBy("rank").collect().toSeq shouldBe brute
+    // refine respects tombstones in BOTH tables (codes shortlist + vectors)
+    AnnIndex.deleteIds(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    val bruteDel = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0),
+      corpus.filter($"vec_id" =!= 1L), "vec_id", "embedding", 3)
+      .orderBy("rank").collect().toSeq
+    AnnIndex.ivfPqTopKRefined(spark, index, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3, nprobe = 2, refine = 2)
+      .orderBy("rank").collect().toSeq shouldBe bruteDel
+    // an index without kept vectors refuses loudly
+    val noVec = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/nv"
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", noVec,
+      nlist = 2, m = 2, ksub = 2, iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqTopKRefined(spark, AnnIndex.readIvfPq(spark, noVec),
+        corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+    }
+    e.getMessage should include("keepVectors")
+  }
+
+  test("applyDiffIvfPq routes a snapshotDiff frame: delete/update/insert end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpq"
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
+      nlist = 2, m = 2, ksub = 5, iters = 1)
+    val diff = Seq((1L, "delete"), (2L, "update"), (5L, "insert"))
+      .toDF("vec_id", "change")
+    val newRows = Seq((2L, Array(0.95f, 0.05f)), (5L, Array(0.5f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.applyDiffIvfPq(spark, dir, diff, "vec_id", newRows, "vec_id", "embedding")
+    val index = AnnIndex.readIvfPq(spark, dir)
+    val post = corpus.filter($"vec_id" =!= 1L && $"vec_id" =!= 2L).unionByName(newRows)
+    val served = AnnIndex.ivfPqTopK(spark, index, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 4, nprobe = 2).orderBy("rank").collect().toSeq
+    val ref = Similarity.pqTopKWithModel(corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding",
+      Similarity.PqModel(index.codebooks,
+        Similarity.pqEncode(post, "vec_id", "embedding",
+          index.codebooks, index.m, index.sub), index.m, index.sub), 4)
+      .orderBy("rank").collect().toSeq
+    served shouldBe ref
+  }
 }

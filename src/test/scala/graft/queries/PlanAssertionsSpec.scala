@@ -138,6 +138,58 @@ class PlanAssertionsSpec extends SparkSpec {
       corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1))
   }
 
+  test("refined ivf-pq query path: BOTH index scans are partition-pruned, no corpus shuffle join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpqr"
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.ext.AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
+      nlist = 4, m = 2, ksub = 4, iters = 1, keepVectors = true)
+    val index = graft.ext.AnnIndex.readIvfPq(spark, dir)
+    val out = graft.ext.AnnIndex.ivfPqTopKRefined(spark, index,
+      corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1, refine = 2)
+    out.collect()
+    val plan = finalPlan(out)
+    (plan.toString should not).include("SortMergeJoin")
+    // every index-table scan (codes AND the refine vectors) carries a
+    // __cluster partition filter — the shortlist re-rank must not scan
+    // the whole vectors table
+    val scans = allNodes(plan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .filter(_.relation.location.rootPaths.exists(p =>
+        p.toString.contains("/codes") || p.toString.contains("/vectors")))
+    scans should not be empty
+    scans.foreach { f =>
+      f.partitionFilters should not be empty
+      f.partitionFilters.map(_.toString).mkString should include("__cluster")
+    }
+  }
+
+  test("narrow-payload range join: the bucket explosion carries no payload struct") {
+    val intervals = (1 to 50).map(i =>
+      (i.toLong, i.toLong * 10, i.toLong * 10 + 25, "w" * 50)).toDF("iid", "s", "e", "blob")
+    val points = (1 to 500).map(i => (i.toLong + 1000, i.toLong)).toDF("pid", "t")
+    val out = graft.ext.Joins.rangeJoin(intervals, col("s"), col("e"),
+      points, col("t"), bucketWidth = 10L, narrowPayload = true)
+    out.collect()
+    val gens = allNodes(finalPlan(out))
+      .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    gens should not be empty
+    // exploded side = (__rowid, __s, __e, __xk) + the generated __b only
+    gens.foreach { g =>
+      g.output.map(_.name) should not contain "__l"
+      g.output.length should be <= 5
+    }
+    // the default (wide) plan DOES carry the payload through the explode —
+    // the contrast that makes the narrow assertion meaningful
+    val wide = graft.ext.Joins.rangeJoin(intervals, col("s"), col("e"),
+      points, col("t"), bucketWidth = 10L)
+    wide.collect()
+    allNodes(finalPlan(wide))
+      .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+      .exists(_.output.map(_.name).contains("__l")) shouldBe true
+  }
+
   test("exact quantiles never collect a group into one aggregation buffer") {
     val df = (1 to 400).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
     val out = graft.ext.Stats.quantileCont(df, "g", "v", Seq("p50" -> 0.5))
