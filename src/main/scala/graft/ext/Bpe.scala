@@ -1,0 +1,214 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** Byte-pair-encoding tokenization — the REAL subword counter behind
+  * chunking/packing (replacing the `bpeishCount` regex proxy, whose
+  * counts drift from any actual tokenizer's).
+  *
+  * Algorithm and formats are the public ones: merge learning is the
+  * Sennrich et al. 2016 procedure (iteratively merge the most frequent
+  * adjacent symbol pair over a word-frequency table, `</w>` end-of-word
+  * marker), and [[parseMerges]]/[[formatMerges]] speak the published
+  * merges.txt convention (one "left right" pair per line, rank = line
+  * order, `#` comments) so externally trained merge lists (e.g. the
+  * GPT-2 release's) drop in.
+  *
+  * Scale shape: LEARNING aggregates word frequencies distributed (one
+  * tokenize + one hash aggregate; only the top-`maxVocab` (freq, word)
+  * rows reach the driver — the bounded training table, the same
+  * discipline as the ANN codebook samples) and runs the inherently
+  * sequential merge loop driver-side over that table. ENCODING is a
+  * narrow per-row pass: the merge loop has no Column-expression form, so
+  * it is the one place this codebase uses a Scala UDF — with the ranks
+  * map riding the closure and a per-task word→encoding cache, so a
+  * corpus's Zipf-shaped word repetition collapses to hash lookups.
+  */
+object Bpe {
+
+  /** End-of-word marker (the published convention): lets a merge
+    * distinguish word-final from word-internal occurrences, and makes
+    * token counts reconstruct word boundaries.
+    */
+  val EndOfWord = "</w>"
+
+  /** An ordered merge list; rank = position (lower merges first). */
+  final case class BpeModel(merges: Vector[(String, String)]) {
+    @transient lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+  }
+
+  /** Parse the public merges.txt format: one "left right" pair per line,
+    * earlier lines = higher priority; blank lines and `#…` headers skip.
+    */
+  def parseMerges(lines: Seq[String]): BpeModel =
+    BpeModel(lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split(" ")
+        require(parts.length == 2, s"merges line is not 'left right': $l")
+        (parts(0), parts(1))
+      }.toVector)
+
+  def formatMerges(model: BpeModel): Seq[String] =
+    model.merges.map { case (a, b) => s"$a $b" }
+
+  /** The same word segmentation as [[TextAnalysis.tokens]] (lowercase,
+    * non-word split, empties dropped) — executor-side twin, so BPE
+    * counts nest exactly inside the word-level operators.
+    */
+  private def words(s: String): Array[String] =
+    s.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+
+  /** Encode one word: start from characters + `</w>`, repeatedly merge
+    * the ADJACENT PAIR with the lowest rank (all its occurrences, left
+    * to right) until no ranked pair remains — the reference greedy BPE
+    * application, deterministic given the merge list.
+    */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    if (word.isEmpty) return Vector.empty
+    var syms: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var best: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val r = ranks.getOrElse(p, Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = p }
+        i += 1
+      }
+      if (best == null) done = true
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+            out += best._1 + best._2; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** Learn `numMerges` merges from a corpus. The word-frequency table is
+    * computed distributed; ties in pair frequency break to the
+    * lexicographically smallest pair, so the learned list is
+    * deterministic. Learning stops early when no pair occurs twice.
+    */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 32768): BpeModel = {
+    require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
+    require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
+    // TakeOrdered (orderBy+limit), not a global sort: only the bounded
+    // training table reaches the driver
+    val wf = docs
+      .select(explode(TextAnalysis.tokens(qcol(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__w"))
+      .limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var vocab: Array[(Vector[String], Long)] = wf.map { case (w, n) =>
+      (w.map(_.toString).toVector :+ EndOfWord, n)
+    }
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      val candidates = pairCounts.filter(_._2 >= 2)
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val best = candidates.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+                out += best._1 + best._2; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.result(), n)
+          }
+        }
+        m += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** Serializable executor-side encoder: ranks and the word cache are
+    * @transient lazy, so each task rebuilds them once and shares them
+    * across its rows — repeated words (Zipf) cost one hash probe.
+    */
+  private final class WordEncoder(merges: Vector[(String, String)]) extends Serializable {
+    @transient private lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+    @transient private lazy val cache =
+      scala.collection.mutable.HashMap.empty[String, Vector[String]]
+    def encode(w: String): Vector[String] =
+      cache.getOrElseUpdate(w, encodeWord(w, ranks))
+  }
+
+  /** BPE sub-token array of a text column (null text → empty array). */
+  def tokens(text: Column, model: BpeModel): Column = {
+    val enc = new WordEncoder(model.merges)
+    val f = udf { (s: String) =>
+      if (s == null) Array.empty[String]
+      else words(s).flatMap(enc.encode)
+    }
+    f(text)
+  }
+
+  /** BPE sub-token count of a text column — the drop-in replacement for
+    * [[TextAnalysis.bpeishCount]] wherever a real tokenizer's counts
+    * matter (chunk boundaries, packing budgets). Counts without
+    * materializing token arrays.
+    */
+  def tokenCount(text: Column, model: BpeModel): Column = {
+    val enc = new WordEncoder(model.merges)
+    val f = udf { (s: String) =>
+      if (s == null) 0
+      else {
+        var n = 0
+        words(s).foreach(w => n += enc.encode(w).length)
+        n
+      }
+    }
+    f(text)
+  }
+
+  /** Context-window chunking over BPE sub-tokens — `chunkTokens` with the
+    * real tokenizer deciding the boundaries. Output shape matches
+    * [[TextAnalysis.chunkTokens]]: (idCol, chunk_idx, chunk, n_tokens),
+    * chunk = space-joined sub-tokens.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int, model: BpeModel): DataFrame =
+    TextAnalysis.chunkTokenArray(
+      df.select(qcol(idCol), tokens(qcol(textCol), model).as("__toks")),
+      idCol, chunkSize, overlap)
+
+  /** Sequence packing by BPE token counts — `packSequences` with the real
+    * tokenizer's budget. Output shape matches [[Packing.packSequences]].
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, model: BpeModel): DataFrame =
+    Packing.packSequencesByCount(df, idCol, tokenCount(qcol(textCol), model), seqLen)
+}

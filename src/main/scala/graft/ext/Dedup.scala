@@ -45,6 +45,44 @@ object Dedup {
   // signature helper was removed — its SQL-expression hash family could
   // silently drift from the aggregate's, yielding incomparable sketches.)
 
+  /** Per-document MinHash signatures: explode shingle hashes + ONE native
+    * signature aggregate (plans.MinHashAgg): the per-family minima fold
+    * map-side in a tight JVM loop over a primitive buffer; only numHashes
+    * longs per doc reach the shuffle. (numHashes separate
+    * min(xxhash64(h, k)) aggregates walk an expression tree per family
+    * per shingle — measured as the pipeline's dominant cost.) Documents
+    * with fewer than `shingleSize` tokens produce no row.
+    * Output: (`__id`, `__sig`).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(qcol(idCol).cast("long").as("__id"),
+      explode(TextAnalysis.shingleHashes(qcol(textCol), shingleSize)).as("__h"))
+    val sigExpr = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.MinHashAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__h")),
+        numHashes).toAggregateExpression())
+    sh.groupBy(col("__id")).agg(sigExpr.as("__sig"))
+  }
+
+  /** LSH banding of precomputed signatures: one (id, band, bandHash) row
+    * per band, signature carried along for the estimated-jaccard epilogue.
+    * Output: (`__id`, `__sig`, `__band`, `__bh`).
+    */
+  def minhashBanded(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    sigs.select(col("__id"), col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows)), b.cast("string")))))
+        .as(Seq("__band", "__bh")))
+  }
+
+  /** Signature-estimated jaccard of two carried signature columns. */
+  private[graft] def estJaccard(sa: Column, sb: Column, numHashes: Int): Column =
+    size(filter(zip_with(sa, sb, (x, y) => x === y), e => e))
+      .cast("double") / numHashes
+
   /** LSH banding: candidate pairs whose signatures collide in ≥ 1 band,
     * with the signature-estimated jaccard attached.
     *
@@ -60,31 +98,14 @@ object Dedup {
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 1000,
   ): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-    // explode + ONE native signature aggregate (plans.MinHashAgg): the
-    // per-family minima fold map-side in a tight JVM loop over a primitive
-    // buffer; only numHashes longs per doc reach the shuffle. (numHashes
-    // separate min(xxhash64(h, k)) aggregates walk an expression tree per
-    // family per shingle — measured as the pipeline's dominant cost.)
-    val sh = df.select(qcol(idCol).cast("long").as("__id"),
-      explode(TextAnalysis.shingleHashes(qcol(textCol), shingleSize)).as("__h"))
-    val sigExpr = org.apache.spark.sql.GraftSqlBridge.column(
-      graft.plans.MinHashAgg(
-        org.apache.spark.sql.GraftSqlBridge.expression(col("__h")),
-        numHashes).toAggregateExpression())
-    val sigs = sh.groupBy(col("__id"))
-      .agg(sigExpr.as("__sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
       // consumed by bucket sizing + both sides of the candidate self-join;
       // one signature row per doc is tiny — lineage-cut materialization
       // (no cacheManager entry to leak; blocks GC-release with the frame)
       .localCheckpoint(eager = true)
 
     // (id, band, bandHash) — one shuffle key per band
-    val banded = sigs.select(col("__id"), col("__sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows)), b.cast("string")))))
-        .as(Seq("__band", "__bh")))
+    val banded = minhashBanded(sigs, numHashes, bands)
 
     // cap pathological buckets (boilerplate documents): a bucket of size m
     // yields m^2/2 pairs — drop buckets beyond maxBucketSize
@@ -98,8 +119,7 @@ object Dedup {
     a.join(b, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), e => e))
-          .cast("double") / numHashes).as("est_jaccard"))
+        estJaccard(col("__sa"), col("__sb"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .groupBy(col("id_a"), col("id_b"))
       .agg(round(first(col("est_jaccard")), 4).as("est_jaccard"))

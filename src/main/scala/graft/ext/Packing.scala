@@ -29,10 +29,19 @@ object Packing {
     * (`div`, no doubles), so any engine replays the same packing.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int): DataFrame =
+    packSequencesByCount(df, idCol,
+      size(TextAnalysis.tokens(qcol(textCol))), seqLen)
+
+  /** [[packSequences]] over an arbitrary per-document token-count
+    * expression — the seam that lets a real tokenizer's counts
+    * ([[Bpe.tokenCount]]) drive the packing budget instead of the
+    * whitespace count.
+    */
+  def packSequencesByCount(df: DataFrame, idCol: String, countExpr: org.apache.spark.sql.Column,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
-    val base = df.select(qcol(idCol),
-      size(TextAnalysis.tokens(qcol(textCol))).cast("long").as("__n"))
+    val base = df.select(qcol(idCol), countExpr.cast("long").as("__n"))
     val L = lit(seqLen.toLong)
     graft.operators.Ids.globalPrefixSum(base, Seq(qcol(idCol)), col("__n"), "__start")
       .filter(col("__n") > 0)

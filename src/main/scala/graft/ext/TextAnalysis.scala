@@ -22,8 +22,10 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish sub-token count: words plus isolated punctuation — a cheap,
-    * deterministic proxy for BPE vocab tokenization (\w+ runs + single
-    * non-space symbols).
+    * deterministic, pure-Column PROXY for subword tokenization (\w+ runs
+    * + single non-space symbols). When actual tokenizer counts matter
+    * (chunk boundaries, packing budgets), use the real byte-pair encoder
+    * instead: [[Bpe.tokenCount]] applies a learned/loaded merge list.
     */
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
@@ -186,11 +188,25 @@ object TextAnalysis {
       textCol: String,
       chunkSize: Int,
       overlap: Int,
+  ): org.apache.spark.sql.DataFrame =
+    chunkTokenArray(df.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, chunkSize, overlap)
+
+  /** The windowing engine of [[chunkTokens]] over a PRECOMPUTED token
+    * array column `__toks` — shared with the subword form
+    * ([[Bpe.chunkTokens]]), which tokenizes differently but windows
+    * identically.
+    */
+  private[ext] def chunkTokenArray(
+      withToks: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      chunkSize: Int,
+      overlap: Int,
   ): org.apache.spark.sql.DataFrame = {
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     val step = chunkSize - overlap
     val t = col("__toks")
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    withToks
       .select(col(idCol), posexplode(
         when(size(t) > 0, transform(sequence(lit(0), size(t) - 1, lit(step)),
           st => struct(

@@ -167,6 +167,12 @@ object Upsert {
     * A NULL key never equi-matches, so a null-key row in `before`
     * classifies as delete and one in `after` as insert — the SQL
     * FULL OUTER JOIN convention, replayed identically by the oracle.
+    *
+    * PRECONDITION: the key is unique within each snapshot (the natural
+    * state of a table generation — the upsert path this diffs is keyed).
+    * Duplicate keys fan out M×N through the full outer join and emit one
+    * classified row PER PAIR (duplicated update/unchanged verdicts);
+    * dedup the snapshots first if the source can repeat keys.
     */
   def snapshotDiff(before: DataFrame, after: DataFrame, key: String): DataFrame = {
     require(before.columns.toSeq == after.columns.toSeq,

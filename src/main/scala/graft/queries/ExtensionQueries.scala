@@ -117,6 +117,29 @@ object ExtensionQueries {
     stageOnce(ev.unionByName(ev), s"/tmp/graft_stream_dup/${Staging.tag(dir)}")
     stageSessionSpool(s, dir)
     stageUpsertSpool(s, dir)
+    stageDocSpool(s, dir)
+  }
+
+  /** Documents spool for the incremental near-dup: docsWithVariants in
+    * `nSlices` arrival slices keyed by a hash of the doc id, so an
+    * original and its planted near-variant usually arrive in DIFFERENT
+    * micro-batches — the store-join (old↔new) path does real work, not
+    * just the within-batch self-join. Fixture prep, untimed (a real spool
+    * exists because documents arrived; only arrival order is synthesized,
+    * via per-file mtimes).
+    */
+  def stageDocSpool(s: SparkSession, dir: String, nSlices: Int = 4): String = {
+    val tmp = s"/tmp/graft_stream_docs/${Staging.tag(dir)}_n$nSlices"
+    val done = new java.io.File(s"$tmp/_SPOOL_DONE")
+    if (done.exists()) return tmp
+    val docs = docsWithVariants(s, dir).localCheckpoint(eager = true)
+    new java.io.File(tmp).mkdirs()
+    (0 until nSlices).foreach { i =>
+      stageSpoolFile(
+        docs.filter(pmod(xxhash64(col("doc_id")), lit(nSlices)) === i), tmp, i)
+    }
+    done.createNewFile()
+    tmp
   }
 
   /** Session gap shared by the batch and incremental sessionize queries. */
@@ -816,6 +839,21 @@ object ExtensionQueries {
       chunkSize = 128, overlap = 32)
   }
 
+  /** Context-window chunking under a REAL byte-pair encoder: merges
+    * learned from the corpus itself (Sennrich procedure, deterministic —
+    * frequency ties break lexicographically), then 128-subword windows
+    * with 32 of overlap. Rows-only: the learned merge list is the
+    * tokenizer, and no SQL engine replays an iterative BPE merge loop —
+    * the algorithm itself is pinned by BpeSpec against hand-computed
+    * tokenizations (including the published-format merges round-trip).
+    */
+  val textChunksBpe = qRowsOnly("x_text_chunks_bpe") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = graft.ext.Bpe.learn(docs, "text", numMerges = 200)
+    graft.ext.Bpe.chunkTokens(docs, "doc_id", "text",
+      chunkSize = 128, overlap = 32, model)
+  }
+
   /** Deterministic stratified hash sampling (25% per source stratum): the
     * md5-threshold decision is engine-portable, so DuckDB replays the
     * EXACT sample — no RNG, no seed bookkeeping, reproducible at 100 TB.
@@ -1047,6 +1085,30 @@ object ExtensionQueries {
     EventStreams.runDedupOnce(s, tmp, "graft_stream_dedup")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Incremental MinHash near-dup through the real streaming path: the
+    * documents spool delivered one file per micro-batch, each batch
+    * sketched once and joined against the persisted signature store
+    * (old↔new) plus itself (new↔new). The gate pins streamed == one-shot
+    * batch `minhashCandidates` on the full corpus — pair set AND
+    * estimated jaccards — so a store-join bug (lost band, double pair,
+    * wrong signature carried) fails correctness, with the planted-pair
+    * recall already guaranteed by the equality to the gated batch form.
+    */
+  val streamDedupMinhash = q("x_stream_dedup_minhash",
+    "SELECT true AS stream_minhash_ok") { (s, dir) =>
+    val spool = stageDocSpool(s, dir)
+    val store = s"/tmp/graft_stream_minhash/${Staging.tag(dir)}_store"
+    val streamed = graft.streaming.DocStreams.runMinhashDedupOnce(s, spool, store)
+      .withColumnRenamed("est_jaccard", "__se")
+    val batch = Dedup.minhashCandidates(docsWithVariants(s, dir), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
+    streamed.join(batch, Seq("id_a", "id_b"), "full")
+      .agg((count(lit(1)) === count(col("__se")) &&
+        count(lit(1)) === count(col("est_jaccard")) &&
+        coalesce(max(abs(col("__se") - col("est_jaccard"))) <= 1e-9, lit(true)))
+        .as("stream_minhash_ok"))
   }
 
   /** Stream-static join through the real streaming path: events enriched
@@ -1644,11 +1706,11 @@ object ExtensionQueries {
     knnPqDelete, knnIvfPqRefine,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
-    textChunks, textRepetition, textBm25, textSurprisal, hybridRrf,
+    textChunks, textChunksBpe, textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
-    streamWindow, streamFileWindow, streamDedup, streamStaticJoin, sessionize,
+    streamWindow, streamFileWindow, streamDedup, streamDedupMinhash, streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,
     multimodalImageMeta, multimodalAudioMeta,

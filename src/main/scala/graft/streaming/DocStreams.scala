@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Streaming document pipelines: the incremental forms of the batch
+  * dedup operators, against a PERSISTED state store (the streaming
+  * analog of [[graft.ext.AnnIndex]]'s append maintenance — new documents
+  * arrive forever; re-sketching the whole corpus per batch would be a
+  * corpus-sized pass per micro-batch).
+  */
+object DocStreams {
+
+  /** Incremental MinHash near-duplicate detection over a document
+    * stream: each micro-batch is sketched ONCE (signatures + LSH band
+    * keys), joined against the persisted signature store for
+    * old↔new candidates, self-joined for new↔new ones, and appended
+    * into the store — so every batch's work scales with the BATCH (plus
+    * one store-side scan of the banded table, which a production
+    * deployment prunes by partitioning the store on `__band`), never
+    * with corpus². Candidate semantics match [[Dedup.minhashCandidates]]
+    * run on everything seen so far: a pair (a, b) surfaces exactly once,
+    * in the batch where its LATER member arrives, with the same
+    * signature-estimated jaccard — the `x_stream_dedup_minhash` gate
+    * pins streamed == one-shot batch on the union.
+    *
+    * The hot-bucket cap is evaluated AT ARRIVAL TIME over the store ∪
+    * batch: a bucket that only later turns hot keeps the pairs it
+    * emitted while small (the streaming-natural reading; the batch form
+    * judges buckets once, globally). Ids must be unique across the
+    * stream (same discipline as the index appends); foreachBatch is
+    * at-least-once, so the returned frame dedups pairs on read.
+    *
+    * `storeDir` is deleted first: the run IS the store's history.
+    * Layout under `storeDir`: `sigs/` (banded signatures, one row per
+    * (id, band)) and `pairs/` (emitted candidates).
+    */
+  def runMinhashDedupOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      storeDir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    val root = new java.io.File(storeDir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+    val sigsPath = s"$storeDir/sigs"
+    val pairsPath = s"$storeDir/pairs"
+    // per-batch joins are batch×store-sized; the session-wide analytics
+    // shuffle width just multiplies task overhead across micro-batches
+    // (same knob as runUpsertOnce)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val bandedNew = Dedup.minhashBanded(
+              Dedup.minhashSignatures(batch.toDF(), "doc_id", "text",
+                numHashes, shingleSize),
+              numHashes, bands)
+            .localCheckpoint(eager = true) // counts + 2 join sides + append
+          val store =
+            if (new java.io.File(sigsPath).exists())
+              Some(spark.read.parquet(sigsPath))
+            else None
+          // at-arrival bucket sizing over store ∪ batch (see scaladoc)
+          val all = store.map(_.unionByName(bandedNew)).getOrElse(bandedNew)
+          val okBuckets = all.groupBy(col("__band"), col("__bh"))
+            .agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") <= maxBucketSize && col("__bn") > 1)
+            .select(col("__band"), col("__bh"))
+          val newSide = bandedNew.join(okBuckets, Seq("__band", "__bh"), "left_semi")
+          // new↔new inside the batch: plain banded self-join, a < b
+          val a = newSide.select(col("__band"), col("__bh"),
+            col("__id").as("id_a"), col("__sig").as("__sa"))
+          val b = newSide.select(col("__band"), col("__bh"),
+            col("__id").as("id_b"), col("__sig").as("__sb"))
+          val newNew = a.join(b, Seq("__band", "__bh"))
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+          // old↔new: the batch side is micro-batch-sized — broadcast it
+          // into the store scan so the store never shuffles
+          val newOld = store.map { st =>
+            st.join(okBuckets, Seq("__band", "__bh"), "left_semi")
+              .select(col("__band"), col("__bh"),
+                col("__id").as("__oid"), col("__sig").as("__osig"))
+              .join(broadcast(newSide
+                .select(col("__band"), col("__bh"),
+                  col("__id").as("__nid"), col("__sig").as("__nsig"))),
+                Seq("__band", "__bh"))
+              .select(least(col("__oid"), col("__nid")).as("id_a"),
+                greatest(col("__oid"), col("__nid")).as("id_b"),
+                col("__osig").as("__sa"), col("__nsig").as("__sb"))
+          }
+          val pairs = newOld.map(newNew.unionByName(_)).getOrElse(newNew)
+            .select(col("id_a"), col("id_b"),
+              Dedup.estJaccard(col("__sa"), col("__sb"), numHashes).as("est_jaccard"))
+            .filter(col("est_jaccard") >= minEstJaccard)
+            .groupBy(col("id_a"), col("id_b"))
+            .agg(round(first(col("est_jaccard")), 4).as("est_jaccard"))
+          pairs.write.mode("append").parquet(pairsPath)
+          bandedNew.write.mode("append").parquet(sigsPath)
+          spark.catalog.refreshByPath(sigsPath)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if (new java.io.File(pairsPath).exists())
+      spark.read.parquet(pairsPath)
+        // idempotent under micro-batch replays: one row per pair
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(first(col("est_jaccard")).as("est_jaccard"))
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "est_jaccard")
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Pins the BPE implementation to the PUBLIC reference behavior: the
+  * Sennrich et al. (2016) worked example — corpus {low×5, lower×2,
+  * newest×6, widest×3} learns (e,s), (es,t), (est,</w>), (l,o), (lo,w)
+  * and tokenizes the unseen word "lowest" as low + est</w> — plus the
+  * published merges.txt format round-trip.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def paperCorpus = (
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+  ).toDF("text")
+
+  test("learn reproduces the published example's merge sequence") {
+    val model = Bpe.learn(paperCorpus, "text", numMerges = 5)
+    model.merges shouldBe Vector(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
+  }
+
+  test("the learned merges tokenize the unseen word 'lowest' as low + est") {
+    val model = Bpe.learn(paperCorpus, "text", numMerges = 5)
+    Bpe.encodeWord("lowest", model.ranks) shouldBe Vector("low", "est</w>")
+    // seen words: 'low' merges fully up to the learned list
+    Bpe.encodeWord("low", model.ranks) shouldBe Vector("low", "</w>")
+    // unseen characters stay as singletons + end marker
+    Bpe.encodeWord("xyz", model.ranks) shouldBe Vector("x", "y", "z", "</w>")
+    Bpe.encodeWord("", model.ranks) shouldBe Vector.empty
+  }
+
+  test("merges.txt format round-trips; headers and blanks skip") {
+    val model = Bpe.learn(paperCorpus, "text", numMerges = 5)
+    val lines = Seq("#version: 0.2", "") ++ Bpe.formatMerges(model) ++ Seq("")
+    Bpe.parseMerges(lines) shouldBe model
+    an[IllegalArgumentException] should be thrownBy
+      Bpe.parseMerges(Seq("a b c"))
+  }
+
+  test("column tokens/tokenCount segment like TextAnalysis.tokens and count subwords") {
+    val model = Bpe.learn(paperCorpus, "text", numMerges = 5)
+    val df = Seq((1L, "Lowest lowest LOW"), (2L, ""), (3L, null: String))
+      .toDF("id", "text")
+    val got = df.select($"id", Bpe.tokens($"text", model).as("t"),
+        Bpe.tokenCount($"text", model).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getInt(2))).toMap
+    got(1L) shouldBe (Seq("low", "est</w>", "low", "est</w>", "low", "</w>"), 6)
+    got(2L) shouldBe (Seq.empty, 0)
+    got(3L) shouldBe (Seq.empty, 0)
+  }
+
+  test("bpe chunking windows over subwords; bpe packing budgets by subword count") {
+    val model = Bpe.learn(paperCorpus, "text", numMerges = 5)
+    // "lowest lowest lowest" → 6 subwords; chunkSize 4, overlap 2 → starts 0, 2, 4
+    val df = Seq((1L, "lowest lowest lowest")).toDF("doc_id", "text")
+    val chunks = Bpe.chunkTokens(df, "doc_id", "text", chunkSize = 4, overlap = 2, model)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    chunks shouldBe Array(
+      (0, "low est</w> low est</w>", 4),
+      (1, "low est</w> low est</w>", 4),
+      (2, "low est</w>", 2))
+    // packing: two 6-subword docs, seqLen 8 → doc 2 spans sequences 0 and 1
+    val docs = Seq((1L, "lowest lowest lowest"), (2L, "lowest lowest lowest"))
+      .toDF("doc_id", "text")
+    val packed = Bpe.packSequences(docs, "doc_id", "text", seqLen = 8, model)
+      .orderBy("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    packed shouldBe Array(
+      (1L, 0L, 0L, 6L, 0L),  // doc 1: tokens 0-5 of seq 0
+      (2L, 0L, 0L, 2L, 6L),  // doc 2: first 2 tokens close seq 0
+      (2L, 1L, 2L, 6L, 0L))  // doc 2: remaining 4 open seq 1
+  }
+}

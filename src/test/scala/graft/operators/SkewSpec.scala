@@ -17,6 +17,39 @@ class SkewSpec extends SparkSpec {
     saltedLeft shouldBe plainLeft
   }
 
+  test("asofJoin skew: one all-hot key is a single sort run — correct, bounded, no OOM") {
+    // the documented trade (Joins.scala): a hot key lands in ONE window
+    // partition = one spilling external sort run. This pins the behavior
+    // (correct results, completes) and MEASURES the cost vs the same rows
+    // spread over 512 keys, so the escalate-or-not decision has a number.
+    val n = 400000
+    def run(hot: Boolean): (Long, Double) = {
+      val key = if (hot) lit(1L) else (col("id") % 512)
+      val left = spark.range(n.toLong).select(
+        key.as("k"), (col("id") * 7 % 1000000).as("ts"), col("id").as("eid"))
+      val right = spark.range(1000L).select(
+        (if (hot) lit(1L) else (col("id") % 512)).as("rk"),
+        (col("id") * 997 % 1000000).as("rts"),
+        col("id").cast("string").as("payload"))
+      val t0 = System.nanoTime()
+      val cnt = graft.ext.Joins.asofJoin(left, col("k"), col("ts"),
+        right, col("rk"), col("rts"), Seq("payload"),
+        rightTiebreak = Seq(col("payload"))).count()
+      (cnt, (System.nanoTime() - t0) / 1e9)
+    }
+    val (hotCnt, hotSec) = run(hot = true)
+    val (uniCnt, uniSec) = run(hot = false)
+    // asof LEFT join: every left row survives, hot or not
+    hotCnt shouldBe n.toLong
+    uniCnt shouldBe n.toLong
+    info(f"asof skew data point: hot-key $hotSec%.2f s vs uniform $uniSec%.2f s " +
+      f"(ratio ${hotSec / uniSec}%.1fx) at n=$n")
+    // generous bound: the single sort run must stay the same order of
+    // magnitude as the parallel case on this data size — a quadratic or
+    // spill-thrash regression trips this long before it OOMs
+    hotSec should be < (uniSec * 25 + 10.0)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val df = (1 to 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))

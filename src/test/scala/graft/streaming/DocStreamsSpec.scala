@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Dedup
+
+class DocStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta"
+  private val docs = Seq(
+    (1L, base),                                  // batch 1
+    (3L, base),                                  // batch 1 — exact dup of 1
+    (4L, "totally unrelated words about other things entirely here"), // batch 1
+    (2L, base + " iota"),                        // batch 2 — near-dup of 1 and 3
+  )
+
+  private def stageSpool(slices: Seq[Seq[(Long, String)]]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_doc_spool").toString
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$dir/.stage_$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(dir, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1600000000000L + i * 60000L)
+    }
+    dir
+  }
+
+  test("incremental minhash near-dup equals the batch form: within-batch and cross-batch pairs") {
+    val spool = stageSpool(Seq(docs.take(3), docs.drop(3)))
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_store").toString + "/s"
+    val streamed = DocStreams.runMinhashDedupOnce(spark, spool, store,
+        numHashes = 32, bands = 8, shingleSize = 3, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = Dedup.minhashCandidates(docs.toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = 32, bands = 8, shingleSize = 3, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    streamed shouldBe batch
+    // the fixture exercised both paths: (1,3) within batch 1, and 2's
+    // arrival matched 1 and 3 from the STORE
+    streamed.keySet should contain allOf ((1L, 3L), (1L, 2L), (2L, 3L))
+    // exact duplicates estimate jaccard 1.0
+    streamed((1L, 3L)) shouldBe 1.0
+    // the signature store persisted one banded generation per doc
+    spark.read.parquet(s"$store/sigs").select("__id").distinct().count() shouldBe 4
+  }
+
+  test("incremental minhash: empty store bootstrap and no-candidate batches are clean") {
+    // single batch, nothing similar: no pairs dir contents, empty result
+    val spool = stageSpool(Seq(Seq(
+      (10L, "one two three four five six"),
+      (11L, "seven eight nine ten eleven twelve"))))
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_store").toString + "/s"
+    val out = DocStreams.runMinhashDedupOnce(spark, spool, store,
+      numHashes = 32, bands = 8, shingleSize = 3, minEstJaccard = 0.5)
+    out.collect() shouldBe empty
+  }
+}
