@@ -114,22 +114,42 @@ object Sampling {
     * Rows whose stratum is absent from `weights` (or null) drop — their
     * threshold coalesces to the empty string, below every digest.
     *
-    * The per-stratum threshold is ONE map literal probed with
-    * `try_element_at` — constant-size expression tree and an O(1) hash
-    * lookup per row regardless of stratum cardinality, so per-DOMAIN
-    * mixes (10k-100k strata) plan and run like a 5-stratum mix. (A
-    * per-stratum when-chain — the obvious spelling — walks a
-    * cardinality-deep tree per row and overflows Catalyst well below
-    * 10k branches.)
+    * Threshold lookup by cardinality (same semantics either way):
+    *   - ≤ 64 strata: ONE map literal probed with `try_element_at` —
+    *     no exchange, the whole mix stays a pushed-down filter. A
+    *     literal map probe is a LINEAR key scan (`ArrayBasedMapData`
+    *     has no hash index), which is free at source/language-class
+    *     cardinality and a per-row disaster at domain-class: measured
+    *     24 s for 600k rows × a 12k-entry map.
+    *   - above: a BROADCAST HASH JOIN against the weights as a tiny
+    *     frame — O(1) per row at any cardinality; unmatched (or null)
+    *     strata get a null threshold and drop through the coalesce.
+    *     (A per-stratum when-chain — the obvious third spelling —
+    *     walks a cardinality-deep expression tree per row and
+    *     overflows Catalyst well below 10k branches.)
     */
   def weightedMix(
       df: DataFrame, stratum: Column, key: Column, weights: Map[String, Double],
   ): DataFrame = {
     require(weights.nonEmpty, "weightedMix: empty weights map")
-    val thrMap = typedLit(weights.map { case (s, rate) => s -> rateToHex(rate) })
-    // try_element_at: null on missing key AND on null stratum (ANSI
-    // element_at would throw on the first unweighted stratum instead)
-    val thr = coalesce(try_element_at(thrMap, stratum.cast("string")), lit(""))
-    df.filter(md5(concat(stratum.cast("string"), lit(":"), key.cast("string"))) < thr)
+    val pred = (thr: Column) =>
+      md5(concat(stratum.cast("string"), lit(":"), key.cast("string"))) < thr
+    if (weights.size <= 64) {
+      val thrMap = typedLit(weights.map { case (s, rate) => s -> rateToHex(rate) })
+      // try_element_at: null on missing key AND on null stratum (ANSI
+      // element_at would throw on the first unweighted stratum instead)
+      df.filter(pred(coalesce(try_element_at(thrMap, stratum.cast("string")), lit(""))))
+    } else {
+      val dup = df.columns.toSet.intersect(Set("__wm_s", "__wm_thr"))
+      require(dup.isEmpty,
+        s"weightedMix reserves column names __wm_s/__wm_thr; rename: ${dup.mkString(", ")}")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val w = weights.toSeq.map { case (s, rate) => (s, rateToHex(rate)) }
+        .toDF("__wm_s", "__wm_thr")
+      df.join(broadcast(w), stratum.cast("string") === col("__wm_s"), "left")
+        .filter(pred(coalesce(col("__wm_thr"), lit(""))))
+        .drop("__wm_s", "__wm_thr")
+    }
   }
 }

@@ -1191,53 +1191,54 @@ object ExtensionQueries {
         col("n_in_window"), col("sum_value"))
   }
 
-  /** The same interval-containment join with a WIDE interval payload
-    * (six md5-string feature columns per session) through the
-    * `narrowPayload` plan: only (rowid, start, end) ride the bucket
-    * explosion + shuffle, the payload re-attaches by rowid afterwards —
-    * the wide-interval-payload variant of `x_range_join` (plan-asserted
-    * payload-free explode in PlanAssertionsSpec). The oracle recomputes
-    * the payload from first principles, so a re-attach bug (wrong rowid,
-    * lost duplicate) breaks the hash, not just the shape.
+  /** Interval containment with a WIDE interval payload through the
+    * `narrowPayload` plan, in the shape where the narrow form actually
+    * matters: per-TENANT enrichment — one long interval per user (their
+    * whole activity span + six md5-string feature columns) against the
+    * user-keyed event stream. Long intervals explode into MANY daily
+    * buckets (the whole span), so the default plan would replicate
+    * ~200 B of payload per (interval × bucket); the narrow plan ships
+    * (rowid, start, end, key) only and re-attaches payload by rowid
+    * after the match (plan-asserted payload-free explode in
+    * PlanAssertionsSpec). The oracle recomputes the payload and the
+    * containment from first principles, so a re-attach bug (wrong
+    * rowid, lost row, crossed payload) breaks the hash.
     */
   val rangeJoinWide = q("x_range_join_wide",
-    """WITH e AS (
-      |  SELECT user_id, ts, event_id, value,
-      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '4 hours'
-      |              THEN 1 ELSE 0 END AS brk
-      |  FROM events),
-      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM e),
-      |sess AS (SELECT user_id su, min(ts) st, max(ts) en
-      |         FROM s GROUP BY user_id, sid)
-      |SELECT su AS s_user, st AS session_start,
-      |       md5(CAST(su AS VARCHAR) || ':1') AS p1,
-      |       md5(CAST(su AS VARCHAR) || ':2') AS p2,
-      |       md5(CAST(su AS VARCHAR) || ':3') AS p3,
-      |       md5(CAST(su AS VARCHAR) || ':4') AS p4,
-      |       md5(CAST(su AS VARCHAR) || ':5') AS p5,
-      |       md5(CAST(su AS VARCHAR) || ':6') AS p6,
-      |       count(*) AS n_in_window, round(sum(ev.value), 2) AS sum_value
-      |FROM sess JOIN events ev ON ev.ts BETWEEN st AND en
-      |GROUP BY su, st""".stripMargin) { (s, dir) =>
+    """WITH iv AS (SELECT user_id u, min(ts) st, max(ts) en FROM events GROUP BY 1)
+      |SELECT u AS user_id,
+      |       md5(CAST(u AS VARCHAR) || ':1') AS p1,
+      |       md5(CAST(u AS VARCHAR) || ':2') AS p2,
+      |       md5(CAST(u AS VARCHAR) || ':3') AS p3,
+      |       md5(CAST(u AS VARCHAR) || ':4') AS p4,
+      |       md5(CAST(u AS VARCHAR) || ':5') AS p5,
+      |       md5(CAST(u AS VARCHAR) || ':6') AS p6,
+      |       count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+      |FROM iv JOIN events e ON e.user_id = u AND e.ts BETWEEN st AND en
+      |GROUP BY u""".stripMargin) { (s, dir) =>
     val events = Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .select(col("ts"), col("user_id"), col("value"))
     val pcols = (1 to 6).map(i =>
-      md5(concat(col("s_user").cast("string"), lit(s":$i"))).as(s"p$i"))
-    val sess = EventStreams.sessionizeBatch(events, gapMs = 4L * 3600 * 1000)
-      .select(Seq(col("user_id").as("s_user"), col("start"), col("end")) ++ pcols: _*)
-    val pts = events.select(col("ts").as("ev_ts"), col("value"))
-    graft.ext.Joins.rangeJoin(sess,
+      md5(concat(col("u").cast("string"), lit(s":$i"))).as(s"p$i"))
+    val iv = events.groupBy(col("user_id").as("u"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"))
+      .select(Seq(col("u"), col("start"), col("end")) ++ pcols: _*)
+    val pts = events.select(col("ts").as("ev_ts"), col("user_id").as("ev_user"),
+      col("value"))
+    graft.ext.Joins.rangeJoin(iv,
         unix_micros(col("start")), unix_micros(col("end")),
         pts, unix_micros(col("ev_ts")), bucketWidth = 86400000000L,
+        leftExtraKey = Some(col("u")), rightExtraKey = Some(col("ev_user")),
         narrowPayload = true)
-      .groupBy(Seq(col("s_user"), col("start")) ++ (1 to 6).map(i => col(s"p$i")): _*)
-      .agg(count(lit(1)).as("n_in_window"),
-        round(sum(col("value")), 2).as("sum_value"))
-      .select(Seq(col("s_user"), col("start").as("session_start")) ++
-        (1 to 6).map(i => col(s"p$i")) ++
-        Seq(col("n_in_window"), col("sum_value")): _*)
+      // group on the narrow tenant key; payload is constant per tenant,
+      // so min() carries it without widening the aggregate key
+      .groupBy(col("u"))
+      .agg(min(col("p1")).as("p1"),
+        (2 to 6).map(i => min(col(s"p$i")).as(s"p$i")) ++ Seq(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value")): _*)
+      .select(Seq(col("u").as("user_id")) ++ (1 to 6).map(i => col(s"p$i")) ++
+        Seq(col("n_events"), col("sum_value")): _*)
   }
 
   /** Streaming incremental upsert (CDC-into-table): the upsert spool's

@@ -67,11 +67,18 @@ object DocStreams {
                 numHashes, shingleSize),
               numHashes, bands)
             .localCheckpoint(eager = true) // counts + 2 join sides + append
+          // only buckets the BATCH touches can produce pairs this batch:
+          // prune the store scan to them up front (broadcast semi-join on
+          // the batch's ≤ batch×bands keys) so neither the bucket sizing
+          // nor the candidate join ever aggregates the whole store
+          val newKeys = bandedNew.select(col("__band"), col("__bh")).distinct()
           val store =
             if (new java.io.File(sigsPath).exists())
-              Some(spark.read.parquet(sigsPath))
+              Some(spark.read.parquet(sigsPath)
+                .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi")
+                .localCheckpoint(eager = true)) // counts + the cross join
             else None
-          // at-arrival bucket sizing over store ∪ batch (see scaladoc)
+          // at-arrival bucket sizing over (pruned) store ∪ batch
           val all = store.map(_.unionByName(bandedNew)).getOrElse(bandedNew)
           val okBuckets = all.groupBy(col("__band"), col("__bh"))
             .agg(count(lit(1)).as("__bn"))
