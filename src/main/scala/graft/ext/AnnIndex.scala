@@ -69,7 +69,10 @@ object AnnIndex {
     */
   private def nextSeq(spark: SparkSession, dir: String): Long =
     readTombstones(spark, dir)
-      .map(_.agg(max(col("__seq"))).head().getLong(0) + 1L)
+      // max over ZERO rows is null (an empty ids frame still writes a
+      // schema-only tombstones dir) — treat it like no tombstones at all
+      .flatMap(t => Option(t.agg(max(col("__seq"))).head().get(0)))
+      .map(_.asInstanceOf[Long] + 1L)
       .getOrElse(0L)
 
   /** Keep only live rows: a row is dead iff a tombstone for its id exists

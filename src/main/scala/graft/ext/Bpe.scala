@@ -60,7 +60,10 @@ object Bpe {
     * counts nest exactly inside the word-level operators.
     */
   private def words(s: String): Array[String] =
-    s.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    // Locale.ROOT: plain toLowerCase is default-locale-sensitive (the
+    // Turkish-I trap), which would split this twin from Spark's
+    // locale-independent lower() on tr/az JVMs
+    s.trim.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
 
   /** Encode one word: start from characters + `</w>`, repeatedly merge
     * the ADJACENT PAIR with the lowest rank (all its occurrences, left
@@ -162,8 +165,17 @@ object Bpe {
       merges.zipWithIndex.toMap
     @transient private lazy val cache =
       scala.collection.mutable.HashMap.empty[String, Vector[String]]
-    def encode(w: String): Vector[String] =
-      cache.getOrElseUpdate(w, encodeWord(w, ranks))
+    // Zipf: the hot words that dominate repetition fit far under the
+    // cap; past it (id/hash-like high-cardinality text) stop caching
+    // rather than grow executor memory for words that never repeat
+    private val MaxCache = 65536
+    def encode(w: String): Vector[String] = cache.get(w) match {
+      case Some(v) => v
+      case None =>
+        val v = encodeWord(w, ranks)
+        if (cache.size < MaxCache) cache.update(w, v)
+        v
+    }
   }
 
   /** BPE sub-token array of a text column (null text → empty array). */

@@ -98,6 +98,9 @@ object Dedup {
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 1000,
   ): DataFrame = {
+    // validate BEFORE the eager signature materialization below — the
+    // banding require alone would fire only after the corpus-wide sketch
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
       // consumed by bucket sizing + both sides of the candidate self-join;
       // one signature row per doc is tiny — lineage-cut materialization

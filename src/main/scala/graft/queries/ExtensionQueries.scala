@@ -854,6 +854,27 @@ object ExtensionQueries {
       chunkSize = 128, overlap = 32, model)
   }
 
+  /** The BPE plumbing under a DuckDB-replayable identity: with ZERO
+    * merges, byte-pair encoding is characters + one end-of-word marker
+    * per word, so the per-document count must equal
+    * Σ_words (len(word) + 1) — which SQL computes from the text alone.
+    * Hash-matching this pins the UDF path's word segmentation (against
+    * the same \W+ split the oracle uses), symbol initialization, and
+    * count plumbing across engines; the merge LOOP on top of it is
+    * pinned by BpeSpec's published worked example.
+    */
+  val textBpeBaseCount = q("x_text_bpe_basecount",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(coalesce(list_sum(list_transform(toks, w -> len(w) + 1)), 0) AS INTEGER) AS n_bpe
+      |FROM t""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.ext.Bpe.tokenCount(col("text"),
+        graft.ext.Bpe.BpeModel(Vector.empty)).as("n_bpe"))
+  }
+
   /** Deterministic stratified hash sampling (25% per source stratum): the
     * md5-threshold decision is engine-portable, so DuckDB replays the
     * EXACT sample — no RNG, no seed bookkeeping, reproducible at 100 TB.
@@ -887,8 +908,9 @@ object ExtensionQueries {
   /** High-cardinality weighted mixing (the per-DOMAIN mix): a 12 000-entry
     * weights map over `l_orderkey % 12000` strata, rates formula-derived
     * (residue mod 97 → 1%..97%) so the oracle RECOMPUTES every threshold
-    * in SQL instead of embedding 12k literals. Exercises the map-literal
-    * threshold path at a cardinality the when-chain form could not plan;
+    * in SQL instead of embedding 12k literals. Exercises the broadcast-
+    * join threshold route (> 64 strata) at a cardinality the when-chain
+    * could not plan and the map literal could not scan per row;
     * the per-row decision (salted md5 vs rate→hex threshold) is the same
     * engine-portable arithmetic as `x_weighted_mix`/`x_temperature_mix`,
     * so the kept row set hash-matches exactly.
@@ -1100,10 +1122,16 @@ object ExtensionQueries {
     "SELECT true AS stream_minhash_ok") { (s, dir) =>
     val spool = stageDocSpool(s, dir)
     val store = s"/tmp/graft_stream_minhash/${Staging.tag(dir)}_store"
-    val streamed = graft.streaming.DocStreams.runMinhashDedupOnce(s, spool, store)
+    // cap lifted far above the corpus on BOTH sides: the stream judges
+    // buckets at arrival time, the batch globally — with the cap inert
+    // the equality below is exact at every scale factor instead of
+    // depending on no fixture bucket ever crossing the default cap
+    val streamed = graft.streaming.DocStreams.runMinhashDedupOnce(s, spool, store,
+        maxBucketSize = 1000000)
       .withColumnRenamed("est_jaccard", "__se")
     val batch = Dedup.minhashCandidates(docsWithVariants(s, dir), "doc_id", "text",
-      numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
+      numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5,
+      maxBucketSize = 1000000)
     streamed.join(batch, Seq("id_a", "id_b"), "full")
       .agg((count(lit(1)) === count(col("__se")) &&
         count(lit(1)) === count(col("est_jaccard")) &&
@@ -1707,7 +1735,7 @@ object ExtensionQueries {
     knnPqDelete, knnIvfPqRefine,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
-    textChunks, textChunksBpe, textRepetition, textBm25, textSurprisal, hybridRrf,
+    textChunks, textChunksBpe, textBpeBaseCount, textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,

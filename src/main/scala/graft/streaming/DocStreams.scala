@@ -46,6 +46,8 @@ object DocStreams {
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 1000,
   ): DataFrame = {
+    // fail before the stream starts, not inside the first foreachBatch
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val root = new java.io.File(storeDir)
     if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
     val sigsPath = s"$storeDir/sigs"

@@ -288,10 +288,11 @@ class PipelineOpsSpec extends SparkSpec {
     half.toInt should (be > 25 and be < 75)
   }
 
-  test("weightedMix at high stratum cardinality: 20k-entry map plans and decides per stratum") {
+  test("weightedMix at high stratum cardinality: 20k-entry weights decide per stratum") {
     // one row per stratum at rate 1.0 on evens / 0.0 on odds: the kept set
     // is exactly the evens — a when-chain spelling could not even PLAN a
-    // 20k-branch threshold (Catalyst tree recursion), the map literal must
+    // 20k-branch threshold (Catalyst tree recursion); 20k > 64 strata, so
+    // this exercises the broadcast-join route
     val df = (0L until 20000L).map(i => (i, s"d$i")).toDF("id", "dom")
     val weights = (0 until 20000).map(i =>
       s"d$i" -> (if (i % 2 == 0) 1.0 else 0.0)).toMap

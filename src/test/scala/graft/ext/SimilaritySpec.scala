@@ -343,6 +343,25 @@ class SimilaritySpec extends SparkSpec {
     e.getMessage should include("keepVectors")
   }
 
+  test("insert-only diff (empty delete set) leaves maintenance healthy — no NPE on the empty tombstone table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpq"
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
+      nlist = 2, m = 2, ksub = 5, iters = 1)
+    import spark.implicits._
+    // insert-only CDC frame: deleteIds runs with ZERO ids (writing a
+    // schema-only tombstones dir) and the subsequent append must still
+    // derive a sequence number
+    val diff = Seq((5L, "insert")).toDF("vec_id", "change")
+    val newRows = Seq((5L, Array(0.5f, 0.8f))).toDF("vec_id", "embedding")
+    AnnIndex.applyDiffIvfPq(spark, dir, diff, "vec_id", newRows, "vec_id", "embedding")
+    // all 6 ids served; later maintenance ops keep working too
+    AnnIndex.deleteIds(spark, dir, Seq(5L).toDF("vec_id"), "vec_id")
+    val index = AnnIndex.readIvfPq(spark, dir)
+    AnnIndex.ivfPqTopK(spark, index, corpus.filter($"vec_id" === 0),
+        "vec_id", "embedding", 5, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet shouldBe Set(1L, 2L, 3L, 4L)
+  }
+
   test("applyDiffIvfPq routes a snapshotDiff frame: delete/update/insert end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpq"
     AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
