@@ -165,6 +165,17 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("high-cardinality weightedMix: weights ride a broadcast join, never a shuffle") {
+    val df = (0L until 2000L).map(i => (i, s"d${i % 500}")).toDF("id", "dom")
+    val weights = (0 until 500).map(i => s"d$i" -> 0.5).toMap // > 64: join route
+    val out = graft.ext.Sampling.weightedMix(df, col("dom"), col("id"), weights)
+    out.collect()
+    val plan = finalPlan(out).toString
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("ShuffledHashJoin")
+  }
+
   test("narrow-payload range join: the bucket explosion carries no payload struct") {
     val intervals = (1 to 50).map(i =>
       (i.toLong, i.toLong * 10, i.toLong * 10 + 25, "w" * 50)).toDF("iid", "s", "e", "blob")
