@@ -377,6 +377,66 @@ object AnnIndex {
     graft.operators.Upsert.swapDirs(tmp, dir)
   }
 
+  // ------------------------------------------------------------ compaction
+  /** Compact a flat-PQ index WITHOUT retraining: rewrite the codes table
+    * to its live view (tombstoned and superseded generations physically
+    * dropped, sequence numbers reset) and install the result through the
+    * same two-move swap as [[rebuildPq]] — so readers never see a
+    * half-compacted index and the tombstone log resets with the new
+    * generation. Codebooks are carried over FROZEN: this is the cheap
+    * delete-debt reclaim (one codes pass, no training, quantization
+    * quality unchanged — exactly FAISS `remove_ids`' physical rewrite);
+    * [[rebuildPq]] remains the quality reset. Serialize against other
+    * maintenance like any rebuild (object doc).
+    */
+  def compactPq(spark: SparkSession, dir: String): Unit = {
+    val tmp = dir + ".compact-" + System.nanoTime()
+    val model = readPq(spark, dir) // the live view
+    writeMeta(spark, tmp, model.m, model.sub, nlist = -1)
+    model.centroids.write.mode("overwrite").parquet(s"$tmp/codebooks")
+    model.codes.withColumn("__seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** [[compactPq]] for the IVF-flat layout: coarse centroids carried
+    * frozen, live vectors rewritten into their cluster partitions.
+    */
+  def compactIvf(spark: SparkSession, dir: String): Unit = {
+    val tmp = dir + ".compact-" + System.nanoTime()
+    val index = readIvf(spark, dir)
+    writeMeta(spark, tmp, m = 0, sub = 0, index.nlist)
+    index.coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
+    liveOnly(spark, dir, spark.read.parquet(index.vectorsPath))
+      .withColumn("__seq", lit(0L))
+      .select(col("__id"), col("__vec"), col("__seq"), col("__cluster"))
+      .write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/vectors")
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** [[compactPq]] for the IVF×PQ layout: coarse + codebooks carried
+    * frozen, live codes (and refine vectors, when kept) rewritten into
+    * their cluster partitions.
+    */
+  def compactIvfPq(spark: SparkSession, dir: String): Unit = {
+    val tmp = dir + ".compact-" + System.nanoTime()
+    val index = readIvfPq(spark, dir)
+    val (m, sub, nlist) = readMeta(spark, dir)
+    writeMeta(spark, tmp, m, sub, nlist)
+    index.coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
+    index.codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks")
+    liveOnly(spark, dir, spark.read.parquet(index.codesPath))
+      .withColumn("__seq", lit(0L))
+      .select(col("__id"), col("__j"), col("__code"), col("__seq"), col("__cluster"))
+      .write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/codes")
+    if (new java.io.File(s"$dir/vectors").exists())
+      liveOnly(spark, dir, spark.read.parquet(s"$dir/vectors"))
+        .withColumn("__seq", lit(0L))
+        .select(col("__id"), col("__vec"), col("__seq"), col("__cluster"))
+        .write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/vectors")
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
   // ----------------------------------------------------- incremental append
   /** Append new corpus rows to a persisted index WITHOUT retraining —
     * the maintenance operation between periodic rebuilds. Codebooks

@@ -118,6 +118,7 @@ object ExtensionQueries {
     stageSessionSpool(s, dir)
     stageUpsertSpool(s, dir)
     stageDocSpool(s, dir)
+    stageEmbSpool(s, dir)
   }
 
   /** Documents spool for the incremental near-dup: docsWithVariants in
@@ -138,6 +139,24 @@ object ExtensionQueries {
       stageSpoolFile(
         docs.filter(pmod(xxhash64(col("doc_id")), lit(nSlices)) === i), tmp, i)
     }
+    done.createNewFile()
+    tmp
+  }
+
+  /** Embeddings spool for the streaming index-append gate: the second
+    * half of the 16-vector gate corpus in two arrival slices. Fixture
+    * prep, untimed.
+    */
+  def stageEmbSpool(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_stream_emb/${Staging.tag(dir)}"
+    val done = new java.io.File(s"$tmp/_SPOOL_DONE")
+    if (done.exists()) return tmp
+    val emb = Tables.embeddings(s, dir)
+      .filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+    new java.io.File(tmp).mkdirs()
+    stageSpoolFile(emb.filter(col("vec_id") < 12), tmp, 0)
+    stageSpoolFile(emb.filter(col("vec_id") >= 12), tmp, 1)
     done.createNewFile()
     tmp
   }
@@ -1139,6 +1158,43 @@ object ExtensionQueries {
         .as("stream_minhash_ok"))
   }
 
+  /** Streaming ANN index maintenance through the real streaming path:
+    * an IVF×PQ index built on the base half of the gate corpus, then the
+    * other half APPENDED from a spool one micro-batch at a time under
+    * frozen quantizers. Must serve exactly the one-shot encode of the
+    * full corpus against those codebooks — the streaming analog of
+    * `x_knn_pq_append` (a lost batch, double append, or partition
+    * misplacement breaks the equality, not just the shape). The base
+    * index is rebuilt per run (appends are destructive to a shared
+    * fixture); that inline build is the same bounded 8-vector training
+    * the persistence gate already pays.
+    */
+  val streamKnnAppend = q("x_stream_knn_append",
+    "SELECT true AS stream_append_ok") { (s, dir) =>
+    val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+    val spool = stageEmbSpool(s, dir)
+    val idx = s"/tmp/graft_stream_knn/${Staging.tag(dir)}_idx"
+    val idxFile = new java.io.File(idx)
+    if (idxFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(idxFile)
+    AnnIndex.buildIvfPq(emb16.filter(col("vec_id") < 8), "vec_id", "embedding",
+      idx, nlist = 4, m = 8, ksub = 8, iters = 1)
+    graft.streaming.DocStreams.runIvfPqAppendOnce(s, spool, idx)
+    val index = AnnIndex.readIvfPq(s, idx)
+    val queries = emb16.filter(col("vec_id") < 5)
+    val served = AnnIndex.ivfPqTopK(s, index, queries, "vec_id", "embedding",
+      5, nprobe = 4)
+    val ref = Similarity.pqTopKWithModel(queries, "vec_id", "embedding",
+        Similarity.PqModel(index.codebooks,
+          Similarity.pqEncode(emb16, "vec_id", "embedding",
+            index.codebooks, index.m, index.sub),
+          index.m, index.sub), 5)
+      .withColumnRenamed("cosine_pq", "__c2")
+    served.join(ref, Seq("query_id", "rank", "neighbor_id"), "full")
+      .agg((count(lit(1)) === count(col("cosine_pq")) &&
+        count(lit(1)) === count(col("__c2")) &&
+        max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("stream_append_ok"))
+  }
+
   /** Stream-static join through the real streaming path: events enriched
     * with the customer dimension (market segment), aggregated per segment.
     */
@@ -1739,7 +1795,8 @@ object ExtensionQueries {
     sampleStratified, decontaminate,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
-    streamWindow, streamFileWindow, streamDedup, streamDedupMinhash, streamStaticJoin, sessionize,
+    streamWindow, streamFileWindow, streamDedup, streamDedupMinhash, streamKnnAppend,
+    streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,
     multimodalImageMeta, multimodalAudioMeta,

@@ -133,4 +133,42 @@ object DocStreams {
       Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "est_jaccard")
     }
   }
+
+  /** Streaming ANN index maintenance: embedding batches arriving on a
+    * spool are appended into a persisted IVF×PQ index
+    * ([[graft.ext.AnnIndex.appendIvfPq]]) one micro-batch at a time —
+    * the index-side half of a streaming ingestion pipeline (the table
+    * side is `EventStreams.runUpsertOnce`). Quantizers stay FROZEN, so
+    * the post-stream index equals a one-shot encode of everything ever
+    * appended (the `x_stream_knn_append` gate pins it); stream enough
+    * drift and you rebuild on your cadence, exactly as in batch. The
+    * caller owns the index's existence (build it on the base corpus
+    * first), id uniqueness across the stream, and not racing a rebuild
+    * (AnnIndex object doc).
+    */
+  def runIvfPqAppendOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      indexDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Unit = {
+    require(new java.io.File(s"$indexDir/meta").exists(),
+      s"$indexDir is not a built IVF×PQ index — build on the base corpus first")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream
+        .schema(s"$idCol long, $vecCol array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.ext.AnnIndex.appendIvfPq(spark, indexDir, batch.toDF(), idCol, vecCol)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -343,6 +343,41 @@ class SimilaritySpec extends SparkSpec {
     e.getMessage should include("keepVectors")
   }
 
+  test("compaction drops dead rows physically, keeps the served ranking, resets the tombstone log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
+    AnnIndex.buildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
+    AnnIndex.deleteIds(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    // re-embed id 2: two generations on disk, one live
+    AnnIndex.updatePq(spark, dir, Seq((2L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val before = AnnIndex.pqTopK(spark, dir, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 4).orderBy("rank").collect().toSeq
+    spark.read.parquet(s"$dir/codes").count() shouldBe 12 // 5 built + 1 updated gen, x m=2
+    AnnIndex.compactPq(spark, dir)
+    // physically reduced to the live 4 ids, tombstones gone, ranking identical
+    spark.read.parquet(s"$dir/codes").count() shouldBe 8
+    new java.io.File(s"$dir/tombstones").exists() shouldBe false
+    AnnIndex.pqTopK(spark, dir, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 4).orderBy("rank").collect().toSeq shouldBe before
+    // maintenance keeps working on the fresh generation
+    AnnIndex.deleteIds(spark, dir, Seq(2L).toDF("vec_id"), "vec_id")
+    AnnIndex.readPq(spark, dir).codes.select("__id").distinct().count() shouldBe 3
+    // ivf-pq layout (with refine vectors): same contract
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpq"
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir2,
+      nlist = 2, m = 2, ksub = 5, iters = 1, keepVectors = true)
+    AnnIndex.deleteIds(spark, dir2, Seq(1L).toDF("vec_id"), "vec_id")
+    val ivfBefore = AnnIndex.ivfPqTopK(spark, AnnIndex.readIvfPq(spark, dir2),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").collect().toSeq
+    AnnIndex.compactIvfPq(spark, dir2)
+    new java.io.File(s"$dir2/tombstones").exists() shouldBe false
+    spark.read.parquet(s"$dir2/vectors").count() shouldBe 4
+    AnnIndex.ivfPqTopK(spark, AnnIndex.readIvfPq(spark, dir2),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").collect().toSeq shouldBe ivfBefore
+  }
+
   test("insert-only diff (empty delete set) leaves maintenance healthy — no NPE on the empty tombstone table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpq"
     AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,

@@ -47,6 +47,43 @@ class DocStreamsSpec extends SparkSpec {
     spark.read.parquet(s"$store/sigs").select("__id").distinct().count() shouldBe 4
   }
 
+  test("streaming index append: spooled batches equal a one-shot frozen-codebook encode") {
+    import graft.ext.{AnnIndex, Similarity}
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.7f, 0.7f)), (5L, Array(0.5f, 0.8f)),
+    ).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString + "/ivfpq"
+    AnnIndex.buildIvfPq(corpus.filter($"vec_id" < 3), "vec_id", "embedding",
+      idx, nlist = 2, m = 2, ksub = 3, iters = 1)
+    // spool the other half as two arrival files
+    val spool = java.nio.file.Files.createTempDirectory("graft_emb_spool").toString
+    Seq(Seq(3L, 4L), Seq(5L)).zipWithIndex.foreach { case (ids, i) =>
+      val stage = s"$spool/.stage_$i"
+      corpus.filter($"vec_id".isin(ids: _*)).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(spool, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1600000000000L + i * 60000L)
+    }
+    DocStreams.runIvfPqAppendOnce(spark, spool, idx)
+    val index = AnnIndex.readIvfPq(spark, idx)
+    val queries = corpus.filter($"vec_id" === 0)
+    val served = AnnIndex.ivfPqTopK(spark, index, queries, "vec_id", "embedding",
+      4, nprobe = 2).orderBy("rank").collect().toSeq
+    val ref = Similarity.pqTopKWithModel(queries, "vec_id", "embedding",
+        Similarity.PqModel(index.codebooks,
+          Similarity.pqEncode(corpus, "vec_id", "embedding",
+            index.codebooks, index.m, index.sub), index.m, index.sub), 4)
+      .orderBy("rank").collect().toSeq
+    served shouldBe ref
+    // a missing index refuses loudly before the stream starts
+    an[IllegalArgumentException] should be thrownBy
+      DocStreams.runIvfPqAppendOnce(spark, spool, spool + "/nope")
+  }
+
   test("incremental minhash: empty store bootstrap and no-candidate batches are clean") {
     // single batch, nothing similar: no pairs dir contents, empty result
     val spool = stageSpool(Seq(Seq(
