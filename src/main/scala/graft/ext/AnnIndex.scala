@@ -390,27 +390,49 @@ object AnnIndex {
     * maintenance like any rebuild (object doc).
     */
   def compactPq(spark: SparkSession, dir: String): Unit = {
+    val (_, _, nlist) = readMeta(spark, dir)
+    require(nlist == -1,
+      s"$dir is not a flat PQ index (nlist=$nlist) — compactIvf/compactIvfPq " +
+        "handle the clustered layouts; compacting with the wrong op would " +
+        "silently drop the other layout's tables")
     val tmp = dir + ".compact-" + System.nanoTime()
-    val model = readPq(spark, dir) // the live view
-    writeMeta(spark, tmp, model.m, model.sub, nlist = -1)
-    model.centroids.write.mode("overwrite").parquet(s"$tmp/codebooks")
-    model.codes.withColumn("__seq", lit(0L))
-      .write.mode("overwrite").parquet(s"$tmp/codes")
+    writePq(readPq(spark, dir), tmp) // the live view, seq reset by writePq
     graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** Refuse to compact a clustered layout down to ZERO live rows: an
+    * empty `partitionBy` write emits no schema-bearing file (only
+    * _SUCCESS), so the compacted table would throw on every later read
+    * — strictly worse than the pre-compaction state, where a fully-
+    * tombstoned index still serves (empty results). The degenerate
+    * all-deleted case is a rebuild-or-drop decision, not a compaction;
+    * fail loudly before any table is written. (Flat PQ has no such
+    * hazard: its unpartitioned empty write keeps a schema file.)
+    */
+  private def requireLive(live: DataFrame, dir: String): DataFrame = {
+    require(!live.isEmpty,
+      s"refusing to compact $dir: every row is tombstoned — an empty " +
+        "cluster-partitioned table is unreadable; rebuild or drop the index")
+    live
   }
 
   /** [[compactPq]] for the IVF-flat layout: coarse centroids carried
     * frozen, live vectors rewritten into their cluster partitions.
     */
   def compactIvf(spark: SparkSession, dir: String): Unit = {
+    val (m, _, nlist) = readMeta(spark, dir)
+    require(nlist > 0 && m == 0,
+      s"$dir is not an IVF-flat index (m=$m, nlist=$nlist) — use " +
+        "compactPq/compactIvfPq for the other layouts")
     val tmp = dir + ".compact-" + System.nanoTime()
     val index = readIvf(spark, dir)
+    val live = requireLive(
+      liveOnly(spark, dir, spark.read.parquet(index.vectorsPath))
+        .withColumn("__seq", lit(0L))
+        .select(col("__id"), col("__vec"), col("__seq"), col("__cluster")), dir)
     writeMeta(spark, tmp, m = 0, sub = 0, index.nlist)
     index.coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
-    liveOnly(spark, dir, spark.read.parquet(index.vectorsPath))
-      .withColumn("__seq", lit(0L))
-      .select(col("__id"), col("__vec"), col("__seq"), col("__cluster"))
-      .write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/vectors")
+    live.write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/vectors")
     graft.operators.Upsert.swapDirs(tmp, dir)
   }
 
@@ -419,17 +441,23 @@ object AnnIndex {
     * their cluster partitions.
     */
   def compactIvfPq(spark: SparkSession, dir: String): Unit = {
+    val (m, sub, nlist) = readMeta(spark, dir)
+    require(nlist > 0 && m > 0,
+      s"$dir is not an IVF×PQ index (m=$m, nlist=$nlist) — use " +
+        "compactPq/compactIvf for the other layouts")
     val tmp = dir + ".compact-" + System.nanoTime()
     val index = readIvfPq(spark, dir)
-    val (m, sub, nlist) = readMeta(spark, dir)
+    val liveCodes = requireLive(
+      liveOnly(spark, dir, spark.read.parquet(index.codesPath))
+        .withColumn("__seq", lit(0L))
+        .select(col("__id"), col("__j"), col("__code"), col("__seq"), col("__cluster")),
+      dir)
     writeMeta(spark, tmp, m, sub, nlist)
     index.coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
     index.codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks")
-    liveOnly(spark, dir, spark.read.parquet(index.codesPath))
-      .withColumn("__seq", lit(0L))
-      .select(col("__id"), col("__j"), col("__code"), col("__seq"), col("__cluster"))
-      .write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/codes")
+    liveCodes.write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/codes")
     if (new java.io.File(s"$dir/vectors").exists())
+      // same tombstones govern both tables: codes non-empty ⇒ vectors too
       liveOnly(spark, dir, spark.read.parquet(s"$dir/vectors"))
         .withColumn("__seq", lit(0L))
         .select(col("__id"), col("__vec"), col("__seq"), col("__cluster"))

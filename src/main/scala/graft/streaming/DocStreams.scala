@@ -144,7 +144,20 @@ object DocStreams {
     * drift and you rebuild on your cadence, exactly as in batch. The
     * caller owns the index's existence (build it on the base corpus
     * first), id uniqueness across the stream, and not racing a rebuild
-    * (AnnIndex object doc).
+    * (AnnIndex object doc). The spool columns must be
+    * (`idCol` long, `vecCol` array&lt;float&gt;) — the parameters name
+    * the columns, not their types.
+    *
+    * Replay discipline: foreachBatch is at-least-once, and a parquet
+    * append is not idempotent — a re-delivered batch would append a
+    * second code generation at the same sequence number, and the ADC
+    * sum would double those ids' scores. Each appended batch therefore
+    * leaves a `_batch_<id>` marker in the index dir and re-deliveries
+    * of a marked batch are SKIPPED. The marker lands after the append,
+    * so a crash inside the append itself can still replay into a
+    * double-append — the same crash window as any non-transactional
+    * sink; an exactly-once deployment puts the append behind its own
+    * transactional table, or rebuilds on recovery.
     */
   def runIvfPqAppendOnce(
       spark: SparkSession,
@@ -155,6 +168,13 @@ object DocStreams {
   ): Unit = {
     require(new java.io.File(s"$indexDir/meta").exists(),
       s"$indexDir is not a built IVF×PQ index — build on the base corpus first")
+    // fail on the wrong layout BEFORE the stream starts (a flat-PQ dir
+    // would otherwise die inside the first batch, wrapped in a
+    // StreamingQueryException)
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    require(meta.getAs[Int]("nlist") > 0 && meta.getAs[Int]("m") > 0,
+      s"$indexDir is not an IVF×PQ index (m=${meta.getAs[Int]("m")}, " +
+        s"nlist=${meta.getAs[Int]("nlist")})")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -163,8 +183,12 @@ object DocStreams {
         .option("maxFilesPerTrigger", "1")
         .parquet(spoolDir)
       val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          graft.ext.AnnIndex.appendIvfPq(spark, indexDir, batch.toDF(), idCol, vecCol)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val marker = new java.io.File(indexDir, s"_batch_$batchId")
+          if (!marker.exists()) {
+            graft.ext.AnnIndex.appendIvfPq(spark, indexDir, batch.toDF(), idCol, vecCol)
+            marker.createNewFile()
+          }
           ()
         }
         .start()

@@ -376,6 +376,55 @@ class SimilaritySpec extends SparkSpec {
     AnnIndex.ivfPqTopK(spark, AnnIndex.readIvfPq(spark, dir2),
       corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
       .orderBy("rank").collect().toSeq shouldBe ivfBefore
+    // ivf-flat layout: same contract
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivf"
+    AnnIndex.buildIvf(corpus, "vec_id", "embedding", dir3, nlist = 2, iters = 1)
+    AnnIndex.deleteIds(spark, dir3, Seq(1L).toDF("vec_id"), "vec_id")
+    AnnIndex.compactIvf(spark, dir3)
+    new java.io.File(s"$dir3/tombstones").exists() shouldBe false
+    spark.read.parquet(s"$dir3/vectors").count() shouldBe 4
+    val bruteDel = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0),
+      corpus.filter($"vec_id" =!= 1L), "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, dir3),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq shouldBe bruteDel
+  }
+
+  test("compaction guards: wrong layout refused; fully-tombstoned index stays readable") {
+    val base = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", s"$base/ivfpq",
+      nlist = 2, m = 2, ksub = 5, iters = 1, keepVectors = true)
+    AnnIndex.buildPq(corpus, "vec_id", "embedding", s"$base/pq", m = 2, ksub = 5, iters = 1)
+    // the wrong compactor must refuse loudly, never silently drop tables
+    an[IllegalArgumentException] should be thrownBy AnnIndex.compactPq(spark, s"$base/ivfpq")
+    an[IllegalArgumentException] should be thrownBy AnnIndex.compactIvf(spark, s"$base/ivfpq")
+    an[IllegalArgumentException] should be thrownBy AnnIndex.compactIvfPq(spark, s"$base/pq")
+    new java.io.File(s"$base/ivfpq/codes").exists() shouldBe true
+    new java.io.File(s"$base/ivfpq/codebooks").exists() shouldBe true
+    // delete EVERYTHING: compacting a clustered layout to zero rows is
+    // REFUSED (an empty partitionBy table is unreadable), and the refusal
+    // leaves the index intact and still serving (empty results)
+    AnnIndex.deleteIds(spark, s"$base/ivfpq", corpus.select("vec_id"), "vec_id")
+    an[IllegalArgumentException] should be thrownBy
+      AnnIndex.compactIvfPq(spark, s"$base/ivfpq")
+    val index = AnnIndex.readIvfPq(spark, s"$base/ivfpq")
+    AnnIndex.ivfPqTopK(spark, index, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3, nprobe = 2).collect() shouldBe empty
+    // the re-appended id supersedes its tombstone; maintenance healthy
+    AnnIndex.appendIvfPq(spark, s"$base/ivfpq",
+      corpus.filter($"vec_id" < 2), "vec_id", "embedding")
+    AnnIndex.readIvfPq(spark, s"$base/ivfpq")
+    AnnIndex.ivfPqTopK(spark, AnnIndex.readIvfPq(spark, s"$base/ivfpq"),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSeq shouldBe Seq(1L)
+    // flat PQ has no empty-write hazard: compaction to empty stays readable
+    AnnIndex.deleteIds(spark, s"$base/pq", corpus.select("vec_id"), "vec_id")
+    AnnIndex.compactPq(spark, s"$base/pq")
+    AnnIndex.readPq(spark, s"$base/pq").codes.count() shouldBe 0
+    AnnIndex.appendPq(spark, s"$base/pq",
+      corpus.filter($"vec_id" < 2), "vec_id", "embedding")
+    AnnIndex.readPq(spark, s"$base/pq").codes.select("__id").distinct().count() shouldBe 2
   }
 
   test("insert-only diff (empty delete set) leaves maintenance healthy — no NPE on the empty tombstone table") {
