@@ -55,6 +55,30 @@ object Bpe {
   def formatMerges(model: BpeModel): Seq[String] =
     model.merges.map { case (a, b) => s"$a $b" }
 
+  /** Persist a learned merge list as a merges.txt file — the trained
+    * artifact of [[learn]], saved once and loaded by every job that
+    * tokenizes (the same build-once/use-many discipline as the
+    * [[AnnIndex]] tables). Driver-side IO on purpose: the artifact is
+    * numMerges lines (KBs), and the published text format is what
+    * externally trained merge lists (e.g. a GPT-2 release) arrive in,
+    * so save/load round-trips interoperate with them byte-for-byte.
+    */
+  def saveMerges(model: BpeModel, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      ("#version: 0.2" +: formatMerges(model)).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a merges.txt file (ours or an externally trained one). */
+  def loadMerges(path: String): BpeModel = {
+    import scala.jdk.CollectionConverters._
+    parseMerges(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq)
+  }
+
   /** The same word segmentation as [[TextAnalysis.tokens]] (lowercase,
     * non-word split, empties dropped) — executor-side twin, so BPE
     * counts nest exactly inside the word-level operators.

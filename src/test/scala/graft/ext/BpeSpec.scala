@@ -32,6 +32,19 @@ class BpeSpec extends SparkSpec {
     Bpe.encodeWord("", model.ranks) shouldBe Vector.empty
   }
 
+  test("saved merges load back identical; tokenization survives the round-trip") {
+    val model = Bpe.learn(paperCorpus, "text", numMerges = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/merges.txt"
+    Bpe.saveMerges(model, path)
+    val loaded = Bpe.loadMerges(path)
+    loaded shouldBe model
+    Bpe.encodeWord("lowest", loaded.ranks) shouldBe Vector("low", "est</w>")
+    // the on-disk artifact is the published text format, header included
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    lines.get(0) shouldBe "#version: 0.2"
+    lines.get(1) shouldBe "e s"
+  }
+
   test("merges.txt format round-trips; headers and blanks skip") {
     val model = Bpe.learn(paperCorpus, "text", numMerges = 5)
     val lines = Seq("#version: 0.2", "") ++ Bpe.formatMerges(model) ++ Seq("")
