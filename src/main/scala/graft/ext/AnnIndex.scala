@@ -57,8 +57,11 @@ object AnnIndex {
   // ------------------------------------------------ tombstones / liveness
   private def tombstonesPath(dir: String) = s"$dir/tombstones"
 
+  // existence probes go through the Hadoop FS layer like the reads/writes
+  // themselves — a java.io.File check against a non-local index dir
+  // (hdfs://, s3a://) would answer "absent" and silently serve deleted rows
   private def readTombstones(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (new java.io.File(tombstonesPath(dir)).exists())
+    if (graft.util.Hfs.exists(spark, tombstonesPath(dir)))
       Some(spark.read.parquet(tombstonesPath(dir)))
     else None
 
@@ -324,7 +327,7 @@ object AnnIndex {
       queries: DataFrame, idCol: String, vecCol: String, k: Int, nprobe: Int,
       refine: Int = 4): DataFrame = {
     require(refine >= 1, s"refine factor must be >= 1: $refine")
-    require(new java.io.File(s"${index.dir}/vectors").exists(),
+    require(graft.util.Hfs.exists(spark, s"${index.dir}/vectors"),
       s"${index.dir} has no vectors/ table — build with keepVectors = true " +
         "to enable exact re-ranking")
     val (scored, probed, q) = adcScored(spark, index, queries, idCol, vecCol, nprobe)
@@ -456,7 +459,7 @@ object AnnIndex {
     index.coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
     index.codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks")
     liveCodes.write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/codes")
-    if (new java.io.File(s"$dir/vectors").exists())
+    if (graft.util.Hfs.exists(spark, s"$dir/vectors"))
       // same tombstones govern both tables: codes non-empty ⇒ vectors too
       liveOnly(spark, dir, spark.read.parquet(s"$dir/vectors"))
         .withColumn("__seq", lit(0L))
@@ -521,7 +524,7 @@ object AnnIndex {
     Similarity.pqEncode(rows, idCol, vecCol, index.codebooks, index.m, index.sub)
       .join(clusterOf, Seq("__id")).withColumn("__seq", lit(seq))
       .write.mode("append").partitionBy("__cluster").parquet(index.codesPath)
-    if (new java.io.File(s"$dir/vectors").exists())
+    if (graft.util.Hfs.exists(spark, s"$dir/vectors"))
       assigned
         .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
           lit(seq).as("__seq"), col("__cluster"))

@@ -48,8 +48,7 @@ object DocStreams {
   ): DataFrame = {
     // fail before the stream starts, not inside the first foreachBatch
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val root = new java.io.File(storeDir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+    graft.util.Hfs.delete(spark, storeDir)
     val sigsPath = s"$storeDir/sigs"
     val pairsPath = s"$storeDir/pairs"
     // per-batch joins are batch×store-sized; the session-wide analytics
@@ -75,7 +74,7 @@ object DocStreams {
           // nor the candidate join ever aggregates the whole store
           val newKeys = bandedNew.select(col("__band"), col("__bh")).distinct()
           val store =
-            if (new java.io.File(sigsPath).exists())
+            if (graft.util.Hfs.exists(spark, sigsPath))
               Some(spark.read.parquet(sigsPath)
                 .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi")
                 .localCheckpoint(eager = true)) // counts + the cross join
@@ -105,6 +104,10 @@ object DocStreams {
                 .select(col("__band"), col("__bh"),
                   col("__id").as("__nid"), col("__sig").as("__nsig"))),
                 Seq("__band", "__bh"))
+              // under at-least-once redelivery a batch can meet its OWN
+              // already-stored signatures — a (id, id) self-pair with
+              // est_jaccard 1.0 would survive the read-side pair dedup
+              .filter(col("__oid") =!= col("__nid"))
               .select(least(col("__oid"), col("__nid")).as("id_a"),
                 greatest(col("__oid"), col("__nid")).as("id_b"),
                 col("__osig").as("__sa"), col("__nsig").as("__sb"))
@@ -123,7 +126,7 @@ object DocStreams {
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    if (new java.io.File(pairsPath).exists())
+    if (graft.util.Hfs.exists(spark, pairsPath))
       spark.read.parquet(pairsPath)
         // idempotent under micro-batch replays: one row per pair
         .groupBy(col("id_a"), col("id_b"))

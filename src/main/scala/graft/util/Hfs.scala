@@ -1,0 +1,63 @@
+package graft.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem probes for on-disk artifacts (ANN indexes, streaming state
+  * stores) routed through Hadoop's `FileSystem` API — the SAME layer Spark's
+  * own reads and writes go through. A bare `java.io.File` check against an
+  * `hdfs://` or `s3a://` index dir always answers "absent", which turns a
+  * written tombstone table into silently-served deleted rows; resolving the
+  * path through its own filesystem keeps the existence probe and the data
+  * access consistent on every scheme (local paths resolve to the local FS
+  * and behave exactly as before).
+  *
+  * Mutation helpers (`touch`, `delete`, `rename`) cover the maintenance
+  * markers and staged-generation publishes. NOTE `rename` is only atomic
+  * where the underlying store's rename is (local FS, HDFS); the index
+  * SWAP protocol ([[graft.operators.Upsert.swapDirs]]) additionally needs
+  * `ATOMIC_MOVE` and therefore still requires a local path — these helpers
+  * widen the PROBES, not the swap guarantee.
+  */
+object Hfs {
+
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf(spark)), p)
+  }
+
+  private def conf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.exists(p)
+  }
+
+  /** Create an empty marker file (parents included), like `createNewFile`. */
+  def touch(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    f.create(p, true).close()
+  }
+
+  /** Recursive delete; absent paths are a no-op. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    f.delete(p, true)
+    ()
+  }
+
+  /** List immediate children names of a directory (empty when absent). */
+  def list(spark: SparkSession, path: String): Seq[String] = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** Rename within one filesystem (the Hadoop contract; fails across FSs). */
+  def rename(spark: SparkSession, src: String, dst: String): Boolean = {
+    val (f, s) = fs(spark, src)
+    f.rename(s, new Path(dst))
+  }
+}
