@@ -515,20 +515,36 @@ object AnnIndex {
     */
   def appendIvfPq(spark: SparkSession, dir: String, rows: DataFrame,
       idCol: String, vecCol: String): Unit = {
+    val (codes, vectors) = ivfPqAppendFrames(spark, dir, rows, idCol, vecCol)
+    codes.write.mode("append").partitionBy("__cluster").parquet(s"$dir/codes")
+    vectors.foreach(_.write.mode("append").partitionBy("__cluster")
+      .parquet(s"$dir/vectors"))
+  }
+
+  /** The encode half of [[appendIvfPq]] without the writes: (codes frame,
+    * vectors frame when the index keeps refine vectors), both already in
+    * their on-disk column shape with the append's `__seq` attached. The
+    * streaming append stages these under a per-batch generation and
+    * publishes atomically ([[graft.streaming.DocStreams.runIvfPqAppendOnce]]);
+    * the batch form above just appends them in place.
+    */
+  private[graft] def ivfPqAppendFrames(spark: SparkSession, dir: String,
+      rows: DataFrame, idCol: String, vecCol: String): (DataFrame, Option[DataFrame]) = {
     val index = readIvfPq(spark, dir)
-    val coarse = index.coarse
     val seq = nextSeq(spark, dir)
-    val assigned = Similarity.assign(rows, (idCol, vecCol), coarse)
+    val assigned = Similarity.assign(rows, (idCol, vecCol), index.coarse)
     val clusterOf = assigned
       .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
-    Similarity.pqEncode(rows, idCol, vecCol, index.codebooks, index.m, index.sub)
+    val codes = Similarity.pqEncode(rows, idCol, vecCol, index.codebooks,
+        index.m, index.sub)
       .join(clusterOf, Seq("__id")).withColumn("__seq", lit(seq))
-      .write.mode("append").partitionBy("__cluster").parquet(index.codesPath)
-    if (graft.util.Hfs.exists(spark, s"$dir/vectors"))
-      assigned
-        .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
-          lit(seq).as("__seq"), col("__cluster"))
-        .write.mode("append").partitionBy("__cluster").parquet(s"$dir/vectors")
+    val vectors =
+      if (graft.util.Hfs.exists(spark, s"$dir/vectors"))
+        Some(assigned
+          .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
+            lit(seq).as("__seq"), col("__cluster")))
+      else None
+    (codes, vectors)
   }
 
   // ------------------------------------------------------ delete / update

@@ -1174,11 +1174,17 @@ object ExtensionQueries {
     val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
     val spool = stageEmbSpool(s, dir)
     val idx = s"/tmp/graft_stream_knn/${Staging.tag(dir)}_idx"
-    val idxFile = new java.io.File(idx)
-    if (idxFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(idxFile)
+    // index AND its paired streaming checkpoint are recreated together:
+    // batch ids come from the checkpoint, markers live in the index dir —
+    // a stale half would trip the fresh-checkpoint-vs-marked-index guard
+    val ckpt = s"${idx}_ckpt"
+    Seq(idx, ckpt).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
     AnnIndex.buildIvfPq(emb16.filter(col("vec_id") < 8), "vec_id", "embedding",
       idx, nlist = 4, m = 8, ksub = 8, iters = 1)
-    graft.streaming.DocStreams.runIvfPqAppendOnce(s, spool, idx)
+    graft.streaming.DocStreams.runIvfPqAppendOnce(s, spool, idx, ckpt)
     val index = AnnIndex.readIvfPq(s, idx)
     val queries = emb16.filter(col("vec_id") < 5)
     val served = AnnIndex.ivfPqTopK(s, index, queries, "vec_id", "embedding",

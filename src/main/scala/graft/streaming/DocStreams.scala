@@ -151,25 +151,46 @@ object DocStreams {
     * (`idCol` long, `vecCol` array&lt;float&gt;) — the parameters name
     * the columns, not their types.
     *
-    * Replay discipline: foreachBatch is at-least-once, and a parquet
-    * append is not idempotent — a re-delivered batch would append a
-    * second code generation at the same sequence number, and the ADC
-    * sum would double those ids' scores. Each appended batch therefore
-    * leaves a `_batch_<id>` marker in the index dir and re-deliveries
-    * of a marked batch are SKIPPED. The marker lands after the append,
-    * so a crash inside the append itself can still replay into a
-    * double-append — the same crash window as any non-transactional
-    * sink; an exactly-once deployment puts the append behind its own
-    * transactional table, or rebuilds on recovery.
+    * Replay discipline — EXACTLY-ONCE under crash-replay. foreachBatch is
+    * at-least-once and a parquet append is not idempotent, so each batch
+    * goes through a staged generation + deterministic publish:
+    *
+    *   1. the batch's codes (and refine vectors, when the index keeps
+    *      them) are written COMPLETELY under
+    *      `.staged_batch_<id>/` — invisible to readers;
+    *   2. publish moves every staged part file into its live cluster
+    *      partition under the deterministic name `b<id>-<cluster>-<n>`;
+    *   3. the `_batch_<id>` marker lands LAST, committing the batch.
+    *
+    * A marked batch id is skipped on redelivery (the normal at-least-once
+    * case). A crash ANYWHERE before the marker — mid-stage, mid-publish —
+    * leaves an unmarked batch whose replay first sweeps every `b<id>-*`
+    * file out of the live partitions and the staged dir, then re-stages
+    * and re-publishes: the batch lands exactly once no matter where the
+    * previous attempt died. (Readers concurrent with an in-flight publish
+    * can see a partial batch, exactly as with a plain parquet append —
+    * maintenance/query serialization stays the caller's contract,
+    * [[graft.ext.AnnIndex]] object doc.)
+    *
+    * `checkpointDir` must be DURABLE and paired with this index for the
+    * index's lifetime: batch ids come from the checkpoint, and the
+    * `_batch_<id>` markers persist in the index dir — a fresh checkpoint
+    * against a marked index would restart ids at 0, silently skipping new
+    * spool files that land on already-marked ids (and the run refuses to
+    * start in exactly that state). Successive invocations with the same
+    * checkpoint resume cleanly: processed files are never redelivered,
+    * new files get fresh batch ids past every marker.
     */
   def runIvfPqAppendOnce(
       spark: SparkSession,
       spoolDir: String,
       indexDir: String,
+      checkpointDir: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): Unit = {
-    require(new java.io.File(s"$indexDir/meta").exists(),
+    import graft.util.Hfs
+    require(Hfs.exists(spark, s"$indexDir/meta"),
       s"$indexDir is not a built IVF×PQ index — build on the base corpus first")
     // fail on the wrong layout BEFORE the stream starts (a flat-PQ dir
     // would otherwise die inside the first batch, wrapped in a
@@ -178,6 +199,17 @@ object DocStreams {
     require(meta.getAs[Int]("nlist") > 0 && meta.getAs[Int]("m") > 0,
       s"$indexDir is not an IVF×PQ index (m=${meta.getAs[Int]("m")}, " +
         s"nlist=${meta.getAs[Int]("nlist")})")
+    // markers with a fresh checkpoint = batch ids about to restart at 0
+    // and collide with already-published batches (lost or doubled
+    // appends); the pairing is the caller's contract — enforce the
+    // detectable violation loudly
+    require(
+      !Hfs.list(spark, indexDir).exists(_.startsWith("_batch_")) ||
+        Hfs.exists(spark, s"$checkpointDir/commits"),
+      s"$indexDir carries _batch_* markers from a previous streaming run " +
+        s"but $checkpointDir is not that run's checkpoint — batch ids would " +
+        "restart at 0 and map onto already-published batches; reuse the " +
+        "original checkpointLocation (or rebuild the index and start fresh)")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -186,16 +218,74 @@ object DocStreams {
         .option("maxFilesPerTrigger", "1")
         .parquet(spoolDir)
       val q = stream.writeStream
+        .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          val marker = new java.io.File(indexDir, s"_batch_$batchId")
-          if (!marker.exists()) {
-            graft.ext.AnnIndex.appendIvfPq(spark, indexDir, batch.toDF(), idCol, vecCol)
-            marker.createNewFile()
-          }
+          if (!Hfs.exists(spark, s"$indexDir/_batch_$batchId"))
+            appendBatchExactlyOnce(spark, indexDir, batch.toDF(), batchId,
+              idCol, vecCol)
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** One batch's staged-generation append (unmarked batches only): sweep
+    * any leftovers of a crashed attempt, stage the encoded batch under an
+    * invisible dir, publish via deterministic renames, mark last.
+    */
+  private def appendBatchExactlyOnce(spark: SparkSession, indexDir: String,
+      batch: DataFrame, batchId: Long, idCol: String, vecCol: String): Unit = {
+    import graft.util.Hfs
+    val staged = s"$indexDir/.staged_batch_$batchId"
+    val prefix = s"b$batchId"
+    Hfs.delete(spark, staged)
+    sweepPublished(spark, s"$indexDir/codes", prefix)
+    sweepPublished(spark, s"$indexDir/vectors", prefix)
+    val (codes, vectors) = graft.ext.AnnIndex.ivfPqAppendFrames(
+      spark, indexDir, batch, idCol, vecCol)
+    codes.write.mode("overwrite").partitionBy("__cluster")
+      .parquet(s"$staged/codes")
+    vectors.foreach(_.write.mode("overwrite").partitionBy("__cluster")
+      .parquet(s"$staged/vectors"))
+    publishStaged(spark, s"$staged/codes", s"$indexDir/codes", prefix)
+    if (vectors.isDefined)
+      publishStaged(spark, s"$staged/vectors", s"$indexDir/vectors", prefix)
+    Hfs.delete(spark, staged)
+    Hfs.touch(spark, s"$indexDir/_batch_$batchId")
+  }
+
+  /** Remove every published file of one batch from a live partitioned
+    * table — the replay sweep that makes a re-publish exactly-once.
+    */
+  private def sweepPublished(spark: SparkSession, liveTable: String,
+      prefix: String): Unit = {
+    import graft.util.Hfs
+    if (Hfs.exists(spark, liveTable))
+      Hfs.list(spark, liveTable).filter(_.startsWith("__cluster=")).foreach { part =>
+        Hfs.list(spark, s"$liveTable/$part")
+          .filter(_.startsWith(prefix + "-"))
+          .foreach(f => Hfs.delete(spark, s"$liveTable/$part/$f"))
+      }
+  }
+
+  /** Move a staged cluster-partitioned table's part files into the live
+    * layout under deterministic per-batch names (`<prefix>-<n>` within
+    * each partition dir) — replayable because the sweep above clears any
+    * partial previous publish first.
+    */
+  private def publishStaged(spark: SparkSession, stagedTable: String,
+      liveTable: String, prefix: String): Unit = {
+    import graft.util.Hfs
+    Hfs.list(spark, stagedTable).filter(_.startsWith("__cluster=")).foreach { part =>
+      Hfs.mkdirs(spark, s"$liveTable/$part")
+      Hfs.list(spark, s"$stagedTable/$part")
+        .filter(_.startsWith("part-")).sorted.zipWithIndex.foreach { case (f, i) =>
+          if (!Hfs.rename(spark, s"$stagedTable/$part/$f",
+              s"$liveTable/$part/$prefix-$i.parquet"))
+            throw new IllegalStateException(
+              s"publish rename failed: $stagedTable/$part/$f")
+        }
+    }
   }
 }

@@ -60,4 +60,11 @@ object Hfs {
     val (f, s) = fs(spark, src)
     f.rename(s, new Path(dst))
   }
+
+  /** Create a directory and its parents (no-op when present). */
+  def mkdirs(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    f.mkdirs(p)
+    ()
+  }
 }

@@ -68,7 +68,8 @@ class DocStreamsSpec extends SparkSpec {
       java.nio.file.Files.move(part.toPath, tgt.toPath)
       tgt.setLastModified(1600000000000L + i * 60000L)
     }
-    DocStreams.runIvfPqAppendOnce(spark, spool, idx)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString + "/c"
+    DocStreams.runIvfPqAppendOnce(spark, spool, idx, ckpt)
     val index = AnnIndex.readIvfPq(spark, idx)
     val queries = corpus.filter($"vec_id" === 0)
     val served = AnnIndex.ivfPqTopK(spark, index, queries, "vec_id", "embedding",
@@ -81,7 +82,71 @@ class DocStreamsSpec extends SparkSpec {
     served shouldBe ref
     // a missing index refuses loudly before the stream starts
     an[IllegalArgumentException] should be thrownBy
-      DocStreams.runIvfPqAppendOnce(spark, spool, spool + "/nope")
+      DocStreams.runIvfPqAppendOnce(spark, spool, spool + "/nope", ckpt + "2")
+    // a marked index with a FRESH checkpoint refuses: batch ids would
+    // restart at 0 and collide with the published batches
+    an[IllegalArgumentException] should be thrownBy
+      DocStreams.runIvfPqAppendOnce(spark, spool, idx, ckpt + "_fresh")
+  }
+
+  test("exactly-once streaming append: crash-replay between publish and marker lands the batch once") {
+    import graft.ext.{AnnIndex, Similarity}
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.7f, 0.7f)), (5L, Array(0.5f, 0.8f)),
+    ).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_crash_idx").toString + "/ivfpq"
+    AnnIndex.buildIvfPq(corpus.filter($"vec_id" < 3), "vec_id", "embedding",
+      idx, nlist = 2, m = 2, ksub = 3, iters = 1)
+    val spool = java.nio.file.Files.createTempDirectory("graft_crash_spool").toString
+    Seq(Seq(3L, 4L), Seq(5L)).zipWithIndex.foreach { case (ids, i) =>
+      val stage = s"$spool/.stage_$i"
+      corpus.filter($"vec_id".isin(ids: _*)).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(spool, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1600000000000L + i * 60000L)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crash_ckpt").toString + "/c"
+    DocStreams.runIvfPqAppendOnce(spark, spool, idx, ckpt)
+
+    def servedTop(): Seq[org.apache.spark.sql.Row] = {
+      val index = AnnIndex.readIvfPq(spark, idx)
+      AnnIndex.ivfPqTopK(spark, index, corpus.filter($"vec_id" === 0),
+        "vec_id", "embedding", 4, nprobe = 2).orderBy("rank").collect().toSeq
+    }
+    val clean = servedTop()
+
+    // roll batch 1's commit back (the crc shadow too — the checkpoint FS is
+    // checksummed, and a stale .crc fails the re-commit's rename)
+    def rollbackCommit1(): Unit = Seq(s"$ckpt/commits/1", s"$ckpt/commits/.1.crc")
+      .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+
+    // simulate a crash INSIDE batch 1's append, after a partial publish and
+    // before the marker: roll the checkpoint's commit back so the engine
+    // redelivers batch 1, drop the marker, and mutilate the published files
+    // (delete one, leaving the partial-publish state a real crash leaves)
+    rollbackCommit1()
+    graft.util.Hfs.delete(spark, s"$idx/_batch_1")
+    val published = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/codes"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val b1Files = {
+      import scala.jdk.CollectionConverters._
+      published.asScala.filter(_.getFileName.toString.startsWith("b1-")).toSeq
+    }
+    b1Files should not be empty
+    java.nio.file.Files.delete(b1Files.head)
+
+    DocStreams.runIvfPqAppendOnce(spark, spool, idx, ckpt)
+    servedTop() shouldBe clean
+
+    // the OTHER side of the window — crash after the marker: redelivery of
+    // a marked batch is skipped, nothing double-appends
+    rollbackCommit1()
+    DocStreams.runIvfPqAppendOnce(spark, spool, idx, ckpt)
+    servedTop() shouldBe clean
   }
 
   test("incremental minhash: empty store bootstrap and no-candidate batches are clean") {
