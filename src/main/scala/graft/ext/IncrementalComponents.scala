@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** Incremental connected components over a growing candidate-pair graph —
+  * the missing last step of the STREAMING dedup loop: the incremental
+  * MinHash form emits pairs per micro-batch, but a keep-one policy needs
+  * CLUSTERS, and re-running batch components over every pair ever seen is
+  * a corpus-sized pass per micro-batch.
+  *
+  * The persisted store (`compsDir`) holds `(id, component, __seq)`
+  * label generations; the live view is each id's newest generation
+  * ([[read]]). Each [[update]] touches only the subgraph the new pairs
+  * can affect:
+  *
+  *   1. the batch's ids are resolved to their current component labels
+  *      (broadcast semi-join — the store never shuffles);
+  *   2. every member of those touched components is pulled (one store
+  *      scan row-pruned by a broadcast semi-join on the label set);
+  *   3. batch components runs on (new pairs ∪ member→label star edges) —
+  *      a subgraph sized by the touched components, not the corpus;
+  *   4. fresh labels append as a new generation.
+  *
+  * Labels are canonical (min reachable id), and component merging is
+  * confluent, so incremental updates converge to EXACTLY the batch
+  * result on the union of all pairs — the `x_stream_dedup_components`
+  * gate pins it. Per-update cost scales with |batch pairs| + |touched
+  * components|; the store is append-only generations (the same
+  * discipline as the ANN tombstone log), compacted by any full rewrite.
+  *
+  * Only ids that appeared in some pair are tracked (an isolated document
+  * is its own cluster by definition); [[readWithNodes]] restores the
+  * one-row-per-node contract of [[Dedup.connectedComponents]].
+  */
+object IncrementalComponents {
+
+  /** Live view of the label store: (`id`, `component`), newest generation
+    * per id (one hash aggregate — no window, no corpus shuffle beyond the
+    * groupBy on id).
+    */
+  def read(spark: SparkSession, compsDir: String): DataFrame =
+    spark.read.parquet(compsDir)
+      .groupBy(col("id"))
+      .agg(max_by(col("component"), col("__seq")).as("component"))
+
+  /** [[read]] padded to one row per node of `nodes`: ids never seen in a
+    * pair label themselves — the exact output contract of the batch
+    * [[Dedup.connectedComponents]].
+    */
+  def readWithNodes(spark: SparkSession, compsDir: String, nodes: DataFrame,
+      idCol: String): DataFrame = {
+    val base = nodes.select(qcol(idCol).cast("long").as("id")).distinct()
+    val labels =
+      if (graft.util.Hfs.exists(spark, compsDir)) read(spark, compsDir)
+      else base.limit(0).withColumn("component", col("id"))
+    base.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Merge one batch of candidate pairs into the persisted labels. */
+  def update(spark: SparkSession, compsDir: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b", maxIter: Int = 20): Unit = {
+    val edges = pairs
+      .select(qcol(aCol).cast("long").as("u"), qcol(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    if (edges.isEmpty) return
+    val batchIds = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id"))).distinct()
+    if (!graft.util.Hfs.exists(spark, compsDir)) {
+      Dedup.connectedComponents(batchIds, "id", edges, "u", "v", maxIter)
+        .withColumn("__seq", lit(0L))
+        .write.mode("overwrite").parquet(compsDir)
+      return
+    }
+    val stored = spark.read.parquet(compsDir)
+    val cur = stored.groupBy(col("id"))
+      .agg(max_by(col("component"), col("__seq")).as("component"))
+    // labels the batch can touch: ≤ 2·|batch pairs| of them by construction,
+    // so both pruning joins broadcast the small side into the store scan
+    val touched = cur.join(broadcast(batchIds), Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val members = cur.join(broadcast(touched), Seq("component"), "left_semi")
+    // each touched component collapses to its star: member→label edges
+    // carry the component's full connectivity into the subgraph
+    val memberEdges = members
+      .select(col("id").as("u"), col("component").as("v"))
+      .filter(col("u") =!= col("v"))
+    val subNodes = batchIds.unionByName(members.select(col("id"))).distinct()
+    val seq = stored.agg(max(col("__seq"))).head().getLong(0) + 1L
+    Dedup.connectedComponents(subNodes, "id",
+        edges.unionByName(memberEdges), "u", "v", maxIter)
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").parquet(compsDir)
+  }
+}

@@ -1158,6 +1158,35 @@ object ExtensionQueries {
         .as("stream_minhash_ok"))
   }
 
+  /** The streaming dedup loop CLOSED through clusters: the same
+    * incremental MinHash stream with per-batch label maintenance
+    * ([[graft.ext.IncrementalComponents]]) — near-dup pairs merge into
+    * persisted duplicate clusters as they arrive, instead of requiring a
+    * full batch components rerun over every pair ever seen. The gate
+    * pins the streamed labels against batch `connectedComponents` over
+    * the stream's own final pair set (labels are canonical min-ids, so
+    * both sides must agree exactly). A 2-slice spool keeps the
+    * micro-batch machinery cost proportionate while still exercising the
+    * store-bootstrap AND the cross-generation merge paths.
+    */
+  val streamDedupComponents = q("x_stream_dedup_components",
+    "SELECT true AS stream_components_ok") { (s, dir) =>
+    val spool = stageDocSpool(s, dir, nSlices = 2)
+    val store = s"/tmp/graft_stream_minhash/${Staging.tag(dir)}_cstore"
+    val streamed = graft.streaming.DocStreams.runMinhashDedupOnce(s, spool, store,
+      maxBucketSize = 1000000, withComponents = true)
+    val comps = graft.ext.IncrementalComponents.read(s, s"$store/comps")
+    val nodes = streamed.select(col("id_a").as("id"))
+      .unionByName(streamed.select(col("id_b").as("id"))).distinct()
+    val batch = Dedup.connectedComponents(nodes, "id", streamed)
+      .withColumnRenamed("component", "__bc")
+    comps.join(batch, Seq("id"), "full")
+      .agg((count(lit(1)) === count(col("component")) &&
+        count(lit(1)) === count(col("__bc")) &&
+        coalesce(max(when(col("component") =!= col("__bc"), 1).otherwise(0)) === 0,
+          lit(true))).as("stream_components_ok"))
+  }
+
   /** Streaming ANN index maintenance through the real streaming path:
     * an IVF×PQ index built on the base half of the gate corpus, then the
     * other half APPENDED from a spool one micro-batch at a time under
@@ -1801,7 +1830,8 @@ object ExtensionQueries {
     sampleStratified, decontaminate,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
-    streamWindow, streamFileWindow, streamDedup, streamDedupMinhash, streamKnnAppend,
+    streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,
+    streamDedupComponents, streamKnnAppend,
     streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,

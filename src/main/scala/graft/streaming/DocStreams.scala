@@ -16,14 +16,30 @@ object DocStreams {
     * stream: each micro-batch is sketched ONCE (signatures + LSH band
     * keys), joined against the persisted signature store for
     * old↔new candidates, self-joined for new↔new ones, and appended
-    * into the store — so every batch's work scales with the BATCH (plus
-    * one store-side scan of the banded table, which a production
-    * deployment prunes by partitioning the store on `__band`), never
-    * with corpus². Candidate semantics match [[Dedup.minhashCandidates]]
+    * into the store — so every batch's work scales with the BATCH plus
+    * the PRUNED store slice, never with corpus². Candidate semantics
+    * match [[Dedup.minhashCandidates]]
     * run on everything seen so far: a pair (a, b) surfaces exactly once,
     * in the batch where its LATER member arrives, with the same
     * signature-estimated jaccard — the `x_stream_dedup_minhash` gate
     * pins streamed == one-shot batch on the union.
+    *
+    * Store pruning is PHYSICAL: the signature store is written
+    * partitioned by `__pb = pmod(hash(band, bandHash), storeParts)`, and
+    * each batch's scan carries the batch's own __pb values as a literal
+    * partition filter — only the touched fraction of the store's files
+    * is ever opened (≤ min(batch·bands, storeParts) of storeParts
+    * directories; size storeParts so one partition's files stay
+    * executor-friendly at the target corpus). A broadcast semi-join on
+    * the batch's exact (band, bandHash) keys then row-prunes the
+    * surviving partitions — the store never shuffles.
+    *
+    * The per-batch pass is FOLDED into three actions: one tiny collect
+    * (the batch's partition values, which also materializes the cached
+    * sketch), the pairs write (bucket sizing + both candidate joins in
+    * one job over the cached inputs), and the store append from cache —
+    * micro-batch scheduling machinery, not repeated sketching, is what
+    * remains.
     *
     * The hot-bucket cap is evaluated AT ARRIVAL TIME over the store ∪
     * batch: a bucket that only later turns hot keeps the pairs it
@@ -33,8 +49,11 @@ object DocStreams {
     * at-least-once, so the returned frame dedups pairs on read.
     *
     * `storeDir` is deleted first: the run IS the store's history.
-    * Layout under `storeDir`: `sigs/` (banded signatures, one row per
-    * (id, band)) and `pairs/` (emitted candidates).
+    * Layout under `storeDir`: `sigs/` (banded signatures partitioned by
+    * `__pb`), `pairs/` (emitted candidates), and — when `withComponents`
+    * — `comps/` ([[graft.ext.IncrementalComponents]] label generations,
+    * folded per batch so the stream maintains duplicate CLUSTERS, not
+    * just pairs).
     */
   def runMinhashDedupOnce(
       spark: SparkSession,
@@ -45,6 +64,8 @@ object DocStreams {
       shingleSize: Int = 3,
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 1000,
+      storeParts: Int = 64,
+      withComponents: Boolean = false,
   ): DataFrame = {
     // fail before the stream starts, not inside the first foreachBatch
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -67,20 +88,30 @@ object DocStreams {
               Dedup.minhashSignatures(batch.toDF(), "doc_id", "text",
                 numHashes, shingleSize),
               numHashes, bands)
-            .localCheckpoint(eager = true) // counts + 2 join sides + append
+            .withColumn("__pb",
+              pmod(xxhash64(col("__band"), col("__bh")), lit(storeParts)).cast("int"))
+            // lazily cached, NOT eagerly checkpointed: the __pb collect
+            // below materializes it as a side effect, and every later
+            // consumer (both join sides, the store append) reads the cache
+            .persist()
+          // the batch's partition values — ≤ storeParts ints by
+          // construction — become the store scan's literal partition filter
+          val pbs = bandedNew.select(col("__pb")).distinct()
+            .collect().map(_.getInt(0))
           // only buckets the BATCH touches can produce pairs this batch:
-          // prune the store scan to them up front (broadcast semi-join on
-          // the batch's ≤ batch×bands keys) so neither the bucket sizing
-          // nor the candidate join ever aggregates the whole store
+          // partition-prune then row-prune the store scan up front so
+          // neither the bucket sizing nor the candidate join ever
+          // aggregates the whole store
           val newKeys = bandedNew.select(col("__band"), col("__bh")).distinct()
           val store =
             if (graft.util.Hfs.exists(spark, sigsPath))
-              Some(spark.read.parquet(sigsPath)
-                .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi")
-                .localCheckpoint(eager = true)) // counts + the cross join
+              // cache-fills inside the pairs job on first use; the second
+              // subtree (candidate join) reads the cached slice
+              Some(prunedStoreScan(spark, sigsPath, pbs.toSeq, newKeys).persist())
             else None
           // at-arrival bucket sizing over (pruned) store ∪ batch
-          val all = store.map(_.unionByName(bandedNew)).getOrElse(bandedNew)
+          val all = store.map(_.drop("__pb").unionByName(bandedNew.drop("__pb")))
+            .getOrElse(bandedNew.drop("__pb"))
           val okBuckets = all.groupBy(col("__band"), col("__bh"))
             .agg(count(lit(1)).as("__bn"))
             .filter(col("__bn") <= maxBucketSize && col("__bn") > 1)
@@ -118,9 +149,16 @@ object DocStreams {
             .filter(col("est_jaccard") >= minEstJaccard)
             .groupBy(col("id_a"), col("id_b"))
             .agg(round(first(col("est_jaccard")), 4).as("est_jaccard"))
+          if (withComponents) pairs.persist() // write + label merge share it
           pairs.write.mode("append").parquet(pairsPath)
-          bandedNew.write.mode("append").parquet(sigsPath)
+          bandedNew.write.mode("append").partitionBy("__pb").parquet(sigsPath)
           spark.catalog.refreshByPath(sigsPath)
+          if (withComponents)
+            try graft.ext.IncrementalComponents.update(spark,
+              s"$storeDir/comps", pairs)
+            finally pairs.unpersist()
+          bandedNew.unpersist()
+          store.foreach(_.unpersist())
           ()
         }
         .start()
@@ -136,6 +174,18 @@ object DocStreams {
       Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "est_jaccard")
     }
   }
+
+  /** The per-batch store read: literal partition filter on the batch's
+    * `__pb` values (static pruning — only the touched store directories
+    * are listed and opened), then a broadcast semi-join on the exact
+    * (band, bandHash) keys row-prunes the survivors. Exposed for the plan
+    * assertion that the pruning is real.
+    */
+  private[graft] def prunedStoreScan(spark: SparkSession, sigsPath: String,
+      pbs: Seq[Int], newKeys: DataFrame): DataFrame =
+    spark.read.parquet(sigsPath)
+      .filter(col("__pb").isin(pbs.map(Int.box): _*))
+      .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi")
 
   /** Streaming ANN index maintenance: embedding batches arriving on a
     * spool are appended into a persisted IVF×PQ index

@@ -149,6 +149,48 @@ class DocStreamsSpec extends SparkSpec {
     servedTop() shouldBe clean
   }
 
+  test("streaming dedup maintains duplicate clusters: incremental components equal the batch form") {
+    import graft.ext.IncrementalComponents
+    val spool = stageSpool(Seq(docs.take(3), docs.drop(3)))
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_store").toString + "/s"
+    val streamed = DocStreams.runMinhashDedupOnce(spark, spool, store,
+      numHashes = 32, bands = 8, shingleSize = 3, minEstJaccard = 0.5,
+      withComponents = true)
+    val comps = IncrementalComponents.read(spark, s"$store/comps")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch components over the stream's own final pair set
+    val nodes = streamed.select($"id_a".as("id")).union(streamed.select($"id_b")).distinct()
+    val batch = Dedup.connectedComponents(nodes, "id", streamed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comps shouldBe batch
+    // the fixture's three near-dup docs collapse into ONE cluster with the
+    // canonical min id, across the batch-1 pair and batch-2 arrivals
+    comps(1L) shouldBe 1L
+    comps(2L) shouldBe 1L
+    comps(3L) shouldBe 1L
+  }
+
+  test("the per-batch store scan is partition-pruned to the batch's __pb values") {
+    val spool = stageSpool(Seq(docs.take(3), docs.drop(3)))
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_store").toString + "/s"
+    DocStreams.runMinhashDedupOnce(spark, spool, store,
+      numHashes = 32, bands = 8, shingleSize = 3, minEstJaccard = 0.5)
+    // replay the scan one batch would plan: a literal subset of __pb values
+    val keys = spark.read.parquet(s"$store/sigs")
+      .select($"__band", $"__bh", $"__pb").limit(3).collect()
+    val pbs = keys.map(_.getInt(2)).distinct.toSeq
+    val scan = DocStreams.prunedStoreScan(spark, s"$store/sigs", pbs,
+      Seq((keys.head.getInt(0), keys.head.getLong(1))).toDF("__band", "__bh"))
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("__pb")
+    // the partition filter is static (literal IN), and the key refinement
+    // is the broadcast semi-join — the store side never shuffles
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("SortMergeJoin")
+  }
+
   test("incremental minhash: empty store bootstrap and no-candidate batches are clean") {
     // single batch, nothing similar: no pairs dir contents, empty result
     val spool = stageSpool(Seq(Seq(
