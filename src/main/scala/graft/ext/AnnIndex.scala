@@ -468,6 +468,58 @@ object AnnIndex {
     graft.operators.Upsert.swapDirs(tmp, dir)
   }
 
+  // ------------------------------------------------------ tombstone debt
+  /** Dead-row fraction of the index's primary table (codes, or vectors
+    * for IVF-flat): rows superseded by a tombstone or a newer generation,
+    * divided by all stored rows. 0.0 with no tombstone log (short-circuit
+    * — nothing is scanned); otherwise one pass over the stored table
+    * (column-pruned to id/seq) at MAINTENANCE time, which is where this
+    * belongs — [[liveOnly]] keeps query paths an O(|deletes|) broadcast
+    * join precisely so they never pay a debt measurement.
+    *
+    * Why measure at all: the tombstone broadcast and the dead rows
+    * scanned-then-dropped on every query both grow with delete volume,
+    * unbounded between rebuilds — debt is the number that says when the
+    * cheap reclaim ([[compactPq]]/Ivf/IvfPq: one rewrite, codebooks
+    * frozen) pays for itself.
+    */
+  def tombstoneDebt(spark: SparkSession, dir: String): Double =
+    readTombstones(spark, dir) match {
+      case None => 0.0
+      case Some(_) =>
+        val (m, _, nlist) = readMeta(spark, dir)
+        val table = if (nlist > 0 && m == 0) s"$dir/vectors" else s"$dir/codes"
+        val rows = spark.read.parquet(table).select(col("__id"), col("__seq"))
+        val total = rows.count()
+        if (total == 0L) 0.0
+        else (total - liveOnly(spark, dir, rows).count()).toDouble / total
+    }
+
+  /** The compaction POLICY: measure [[tombstoneDebt]] and, at or above
+    * `threshold`, route to the layout's compaction; returns whether a
+    * compaction ran. The 0.25 default reclaims when a quarter of every
+    * scan is dead weight — well before typical delete volumes threaten
+    * broadcast limits — while letting steady low-rate deletes accumulate
+    * into one rewrite instead of many. Call it on the maintenance cadence
+    * (after applyDiff batches, before serving windows). The degenerate
+    * fully-tombstoned clustered index still refuses to compact
+    * ([[requireLive]]) — that state is a rebuild-or-drop decision, and
+    * this policy propagates the loud error rather than masking it.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String,
+      threshold: Double = 0.25): Boolean = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    if (tombstoneDebt(spark, dir) < threshold) false
+    else {
+      val (m, _, nlist) = readMeta(spark, dir)
+      if (nlist == -1) compactPq(spark, dir)
+      else if (m == 0) compactIvf(spark, dir)
+      else compactIvfPq(spark, dir)
+      true
+    }
+  }
+
   // ----------------------------------------------------- incremental append
   /** Append new corpus rows to a persisted index WITHOUT retraining —
     * the maintenance operation between periodic rebuilds. Codebooks
@@ -579,22 +631,49 @@ object AnnIndex {
     appendIvfPq(spark, dir, rows, idCol, vecCol)
   }
 
-  /** Apply a [[graft.operators.Upsert.snapshotDiff]] CDC frame (`change`
-    * ∈ insert/update/delete + the key column) to a persisted IVF×PQ
-    * index — the snapshotDiff → index maintenance loop: deletes
-    * tombstone, updates tombstone + re-encode, inserts append. `rows`
-    * must carry the new embeddings for the insert/update keys.
+  /** Split a [[graft.operators.Upsert.snapshotDiff]] CDC frame (`change`
+    * ∈ insert/update/delete + the key column) into the two maintenance
+    * inputs every layout shares: keys to tombstone (deletes AND updates
+    * — the update's re-append supersedes), and the `rows` slice carrying
+    * the new embeddings for insert/update keys.
     */
-  def applyDiffIvfPq(spark: SparkSession, dir: String, diff: DataFrame,
-      keyCol: String, rows: DataFrame, idCol: String, vecCol: String): Unit = {
+  private def diffSplit(diff: DataFrame, keyCol: String, rows: DataFrame,
+      idCol: String): (DataFrame, DataFrame) = {
     val dels = diff.filter(col("change").isin("delete", "update"))
       .select(qcol(keyCol).as(keyCol))
-    deleteIds(spark, dir, dels, keyCol)
     val upserts = rows.join(
       diff.filter(col("change").isin("insert", "update"))
         .select(qcol(keyCol).cast("long").as("__uid")),
       qcol(idCol).cast("long") === col("__uid"), "left_semi")
+    (dels, upserts)
+  }
+
+  /** Apply a snapshotDiff CDC frame to a persisted IVF×PQ index — the
+    * snapshotDiff → index maintenance loop: deletes tombstone, updates
+    * tombstone + re-encode, inserts append. `rows` must carry the new
+    * embeddings for the insert/update keys.
+    */
+  def applyDiffIvfPq(spark: SparkSession, dir: String, diff: DataFrame,
+      keyCol: String, rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (dels, upserts) = diffSplit(diff, keyCol, rows, idCol)
+    deleteIds(spark, dir, dels, keyCol)
     appendIvfPq(spark, dir, upserts, idCol, vecCol)
+  }
+
+  /** [[applyDiffIvfPq]] for the flat-PQ layout. */
+  def applyDiffPq(spark: SparkSession, dir: String, diff: DataFrame,
+      keyCol: String, rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (dels, upserts) = diffSplit(diff, keyCol, rows, idCol)
+    deleteIds(spark, dir, dels, keyCol)
+    appendPq(spark, dir, upserts, idCol, vecCol)
+  }
+
+  /** [[applyDiffIvfPq]] for the IVF-flat layout. */
+  def applyDiffIvf(spark: SparkSession, dir: String, diff: DataFrame,
+      keyCol: String, rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (dels, upserts) = diffSplit(diff, keyCol, rows, idCol)
+    deleteIds(spark, dir, dels, keyCol)
+    appendIvf(spark, dir, upserts, idCol, vecCol)
   }
 
   /** Build-and-query convenience for tests/gates: stages the index under

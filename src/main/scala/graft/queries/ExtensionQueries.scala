@@ -59,7 +59,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v2_m8k16n16kv")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v3_m8k16n16kv")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -103,6 +103,20 @@ object ExtensionQueries {
       emb16.filter(col("vec_id").isin(3, 11)), "vec_id")
     AnnIndex.updateIvfPq(s, s"$tmp/ivfpq_del16",
       emb16.filter(col("vec_id") === 6), "vec_id", "embedding")
+    // the SAME delete/update history on the flat-PQ layout, driven through
+    // the CDC entry point: one snapshotDiff-shaped frame (delete {3, 11},
+    // update {6}) routed by applyDiffPq — the x_knn_pq_delete gate pins
+    // both layouts against one frozen-codebook reference encode
+    AnnIndex.buildPq(emb16.filter(col("vec_id") < 8), "vec_id", "embedding",
+      s"$tmp/pq_del16", m = 8, ksub = 8, iters = 1)
+    AnnIndex.appendPq(s, s"$tmp/pq_del16",
+      emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
+    AnnIndex.applyDiffPq(s, s"$tmp/pq_del16",
+      emb16.filter(col("vec_id").isin(3, 11))
+        .select(col("vec_id"), lit("delete").as("change"))
+        .unionByName(emb16.filter(col("vec_id") === 6)
+          .select(col("vec_id"), lit("update").as("change"))),
+      "vec_id", emb16, "vec_id", "embedding")
     done.createNewFile()
     tmp
   }
@@ -614,10 +628,27 @@ object ExtensionQueries {
             index.codebooks, index.m, index.sub),
           index.m, index.sub), 5)
       .withColumnRenamed("cosine_pq", "__c2")
-    served.join(ref, Seq("query_id", "rank", "neighbor_id"), "full")
+    val ivfpqOk = served.join(ref, Seq("query_id", "rank", "neighbor_id"), "full")
       .agg((count(lit(1)) === count(col("cosine_pq")) &&
         count(lit(1)) === count(col("__c2")) &&
-        max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("delete_ok"))
+        max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("__ivfpq_ok"))
+    // the flat-PQ fixture carries the same history applied through the CDC
+    // entry point (applyDiffPq); same frozen-codebook reference discipline
+    val pqModel = AnnIndex.readPq(s, s"$idx/pq_del16")
+    val servedPq = Similarity.pqTopKWithModel(queries, "vec_id", "embedding",
+      pqModel, 5)
+    val refPq = Similarity.pqTopKWithModel(queries, "vec_id", "embedding",
+        Similarity.PqModel(pqModel.centroids,
+          Similarity.pqEncode(refCorpus, "vec_id", "embedding",
+            pqModel.centroids, pqModel.m, pqModel.sub),
+          pqModel.m, pqModel.sub), 5)
+      .withColumnRenamed("cosine_pq", "__c2")
+    val pqOk = servedPq.join(refPq, Seq("query_id", "rank", "neighbor_id"), "full")
+      .agg((count(lit(1)) === count(col("cosine_pq")) &&
+        count(lit(1)) === count(col("__c2")) &&
+        max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("__pq_ok"))
+    ivfpqOk.crossJoin(pqOk)
+      .select((col("__ivfpq_ok") && col("__pq_ok")).as("delete_ok"))
   }
 
   /** Refine (exact re-rank) gate: `ivfPqTopKRefined` re-scores the ADC

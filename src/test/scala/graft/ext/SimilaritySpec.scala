@@ -343,6 +343,45 @@ class SimilaritySpec extends SparkSpec {
     e.getMessage should include("keepVectors")
   }
 
+  test("tombstone debt measures dead weight and compactIfNeeded routes high-debt indexes to compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
+    AnnIndex.buildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
+    // no tombstone log: debt short-circuits to zero, policy is a no-op
+    AnnIndex.tombstoneDebt(spark, dir) shouldBe 0.0
+    AnnIndex.compactIfNeeded(spark, dir) shouldBe false
+    // 1 of 5 ids dead → 20% of stored rows, below the default threshold
+    AnnIndex.deleteIds(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    AnnIndex.tombstoneDebt(spark, dir) shouldBe 0.2 +- 1e-9
+    AnnIndex.compactIfNeeded(spark, dir) shouldBe false
+    AnnIndex.tombstoneDebt(spark, dir) shouldBe 0.2 +- 1e-9 // unchanged — no compaction ran
+    // an update adds a superseded generation: 12 rows stored, 4 dead
+    AnnIndex.updatePq(spark, dir,
+      Seq((2L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    AnnIndex.tombstoneDebt(spark, dir) shouldBe (1.0 / 3) +- 1e-9
+    val before = AnnIndex.pqTopK(spark, dir, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 4).orderBy("rank").collect().toSeq
+    // over the threshold: the policy compacts, debt resets, ranking survives
+    AnnIndex.compactIfNeeded(spark, dir) shouldBe true
+    AnnIndex.tombstoneDebt(spark, dir) shouldBe 0.0
+    new java.io.File(s"$dir/tombstones").exists() shouldBe false
+    AnnIndex.pqTopK(spark, dir, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", 4).orderBy("rank").collect().toSeq shouldBe before
+    AnnIndex.compactIfNeeded(spark, dir) shouldBe false
+    // IVF-flat measures debt on its vectors table and routes to compactIvf
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivf"
+    AnnIndex.buildIvf(corpus, "vec_id", "embedding", dir3, nlist = 2, iters = 1)
+    AnnIndex.deleteIds(spark, dir3, Seq(1L, 3L).toDF("vec_id"), "vec_id")
+    AnnIndex.tombstoneDebt(spark, dir3) shouldBe 0.4 +- 1e-9
+    val ivfBefore = AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, dir3),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").collect().toSeq
+    AnnIndex.compactIfNeeded(spark, dir3) shouldBe true
+    AnnIndex.tombstoneDebt(spark, dir3) shouldBe 0.0
+    AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, dir3),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").collect().toSeq shouldBe ivfBefore
+  }
+
   test("compaction drops dead rows physically, keeps the served ranking, resets the tombstone log") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
     AnnIndex.buildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
@@ -466,5 +505,16 @@ class SimilaritySpec extends SparkSpec {
           index.codebooks, index.m, index.sub), index.m, index.sub), 4)
       .orderBy("rank").collect().toSeq
     served shouldBe ref
+    // the same diff routed to an IVF-flat index: exact vectors, so full
+    // probes must serve brute force over the post-diff corpus
+    val dirIvf = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivf"
+    AnnIndex.buildIvf(corpus, "vec_id", "embedding", dirIvf, nlist = 2, iters = 1)
+    AnnIndex.applyDiffIvf(spark, dirIvf, diff, "vec_id", newRows, "vec_id", "embedding")
+    val servedIvf = AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, dirIvf),
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", 4, nprobe = 2)
+      .orderBy("rank").collect().toSeq
+    val bruteIvf = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0),
+      post, "vec_id", "embedding", 4).orderBy("rank").collect().toSeq
+    servedIvf shouldBe bruteIvf
   }
 }
