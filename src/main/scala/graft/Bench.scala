@@ -115,14 +115,22 @@ object Bench {
         org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
         listener.reset()
       }
+      // per-query executor CPU rides the CUMULATIVE counter as a delta:
+      // no reset and no bus drain inside the timed window in normal mode,
+      // so the wall measurement is byte-identical to the pre-CPU contract
+      // (phases mode resets, so its delta base is zero)
+      val cpu0 = if (phases) 0L else listener.get("cpu_ms")
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // UNTIMED drain: the query's late stage-completed events attribute
+      // to this query, not the next one (wall already captured above)
+      org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+      val cpuSec = (listener.get("cpu_ms") - cpu0) / 1000.0
       if (phases) {
-        org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
         val mb = (k: String) => listener.get(k + "_bytes") / 1048576
         System.err.println(
           f"""{"query":"$name","sec":$sec%.3f,"stages":${listener.get("stages")},""" +
@@ -146,14 +154,22 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
       }
-      println(f"""{"q":"$name","sec":$sec%.3f}""")
-      name -> sec
+      println(f"""{"q":"$name","sec":$sec%.3f,"cpu":$cpuSec%.3f}""")
+      (name, sec, cpuSec)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    // per-query executor CPU beside the wall map: host drift moves wall
+    // with a flat ratio while CPU holds; a plan change moves CPU — the
+    // two columns separate the cases mechanically instead of by ratio
+    // inspection across runs
+    val cpuQs = results.map { case (k, _, c) => "\"" + k + f"""":$c%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalCpu = results.map(_._3).sum
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""cpu_total":$totalCpu%.3f,"cpu":$cpuQs,"sf":"$sfDir"}"""
     // complete record to a file the repo commits — immune to capture limits
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -165,7 +181,8 @@ object Bench {
     // exactly what crowded per-query lines out of the tail capture
     // small LAST line: guaranteed inside any tail-capture window
     val (maxName, maxSec) =
-      if (results.nonEmpty) results.maxBy(_._2) else ("none", 0.0)
+      if (results.nonEmpty) { val m = results.maxBy(_._2); (m._1, m._2) }
+      else ("none", 0.0)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.size},"max_query":"$maxName","max_sec":$maxSec%.3f,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }

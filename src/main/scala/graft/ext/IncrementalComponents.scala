@@ -59,40 +59,91 @@ object IncrementalComponents {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
-  /** Merge one batch of candidate pairs into the persisted labels. */
+  /** Merge one batch of candidate pairs into the persisted labels.
+    *
+    * The touched subgraph is usually micro-batch-sized, so components run
+    * on the DRIVER by default: one bounded collect of the subgraph edges
+    * (≤ `maxDriverEdges`, the same bounded-collect discipline as the ANN
+    * probed-cluster sets) and an in-memory union-find replace the
+    * multi-round distributed label propagation — ~3 Spark actions per
+    * update instead of ~10. A merge that drags in more than
+    * `maxDriverEdges` subgraph edges falls back to the distributed
+    * [[Dedup.connectedComponents]] automatically; both paths append the
+    * same canonical min-id labels.
+    */
   def update(spark: SparkSession, compsDir: String, pairs: DataFrame,
-      aCol: String = "id_a", bCol: String = "id_b", maxIter: Int = 20): Unit = {
+      aCol: String = "id_a", bCol: String = "id_b", maxIter: Int = 20,
+      maxDriverEdges: Int = 100000): Unit = {
     val edges = pairs
       .select(qcol(aCol).cast("long").as("u"), qcol(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-    if (edges.isEmpty) return
-    val batchIds = edges.select(col("u").as("id"))
-      .unionByName(edges.select(col("v").as("id"))).distinct()
-    if (!graft.util.Hfs.exists(spark, compsDir)) {
-      Dedup.connectedComponents(batchIds, "id", edges, "u", "v", maxIter)
-        .withColumn("__seq", lit(0L))
-        .write.mode("overwrite").parquet(compsDir)
-      return
+    val exists = graft.util.Hfs.exists(spark, compsDir)
+    val (subEdges, seq) =
+      if (!exists) (edges, 0L)
+      else {
+        val stored = spark.read.parquet(compsDir)
+        val cur = stored.groupBy(col("id"))
+          .agg(max_by(col("component"), col("__seq")).as("component"))
+        val batchIds = edges.select(col("u").as("id"))
+          .unionByName(edges.select(col("v").as("id"))).distinct()
+        // labels the batch can touch: ≤ 2·|batch pairs| of them by
+        // construction, so both pruning joins broadcast the small side
+        // into the store scan — the store never shuffles
+        val touched = cur.join(broadcast(batchIds), Seq("id"), "left_semi")
+          .select(col("component")).distinct()
+        val members = cur.join(broadcast(touched), Seq("component"), "left_semi")
+        // each touched component collapses to its star: member→label
+        // edges carry the component's full connectivity into the
+        // subgraph (every stored component has ≥ 2 members, so every
+        // member id appears on some star edge)
+        val memberEdges = members
+          .select(col("id").as("u"), col("component").as("v"))
+          .filter(col("u") =!= col("v"))
+        (edges.unionByName(memberEdges),
+          stored.agg(max(col("__seq"))).head().getLong(0) + 1L)
+      }
+    val sample = subEdges.limit(maxDriverEdges + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (sample.isEmpty) return
+    val labels =
+      if (sample.length <= maxDriverEdges) {
+        import spark.implicits._
+        unionFind(sample).toSeq.toDF("id", "component").coalesce(1)
+      } else {
+        val nodes = subEdges.select(col("u").as("id"))
+          .unionByName(subEdges.select(col("v").as("id"))).distinct()
+        Dedup.connectedComponents(nodes, "id", subEdges, "u", "v", maxIter)
+      }
+    labels.withColumn("__seq", lit(seq))
+      .write.mode(if (exists) "append" else "overwrite").parquet(compsDir)
+  }
+
+  /** In-memory union-find with path halving + union-by-min: every node
+    * maps to the minimum id reachable in its component — the exact label
+    * contract of [[Dedup.connectedComponents]].
+    */
+  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
     }
-    val stored = spark.read.parquet(compsDir)
-    val cur = stored.groupBy(col("id"))
-      .agg(max_by(col("component"), col("__seq")).as("component"))
-    // labels the batch can touch: ≤ 2·|batch pairs| of them by construction,
-    // so both pruning joins broadcast the small side into the store scan
-    val touched = cur.join(broadcast(batchIds), Seq("id"), "left_semi")
-      .select(col("component")).distinct()
-    val members = cur.join(broadcast(touched), Seq("component"), "left_semi")
-    // each touched component collapses to its star: member→label edges
-    // carry the component's full connectivity into the subgraph
-    val memberEdges = members
-      .select(col("id").as("u"), col("component").as("v"))
-      .filter(col("u") =!= col("v"))
-    val subNodes = batchIds.unionByName(members.select(col("id"))).distinct()
-    val seq = stored.agg(max(col("__seq"))).head().getLong(0) + 1L
-    Dedup.connectedComponents(subNodes, "id",
-        edges.unionByName(memberEdges), "u", "v", maxIter)
-      .withColumn("__seq", lit(seq))
-      .write.mode("append").parquet(compsDir)
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        val (lo, hi) = if (ru < rv) (ru, rv) else (rv, ru)
+        parent(hi) = lo
+      }
+      parent.getOrElseUpdate(u, find(u))
+      parent.getOrElseUpdate(v, find(v))
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
   }
 }

@@ -132,6 +132,7 @@ object ExtensionQueries {
     stageSessionSpool(s, dir)
     stageUpsertSpool(s, dir)
     stageDocSpool(s, dir)
+    stageDocSpool(s, dir, nSlices = 2) // the components gate's spool
     stageEmbSpool(s, dir)
   }
 

@@ -64,7 +64,17 @@ object DocStreams {
       shingleSize: Int = 3,
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 1000,
-      storeParts: Int = 64,
+      /** Signature-store partition count — a LAYOUT knob sized to the
+        * corpus like `nlist`: per-batch scan cost is proportional to the
+        * touched partitions, per-batch append writes one file per touched
+        * partition, so small corpora want 8–16 and a 100 TB store wants
+        * thousands (each directory's files stay cacheable and a
+        * micro-batch touches only its own hash range). The default is
+        * sized for the small-corpus gates; the partitioned append's
+        * commit cost is ~one file move per touched partition per batch —
+        * machinery that amortizes at production batch sizes.
+        */
+      storeParts: Int = 8,
       withComponents: Boolean = false,
   ): DataFrame = {
     // fail before the stream starts, not inside the first foreachBatch
@@ -90,10 +100,7 @@ object DocStreams {
               numHashes, bands)
             .withColumn("__pb",
               pmod(xxhash64(col("__band"), col("__bh")), lit(storeParts)).cast("int"))
-            // lazily cached, NOT eagerly checkpointed: the __pb collect
-            // below materializes it as a side effect, and every later
-            // consumer (both join sides, the store append) reads the cache
-            .persist()
+            .localCheckpoint(eager = true)
           // the batch's partition values — ≤ storeParts ints by
           // construction — become the store scan's literal partition filter
           val pbs = bandedNew.select(col("__pb")).distinct()
@@ -105,9 +112,8 @@ object DocStreams {
           val newKeys = bandedNew.select(col("__band"), col("__bh")).distinct()
           val store =
             if (graft.util.Hfs.exists(spark, sigsPath))
-              // cache-fills inside the pairs job on first use; the second
-              // subtree (candidate join) reads the cached slice
-              Some(prunedStoreScan(spark, sigsPath, pbs.toSeq, newKeys).persist())
+              Some(prunedStoreScan(spark, sigsPath, pbs.toSeq, newKeys)
+                .localCheckpoint(eager = true))
             else None
           // at-arrival bucket sizing over (pruned) store ∪ batch
           val all = store.map(_.drop("__pb").unionByName(bandedNew.drop("__pb")))
@@ -151,14 +157,22 @@ object DocStreams {
             .agg(round(first(col("est_jaccard")), 4).as("est_jaccard"))
           if (withComponents) pairs.persist() // write + label merge share it
           pairs.write.mode("append").parquet(pairsPath)
-          bandedNew.write.mode("append").partitionBy("__pb").parquet(sigsPath)
+          // collapse the append to one writer task: without it every
+          // shuffle task holds every partition value and the store
+          // accretes tasks×storeParts files PER BATCH — the scan side
+          // then pays thousands of parquet-footer opens within a few
+          // batches (measured 10× CPU on the suite gate). coalesce reads
+          // the checkpointed sketch blocks narrowly (no extra stage,
+          // unlike a repartition) and writes one file per touched
+          // partition; a deployment whose micro-batches outgrow one
+          // writer swaps this for repartition(col("__pb")).
+          bandedNew.coalesce(1)
+            .write.mode("append").partitionBy("__pb").parquet(sigsPath)
           spark.catalog.refreshByPath(sigsPath)
           if (withComponents)
             try graft.ext.IncrementalComponents.update(spark,
               s"$storeDir/comps", pairs)
             finally pairs.unpersist()
-          bandedNew.unpersist()
-          store.foreach(_.unpersist())
           ()
         }
         .start()
@@ -182,10 +196,23 @@ object DocStreams {
     * assertion that the pruning is real.
     */
   private[graft] def prunedStoreScan(spark: SparkSession, sigsPath: String,
-      pbs: Seq[Int], newKeys: DataFrame): DataFrame =
-    spark.read.parquet(sigsPath)
-      .filter(col("__pb").isin(pbs.map(Int.box): _*))
-      .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi")
+      pbs: Seq[Int], newKeys: DataFrame): DataFrame = {
+    // list ONLY the touched partition directories (file-listing cost
+    // scales with the batch's partition set, not the store's partition
+    // count — on an object store the full recursive discovery is the
+    // expensive half of the scan); basePath keeps __pb a partition
+    // column so the isin below still plans as a PartitionFilter
+    val dirs = pbs.map(p => s"$sigsPath/__pb=$p")
+      .filter(graft.util.Hfs.exists(spark, _))
+    // no touched partition exists yet (disjoint hash ranges): an empty
+    // frame in the store's shape, via a scan that cannot match
+    if (dirs.isEmpty)
+      spark.read.parquet(sigsPath).filter(lit(false))
+    else
+      spark.read.option("basePath", sigsPath).parquet(dirs: _*)
+        .filter(col("__pb").isin(pbs.map(Int.box): _*))
+        .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi")
+  }
 
   /** Streaming ANN index maintenance: embedding batches arriving on a
     * spool are appended into a persisted IVF×PQ index
