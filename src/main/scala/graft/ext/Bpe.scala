@@ -8,13 +8,23 @@ import graft.functions.Cols.qcol
   * chunking/packing (replacing the `bpeishCount` regex proxy, whose
   * counts drift from any actual tokenizer's).
   *
-  * Algorithm and formats are the public ones: merge learning is the
-  * Sennrich et al. 2016 procedure (iteratively merge the most frequent
-  * adjacent symbol pair over a word-frequency table, `</w>` end-of-word
-  * marker), and [[parseMerges]]/[[formatMerges]] speak the published
-  * merges.txt convention (one "left right" pair per line, rank = line
-  * order, `#` comments) so externally trained merge lists (e.g. the
-  * GPT-2 release's) drop in.
+  * Algorithm and formats are the public ones, in TWO segmentation modes:
+  *
+  *   - Default (Sennrich et al. 2016): lowercase `\W+` word splitting
+  *     with the `</w>` end-of-word marker — nests exactly inside this
+  *     codebase's word-level text operators.
+  *   - [[ByteLevel]] (the GPT-2 encoder's published semantics):
+  *     case-preserving regex pre-tokenization, UTF-8 bytes mapped onto
+  *     the printable bytes-to-unicode alphabet (space → 'Ġ'), no
+  *     end-of-word marker — the mode an externally trained byte-level
+  *     merge list (e.g. the GPT-2 release's) must be applied in.
+  *
+  * [[parseMerges]]/[[formatMerges]] speak the published merges.txt
+  * convention (one "left right" pair per line, rank = line order, `#`
+  * comments) for BOTH modes — a merge list is format-interoperable
+  * either way, but tokenizes faithfully only under the segmentation it
+  * was trained with: feed a GPT-2 list through [[ByteLevel.tokens]],
+  * not the word-mode entry points.
   *
   * Scale shape: LEARNING aggregates word frequencies distributed (one
   * tokenize + one hash aggregate; only the top-`maxVocab` (freq, word)
@@ -96,7 +106,16 @@ object Bpe {
     */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
     if (word.isEmpty) return Vector.empty
-    var syms: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+    encodeSymbols(word.map(_.toString).toVector :+ EndOfWord, ranks)
+  }
+
+  /** The merge loop itself, over any starting symbol sequence (word
+    * characters + `</w>` in the default mode, byte-alphabet symbols in
+    * [[ByteLevel]] mode).
+    */
+  private[ext] def encodeSymbols(start: Vector[String],
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms: Vector[String] = start
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -140,9 +159,17 @@ object Bpe {
       .orderBy(col("__n").desc, col("__w"))
       .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    var vocab: Array[(Vector[String], Long)] = wf.map { case (w, n) =>
+    learnFromVocab(wf.map { case (w, n) =>
       (w.map(_.toString).toVector :+ EndOfWord, n)
-    }
+    }, numMerges)
+  }
+
+  /** The driver-side merge loop shared by both segmentation modes, over
+    * an already-bounded (symbol-sequence, frequency) training table.
+    */
+  private[ext] def learnFromVocab(start: Array[(Vector[String], Long)],
+      numMerges: Int): BpeModel = {
+    var vocab: Array[(Vector[String], Long)] = start
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var exhausted = false
@@ -247,4 +274,111 @@ object Bpe {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       seqLen: Int, model: BpeModel): DataFrame =
     Packing.packSequencesByCount(df, idCol, tokenCount(qcol(textCol), model), seqLen)
+
+  /** GPT-2-style byte-level BPE (the released encoder's PUBLISHED
+    * semantics, implemented from their description): case-preserving
+    * regex pre-tokenization (contractions, letter/number runs with an
+    * optional leading space, punctuation runs, trailing-whitespace
+    * lookahead), each pre-token's UTF-8 bytes mapped one-to-one onto the
+    * printable bytes-to-unicode alphabet (space → 'Ġ' = U+0120), and the
+    * same greedy merge loop with NO end-of-word marker. A merge list
+    * trained externally in this convention parses with [[parseMerges]]
+    * and applies through [[ByteLevel.tokens]]; the worked examples are
+    * spec-pinned, equivalence with any specific released vocabulary file
+    * is only as exact as that file's pairing with this segmentation.
+    */
+  object ByteLevel {
+
+    /** The byte-level pre-tokenizer pattern (public convention). */
+    private[ext] val PatternStr =
+      """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    private val Pattern = java.util.regex.Pattern.compile(PatternStr)
+
+    /** byte value → alphabet char: printable single-byte chars map to
+      * themselves; the rest take consecutive codepoints from 256 up
+      * (the published bytes-to-unicode construction, which is what makes
+      * 0x20 land on 'Ġ').
+      */
+    private[ext] val byteToChar: Array[Char] = {
+      val printable = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+      val out = new Array[Char](256)
+      var n = 0
+      (0 until 256).foreach { b =>
+        if (printable(b)) out(b) = b.toChar
+        else { out(b) = (256 + n).toChar; n += 1 }
+      }
+      out
+    }
+
+    def pretokenize(s: String): Array[String] = {
+      val m = Pattern.matcher(s)
+      val buf = Array.newBuilder[String]
+      while (m.find()) buf += m.group()
+      buf.result()
+    }
+
+    /** One symbol per UTF-8 byte, in the byte alphabet. */
+    def byteSymbols(tok: String): Vector[String] =
+      tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .iterator.map(b => byteToChar(b & 0xff).toString).toVector
+
+    /** Learn byte-level merges. The pre-token frequency table is computed
+      * DISTRIBUTED with the native `regexp_extract_all` (no UDF in the
+      * corpus pass); only the bounded top-`maxVocab` table reaches the
+      * driver's merge loop.
+      */
+    def learn(docs: DataFrame, textCol: String, numMerges: Int,
+        maxVocab: Int = 32768): BpeModel = {
+      require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
+      require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
+      val wf = docs
+        .select(explode(regexp_extract_all(qcol(textCol), lit(PatternStr), lit(0)))
+          .as("__w"))
+        .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("__w"))
+        .limit(maxVocab)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      learnFromVocab(wf.map { case (w, n) => (byteSymbols(w), n) }, numMerges)
+    }
+
+    /** Executor-side encoder twin of [[WordEncoder]], keyed by pre-token. */
+    private final class ByteEncoder(merges: Vector[(String, String)]) extends Serializable {
+      @transient private lazy val ranks: Map[(String, String), Int] =
+        merges.zipWithIndex.toMap
+      @transient private lazy val cache =
+        scala.collection.mutable.HashMap.empty[String, Vector[String]]
+      private val MaxCache = 65536
+      def encode(t: String): Vector[String] = cache.get(t) match {
+        case Some(v) => v
+        case None =>
+          val v = encodeSymbols(byteSymbols(t), ranks)
+          if (cache.size < MaxCache) cache.update(t, v)
+          v
+      }
+    }
+
+    /** Byte-level BPE sub-token array (null text → empty array). */
+    def tokens(text: Column, model: BpeModel): Column = {
+      val enc = new ByteEncoder(model.merges)
+      val f = udf { (s: String) =>
+        if (s == null) Array.empty[String]
+        else pretokenize(s).flatMap(enc.encode)
+      }
+      f(text)
+    }
+
+    /** Byte-level BPE sub-token count. */
+    def tokenCount(text: Column, model: BpeModel): Column = {
+      val enc = new ByteEncoder(model.merges)
+      val f = udf { (s: String) =>
+        if (s == null) 0
+        else {
+          var n = 0
+          pretokenize(s).foreach(t => n += enc.encode(t).length)
+          n
+        }
+      }
+      f(text)
+    }
+  }
 }

@@ -926,6 +926,22 @@ object ExtensionQueries {
         graft.ext.Bpe.BpeModel(Vector.empty)).as("n_bpe"))
   }
 
+  /** Byte-level BPE plumbing gate, hash-matched like the word-mode one:
+    * the GPT-2-style pre-tokenizer PARTITIONS the string exactly and each
+    * byte becomes one alphabet symbol, so with ZERO merges the token
+    * count collapses to the text's UTF-8 byte length — which DuckDB
+    * states independently as octet_length. Segmentation, byte mapping,
+    * and the count plumbing are all on the hook; only the merge loop
+    * (spec-pinned on worked examples) is inert at rank zero.
+    */
+  val textBpeByteCount = q("x_text_bpe_bytecount",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes FROM documents") {
+    (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.ext.Bpe.ByteLevel.tokenCount(col("text"),
+          graft.ext.Bpe.BpeModel(Vector.empty)).as("n_bytes"))
+  }
+
   /** Deterministic stratified hash sampling (25% per source stratum): the
     * md5-threshold decision is engine-portable, so DuckDB replays the
     * EXACT sample — no RNG, no seed bookkeeping, reproducible at 100 TB.
@@ -1858,7 +1874,8 @@ object ExtensionQueries {
     knnPqDelete, knnIvfPqRefine,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
-    textChunks, textChunksBpe, textBpeBaseCount, textRepetition, textBm25, textSurprisal, hybridRrf,
+    textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
+    textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,

@@ -87,4 +87,33 @@ class BpeSpec extends SparkSpec {
       (2L, 0L, 0L, 2L, 6L),  // doc 2: first 2 tokens close seq 0
       (2L, 1L, 2L, 6L, 0L))  // doc 2: remaining 4 open seq 1
   }
+
+  test("byte-level mode: published pre-tokenizer, byte alphabet, caseful greedy merges") {
+    import Bpe.ByteLevel
+    val G = "Ġ" // the byte-alphabet image of 0x20 ('Ġ')
+    // the regex's published behavior: contraction split, leading-space
+    // letter runs, and the trailing-whitespace lookahead that keeps the
+    // LAST space of a run attached to the following word
+    ByteLevel.pretokenize("Hello's  world") shouldBe Array("Hello", "'s", " ", " world")
+    ByteLevel.byteSymbols(" world") shouldBe Vector(G, "w", "o", "r", "l", "d")
+    // multi-byte UTF-8 explodes to one symbol per byte ('é' = C3 A9)
+    ByteLevel.byteSymbols("é") shouldBe Vector("Ã", "©")
+    // greedy rank-ordered merges, case preserved, NO end-of-word marker
+    val model = Bpe.parseMerges(Seq(s"$G w", "o r", s"${G}w or"))
+    val toks = Seq((1L, "Hello world")).toDF("doc_id", "text")
+      .select(ByteLevel.tokens($"text", model).as("t"),
+        ByteLevel.tokenCount($"text", model).as("n"))
+      .head()
+    toks.getSeq[String](0) shouldBe
+      Seq("H", "e", "l", "l", "o", s"${G}wor", "l", "d")
+    toks.getInt(1) shouldBe 8
+    // the distributed byte-level learner reproduces the hand-computed
+    // merge order: (a,a) at freq 3 beats (Ġ,a) at 2, then (Ġ,aa)
+    val learned = ByteLevel.learn(Seq("aa aa aa bb").toDF("text"), "text", numMerges = 2)
+    learned.merges shouldBe Vector(("a", "a"), (G, "aa"))
+    // a byte-level list round-trips through the shared merges.txt format
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/bl_merges.txt"
+    Bpe.saveMerges(learned, path)
+    Bpe.loadMerges(path).merges shouldBe learned.merges
+  }
 }
