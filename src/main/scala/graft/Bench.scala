@@ -170,13 +170,16 @@ object Bench {
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""cpu_total":$totalCpu%.3f,"cpu":$cpuQs,"sf":"$sfDir"}"""
-    // complete record to a file the repo commits — immune to capture limits
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
-    }
+    // complete record to a file the repo commits — immune to capture
+    // limits. A FILTERED micro-bench run must not clobber it: the file's
+    // whole point is the complete suite record.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+      }
     // the full map goes to the file ONLY: on stdout its ~2.5 KB line was
     // exactly what crowded per-query lines out of the tail capture
     // small LAST line: guaranteed inside any tail-capture window

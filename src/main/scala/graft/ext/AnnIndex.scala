@@ -486,13 +486,22 @@ object AnnIndex {
   def tombstoneDebt(spark: SparkSession, dir: String): Double =
     readTombstones(spark, dir) match {
       case None => 0.0
-      case Some(_) =>
+      case Some(t) =>
         val (m, _, nlist) = readMeta(spark, dir)
         val table = if (nlist > 0 && m == 0) s"$dir/vectors" else s"$dir/codes"
-        val rows = spark.read.parquet(table).select(col("__id"), col("__seq"))
-        val total = rows.count()
-        if (total == 0L) 0.0
-        else (total - liveOnly(spark, dir, rows).count()).toDouble / total
+        // total and live counted in ONE pass over the (id, seq)-pruned
+        // table: the same per-id-max tombstone broadcast as liveOnly,
+        // with the liveness predicate under a conditional count instead
+        // of a second scan
+        val dead = t.groupBy(col("__id")).agg(max(col("__seq")).as("__tseq"))
+        val r = spark.read.parquet(table).select(col("__id"), col("__seq"))
+          .join(broadcast(dead), Seq("__id"), "left")
+          .agg(count(lit(1)).as("__total"),
+            count(when(col("__tseq").isNull ||
+              coalesce(col("__seq"), lit(0L)) > col("__tseq"), 1)).as("__live"))
+          .head()
+        val (total, live) = (r.getLong(0), r.getLong(1))
+        if (total == 0L) 0.0 else (total - live).toDouble / total
     }
 
   /** The compaction POLICY: measure [[tombstoneDebt]] and, at or above

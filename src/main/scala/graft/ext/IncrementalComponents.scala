@@ -83,16 +83,30 @@ object IncrementalComponents {
       if (!exists) (edges, 0L)
       else {
         val stored = spark.read.parquet(compsDir)
-        val cur = stored.groupBy(col("id"))
-          .agg(max_by(col("component"), col("__seq")).as("component"))
         val batchIds = edges.select(col("u").as("id"))
           .unionByName(edges.select(col("v").as("id"))).distinct()
         // labels the batch can touch: ≤ 2·|batch pairs| of them by
-        // construction, so both pruning joins broadcast the small side
-        // into the store scan — the store never shuffles
-        val touched = cur.join(broadcast(batchIds), Seq("id"), "left_semi")
+        // construction. The id semi-join pushes below the per-id
+        // aggregate (grouping-column key), so only the batch ids' own
+        // generation rows are ever aggregated — the store itself never
+        // shuffles here.
+        val touched = stored.join(broadcast(batchIds), Seq("id"), "left_semi")
+          .groupBy(col("id"))
+          .agg(max_by(col("component"), col("__seq")).as("component"))
           .select(col("component")).distinct()
-        val members = cur.join(broadcast(touched), Seq("component"), "left_semi")
+        // members of the touched components: ROW-prune the raw store on
+        // the broadcast label set BEFORE aggregating, so the per-id
+        // max_by shuffles only touched-component generations, never the
+        // corpus. Pruning pre-aggregation is sound because an id's
+        // labels only DECREASE across generations and a component's
+        // members relabel atomically in one update — so a stored row
+        // carrying a LIVE label L implies its id's live label is L
+        // (were the id later merged away to L' < L, every member of L
+        // was relabeled in that same update and L would not be live).
+        val members = stored
+          .join(broadcast(touched), Seq("component"), "left_semi")
+          .groupBy(col("id"))
+          .agg(max_by(col("component"), col("__seq")).as("component"))
         // each touched component collapses to its star: member→label
         // edges carry the component's full connectivity into the
         // subgraph (every stored component has ≥ 2 members, so every

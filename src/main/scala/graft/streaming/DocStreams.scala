@@ -112,8 +112,8 @@ object DocStreams {
           val newKeys = bandedNew.select(col("__band"), col("__bh")).distinct()
           val store =
             if (graft.util.Hfs.exists(spark, sigsPath))
-              Some(prunedStoreScan(spark, sigsPath, pbs.toSeq, newKeys)
-                .localCheckpoint(eager = true))
+              prunedStoreScan(spark, sigsPath, pbs.toSeq, newKeys)
+                .map(_.localCheckpoint(eager = true))
             else None
           // at-arrival bucket sizing over (pruned) store ∪ batch
           val all = store.map(_.drop("__pb").unionByName(bandedNew.drop("__pb")))
@@ -170,8 +170,11 @@ object DocStreams {
             .write.mode("append").partitionBy("__pb").parquet(sigsPath)
           spark.catalog.refreshByPath(sigsPath)
           if (withComponents)
-            try graft.ext.IncrementalComponents.update(spark,
-              s"$storeDir/comps", pairs)
+            // cached-pairs emptiness probe: a no-candidate batch (the
+            // common trickle case) must not pay update()'s store actions
+            try if (!pairs.isEmpty)
+              graft.ext.IncrementalComponents.update(spark,
+                s"$storeDir/comps", pairs)
             finally pairs.unpersist()
           ()
         }
@@ -196,22 +199,21 @@ object DocStreams {
     * assertion that the pruning is real.
     */
   private[graft] def prunedStoreScan(spark: SparkSession, sigsPath: String,
-      pbs: Seq[Int], newKeys: DataFrame): DataFrame = {
+      pbs: Seq[Int], newKeys: DataFrame): Option[DataFrame] = {
     // list ONLY the touched partition directories (file-listing cost
     // scales with the batch's partition set, not the store's partition
     // count — on an object store the full recursive discovery is the
     // expensive half of the scan); basePath keeps __pb a partition
-    // column so the isin below still plans as a PartitionFilter
+    // column so the isin below still plans as a PartitionFilter.
+    // None when no touched partition exists yet (disjoint hash ranges):
+    // the caller treats that exactly like a missing store, avoiding even
+    // the root listing.
     val dirs = pbs.map(p => s"$sigsPath/__pb=$p")
       .filter(graft.util.Hfs.exists(spark, _))
-    // no touched partition exists yet (disjoint hash ranges): an empty
-    // frame in the store's shape, via a scan that cannot match
-    if (dirs.isEmpty)
-      spark.read.parquet(sigsPath).filter(lit(false))
-    else
-      spark.read.option("basePath", sigsPath).parquet(dirs: _*)
-        .filter(col("__pb").isin(pbs.map(Int.box): _*))
-        .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi")
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", sigsPath).parquet(dirs: _*)
+      .filter(col("__pb").isin(pbs.map(Int.box): _*))
+      .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi"))
   }
 
   /** Streaming ANN index maintenance: embedding batches arriving on a
@@ -276,17 +278,27 @@ object DocStreams {
     require(meta.getAs[Int]("nlist") > 0 && meta.getAs[Int]("m") > 0,
       s"$indexDir is not an IVF×PQ index (m=${meta.getAs[Int]("m")}, " +
         s"nlist=${meta.getAs[Int]("nlist")})")
-    // markers with a fresh checkpoint = batch ids about to restart at 0
-    // and collide with already-published batches (lost or doubled
-    // appends); the pairing is the caller's contract — enforce the
-    // detectable violation loudly
-    require(
-      !Hfs.list(spark, indexDir).exists(_.startsWith("_batch_")) ||
-        Hfs.exists(spark, s"$checkpointDir/commits"),
-      s"$indexDir carries _batch_* markers from a previous streaming run " +
-        s"but $checkpointDir is not that run's checkpoint — batch ids would " +
-        "restart at 0 and map onto already-published batches; reuse the " +
-        "original checkpointLocation (or rebuild the index and start fresh)")
+    // batch ids are only meaningful relative to ONE checkpoint lineage,
+    // while the _batch_<id> markers persist in the index dir — a
+    // different checkpoint (fresh OR from another stream) would assign
+    // ids that collide with the markers and silently skip or double
+    // batches. The index records its paired checkpoint on first use and
+    // every later run must present the same one.
+    val idFile = s"$indexDir/_stream_checkpoint"
+    if (Hfs.exists(spark, idFile)) {
+      val paired = Hfs.readString(spark, idFile)
+      require(paired == checkpointDir,
+        s"$indexDir is paired with streaming checkpoint '$paired' but this " +
+          s"run supplied '$checkpointDir' — batch ids from a different " +
+          "checkpoint collide with the index's _batch_* markers (lost or " +
+          "doubled appends); reuse the original checkpointLocation (or " +
+          "rebuild the index and start fresh)")
+    } else {
+      require(!Hfs.list(spark, indexDir).exists(_.startsWith("_batch_")),
+        s"$indexDir carries _batch_* markers but no checkpoint pairing " +
+          "record (pre-pairing layout) — rebuild the index and start fresh")
+      Hfs.writeString(spark, idFile, checkpointDir)
+    }
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {

@@ -67,4 +67,21 @@ object Hfs {
     f.mkdirs(p)
     ()
   }
+
+  /** Write a small UTF-8 marker/identity file (overwrites). */
+  def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val (f, p) = fs(spark, path)
+    val out = f.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a small UTF-8 file fully. */
+  def readString(spark: SparkSession, path: String): String = {
+    val (f, p) = fs(spark, path)
+    val in = f.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
 }

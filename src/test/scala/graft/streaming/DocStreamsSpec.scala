@@ -180,7 +180,7 @@ class DocStreamsSpec extends SparkSpec {
       .select($"__band", $"__bh", $"__pb").limit(3).collect()
     val pbs = keys.map(_.getInt(2)).distinct.toSeq
     val scan = DocStreams.prunedStoreScan(spark, s"$store/sigs", pbs,
-      Seq((keys.head.getInt(0), keys.head.getLong(1))).toDF("__band", "__bh"))
+      Seq((keys.head.getInt(0), keys.head.getLong(1))).toDF("__band", "__bh")).get
     scan.collect()
     val plan = scan.queryExecution.executedPlan.toString
     plan should include("PartitionFilters")
