@@ -434,6 +434,79 @@ object Dedup {
       .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
   }
 
+  // ------------------------------------------- duplicated substring spans
+  /** Exact duplicated-substring SPANS — the span-level exact dedup of the
+    * published dedup literature (find every maximal token run whose
+    * k-grams all occur elsewhere in the corpus), complementing the
+    * whole-document operators: boilerplate headers, license blocks, and
+    * copy-pasted passages duplicate at span granularity long before two
+    * documents are near-duplicates.
+    *
+    * A position is duplicated iff its token k-gram occurs ≥ 2 times in
+    * the corpus (within- OR cross-document — a self-repeating document
+    * is duplication too); maximal runs of consecutive duplicated
+    * positions collapse to one span via gaps-and-islands. Output:
+    * (`doc_id`, `span_start`, `span_end`, `n_grams`) — 0-based token
+    * indices, span covers tokens [span_start, span_end], n_grams =
+    * duplicated k-grams inside it.
+    *
+    * Scale shape: one explode (corpus token count rows, 16 bytes each),
+    * one map-side-combining count by 64-bit gram hash, one SEMI-join
+    * back (duplicated-or-not is a membership test — a hot gram never
+    * fans out), one per-document window (bounded by document length).
+    * Nothing quadratic, nothing corpus². 64-bit gram hashing means a
+    * collision can mark a unique gram duplicated — vanishing at corpus
+    * scale and the standard trade everywhere else in this file.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    // POSITIONAL k-gram hashes — NOT plans.ShingleHashes, whose set
+    // semantics (right for MinHash sketches) would both drop within-doc
+    // repeats from the census and misalign positions after the dedup
+    val toks = TextAnalysis.tokens(qcol(textCol))
+    val gramHashes = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val grams = df.select(qcol(idCol).cast("long").as("doc_id"),
+        posexplode(gramHashes).as(Seq("__pos", "__h")))
+      // consumed by the duplicate census AND the semi-join probe side
+      .localCheckpoint(eager = true)
+    val dup = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("__h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
+    grams.join(dup, Seq("__h"), "left_semi")
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + lit(k - 1)).cast("int").as("span_end"),
+        count(lit(1)).cast("int").as("n_grams"))
+      .drop("__grp")
+  }
+
+  /** Per-document duplication profile over [[duplicatedSpans]]:
+    * (`doc_id`, `dup_tokens`, `total_tokens`, `dup_fraction`) — the
+    * filter-threshold signal (drop or trim documents past a duplicated
+    * fraction). Documents with no duplicated span report zero.
+    */
+  def spanDuplicationStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("__dup"))
+    df.select(qcol(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokenCount(qcol(textCol)).as("total_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__dup"), lit(0L)).cast("int").as("dup_tokens"),
+        col("total_tokens"),
+        round(coalesce(col("__dup"), lit(0L)) /
+          greatest(col("total_tokens").cast("double"), lit(1.0)), 4)
+          .as("dup_fraction"))
+  }
+
   // -------------------------------------------------- embedding cosine
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * key (pre-computed cluster/LSH bucket/label). The blocking key keeps the

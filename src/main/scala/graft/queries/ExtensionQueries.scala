@@ -308,6 +308,56 @@ object ExtensionQueries {
     * df > 1000 excluded from intersection AND sizes) so the comparison is
     * exact at every sf, not just where no shingle hits the cap.
     */
+  /** Span-level exact dedup: every maximal token run whose k-grams all
+    * occur ≥ 2 times in the corpus (the published exact-substring dedup
+    * granularity — boilerplate and copy-pasted passages duplicate at
+    * span level long before documents are near-duplicates). The oracle
+    * replays the whole pipeline in SQL — tokenize, enumerate k-grams,
+    * census, gaps-and-islands — so a boundary bug (off-by-one span end,
+    * a gram hash splitting a run) breaks the hash, not just the count.
+    */
+  val dedupSpans = q("x_dedup_spans",
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
+       |  FROM $docsWithCopiesSql),
+       |pos AS (
+       |  SELECT doc_id, u.i AS i, array_to_string(t[u.i:u.i+7], ' ') AS g
+       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+       |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
+       |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d)
+       |SELECT doc_id, CAST(min(i) - 1 AS INTEGER) AS span_start,
+       |       CAST(max(i) - 1 + 7 AS INTEGER) AS span_end,
+       |       CAST(count(*) AS INTEGER) AS n_grams
+       |FROM isl GROUP BY doc_id, grp""".stripMargin) { (s, dir) =>
+    Dedup.duplicatedSpans(docsWithCopies(s, dir), "doc_id", "text", k = 8)
+  }
+
+  /** The per-document duplication profile over the same spans — the
+    * filter-threshold signal (drop or trim documents past a duplicated
+    * fraction).
+    */
+  val dedupSpanStats = q("x_dedup_span_stats",
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
+       |  FROM $docsWithCopiesSql),
+       |pos AS (
+       |  SELECT doc_id, u.i AS i, array_to_string(t[u.i:u.i+7], ' ') AS g
+       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+       |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
+       |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d),
+       |spans AS (SELECT doc_id, min(i) - 1 AS s, max(i) - 1 + 7 AS e
+       |          FROM isl GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, sum(e - s + 1) AS dup FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       CAST(coalesce(a.dup, 0) AS INTEGER) AS dup_tokens,
+       |       CAST(len(t.t) AS INTEGER) AS total_tokens,
+       |       round(coalesce(a.dup, 0) / greatest(CAST(len(t.t) AS DOUBLE), 1.0), 4) AS dup_fraction
+       |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.spanDuplicationStats(docsWithCopies(s, dir), "doc_id", "text", k = 8)
+  }
+
   val dedupJaccard = q("x_dedup_ngram_jaccard",
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
@@ -1868,7 +1918,7 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
-    dedupComponents,
+    dedupComponents, dedupSpans, dedupSpanStats,
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     knnPqDelete, knnIvfPqRefine,

@@ -65,4 +65,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     pairs.toSeq shouldBe Seq((1L, 2L)) // 1-4 blocked apart, 1-3 orthogonal
   }
+
+  test("duplicated spans: maximal cross-doc and within-doc runs, 0-based token indices") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "a different sentence with the quick brown fox jumps inside it"),
+      (3L, "x y z x y z x y z"), // self-repeating: every 3-gram recurs
+      (4L, "nothing shared here at all"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 1: "the quick brown fox jumps" (tokens 0-4, 3 shared 3-grams);
+    // doc 2: same passage at tokens 4-8; doc 3: one maximal run covering
+    // the whole doc; doc 4: nothing
+    spans shouldBe Array((1L, 0, 4, 3), (2L, 4, 8, 3), (3L, 0, 8, 7))
+    val stats = Dedup.spanDuplicationStats(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    stats shouldBe Array(
+      (1L, 5, 9, 0.5556), (2L, 5, 11, 0.4545), (3L, 9, 9, 1.0), (4L, 0, 5, 0.0))
+  }
 }
