@@ -464,11 +464,17 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // POSITIONAL k-gram hashes — NOT plans.ShingleHashes, whose set
     // semantics (right for MinHash sketches) would both drop within-doc
-    // repeats from the census and misalign positions after the dedup
-    val toks = TextAnalysis.tokens(qcol(textCol))
-    val gramHashes = when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+    // repeats from the census and misalign positions after the dedup.
+    // Each token hashes once; a gram is the structural hash of its
+    // k-long token-hash slice — O(tokens·k) long ops instead of
+    // rebuilding an O(k)-char string per position (the gate corpus is
+    // too small for the difference to matter — its cost is the explode
+    // + joins, same family as ngramJaccardPairs — but at corpus scale
+    // the string rebuild is the avoidable term).
+    val th = transform(TextAnalysis.tokens(qcol(textCol)), t => xxhash64(t))
+    val gramHashes = when(size(th) >= k,
+        transform(sequence(lit(0), size(th) - k),
+          i => xxhash64(slice(th, i + 1, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
     val grams = df.select(qcol(idCol).cast("long").as("doc_id"),
         posexplode(gramHashes).as(Seq("__pos", "__h")))
