@@ -50,12 +50,16 @@ object Bpe {
   }
 
   /** Parse the public merges.txt format: one "left right" pair per line,
-    * earlier lines = higher priority; blank lines and `#…` headers skip.
+    * earlier lines = higher priority; blank lines and the `#version`
+    * header skip. ONLY the version header is a comment: byte-level mode
+    * preserves punctuation, so `# #` is a legitimate merge (markdown
+    * heading runs) that a blanket `#`-prefix filter would silently drop,
+    * shifting every later rank.
     */
   def parseMerges(lines: Seq[String]): BpeModel =
     BpeModel(lines.iterator
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .map { l =>
         val parts = l.split(" ")
         require(parts.length == 2, s"merges line is not 'left right': $l")
@@ -289,9 +293,16 @@ object Bpe {
     */
   object ByteLevel {
 
-    /** The byte-level pre-tokenizer pattern (public convention). */
+    /** The byte-level pre-tokenizer pattern (public convention). The
+      * inline (?U) makes Java's \s/\S Unicode-aware like the reference
+      * implementation's regex engine — without it U+00A0-class
+      * whitespace lands in the punctuation alternative and segmentation
+      * diverges on any non-ASCII-whitespace text. The flag rides the
+      * pattern string so [[pretokenize]] and the distributed
+      * `regexp_extract_all` learner compile identically.
+      */
     private[ext] val PatternStr =
-      """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+      """(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
     private val Pattern = java.util.regex.Pattern.compile(PatternStr)
 
     /** byte value → alphabet char: printable single-byte chars map to

@@ -499,9 +499,23 @@ object Dedup {
     */
   def spanDuplicationStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // spans can OVERLAP in token space (duplicated-position runs
+    // separated by < k positions each extend k-1 past their last gram) —
+    // dup_tokens counts the UNION of covered positions, so overlapping
+    // spans merge via the running-max interval sweep before summing
+    // (summing extents would overcount and dup_fraction could top 1.0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    val prevMax = max(col("span_end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
     val spans = duplicatedSpans(df, idCol, textCol, k)
+      .withColumn("__new",
+        when(col("span_start") > coalesce(prevMax, lit(-1)), 1).otherwise(0))
+      .withColumn("__g", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(min(col("span_start")).as("__s"), max(col("span_end")).as("__e"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("span_end") - col("span_start") + 1).as("__dup"))
+      .agg(sum(col("__e") - col("__s") + 1).as("__dup"))
     df.select(qcol(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokenCount(qcol(textCol)).as("total_tokens"))
       .join(spans, Seq("doc_id"), "left")

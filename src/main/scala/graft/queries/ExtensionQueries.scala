@@ -349,7 +349,15 @@ object ExtensionQueries {
        |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d),
        |spans AS (SELECT doc_id, min(i) - 1 AS s, max(i) - 1 + 7 AS e
        |          FROM isl GROUP BY doc_id, grp),
-       |agg AS (SELECT doc_id, sum(e - s + 1) AS dup FROM spans GROUP BY doc_id)
+       |mk AS (SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS nw
+       |       FROM spans),
+       |grp2 AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+       |           ROWS UNBOUNDED PRECEDING) AS g FROM mk),
+       |uni AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp2 GROUP BY doc_id, g),
+       |agg AS (SELECT doc_id, sum(e - s + 1) AS dup FROM uni GROUP BY doc_id)
        |SELECT t.doc_id,
        |       CAST(coalesce(a.dup, 0) AS INTEGER) AS dup_tokens,
        |       CAST(len(t.t) AS INTEGER) AS total_tokens,

@@ -285,19 +285,34 @@ object DocStreams {
     // batches. The index records its paired checkpoint on first use and
     // every later run must present the same one.
     val idFile = s"$indexDir/_stream_checkpoint"
-    if (Hfs.exists(spark, idFile)) {
-      val paired = Hfs.readString(spark, idFile)
-      require(paired == checkpointDir,
-        s"$indexDir is paired with streaming checkpoint '$paired' but this " +
-          s"run supplied '$checkpointDir' — batch ids from a different " +
-          "checkpoint collide with the index's _batch_* markers (lost or " +
-          "doubled appends); reuse the original checkpointLocation (or " +
-          "rebuild the index and start fresh)")
-    } else {
-      require(!Hfs.list(spark, indexDir).exists(_.startsWith("_batch_")),
-        s"$indexDir carries _batch_* markers but no checkpoint pairing " +
-          "record (pre-pairing layout) — rebuild the index and start fresh")
-      Hfs.writeString(spark, idFile, checkpointDir)
+    // identity comparisons use the filesystem-qualified spelling so
+    // "/a/b", "/a/b/" and "file:/a/b" don't spuriously refuse
+    val ckptId = Hfs.qualified(spark, checkpointDir)
+    val paired =
+      if (Hfs.exists(spark, idFile)) Some(Hfs.readString(spark, idFile))
+        .filter(_.nonEmpty) // a zero-byte record is absent, not corrupt
+      else None
+    paired match {
+      case Some(p) =>
+        require(p == ckptId,
+          s"$indexDir is paired with streaming checkpoint '$p' but this " +
+            s"run supplied '$ckptId' — batch ids from a different " +
+            "checkpoint collide with the index's _batch_* markers (lost or " +
+            "doubled appends); reuse the original checkpointLocation (or " +
+            "rebuild the index and start fresh)")
+      case None =>
+        // grandfather a pre-pairing index: markers + an established
+        // checkpoint (commits log) is the legitimate resume case the old
+        // probe accepted — adopt the pairing; markers with a FRESH
+        // checkpoint is the id-collision case and still refuses
+        require(
+          !Hfs.list(spark, indexDir).exists(_.startsWith("_batch_")) ||
+            Hfs.exists(spark, s"$checkpointDir/commits"),
+          s"$indexDir carries _batch_* markers but $checkpointDir is not " +
+            "an established checkpoint — batch ids would restart at 0 and " +
+            "map onto already-published batches; reuse the original " +
+            "checkpointLocation (or rebuild the index and start fresh)")
+        Hfs.writeString(spark, idFile, ckptId)
     }
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

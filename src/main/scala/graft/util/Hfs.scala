@@ -68,12 +68,27 @@ object Hfs {
     ()
   }
 
-  /** Write a small UTF-8 marker/identity file (overwrites). */
+  /** Write a small UTF-8 marker/identity file atomically: full content to
+    * a temp sibling, then one rename — a crash mid-write cannot leave a
+    * truncated file that later reads as a corrupt-but-present record.
+    */
   def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val (f, p) = fs(spark, path)
-    val out = f.create(p, true)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"atomic write rename failed: $path")
+  }
+
+  /** The path as its filesystem qualifies it (scheme + authority +
+    * normalized form) — the stable spelling for identity comparisons.
+    */
+  def qualified(spark: SparkSession, path: String): String = {
+    val (f, p) = fs(spark, path)
+    f.makeQualified(p).toString
   }
 
   /** Read a small UTF-8 file fully. */

@@ -115,5 +115,13 @@ class BpeSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/bl_merges.txt"
     Bpe.saveMerges(learned, path)
     Bpe.loadMerges(path).merges shouldBe learned.merges
+    // '#' is a legitimate byte-level symbol (markdown headings): only the
+    // #version header is a comment — a '# #' merge must survive parsing
+    Bpe.parseMerges(Seq("#version: 0.2", "# #", "## #")).merges shouldBe
+      Vector(("#", "#"), ("##", "#"))
+    // Unicode whitespace segments as whitespace (the (?U) flag): NBSP
+    // takes the \\s+ alternative instead of gluing into a punctuation
+    // pre-token (only 0x20 itself attaches to a following word)
+    ByteLevel.pretokenize("a\u00a0b") shouldBe Array("a", "\u00a0", "b")
   }
 }

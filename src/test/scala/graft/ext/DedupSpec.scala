@@ -72,18 +72,29 @@ class DedupSpec extends SparkSpec {
       (2L, "a different sentence with the quick brown fox jumps inside it"),
       (3L, "x y z x y z x y z"), // self-repeating: every 3-gram recurs
       (4L, "nothing shared here at all"),
+      // docs 5/6 share "p q r" and "r s t" but NOT "q r s": doc 5's two
+      // spans OVERLAP in token space (positions 0 and 2 duplicated,
+      // 1 not) — the stats below must count the union, not the sum
+      (5L, "p q r s t"),
+      (6L, "p q r x x x x r s t"),
     ).toDF("doc_id", "text")
     val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
       .orderBy("doc_id", "span_start").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
     // doc 1: "the quick brown fox jumps" (tokens 0-4, 3 shared 3-grams);
     // doc 2: same passage at tokens 4-8; doc 3: one maximal run covering
-    // the whole doc; doc 4: nothing
-    spans shouldBe Array((1L, 0, 4, 3), (2L, 4, 8, 3), (3L, 0, 8, 7))
+    // the whole doc; doc 4: nothing; doc 5: overlapping spans; doc 6:
+    // three separate spans ("x x x" repeats within-doc at positions 3-4)
+    spans shouldBe Array((1L, 0, 4, 3), (2L, 4, 8, 3), (3L, 0, 8, 7),
+      (5L, 0, 2, 1), (5L, 2, 4, 1),
+      (6L, 0, 2, 1), (6L, 3, 6, 2), (6L, 7, 9, 1))
     val stats = Dedup.spanDuplicationStats(docs, "doc_id", "text", k = 3)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // doc 5: union of [0,2] and [2,4] is 5 tokens (a naive extent sum
+    // would claim 6 of 5 = fraction 1.2)
     stats shouldBe Array(
-      (1L, 5, 9, 0.5556), (2L, 5, 11, 0.4545), (3L, 9, 9, 1.0), (4L, 0, 5, 0.0))
+      (1L, 5, 9, 0.5556), (2L, 5, 11, 0.4545), (3L, 9, 9, 1.0), (4L, 0, 5, 0.0),
+      (5L, 5, 5, 1.0), (6L, 10, 10, 1.0))
   }
 }

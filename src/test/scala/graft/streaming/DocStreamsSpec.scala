@@ -147,6 +147,14 @@ class DocStreamsSpec extends SparkSpec {
     rollbackCommit1()
     DocStreams.runIvfPqAppendOnce(spark, spool, idx, ckpt)
     servedTop() shouldBe clean
+
+    // pre-pairing layout (markers, no identity record) with its legitimate
+    // established checkpoint: adopted, not refused — and the pairing file
+    // is re-created for the next run
+    graft.util.Hfs.delete(spark, s"$idx/_stream_checkpoint")
+    DocStreams.runIvfPqAppendOnce(spark, spool, idx, ckpt)
+    servedTop() shouldBe clean
+    graft.util.Hfs.exists(spark, s"$idx/_stream_checkpoint") shouldBe true
   }
 
   test("streaming dedup maintains duplicate clusters: incremental components equal the batch form") {
