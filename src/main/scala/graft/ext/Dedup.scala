@@ -527,6 +527,38 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** The REMEDIATION half of span-level dedup: rewrite each document
+    * with every duplicated span's tokens removed (the published
+    * exact-substring pipelines cut the repeated passages from training
+    * text rather than dropping whole documents). Output:
+    * (`doc_id`, `clean_text`) for EVERY input document — a fully
+    * duplicated (or token-less) document keeps a row with an empty
+    * string, so the drop decision stays a separate, visible filter.
+    *
+    * Tokens are the lowercase word tokens the span indices refer to;
+    * the rewrite joins survivors with single spaces (original casing,
+    * punctuation and spacing are not reconstructed — the output is the
+    * training-text form, same normalization as every operator here).
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val covered = duplicatedSpans(df, idCol, textCol, k)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
+      .distinct() // overlapping spans cover positions twice
+    val toks = df.select(qcol(idCol).cast("long").as("doc_id"),
+      posexplode(TextAnalysis.tokens(qcol(textCol))).as(Seq("__pos", "__t")))
+    val kept = toks.join(covered, Seq("doc_id", "__pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      // order survives the shuffle via sort_array over (pos, token)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__t")))),
+        s => s.getField("__t")), " ").as("__clean"))
+    df.select(qcol(idCol).cast("long").as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   // -------------------------------------------------- embedding cosine
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * key (pre-computed cluster/LSH bucket/label). The blocking key keeps the

@@ -366,6 +366,34 @@ object ExtensionQueries {
     Dedup.spanDuplicationStats(docsWithCopies(s, dir), "doc_id", "text", k = 8)
   }
 
+  /** The remediation half: documents rewritten with duplicated spans
+    * CUT (the published exact-substring pipelines remove the repeated
+    * passages from training text; the drop decision stays a separate
+    * filter). Every input doc keeps a row — fully-duplicated docs carry
+    * the empty string. Oracle rebuilds the rewrite token-by-token.
+    */
+  val dedupSpanRemove = q("x_dedup_span_remove",
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
+       |  FROM $docsWithCopiesSql),
+       |pos AS (
+       |  SELECT doc_id, u.i AS i, array_to_string(t[u.i:u.i+7], ' ') AS g
+       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+       |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
+       |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d),
+       |spans AS (SELECT doc_id, min(i) - 1 AS s, max(i) - 1 + 7 AS e FROM isl GROUP BY doc_id, grp),
+       |cov AS (SELECT DISTINCT doc_id, u.p AS p FROM spans, UNNEST(generate_series(s, e)) AS u(p)),
+       |tk AS (SELECT doc_id, u.i AS i, t[u.i] AS tok FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+       |kept AS (
+       |  SELECT tk.doc_id AS kid, string_agg(tk.tok, ' ' ORDER BY tk.i) AS clean
+       |  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.i - 1 = cov.p
+       |  WHERE cov.p IS NULL GROUP BY tk.doc_id)
+       |SELECT t.doc_id, coalesce(k.clean, '') AS clean_text
+       |FROM toks t LEFT JOIN kept k ON t.doc_id = k.kid""".stripMargin) { (s, dir) =>
+    Dedup.removeDuplicatedSpans(docsWithCopies(s, dir), "doc_id", "text", k = 8)
+  }
+
   val dedupJaccard = q("x_dedup_ngram_jaccard",
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
@@ -1926,7 +1954,7 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
-    dedupComponents, dedupSpans, dedupSpanStats,
+    dedupComponents, dedupSpans, dedupSpanStats, dedupSpanRemove,
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     knnPqDelete, knnIvfPqRefine,

@@ -96,5 +96,16 @@ class DedupSpec extends SparkSpec {
     stats shouldBe Array(
       (1L, 5, 9, 0.5556), (2L, 5, 11, 0.4545), (3L, 9, 9, 1.0), (4L, 0, 5, 0.0),
       (5L, 5, 5, 1.0), (6L, 10, 10, 1.0))
+    // remediation: duplicated spans cut, survivors keep document order,
+    // fully-duplicated docs keep a row with the empty string
+    val cleaned = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    cleaned shouldBe Array(
+      (1L, "over the lazy dog"),
+      (2L, "a different sentence with inside it"),
+      (3L, ""),
+      (4L, "nothing shared here at all"),
+      (5L, ""),
+      (6L, ""))
   }
 }

@@ -201,6 +201,22 @@ class PlanAssertionsSpec extends SparkSpec {
       .exists(_.output.map(_.name).contains("__l")) shouldBe true
   }
 
+  test("duplicated-span census is a semi-join membership test with a doc-partitioned window") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, if (i % 5 == 0) "shared boiler plate block here now" else s"unique text $i words here now ok"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+    out.collect()
+    val plan = finalPlan(out)
+    // duplicated-or-not is MEMBERSHIP: a hot gram must never fan out
+    // through an inner join (corpus-scale boilerplate would square)
+    plan.toString should include("LeftSemi")
+    // the islands window partitions by document — never a single-partition
+    // global sort over the corpus positions
+    allNodes(plan).collect { case w: WindowExec => w }
+      .foreach(w => w.partitionSpec should not be empty)
+  }
+
   test("exact quantiles never collect a group into one aggregation buffer") {
     val df = (1 to 400).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
     val out = graft.ext.Stats.quantileCont(df, "g", "v", Seq("p50" -> 0.5))
