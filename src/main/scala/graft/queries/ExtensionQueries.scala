@@ -308,6 +308,24 @@ object ExtensionQueries {
     * df > 1000 excluded from intersection AND sizes) so the comparison is
     * exact at every sf, not just where no shingle hits the cap.
     */
+  /** The shared span-pipeline CTE prefix (tokenize → k-gram enumeration
+    * → census → islands → spans) used by all three span oracles — k=8 is
+    * baked in as the literal 7s; change it HERE and in the three Scala
+    * calls together, never in one oracle alone.
+    */
+  private val spanCtePrefix =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
+       |  FROM $docsWithCopiesSql),
+       |pos AS (
+       |  SELECT doc_id, u.i AS i, array_to_string(t[u.i:u.i+7], ' ') AS g
+       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+       |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
+       |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d),
+       |spans AS (SELECT doc_id, min(i) - 1 AS s, max(i) - 1 + 7 AS e
+       |          FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   /** Span-level exact dedup: every maximal token run whose k-grams all
     * occur ≥ 2 times in the corpus (the published exact-substring dedup
     * granularity — boilerplate and copy-pasted passages duplicate at
@@ -317,15 +335,7 @@ object ExtensionQueries {
     * a gram hash splitting a run) breaks the hash, not just the count.
     */
   val dedupSpans = q("x_dedup_spans",
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
-       |  FROM $docsWithCopiesSql),
-       |pos AS (
-       |  SELECT doc_id, u.i AS i, array_to_string(t[u.i:u.i+7], ' ') AS g
-       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
-       |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
-       |d AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
-       |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d)
+    s"""$spanCtePrefix
        |SELECT doc_id, CAST(min(i) - 1 AS INTEGER) AS span_start,
        |       CAST(max(i) - 1 + 7 AS INTEGER) AS span_end,
        |       CAST(count(*) AS INTEGER) AS n_grams
@@ -338,17 +348,7 @@ object ExtensionQueries {
     * fraction).
     */
   val dedupSpanStats = q("x_dedup_span_stats",
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
-       |  FROM $docsWithCopiesSql),
-       |pos AS (
-       |  SELECT doc_id, u.i AS i, array_to_string(t[u.i:u.i+7], ' ') AS g
-       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
-       |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
-       |d AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
-       |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d),
-       |spans AS (SELECT doc_id, min(i) - 1 AS s, max(i) - 1 + 7 AS e
-       |          FROM isl GROUP BY doc_id, grp),
+    s"""$spanCtePrefix,
        |mk AS (SELECT doc_id, s, e,
        |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
@@ -373,16 +373,7 @@ object ExtensionQueries {
     * the empty string. Oracle rebuilds the rewrite token-by-token.
     */
   val dedupSpanRemove = q("x_dedup_span_remove",
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
-       |  FROM $docsWithCopiesSql),
-       |pos AS (
-       |  SELECT doc_id, u.i AS i, array_to_string(t[u.i:u.i+7], ' ') AS g
-       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
-       |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
-       |d AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
-       |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d),
-       |spans AS (SELECT doc_id, min(i) - 1 AS s, max(i) - 1 + 7 AS e FROM isl GROUP BY doc_id, grp),
+    s"""$spanCtePrefix,
        |cov AS (SELECT DISTINCT doc_id, u.p AS p FROM spans, UNNEST(generate_series(s, e)) AS u(p)),
        |tk AS (SELECT doc_id, u.i AS i, t[u.i] AS tok FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
        |kept AS (

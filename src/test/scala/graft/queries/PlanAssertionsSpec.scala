@@ -212,9 +212,11 @@ class PlanAssertionsSpec extends SparkSpec {
     // through an inner join (corpus-scale boilerplate would square)
     plan.toString should include("LeftSemi")
     // the islands window partitions by document — never a single-partition
-    // global sort over the corpus positions
-    allNodes(plan).collect { case w: WindowExec => w }
-      .foreach(w => w.partitionSpec should not be empty)
+    // global sort over the corpus positions (and the window must actually
+    // be found, or the invariant silently stops being checked)
+    val windows = allNodes(plan).collect { case w: WindowExec => w }
+    windows should not be empty
+    windows.foreach(w => w.partitionSpec should not be empty)
   }
 
   test("exact quantiles never collect a group into one aggregation buffer") {
