@@ -494,7 +494,12 @@ object AnnIndex {
         // with the liveness predicate under a conditional count instead
         // of a second scan
         val dead = t.groupBy(col("__id")).agg(max(col("__seq")).as("__tseq"))
-        val r = spark.read.parquet(table).select(col("__id"), col("__seq"))
+        // pre-tombstone-layout tables have no __seq column (liveOnly
+        // reads them as seq 0); mirror that here instead of throwing
+        val stored = spark.read.parquet(table)
+        val seqCol =
+          if (stored.columns.contains("__seq")) col("__seq") else lit(0L)
+        val r = stored.select(col("__id"), seqCol.as("__seq"))
           .join(broadcast(dead), Seq("__id"), "left")
           .agg(count(lit(1)).as("__total"),
             count(when(col("__tseq").isNull ||

@@ -50,21 +50,29 @@ object Bpe {
   }
 
   /** Parse the public merges.txt format: one "left right" pair per line,
-    * earlier lines = higher priority; blank lines and the `#version`
-    * header skip. ONLY the version header is a comment: byte-level mode
+    * earlier lines = higher priority; blank lines skip, and a
+    * `#version:` header is recognized ONLY as the first line (the
+    * published placement). Nothing else is a comment: byte-level mode
     * preserves punctuation, so `# #` is a legitimate merge (markdown
-    * heading runs) that a blanket `#`-prefix filter would silently drop,
-    * shifting every later rank.
+    * heading runs) — and even a first-position left symbol spelled
+    * `#version` (no colon) parses as data. A blanket `#`- or
+    * `#version`-prefix filter would silently drop such lines, shifting
+    * every later rank.
     */
-  def parseMerges(lines: Seq[String]): BpeModel =
-    BpeModel(lines.iterator
+  def parseMerges(lines: Seq[String]): BpeModel = {
+    val body = lines match {
+      case head +: tail if head.trim.startsWith("#version:") => tail
+      case _ => lines
+    }
+    BpeModel(body.iterator
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#version"))
+      .filter(_.nonEmpty)
       .map { l =>
         val parts = l.split(" ")
         require(parts.length == 2, s"merges line is not 'left right': $l")
         (parts(0), parts(1))
       }.toVector)
+  }
 
   def formatMerges(model: BpeModel): Seq[String] =
     model.merges.map { case (a, b) => s"$a $b" }

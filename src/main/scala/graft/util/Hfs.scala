@@ -69,18 +69,23 @@ object Hfs {
   }
 
   /** Write a small UTF-8 marker/identity file atomically: full content to
-    * a temp sibling, then one rename — a crash mid-write cannot leave a
-    * truncated file that later reads as a corrupt-but-present record.
+    * a temp sibling, then ONE overwrite-rename — a crash mid-write cannot
+    * leave a truncated file, and a crash mid-publish cannot leave the
+    * target ABSENT either (a delete-then-rename pair has that window; for
+    * the `_stream_checkpoint` identity record an absent file silently
+    * downgrades the pairing guard to the adopt-anything grandfather path).
     */
   def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val (f, p) = fs(spark, path)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val qp = f.makeQualified(p)
+    val tmp = f.makeQualified(new Path(p.getParent, s".${p.getName}.tmp"))
     val out = f.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(p, false)
-    if (!f.rename(tmp, p))
-      throw new IllegalStateException(s"atomic write rename failed: $path")
+    // FileContext.rename(OVERWRITE) replaces the destination in a single
+    // FS operation (FileSystem.rename has no overwrite mode).
+    org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf(spark))
+      .rename(tmp, qp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The path as its filesystem qualifies it (scheme + authority +

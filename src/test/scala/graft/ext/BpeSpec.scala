@@ -119,6 +119,13 @@ class BpeSpec extends SparkSpec {
     // #version header is a comment — a '# #' merge must survive parsing
     Bpe.parseMerges(Seq("#version: 0.2", "# #", "## #")).merges shouldBe
       Vector(("#", "#"), ("##", "#"))
+    // the header is positional: only a FIRST line spelled '#version:' is
+    // skipped — a colonless '#version x' first line is data, and a later
+    // '#version:'-prefixed line is data too (rank-shift regression guard)
+    Bpe.parseMerges(Seq("#version x", "a b")).merges shouldBe
+      Vector(("#version", "x"), ("a", "b"))
+    Bpe.parseMerges(Seq("#version: 0.2", "#version: 0.3")).merges shouldBe
+      Vector(("#version:", "0.3"))
     // Unicode whitespace segments as whitespace (the (?U) flag): NBSP
     // takes the \\s+ alternative instead of gluing into a punctuation
     // pre-token (only 0x20 itself attaches to a following word)

@@ -382,6 +382,22 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").collect().toSeq shouldBe ivfBefore
   }
 
+  test("tombstone debt reads pre-tombstone-layout tables (no __seq column) as generation 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/legacy"
+    AnnIndex.buildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
+    // simulate an index written before the tombstone layout: strip __seq
+    // from the stored codes (liveOnly's documented legacy shape)
+    spark.read.parquet(s"$dir/codes").drop("__seq")
+      .write.parquet(s"$dir/codes_legacy")
+    graft.util.Hfs.delete(spark, s"$dir/codes")
+    graft.util.Hfs.rename(spark, s"$dir/codes_legacy", s"$dir/codes") shouldBe true
+    // a later delete must still be measurable: debt substitutes seq 0 for
+    // the missing column instead of throwing AnalysisException
+    AnnIndex.deleteIds(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    AnnIndex.tombstoneDebt(spark, dir) shouldBe 0.2 +- 1e-9
+    AnnIndex.compactIfNeeded(spark, dir) shouldBe false // 0.2 < default 0.25
+  }
+
   test("compaction drops dead rows physically, keeps the served ranking, resets the tombstone log") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
     AnnIndex.buildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
