@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** Batched load with optional upsert (find-by-key → update-else-create) and
   * per-row result accounting.
@@ -197,6 +197,45 @@ object Upsert {
       .select(coalesce(col("__ak"), col("__bk")).as(key), col("change"))
   }
 
+  /** The swap's filesystem, resolved through the Hadoop layer — the SAME
+    * layer Spark's reads and writes go through, so the probes and moves
+    * agree with the data access on every scheme (a `java.nio` probe of an
+    * `hdfs://` table always answers "absent", which turned a live table
+    * into a silently-empty merge target; the index layer fixed this class
+    * of split-brain in [[graft.util.Hfs]], this is the table layer's turn).
+    */
+  private def swapFs(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
+  }
+
+  /** Schemes whose DIRECTORY rename is a single atomic metadata operation
+    * — the property the two-move swap protocol depends on. Object stores
+    * (s3a, gs, abfs, …) emulate rename as copy-then-delete; a swap there
+    * could expose a partial or mixed table to a concurrent reader, so it
+    * refuses loudly at plan time instead of failing as silent corruption.
+    */
+  private val atomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  private def requireAtomicRename(fs: FileSystem, p: HPath): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    require(atomicRenameSchemes.contains(scheme),
+      s"table swap requires atomic directory rename, which scheme '$scheme' " +
+        s"($p) does not provide — write the table on file/hdfs/viewfs, or use " +
+        "a commit-log table format for object stores")
+  }
+
+  /** Hadoop `rename` onto an EXISTING directory nests src INSIDE dst (mv
+    * semantics) rather than failing; the swap protocol guarantees dst is
+    * absent at every move, so enforce it and surface a real error.
+    */
+  private def renameStrict(fs: FileSystem, src: HPath, dst: HPath): Unit = {
+    if (fs.exists(dst))
+      throw new IllegalStateException(s"swap target exists, refusing rename: $dst")
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"swap rename failed: $src -> $dst")
+  }
+
   /** Crash recovery for the two-move swap: if a prior swap died between
     * move(dir->bak) and move(tmp->dir), the table dir is missing and .bak
     * holds the ONLY copy — move it back. Callers that read `tableDir` as
@@ -206,10 +245,11 @@ object Upsert {
     * No-op when the dir exists or there is no .bak.
     */
   def restoreIfCrashed(tableDir: String): Unit = {
-    val dir = Paths.get(tableDir)
-    val bak = Paths.get(tableDir + ".bak")
-    if (Files.exists(bak) && !Files.exists(dir)) {
-      Files.move(bak, dir, StandardCopyOption.ATOMIC_MOVE)
+    val (fs, dir) = swapFs(tableDir)
+    val bak = new HPath(tableDir + ".bak")
+    if (fs.exists(bak) && !fs.exists(dir)) {
+      requireAtomicRename(fs, dir)
+      renameStrict(fs, bak, dir)
     }
   }
 
@@ -232,28 +272,24 @@ object Upsert {
     * a true post-swap leftover, and clean up the replaced generation.
     */
   def swapDirs(tmpDir: String, targetDir: String): Unit = {
-    val dir = Paths.get(targetDir)
-    val bak = Paths.get(targetDir + ".bak")
+    val (fs, dir) = swapFs(targetDir)
+    requireAtomicRename(fs, dir)
+    val bak = new HPath(targetDir + ".bak")
     restoreIfCrashed(targetDir)
-    if (Files.exists(bak)) {
+    if (fs.exists(bak)) {
       // dir also exists (the missing-dir case was restored above), so
-      // this .bak is a true post-swap leftover; ATOMIC_MOVE onto a
-      // non-empty directory would fail and wedge every later swap of
-      // this target — clear it first
-      deleteTree(bak)
+      // this .bak is a true post-swap leftover; a rename onto it would
+      // nest the live generation inside it and wedge every later swap
+      // of this target — clear it first
+      fs.delete(bak, true)
     }
-    if (Files.exists(dir)) {
-      Files.move(dir, bak, StandardCopyOption.ATOMIC_MOVE)
+    if (fs.exists(dir)) {
+      renameStrict(fs, dir, bak)
     }
-    Files.move(Paths.get(tmpDir), dir, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(bak)) {
+    renameStrict(fs, new HPath(tmpDir), dir)
+    if (fs.exists(bak)) {
       // best-effort cleanup of the previous generation
-      deleteTree(bak)
+      fs.delete(bak, true)
     }
-  }
-
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(q => Files.deleteIfExists(q))
   }
 }

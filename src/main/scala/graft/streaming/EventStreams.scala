@@ -390,8 +390,7 @@ object EventStreams {
     */
   def runUpsertOnce(spark: SparkSession, spoolDir: String, tableDir: String,
       key: String): (Long, Long) = {
-    val dir = new java.io.File(tableDir)
-    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    graft.util.Hfs.delete(spark, tableDir)
     var created = 0L
     var updated = 0L
     // per-batch merges are small (one spool file vs the live table); the
@@ -419,7 +418,7 @@ object EventStreams {
         // empty table (Upsert.restoreIfCrashed doc)
         graft.operators.Upsert.restoreIfCrashed(tableDir)
         val target =
-          if (new java.io.File(tableDir).exists()) spark.read.parquet(tableDir)
+          if (graft.util.Hfs.exists(spark, tableDir)) spark.read.parquet(tableDir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val r = graft.operators.Upsert.merge(target, batch.toDF(), key, upsert = true)

@@ -143,6 +143,16 @@ class UpsertSpec extends SparkSpec {
     new java.io.File(dir + ".bak").exists() shouldBe true
   }
 
+  test("swapDirs refuses schemes without atomic directory rename") {
+    // ftp has a FileSystem impl in hadoop-common but rename there is not
+    // an atomic metadata operation; the swap must refuse at plan time
+    // (instantiation parses the URI only — no connection is attempted)
+    val e = intercept[IllegalArgumentException] {
+      Upsert.swapDirs("ftp://example.invalid/t.tmp", "ftp://example.invalid/t")
+    }
+    e.getMessage should include("atomic directory rename")
+  }
+
   test("writeSwap after a crashed swap preserves the stranded generation") {
     // the data-loss scenario from the crash-recovery doc: .bak is the only
     // copy; a later writeSwap must restore it (so the lazy merge reads it)
