@@ -114,8 +114,7 @@ object IncrementalComponents {
         val memberEdges = members
           .select(col("id").as("u"), col("component").as("v"))
           .filter(col("u") =!= col("v"))
-        (edges.unionByName(memberEdges),
-          stored.agg(max(col("__seq"))).head().getLong(0) + 1L)
+        (edges.unionByName(memberEdges), readNextSeq(spark, compsDir))
       }
     val sample = subEdges.limit(maxDriverEdges + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -129,8 +128,34 @@ object IncrementalComponents {
           .unionByName(subEdges.select(col("v").as("id"))).distinct()
         Dedup.connectedComponents(nodes, "id", subEdges, "u", "v", maxIter)
       }
-    labels.withColumn("__seq", lit(seq))
-      .write.mode(if (exists) "append" else "overwrite").parquet(compsDir)
+    val stamped = labels.withColumn("__seq", lit(seq))
+    if (exists) {
+      // counter FIRST, labels second: a crash between the two leaves a
+      // gap in the sequence (harmless); the reverse order could reuse a
+      // seq, making the per-id max_by ambiguous between two generations
+      graft.util.Hfs.writeString(spark, s"$compsDir/_next_seq", (seq + 1L).toString)
+      stamped.write.mode("append").parquet(compsDir)
+    } else {
+      // first generation: overwrite clears the dir, so the counter can
+      // only land after; a crash between the two is the pre-sidecar
+      // store shape, which the fallback scan reads correctly
+      stamped.write.mode("overwrite").parquet(compsDir)
+      graft.util.Hfs.writeString(spark, s"$compsDir/_next_seq", (seq + 1L).toString)
+    }
+  }
+
+  /** The next label generation, from the `_next_seq` sidecar — one tiny
+    * file read per update instead of a `max(__seq)` column scan whose
+    * cost grows with the store's label history (an underscore name, so
+    * parquet readers ignore it like `_SUCCESS`). A pre-sidecar store
+    * pays the scan once more and adopts the sidecar on that update.
+    */
+  private def readNextSeq(spark: SparkSession, compsDir: String): Long = {
+    val f = s"$compsDir/_next_seq"
+    if (graft.util.Hfs.exists(spark, f))
+      graft.util.Hfs.readString(spark, f).trim.toLong
+    else
+      spark.read.parquet(compsDir).agg(max(col("__seq"))).head().getLong(0) + 1L
   }
 
   /** In-memory union-find with path halving + union-by-min: every node

@@ -168,7 +168,12 @@ object DocStreams {
           // writer swaps this for repartition(col("__pb")).
           bandedNew.coalesce(1)
             .write.mode("append").partitionBy("__pb").parquet(sigsPath)
-          spark.catalog.refreshByPath(sigsPath)
+          // invalidate any cached listings for the partitions this batch
+          // appended to — scoped to the TOUCHED dirs so the per-batch
+          // refresh cost is bounded by the batch's partition set, not by
+          // the store's size or history (the store-wide form re-walked
+          // everything under sigsPath every batch)
+          pbs.foreach(p => spark.catalog.refreshByPath(s"$sigsPath/__pb=$p"))
           if (withComponents)
             // cached-pairs emptiness probe: a no-candidate batch (the
             // common trickle case) must not pay update()'s store actions

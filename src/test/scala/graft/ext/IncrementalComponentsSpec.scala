@@ -33,6 +33,23 @@ class IncrementalComponentsSpec extends SparkSpec {
     fin shouldBe batch
   }
 
+  test("generation counter rides the _next_seq sidecar; pre-sidecar stores adopt it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_comps").toString + "/c"
+    IncrementalComponents.update(spark, dir, Seq((1L, 2L)).toDF("id_a", "id_b"))
+    IncrementalComponents.update(spark, dir, Seq((2L, 3L)).toDF("id_a", "id_b"))
+    // two generations written → the sidecar holds the NEXT seq (2)
+    graft.util.Hfs.readString(spark, s"$dir/_next_seq").trim shouldBe "2"
+    // a store written before the sidecar existed: delete it — the next
+    // update must fall back to the one-time max(__seq) scan, NOT restart
+    // at 0 (a reused seq would make the per-id max_by ambiguous)
+    graft.util.Hfs.delete(spark, s"$dir/_next_seq")
+    IncrementalComponents.update(spark, dir, Seq((3L, 9L)).toDF("id_a", "id_b"))
+    graft.util.Hfs.readString(spark, s"$dir/_next_seq").trim shouldBe "3"
+    spark.read.parquet(dir).agg(org.apache.spark.sql.functions.max($"__seq"))
+      .head().getLong(0) shouldBe 2L
+    labels(dir) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L)
+  }
+
   test("readWithNodes pads isolated nodes; empty updates are no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inc_comps").toString + "/c"
     // empty update against a missing store: nothing written, read-side safe
