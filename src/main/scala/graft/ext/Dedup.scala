@@ -562,8 +562,18 @@ object Dedup {
   // -------------------------------------------------- embedding cosine
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * key (pre-computed cluster/LSH bucket/label). The blocking key keeps the
-    * pair space linear-ish; pass a constant column to force all-pairs (small
-    * data only).
+    * pair space linear-ish.
+    *
+    * A block of m rows self-joins into m²/2 pairs, so a constant or skewed
+    * blocking key would silently go quadratic. Blocks larger than
+    * `maxBlockSize` are therefore DROPPED from pairing entirely (the
+    * `maxBucketSize` discipline of [[minhashCandidates]] /
+    * [[simhashCandidates]]): an oversized block carries no dedup signal
+    * proportional to its cost, and dropping keeps the worst-case join
+    * fan-out at maxBlockSize² per block instead of corpus². To force
+    * all-pairs on genuinely small data, pass a constant block column AND
+    * raise `maxBlockSize` past the row count — the cap makes that choice
+    * explicit rather than a silent default.
     *
     * Output: (`id_a`, `id_b`, `cosine`).
     */
@@ -573,11 +583,19 @@ object Dedup {
       vecCol: String,
       blockCol: String,
       threshold: Double = 0.99,
+      maxBlockSize: Int = 10000,
   ): DataFrame = {
     val base = df.select(qcol(blockCol).as("__blk"), qcol(idCol).cast("long").as("__id"),
       qcol(vecCol).as("__v"))
-    val a = base.select(col("__blk"), col("__id").as("id_a"), col("__v").as("__va"))
-    val b = base.select(col("__blk"), col("__id").as("id_b"), col("__v").as("__vb"))
+    // size gate first: only blocks that can produce a pair (n > 1) and are
+    // below the fan-out cap reach the self-join
+    val okBlocks = base.groupBy(col("__blk"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBlockSize)
+      .select(col("__blk"))
+    val gated = base.join(okBlocks, Seq("__blk"), "left_semi")
+    val a = gated.select(col("__blk"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = gated.select(col("__blk"), col("__id").as("id_b"), col("__v").as("__vb"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -66,6 +66,25 @@ class DedupSpec extends SparkSpec {
     pairs.toSeq shouldBe Seq((1L, 2L)) // 1-4 blocked apart, 1-3 orthogonal
   }
 
+  test("embedding cosine pairs drop blocks beyond maxBlockSize") {
+    // one hot block (0: 4 rows) + one small block (1: 2 rows); cap at 3
+    // must drop the hot block's pairs entirely and keep the small block's
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0),
+      (3L, Array(3.0f, 0.0f), 0), (4L, Array(4.0f, 0.0f), 0),
+      (5L, Array(0.0f, 1.0f), 1), (6L, Array(0.0f, 2.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", "label",
+        threshold = 0.99, maxBlockSize = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    pairs.toSeq shouldBe Seq((5L, 6L))
+    // raising the cap past the hot block restores all-pairs within it
+    val all = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", "label",
+        threshold = 0.99, maxBlockSize = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    all.length shouldBe 7 // C(4,2)=6 in block 0 + 1 in block 1
+  }
+
   test("duplicated spans: maximal cross-doc and within-doc runs, 0-based token indices") {
     val docs = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
