@@ -112,20 +112,30 @@ object AnnIndex {
   /** A loaded IVF×PQ index: coarse centroids + codebooks in hand, codes
     * left ON DISK (`codesPath`) so each query plans its own pruned scan.
     * `dir` is the index root (tombstones, optional refine vectors).
+    * `residual` marks codebooks trained on coarse-centroid residuals
+    * (FAISS `by_residual=true`) — the query path then adds the
+    * per-(query, cluster) ⟨q̂, ĉ⟩ offset to the ADC sum.
     */
   final case class IvfPqIndex(coarse: DataFrame, codebooks: DataFrame,
-      codesPath: String, m: Int, sub: Int, dir: String)
+      codesPath: String, m: Int, sub: Int, dir: String,
+      residual: Boolean = false)
 
   private def writeMeta(spark: SparkSession, dir: String, m: Int, sub: Int,
-      nlist: Int): Unit = {
+      nlist: Int, residual: Boolean = false): Unit = {
     import spark.implicits._
-    Seq((m, sub, nlist)).toDF("m", "sub", "nlist")
+    Seq((m, sub, nlist, residual)).toDF("m", "sub", "nlist", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  private def readMeta(spark: SparkSession, dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    (r.getAs[Int]("m"), r.getAs[Int]("sub"), r.getAs[Int]("nlist"))
+  /** (m, sub, nlist, residual); indexes written before the residual
+    * column existed read as residual = false — exactly their semantics.
+    */
+  private def readMeta(spark: SparkSession, dir: String): (Int, Int, Int, Boolean) = {
+    val df = spark.read.parquet(s"$dir/meta")
+    val r = df.head()
+    val residual =
+      if (df.columns.contains("residual")) r.getAs[Boolean]("residual") else false
+    (r.getAs[Int]("m"), r.getAs[Int]("sub"), r.getAs[Int]("nlist"), residual)
   }
 
   // ----------------------------------------------------------- flat PQ
@@ -147,7 +157,7 @@ object AnnIndex {
     * `pqScores`/`pqTopK` query paths, with zero training cost.
     */
   def readPq(spark: SparkSession, dir: String): PqModel = {
-    val (m, sub, _) = readMeta(spark, dir)
+    val (m, sub, _, _) = readMeta(spark, dir)
     PqModel(spark.read.parquet(s"$dir/codebooks"),
       liveOnly(spark, dir, spark.read.parquet(s"$dir/codes")).drop("__seq"),
       m, sub)
@@ -187,7 +197,7 @@ object AnnIndex {
   }
 
   def readIvf(spark: SparkSession, dir: String): IvfIndex = {
-    val (_, _, nlist) = readMeta(spark, dir)
+    val (_, _, nlist, _) = readMeta(spark, dir)
     require(nlist > 0, s"$dir has no coarse quantizer (nlist=$nlist)")
     IvfIndex(spark.read.parquet(s"$dir/coarse"), s"$dir/vectors", nlist, dir)
   }
@@ -233,20 +243,38 @@ object AnnIndex {
         * storage on top of the codes — the standard recall-for-space
         * trade.
         */
-      keepVectors: Boolean = false): Unit = {
+      keepVectors: Boolean = false,
+      /** FAISS `by_residual`: train/encode PQ on coarse-centroid
+        * residuals instead of the raw (normalized) vectors — the FAISS
+        * accuracy default. Same storage layout and maintenance surface;
+        * the query path adds a per-(query, probed-cluster) offset
+        * ([[Similarity.residualOffsets]]). The flag is persisted in
+        * `meta` and honored by append/update/compact/CDC.
+        */
+      byResidual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist, iters,
       maxTrainRows)
     val assigned = Similarity.assign(corpus, (idCol, vecCol), coarse)
-    val clusterOf = assigned
-      .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
-    val model = Similarity.pqModel(corpus, idCol, vecCol, m, ksub, iters,
-      maxTrainRows)
-    writeMeta(spark, dir, model.m, model.sub, nlist)
-    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
-    model.centroids.write.mode("overwrite").parquet(s"$dir/codebooks")
-    model.codes.join(clusterOf, Seq("__id")).withColumn("__seq", lit(0L))
-      .write.partitionBy("__cluster").mode("overwrite").parquet(s"$dir/codes")
+    if (byResidual) {
+      val (codebooks, codes, sub) = Similarity.pqResidualModel(assigned,
+        idCol, vecCol, coarse, m, ksub, iters, maxTrainRows)
+      writeMeta(spark, dir, m, sub, nlist, residual = true)
+      coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+      codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+      codes.withColumn("__seq", lit(0L))
+        .write.partitionBy("__cluster").mode("overwrite").parquet(s"$dir/codes")
+    } else {
+      val clusterOf = assigned
+        .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
+      val model = Similarity.pqModel(corpus, idCol, vecCol, m, ksub, iters,
+        maxTrainRows)
+      writeMeta(spark, dir, model.m, model.sub, nlist)
+      coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+      model.centroids.write.mode("overwrite").parquet(s"$dir/codebooks")
+      model.codes.join(clusterOf, Seq("__id")).withColumn("__seq", lit(0L))
+        .write.partitionBy("__cluster").mode("overwrite").parquet(s"$dir/codes")
+    }
     if (keepVectors)
       assigned
         .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
@@ -255,10 +283,11 @@ object AnnIndex {
   }
 
   def readIvfPq(spark: SparkSession, dir: String): IvfPqIndex = {
-    val (m, sub, nlist) = readMeta(spark, dir)
+    val (m, sub, nlist, residual) = readMeta(spark, dir)
     require(nlist > 0, s"$dir is a flat PQ index, not IVF×PQ (nlist=$nlist)")
     IvfPqIndex(spark.read.parquet(s"$dir/coarse"),
-      spark.read.parquet(s"$dir/codebooks"), s"$dir/codes", m, sub, dir)
+      spark.read.parquet(s"$dir/codebooks"), s"$dir/codes", m, sub, dir,
+      residual)
   }
 
   /** IVF×PQ top-k against the persisted index. The query path:
@@ -393,7 +422,7 @@ object AnnIndex {
     * maintenance like any rebuild (object doc).
     */
   def compactPq(spark: SparkSession, dir: String): Unit = {
-    val (_, _, nlist) = readMeta(spark, dir)
+    val (_, _, nlist, _) = readMeta(spark, dir)
     require(nlist == -1,
       s"$dir is not a flat PQ index (nlist=$nlist) — compactIvf/compactIvfPq " +
         "handle the clustered layouts; compacting with the wrong op would " +
@@ -423,7 +452,7 @@ object AnnIndex {
     * frozen, live vectors rewritten into their cluster partitions.
     */
   def compactIvf(spark: SparkSession, dir: String): Unit = {
-    val (m, _, nlist) = readMeta(spark, dir)
+    val (m, _, nlist, _) = readMeta(spark, dir)
     require(nlist > 0 && m == 0,
       s"$dir is not an IVF-flat index (m=$m, nlist=$nlist) — use " +
         "compactPq/compactIvfPq for the other layouts")
@@ -444,7 +473,7 @@ object AnnIndex {
     * their cluster partitions.
     */
   def compactIvfPq(spark: SparkSession, dir: String): Unit = {
-    val (m, sub, nlist) = readMeta(spark, dir)
+    val (m, sub, nlist, residual) = readMeta(spark, dir)
     require(nlist > 0 && m > 0,
       s"$dir is not an IVF×PQ index (m=$m, nlist=$nlist) — use " +
         "compactPq/compactIvf for the other layouts")
@@ -455,7 +484,7 @@ object AnnIndex {
         .withColumn("__seq", lit(0L))
         .select(col("__id"), col("__j"), col("__code"), col("__seq"), col("__cluster")),
       dir)
-    writeMeta(spark, tmp, m, sub, nlist)
+    writeMeta(spark, tmp, m, sub, nlist, residual)
     index.coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
     index.codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks")
     liveCodes.write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/codes")
@@ -487,7 +516,7 @@ object AnnIndex {
     readTombstones(spark, dir) match {
       case None => 0.0
       case Some(t) =>
-        val (m, _, nlist) = readMeta(spark, dir)
+        val (m, _, nlist, _) = readMeta(spark, dir)
         val table = if (nlist > 0 && m == 0) s"$dir/vectors" else s"$dir/codes"
         // total and live counted in ONE pass over the (id, seq)-pruned
         // table: the same per-id-max tombstone broadcast as liveOnly,
@@ -526,7 +555,7 @@ object AnnIndex {
       s"threshold must be in (0, 1]: $threshold")
     if (tombstoneDebt(spark, dir) < threshold) false
     else {
-      val (m, _, nlist) = readMeta(spark, dir)
+      val (m, _, nlist, _) = readMeta(spark, dir)
       if (nlist == -1) compactPq(spark, dir)
       else if (m == 0) compactIvf(spark, dir)
       else compactIvfPq(spark, dir)

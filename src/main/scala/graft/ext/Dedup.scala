@@ -247,18 +247,29 @@ object Dedup {
     * lets a caller that also needs the raw signatures (e.g. the recall
     * gate) compute them once.
     */
+  /** Pigeonhole blocking of precomputed (`__id`, `__sh`) signatures: one
+    * (id, block index, block value) row per block — any pair within
+    * hamming distance `maxHamming` agrees on ≥ 1 of the (maxHamming+1)
+    * blocks. Shared by the batch pair join and the streaming signature
+    * store so both derive identical block keys.
+    * Output: (`__id`, `__sh`, `__blk`, `__bv`).
+    */
+  private[graft] def simhashBlocked(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    sigs.select(col("__id"), col("__sh"),
+      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        b => call_function("shiftright", col("__sh"), b * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1))))
+        .as(Seq("__blk", "__bv")))
+  }
+
   def simhashPairsFromSigs(
       sigs: DataFrame,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
   ): DataFrame = {
-    val nBlocks = maxHamming + 1
-    val blockBits = 64 / nBlocks
-    val blocked = sigs.select(col("__id"), col("__sh"),
-      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
-        b => call_function("shiftright", col("__sh"), b * blockBits)
-          .bitwiseAND(lit((1L << blockBits) - 1))))
-        .as(Seq("__blk", "__bv")))
+    val blocked = simhashBlocked(sigs, maxHamming)
     // cap pathological block buckets (mirrors the MinHash bucket cap)
     val blockSizes = blocked.groupBy(col("__blk"), col("__bv"))
       .agg(count(lit(1)).as("__bn"))

@@ -370,6 +370,105 @@ object Similarity {
     assignPq(subspaces(corpus, idCol, vecCol, m, sub), centroids)
       .select(col("__id"), col("__j"), col("__code"))
 
+  // ------------------------------------------- residual product quantization
+  /** Residual PQ support (FAISS IVF×PQ `by_residual=true`, its accuracy
+    * default): each vector is L2-normalized, its coarse cluster's
+    * NORMALIZED centroid subtracted, and PQ trained/encoded on the
+    * residuals. For cosine — inner product on the unit sphere — the ADC
+    * score decomposes EXACTLY: ⟨q̂, v̂⟩ = ⟨q̂, ĉ⟩ + ⟨q̂, r⟩, so the query
+    * path adds one per-(query, probed-cluster) offset to the same
+    * global-LUT machinery; the LUT stays cluster-INdependent (an L2
+    * metric would need per-cluster tables, cosine does not). Residuals
+    * carry strictly less variance than the vectors themselves, so the
+    * same (m, ksub) bit budget quantizes finer — the
+    * `x_knn_ivfpq_residual_err` gate measures it.
+    */
+
+  /** Coarse centroids L2-normalized onto the unit sphere —
+    * (`__cluster`, `__cc`). Assignment is by cosine, so magnitude carries
+    * no information; normalizing makes the subtracted centroid live on
+    * the same sphere as the normalized vectors and keeps the offset term
+    * a plain dot product.
+    */
+  private def normalizedCoarse(coarse: DataFrame): DataFrame =
+    coarse.withColumn("__cn", norm(col("centroid")))
+      .select(col("__cid").as("__cluster"),
+        transform(col("centroid"), x => x.cast("double") / col("__cn")).as("__cc"))
+
+  /** Residuals of an already-assigned frame (columns idCol, vecCol,
+    * `__cluster`): (`__id`, `__cluster`, `__res`), __res = v/|v| − ĉ.
+    */
+  private def residualsFromAssigned(assigned: DataFrame, idCol: String,
+      vecCol: String, coarse: DataFrame): DataFrame =
+    assigned.join(broadcast(normalizedCoarse(coarse)), Seq("__cluster"))
+      .withColumn("__n", norm(qcol(vecCol)))
+      .select(qcol(idCol).cast("long").as("__id"), col("__cluster"),
+        zip_with(qcol(vecCol), col("__cc"),
+          (x, c) => x.cast("double") / col("__n") - c).as("__res"))
+
+  /** Subspace split WITHOUT per-vector normalization — residuals must
+    * keep their true magnitude or the ⟨q̂, v̂⟩ = offset + ADC
+    * decomposition breaks (the residual of a vector near its centroid is
+    * SMALL, and that smallness is the information).
+    */
+  private def rawSubspaces(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, sub: Int): DataFrame =
+    df.select(qcol(idCol).cast("long").as("__id"),
+      inline(array((0 until m).map(j =>
+        struct(lit(j).as("__j"),
+          transform(slice(qcol(vecCol), j * sub + 1, sub),
+            x => x.cast("double")).as("__sv"))): _*)))
+
+  /** Train residual codebooks on a bounded sample and encode the FULL
+    * assigned corpus: (codebooks, codes-with-cluster, sub). Mirrors
+    * [[pqModel]]'s one-subspace-pass discipline over the residual frame.
+    */
+  private[ext] def pqResidualModel(assigned: DataFrame, idCol: String,
+      vecCol: String, coarse: DataFrame, m: Int, ksub: Int, iters: Int,
+      maxTrainRows: Int): (DataFrame, DataFrame, Int) = {
+    val dim = probeDim(assigned, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val res = residualsFromAssigned(assigned, idCol, vecCol, coarse)
+      .localCheckpoint(eager = true)
+    val sv = rawSubspaces(res, "__id", "__res", m, sub)
+      .localCheckpoint(eager = true)
+    val svTrain = trainSampleIds(assigned, idCol, pqCap(maxTrainRows, ksub)) match {
+      case Some(ids) =>
+        sv.join(broadcast(ids), col("__id") === col("__sid")).drop("__sid")
+          .localCheckpoint(eager = true)
+      case None => sv
+    }
+    val centroids = pqTrainSv(svTrain, ksub, iters)
+    val codes = assignPq(sv, centroids)
+      .select(col("__id"), col("__j"), col("__code"))
+      .join(res.select(col("__id"), col("__cluster")), Seq("__id"))
+    (centroids, codes, sub)
+  }
+
+  /** Encode assigned rows' residuals against FROZEN coarse + codebooks —
+    * the append/update path: (`__id`, `__j`, `__code`, `__cluster`).
+    */
+  private[ext] def pqResidualEncode(assigned: DataFrame, idCol: String,
+      vecCol: String, coarse: DataFrame, centroids: DataFrame, m: Int,
+      sub: Int): DataFrame = {
+    val res = residualsFromAssigned(assigned, idCol, vecCol, coarse)
+      .localCheckpoint(eager = true)
+    assignPq(rawSubspaces(res, "__id", "__res", m, sub), centroids)
+      .select(col("__id"), col("__j"), col("__code"))
+      .join(res.select(col("__id"), col("__cluster")), Seq("__id"))
+  }
+
+  /** Per-(query, probed-cluster) score offsets ⟨q̂, ĉ⟩ for the residual
+    * ADC sum — probes × 1 rows, broadcast-sized like the probes frame
+    * itself. `probes` must carry (query_id, __qv, __cluster).
+    */
+  private[ext] def residualOffsets(probes: DataFrame, coarse: DataFrame): DataFrame =
+    probes.join(broadcast(normalizedCoarse(coarse)), Seq("__cluster"))
+      .withColumn("__qn", norm(col("__qv")))
+      .select(col("query_id"), col("__cluster"),
+        (dot(col("__qv"), col("__cc")) / col("__qn")).as("__off"))
+
   /** ADC lookup table for a query set: (query_id, __j, __code, __p)
     * where __p = dot(query subvector j, codebook j's centroid `__code`)
     * — queries × m × ksub rows, always broadcast-sized. Takes the raw

@@ -1283,6 +1283,29 @@ object ExtensionQueries {
         .as("stream_minhash_ok"))
   }
 
+  /** Incremental SimHash near-dup through the real streaming path — the
+    * hamming-radius sibling of `x_stream_dedup_minhash`, same spool, same
+    * signature-store machinery, pigeonhole block keys instead of LSH
+    * bands. The gate pins streamed == one-shot batch `simhashPairs` on
+    * the full corpus — pair set AND hamming distances.
+    */
+  val streamDedupSimhash = q("x_stream_dedup_simhash",
+    "SELECT true AS stream_simhash_ok") { (s, dir) =>
+    val spool = stageDocSpool(s, dir)
+    val store = s"/tmp/graft_stream_simhash/${Staging.tag(dir)}_store"
+    // caps inert on both sides, same reasoning as the MinHash gate
+    val streamed = graft.streaming.DocStreams.runSimhashDedupOnce(s, spool, store,
+        maxHamming = 3, maxBucketSize = 1000000)
+      .withColumnRenamed("hamming", "__sh")
+    val batch = Dedup.simhashPairs(docsWithVariants(s, dir), "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1000000)
+    streamed.join(batch, Seq("id_a", "id_b"), "full")
+      .agg((count(lit(1)) === count(col("__sh")) &&
+        count(lit(1)) === count(col("hamming")) &&
+        coalesce(max(when(col("__sh") =!= col("hamming"), 1).otherwise(0)) === 0,
+          lit(true))).as("stream_simhash_ok"))
+  }
+
   /** The streaming dedup loop CLOSED through clusters: the same
     * incremental MinHash stream with per-batch label maintenance
     * ([[graft.ext.IncrementalComponents]]) — near-dup pairs merge into
@@ -1957,7 +1980,7 @@ object ExtensionQueries {
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
     streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,
-    streamDedupComponents, streamKnnAppend,
+    streamDedupSimhash, streamDedupComponents, streamKnnAppend,
     streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,

@@ -79,6 +79,76 @@ object DocStreams {
   ): DataFrame = {
     // fail before the stream starts, not inside the first foreachBatch
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    runSigStoreDedupOnce(spark, spoolDir, storeDir,
+      sketch = batch => Dedup.minhashBanded(
+        Dedup.minhashSignatures(batch, "doc_id", "text", numHashes, shingleSize),
+        numHashes, bands),
+      score = (sa, sb) => Dedup.estJaccard(sa, sb, numHashes),
+      scoreCol = "est_jaccard",
+      keep = _ >= minEstJaccard,
+      aggScore = c => round(first(c), 4),
+      maxBucketSize = maxBucketSize, storeParts = storeParts,
+      withComponents = withComponents)
+  }
+
+  /** Incremental SimHash near-duplicate detection over a document stream
+    * — the hamming-radius sibling of [[runMinhashDedupOnce]], closing the
+    * last streaming leg of the batch dedup family. Identical store
+    * machinery (the signature store holds one pigeonhole-block row per
+    * document per block, [[Dedup.simhashBlocked]] — the same block keys
+    * the batch join uses), identical arrival semantics: a pair (a, b)
+    * surfaces once, in the batch where its LATER member arrives, with
+    * `hamming = popcount(sig_a XOR sig_b) ≤ maxHamming` — streamed
+    * equals the one-shot batch [[Dedup.simhashPairs]] on everything seen
+    * (the `x_stream_dedup_simhash` gate pins pair set AND distances; the
+    * hot-block cap is judged at arrival over store ∪ batch, the
+    * streaming-natural reading, exactly as in the MinHash form).
+    */
+  def runSimhashDedupOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      storeDir: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      storeParts: Int = 8,
+      withComponents: Boolean = false,
+  ): DataFrame =
+    runSigStoreDedupOnce(spark, spoolDir, storeDir,
+      // block index/value become the store's (band, bandHash) key pair —
+      // the store layout, pruning, and hot-bucket machinery are shared
+      sketch = batch => Dedup.simhashBlocked(
+          Dedup.simhashSignatures(batch, "doc_id", "text"), maxHamming)
+        .select(col("__id"), col("__sh").as("__sig"),
+          col("__blk").as("__band"), col("__bv").as("__bh")),
+      score = (sa, sb) => bit_count(sa.bitwiseXOR(sb)),
+      scoreCol = "hamming",
+      keep = _ <= maxHamming,
+      aggScore = c => min(c),
+      maxBucketSize = maxBucketSize, storeParts = storeParts,
+      withComponents = withComponents)
+
+  /** The shared signature-store micro-batch loop: sketch the batch into
+    * (`__id`, `__sig`, `__band`, `__bh`) rows, join against the
+    * physically-partitioned persisted store (old↔new) and itself
+    * (new↔new), score the candidates, append batch signatures into the
+    * store. All the scale discipline lives here once — literal `__pb`
+    * partition pruning, broadcast semi-joins, the at-arrival hot-bucket
+    * cap, the single-writer append — and the MinHash/SimHash entry points
+    * differ only in sketch and scoring.
+    */
+  private def runSigStoreDedupOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      storeDir: String,
+      sketch: DataFrame => DataFrame,
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      scoreCol: String,
+      keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      aggScore: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxBucketSize: Int,
+      storeParts: Int,
+      withComponents: Boolean,
+  ): DataFrame = {
     graft.util.Hfs.delete(spark, storeDir)
     val sigsPath = s"$storeDir/sigs"
     val pairsPath = s"$storeDir/pairs"
@@ -94,10 +164,7 @@ object DocStreams {
         .parquet(spoolDir)
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val bandedNew = Dedup.minhashBanded(
-              Dedup.minhashSignatures(batch.toDF(), "doc_id", "text",
-                numHashes, shingleSize),
-              numHashes, bands)
+          val bandedNew = sketch(batch.toDF())
             .withColumn("__pb",
               pmod(xxhash64(col("__band"), col("__bh")), lit(storeParts)).cast("int"))
             .localCheckpoint(eager = true)
@@ -151,10 +218,10 @@ object DocStreams {
           }
           val pairs = newOld.map(newNew.unionByName(_)).getOrElse(newNew)
             .select(col("id_a"), col("id_b"),
-              Dedup.estJaccard(col("__sa"), col("__sb"), numHashes).as("est_jaccard"))
-            .filter(col("est_jaccard") >= minEstJaccard)
+              score(col("__sa"), col("__sb")).as(scoreCol))
+            .filter(keep(col(scoreCol)))
             .groupBy(col("id_a"), col("id_b"))
-            .agg(round(first(col("est_jaccard")), 4).as("est_jaccard"))
+            .agg(aggScore(col(scoreCol)).as(scoreCol))
           if (withComponents) pairs.persist() // write + label merge share it
           pairs.write.mode("append").parquet(pairsPath)
           // collapse the append to one writer task: without it every
@@ -186,14 +253,102 @@ object DocStreams {
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    readPairsStore(spark, storeDir, scoreCol, aggScore)
+  }
+
+  /** Live view of a MinHash store's emitted candidate pairs: one row per
+    * (id_a, id_b), idempotent under micro-batch replays (foreachBatch is
+    * at-least-once, so the same batch's pairs can land twice — the
+    * groupBy collapses them; two occurrences of a pair always carry the
+    * same signatures and hence the same estimate, so `first` is
+    * deterministic).
+    */
+  def readPairs(spark: SparkSession, storeDir: String): DataFrame =
+    readPairsStore(spark, storeDir, "est_jaccard", c => round(first(c), 4))
+
+  /** [[readPairs]] for a SimHash store: (`id_a`, `id_b`, `hamming`). */
+  def readSimhashPairs(spark: SparkSession, storeDir: String): DataFrame =
+    readPairsStore(spark, storeDir, "hamming", c => min(c))
+
+  private def readPairsStore(spark: SparkSession, storeDir: String,
+      scoreCol: String,
+      aggScore: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val pairsPath = s"$storeDir/pairs"
     if (graft.util.Hfs.exists(spark, pairsPath))
       spark.read.parquet(pairsPath)
-        // idempotent under micro-batch replays: one row per pair
         .groupBy(col("id_a"), col("id_b"))
-        .agg(first(col("est_jaccard")).as("est_jaccard"))
+        .agg(aggScore(col(scoreCol)).as(scoreCol))
     else {
+      // empty-store read: est_jaccard stores carry a double score,
+      // hamming stores an int
       import spark.implicits._
-      Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "est_jaccard")
+      if (scoreCol == "hamming")
+        Seq.empty[(Long, Long, Int)].toDF("id_a", "id_b", scoreCol)
+      else Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", scoreCol)
+    }
+  }
+
+  /** Compact the streaming dedup store: every sub-store accretes one
+    * appended file set per micro-batch FOREVER (that accretion is the
+    * measured failure mode — the first partitioned-store cut cost 10×
+    * suite CPU purely in parquet-footer opens), and the read side papers
+    * over replay duplicates with a groupBy each time. Compaction rewrites
+    * each sub-store to its live view once, so a long-lived store's read
+    * cost tracks its DATA size again instead of its batch count:
+    *
+    *   - `pairs/`: replay-deduped to one row per pair;
+    *   - `sigs/`: replay-deduped ((id, band) is unique per doc, so
+    *     `distinct` removes exactly the redelivered rows) and rewritten
+    *     to ~one file per `__pb` partition, partitioning preserved;
+    *   - `comps/`: label generations collapsed to the newest per id
+    *     (generation 0 of the compacted store, `_next_seq` reset to 1).
+    *
+    * Each rewrite publishes via the crash-safe two-move swap
+    * ([[graft.operators.Upsert.swapDirs]]); like every maintenance op the
+    * caller serializes it against the running stream (compact between
+    * runs, exactly like ANN compaction vs appends). Read-side results are
+    * unchanged — the spec pins streamed == batch across a compaction.
+    */
+  def compactDedupStore(spark: SparkSession, storeDir: String): Unit = {
+    import graft.util.Hfs
+    val pairsPath = s"$storeDir/pairs"
+    val sigsPath = s"$storeDir/sigs"
+    val compsPath = s"$storeDir/comps"
+    if (Hfs.exists(spark, pairsPath)) {
+      val tmp = pairsPath + ".compact-" + System.nanoTime()
+      val p = spark.read.parquet(pairsPath)
+      // score column by schema (est_jaccard or hamming): replay copies of
+      // a pair carry identical scores, so `first` is deterministic
+      val scoreCol = p.columns.filterNot(Set("id_a", "id_b")).head
+      p.groupBy(col("id_a"), col("id_b"))
+        .agg(first(col(scoreCol)).as(scoreCol))
+        .write.mode("overwrite").parquet(tmp)
+      graft.operators.Upsert.swapDirs(tmp, pairsPath)
+    }
+    if (Hfs.exists(spark, sigsPath)) {
+      val parts = Hfs.list(spark, sigsPath).count(_.startsWith("__pb="))
+      if (parts > 0) {
+        val tmp = sigsPath + ".compact-" + System.nanoTime()
+        // repartition ON __pb sized to the live partition count: each
+        // task holds whole partitions, so the partitionBy write emits
+        // ~one file per partition dir (a bare distinct would leave
+        // hash-partitioned tasks each writing to every dir — the exact
+        // tasks×parts small-file explosion this op removes)
+        spark.read.parquet(sigsPath).distinct()
+          .repartition(parts, col("__pb"))
+          .write.mode("overwrite").partitionBy("__pb").parquet(tmp)
+        graft.operators.Upsert.swapDirs(tmp, sigsPath)
+      }
+    }
+    if (Hfs.exists(spark, compsPath)) {
+      val tmp = compsPath + ".compact-" + System.nanoTime()
+      graft.ext.IncrementalComponents.read(spark, compsPath)
+        .withColumn("__seq", lit(0L))
+        .write.mode("overwrite").parquet(tmp)
+      // the sidecar travels inside the swapped dir, so the counter and
+      // the single compacted generation publish atomically together
+      Hfs.writeString(spark, s"$tmp/_next_seq", "1")
+      graft.operators.Upsert.swapDirs(tmp, compsPath)
     }
   }
 

@@ -131,4 +131,28 @@ class BpeSpec extends SparkSpec {
     // pre-token (only 0x20 itself attaches to a following word)
     ByteLevel.pretokenize("a\u00a0b") shouldBe Array("a", "\u00a0", "b")
   }
+
+  test("byte-level merges FIXTURE file in the published format reproduces the worked segmentation") {
+    // committed artifact in the GPT-2 release's merges.txt convention
+    // (#version header, one 'left right' pair per line, rank = order,
+    // byte-alphabet symbols with \u0120 for a leading space), hand-derived
+    // from the classic lower/lowest worked example \u2014 pins the interop
+    // claim at the FILE level: an externally authored list loads through
+    // loadMerges and drives ByteLevel.tokens to the published result
+    val url = getClass.getResource("/bytelevel_merges.txt")
+    url should not be null
+    val model = Bpe.loadMerges(new java.io.File(url.toURI).getAbsolutePath)
+    model.merges shouldBe Vector(
+      ("\u0120", "l"), ("\u0120l", "o"), ("\u0120lo", "w"),
+      ("e", "r"), ("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"))
+    val toks = Seq((1L, "the lower lowest low")).toDF("doc_id", "text")
+      .select(ByteLevel.tokens($"text", model).as("t")).head().getSeq[String](0)
+    // 'the' merges t+h then th+e; each ' low\u2026' prefix collapses to \u0120low,
+    // with 'er'/'est' assembled by the later ranks
+    toks shouldBe Seq("the", "\u0120low", "er", "\u0120low", "est", "\u0120low")
+    // and the loaded model round-trips byte-for-byte through save/load
+    val copy = java.nio.file.Files.createTempDirectory("graft_bpe_fx").toString + "/m.txt"
+    Bpe.saveMerges(model, copy)
+    Bpe.loadMerges(copy).merges shouldBe model.merges
+  }
 }

@@ -47,6 +47,69 @@ class DocStreamsSpec extends SparkSpec {
     spark.read.parquet(s"$store/sigs").select("__id").distinct().count() shouldBe 4
   }
 
+  test("incremental simhash near-dup equals the batch form: cross-batch pairs via the store") {
+    // doc 2 is an exact copy arriving in the SECOND batch: its pairs with
+    // 1 and 3 can only surface through the persisted signature store
+    val sdocs = Seq(
+      (1L, base), (3L, base),
+      (4L, "totally unrelated words about other things entirely here"),
+      (2L, base))
+    val spool = stageSpool(Seq(sdocs.take(3), sdocs.drop(3)))
+    val store = java.nio.file.Files.createTempDirectory("graft_sh_store").toString + "/s"
+    val streamed = DocStreams.runSimhashDedupOnce(spark, spool, store, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val batch = Dedup.simhashPairs(sdocs.toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    streamed shouldBe batch
+    // (1,3) within batch 1; (1,2) and (2,3) cross-batch via the store
+    streamed.keySet should contain allOf ((1L, 3L), (1L, 2L), (2L, 3L))
+    streamed((1L, 2L)) shouldBe 0 // exact copies: identical signatures
+    // the reader helper serves the same live view
+    DocStreams.readSimhashPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap shouldBe streamed
+  }
+
+  test("store compaction: pairs/sigs/comps views identical, per-batch file accretion collapsed") {
+    val spool = stageSpool(Seq(docs.take(3), docs.drop(3)))
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_compact").toString + "/s"
+    val streamed = DocStreams.runMinhashDedupOnce(spark, spool, store,
+        numHashes = 32, bands = 8, shingleSize = 3, minEstJaccard = 0.5,
+        withComponents = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sigsBefore = spark.read.parquet(s"$store/sigs").collect().toSet
+    val compsBefore = graft.ext.IncrementalComponents.read(spark, s"$store/comps")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def parquetFiles(p: String): Int = {
+      val root = new java.io.File(p)
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(root)
+    }
+    val before = parquetFiles(store)
+    DocStreams.compactDedupStore(spark, store)
+    val after = parquetFiles(store)
+    after should be < before // the per-batch appended file sets collapsed
+
+    DocStreams.readPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap shouldBe streamed
+    spark.read.parquet(s"$store/sigs").collect().toSet shouldBe sigsBefore
+    graft.ext.IncrementalComponents.read(spark, s"$store/comps")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe compsBefore
+    // a compacted comps store keeps accepting updates: the sidecar was
+    // reset with the single surviving generation
+    graft.ext.IncrementalComponents.update(spark, s"$store/comps",
+      Seq((2L, 4L)).toDF("id_a", "id_b"))
+    graft.ext.IncrementalComponents.read(spark, s"$store/comps")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .apply(4L) shouldBe 1L // 4 joins the (1,2,3) cluster via 2
+  }
+
   test("streaming index append: spooled batches equal a one-shot frozen-codebook encode") {
     import graft.ext.{AnnIndex, Similarity}
     val corpus = Seq(
