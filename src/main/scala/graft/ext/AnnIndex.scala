@@ -312,28 +312,45 @@ object AnnIndex {
   /** The shared ADC scoring pipeline of [[ivfPqTopK]] and
     * [[ivfPqTopKRefined]]: returns (scored pairs, probed cluster ids,
     * broadcastable (query_id, __qv) frame).
+    *
+    * Residual indexes (`by_residual=true`) ride the SAME machinery: the
+    * LUT sum then reconstructs ⟨q̂, r⟩ instead of ⟨q̂, v̂⟩, and the missing
+    * ⟨q̂, ĉ⟩ term is one per-(query, probed-cluster) offset
+    * ([[Similarity.residualOffsets]] — probes-sized, broadcast) added
+    * after the aggregate. Grouping additionally by `__cluster` costs
+    * nothing (a live id has exactly one cluster) and keeps the offset
+    * join above the final cut.
     */
   private def adcScored(spark: SparkSession, index: IvfPqIndex,
       queries: DataFrame, idCol: String, vecCol: String,
       nprobe: Int): (DataFrame, Array[Int], DataFrame) = {
     val q = queries.select(qcol(idCol).cast("long").as("query_id"),
       qcol(vecCol).as("__qv"))
-    val probes = probeClusters(q, index.coarse, nprobe)
-      .select(col("query_id"), col("__cluster"))
-      .localCheckpoint(eager = true) // reused by the collect AND the join
+    val probesFull = probeClusters(q, index.coarse, nprobe)
+      .localCheckpoint(eager = true) // reused by the collect AND the joins
+    val probes = probesFull.select(col("query_id"), col("__cluster"))
     val probed = probes.select(col("__cluster")).distinct()
       .collect().map(_.getInt(0)) // ≤ nlist values by construction
     val codes = liveOnly(spark, index.dir,
       spark.read.parquet(index.codesPath)
         .filter(col("__cluster").isin(probed.map(Int.box): _*)))
-    val scored = codes
+    val adc = codes
       .join(broadcast(probes), Seq("__cluster"))
       .filter(col("query_id") =!= col("__id"))
       .join(broadcast(pqLut(queries, idCol, vecCol, index.codebooks,
         index.m, index.sub)), Seq("query_id", "__j", "__code"))
-      .groupBy(col("query_id"), col("__id"))
-      .agg(sum(col("__p")).as("cosine_pq"))
-      .withColumnRenamed("__id", "neighbor_id")
+    val scored =
+      if (index.residual)
+        adc.groupBy(col("query_id"), col("__cluster"), col("__id"))
+          .agg(sum(col("__p")).as("__adc"))
+          .join(broadcast(Similarity.residualOffsets(probesFull, index.coarse)),
+            Seq("query_id", "__cluster"))
+          .select(col("query_id"), col("__id").as("neighbor_id"),
+            (col("__adc") + col("__off")).as("cosine_pq"))
+      else
+        adc.groupBy(col("query_id"), col("__id"))
+          .agg(sum(col("__p")).as("cosine_pq"))
+          .withColumnRenamed("__id", "neighbor_id")
     (scored, probed, q)
   }
 
@@ -628,11 +645,18 @@ object AnnIndex {
     val index = readIvfPq(spark, dir)
     val seq = nextSeq(spark, dir)
     val assigned = Similarity.assign(rows, (idCol, vecCol), index.coarse)
-    val clusterOf = assigned
-      .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
-    val codes = Similarity.pqEncode(rows, idCol, vecCol, index.codebooks,
-        index.m, index.sub)
-      .join(clusterOf, Seq("__id")).withColumn("__seq", lit(seq))
+    // a residual index's frozen model quantizes coarse-centroid
+    // residuals, not raw vectors — appending raw-encoded codes would
+    // silently mix the two score spaces inside one codes table
+    val codes = (if (index.residual)
+        Similarity.pqResidualEncode(assigned, idCol, vecCol, index.coarse,
+          index.codebooks, index.m, index.sub)
+      else
+        Similarity.pqEncode(rows, idCol, vecCol, index.codebooks,
+            index.m, index.sub)
+          .join(assigned.select(qcol(idCol).cast("long").as("__id"),
+            col("__cluster")), Seq("__id"))
+      ).withColumn("__seq", lit(seq))
     val vectors =
       if (graft.util.Hfs.exists(spark, s"$dir/vectors"))
         Some(assigned

@@ -461,13 +461,27 @@ object Dedup {
     * indices, span covers tokens [span_start, span_end], n_grams =
     * duplicated k-grams inside it.
     *
-    * Scale shape: one explode (corpus token count rows, 16 bytes each),
-    * one map-side-combining count by 64-bit gram hash, one SEMI-join
-    * back (duplicated-or-not is a membership test — a hot gram never
-    * fans out), one per-document window (bounded by document length).
-    * Nothing quadratic, nothing corpus². 64-bit gram hashing means a
-    * collision can mark a unique gram duplicated — vanishing at corpus
-    * scale and the standard trade everywhere else in this file.
+    * Scale shape: one explode (corpus token count rows), one k-row
+    * sliding window per document building each gram hash, one
+    * map-side-combining count by 64-bit gram hash, one SEMI-join back
+    * (duplicated-or-not is a membership test — a hot gram never fans
+    * out), one per-document window for the islands. O(tokens·k) work
+    * total, nothing quadratic, nothing corpus². 64-bit gram hashing
+    * means a collision can mark a unique gram duplicated — vanishing at
+    * corpus scale and the standard trade everywhere else in this file.
+    *
+    * The one per-KEY term is the per-document window: a pathological
+    * single document is one external-sort window run — spillable row
+    * space, no giant in-memory array (SkewSpec "span census skew" pins
+    * a 300k-token single-doc book against the same tokens spread over
+    * 512 docs — measured ~5× wall, i.e. the serialization of the one
+    * window run, where the quadratic in-expression form this replaced
+    * did not finish at all; the spec is the regression guard).
+    * Escalation (chunking one
+    * document across rows) is not warranted below multi-million-token
+    * documents; past that, split upstream with
+    * [[graft.ext.TextAnalysis.chunkTokens]]-style slicing (span indices
+    * then become per-chunk).
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
@@ -476,19 +490,26 @@ object Dedup {
     // POSITIONAL k-gram hashes — NOT plans.ShingleHashes, whose set
     // semantics (right for MinHash sketches) would both drop within-doc
     // repeats from the census and misalign positions after the dedup.
-    // Each token hashes once; a gram is the structural hash of its
-    // k-long token-hash slice — O(tokens·k) long ops instead of
-    // rebuilding an O(k)-char string per position (the gate corpus is
-    // too small for the difference to matter — its cost is the explode
-    // + joins, same family as ngramJaccardPairs — but at corpus scale
-    // the string rebuild is the avoidable term).
-    val th = transform(TextAnalysis.tokens(qcol(textCol)), t => xxhash64(t))
-    val gramHashes = when(size(th) >= k,
-        transform(sequence(lit(0), size(th) - k),
-          i => xxhash64(slice(th, i + 1, lit(k)))))
-      .otherwise(array().cast("array<bigint>"))
-    val grams = df.select(qcol(idCol).cast("long").as("doc_id"),
-        posexplode(gramHashes).as(Seq("__pos", "__h")))
+    // Built in ROW space: explode per-token hashes, then a k-row sliding
+    // window per document assembles each position's hash-slice and
+    // hashes it structurally. The first cut built the gram array inside
+    // one in-expression `transform` over the token-hash array — but
+    // higher-order functions run interpreted with NO common-subexpression
+    // elimination, so the inner token-hash array was re-evaluated per
+    // position: O(tokens²) PER DOCUMENT. Invisible on sf-scale documents,
+    // measured fatal on a 300k-token single-doc book (SkewSpec "span
+    // census skew" is the regression guard). The window form is
+    // O(tokens·k), spillable, and sorts by the same (doc_id, __pos) the
+    // downstream gaps-and-islands window needs anyway.
+    val toks = df.select(qcol(idCol).cast("long").as("doc_id"),
+      posexplode(transform(TextAnalysis.tokens(qcol(textCol)),
+        t => xxhash64(t))).as(Seq("__pos", "__th")))
+    val wk = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, k - 1)
+    val grams = toks
+      .withColumn("__slice", collect_list(col("__th")).over(wk))
+      .filter(size(col("__slice")) === k) // tail positions have no full gram
+      .select(col("doc_id"), col("__pos"), xxhash64(col("__slice")).as("__h"))
       // consumed by the duplicate census AND the semi-join probe side
       .localCheckpoint(eager = true)
     val dup = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))

@@ -32,14 +32,22 @@ object TextAnalysis {
 
   /** Word n-gram shingles, distinct, space-joined; empty array when the
     * document has fewer than n tokens (callers filter).
+    *
+    * The token array is bound as a LAMBDA VARIABLE (a one-element
+    * `transform(array(...))` wrapper) so it evaluates once per row:
+    * referencing the tokenize expression directly inside the position
+    * lambda would re-evaluate it per position — higher-order functions
+    * run interpreted with no common-subexpression elimination, turning
+    * the build quadratic in document length (the bug class SkewSpec
+    * "span census skew" guards in the span census; hot dedup paths use
+    * the native [[shingleHashes]] one-pass expression instead).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), t =>
+      when(size(t) >= n,
+        array_distinct(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(n))))))
+        .otherwise(array().cast("array<string>"))), 1)
 
   /** Distinct HASHED shingles via the native one-pass expression — the
     * form the dedup pipelines consume (they only ever join/intersect on

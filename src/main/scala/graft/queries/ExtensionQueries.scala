@@ -59,7 +59,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v3_m8k16n16kv")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v4_m8k16n16kvres")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -73,6 +73,11 @@ object ExtensionQueries {
     // keepVectors: the refine gate re-ranks against the exact vectors
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq",
       nlist = 16, m = 8, ksub = 16, iters = 2, keepVectors = true)
+    // the SAME geometry trained on coarse-centroid residuals (FAISS
+    // by_residual=true) — x_knn_ivfpq_residual_err pins its error band
+    // against the raw-trained sibling above
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq_res",
+      nlist = 16, m = 8, ksub = 16, iters = 2, byResidual = true)
     // the small gate indexes over the 16-vector sub-corpus: lossless
     // (ksub = corpus size) so the recall/persistence gates can pin
     // exact-equality semantics; staged like any fixture so gate runs
@@ -80,6 +85,12 @@ object ExtensionQueries {
     val emb16 = emb.filter(col("vec_id") < 16)
     AnnIndex.buildIvfPq(emb16, "vec_id", "embedding", s"$tmp/ivfpq_gate16",
       nlist = 4, m = 8, ksub = 16, iters = 1)
+    // residual lossless-mechanics fixture: ksub = corpus size makes every
+    // RESIDUAL subvector its own centroid, and the offset decomposition
+    // is exact on the unit sphere — so residual IVF×PQ must equal brute
+    // force here (x_knn_ivfpq_res_recall)
+    AnnIndex.buildIvfPq(emb16, "vec_id", "embedding", s"$tmp/ivfpq_res_gate16",
+      nlist = 4, m = 8, ksub = 16, iters = 1, byResidual = true)
     // iters=1: on the lossless ksub==corpus geometry Lloyd is at its
     // fixpoint after init, so iteration count cannot change the result
     AnnIndex.buildPq(emb16, "vec_id", "embedding", s"$tmp/pq_gate16",
@@ -760,6 +771,66 @@ object ExtensionQueries {
       .select((col("__n") >= col("__pn") &&
         coalesce(col("__maxerr") <= 1e-9, lit(true))).as("refine_ok"))
   }
+
+  /** Residual-mode mechanics gate: on the lossless gate geometry
+    * (ksub = corpus size) every RESIDUAL subvector is its own centroid,
+    * so the ADC sum reconstructs ⟨q̂, r⟩ exactly — and the cosine
+    * decomposition ⟨q̂, v̂⟩ = ⟨q̂, ĉ⟩ + ⟨q̂, r⟩ is exact on the unit
+    * sphere, so the residual index must equal brute force through the
+    * SAME persisted partition-pruned path as the raw-trained gate. This
+    * is the lossless-mechanics guarantee surviving `by_residual=true`:
+    * it fails if the offset term is dropped, double-counted, or
+    * computed against un-normalized centroids.
+    */
+  val knnIvfPqResRecall = q("x_knn_ivfpq_res_recall", "SELECT true AS recall_ok") {
+    (s, dir) =>
+      val idx = stageAnnIndexes(s, dir)
+      val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+      val queries = emb16.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(queries, emb16, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val res = AnnIndex.ivfPqTopK(s,
+          AnnIndex.readIvfPq(s, s"$idx/ivfpq_res_gate16"),
+          queries, "vec_id", "embedding", 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(res, Seq("query_id", "neighbor_id"), "left")
+        .agg((count(col("__hit")) === count(lit(1))).as("recall_ok"))
+  }
+
+  /** Residual error-band gate (the FAISS `by_residual=true` accuracy
+    * claim, measured): over every scored (query, corpus) pair under
+    * exhaustive probing, the residual-trained index's ADC deviation from
+    * exact cosine must be no worse than the raw-trained sibling's — the
+    * residuals carry strictly less variance, so the same (m, ksub) bit
+    * budget quantizes finer — AND stay inside an absolute band
+    * (measured avg ≈ 0.02 vs raw ≈ 0.07 across sf0.001/0.01/0.1;
+    * deterministic pipeline, so drift means a code change, not noise).
+    */
+  val knnIvfPqResidualErr =
+    q("x_knn_ivfpq_residual_err", "SELECT true AS err_ok") { (s, dir) =>
+      val idx = stageAnnIndexes(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      val q_ = queries.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("__qv"))
+      val exact = emb.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding").as("__cv"))
+        .join(broadcast(q_), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("__qv"), col("__cv")).as("__c"))
+        .localCheckpoint(eager = true) // consumed by both deviation joins
+      // nprobe = nlist + unbounded k ⇒ every (query, corpus) pair scored
+      def band(sub: String, avgName: String, maxName: String) =
+        AnnIndex.ivfPqTopK(s, AnnIndex.readIvfPq(s, s"$idx/$sub"),
+            queries, "vec_id", "embedding", k = Int.MaxValue, nprobe = 16)
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(avg(abs(col("cosine_pq") - col("__c"))).as(avgName),
+            max(abs(col("cosine_pq") - col("__c"))).as(maxName))
+      band("ivfpq_res", "__ravg", "__rmax")
+        .crossJoin(band("ivfpq", "__avg", "__max"))
+        .select((col("__ravg") <= col("__avg") + lit(1e-9) &&
+          col("__ravg") <= 0.06 && col("__rmax") <= 0.45).as("err_ok"))
+    }
 
   /** MinHash gate: planted near-variants (one appended token ⇒ jaccard ≈ 1)
     * must surface as candidates with est ≥ 0.5; recall ≥ 0.95 required.
@@ -1971,7 +2042,7 @@ object ExtensionQueries {
     dedupComponents, dedupSpans, dedupSpanStats, dedupSpanRemove,
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
-    knnPqDelete, knnIvfPqRefine,
+    knnPqDelete, knnIvfPqRefine, knnIvfPqResRecall, knnIvfPqResidualErr,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,

@@ -139,6 +139,7 @@ class BpeSpec extends SparkSpec {
     // from the classic lower/lowest worked example \u2014 pins the interop
     // claim at the FILE level: an externally authored list loads through
     // loadMerges and drives ByteLevel.tokens to the published result
+    import Bpe.ByteLevel
     val url = getClass.getResource("/bytelevel_merges.txt")
     url should not be null
     val model = Bpe.loadMerges(new java.io.File(url.toURI).getAbsolutePath)

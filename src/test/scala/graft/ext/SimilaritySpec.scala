@@ -162,6 +162,44 @@ class SimilaritySpec extends SparkSpec {
     appendedCodes.select("__id").distinct().count() shouldBe 5
   }
 
+  test("residual ivf-pq: lossless geometry equals brute force; append and compact stay in residual space") {
+    val base = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val dir = s"$base/ivfpq_res"
+    // ksub = corpus size ⇒ every RESIDUAL subvector its own centroid, and
+    // the ⟨q̂,ĉ⟩ + ⟨q̂,r⟩ decomposition is exact ⇒ must equal brute force
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
+      nlist = 2, m = 2, ksub = 5, iters = 1, byResidual = true)
+    val index = AnnIndex.readIvfPq(spark, dir)
+    index.residual shouldBe true
+    val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus,
+      "vec_id", "embedding", 3).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    AnnIndex.ivfPqTopK(spark, index, corpus.filter($"vec_id" === 0),
+        "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq shouldBe brute
+    // append must RESIDUAL-encode against the frozen model — raw-encoded
+    // codes would silently mix two score spaces in one codes table
+    val dir2 = s"$base/ivfpq_res_append"
+    AnnIndex.buildIvfPq(corpus.filter($"vec_id" < 3), "vec_id", "embedding",
+      dir2, nlist = 2, m = 2, ksub = 3, iters = 1, byResidual = true)
+    AnnIndex.appendIvfPq(spark, dir2, corpus.filter($"vec_id" >= 3),
+      "vec_id", "embedding")
+    val idx2 = AnnIndex.readIvfPq(spark, dir2)
+    val expect = Similarity.pqResidualEncode(
+      Similarity.assign(corpus, ("vec_id", "embedding"), idx2.coarse),
+      "vec_id", "embedding", idx2.coarse, idx2.codebooks, idx2.m, idx2.sub)
+    spark.read.parquet(s"$dir2/codes").select("__id", "__j", "__code")
+      .orderBy("__id", "__j").collect().toSeq shouldBe
+      expect.select("__id", "__j", "__code").orderBy("__id", "__j").collect().toSeq
+    // compaction carries the residual flag and the served ranking
+    AnnIndex.compactIvfPq(spark, dir)
+    val compacted = AnnIndex.readIvfPq(spark, dir)
+    compacted.residual shouldBe true
+    AnnIndex.ivfPqTopK(spark, compacted, corpus.filter($"vec_id" === 0),
+        "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq shouldBe brute
+  }
+
   test("atomic index rebuild: swap replaces whole generations, recovers a crashed swap") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
     val a = corpus.filter($"vec_id" < 3)

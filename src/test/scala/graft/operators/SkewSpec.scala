@@ -49,6 +49,46 @@ class SkewSpec extends SparkSpec {
     // what pin the behavior (one sort run completes with every left row)
   }
 
+  test("span census skew: one book-length document is a single window run — correct, bounded, measured") {
+    // duplicatedSpans' one per-key term: the gaps-and-islands window
+    // partitions by doc_id, so a pathological single document (every
+    // token in the corpus in ONE doc) is one external-sort window run,
+    // plus an O(tokens·k) in-expression gram-array build for that row.
+    // Same contract as the asof data point above: pin correctness and
+    // MEASURE the hot-vs-spread cost so the escalate-or-not decision
+    // has a number (Dedup.scala documents the bound).
+    val n = 300000
+    val k = 8
+    def corpus(docs: Int) = {
+      val perDoc = n / docs
+      // periodic 1009-word vocabulary => every k-gram repeats, so the
+      // census marks ~every position duplicated: worst case for the
+      // window (all rows survive the semi-join into the sort run)
+      spark.range(docs.toLong).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(perDoc - 1)),
+          i => concat(lit("w"),
+            (col("id") * perDoc + i) * 7919 % 1009))).as("text"))
+    }
+    def run(docs: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val dup = graft.ext.Dedup.spanDuplicationStats(
+          corpus(docs), "doc_id", "text", k)
+        .agg(sum(col("dup_tokens"))).head().getLong(0)
+      (dup, (System.nanoTime() - t0) / 1e9)
+    }
+    val (hotDup, hotSec) = run(docs = 1)
+    val (uniDup, uniSec) = run(docs = 512)
+    // fully periodic text: every position duplicated in both layouts
+    // (up to the k-1 tail grams each document boundary forfeits)
+    hotDup shouldBe n.toLong
+    uniDup should be >= (n - 512L * (k - 1))
+    info(f"span census skew data point: one $n%d-token doc $hotSec%.2f s " +
+      f"vs 512 docs $uniSec%.2f s (ratio ${hotSec / uniSec}%.1fx)")
+    // reported, not asserted: wall-clock ratio bounds flake on loaded
+    // runners; the correctness assertions pin that the single-doc sort
+    // run completes with full coverage
+  }
+
   test("salted aggregation equals plain aggregation") {
     val df = (1 to 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
