@@ -11,13 +11,30 @@ import org.apache.spark.sql.SparkSession
   * one-time fixture generation out of the first measured run.
   */
 object InputPrep {
+  /** Each stage is isolated: in round 9 a single failing stage
+    * (stageStreams, on the events `ts` schema drift) aborted the whole
+    * prep, so every LATER fixture (ANN indexes, bucketed/partitioned
+    * layouts) silently fell through to its first timed consumer —
+    * x_knn_ivf absorbed a 46 s index build. A stage failure must cost
+    * exactly its own fixtures, and must say which stage broke.
+    */
   def all(spark: SparkSession, sfDir: String): Unit = {
-    CoverageQueries.stageZips(spark, sfDir)
-    EngineQueries.stageMediaZip(spark, sfDir)
-    ExtensionQueries.stageStreams(spark, sfDir)
-    ExtensionQueries.stageAnnIndexes(spark, sfDir)
-    ScaleQueries.stageBucketed(spark, sfDir)
-    ScaleQueries.stagePartitioned(spark, sfDir)
-    ScaleQueries.stageJsonl(spark, sfDir)
+    val stages: Seq[(String, () => Unit)] = Seq(
+      "stageZips" -> (() => CoverageQueries.stageZips(spark, sfDir)),
+      "stageMediaZip" -> (() => EngineQueries.stageMediaZip(spark, sfDir)),
+      "stageStreams" -> (() => ExtensionQueries.stageStreams(spark, sfDir)),
+      "stageAnnIndexes" -> (() => { ExtensionQueries.stageAnnIndexes(spark, sfDir); () }),
+      "stageBucketed" -> (() => ScaleQueries.stageBucketed(spark, sfDir)),
+      "stagePartitioned" -> (() => ScaleQueries.stagePartitioned(spark, sfDir)),
+      "stageJsonl" -> (() => ScaleQueries.stageJsonl(spark, sfDir)))
+    val failed = stages.flatMap { case (name, run) =>
+      try { run(); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[inputprep] $name failed: ${e.getMessage}")
+        Some(name)
+      }
+    }
+    if (failed.nonEmpty)
+      throw new RuntimeException(s"input prep stages failed: ${failed.mkString(", ")}")
   }
 }
