@@ -378,10 +378,12 @@ object Similarity {
     * score decomposes EXACTLY: ⟨q̂, v̂⟩ = ⟨q̂, ĉ⟩ + ⟨q̂, r⟩, so the query
     * path adds one per-(query, probed-cluster) offset to the same
     * global-LUT machinery; the LUT stays cluster-INdependent (an L2
-    * metric would need per-cluster tables, cosine does not). Residuals
-    * carry strictly less variance than the vectors themselves, so the
-    * same (m, ksub) bit budget quantizes finer — the
-    * `x_knn_ivfpq_residual_err` gate measures it.
+    * metric would need per-cluster tables, cosine does not). When the
+    * coarse quantizer captures real cluster structure, residuals carry
+    * less variance than the vectors and the same (m, ksub) bit budget
+    * quantizes finer; on a weakly clustered corpus they can carry MORE
+    * (unit vector minus a far centroid has norm up to 2) — the
+    * `x_knn_ivfpq_residual_err` gate bounds the band either way.
     */
 
   /** Coarse centroids L2-normalized onto the unit sphere —
