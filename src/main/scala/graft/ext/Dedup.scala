@@ -506,10 +506,19 @@ object Dedup {
         t => xxhash64(t))).as(Seq("__pos", "__th")))
     val wk = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
       .rowsBetween(Window.currentRow, k - 1)
+    // collect_list is documented order-NONdeterministic — frame order
+    // happens to survive today's window implementation, but the gram
+    // identity must not hang on an implementation detail (out-of-order
+    // collection would silently diverge equal k-grams across partitions).
+    // Collect (__pos, __th) structs and sort by the in-frame-unique
+    // __pos before extracting the hash slice: k=8 element sort, free
+    // next to the window itself.
     val grams = toks
-      .withColumn("__slice", collect_list(col("__th")).over(wk))
+      .withColumn("__slice",
+        collect_list(struct(col("__pos"), col("__th"))).over(wk))
       .filter(size(col("__slice")) === k) // tail positions have no full gram
-      .select(col("doc_id"), col("__pos"), xxhash64(col("__slice")).as("__h"))
+      .select(col("doc_id"), col("__pos"),
+        xxhash64(transform(array_sort(col("__slice")), e => e("__th"))).as("__h"))
       // consumed by the duplicate census AND the semi-join probe side
       .localCheckpoint(eager = true)
     val dup = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
