@@ -81,6 +81,11 @@ object AnnIndex {
   /** Keep only live rows: a row is dead iff a tombstone for its id exists
     * with tombstone seq >= row seq. One broadcast join against the per-id
     * max of the tombstone table — nothing corpus-sized moves.
+    *
+    * NOT a newest-generation filter: two un-tombstoned generations of one
+    * id (a duplicate bare append) both survive — see the append docs for
+    * why that contract lives with the caller instead of a per-query
+    * corpus-wide max-seq shuffle here.
     */
   private def liveOnly(spark: SparkSession, dir: String, rows: DataFrame): DataFrame =
     readTombstones(spark, dir) match {
@@ -390,6 +395,68 @@ object AnnIndex {
     topKPerQuery(exact, "cosine", "neighbor_id", k)
   }
 
+  // --------------------------------------------------------- flat SQ8
+  /** A loaded SQ8 index: the dim-sized bounds in hand (they ARE the
+    * model), codes read through [[liveOnly]]. See
+    * [[Similarity.SqBounds]] for the analytic error-bound contract that
+    * distinguishes this layout from PQ.
+    */
+  final case class SqIndex(bounds: Similarity.SqBounds, codes: DataFrame, dir: String)
+
+  /** Build + persist the SQ8 index: exact per-dimension bounds (one
+    * aggregation), the corpus encoded once, one byte of information per
+    * dimension in the codes table. Layout: `bounds` (dim rows:
+    * __pos, vmin, vmax), `codes` ((__id, __codes, __seq)), tombstones
+    * via [[deleteIds]] like every other layout.
+    */
+  def buildSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val b = Similarity.sqTrainBounds(corpus, vecCol)
+    b.vmin.indices.map(i => (i, b.vmin(i), b.vmax(i))).toDF("__pos", "vmin", "vmax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
+    Similarity.sqEncode(corpus, idCol, vecCol, b)
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def readSq(spark: SparkSession, dir: String): SqIndex = {
+    val rows = spark.read.parquet(s"$dir/bounds").orderBy(col("__pos")).collect()
+    val b = Similarity.SqBounds(
+      rows.map(_.getAs[Double]("vmin")), rows.map(_.getAs[Double]("vmax")))
+    SqIndex(b, liveOnly(spark, dir, spark.read.parquet(s"$dir/codes"))
+      .drop("__seq"), dir)
+  }
+
+  /** SQ top-k against a persisted index (build once, query many). */
+  def sqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val idx = readSq(spark, dir)
+    Similarity.sqTopKWithCodes(queries, idCol, vecCol, idx.bounds, idx.codes, k)
+  }
+
+  /** [[appendPq]] for the SQ layout: encode against the FROZEN bounds.
+    * Appended vectors outside the trained per-dimension range CLAMP —
+    * the analytic error bound covers build-corpus rows only; rebuild on
+    * the usual cadence (same caller contract as every append, including
+    * the duplicate-id rule above).
+    */
+  def appendSq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val idx = readSq(spark, dir)
+    val seq = nextSeq(spark, dir)
+    Similarity.sqEncode(rows, idCol, vecCol, idx.bounds)
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** [[rebuildPq]] for the SQ layout (fresh bounds, swap-published). */
+  def rebuildSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val tmp = dir + ".build-" + System.nanoTime()
+    buildSq(corpus, idCol, vecCol, tmp)
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
   // ------------------------------------------------------ atomic rebuild
   /** Atomic index REBUILD: the periodic retrain that resets append
     * drift. The new generation builds in a sibling temp directory, then
@@ -593,9 +660,18 @@ object AnnIndex {
     * `x_knn_pq_append` gate pins it. Quantization quality drifts as the
     * data distribution moves away from the training sample; that is the
     * standard trade (FAISS `add` semantics) — rebuild on your cadence,
-    * append in between. Caller owns id uniqueness across appends (use
-    * [[updatePq]] to re-add an existing id) and must serialize
-    * maintenance against rebuilds of the same index (object doc).
+    * append in between. Caller owns id uniqueness across appends and
+    * must serialize maintenance against rebuilds of the same index
+    * (object doc).
+    *
+    * Re-adding an id that is already live MUST go through [[updatePq]] /
+    * [[updateIvfPq]] (tombstone + re-append), NEVER a bare append:
+    * liveness only subtracts TOMBSTONED generations ([[liveOnly]]), so a
+    * duplicate append leaves two live generations of the id — the raw
+    * ADC sum then double-counts its per-subspace partials (a corrupt,
+    * inflated score) and the residual path emits duplicate neighbor
+    * rows. Guarding this inside append would cost a corpus semi-join per
+    * batch; FAISS `add_with_ids` makes the same caller-owns-it trade.
     */
   def appendPq(spark: SparkSession, dir: String, rows: DataFrame,
       idCol: String, vecCol: String): Unit = {

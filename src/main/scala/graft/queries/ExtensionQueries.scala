@@ -59,7 +59,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v4_m8k16n16kvres")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v5_m8k16n16kvres_sq")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -78,6 +78,9 @@ object ExtensionQueries {
     // against the raw-trained sibling above
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq_res",
       nlist = 16, m = 8, ksub = 16, iters = 2, byResidual = true)
+    // SQ8: exact per-dimension bounds + byte codes; the x_knn_sq_err /
+    // x_knn_sq_guarantee gates assert its ANALYTIC error bound
+    AnnIndex.buildSq(emb, "vec_id", "embedding", s"$tmp/sq")
     // the small gate indexes over the 16-vector sub-corpus: lossless
     // (ksub = corpus size) so the recall/persistence gates can pin
     // exact-equality semantics; staged like any fixture so gate runs
@@ -844,6 +847,83 @@ object ExtensionQueries {
         .select((col("__ravg") <= col("__avg") * 3 &&
           col("__ravg") <= 0.2 && col("__rmax") <= 1.0).as("err_ok"))
     }
+
+  /** SQ8 top-k over the persisted scalar-quantized index — the
+    * 4×-compressed flat layout whose scan cost class matches brute force
+    * on byte codes. Rows-only; its accuracy is pinned by the two
+    * invariant gates below.
+    */
+  val knnSq = qRowsOnly("x_knn_sq") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    AnnIndex.sqTopK(s, s"$idx/sq",
+      Tables.embeddings(s, dir).filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+  }
+
+  /** SQ8 error gate — an INVARIANT, not a distributional band (the
+    * round-9/10 residual-PQ lesson): bounds are the exact corpus
+    * per-dimension min/max, so every (query, corpus) pair's ADC score
+    * must sit within the query's analytic ceiling B(q) = ½·Σ|q̂ᵢ|·stepᵢ
+    * (carried per-row as `__qbound`, +1e-6 float slop). Data
+    * regeneration cannot move this gate; only a code break can.
+    */
+  val knnSqErr = q("x_knn_sq_err", "SELECT true AS err_ok") { (s, dir) =>
+    val idxDir = stageAnnIndexes(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = AnnIndex.readSq(s, s"$idxDir/sq")
+    val q_ = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("__qv"))
+    val exact = emb.select(col("vec_id").cast("long").as("neighbor_id"),
+        col("embedding").as("__cv"))
+      .join(broadcast(q_), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__qv"), col("__cv")).as("__c"))
+    Similarity.sqScores(queries, "vec_id", "embedding", idx.bounds, idx.codes)
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .agg(max(abs(col("cosine_sq") - col("__c")) - col("__qbound")).as("__excess"))
+      .select((col("__excess") <= 0d).as("err_ok"))
+  }
+
+  /** SQ8 retrieval guarantee — the theorem the error bound buys: any
+    * corpus vector whose EXACT cosine strictly exceeds (k-th SQ score +
+    * B(q)) must appear in the SQ top-k, because its own SQ score is at
+    * least exact − B(q) > k-th. Checked on raw (unrounded) scores.
+    * Like the err gate, this cannot be moved by data regeneration.
+    */
+  val knnSqGuarantee = q("x_knn_sq_guarantee", "SELECT true AS guarantee_ok") {
+    (s, dir) =>
+      val idxDir = stageAnnIndexes(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      val idx = AnnIndex.readSq(s, s"$idxDir/sq")
+      val scores = Similarity.sqScores(queries, "vec_id", "embedding",
+          idx.bounds, idx.codes)
+        .localCheckpoint(eager = true) // consumed by top-k, k-th and probe joins
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cosine_sq").desc, col("neighbor_id"))
+      val top = scores.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 5)
+        .localCheckpoint(eager = true)
+      val kth = top.groupBy(col("query_id"))
+        .agg(min(col("cosine_sq")).as("__kth"), max(col("__qbound")).as("__qb"))
+      val q_ = queries.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("__qv"))
+      val exact = emb.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding").as("__cv"))
+        .join(broadcast(q_), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("__qv"), col("__cv")).as("__c"))
+      val mustHave = exact.join(broadcast(kth), Seq("query_id"))
+        .filter(col("__c") > col("__kth") + col("__qb") + lit(1e-9))
+      // vacuous-true when no neighbor clears the margin (same pattern as
+      // the simhash radius gate): strict non-vacuousness would be a
+      // data-distribution claim, which regeneration could falsify
+      mustHave.join(top.select(col("query_id"), col("neighbor_id"),
+          lit(1).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+        .agg(when(count(lit(1)) === 0, lit(true))
+          .otherwise(count(lit(1)) === count(col("__hit")))
+          .as("guarantee_ok"))
+  }
 
   /** MinHash gate: planted near-variants (one appended token ⇒ jaccard ≈ 1)
     * must surface as candidates with est ≥ 0.5; recall ≥ 0.95 required.
@@ -2056,6 +2136,7 @@ object ExtensionQueries {
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     knnPqDelete, knnIvfPqRefine, knnIvfPqResRecall, knnIvfPqResidualErr,
+    knnSq, knnSqErr, knnSqGuarantee,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,

@@ -1,0 +1,110 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar-quantized index: the analytic error bound (the layout's
+  * defining contract), encode determinism, persistence, maintenance.
+  */
+class SqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random 8-dim corpus: varied magnitudes and signs
+  private def corpus(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map(i => (i.toLong, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("every pair's SQ score sits inside the analytic per-query bound") {
+    val c = corpus(64)
+    val b = Similarity.sqTrainBounds(c, "embedding")
+    val codes = Similarity.sqEncode(c, "vec_id", "embedding", b)
+    val q = c.filter($"vec_id" < 4)
+    val exact = c.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv"))
+      .crossJoin(broadcast(q.select($"vec_id".as("query_id"), $"embedding".as("__qv"))))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        Similarity.cosine($"__qv", $"__cv").as("__c"))
+    val viol = Similarity.sqScores(q, "vec_id", "embedding", b, codes)
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .filter(abs($"cosine_sq" - $"__c") > $"__qbound")
+      .count()
+    viol shouldBe 0L
+  }
+
+  test("8-bit quantization is tight: max error well under a loose PQ band") {
+    val c = corpus(64)
+    val b = Similarity.sqTrainBounds(c, "embedding")
+    val codes = Similarity.sqEncode(c, "vec_id", "embedding", b)
+    val q = c.filter($"vec_id" < 4)
+    val exact = c.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv"))
+      .crossJoin(broadcast(q.select($"vec_id".as("query_id"), $"embedding".as("__qv"))))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        Similarity.cosine($"__qv", $"__cv").as("__c"))
+    val maxErr = Similarity.sqScores(q, "vec_id", "embedding", b, codes)
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .agg(max(abs($"cosine_sq" - $"__c"))).head().getDouble(0)
+    // 8 dims × step/2 each, steps ~ range/255: far below 0.05 on unit vectors
+    maxErr should be < 0.05
+  }
+
+  test("degenerate (constant) dimension encodes 0 and reconstructs exactly") {
+    // every row normalizes to (1, 0): both dimensions are constant after
+    // normalization, so both steps are 0 — the guard must encode 0 (not
+    // divide by zero) and reconstruct vmin exactly
+    val dup = Seq(
+      (0L, Array(2.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(4.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val b = Similarity.sqTrainBounds(dup, "embedding")
+    b.step(0) shouldBe 0.0
+    b.step(1) shouldBe 0.0
+    val codes = Similarity.sqEncode(dup, "vec_id", "embedding", b)
+    codes.select(max(element_at($"__codes", 1))).head().getInt(0) shouldBe 0
+    // scores reconstruct the exact cosine (=1) within float slop
+    val s = Similarity.sqScores(dup.filter($"vec_id" === 0L), "vec_id", "embedding",
+      b, codes)
+    s.agg(min($"cosine_sq")).head().getDouble(0) shouldBe (1.0 +- 1e-6)
+  }
+
+  test("build/read/topK roundtrip ranks like in-memory scoring") {
+    val c = corpus(32)
+    val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    AnnIndex.buildSq(c, "vec_id", "embedding", s"$base/sq")
+    val idx = AnnIndex.readSq(spark, s"$base/sq")
+    idx.bounds.dim shouldBe 8
+    val viaIndex = AnnIndex.sqTopK(spark, s"$base/sq",
+      c.filter($"vec_id" === 0L), "vec_id", "embedding", 3)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().toSeq
+    val inMem = Similarity.sqTopKWithCodes(c.filter($"vec_id" === 0L),
+        "vec_id", "embedding",
+        Similarity.sqTrainBounds(c, "embedding"),
+        Similarity.sqEncode(c, "vec_id", "embedding",
+          Similarity.sqTrainBounds(c, "embedding")), 3)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().toSeq
+    viaIndex shouldBe inMem
+  }
+
+  test("append against frozen bounds equals one-shot encode; delete tombstones") {
+    val c = corpus(32)
+    val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    val a = c.filter($"vec_id" < 16)
+    val bRows = c.filter($"vec_id" >= 16)
+    AnnIndex.buildSq(a, "vec_id", "embedding", s"$base/sq")
+    AnnIndex.appendSq(spark, s"$base/sq", bRows, "vec_id", "embedding")
+    val idx = AnnIndex.readSq(spark, s"$base/sq")
+    idx.codes.count() shouldBe 32
+    // frozen-bounds determinism: appended codes == one-shot encode of the
+    // same rows against the same bounds
+    val oneShot = Similarity.sqEncode(bRows, "vec_id", "embedding", idx.bounds)
+      .select($"__id", $"__codes").as[(Long, Seq[Int])].collect().toMap
+    val appended = idx.codes.filter($"__id" >= 16)
+      .select($"__id", $"__codes").as[(Long, Seq[Int])].collect().toMap
+    appended shouldBe oneShot
+    AnnIndex.deleteIds(spark, s"$base/sq", Seq(3L, 20L).toDF("vec_id"), "vec_id")
+    val live = AnnIndex.readSq(spark, s"$base/sq").codes
+    live.count() shouldBe 30
+    live.filter($"__id".isin(3L, 20L)).count() shouldBe 0
+  }
+}
