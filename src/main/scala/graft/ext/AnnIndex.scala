@@ -457,6 +457,78 @@ object AnnIndex {
     graft.operators.Upsert.swapDirs(tmp, dir)
   }
 
+  // --------------------------------------------------------- IVF × SQ8
+  /** A loaded IVF×SQ index: coarse centroids + bounds in hand, byte
+    * codes left ON DISK partitioned by coarse cluster. The practical
+    * 100 TB retrieval layout: nprobe pruning cuts the scan to probed
+    * cluster directories (parquet partition pruning, like IVF×PQ) while
+    * SQ keeps the per-candidate error inside the analytic B(q) — unlike
+    * PQ's codebook error, WHICH pairs are scored is the only
+    * approximation axis nprobe adds (the full-probe gate pins exact
+    * equality with the flat SQ scan).
+    */
+  final case class IvfSqIndex(coarse: DataFrame, bounds: Similarity.SqBounds,
+      codesPath: String, nlist: Int, dir: String)
+
+  /** Build + persist IVF×SQ: coarse centroids trained on a bounded
+    * sample, exact SQ bounds, corpus assigned + encoded ONCE and written
+    * partitioned by cluster.
+    */
+  def buildIvfSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist,
+      iters, maxTrainRows)
+    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    val b = Similarity.sqTrainBounds(corpus, vecCol)
+    b.vmin.indices.map(i => (i, b.vmin(i), b.vmax(i))).toDF("__pos", "vmin", "vmax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
+    val assigned = Similarity.assign(corpus, (idCol, vecCol), coarse)
+      .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
+    Similarity.sqEncode(corpus, idCol, vecCol, b)
+      .join(assigned, Seq("__id"))
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("__cluster").parquet(s"$dir/codes")
+  }
+
+  def readIvfSq(spark: SparkSession, dir: String): IvfSqIndex = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val rows = spark.read.parquet(s"$dir/bounds").orderBy(col("__pos")).collect()
+    val b = Similarity.SqBounds(
+      rows.map(_.getAs[Double]("vmin")), rows.map(_.getAs[Double]("vmax")))
+    IvfSqIndex(coarse, b, s"$dir/codes", coarse.count().toInt, dir)
+  }
+
+  /** IVF×SQ top-k: probe clusters per query, scan ONLY the probed
+    * cluster directories (partition pruning), score byte codes against
+    * the broadcast per-query SQ frame. Same scale shape as [[ivfPqTopK]]:
+    * nothing corpus-sized shuffles — the codes scan is pruned, probes and
+    * query frames broadcast, and the only exchange feeds the top-k
+    * window over scored candidates.
+    */
+  def ivfSqTopK(spark: SparkSession, index: IvfSqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(qcol(idCol).cast("long").as("query_id"),
+      qcol(vecCol).as("__qv"))
+    val probes = probeClusters(q, index.coarse, nprobe)
+      .select(col("query_id"), col("__cluster"))
+      .localCheckpoint(eager = true) // reused by the collect AND the join
+    val probed = probes.select(col("__cluster")).distinct()
+      .collect().map(_.getInt(0)) // ≤ nlist values by construction
+    val codes = liveOnly(spark, index.dir,
+      spark.read.parquet(index.codesPath)
+        .filter(col("__cluster").isin(probed.map(Int.box): _*)))
+    val scored = codes
+      .join(broadcast(probes), Seq("__cluster"))
+      .filter(col("query_id") =!= col("__id"))
+      .join(broadcast(Similarity.sqQueryFrame(queries, idCol, vecCol,
+        index.bounds)), Seq("query_id"))
+      .select(col("query_id"), col("__id").as("neighbor_id"),
+        Similarity.sqScoreExpr.as("cosine_sq"))
+    topKPerQuery(scored, "cosine_sq", "neighbor_id", k)
+  }
+
   // ------------------------------------------------------ atomic rebuild
   /** Atomic index REBUILD: the periodic retrain that resets append
     * drift. The new generation builds in a sibling temp directory, then

@@ -653,8 +653,20 @@ object Similarity {
     * build-corpus rows.
     */
   def sqScores(queries: DataFrame, idCol: String, vecCol: String,
-      b: SqBounds, codes: DataFrame): DataFrame = {
-    val q = queries
+      b: SqBounds, codes: DataFrame): DataFrame =
+    codes.join(broadcast(sqQueryFrame(queries, idCol, vecCol, b)),
+        col("query_id") =!= col("__id"))
+      .select(col("query_id"), col("__id").as("neighbor_id"),
+        sqScoreExpr.as("cosine_sq"), col("__qbound"))
+
+  /** Per-query broadcast frame for SQ scoring: (query_id, __qoff,
+    * __qstep, __qbound) — the offset ⟨q̂, vmin⟩, the premultiplied
+    * q̂ᵢ·stepᵢ array, and the analytic bound B(q). Shared by the flat
+    * scan and the IVF-pruned scan ([[AnnIndex.ivfSqTopK]]).
+    */
+  private[ext] def sqQueryFrame(queries: DataFrame, idCol: String,
+      vecCol: String, b: SqBounds): DataFrame =
+    queries
       .withColumn("__n", norm(qcol(vecCol)))
       .withColumn("__qv", transform(qcol(vecCol), x => x.cast("double") / col("__n")))
       .select(qcol(idCol).cast("long").as("query_id"),
@@ -663,13 +675,12 @@ object Similarity {
         (aggregate(zip_with(col("__qv"), dlits(b.step),
           (x, s) => abs(x) * s), lit(0.0), (acc, v) => acc + v) / 2 + lit(1e-6))
           .as("__qbound"))
-    codes.join(broadcast(q), col("query_id") =!= col("__id"))
-      .select(col("query_id"), col("__id").as("neighbor_id"),
-        (col("__qoff") + aggregate(
-          zip_with(col("__codes"), col("__qstep"), (c, s) => c * s),
-          lit(0.0), (acc, v) => acc + v)).as("cosine_sq"),
-        col("__qbound"))
-  }
+
+  /** The fused SQ score over a row carrying (__codes, __qoff, __qstep). */
+  private[ext] def sqScoreExpr: Column =
+    col("__qoff") + aggregate(
+      zip_with(col("__codes"), col("__qstep"), (c, s) => c * s),
+      lit(0.0), (acc, v) => acc + v)
 
   /** SQ top-k (shared epilogue, ranked on the rounded score + id). */
   def sqTopKWithCodes(queries: DataFrame, idCol: String, vecCol: String,

@@ -59,7 +59,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v5_m8k16n16kvres_sq")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v6_m8k16n16kvres_sq_ivfsq")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -81,6 +81,9 @@ object ExtensionQueries {
     // SQ8: exact per-dimension bounds + byte codes; the x_knn_sq_err /
     // x_knn_sq_guarantee gates assert its ANALYTIC error bound
     AnnIndex.buildSq(emb, "vec_id", "embedding", s"$tmp/sq")
+    // IVF×SQ: the same bounds discipline under cluster partition
+    // pruning; the full-probe gate pins exact equality with flat SQ
+    AnnIndex.buildIvfSq(emb, "vec_id", "embedding", s"$tmp/ivfsq", nlist = 16)
     // the small gate indexes over the 16-vector sub-corpus: lossless
     // (ksub = corpus size) so the recall/persistence gates can pin
     // exact-equality semantics; staged like any fixture so gate runs
@@ -924,6 +927,42 @@ object ExtensionQueries {
           .otherwise(count(lit(1)) === count(col("__hit")))
           .as("guarantee_ok"))
   }
+
+  /** IVF×SQ top-k under real nprobe pruning — the practical large-scale
+    * retrieval layout (partition-pruned scan + analytically bounded
+    * scores). Rows-only; accuracy pinned by the full-probe equality gate.
+    */
+  val knnIvfSq = qRowsOnly("x_knn_ivfsq") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    AnnIndex.ivfSqTopK(s, AnnIndex.readIvfSq(s, s"$idx/ivfsq"),
+      Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+      "vec_id", "embedding", 5, nprobe = 4)
+  }
+
+  /** IVF×SQ full-probe gate — an exact-equality INVARIANT: with
+    * nprobe = nlist the pruned scan covers every cluster, and both
+    * layouts score byte codes from the SAME deterministic bounds
+    * pipeline with the SAME fused expression, so (rank, neighbor, score)
+    * must match the flat SQ index row-for-row. nprobe is then the ONLY
+    * approximation axis IVF adds over flat SQ — which pairs get scored,
+    * never how.
+    */
+  val knnIvfSqFullProbe =
+    q("x_knn_ivfsq_fullprobe", "SELECT true AS fullprobe_ok") { (s, dir) =>
+      val idxDir = stageAnnIndexes(s, dir)
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+      val flat = AnnIndex.sqTopK(s, s"$idxDir/sq", queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__fn"), col("cosine_sq").as("__fs"))
+      val ivf = AnnIndex.ivfSqTopK(s, AnnIndex.readIvfSq(s, s"$idxDir/ivfsq"),
+          queries, "vec_id", "embedding", 5, nprobe = 16)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__in"), col("cosine_sq").as("__is"))
+      flat.join(ivf, Seq("query_id", "rank"), "full")
+        .agg((count(lit(1)) ===
+          sum(when(col("__fn") === col("__in") && col("__fs") === col("__is"), 1)
+            .otherwise(0))).as("fullprobe_ok"))
+    }
 
   /** MinHash gate: planted near-variants (one appended token ⇒ jaccard ≈ 1)
     * must surface as candidates with est ≥ 0.5; recall ≥ 0.95 required.
@@ -2136,7 +2175,7 @@ object ExtensionQueries {
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     knnPqDelete, knnIvfPqRefine, knnIvfPqResRecall, knnIvfPqResidualErr,
-    knnSq, knnSqErr, knnSqGuarantee,
+    knnSq, knnSqErr, knnSqGuarantee, knnIvfSq, knnIvfSqFullProbe,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,

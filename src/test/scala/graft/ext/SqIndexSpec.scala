@@ -86,6 +86,36 @@ class SqIndexSpec extends SparkSpec {
     viaIndex shouldBe inMem
   }
 
+  test("IVF×SQ full probe equals flat SQ row-for-row; pruning returns a subset") {
+    val c = corpus(48)
+    val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    AnnIndex.buildSq(c, "vec_id", "embedding", s"$base/sq")
+    AnnIndex.buildIvfSq(c, "vec_id", "embedding", s"$base/ivfsq", nlist = 4, iters = 1)
+    val q = c.filter($"vec_id" < 3)
+    val flat = AnnIndex.sqTopK(spark, s"$base/sq", q, "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine_sq")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val idx = AnnIndex.readIvfSq(spark, s"$base/ivfsq")
+    idx.nlist shouldBe 4
+    val full = AnnIndex.ivfSqTopK(spark, idx, q, "vec_id", "embedding", 5, nprobe = 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine_sq")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    full shouldBe flat
+    // pruned probing scores a subset of pairs — every returned (query,
+    // neighbor) must carry the same score the flat scan assigns it
+    val prunedPairs = AnnIndex.ivfSqTopK(spark, idx, q, "vec_id", "embedding", 5,
+        nprobe = 1)
+      .select($"query_id", $"neighbor_id", $"cosine_sq")
+      .as[(Long, Long, Double)].collect().toSet
+    val flatAll = Similarity.sqScores(q, "vec_id", "embedding",
+        Similarity.sqTrainBounds(c, "embedding"),
+        Similarity.sqEncode(c, "vec_id", "embedding",
+          Similarity.sqTrainBounds(c, "embedding")))
+      .select($"query_id", $"neighbor_id", round($"cosine_sq", 4).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    prunedPairs.subsetOf(flatAll) shouldBe true
+  }
+
   test("append against frozen bounds equals one-shot encode; delete tombstones") {
     val c = corpus(32)
     val base = java.nio.file.Files.createTempDirectory("graft_sq").toString

@@ -126,6 +126,18 @@ class PlanAssertionsSpec extends SparkSpec {
       corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1))
   }
 
+  test("ivf-sq indexed query path: nprobe is parquet partition pruning, no sort-merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfsq"
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.ext.AnnIndex.buildIvfSq(corpus, "vec_id", "embedding", dir,
+      nlist = 4, iters = 1)
+    val index = graft.ext.AnnIndex.readIvfSq(spark, dir)
+    assertPrunedAnnPlan(graft.ext.AnnIndex.ivfSqTopK(spark, index,
+      corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1))
+  }
+
   test("ivf-flat indexed query path: nprobe is parquet partition pruning, no sort-merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivf"
     val corpus = (0 until 64).map(i =>
