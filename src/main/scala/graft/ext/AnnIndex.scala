@@ -126,11 +126,18 @@ object AnnIndex {
       residual: Boolean = false)
 
   private def writeMeta(spark: SparkSession, dir: String, m: Int, sub: Int,
-      nlist: Int, residual: Boolean = false): Unit = {
+      nlist: Int, residual: Boolean = false, layout: String = ""): Unit = {
     import spark.implicits._
-    Seq((m, sub, nlist, residual)).toDF("m", "sub", "nlist", "residual")
+    val l = if (layout.nonEmpty) layout else derivedLayout(m, nlist)
+    Seq((m, sub, nlist, residual, l)).toDF("m", "sub", "nlist", "residual", "layout")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
+
+  /** The PQ-era layouts encoded their kind in (m, nlist); SQ layouts
+    * need it explicit (IVF×SQ's (m=0, nlist>0) would read as IVF-flat).
+    */
+  private def derivedLayout(m: Int, nlist: Int): String =
+    if (nlist == -1) "pq" else if (m == 0) "ivf" else "ivfpq"
 
   /** (m, sub, nlist, residual); indexes written before the residual
     * column existed read as residual = false — exactly their semantics.
@@ -141,6 +148,16 @@ object AnnIndex {
     val residual =
       if (df.columns.contains("residual")) r.getAs[Boolean]("residual") else false
     (r.getAs[Int]("m"), r.getAs[Int]("sub"), r.getAs[Int]("nlist"), residual)
+  }
+
+  /** The index kind: pq / ivf / ivfpq / sq / ivfsq. Pre-layout-column
+    * metas derive from (m, nlist) — exactly the old implicit encoding.
+    */
+  private def readLayout(spark: SparkSession, dir: String): String = {
+    val df = spark.read.parquet(s"$dir/meta")
+    val r = df.head()
+    if (df.columns.contains("layout")) r.getAs[String]("layout")
+    else derivedLayout(r.getAs[Int]("m"), r.getAs[Int]("nlist"))
   }
 
   // ----------------------------------------------------------- flat PQ
@@ -412,6 +429,7 @@ object AnnIndex {
   def buildSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    writeMeta(spark, dir, m = 0, sub = 0, nlist = -1, layout = "sq")
     val b = Similarity.sqTrainBounds(corpus, vecCol)
     b.vmin.indices.map(i => (i, b.vmin(i), b.vmax(i))).toDF("__pos", "vmin", "vmax")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
@@ -478,6 +496,7 @@ object AnnIndex {
       nlist: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    writeMeta(spark, dir, m = 0, sub = 0, nlist = nlist, layout = "ivfsq")
     val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist,
       iters, maxTrainRows)
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
@@ -493,11 +512,12 @@ object AnnIndex {
   }
 
   def readIvfSq(spark: SparkSession, dir: String): IvfSqIndex = {
+    val (_, _, nlist, _) = readMeta(spark, dir)
     val coarse = spark.read.parquet(s"$dir/coarse")
     val rows = spark.read.parquet(s"$dir/bounds").orderBy(col("__pos")).collect()
     val b = Similarity.SqBounds(
       rows.map(_.getAs[Double]("vmin")), rows.map(_.getAs[Double]("vmax")))
-    IvfSqIndex(coarse, b, s"$dir/codes", coarse.count().toInt, dir)
+    IvfSqIndex(coarse, b, s"$dir/codes", nlist, dir)
   }
 
   /** IVF×SQ top-k: probe clusters per query, scan ONLY the probed
@@ -527,6 +547,95 @@ object AnnIndex {
       .select(col("query_id"), col("__id").as("neighbor_id"),
         Similarity.sqScoreExpr.as("cosine_sq"))
     topKPerQuery(scored, "cosine_sq", "neighbor_id", k)
+  }
+
+  /** [[appendPq]] for the IVF×SQ layout: assign against the FROZEN
+    * coarse centroids, encode against the FROZEN bounds, append into the
+    * cluster partitions (same clamp caveat as [[appendSq]]).
+    */
+  def appendIvfSq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val index = readIvfSq(spark, dir)
+    val seq = nextSeq(spark, dir)
+    val assigned = Similarity.assign(rows, (idCol, vecCol), index.coarse)
+      .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
+    Similarity.sqEncode(rows, idCol, vecCol, index.bounds)
+      .join(assigned, Seq("__id"))
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").partitionBy("__cluster").parquet(s"$dir/codes")
+  }
+
+  /** [[updatePq]] for the SQ layouts. */
+  def updateSq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    deleteIds(spark, dir, rows, idCol)
+    appendSq(spark, dir, rows, idCol, vecCol)
+  }
+
+  def updateIvfSq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    deleteIds(spark, dir, rows, idCol)
+    appendIvfSq(spark, dir, rows, idCol, vecCol)
+  }
+
+  /** [[compactPq]] for the SQ layout: bounds carried frozen, live codes
+    * rewritten, swap-published, tombstone log reset.
+    */
+  def compactSq(spark: SparkSession, dir: String): Unit = {
+    require(readLayout(spark, dir) == "sq",
+      s"$dir is not a flat SQ index — each layout has its own compaction")
+    val tmp = dir + ".compact-" + System.nanoTime()
+    val idx = readSq(spark, dir)
+    writeMeta(spark, tmp, m = 0, sub = 0, nlist = -1, layout = "sq")
+    spark.read.parquet(s"$dir/bounds")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/bounds")
+    idx.codes.withColumn("__seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** [[compactSq]] for the IVF×SQ layout (clustered — [[requireLive]]
+    * refuses the all-dead degenerate write like the other partitioned
+    * layouts).
+    */
+  def compactIvfSq(spark: SparkSession, dir: String): Unit = {
+    require(readLayout(spark, dir) == "ivfsq",
+      s"$dir is not an IVF×SQ index — each layout has its own compaction")
+    val tmp = dir + ".compact-" + System.nanoTime()
+    val index = readIvfSq(spark, dir)
+    val live = requireLive(
+      liveOnly(spark, dir, spark.read.parquet(index.codesPath))
+        .withColumn("__seq", lit(0L))
+        .select(col("__id"), col("__codes"), col("__seq"), col("__cluster")), dir)
+    writeMeta(spark, tmp, m = 0, sub = 0, nlist = index.nlist, layout = "ivfsq")
+    index.coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
+    spark.read.parquet(s"$dir/bounds")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/bounds")
+    live.write.partitionBy("__cluster").mode("overwrite").parquet(s"$tmp/codes")
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** [[applyDiffIvfPq]] for the SQ layouts. */
+  def applyDiffSq(spark: SparkSession, dir: String, diff: DataFrame,
+      keyCol: String, rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (dels, upserts) = diffSplit(diff, keyCol, rows, idCol)
+    deleteIds(spark, dir, dels, keyCol)
+    appendSq(spark, dir, upserts, idCol, vecCol)
+  }
+
+  def applyDiffIvfSq(spark: SparkSession, dir: String, diff: DataFrame,
+      keyCol: String, rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (dels, upserts) = diffSplit(diff, keyCol, rows, idCol)
+    deleteIds(spark, dir, dels, keyCol)
+    appendIvfSq(spark, dir, upserts, idCol, vecCol)
+  }
+
+  /** [[rebuildPq]] for the IVF×SQ layout. */
+  def rebuildIvfSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
+    val tmp = dir + ".build-" + System.nanoTime()
+    buildIvfSq(corpus, idCol, vecCol, tmp, nlist, iters, maxTrainRows)
+    graft.operators.Upsert.swapDirs(tmp, dir)
   }
 
   // ------------------------------------------------------ atomic rebuild
@@ -578,11 +687,11 @@ object AnnIndex {
     * maintenance like any rebuild (object doc).
     */
   def compactPq(spark: SparkSession, dir: String): Unit = {
-    val (_, _, nlist, _) = readMeta(spark, dir)
-    require(nlist == -1,
-      s"$dir is not a flat PQ index (nlist=$nlist) — compactIvf/compactIvfPq " +
-        "handle the clustered layouts; compacting with the wrong op would " +
-        "silently drop the other layout's tables")
+    val layout = readLayout(spark, dir)
+    require(layout == "pq",
+      s"$dir is not a flat PQ index (layout=$layout) — each layout has its " +
+        "own compaction; compacting with the wrong op would silently drop " +
+        "the other layout's tables")
     val tmp = dir + ".compact-" + System.nanoTime()
     writePq(readPq(spark, dir), tmp) // the live view, seq reset by writePq
     graft.operators.Upsert.swapDirs(tmp, dir)
@@ -608,10 +717,8 @@ object AnnIndex {
     * frozen, live vectors rewritten into their cluster partitions.
     */
   def compactIvf(spark: SparkSession, dir: String): Unit = {
-    val (m, _, nlist, _) = readMeta(spark, dir)
-    require(nlist > 0 && m == 0,
-      s"$dir is not an IVF-flat index (m=$m, nlist=$nlist) — use " +
-        "compactPq/compactIvfPq for the other layouts")
+    require(readLayout(spark, dir) == "ivf",
+      s"$dir is not an IVF-flat index — each layout has its own compaction")
     val tmp = dir + ".compact-" + System.nanoTime()
     val index = readIvf(spark, dir)
     val live = requireLive(
@@ -630,9 +737,8 @@ object AnnIndex {
     */
   def compactIvfPq(spark: SparkSession, dir: String): Unit = {
     val (m, sub, nlist, residual) = readMeta(spark, dir)
-    require(nlist > 0 && m > 0,
-      s"$dir is not an IVF×PQ index (m=$m, nlist=$nlist) — use " +
-        "compactPq/compactIvf for the other layouts")
+    require(readLayout(spark, dir) == "ivfpq",
+      s"$dir is not an IVF×PQ index — each layout has its own compaction")
     val tmp = dir + ".compact-" + System.nanoTime()
     val index = readIvfPq(spark, dir)
     val liveCodes = requireLive(
@@ -672,8 +778,8 @@ object AnnIndex {
     readTombstones(spark, dir) match {
       case None => 0.0
       case Some(t) =>
-        val (m, _, nlist, _) = readMeta(spark, dir)
-        val table = if (nlist > 0 && m == 0) s"$dir/vectors" else s"$dir/codes"
+        val table =
+          if (readLayout(spark, dir) == "ivf") s"$dir/vectors" else s"$dir/codes"
         // total and live counted in ONE pass over the (id, seq)-pruned
         // table: the same per-id-max tombstone broadcast as liveOnly,
         // with the liveness predicate under a conditional count instead
@@ -711,10 +817,15 @@ object AnnIndex {
       s"threshold must be in (0, 1]: $threshold")
     if (tombstoneDebt(spark, dir) < threshold) false
     else {
-      val (m, _, nlist, _) = readMeta(spark, dir)
-      if (nlist == -1) compactPq(spark, dir)
-      else if (m == 0) compactIvf(spark, dir)
-      else compactIvfPq(spark, dir)
+      readLayout(spark, dir) match {
+        case "pq"    => compactPq(spark, dir)
+        case "ivf"   => compactIvf(spark, dir)
+        case "ivfpq" => compactIvfPq(spark, dir)
+        case "sq"    => compactSq(spark, dir)
+        case "ivfsq" => compactIvfSq(spark, dir)
+        case other => throw new IllegalStateException(
+          s"$dir has unknown index layout '$other'")
+      }
       true
     }
   }

@@ -116,6 +116,65 @@ class SqIndexSpec extends SparkSpec {
     prunedPairs.subsetOf(flatAll) shouldBe true
   }
 
+  test("SQ maintenance: update supersedes, debt routes to compactSq, log resets") {
+    val c = corpus(24)
+    val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    AnnIndex.buildSq(c, "vec_id", "embedding", s"$base/sq")
+    // delete a third of the corpus: debt crosses the 0.25 default
+    AnnIndex.deleteIds(spark, s"$base/sq", (0L until 8L).toDF("vec_id"), "vec_id")
+    AnnIndex.tombstoneDebt(spark, s"$base/sq") shouldBe (8.0 / 24 +- 1e-9)
+    AnnIndex.compactIfNeeded(spark, s"$base/sq") shouldBe true
+    AnnIndex.tombstoneDebt(spark, s"$base/sq") shouldBe 0.0
+    val live = AnnIndex.readSq(spark, s"$base/sq").codes
+    live.count() shouldBe 16
+    // update id 10 with id 11's embedding: exactly the new encode is live
+    val newRow = c.filter($"vec_id" === 11L)
+      .select(lit(10L).as("vec_id"), $"embedding")
+    AnnIndex.updateSq(spark, s"$base/sq", newRow, "vec_id", "embedding")
+    val idx = AnnIndex.readSq(spark, s"$base/sq")
+    idx.codes.filter($"__id" === 10L).count() shouldBe 1
+    val c10 = idx.codes.filter($"__id" === 10L)
+      .select($"__codes").as[Seq[Int]].head()
+    val c11 = idx.codes.filter($"__id" === 11L)
+      .select($"__codes").as[Seq[Int]].head()
+    c10 shouldBe c11
+  }
+
+  test("IVF×SQ maintenance: CDC diff applies, compaction keeps pruned equality") {
+    val c = corpus(32)
+    val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    AnnIndex.buildIvfSq(c.filter($"vec_id" < 24), "vec_id", "embedding",
+      s"$base/ivfsq", nlist = 4, iters = 1)
+    // CDC: insert 24..31, delete 0..5, update 6 to 7's embedding
+    val diff = ((24L until 32L).map(i => (i, "insert")) ++
+      (0L until 6L).map(i => (i, "delete")) :+ ((6L, "update")))
+      .toDF("vec_id", "change")
+    val rows = c.filter($"vec_id" >= 24)
+      .unionByName(c.filter($"vec_id" === 7L).select(lit(6L).as("vec_id"), $"embedding"))
+    AnnIndex.applyDiffIvfSq(spark, s"$base/ivfsq", diff, "vec_id",
+      rows, "vec_id", "embedding")
+    val afterDiff = AnnIndex.ivfSqTopK(spark,
+        AnnIndex.readIvfSq(spark, s"$base/ivfsq"),
+        c.filter($"vec_id" === 30L), "vec_id", "embedding", 5, nprobe = 4)
+      .select($"rank", $"neighbor_id", $"cosine_sq")
+      .as[(Int, Long, Double)].collect().toSeq
+    afterDiff.map(_._2).intersect(0L until 6L) shouldBe empty
+    // debt = 7 dead of 33 stored rows (< 0.25): not compacted yet
+    AnnIndex.compactIfNeeded(spark, s"$base/ivfsq") shouldBe false
+    // compaction must not change served results
+    AnnIndex.compactIvfSq(spark, s"$base/ivfsq")
+    AnnIndex.tombstoneDebt(spark, s"$base/ivfsq") shouldBe 0.0
+    val afterCompact = AnnIndex.ivfSqTopK(spark,
+        AnnIndex.readIvfSq(spark, s"$base/ivfsq"),
+        c.filter($"vec_id" === 30L), "vec_id", "embedding", 5, nprobe = 4)
+      .select($"rank", $"neighbor_id", $"cosine_sq")
+      .as[(Int, Long, Double)].collect().toSeq
+    afterCompact shouldBe afterDiff
+    // a wrong-layout compaction refuses loudly
+    an[IllegalArgumentException] should be thrownBy
+      AnnIndex.compactPq(spark, s"$base/ivfsq")
+  }
+
   test("append against frozen bounds equals one-shot encode; delete tombstones") {
     val c = corpus(32)
     val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
