@@ -39,6 +39,32 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** End-to-end near-duplicate RESOLVE — the rewrite step every candidate
+    * generator in this file feeds ([[minhashCandidates]],
+    * [[simhashPairsFromSigs]], [[ngramJaccardPairs]],
+    * [[embeddingCosinePairs]], or any user pair frame): cluster the
+    * pairs with [[connectedComponents]] (a≈b, b≈c collapse even when
+    * a≉c directly), keep each cluster's canonical (minimum-id) member,
+    * drop the rest.
+    *
+    * Scale shape: the component computation runs over the TOUCHED ids
+    * only (pair endpoints — at production duplication rates a small
+    * fraction of the corpus), and the corpus itself is touched by exactly
+    * one anti-join against the loser set. Nothing corpus-sized enters
+    * the label iteration.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val nodes = pairs.select(col(aCol).cast("long").as("__nid"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("__nid")))
+      .distinct()
+    // connectedComponents normalizes its output columns to (id, component)
+    val losers = connectedComponents(nodes, "__nid", pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__nid"))
+    df.join(losers, qcol(idCol).cast("long") === col("__nid"), "left_anti")
+  }
+
   // ------------------------------------------------------------ minhash
   // (Per-document signatures are produced inside `minhashCandidates` by
   // the native `plans.MinHashAgg` aggregate; a separate Column-level

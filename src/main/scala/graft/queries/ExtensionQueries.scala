@@ -312,6 +312,29 @@ object ExtensionQueries {
     (s, dir) => Dedup.exactGroups(docsWithCopies(s, dir), Seq("text"), "doc_id")
   }
 
+  /** End-to-end dedup RESOLVE (pairs → components → keep-canonical
+    * rewrite) on the known-duplicate corpus, hash-matched in SQL: the
+    * candidate pairs here are exact-text star edges (member → group min,
+    * linear via one text-partitioned window), so the surviving set is
+    * exactly "the minimum doc_id of each text group" — which DuckDB
+    * replays directly. The clustering + anti-join machinery under test
+    * is the same one minhash/simhash/embedding candidates feed.
+    */
+  val dedupResolve = q("x_dedup_resolve",
+    s"""WITH corpus AS (SELECT * FROM $docsWithCopiesSql)
+       |SELECT c.doc_id FROM corpus c
+       |JOIN (SELECT text, min(doc_id) AS m FROM corpus GROUP BY text) g
+       |ON c.text = g.text WHERE c.doc_id = g.m""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val corpus = docsWithCopies(s, dir)
+    val w = Window.partitionBy(col("text"))
+    val pairs = corpus
+      .withColumn("__m", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("__m"))
+      .select(col("__m").as("id_a"), col("doc_id").as("id_b"))
+    Dedup.dropNearDuplicates(corpus, "doc_id", pairs).select(col("doc_id"))
+  }
+
   val dedupMinhash = qRowsOnly("x_dedup_minhash") { (s, dir) =>
     Dedup.minhashCandidates(docsWithVariants(s, dir), "doc_id", "text",
       numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
@@ -2170,7 +2193,8 @@ object ExtensionQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbCos, dedupEmbLsh,
+    dedupExact, dedupResolve, dedupMinhash, dedupSimhash, dedupJaccard,
+    dedupEmbCos, dedupEmbLsh,
     dedupComponents, dedupSpans, dedupSpanStats, dedupSpanRemove,
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,

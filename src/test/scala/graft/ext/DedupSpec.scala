@@ -27,6 +27,18 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array(1L, 3L, 4L, 5L)
   }
 
+  test("dropNearDuplicates resolves transitive clusters to the canonical member") {
+    // pairs 1≈2 and 2≈3: 3 must drop even though (1, 3) was never a pair;
+    // 4 and 5 are untouched by any pair and survive
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 4L, 5L)
+    // empty pair frame: the corpus passes through untouched
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Dedup.dropNearDuplicates(docs, "doc_id", none).count() shouldBe 5
+  }
+
   test("minhash candidates rank near-dups above unrelated docs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
       numHashes = 64, bands = 32, shingleSize = 3, minEstJaccard = 0.3)

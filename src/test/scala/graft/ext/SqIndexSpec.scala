@@ -175,6 +175,24 @@ class SqIndexSpec extends SparkSpec {
       AnnIndex.compactPq(spark, s"$base/ivfsq")
   }
 
+  test("pre-layout meta derives its kind from (m, nlist) — old indexes still route") {
+    val c = corpus(24)
+    val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    AnnIndex.buildPq(c, "vec_id", "embedding", s"$base/pq", m = 2, ksub = 4, iters = 1)
+    // rewrite the meta WITHOUT the layout column — the pre-round-10 shape
+    val old = spark.read.parquet(s"$base/pq/meta")
+      .select($"m", $"sub", $"nlist", $"residual").collect().head
+    Seq((old.getInt(0), old.getInt(1), old.getInt(2), old.getBoolean(3)))
+      .toDF("m", "sub", "nlist", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/pq/meta")
+    // derived layout "pq": debt measures codes, compaction accepts the dir
+    AnnIndex.deleteIds(spark, s"$base/pq", (0L until 12L).toDF("vec_id"), "vec_id")
+    AnnIndex.tombstoneDebt(spark, s"$base/pq") shouldBe (0.5 +- 1e-9)
+    AnnIndex.compactIfNeeded(spark, s"$base/pq") shouldBe true
+    AnnIndex.readPq(spark, s"$base/pq").codes
+      .select($"__id").distinct().count() shouldBe 12
+  }
+
   test("append against frozen bounds equals one-shot encode; delete tombstones") {
     val c = corpus(32)
     val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
