@@ -70,6 +70,52 @@ object CorpusClean {
     corpus.join(bad, qcol(idCol) === col("__did"), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the map-only screen for when even the
+    * eval-side semi-join shuffle is too much (a 100 TB corpus against a
+    * benchmark suite): build ONE Bloom filter over the eval set's shingle
+    * hashes (eval suites are small — the filter is a few MB broadcast),
+    * then drop every document with any might-contain shingle in a single
+    * corpus pass. Zero shuffle touches the corpus.
+    *
+    * The Bloom guarantee runs in the SAFE direction for decontamination:
+    * NO FALSE NEGATIVES — every truly contaminated document is dropped,
+    * invariantly (the x_decontaminate_bloom gate pins survivors ⊆ the
+    * exact semi-join's survivors). False positives over-drop clean
+    * documents at ~`fpp` per shingle test; size `fpp` against the
+    * corpus's shingle count (expected clean-doc loss ≈ shingles·fpp).
+    * Use [[decontaminate]] when exactness matters more than the shuffle.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 13,
+      fpp: Double = 0.001,
+  ): DataFrame = {
+    val evalSh = eval
+      .select(explode(TextAnalysis.shingleHashes(qcol(evalTextCol), n)).as("__s"))
+      .distinct()
+    // expectedNumItems from one count over the (distinct) eval shingles —
+    // eval-sized work, done once. Floored at 1000: a filter sized for a
+    // handful of items has so few bits that its REAL false-positive rate
+    // lands far above fpp (measured: 2 of 3 clean docs dropped at 8
+    // items), and the floor costs ~2 KB. An EMPTY eval set contaminates
+    // nothing (and Spark's bloom aggregate NPEs on zero rows) — return
+    // the corpus untouched.
+    val count = evalSh.count()
+    if (count == 0L) return corpus
+    val bloom = evalSh.stat.bloomFilter("__s", math.max(1000L, count), fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    // one UDF call per document over its shingle array (lambda variables
+    // cannot feed a UDF inside a higher-order exists); short-circuits on
+    // the first might-contain hit
+    val anyContaminated = udf((shingles: Seq[Long]) =>
+      shingles != null && shingles.exists(bloomBc.value.mightContainLong))
+    corpus.filter(!anyContaminated(TextAnalysis.shingleHashes(qcol(textCol), n)))
+  }
+
   /** Run the pipeline; returns surviving rows (canonical = min id for any
     * duplicate group).
     */

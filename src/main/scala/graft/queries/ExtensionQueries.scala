@@ -1439,6 +1439,35 @@ object ExtensionQueries {
       .select(col("doc_id"))
   }
 
+  /** Bloom decontamination gate — the no-false-negative INVARIANT: the
+    * Bloom screen's survivors must be a subset of the exact semi-join's
+    * survivors (every truly contaminated doc gone; over-drop allowed at
+    * ~fpp per shingle, under-drop never). Also requires the screen to be
+    * non-degenerate (the contaminated eval members themselves must drop,
+    * so an always-false filter cannot pass).
+    */
+  val decontaminateBloom =
+    q("x_decontaminate_bloom", "SELECT true AS bloom_ok") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val eval_ = docs.filter(col("doc_id") % 17 === 0)
+      val exact = CorpusClean.decontaminate(docs, "doc_id", "text", eval_,
+          "text", n = 13)
+        .select(col("doc_id"), lit(1).as("__ex"))
+      val bloom = CorpusClean.decontaminateBloom(docs, "doc_id", "text", eval_,
+          "text", n = 13)
+        .select(col("doc_id"))
+        .localCheckpoint(eager = true) // consumed by the subset AND eval checks
+      val subset = bloom.join(exact, Seq("doc_id"), "left")
+        .agg((count(lit(1)) === count(col("__ex"))).as("__sub"))
+      // eval docs long enough to shingle must screen themselves out
+      val evalGone = bloom
+        .join(eval_.filter(size(graft.ext.TextAnalysis.tokens(col("text"))) >= 13)
+          .select(col("doc_id"), lit(1).as("__ev")), Seq("doc_id"), "left")
+        .agg((count(col("__ev")) === 0).as("__gone"))
+      subset.crossJoin(evalGone)
+        .select((col("__sub") && col("__gone")).as("bloom_ok"))
+    }
+
   // -------------------------------------------------------- streaming
   val streamWindow = q("x_stream_window",
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -2204,7 +2233,7 @@ object ExtensionQueries {
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
     textRepetition, textBm25, textSurprisal, hybridRrf,
-    sampleStratified, decontaminate,
+    sampleStratified, decontaminate, decontaminateBloom,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
     streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,

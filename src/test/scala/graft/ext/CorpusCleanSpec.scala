@@ -9,6 +9,29 @@ class CorpusCleanSpec extends SparkSpec {
   private val good = ("the quick brown fox jumps over the lazy dog and then " +
     "it runs back home to rest for a while in the sun")
 
+  test("bloom decontamination drops every contaminated doc, keeps the clean ones") {
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, good), // clean
+      (2L, "prefix words here " + evalText + " suffix words after"), // contains an eval 13-gram
+      (3L, good + " more clean trailing content to keep around"), // clean
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, evalText)).toDF("doc_id", "text")
+    val kept = CorpusClean.decontaminateBloom(corpus, "doc_id", "text",
+        eval_, "text", n = 13)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 3L) // 2 dropped, no false negative
+    // subset invariant vs the exact path (Bloom may only over-drop)
+    val exact = CorpusClean.decontaminate(corpus, "doc_id", "text",
+        eval_, "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    kept.toSet.subsetOf(exact) shouldBe true
+    // empty eval set: nothing drops
+    CorpusClean.decontaminateBloom(corpus, "doc_id", "text",
+      eval_.filter($"doc_id" < 0), "text", n = 13).count() shouldBe 3
+  }
+
   test("pipeline gates quality, filters language, dedups, drops near-dups") {
     val docs = Seq(
       (1L, good),
