@@ -420,31 +420,41 @@ object AnnIndex {
     */
   final case class SqIndex(bounds: Similarity.SqBounds, codes: DataFrame, dir: String)
 
+  /** The bounds table IS the SQ model — one (de)serialization pair so
+    * readers and writers cannot drift (dim rows: __pos, vmin, vmax).
+    */
+  private def writeBounds(spark: SparkSession, dir: String,
+      b: Similarity.SqBounds): Unit = {
+    import spark.implicits._
+    b.vmin.indices.map(i => (i, b.vmin(i), b.vmax(i))).toDF("__pos", "vmin", "vmax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
+  }
+
+  private def readBounds(spark: SparkSession, dir: String): Similarity.SqBounds = {
+    val rows = spark.read.parquet(s"$dir/bounds").orderBy(col("__pos")).collect()
+    Similarity.SqBounds(
+      rows.map(_.getAs[Double]("vmin")), rows.map(_.getAs[Double]("vmax")))
+  }
+
   /** Build + persist the SQ8 index: exact per-dimension bounds (one
-    * aggregation), the corpus encoded once, one byte of information per
-    * dimension in the codes table. Layout: `bounds` (dim rows:
-    * __pos, vmin, vmax), `codes` ((__id, __codes, __seq)), tombstones
-    * via [[deleteIds]] like every other layout.
+    * aggregation), the corpus encoded once, one byte per dimension in
+    * the codes table. Layout: `bounds` (dim rows: __pos, vmin, vmax),
+    * `codes` ((__id, __codes, __seq)), tombstones via [[deleteIds]] like
+    * every other layout.
     */
   def buildSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     writeMeta(spark, dir, m = 0, sub = 0, nlist = -1, layout = "sq")
     val b = Similarity.sqTrainBounds(corpus, vecCol)
-    b.vmin.indices.map(i => (i, b.vmin(i), b.vmax(i))).toDF("__pos", "vmin", "vmax")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
+    writeBounds(spark, dir, b)
     Similarity.sqEncode(corpus, idCol, vecCol, b)
       .withColumn("__seq", lit(0L))
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
-  def readSq(spark: SparkSession, dir: String): SqIndex = {
-    val rows = spark.read.parquet(s"$dir/bounds").orderBy(col("__pos")).collect()
-    val b = Similarity.SqBounds(
-      rows.map(_.getAs[Double]("vmin")), rows.map(_.getAs[Double]("vmax")))
-    SqIndex(b, liveOnly(spark, dir, spark.read.parquet(s"$dir/codes"))
-      .drop("__seq"), dir)
-  }
+  def readSq(spark: SparkSession, dir: String): SqIndex =
+    SqIndex(readBounds(spark, dir),
+      liveOnly(spark, dir, spark.read.parquet(s"$dir/codes")).drop("__seq"), dir)
 
   /** SQ top-k against a persisted index (build once, query many). */
   def sqTopK(spark: SparkSession, dir: String, queries: DataFrame,
@@ -461,9 +471,11 @@ object AnnIndex {
     */
   def appendSq(spark: SparkSession, dir: String, rows: DataFrame,
       idCol: String, vecCol: String): Unit = {
-    val idx = readSq(spark, dir)
+    // only the bounds are needed — a full readSq would also probe
+    // tombstones and open the codes schema just to discard that view
+    val b = readBounds(spark, dir)
     val seq = nextSeq(spark, dir)
-    Similarity.sqEncode(rows, idCol, vecCol, idx.bounds)
+    Similarity.sqEncode(rows, idCol, vecCol, b)
       .withColumn("__seq", lit(seq))
       .write.mode("append").parquet(s"$dir/codes")
   }
@@ -495,14 +507,12 @@ object AnnIndex {
   def buildIvfSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       nlist: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     writeMeta(spark, dir, m = 0, sub = 0, nlist = nlist, layout = "ivfsq")
     val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist,
       iters, maxTrainRows)
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     val b = Similarity.sqTrainBounds(corpus, vecCol)
-    b.vmin.indices.map(i => (i, b.vmin(i), b.vmax(i))).toDF("__pos", "vmin", "vmax")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
+    writeBounds(spark, dir, b)
     val assigned = Similarity.assign(corpus, (idCol, vecCol), coarse)
       .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
     Similarity.sqEncode(corpus, idCol, vecCol, b)
@@ -513,11 +523,8 @@ object AnnIndex {
 
   def readIvfSq(spark: SparkSession, dir: String): IvfSqIndex = {
     val (_, _, nlist, _) = readMeta(spark, dir)
-    val coarse = spark.read.parquet(s"$dir/coarse")
-    val rows = spark.read.parquet(s"$dir/bounds").orderBy(col("__pos")).collect()
-    val b = Similarity.SqBounds(
-      rows.map(_.getAs[Double]("vmin")), rows.map(_.getAs[Double]("vmax")))
-    IvfSqIndex(coarse, b, s"$dir/codes", nlist, dir)
+    IvfSqIndex(spark.read.parquet(s"$dir/coarse"), readBounds(spark, dir),
+      s"$dir/codes", nlist, dir)
   }
 
   /** IVF×SQ top-k: probe clusters per query, scan ONLY the probed

@@ -625,10 +625,13 @@ object Similarity {
   }
 
   /** Encode the corpus against trained bounds: (`__id`, `__codes`), one
-    * int in [0, 255] per dimension (stored tinyint-shifted by the index
-    * layer if desired; kept 0-based here for arithmetic clarity). A
-    * degenerate dimension (vmax == vmin) encodes 0 and reconstructs vmin
-    * exactly. Values OUTSIDE the trained range (append-path only) clamp.
+    * TINYINT per dimension — the raw [0, 255] code shifted by −128 so it
+    * fits Spark's signed byte (the score expression shifts back). This
+    * is what makes the codes table genuinely one byte of storage per
+    * dimension instead of a 4-byte int that merely holds byte-range
+    * values. A degenerate dimension (vmax == vmin) encodes 0 and
+    * reconstructs vmin exactly. Values OUTSIDE the trained range
+    * (append-path only) clamp.
     */
   def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       b: SqBounds): DataFrame =
@@ -639,9 +642,9 @@ object Similarity {
           zip_with(transform(qcol(vecCol), x => x.cast("double") / col("__n")),
             dlits(b.vmin), (x, lo) => x - lo),
           dlits(b.step),
-          (d, s) => when(s === 0d, 0)
+          (d, s) => (when(s === 0d, 0d)
             .otherwise(least(greatest(round(d / s, 0), lit(0d)), lit(255d)))
-            .cast("int")).as("__codes"))
+            - lit(128d)).cast("tinyint")).as("__codes"))
 
   /** Approximate cosines of every (query, corpus-code) pair:
     * (query_id, neighbor_id, cosine_sq, __qbound), self-pairs excluded.
@@ -676,10 +679,13 @@ object Similarity {
           (x, s) => abs(x) * s), lit(0.0), (acc, v) => acc + v) / 2 + lit(1e-6))
           .as("__qbound"))
 
-  /** The fused SQ score over a row carrying (__codes, __qoff, __qstep). */
+  /** The fused SQ score over a row carrying (__codes, __qoff, __qstep) —
+    * codes un-shift (+128) back to their raw [0, 255] value inline.
+    */
   private[ext] def sqScoreExpr: Column =
     col("__qoff") + aggregate(
-      zip_with(col("__codes"), col("__qstep"), (c, s) => c * s),
+      zip_with(col("__codes"), col("__qstep"),
+        (c, s) => (c.cast("double") + lit(128d)) * s),
       lit(0.0), (acc, v) => acc + v)
 
   /** SQ top-k (shared epilogue, ranked on the rounded score + id). */

@@ -59,7 +59,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v7_m8k16n16kvres_sq_ivfsq_meta")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v8_m8k16n16kvres_sqbyte_ivfsq")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build

@@ -61,7 +61,7 @@ class SqIndexSpec extends SparkSpec {
     b.step(0) shouldBe 0.0
     b.step(1) shouldBe 0.0
     val codes = Similarity.sqEncode(dup, "vec_id", "embedding", b)
-    codes.select(max(element_at($"__codes", 1))).head().getInt(0) shouldBe 0
+    codes.select(max(element_at($"__codes", 1))).head().getByte(0) shouldBe (-128).toByte
     // scores reconstruct the exact cosine (=1) within float slop
     val s = Similarity.sqScores(dup.filter($"vec_id" === 0L), "vec_id", "embedding",
       b, codes)
@@ -134,9 +134,9 @@ class SqIndexSpec extends SparkSpec {
     val idx = AnnIndex.readSq(spark, s"$base/sq")
     idx.codes.filter($"__id" === 10L).count() shouldBe 1
     val c10 = idx.codes.filter($"__id" === 10L)
-      .select($"__codes").as[Seq[Int]].head()
+      .select($"__codes").as[Seq[Byte]].head()
     val c11 = idx.codes.filter($"__id" === 11L)
-      .select($"__codes").as[Seq[Int]].head()
+      .select($"__codes").as[Seq[Byte]].head()
     c10 shouldBe c11
   }
 
@@ -205,9 +205,9 @@ class SqIndexSpec extends SparkSpec {
     // frozen-bounds determinism: appended codes == one-shot encode of the
     // same rows against the same bounds
     val oneShot = Similarity.sqEncode(bRows, "vec_id", "embedding", idx.bounds)
-      .select($"__id", $"__codes").as[(Long, Seq[Int])].collect().toMap
+      .select($"__id", $"__codes").as[(Long, Seq[Byte])].collect().toMap
     val appended = idx.codes.filter($"__id" >= 16)
-      .select($"__id", $"__codes").as[(Long, Seq[Int])].collect().toMap
+      .select($"__id", $"__codes").as[(Long, Seq[Byte])].collect().toMap
     appended shouldBe oneShot
     AnnIndex.deleteIds(spark, s"$base/sq", Seq(3L, 20L).toDF("vec_id"), "vec_id")
     val live = AnnIndex.readSq(spark, s"$base/sq").codes
