@@ -43,8 +43,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // placeholder resolution: oracles that replay against the PERSISTED
+    // ANN index tables (x_knn_ivfsq — the kmeans training is not SQL, the
+    // query path given the stored centroids is) carry __GRAFT_ANNIDX__,
+    // resolved here to this run's staged index dir; oracleSql is a static
+    // map and cannot know the content-fingerprinted path itself
+    val annIdx = "/tmp/graft_annindex/" + graft.queries.Staging.tag(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_ANNIDX__", annIdx))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

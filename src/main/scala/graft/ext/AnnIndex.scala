@@ -593,10 +593,15 @@ object AnnIndex {
       s"$dir is not a flat SQ index — each layout has its own compaction")
     val tmp = dir + ".compact-" + System.nanoTime()
     val idx = readSq(spark, dir)
+    // same refusal as the clustered layouts: compacting a fully-tombstoned
+    // index to an empty codes table is a rebuild-or-drop decision, not a
+    // compaction (the flat write keeps a schema file, but uniformity here
+    // beats an index that silently becomes permanently empty)
+    val live = requireLive(idx.codes, dir)
     writeMeta(spark, tmp, m = 0, sub = 0, nlist = -1, layout = "sq")
     spark.read.parquet(s"$dir/bounds")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/bounds")
-    idx.codes.withColumn("__seq", lit(0L))
+    live.withColumn("__seq", lit(0L))
       .write.mode("overwrite").parquet(s"$tmp/codes")
     graft.operators.Upsert.swapDirs(tmp, dir)
   }
@@ -700,7 +705,9 @@ object AnnIndex {
         "own compaction; compacting with the wrong op would silently drop " +
         "the other layout's tables")
     val tmp = dir + ".compact-" + System.nanoTime()
-    writePq(readPq(spark, dir), tmp) // the live view, seq reset by writePq
+    val live = readPq(spark, dir) // the live view, seq reset by writePq
+    requireLive(live.codes, dir) // all-dead = rebuild-or-drop, same as compactSq
+    writePq(live, tmp)
     graft.operators.Upsert.swapDirs(tmp, dir)
   }
 
@@ -710,8 +717,10 @@ object AnnIndex {
     * — strictly worse than the pre-compaction state, where a fully-
     * tombstoned index still serves (empty results). The degenerate
     * all-deleted case is a rebuild-or-drop decision, not a compaction;
-    * fail loudly before any table is written. (Flat PQ has no such
-    * hazard: its unpartitioned empty write keeps a schema file.)
+    * fail loudly before any table is written. (The flat layouts'
+    * unpartitioned empty write keeps a schema file, so they have no
+    * unreadable-table hazard — they adopt the guard anyway so every
+    * layout's compaction refuses the same degenerate state.)
     */
   private def requireLive(live: DataFrame, dir: String): DataFrame = {
     require(!live.isEmpty,

@@ -148,8 +148,7 @@ object ExtensionQueries {
     stageOnce(ev.unionByName(ev), s"/tmp/graft_stream_dup/${Staging.tag(dir)}")
     stageSessionSpool(s, dir)
     stageUpsertSpool(s, dir)
-    stageDocSpool(s, dir)
-    stageDocSpool(s, dir, nSlices = 2) // the components gate's spool
+    stageDocSpool(s, dir) // shared by the minhash, simhash AND components gates
     stageEmbSpool(s, dir)
   }
 
@@ -157,11 +156,16 @@ object ExtensionQueries {
     * `nSlices` arrival slices keyed by a hash of the doc id, so an
     * original and its planted near-variant usually arrive in DIFFERENT
     * micro-batches — the store-join (old↔new) path does real work, not
-    * just the within-batch self-join. Fixture prep, untimed (a real spool
-    * exists because documents arrived; only arrival order is synthesized,
-    * via per-file mtimes).
+    * just the within-batch self-join. Two slices are the minimum that
+    * proves incrementality (batch 1 bootstraps the store, batch 2
+    * exercises the store join AND its own self-join) and every further
+    * slice only re-pays the fixed micro-batch machinery cost — the
+    * measured dominator of gate wall time — without touching any new
+    * code path. Fixture prep, untimed (a real spool exists because
+    * documents arrived; only arrival order is synthesized, via per-file
+    * mtimes).
     */
-  def stageDocSpool(s: SparkSession, dir: String, nSlices: Int = 4): String = {
+  def stageDocSpool(s: SparkSession, dir: String, nSlices: Int = 2): String = {
     val tmp = s"/tmp/graft_stream_docs/${Staging.tag(dir)}_n$nSlices"
     val done = new java.io.File(s"$tmp/_SPOOL_DONE")
     if (done.exists()) return tmp
@@ -174,6 +178,29 @@ object ExtensionQueries {
     done.createNewFile()
     tmp
   }
+
+  /** One incremental-MinHash stream run shared by the `x_stream_dedup_minhash`
+    * and `x_stream_dedup_components` gates (memoized per spool content
+    * fingerprint): the pairs gate and the clusters gate assert different
+    * properties — pair set + estimates vs canonical labels — of the SAME
+    * store machinery, so two full stream executions verified nothing the
+    * shared one does not. Whichever gate runs first pays the run; both
+    * read the persisted store. The cap is lifted far above the corpus on
+    * the stream side (and on the gates' batch sides) so the at-arrival
+    * vs global bucket-cap judgment difference is inert and streamed ==
+    * batch is exact at every scale factor; storeParts is sized for the
+    * gate corpus (files appended per batch = touched partitions — the
+    * layout-knob doc on runMinhashDedupOnce).
+    */
+  private val minhashRuns = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def minhashStreamStore(s: SparkSession, dir: String): String =
+    minhashRuns.computeIfAbsent(Staging.tag(dir), _ => {
+      val spool = stageDocSpool(s, dir)
+      val store = s"/tmp/graft_stream_minhash/${Staging.tag(dir)}_store"
+      graft.streaming.DocStreams.runMinhashDedupOnce(s, spool, store,
+        maxBucketSize = 1000000, storeParts = 4, withComponents = true)
+      store
+    })
 
   /** Embeddings spool for the streaming index-append gate: the second
     * half of the 16-vector gate corpus in two arrival slices. Fixture
@@ -210,7 +237,7 @@ object ExtensionQueries {
     * exists because events arrived; only its arrival ORDER is synthesized
     * here, via explicit per-file mtimes.
     */
-  def stageSessionSpool(s: SparkSession, dir: String, nSlices: Int = 4): String = {
+  def stageSessionSpool(s: SparkSession, dir: String, nSlices: Int = 2): String = {
     val tmp = s"/tmp/graft_stream_sess/${Staging.tag(dir)}_n$nSlices"
     val done = new java.io.File(s"$tmp/_SPOOL_DONE")
     if (done.exists()) return tmp
@@ -277,7 +304,7 @@ object ExtensionQueries {
     * events table, so a SQL oracle can replay both the final table and
     * the created/updated split.
     */
-  def stageUpsertSpool(s: SparkSession, dir: String, nSlices: Int = 4): String = {
+  def stageUpsertSpool(s: SparkSession, dir: String, nSlices: Int = 3): String = {
     val tmp = s"/tmp/graft_stream_upsert/${Staging.tag(dir)}_n$nSlices"
     val done = new java.io.File(s"$tmp/_SPOOL_DONE")
     if (done.exists()) return tmp
@@ -321,7 +348,12 @@ object ExtensionQueries {
     * is the same one minhash/simhash/embedding candidates feed.
     */
   val dedupResolve = q("x_dedup_resolve",
+    // a NULL text is no evidence of duplication: NULL-text docs pair with
+    // nothing and all survive, on BOTH sides (the null-rejecting SQL join
+    // alone would silently drop them; the window alone would group them)
     s"""WITH corpus AS (SELECT * FROM $docsWithCopiesSql)
+       |SELECT doc_id FROM corpus WHERE text IS NULL
+       |UNION ALL
        |SELECT c.doc_id FROM corpus c
        |JOIN (SELECT text, min(doc_id) AS m FROM corpus GROUP BY text) g
        |ON c.text = g.text WHERE c.doc_id = g.m""".stripMargin) { (s, dir) =>
@@ -329,6 +361,7 @@ object ExtensionQueries {
     val corpus = docsWithCopies(s, dir)
     val w = Window.partitionBy(col("text"))
     val pairs = corpus
+      .filter(col("text").isNotNull)
       .withColumn("__m", min(col("doc_id")).over(w))
       .filter(col("doc_id") =!= col("__m"))
       .select(col("__m").as("id_a"), col("doc_id").as("id_b"))
@@ -879,7 +912,52 @@ object ExtensionQueries {
     * on byte codes. Rows-only; its accuracy is pinned by the two
     * invariant gates below.
     */
-  val knnSq = qRowsOnly("x_knn_sq") { (s, dir) =>
+  /** Hash-matched against a FULL pipeline replay: unlike the kmeans
+    * families, every SQ stage (normalize → exact per-dim bounds → affine
+    * byte encode → fused score → top-k) is deterministic arithmetic
+    * DuckDB can express over the same embeddings table — the oracle
+    * recomputes the index from first principles and must reproduce the
+    * persisted index's served ranking row-for-row, 4dp scores included.
+    * Both sides fold the per-dimension sums left-to-right in doubles, so
+    * the rounded scores agree bitwise.
+    */
+  val knnSq = q("x_knn_sq",
+    """WITH emb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM emb),
+      |dims AS (
+      |  SELECT i, min(u[i]) AS lo, max(u[i]) AS hi
+      |  FROM q, UNNEST(generate_series(1, len(u))) AS t(i)
+      |  GROUP BY i),
+      |b AS (
+      |  SELECT list(lo ORDER BY i) AS lo,
+      |         list((hi - lo) / 255.0 ORDER BY i) AS step FROM dims),
+      |codes AS (
+      |  SELECT vec_id AS nid,
+      |         list_transform(generate_series(1, len(u)),
+      |           i -> CASE WHEN b.step[i] = 0 THEN CAST(0 AS DOUBLE)
+      |                ELSE least(greatest(round((u[i] - b.lo[i]) / b.step[i], 0), 0), 255) END) AS c
+      |  FROM q, b),
+      |qf AS (
+      |  SELECT vec_id AS qid,
+      |         list_sum(list_transform(generate_series(1, len(u)), i -> u[i] * b.lo[i])) AS qoff,
+      |         list_transform(generate_series(1, len(u)), i -> u[i] * b.step[i]) AS qstep
+      |  FROM q, b WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT qid, nid,
+      |         round(qoff + list_sum(list_transform(generate_series(1, len(qstep)),
+      |           i -> c[i] * qstep[i])), 4) AS s
+      |  FROM qf, codes WHERE qid <> nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine_sq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine_sq FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
     val idx = stageAnnIndexes(s, dir)
     AnnIndex.sqTopK(s, s"$idx/sq",
       Tables.embeddings(s, dir).filter(col("vec_id") < 5), "vec_id", "embedding", 5)
@@ -955,7 +1033,63 @@ object ExtensionQueries {
     * retrieval layout (partition-pruned scan + analytically bounded
     * scores). Rows-only; accuracy pinned by the full-probe equality gate.
     */
-  val knnIvfSq = qRowsOnly("x_knn_ivfsq") { (s, dir) =>
+  /** Hash-matched against a DuckDB replay over the PERSISTED index
+    * tables (the `__GRAFT_ANNIDX__` placeholder becomes the staged index
+    * path at Verify-dump time): the coarse kmeans training itself is not
+    * SQL-expressible, but given the stored centroids the ENTIRE query
+    * path is — probe selection (top-nprobe centroids by raw cosine, id
+    * tie-break), the cluster restriction, the fused byte-code scoring
+    * from the stored bounds, and the top-k. Combined with x_knn_sq's
+    * from-first-principles oracle (same bounds pipeline, byte-identical
+    * codes — the fullprobe gate pins the layouts equal), every stage of
+    * the IVF×SQ path is oracled: codes/bounds independently, pruning +
+    * scoring + ranking here.
+    */
+  val knnIvfSq = q("x_knn_ivfsq",
+    """WITH qv AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/coarse/*.parquet')),
+      |probe AS (
+      |  SELECT qid, __cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qv, cent),
+      |probed AS (SELECT qid, __cid FROM probe WHERE pr <= 4),
+      |b AS (
+      |  SELECT list(vmin ORDER BY __pos) AS lo,
+      |         list((vmax - vmin) / 255.0 ORDER BY __pos) AS step
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/bounds/*.parquet')),
+      |nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM qv),
+      |qf AS (
+      |  SELECT qid,
+      |         list_sum(list_transform(generate_series(1, len(u)), i -> u[i] * b.lo[i])) AS qoff,
+      |         list_transform(generate_series(1, len(u)), i -> u[i] * b.step[i]) AS qstep
+      |  FROM nq, b),
+      |codes AS (
+      |  SELECT __id AS nid, CAST(__cluster AS INTEGER) AS cl,
+      |         list_transform(__codes, c -> CAST(c AS DOUBLE) + 128.0) AS c
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/codes/*/*.parquet', hive_partitioning=1)),
+      |scored AS (
+      |  SELECT p.qid, codes.nid,
+      |         round(qf.qoff + list_sum(list_transform(generate_series(1, len(qf.qstep)),
+      |           i -> c[i] * qf.qstep[i])), 4) AS s
+      |  FROM probed p JOIN codes ON codes.cl = p.__cid
+      |  JOIN qf ON qf.qid = p.qid
+      |  WHERE p.qid <> codes.nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine_sq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine_sq FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
     val idx = stageAnnIndexes(s, dir)
     AnnIndex.ivfSqTopK(s, AnnIndex.readIvfSq(s, s"$idx/ivfsq"),
       Tables.embeddings(s, dir).filter(col("vec_id") < 5),
@@ -981,9 +1115,16 @@ object ExtensionQueries {
           queries, "vec_id", "embedding", 5, nprobe = 16)
         .select(col("query_id"), col("rank"),
           col("neighbor_id").as("__in"), col("cosine_sq").as("__is"))
+      // neighbor identity and rank stay STRICT; the score compare allows
+      // one 4dp rounding step (2e-4) — the two sides run the identical
+      // fused expression through different physical plans (broadcast-NL
+      // flat scan vs pruned scan + joins), and a codegen/reordering change
+      // could legally move a raw sum by an ulp across a rounding boundary
+      // without the approximation semantics changing at all
       flat.join(ivf, Seq("query_id", "rank"), "full")
         .agg((count(lit(1)) ===
-          sum(when(col("__fn") === col("__in") && col("__fs") === col("__is"), 1)
+          sum(when(col("__fn") === col("__in") &&
+              abs(col("__fs") - col("__is")) <= 2e-4, 1)
             .otherwise(0))).as("fullprobe_ok"))
     }
 
@@ -1516,17 +1657,13 @@ object ExtensionQueries {
     * estimated jaccards — so a store-join bug (lost band, double pair,
     * wrong signature carried) fails correctness, with the planted-pair
     * recall already guaranteed by the equality to the gated batch form.
+    * The stream execution is the [[minhashStreamStore]] run shared with
+    * the components gate; this gate re-derives the full one-shot batch
+    * candidates and pins the store's pairs against them.
     */
   val streamDedupMinhash = q("x_stream_dedup_minhash",
     "SELECT true AS stream_minhash_ok") { (s, dir) =>
-    val spool = stageDocSpool(s, dir)
-    val store = s"/tmp/graft_stream_minhash/${Staging.tag(dir)}_store"
-    // cap lifted far above the corpus on BOTH sides: the stream judges
-    // buckets at arrival time, the batch globally — with the cap inert
-    // the equality below is exact at every scale factor instead of
-    // depending on no fixture bucket ever crossing the default cap
-    val streamed = graft.streaming.DocStreams.runMinhashDedupOnce(s, spool, store,
-        maxBucketSize = 1000000)
+    val streamed = graft.streaming.DocStreams.readPairs(s, minhashStreamStore(s, dir))
       .withColumnRenamed("est_jaccard", "__se")
     val batch = Dedup.minhashCandidates(docsWithVariants(s, dir), "doc_id", "text",
       numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5,
@@ -1548,9 +1685,11 @@ object ExtensionQueries {
     "SELECT true AS stream_simhash_ok") { (s, dir) =>
     val spool = stageDocSpool(s, dir)
     val store = s"/tmp/graft_stream_simhash/${Staging.tag(dir)}_store"
-    // caps inert on both sides, same reasoning as the MinHash gate
+    // caps inert on both sides, same reasoning as the MinHash gate;
+    // storeParts sized for the gate corpus (appended files per batch =
+    // touched partitions)
     val streamed = graft.streaming.DocStreams.runSimhashDedupOnce(s, spool, store,
-        maxHamming = 3, maxBucketSize = 1000000)
+        maxHamming = 3, maxBucketSize = 1000000, storeParts = 4)
       .withColumnRenamed("hamming", "__sh")
     val batch = Dedup.simhashPairs(docsWithVariants(s, dir), "doc_id", "text",
       maxHamming = 3, maxBucketSize = 1000000)
@@ -1568,16 +1707,15 @@ object ExtensionQueries {
     * full batch components rerun over every pair ever seen. The gate
     * pins the streamed labels against batch `connectedComponents` over
     * the stream's own final pair set (labels are canonical min-ids, so
-    * both sides must agree exactly). A 2-slice spool keeps the
-    * micro-batch machinery cost proportionate while still exercising the
-    * store-bootstrap AND the cross-generation merge paths.
+    * both sides must agree exactly). The stream execution is the shared
+    * [[minhashStreamStore]] run (2-slice spool: store-bootstrap AND
+    * cross-generation merge paths both exercised); this gate checks the
+    * label store, the pairs gate checks the pair store.
     */
   val streamDedupComponents = q("x_stream_dedup_components",
     "SELECT true AS stream_components_ok") { (s, dir) =>
-    val spool = stageDocSpool(s, dir, nSlices = 2)
-    val store = s"/tmp/graft_stream_minhash/${Staging.tag(dir)}_cstore"
-    val streamed = graft.streaming.DocStreams.runMinhashDedupOnce(s, spool, store,
-      maxBucketSize = 1000000, withComponents = true)
+    val store = minhashStreamStore(s, dir)
+    val streamed = graft.streaming.DocStreams.readPairs(s, store)
     val comps = graft.ext.IncrementalComponents.read(s, s"$store/comps")
     val nodes = streamed.select(col("id_a").as("id"))
       .unionByName(streamed.select(col("id_b").as("id"))).distinct()
@@ -1768,12 +1906,13 @@ object ExtensionQueries {
     * the SAME Upsert.merge + writeSwap as the batch import. The oracle
     * replays the end state from first principles: per user, the staged
     * row of the LAST slice containing that user (slices are event_id %
-    * 4; each staged file keeps the max-(ts,event_id) row per user).
+    * 3; each staged file keeps the max-(ts,event_id) row per user). The
+    * stream execution is the shared [[upsertStreamRun]].
     */
   val streamUpsert = q("x_stream_upsert",
     """WITH sliced AS (
-      |  SELECT event_id, ts, user_id, event_type, value, event_id % 4 AS slice,
-      |         row_number() OVER (PARTITION BY event_id % 4, user_id
+      |  SELECT event_id, ts, user_id, event_type, value, event_id % 3 AS slice,
+      |         row_number() OVER (PARTITION BY event_id % 3, user_id
       |                            ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events),
       |staged AS (SELECT * FROM sliced WHERE rn = 1),
@@ -1782,30 +1921,42 @@ object ExtensionQueries {
       |  FROM staged)
       |SELECT event_id, ts, user_id, event_type, value FROM final WHERE rn2 = 1""".stripMargin) {
     (s, dir) =>
-    val spool = stageUpsertSpool(s, dir)
-    val table = s"/tmp/graft_stream_upsert_tbl/${Staging.tag(dir)}"
-    EventStreams.runUpsertOnce(s, spool, table, "user_id")
-    s.read.parquet(table)
+    s.read.parquet(upsertStreamRun(s, dir)._1)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
   }
 
-  /** The created/updated split of the SAME incremental run, summed across
-    * micro-batches (a fresh run against its own table dir — counters are
-    * engine output, not a replay): a user's first slice creates, each
-    * later slice updates, so created = distinct users and updated =
-    * (slice,user) pairs minus created.
+  /** The created/updated split of the SAME incremental run (the shared
+    * [[upsertStreamRun]] — the counters and the final table are two
+    * outputs of one engine execution, so one run serves both gates):
+    * a user's first slice creates, each later slice updates, so created
+    * = distinct users and updated = (slice,user) pairs minus created.
     */
   val streamUpsertCounters = q("x_stream_upsert_counters",
-    """WITH staged AS (SELECT DISTINCT event_id % 4 AS slice, user_id FROM events)
+    """WITH staged AS (SELECT DISTINCT event_id % 3 AS slice, user_id FROM events)
       |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS created,
       |       CAST(count(*) - count(DISTINCT user_id) AS BIGINT) AS updated
       |FROM staged""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val spool = stageUpsertSpool(s, dir)
-    val table = s"/tmp/graft_stream_upsert_tbl/${Staging.tag(dir)}_counters"
-    val (created, updated) = EventStreams.runUpsertOnce(s, spool, table, "user_id")
+    val (_, created, updated) = upsertStreamRun(s, dir)
     Seq((created, updated)).toDF("created", "updated")
   }
+
+  /** One incremental-upsert stream run shared by `x_stream_upsert` and
+    * `x_stream_upsert_counters` (memoized per spool content fingerprint):
+    * the final table and the created/updated counters are BOTH outputs of
+    * the same engine execution — the two gates check the two outputs, so
+    * a second identical run verified nothing the first does not.
+    * Whichever gate runs first pays the run.
+    */
+  private val upsertRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+  private def upsertStreamRun(s: SparkSession, dir: String): (String, Long, Long) =
+    upsertRuns.computeIfAbsent(Staging.tag(dir), _ => {
+      val spool = stageUpsertSpool(s, dir)
+      val table = s"/tmp/graft_stream_upsert_tbl/${Staging.tag(dir)}"
+      val (created, updated) = EventStreams.runUpsertOnce(s, spool, table, "user_id")
+      (table, created, updated)
+    })
 
   val sessionize = q("x_sessionize",
     """WITH e AS (

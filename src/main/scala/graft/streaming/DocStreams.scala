@@ -152,12 +152,7 @@ object DocStreams {
     graft.util.Hfs.delete(spark, storeDir)
     val sigsPath = s"$storeDir/sigs"
     val pairsPath = s"$storeDir/pairs"
-    // per-batch joins are batch×store-sized; the session-wide analytics
-    // shuffle width just multiplies task overhead across micro-batches
-    // (same knob as runUpsertOnce)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    StreamConf.withWidth(spark) {
       val stream = spark.readStream
         .schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -223,7 +218,11 @@ object DocStreams {
             .groupBy(col("id_a"), col("id_b"))
             .agg(aggScore(col(scoreCol)).as(scoreCol))
           if (withComponents) pairs.persist() // write + label merge share it
-          pairs.write.mode("append").parquet(pairsPath)
+          // one appended file per batch, not one per shuffle task: the
+          // pair set is micro-batch-sized, and every extra part file is a
+          // create+rename+fsync the store pays per batch forever (same
+          // discipline as the sigs append below)
+          pairs.coalesce(1).write.mode("append").parquet(pairsPath)
           // collapse the append to one writer task: without it every
           // shuffle task holds every partition value and the store
           // accretes tasks×storeParts files PER BATCH — the scan side
@@ -252,7 +251,7 @@ object DocStreams {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     readPairsStore(spark, storeDir, scoreCol, aggScore)
   }
 
@@ -474,9 +473,7 @@ object DocStreams {
             "checkpointLocation (or rebuild the index and start fresh)")
         Hfs.writeString(spark, idFile, ckptId)
     }
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    StreamConf.withWidth(spark) {
       val stream = spark.readStream
         .schema(s"$idCol long, $vecCol array<float>")
         .option("maxFilesPerTrigger", "1")
@@ -491,7 +488,7 @@ object DocStreams {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** One batch's staged-generation append (unmarked batches only): sweep
@@ -508,9 +505,12 @@ object DocStreams {
     sweepPublished(spark, s"$indexDir/vectors", prefix)
     val (codes, vectors) = graft.ext.AnnIndex.ivfPqAppendFrames(
       spark, indexDir, batch, idCol, vecCol)
-    codes.write.mode("overwrite").partitionBy("__cluster")
+    // one part per touched cluster, not one per (task × cluster): every
+    // staged file becomes a publish rename against the live index, paid
+    // per batch forever (same small-file discipline as the dedup store)
+    codes.coalesce(1).write.mode("overwrite").partitionBy("__cluster")
       .parquet(s"$staged/codes")
-    vectors.foreach(_.write.mode("overwrite").partitionBy("__cluster")
+    vectors.foreach(_.coalesce(1).write.mode("overwrite").partitionBy("__cluster")
       .parquet(s"$staged/vectors"))
     publishStaged(spark, s"$staged/codes", s"$indexDir/codes", prefix)
     if (vectors.isDefined)

@@ -48,10 +48,12 @@ object EventStreams {
     */
   def runWindowedAggOnce(spark: SparkSession, dir: String, queryName: String,
       windowLength: String = "1 hour"): DataFrame = {
-    val q = windowedAggStream(spark, dir, windowLength)
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    StreamConf.withWidth(spark) {
+      val q = windowedAggStream(spark, dir, windowLength)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -63,14 +65,16 @@ object EventStreams {
     */
   def runDedupOnce(spark: SparkSession, dir: String, queryName: String,
       watermark: String = "24 hours"): DataFrame = {
-    val stream = spark.readStream
-      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
-      .parquet(dir)
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
-    val q = stream.writeStream.format("memory").queryName(queryName)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    StreamConf.withWidth(spark) {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .parquet(dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = stream.writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -81,16 +85,18 @@ object EventStreams {
     */
   def runEnrichedAggOnce(spark: SparkSession, dir: String, dim: DataFrame,
       joinKey: String, dimCol: String, queryName: String): DataFrame = {
-    val stream = spark.readStream
-      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
-      .parquet(dir)
-      .withWatermark("ts", "24 hours")
-    val enriched = stream.join(dim, col("user_id") === col(joinKey), "inner")
-    val agg = enriched.groupBy(col(dimCol))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-    val q = agg.writeStream.format("memory").queryName(queryName)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    StreamConf.withWidth(spark) {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .parquet(dir)
+        .withWatermark("ts", "24 hours")
+      val enriched = stream.join(dim, col("user_id") === col(joinKey), "inner")
+      val agg = enriched.groupBy(col(dimCol))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      val q = agg.writeStream.format("memory").queryName(queryName)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -304,11 +310,9 @@ object EventStreams {
     import spark.implicits._
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = spark.conf.getOption(provKey)
-    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    try StreamConf.withWidth(spark) {
       val stream = spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
         .option("maxFilesPerTrigger", "1")
@@ -322,7 +326,6 @@ object EventStreams {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
       prevProv match {
         case Some(v) => spark.conf.set(provKey, v)
         case None => spark.conf.unset(provKey)
@@ -347,14 +350,7 @@ object EventStreams {
   def runSessionizeOnce(spark: SparkSession, dir: String, queryName: String,
       gapMs: Long, watermarkDelay: String = "35 days"): DataFrame = {
     import spark.implicits._
-    // a multi-batch run pays (state partitions × batches) state-store
-    // maintenance tasks; the session-wide shuffle width (sized for batch
-    // analytics) is far past what per-user session state needs here, so
-    // narrow it for this self-contained run — on a real deployment the
-    // stream job sets its own width once at startup
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    StreamConf.withWidth(spark) {
       val stream = spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
         .option("maxFilesPerTrigger", "1")
@@ -367,7 +363,7 @@ object EventStreams {
         .writeStream.format("memory").queryName(queryName)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(queryName)
   }
 
@@ -393,15 +389,10 @@ object EventStreams {
     graft.util.Hfs.delete(spark, tableDir)
     var created = 0L
     var updated = 0L
-    // per-batch merges are small (one spool file vs the live table); the
-    // session-wide analytics shuffle width just multiplies task overhead
-    // across batches — narrow it for this self-contained run (same knob
-    // as runSessionizeOnce; a real deployment sets its own width once)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try runUpsertStream(spark, spoolDir, tableDir, key,
-      (c, u) => { created += c; updated += u })
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    StreamConf.withWidth(spark) {
+      runUpsertStream(spark, spoolDir, tableDir, key,
+        (c, u) => { created += c; updated += u })
+    }
     (created, updated)
   }
 

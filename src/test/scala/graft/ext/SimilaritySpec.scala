@@ -511,12 +511,19 @@ class SimilaritySpec extends SparkSpec {
     AnnIndex.ivfPqTopK(spark, AnnIndex.readIvfPq(spark, s"$base/ivfpq"),
       corpus.filter($"vec_id" === 0), "vec_id", "embedding", 3, nprobe = 2)
       .select("neighbor_id").as[Long].collect().toSeq shouldBe Seq(1L)
-    // flat PQ has no empty-write hazard: compaction to empty stays readable
+    // the flat layouts refuse the all-dead compaction too (uniform
+    // contract: compacting to zero live rows is a rebuild-or-drop
+    // decision) — the refusal leaves the index intact, serving empty,
+    // and a later re-append still supersedes the tombstones
     AnnIndex.deleteIds(spark, s"$base/pq", corpus.select("vec_id"), "vec_id")
-    AnnIndex.compactPq(spark, s"$base/pq")
+    an[IllegalArgumentException] should be thrownBy AnnIndex.compactPq(spark, s"$base/pq")
     AnnIndex.readPq(spark, s"$base/pq").codes.count() shouldBe 0
     AnnIndex.appendPq(spark, s"$base/pq",
       corpus.filter($"vec_id" < 2), "vec_id", "embedding")
+    AnnIndex.readPq(spark, s"$base/pq").codes.select("__id").distinct().count() shouldBe 2
+    // after the re-append the index has live rows again — compaction now
+    // proceeds and keeps exactly the live view
+    AnnIndex.compactPq(spark, s"$base/pq")
     AnnIndex.readPq(spark, s"$base/pq").codes.select("__id").distinct().count() shouldBe 2
   }
 
