@@ -170,10 +170,18 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
-  /** Train + encode + persist in one call (the index-build job). */
+  /** Train + encode + persist in one call (the index-build job).
+    * `modelIn` supplies an already-trained model (codebooks + codes of
+    * THIS corpus at this geometry) and skips training entirely — the
+    * FAISS provide-your-own-quantizer shape, used when several layouts
+    * over one corpus share one training (e.g. flat PQ beside IVF×PQ:
+    * identical sub-quantizers by construction, trained once).
+    */
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      m: Int, ksub: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit =
-    writePq(Similarity.pqModel(corpus, idCol, vecCol, m, ksub, iters, maxTrainRows), dir)
+      m: Int, ksub: Int, iters: Int = 2, maxTrainRows: Int = 0,
+      modelIn: Option[PqModel] = None): Unit =
+    writePq(modelIn.getOrElse(
+      Similarity.pqModel(corpus, idCol, vecCol, m, ksub, iters, maxTrainRows)), dir)
 
   /** Load a persisted PQ index as a [[Similarity.PqModel]] — drop-in for
     * `pqScores`/`pqTopK` query paths, with zero training cost.
@@ -206,10 +214,15 @@ object AnnIndex {
     * once at build time.
     */
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      nlist: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
+      nlist: Int, iters: Int = 2, maxTrainRows: Int = 0,
+      /** Already-trained coarse centroids (`__cid`, `centroid`) — skips
+        * the kmeans; the shared-training shape of [[buildPq]]'s modelIn.
+        */
+      coarseIn: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
-    val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist, iters,
-      maxTrainRows)
+    val coarse = coarseIn.getOrElse(
+      Similarity.trainCentroids(corpus, idCol, vecCol, nlist, iters,
+        maxTrainRows))
     writeMeta(spark, dir, m = 0, sub = 0, nlist)
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     Similarity.assign(corpus, (idCol, vecCol), coarse)
@@ -273,10 +286,19 @@ object AnnIndex {
         * ([[Similarity.residualOffsets]]). The flag is persisted in
         * `meta` and honored by append/update/compact/CDC.
         */
-      byResidual: Boolean = false): Unit = {
+      byResidual: Boolean = false,
+      /** Already-trained coarse centroids — see [[buildIvf]].coarseIn. */
+      coarseIn: Option[DataFrame] = None,
+      /** Already-trained RAW-space PQ model (codebooks + this corpus's
+        * codes) — honored only when `byResidual` is false (a residual
+        * index quantizes centroid residuals; raw-space codebooks would
+        * silently mix score spaces, so it always trains its own).
+        */
+      modelIn: Option[PqModel] = None): Unit = {
     val spark = corpus.sparkSession
-    val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist, iters,
-      maxTrainRows)
+    val coarse = coarseIn.getOrElse(
+      Similarity.trainCentroids(corpus, idCol, vecCol, nlist, iters,
+        maxTrainRows))
     val assigned = Similarity.assign(corpus, (idCol, vecCol), coarse)
     if (byResidual) {
       val (codebooks, codes, sub) = Similarity.pqResidualModel(assigned,
@@ -289,8 +311,9 @@ object AnnIndex {
     } else {
       val clusterOf = assigned
         .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))
-      val model = Similarity.pqModel(corpus, idCol, vecCol, m, ksub, iters,
-        maxTrainRows)
+      val model = modelIn.getOrElse(
+        Similarity.pqModel(corpus, idCol, vecCol, m, ksub, iters,
+          maxTrainRows))
       writeMeta(spark, dir, model.m, model.sub, nlist)
       coarse.write.mode("overwrite").parquet(s"$dir/coarse")
       model.centroids.write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -442,10 +465,15 @@ object AnnIndex {
     * `codes` ((__id, __codes, __seq)), tombstones via [[deleteIds]] like
     * every other layout.
     */
-  def buildSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+  def buildSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      /** Already-computed exact bounds of THIS corpus — skips the
+        * min/max aggregation; the shared-training shape of
+        * [[buildPq]].modelIn.
+        */
+      boundsIn: Option[Similarity.SqBounds] = None): Unit = {
     val spark = corpus.sparkSession
     writeMeta(spark, dir, m = 0, sub = 0, nlist = -1, layout = "sq")
-    val b = Similarity.sqTrainBounds(corpus, vecCol)
+    val b = boundsIn.getOrElse(Similarity.sqTrainBounds(corpus, vecCol))
     writeBounds(spark, dir, b)
     Similarity.sqEncode(corpus, idCol, vecCol, b)
       .withColumn("__seq", lit(0L))
@@ -505,13 +533,18 @@ object AnnIndex {
     * partitioned by cluster.
     */
   def buildIvfSq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      nlist: Int, iters: Int = 2, maxTrainRows: Int = 0): Unit = {
+      nlist: Int, iters: Int = 2, maxTrainRows: Int = 0,
+      /** Already-trained coarse centroids — see [[buildIvf]].coarseIn. */
+      coarseIn: Option[DataFrame] = None,
+      /** Already-computed exact bounds — see [[buildSq]].boundsIn. */
+      boundsIn: Option[Similarity.SqBounds] = None): Unit = {
     val spark = corpus.sparkSession
     writeMeta(spark, dir, m = 0, sub = 0, nlist = nlist, layout = "ivfsq")
-    val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist,
-      iters, maxTrainRows)
+    val coarse = coarseIn.getOrElse(
+      Similarity.trainCentroids(corpus, idCol, vecCol, nlist,
+        iters, maxTrainRows))
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
-    val b = Similarity.sqTrainBounds(corpus, vecCol)
+    val b = boundsIn.getOrElse(Similarity.sqTrainBounds(corpus, vecCol))
     writeBounds(spark, dir, b)
     val assigned = Similarity.assign(corpus, (idCol, vecCol), coarse)
       .select(qcol(idCol).cast("long").as("__id"), col("__cluster"))

@@ -65,75 +65,147 @@ object ExtensionQueries {
     // (e.g. append-mode tombstones) into the fresh build
     val tmpDir = new java.io.File(tmp)
     if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
+    // per-fixture wall attribution for the cold-staging budget, opt-in
+    // (SPARK_GRAFT_STAGE_TIMING=1) so tuning rounds see WHICH build to cut
+    val timeIt = sys.env.get("SPARK_GRAFT_STAGE_TIMING").contains("1")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (timeIt) System.err.println(
+        f"[staging] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // independent fixture chains run CONCURRENTLY: the corpus here is
+    // ~10³ sample rows through dozens of small chained stages, so each
+    // chain is scheduler latency, not compute — Spark's scheduler accepts
+    // jobs from many threads, and overlapping the chains collapses their
+    // idle gaps (the measured staging dominator). Every chain writes its
+    // own directory; shared inputs are read-only checkpointed frames.
+    def inParallel(tasks: (String, () => Unit)*): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          tasks.map { case (n, f) => scala.concurrent.Future(timed(n)(f())) }),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
     val emb = Tables.embeddings(s, dir)
-    AnnIndex.buildPq(emb, "vec_id", "embedding", s"$tmp/pq",
-      m = 8, ksub = 16, iters = 2)
-    AnnIndex.buildIvf(emb, "vec_id", "embedding", s"$tmp/ivf",
-      nlist = 16, iters = 2)
-    // keepVectors: the refine gate re-ranks against the exact vectors
-    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq",
-      nlist = 16, m = 8, ksub = 16, iters = 2, keepVectors = true)
-    // the SAME geometry trained on coarse-centroid residuals (FAISS
-    // by_residual=true) — x_knn_ivfpq_residual_err pins its error band
-    // against the raw-trained sibling above
-    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq_res",
-      nlist = 16, m = 8, ksub = 16, iters = 2, byResidual = true)
-    // SQ8: exact per-dimension bounds + byte codes; the x_knn_sq_err /
-    // x_knn_sq_guarantee gates assert its ANALYTIC error bound
-    AnnIndex.buildSq(emb, "vec_id", "embedding", s"$tmp/sq")
-    // IVF×SQ: the same bounds discipline under cluster partition
-    // pruning; the full-probe gate pins exact equality with flat SQ
-    AnnIndex.buildIvfSq(emb, "vec_id", "embedding", s"$tmp/ivfsq", nlist = 16)
-    // the small gate indexes over the 16-vector sub-corpus: lossless
-    // (ksub = corpus size) so the recall/persistence gates can pin
-    // exact-equality semantics; staged like any fixture so gate runs
-    // measure the QUERY path, not a rebuild
     val emb16 = emb.filter(col("vec_id") < 16)
-    AnnIndex.buildIvfPq(emb16, "vec_id", "embedding", s"$tmp/ivfpq_gate16",
-      nlist = 4, m = 8, ksub = 16, iters = 1)
-    // residual lossless-mechanics fixture: ksub = corpus size makes every
-    // RESIDUAL subvector its own centroid, and the offset decomposition
-    // is exact on the unit sphere — so residual IVF×PQ must equal brute
-    // force here (x_knn_ivfpq_res_recall)
-    AnnIndex.buildIvfPq(emb16, "vec_id", "embedding", s"$tmp/ivfpq_res_gate16",
-      nlist = 4, m = 8, ksub = 16, iters = 1, byResidual = true)
-    // iters=1: on the lossless ksub==corpus geometry Lloyd is at its
-    // fixpoint after init, so iteration count cannot change the result
-    AnnIndex.buildPq(emb16, "vec_id", "embedding", s"$tmp/pq_gate16",
-      m = 8, ksub = 16, iters = 1)
-    // incremental-maintenance fixture: built on the first half, second
-    // half APPENDED with frozen codebooks (x_knn_pq_append)
-    AnnIndex.buildPq(emb16.filter(col("vec_id") < 8), "vec_id", "embedding",
-      s"$tmp/pq_append16", m = 8, ksub = 8, iters = 1)
-    AnnIndex.appendPq(s, s"$tmp/pq_append16",
-      emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
-    // delete/update-maintenance fixture (x_knn_pq_delete): build on the
-    // first half, append the second, tombstone-delete {3, 11} (one built
-    // id, one appended id), then UPDATE id 6 by re-appending its own
-    // embedding — the update must supersede its tombstone AND not leave
-    // the original generation double-counted in the ADC sum
-    AnnIndex.buildIvfPq(emb16.filter(col("vec_id") < 8), "vec_id", "embedding",
-      s"$tmp/ivfpq_del16", nlist = 4, m = 8, ksub = 8, iters = 1)
-    AnnIndex.appendIvfPq(s, s"$tmp/ivfpq_del16",
-      emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
-    AnnIndex.deleteIds(s, s"$tmp/ivfpq_del16",
-      emb16.filter(col("vec_id").isin(3, 11)), "vec_id")
-    AnnIndex.updateIvfPq(s, s"$tmp/ivfpq_del16",
-      emb16.filter(col("vec_id") === 6), "vec_id", "embedding")
-    // the SAME delete/update history on the flat-PQ layout, driven through
-    // the CDC entry point: one snapshotDiff-shaped frame (delete {3, 11},
-    // update {6}) routed by applyDiffPq — the x_knn_pq_delete gate pins
-    // both layouts against one frozen-codebook reference encode
-    AnnIndex.buildPq(emb16.filter(col("vec_id") < 8), "vec_id", "embedding",
-      s"$tmp/pq_del16", m = 8, ksub = 8, iters = 1)
-    AnnIndex.appendPq(s, s"$tmp/pq_del16",
-      emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
-    AnnIndex.applyDiffPq(s, s"$tmp/pq_del16",
-      emb16.filter(col("vec_id").isin(3, 11))
-        .select(col("vec_id"), lit("delete").as("change"))
-        .unionByName(emb16.filter(col("vec_id") === 6)
-          .select(col("vec_id"), lit("update").as("change"))),
-      "vec_id", emb16, "vec_id", "embedding")
+    val emb8 = emb16.filter(col("vec_id") < 8)
+    // the staging corpus is tiny relative to the session's analytics
+    // shuffle width: narrow it for the fixture block (same rationale as
+    // StreamConf for the one-shot streams; a real index build over a
+    // real corpus sizes its own job)
+    graft.streaming.StreamConf.withWidth(s, 4) {
+    // one training per shared artifact, fanned into every layout that
+    // uses it (identical content to per-build training — the trainings
+    // are deterministic — at a third of the staging job count): coarse
+    // centroids feed ivf/ivfpq/ivfpq_res/ivfsq, the raw-space PQ model
+    // feeds pq + ivfpq, the SQ bounds feed sq + ivfsq; the gate fixtures
+    // share one lossless 16-vector model and one ksub=8 base model the
+    // same way. Residual PQ still trains its own codebooks (different
+    // quantization space).
+    var coarse: org.apache.spark.sql.DataFrame = null
+    var pqm: Similarity.PqModel = null
+    var sqb: Similarity.SqBounds = null
+    var coarse16: org.apache.spark.sql.DataFrame = null
+    var pqm16: Similarity.PqModel = null
+    var pqm8: Similarity.PqModel = null
+    inParallel(
+      "train_coarse" -> (() => coarse =
+        Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 2)),
+      "train_pq" -> (() => pqm =
+        Similarity.pqModel(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)),
+      "train_sqbounds" -> (() => sqb = Similarity.sqTrainBounds(emb, "embedding")),
+      "train_coarse16" -> (() => coarse16 =
+        Similarity.trainCentroids(emb16, "vec_id", "embedding", nlist = 4, iters = 1)),
+      "train_pq16" -> (() => pqm16 =
+        Similarity.pqModel(emb16, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)),
+      "train_pq8" -> (() => pqm8 =
+        Similarity.pqModel(emb8, "vec_id", "embedding", m = 8, ksub = 8, iters = 1)))
+    inParallel(
+      "pq" -> (() => AnnIndex.buildPq(emb, "vec_id", "embedding", s"$tmp/pq",
+        m = 8, ksub = 16, iters = 2, modelIn = Some(pqm))),
+      "ivf" -> (() => AnnIndex.buildIvf(emb, "vec_id", "embedding", s"$tmp/ivf",
+        nlist = 16, iters = 2, coarseIn = Some(coarse))),
+      // keepVectors: the refine gate re-ranks against the exact vectors
+      "ivfpq" -> (() => AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq",
+        nlist = 16, m = 8, ksub = 16, iters = 2, keepVectors = true,
+        coarseIn = Some(coarse), modelIn = Some(pqm))),
+      // the SAME geometry trained on coarse-centroid residuals (FAISS
+      // by_residual=true) — x_knn_ivfpq_residual_err pins its error band
+      // against the raw-trained sibling
+      "ivfpq_res" -> (() => AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+        s"$tmp/ivfpq_res", nlist = 16, m = 8, ksub = 16, iters = 2,
+        byResidual = true, coarseIn = Some(coarse))),
+      // SQ8: exact per-dimension bounds + byte codes; the x_knn_sq_err /
+      // x_knn_sq_guarantee gates assert its ANALYTIC error bound
+      "sq" -> (() => AnnIndex.buildSq(emb, "vec_id", "embedding", s"$tmp/sq",
+        boundsIn = Some(sqb))),
+      // IVF×SQ: the same bounds discipline under cluster partition
+      // pruning; the full-probe gate pins exact equality with flat SQ
+      "ivfsq" -> (() => AnnIndex.buildIvfSq(emb, "vec_id", "embedding",
+        s"$tmp/ivfsq", nlist = 16, coarseIn = Some(coarse), boundsIn = Some(sqb))),
+      // the small gate indexes over the 16-vector sub-corpus: lossless
+      // (ksub = corpus size) so the recall/persistence gates can pin
+      // exact-equality semantics (iters=1: Lloyd is at its fixpoint after
+      // init on this geometry); staged like any fixture so gate runs
+      // measure the QUERY path, not a rebuild
+      "ivfpq_gate16" -> (() => AnnIndex.buildIvfPq(emb16, "vec_id", "embedding",
+        s"$tmp/ivfpq_gate16", nlist = 4, m = 8, ksub = 16, iters = 1,
+        coarseIn = Some(coarse16), modelIn = Some(pqm16))),
+      // residual lossless-mechanics fixture: ksub = corpus size makes
+      // every RESIDUAL subvector its own centroid, and the offset
+      // decomposition is exact on the unit sphere — so residual IVF×PQ
+      // must equal brute force here (x_knn_ivfpq_res_recall)
+      "ivfpq_res_gate16" -> (() => AnnIndex.buildIvfPq(emb16, "vec_id", "embedding",
+        s"$tmp/ivfpq_res_gate16", nlist = 4, m = 8, ksub = 16, iters = 1,
+        byResidual = true, coarseIn = Some(coarse16))),
+      "pq_gate16" -> (() => AnnIndex.buildPq(emb16, "vec_id", "embedding",
+        s"$tmp/pq_gate16", m = 8, ksub = 16, iters = 1, modelIn = Some(pqm16))),
+      // incremental-maintenance fixture: built on the first half, second
+      // half APPENDED with frozen codebooks (x_knn_pq_append)
+      "pq_append16" -> (() => {
+        AnnIndex.buildPq(emb8, "vec_id", "embedding", s"$tmp/pq_append16",
+          m = 8, ksub = 8, iters = 1, modelIn = Some(pqm8))
+        AnnIndex.appendPq(s, s"$tmp/pq_append16",
+          emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
+      }),
+      // delete/update-maintenance fixture (x_knn_pq_delete): build on the
+      // first half, append the second, tombstone-delete {3, 11} (one
+      // built id, one appended id), then UPDATE id 6 by re-appending its
+      // own embedding — the update must supersede its tombstone AND not
+      // leave the original generation double-counted in the ADC sum
+      "ivfpq_del16" -> (() => {
+        AnnIndex.buildIvfPq(emb8, "vec_id", "embedding", s"$tmp/ivfpq_del16",
+          nlist = 4, m = 8, ksub = 8, iters = 1, modelIn = Some(pqm8))
+        AnnIndex.appendIvfPq(s, s"$tmp/ivfpq_del16",
+          emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
+        AnnIndex.deleteIds(s, s"$tmp/ivfpq_del16",
+          emb16.filter(col("vec_id").isin(3, 11)), "vec_id")
+        AnnIndex.updateIvfPq(s, s"$tmp/ivfpq_del16",
+          emb16.filter(col("vec_id") === 6), "vec_id", "embedding")
+      }),
+      // the SAME delete/update history on the flat-PQ layout, driven
+      // through the CDC entry point: one snapshotDiff-shaped frame
+      // (delete {3, 11}, update {6}) routed by applyDiffPq — the
+      // x_knn_pq_delete gate pins both layouts against one
+      // frozen-codebook reference encode
+      "pq_del16" -> (() => {
+        AnnIndex.buildPq(emb8, "vec_id", "embedding", s"$tmp/pq_del16",
+          m = 8, ksub = 8, iters = 1, modelIn = Some(pqm8))
+        AnnIndex.appendPq(s, s"$tmp/pq_del16",
+          emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
+        AnnIndex.applyDiffPq(s, s"$tmp/pq_del16",
+          emb16.filter(col("vec_id").isin(3, 11))
+            .select(col("vec_id"), lit("delete").as("change"))
+            .unionByName(emb16.filter(col("vec_id") === 6)
+              .select(col("vec_id"), lit("update").as("change"))),
+          "vec_id", emb16, "vec_id", "embedding")
+      }))
+    }
     done.createNewFile()
     tmp
   }
