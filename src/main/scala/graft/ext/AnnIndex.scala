@@ -69,14 +69,27 @@ object AnnIndex {
     * one past the newest tombstone. Appends between deletes may share a
     * number — liveness only compares row seq against TOMBSTONE seq, and
     * a delete always bumps past every row it must kill.
+    *
+    * Read from the `_next_seq` sidecar when present — one tiny file read
+    * per maintenance op instead of a max(__seq) column scan whose cost
+    * grows with the tombstone log (a streaming append pays this EVERY
+    * micro-batch; same discipline as
+    * [[graft.ext.IncrementalComponents]]'s label-store sidecar). A
+    * pre-sidecar index pays the scan until its next delete writes the
+    * sidecar; compaction/rebuild swaps the whole index dir, so the
+    * sidecar resets together with the tombstone log it numbers.
     */
-  private def nextSeq(spark: SparkSession, dir: String): Long =
-    readTombstones(spark, dir)
+  private def nextSeq(spark: SparkSession, dir: String): Long = {
+    val f = s"$dir/_next_seq"
+    if (graft.util.Hfs.exists(spark, f))
+      graft.util.Hfs.readString(spark, f).trim.toLong
+    else readTombstones(spark, dir)
       // max over ZERO rows is null (an empty ids frame still writes a
       // schema-only tombstones dir) — treat it like no tombstones at all
       .flatMap(t => Option(t.agg(max(col("__seq"))).head().get(0)))
       .map(_.asInstanceOf[Long] + 1L)
       .getOrElse(0L)
+  }
 
   /** Keep only live rows: a row is dead iff a tombstone for its id exists
     * with tombstone seq >= row seq. One broadcast join against the per-id
@@ -109,6 +122,13 @@ object AnnIndex {
     */
   def deleteIds(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
     val seq = nextSeq(spark, dir)
+    // sidecar FIRST, tombstones second (the IncrementalComponents crash
+    // discipline): a crash between the two leaves a gap in the sequence
+    // (harmless); the reverse order could hand a later APPEND the same
+    // number as an unrecorded delete's tombstones, which would kill it.
+    // Only deletes bump the counter, so the numbering is byte-identical
+    // to the scan-based path in every history.
+    graft.util.Hfs.writeString(spark, s"$dir/_next_seq", (seq + 1L).toString)
     ids.select(qcol(idCol).cast("long").as("__id")).distinct()
       .withColumn("__seq", lit(seq))
       .write.mode("append").parquet(tombstonesPath(dir))

@@ -613,7 +613,45 @@ object ExtensionQueries {
     * nprobe filter is parquet partition pruning; scoring is exact codegen
     * cosine over the surviving nprobe/nlist of the corpus.
     */
-  val knnIvf = qRowsOnly("x_knn_ivf") { (s, dir) =>
+  /** Hash-matched against a DuckDB replay over the persisted index
+    * tables (the x_knn_ivfsq technique): given the stored coarse
+    * centroids the whole query path is deterministic SQL — probe
+    * selection, the pruned cluster restriction, exact cosine over the
+    * stored vectors, top-k.
+    */
+  val knnIvf = q("x_knn_ivf",
+    """WITH qv AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivf/coarse/*.parquet')),
+      |probe AS (
+      |  SELECT qid, __cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qv, cent),
+      |probed AS (SELECT qid, __cid FROM probe WHERE pr <= 4),
+      |vecs AS (
+      |  SELECT __id AS nid, CAST(__cluster AS INTEGER) AS cl,
+      |         list_transform(__vec, x -> CAST(x AS DOUBLE)) AS w
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivf/vectors/*/*.parquet', hive_partitioning=1)),
+      |scored AS (
+      |  SELECT p.qid, vecs.nid,
+      |         round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * vecs.w[i]))
+      |           / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+      |              * sqrt(list_sum(list_transform(vecs.w, x -> x*x)))), 4) AS s
+      |  FROM probed p JOIN vecs ON vecs.cl = p.__cid
+      |  JOIN qv q ON q.qid = p.qid
+      |  WHERE p.qid <> vecs.nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
     val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
     AnnIndex.ivfTopK(s, AnnIndex.readIvf(s, s"$idx/ivf"),
@@ -626,7 +664,40 @@ object ExtensionQueries {
     * zero training. Approximate ranks, so rows-only — quality is gated
     * by the lossless-mechanics, error-band, and persistence gates below.
     */
-  val knnPq = qRowsOnly("x_knn_pq") { (s, dir) =>
+  /** Hash-matched against a DuckDB replay over the persisted index
+    * tables: given the stored codebooks and codes, the ADC query path —
+    * per-(query, subspace, code) LUT of partial dots, the (subspace,
+    * code) join, the per-neighbor sum, top-k — is deterministic SQL.
+    * The subspace width 8 is the fixture geometry (64-dim / m=8), like
+    * k=5 and nprobe=4 in the sibling oracles.
+    */
+  val knnPq = q("x_knn_pq",
+    """WITH qv AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM qv),
+      |cb AS (
+      |  SELECT __j, __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/pq/codebooks/*.parquet')),
+      |lut AS (
+      |  SELECT qid, __j, __cid AS code,
+      |         list_sum(list_transform(generate_series(1, len(centroid)),
+      |           i -> u[__j * 8 + i] * centroid[i])) AS p
+      |  FROM nq, cb),
+      |codes AS (
+      |  SELECT __id AS nid, __j, __code FROM read_parquet('__GRAFT_ANNIDX__/pq/codes/*.parquet')),
+      |scored AS (
+      |  SELECT l.qid, c.nid, round(sum(l.p), 4) AS s
+      |  FROM codes c JOIN lut l ON l.__j = c.__j AND l.code = c.__code
+      |  WHERE l.qid <> c.nid GROUP BY l.qid, c.nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine_pq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine_pq FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
     val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
     AnnIndex.pqTopK(s, s"$idx/pq", emb.filter(col("vec_id") < 5),
@@ -701,7 +772,52 @@ object ExtensionQueries {
     * on the query path. Approximate twice over, so rows-only; gated by
     * the combined mechanics gate below.
     */
-  val knnIvfPq = qRowsOnly("x_knn_ivfpq") { (s, dir) =>
+  /** Hash-matched against a DuckDB replay over the persisted index
+    * tables: the x_knn_pq ADC oracle composed with the x_knn_ivf probe
+    * oracle — probe the stored coarse centroids, restrict the stored
+    * cluster-partitioned codes to the probed clusters, LUT-sum, top-k.
+    */
+  val knnIvfPq = q("x_knn_ivfpq",
+    """WITH qv AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/coarse/*.parquet')),
+      |probe AS (
+      |  SELECT qid, __cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qv, cent),
+      |probed AS (SELECT qid, __cid FROM probe WHERE pr <= 4),
+      |nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM qv),
+      |cb AS (
+      |  SELECT __j, __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/codebooks/*.parquet')),
+      |lut AS (
+      |  SELECT qid, __j, __cid AS code,
+      |         list_sum(list_transform(generate_series(1, len(centroid)),
+      |           i -> u[__j * 8 + i] * centroid[i])) AS p
+      |  FROM nq, cb),
+      |codes AS (
+      |  SELECT __id AS nid, __j, __code, CAST(__cluster AS INTEGER) AS cl
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/codes/*/*.parquet', hive_partitioning=1)),
+      |scored AS (
+      |  SELECT l.qid, c.nid, round(sum(l.p), 4) AS s
+      |  FROM probed p
+      |  JOIN codes c ON c.cl = p.__cid
+      |  JOIN lut l ON l.qid = p.qid AND l.__j = c.__j AND l.code = c.__code
+      |  WHERE l.qid <> c.nid GROUP BY l.qid, c.nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine_pq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine_pq FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
     val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
     AnnIndex.ivfPqTopK(s, AnnIndex.readIvfPq(s, s"$idx/ivfpq"),

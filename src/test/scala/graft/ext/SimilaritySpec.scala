@@ -420,6 +420,32 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").collect().toSeq shouldBe ivfBefore
   }
 
+  test("maintenance seq rides the _next_seq sidecar; pre-sidecar indexes adopt it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/pq"
+    AnnIndex.buildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
+    // first delete: tombstones at seq 0, the sidecar records the next
+    // number — every later maintenance op is ONE tiny file read, not a
+    // max(__seq) scan that grows with the tombstone log
+    AnnIndex.deleteIds(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    graft.util.Hfs.readString(spark, s"$dir/_next_seq").trim shouldBe "1"
+    // appends read the counter without bumping it: the numbering stays
+    // byte-identical to the scan-derived path in every history
+    AnnIndex.appendPq(spark, dir,
+      Seq((9L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    graft.util.Hfs.readString(spark, s"$dir/_next_seq").trim shouldBe "1"
+    // pre-sidecar adoption: with the sidecar gone the next delete falls
+    // back to the scan once and re-adopts
+    graft.util.Hfs.delete(spark, s"$dir/_next_seq")
+    AnnIndex.deleteIds(spark, dir, Seq(2L).toDF("vec_id"), "vec_id")
+    graft.util.Hfs.readString(spark, s"$dir/_next_seq").trim shouldBe "2"
+    // the served view honors the whole history: 1 and 2 dead, 9 alive
+    val served = AnnIndex.pqTopK(spark, dir, corpus.filter($"vec_id" === 0),
+        "vec_id", "embedding", 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    served should contain (9L)
+    served should contain noneOf (1L, 2L)
+  }
+
   test("tombstone debt reads pre-tombstone-layout tables (no __seq column) as generation 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/legacy"
     AnnIndex.buildPq(corpus, "vec_id", "embedding", dir, m = 2, ksub = 5, iters = 1)
