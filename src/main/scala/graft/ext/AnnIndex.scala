@@ -969,9 +969,35 @@ object AnnIndex {
     * the batch form above just appends them in place.
     */
   private[graft] def ivfPqAppendFrames(spark: SparkSession, dir: String,
+      rows: DataFrame, idCol: String, vecCol: String): (DataFrame, Option[DataFrame]) =
+    ivfPqAppendFrames(ivfPqAppendContext(spark, dir), rows, idCol, vecCol)
+
+  /** The per-run constants of a frozen-quantizer append stream: the
+    * loaded index with its small quantizer tables CHECKPOINTED (per-batch
+    * encodes then read blocks, not parquet), the shared sequence number
+    * (appends never bump it — [[nextSeq]] doc), and the refine-vectors
+    * flag. A maintenance stream loads this once instead of re-reading
+    * meta/coarse/codebooks every micro-batch; sound because maintenance
+    * ops are serialized against the stream by the caller contract
+    * (object doc), so nothing the context caches can change mid-run.
+    */
+  private[graft] final case class AppendContext(index: IvfPqIndex, seq: Long,
+      keepVectors: Boolean)
+
+  private[graft] def ivfPqAppendContext(spark: SparkSession,
+      dir: String): AppendContext = {
+    val idx = readIvfPq(spark, dir)
+    AppendContext(
+      idx.copy(coarse = idx.coarse.localCheckpoint(eager = true),
+        codebooks = idx.codebooks.localCheckpoint(eager = true)),
+      nextSeq(spark, dir),
+      graft.util.Hfs.exists(spark, s"$dir/vectors"))
+  }
+
+  private[graft] def ivfPqAppendFrames(ctx: AppendContext,
       rows: DataFrame, idCol: String, vecCol: String): (DataFrame, Option[DataFrame]) = {
-    val index = readIvfPq(spark, dir)
-    val seq = nextSeq(spark, dir)
+    val index = ctx.index
+    val seq = ctx.seq
     val assigned = Similarity.assign(rows, (idCol, vecCol), index.coarse)
     // a residual index's frozen model quantizes coarse-centroid
     // residuals, not raw vectors — appending raw-encoded codes would
@@ -986,7 +1012,7 @@ object AnnIndex {
             col("__cluster")), Seq("__id"))
       ).withColumn("__seq", lit(seq))
     val vectors =
-      if (graft.util.Hfs.exists(spark, s"$dir/vectors"))
+      if (ctx.keepVectors)
         Some(assigned
           .select(qcol(idCol).cast("long").as("__id"), qcol(vecCol).as("__vec"),
             lit(seq).as("__seq"), col("__cluster")))

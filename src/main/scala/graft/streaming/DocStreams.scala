@@ -474,6 +474,11 @@ object DocStreams {
         Hfs.writeString(spark, idFile, ckptId)
     }
     StreamConf.withWidth(spark) {
+      // the quantizers are FROZEN for the life of the run and maintenance
+      // is serialized against the stream (caller contract) — load the
+      // index/seq/refine-flag ONCE instead of re-reading
+      // meta/coarse/codebooks from parquet every micro-batch
+      val ctx = graft.ext.AnnIndex.ivfPqAppendContext(spark, indexDir)
       val stream = spark.readStream
         .schema(s"$idCol long, $vecCol array<float>")
         .option("maxFilesPerTrigger", "1")
@@ -482,7 +487,7 @@ object DocStreams {
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!Hfs.exists(spark, s"$indexDir/_batch_$batchId"))
-            appendBatchExactlyOnce(spark, indexDir, batch.toDF(), batchId,
+            appendBatchExactlyOnce(spark, indexDir, ctx, batch.toDF(), batchId,
               idCol, vecCol)
           ()
         }
@@ -496,7 +501,8 @@ object DocStreams {
     * invisible dir, publish via deterministic renames, mark last.
     */
   private def appendBatchExactlyOnce(spark: SparkSession, indexDir: String,
-      batch: DataFrame, batchId: Long, idCol: String, vecCol: String): Unit = {
+      ctx: graft.ext.AnnIndex.AppendContext, batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String): Unit = {
     import graft.util.Hfs
     val staged = s"$indexDir/.staged_batch_$batchId"
     val prefix = s"b$batchId"
@@ -504,7 +510,7 @@ object DocStreams {
     sweepPublished(spark, s"$indexDir/codes", prefix)
     sweepPublished(spark, s"$indexDir/vectors", prefix)
     val (codes, vectors) = graft.ext.AnnIndex.ivfPqAppendFrames(
-      spark, indexDir, batch, idCol, vecCol)
+      ctx, batch, idCol, vecCol)
     // one part per touched cluster, not one per (task × cluster): every
     // staged file becomes a publish rename against the live index, paid
     // per batch forever (same small-file discipline as the dedup store)
