@@ -122,15 +122,19 @@ object AnnIndex {
     */
   def deleteIds(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
     val seq = nextSeq(spark, dir)
+    val dead = ids.select(qcol(idCol).cast("long").as("__id")).distinct()
+      .localCheckpoint(eager = true) // consumed by the emptiness probe AND the write
     // sidecar FIRST, tombstones second (the IncrementalComponents crash
     // discipline): a crash between the two leaves a gap in the sequence
     // (harmless); the reverse order could hand a later APPEND the same
     // number as an unrecorded delete's tombstones, which would kill it.
-    // Only deletes bump the counter, so the numbering is byte-identical
-    // to the scan-based path in every history.
-    graft.util.Hfs.writeString(spark, s"$dir/_next_seq", (seq + 1L).toString)
-    ids.select(qcol(idCol).cast("long").as("__id")).distinct()
-      .withColumn("__seq", lit(seq))
+    // Only NON-EMPTY deletes bump the counter — an empty ids frame (the
+    // insert-only CDC diff) leaves max(__seq) unchanged on the scan
+    // path, and skipping the bump keeps the sidecar numbering
+    // byte-identical to it in every history.
+    if (!dead.isEmpty)
+      graft.util.Hfs.writeString(spark, s"$dir/_next_seq", (seq + 1L).toString)
+    dead.withColumn("__seq", lit(seq))
       .write.mode("append").parquet(tombstonesPath(dir))
   }
 
@@ -970,18 +974,22 @@ object AnnIndex {
     */
   private[graft] def ivfPqAppendFrames(spark: SparkSession, dir: String,
       rows: DataFrame, idCol: String, vecCol: String): (DataFrame, Option[DataFrame]) =
-    ivfPqAppendFrames(ivfPqAppendContext(spark, dir), rows, idCol, vecCol)
+    ivfPqAppendFrames(spark, dir, ivfPqAppendContext(spark, dir), rows, idCol, vecCol)
 
   /** The per-run constants of a frozen-quantizer append stream: the
     * loaded index with its small quantizer tables CHECKPOINTED (per-batch
-    * encodes then read blocks, not parquet), the shared sequence number
-    * (appends never bump it — [[nextSeq]] doc), and the refine-vectors
-    * flag. A maintenance stream loads this once instead of re-reading
+    * encodes then read blocks, not parquet) and the refine-vectors flag.
+    * A maintenance stream loads this once instead of re-reading
     * meta/coarse/codebooks every micro-batch; sound because maintenance
     * ops are serialized against the stream by the caller contract
     * (object doc), so nothing the context caches can change mid-run.
+    * The sequence number is deliberately NOT hoisted: it is one sidecar
+    * file read per batch ([[nextSeq]]), and re-reading it keeps a
+    * contract-violating mid-stream delete merely forbidden rather than
+    * silently row-losing (a hoisted seq would stamp a later re-append
+    * BELOW the intervening tombstone and the update would vanish).
     */
-  private[graft] final case class AppendContext(index: IvfPqIndex, seq: Long,
+  private[graft] final case class AppendContext(index: IvfPqIndex,
       keepVectors: Boolean)
 
   private[graft] def ivfPqAppendContext(spark: SparkSession,
@@ -990,14 +998,14 @@ object AnnIndex {
     AppendContext(
       idx.copy(coarse = idx.coarse.localCheckpoint(eager = true),
         codebooks = idx.codebooks.localCheckpoint(eager = true)),
-      nextSeq(spark, dir),
       graft.util.Hfs.exists(spark, s"$dir/vectors"))
   }
 
-  private[graft] def ivfPqAppendFrames(ctx: AppendContext,
+  private[graft] def ivfPqAppendFrames(spark: SparkSession, dir: String,
+      ctx: AppendContext,
       rows: DataFrame, idCol: String, vecCol: String): (DataFrame, Option[DataFrame]) = {
     val index = ctx.index
-    val seq = ctx.seq
+    val seq = nextSeq(spark, dir)
     val assigned = Similarity.assign(rows, (idCol, vecCol), index.coarse)
     // a residual index's frozen model quantizes coarse-centroid
     // residuals, not raw vectors — appending raw-encoded codes would

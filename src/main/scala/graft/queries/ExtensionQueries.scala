@@ -85,11 +85,24 @@ object ExtensionQueries {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(
-          tasks.map { case (n, f) => scala.concurrent.Future(timed(n)(f())) }),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      try {
+        // settle EVERY task before propagating the first failure: a
+        // fail-fast rethrow would leave orphaned builds still writing
+        // under tmp while the caller's retry deletes and rebuilds it —
+        // an orphan's late parquet commit could land inside the fresh
+        // build and be sealed by the done marker
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            tasks.map { case (n, f) =>
+              scala.concurrent.Future(timed(n)(f())).transform(t =>
+                scala.util.Success(n -> t))
+            }),
+          scala.concurrent.duration.Duration.Inf)
+        settled.collectFirst { case (n, scala.util.Failure(e)) =>
+          throw new RuntimeException(s"fixture build '$n' failed", e)
+        }
+        ()
+      } finally pool.shutdown()
     }
     val emb = Tables.embeddings(s, dir)
     val emb16 = emb.filter(col("vec_id") < 16)

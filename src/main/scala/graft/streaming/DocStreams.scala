@@ -476,8 +476,9 @@ object DocStreams {
     StreamConf.withWidth(spark) {
       // the quantizers are FROZEN for the life of the run and maintenance
       // is serialized against the stream (caller contract) — load the
-      // index/seq/refine-flag ONCE instead of re-reading
-      // meta/coarse/codebooks from parquet every micro-batch
+      // index + refine-flag ONCE instead of re-reading
+      // meta/coarse/codebooks from parquet every micro-batch (the seq
+      // stays a per-batch sidecar read — AppendContext doc)
       val ctx = graft.ext.AnnIndex.ivfPqAppendContext(spark, indexDir)
       val stream = spark.readStream
         .schema(s"$idCol long, $vecCol array<float>")
@@ -510,7 +511,7 @@ object DocStreams {
     sweepPublished(spark, s"$indexDir/codes", prefix)
     sweepPublished(spark, s"$indexDir/vectors", prefix)
     val (codes, vectors) = graft.ext.AnnIndex.ivfPqAppendFrames(
-      ctx, batch, idCol, vecCol)
+      spark, indexDir, ctx, batch, idCol, vecCol)
     // one part per touched cluster, not one per (task × cluster): every
     // staged file becomes a publish rename against the live index, paid
     // per batch forever (same small-file discipline as the dedup store)
