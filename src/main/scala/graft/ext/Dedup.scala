@@ -669,4 +669,49 @@ object Dedup {
         round(Similarity.cosine(col("__va"), col("__vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-duplicate candidates (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): block by a TRAINED coarse quantizer —
+    * each vector's block is its nearest centroid by cosine — then pair
+    * exhaustively only within a cluster. The centroids are the same
+    * (`__cid`, `centroid`) frame [[Similarity.trainCentroids]] produces
+    * and the IVF index layouts persist, so a corpus that already carries
+    * an ANN index reuses its coarse quantizer for free and the blocking
+    * is as principled as the index's own nprobe geometry.
+    *
+    * Scale shape: centroids broadcast into a one-pass assignment (no
+    * corpus shuffle), one shuffle on the cluster key for the blocked
+    * self-join, `maxClusterSize` bounding the per-cluster n² exactly
+    * like [[embeddingCosinePairs]]'s block cap (an over-full cluster
+    * means the quantizer is too coarse for dedup — retrain with a larger
+    * nlist rather than letting one block go quadratic).
+    */
+  def semanticDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double = 0.99,
+      maxClusterSize: Int = 10000,
+  ): DataFrame =
+    embeddingCosinePairs(
+      Similarity.assign(df, (idCol, vecCol), centroids),
+      idCol, vecCol, "__cluster", threshold, maxClusterSize)
+
+  /** The keep-one-per-cluster closure of [[semanticDupPairs]]: candidate
+    * pairs → connected components → each component keeps its minimum-id
+    * member ([[dropNearDuplicates]]); rows in no pair all survive.
+    * Returns the surviving rows of `df` with its original columns.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double = 0.99,
+      maxClusterSize: Int = 10000,
+  ): DataFrame =
+    dropNearDuplicates(df, idCol,
+      semanticDupPairs(df, idCol, vecCol, centroids, threshold, maxClusterSize))
 }

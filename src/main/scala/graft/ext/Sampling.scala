@@ -152,4 +152,124 @@ object Sampling {
         .drop("__wm_s", "__wm_thr")
     }
   }
+
+  // ------------------------------------------------ importance resampling
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): featurize
+    * every document as a bag of hashed 1..n-gram buckets, fit smoothed
+    * multinomial bag models on the TARGET corpus (the distribution you
+    * want more of) and on the RAW corpus, and weight each raw document by
+    * its log-likelihood ratio  logw(x) = Σ_b cnt_b(x)·(log p_t(b) −
+    * log p_r(b)).  The bucket is the first `prefixLen` hex chars of
+    * md5(gram) — 16^prefixLen buckets, engine-portable (the DuckDB oracle
+    * replays the exact weights), content-keyed and therefore stable under
+    * repartitioning and incremental reprocessing, like every sampler
+    * here.
+    *
+    * Scale shape: two map-side-combining bucket-count aggregations (the
+    * shuffle carries ≤ 16^prefixLen rows, never grams), the log-ratio
+    * table broadcast (≤ 16^prefixLen entries), one per-(doc, bucket)
+    * aggregate + broadcast join + per-doc sum for the weights — nothing
+    * corpus-sized shuffles except the doc-keyed aggregates themselves.
+    *
+    * Returns one row per raw document: (`idCol`, `logw`), logw = 0.0 for
+    * documents with no tokens (an empty bag is evidence for neither
+    * distribution).
+    */
+  def importanceLogWeights(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      n: Int = 2,
+      prefixLen: Int = 3,
+      smoothing: Double = 1.0,
+  ): DataFrame = {
+    require(n >= 1 && prefixLen >= 1 && prefixLen <= 8 && smoothing > 0,
+      s"importanceLogWeights: invalid geometry (n=$n, prefixLen=$prefixLen, α=$smoothing)")
+    import graft.functions.Cols.qcol
+    val dBuckets = math.pow(16, prefixLen)
+    // one gram pass over the raw corpus feeds BOTH the corpus bag model
+    // and the per-document counts
+    val rawGb = gramBuckets(raw, qcol(idCol), qcol(textCol), n, prefixLen)
+      .localCheckpoint(eager = true)
+    val tgtGb = gramBuckets(target, lit(0L), qcol(targetTextCol), n, prefixLen)
+    val rawCounts = rawGb.groupBy(col("__b")).agg(count(lit(1)).as("__rc"))
+    val tgtCounts = tgtGb.groupBy(col("__b")).agg(count(lit(1)).as("__tc"))
+      .localCheckpoint(eager = true) // consumed by the total AND the join
+    val nr = rawCounts.agg(sum(col("__rc"))).head().getLong(0).toDouble
+    val nt = Option(tgtCounts.agg(sum(col("__tc"))).head().get(0))
+      .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+    // every raw document's buckets appear in rawCounts by construction,
+    // so the raw-side ratio table covers every bucket the weights touch;
+    // buckets unseen in the TARGET take the smoothed zero
+    val ratio = rawCounts.join(tgtCounts, Seq("__b"), "left")
+      .select(col("__b"),
+        (log((coalesce(col("__tc"), lit(0L)) + smoothing) / (nt + smoothing * dBuckets))
+          - log((col("__rc") + smoothing) / (nr + smoothing * dBuckets))).as("__lr"))
+    val perDoc = rawGb.groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__dc"))
+      .join(broadcast(ratio), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__dc") * col("__lr")).as("logw"))
+    raw.select(qcol(idCol).cast("long").as("__rid")).distinct()
+      .join(perDoc, col("__rid") === col("__id"), "left")
+      .select(col("__rid").as(idCol), coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
+  /** Importance RESAMPLING on top of [[importanceLogWeights]]: the Gumbel
+    * top-k trick (add an independent Gumbel(0,1) to each log-weight, take
+    * the k largest) draws k documents WITHOUT replacement with
+    * probability proportional to their importance weights — but with the
+    * uniforms derived from md5 of the document id instead of an RNG, so
+    * the "random" draw is deterministic, stable under repartitioning,
+    * and replayable by the DuckDB oracle, exactly like [[hashSample]].
+    * Returns (`idCol`, `score`) for the k selected documents, score =
+    * round(logw + gumbel, 6), ranked ties broken by id.
+    */
+  def importanceResample(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      k: Int,
+      n: Int = 2,
+      prefixLen: Int = 3,
+      smoothing: Double = 1.0,
+  ): DataFrame = {
+    import graft.functions.Cols.qcol
+    val w = importanceLogWeights(raw, idCol, textCol, target, targetTextCol,
+      n, prefixLen, smoothing)
+    // u ∈ (0, 1): the first 8 md5 hex chars as a 32-bit integer, +0.5 to
+    // stay strictly inside the interval (log(0) guards); the division by
+    // 2³² is exact, so Spark and DuckDB compute bit-identical uniforms
+    val u = (conv(substring(md5(qcol(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val score = round(col("logw") - log(-log(u)), 6)
+    // orderBy + limit plans as TakeOrderedAndProject — per-partition
+    // top-k folded on the driver, never a single-task global sort
+    w.withColumn("__score", score)
+      .orderBy(col("__score").desc, qcol(idCol))
+      .limit(k)
+      .select(qcol(idCol), col("__score").as("score"))
+  }
+
+  /** (`__id`, `__b`) rows: one per 1..n-gram instance of each document,
+    * bucket = first `prefixLen` hex chars of md5(gram). Documents with
+    * no tokens produce no rows.
+    */
+  private def gramBuckets(df: DataFrame, id: Column, text: Column,
+      n: Int, prefixLen: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = flatten(array((1 to n).map { k =>
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    }: _*))
+    df.select(id.cast("long").as("__id"), explode(grams).as("__g"))
+      .select(col("__id"), substring(md5(col("__g")), 1, prefixLen).as("__b"))
+  }
 }

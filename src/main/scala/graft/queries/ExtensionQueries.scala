@@ -606,6 +606,53 @@ object ExtensionQueries {
     Dedup.embeddingCosinePairs(withBucket, "vec_id", "embedding", "bucket", threshold = 0.99)
   }
 
+  /** SemDeDup end-to-end over the variant-planted embeddings, blocked by
+    * the PERSISTED IVF coarse quantizer (the production shape: a corpus
+    * carrying an ANN index reuses its trained centroids for semantic
+    * dedup). Hash-matched: given the stored centroids every stage is
+    * deterministic SQL — nearest-centroid assignment (cosine desc, cid
+    * tie-break), within-cluster pairing at the rounded-cosine threshold,
+    * connected components via recursive min-label propagation, and the
+    * keep-minimum-id survivor cut. The cap is lifted far above the
+    * corpus so the hot-cluster judgment is inert in the gate (cap
+    * mechanics are embeddingCosinePairs', spec-covered).
+    */
+  val dedupSemantic = q("x_dedup_semantic",
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM $embWithVariantsSql),
+       |cent AS (
+       |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivf/coarse/*.parquet')),
+       |asg AS (
+       |  SELECT vec_id, __cid AS cl FROM (
+       |    SELECT e.vec_id, c.__cid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC,
+       |             c.__cid) AS rn
+       |    FROM e, cent c) WHERE rn = 1),
+       |ok AS (SELECT cl FROM asg GROUP BY cl HAVING count(*) > 1 AND count(*) <= 100000),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asg a JOIN ok USING (cl) JOIN asg b USING (cl)
+       |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE a.vec_id < b.vec_id
+       |    AND round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |              CAST(eb.embedding AS DOUBLE[])), 4) >= 0.99),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)
+       |  UNION
+       |  SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       |SELECT vec_id FROM e
+       |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> lbl)""".stripMargin) {
+    (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    Dedup.semanticDedup(embWithVariants(s, dir), "vec_id", "embedding",
+        AnnIndex.readIvf(s, s"$idx/ivf").coarse,
+        threshold = 0.99, maxClusterSize = 100000)
+      .select(col("vec_id"))
+  }
+
   // -------------------------------------------------------- similarity
   val knnBrute = q("x_knn_brute",
     """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -1600,6 +1647,68 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"))
   }
 
+  /** Shared CTE prefix of the two DSIR queries: hashed 1..2-gram buckets
+    * (md5 3-hex-char prefix, 4096 buckets), smoothed (α=1) log-likelihood
+    * ratios of the planted target distribution (doc_id % 17 = 0) vs the
+    * raw corpus, per-document log-weights. Mirrors
+    * [[graft.ext.Sampling.importanceLogWeights]] stage for stage.
+    */
+  private val dsirCtePrefix =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |rg AS (
+      |  SELECT doc_id, substring(md5(g), 1, 3) AS b FROM (
+      |    SELECT doc_id, unnest(tk) AS g FROM t
+      |    UNION ALL
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+      |             i -> tk[i] || ' ' || tk[i + 1])) AS g
+      |    FROM t WHERE len(tk) >= 2)),
+      |tg AS (SELECT b FROM rg WHERE doc_id % 17 = 0),
+      |rc AS (SELECT b, count(*) AS c FROM rg GROUP BY b),
+      |tc AS (SELECT b, count(*) AS c FROM tg GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM rg) AS nr, (SELECT count(*) FROM tg) AS nt),
+      |ratio AS (
+      |  SELECT rc.b,
+      |         ln((coalesce(tc.c, 0) + 1.0) / (nt + 1.0 * 4096))
+      |           - ln((rc.c + 1.0) / (nr + 1.0 * 4096)) AS lr
+      |  FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+      |dc AS (SELECT doc_id, b, count(*) AS c FROM rg GROUP BY doc_id, b),
+      |w AS (SELECT dc.doc_id, sum(dc.c * ratio.lr) AS logw
+      |      FROM dc JOIN ratio ON dc.b = ratio.b GROUP BY dc.doc_id),
+      |fw AS (SELECT d.doc_id, coalesce(w.logw, 0.0) AS logw
+      |       FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)""".stripMargin
+
+  /** DSIR importance weights (hashed-n-gram log-likelihood ratio of the
+    * planted target distribution vs the raw corpus) — hash-matched per
+    * document; both engines fold the same smoothed bag models.
+    */
+  val dsirWeights = q("x_dsir_weights",
+    s"""$dsirCtePrefix
+       |SELECT doc_id, round(logw, 6) AS logw FROM fw""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.ext.Sampling.importanceLogWeights(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 17 === 0), "text")
+      .select(col("doc_id"), round(col("logw"), 6).as("logw"))
+  }
+
+  /** DSIR Gumbel top-k resampling with md5-derived uniforms: a without-
+    * replacement importance draw that is fully deterministic — the oracle
+    * replays the exact k-document sample, noise included.
+    */
+  val dsirResample = q("x_dsir_resample",
+    s"""$dsirCtePrefix,
+       |g AS (SELECT doc_id,
+       |        round(logw - ln(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) + 0.5)
+       |          / 4294967296.0)), 6) AS score
+       |      FROM fw)
+       |SELECT doc_id, score FROM g ORDER BY score DESC, doc_id LIMIT 100""".stripMargin) {
+    (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.ext.Sampling.importanceResample(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 17 === 0), "text", k = 100)
+  }
+
   /** Weighted dataset mixing: per-source keep rates decided by the salted
     * md5 threshold (rate → 8-hex-digit prefix), so DuckDB replays the
     * EXACT mix; sources without a weight drop entirely.
@@ -2575,7 +2684,7 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupResolve, dedupMinhash, dedupSimhash, dedupJaccard,
-    dedupEmbCos, dedupEmbLsh,
+    dedupEmbCos, dedupEmbLsh, dedupSemantic,
     dedupComponents, dedupSpans, dedupSpanStats, dedupSpanRemove,
     knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
@@ -2586,6 +2695,7 @@ object ExtensionQueries {
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
     textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate, decontaminateBloom,
+    dsirWeights, dsirResample,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
     streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,

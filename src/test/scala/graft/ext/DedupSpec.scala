@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpec {
     all.length shouldBe 7 // C(4,2)=6 in block 0 + 1 in block 1
   }
 
+  test("semantic dedup: centroid blocking pairs cluster-mates, keeps min id, spares cross-cluster") {
+    // two well-separated directions; centroids planted on them — the
+    // trained-quantizer blocking of semanticDupPairs without the kmeans
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.01f)), // cluster 0 near-dups
+      (3L, Array(0.0f, 1.0f)),                           // cluster 1, alone
+      (4L, Array(0.92f, 0.0f)),                          // cluster 0, chains with 1 and 2
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("__cid", "centroid")
+    val pairs = Dedup.semanticDupPairs(emb, "vec_id", "embedding", centroids,
+        threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    pairs shouldBe Set((1L, 2L), (1L, 4L), (2L, 4L))
+    // the transitive cluster {1, 2, 4} keeps its minimum id; 3 untouched
+    Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+    // a hot cluster beyond the cap produces no pairs (quantizer too coarse
+    // for dedup — the caller retrains rather than going quadratic)
+    Dedup.semanticDupPairs(emb, "vec_id", "embedding", centroids,
+      threshold = 0.99, maxClusterSize = 2).count() shouldBe 0L
+  }
+
   test("duplicated spans: maximal cross-doc and within-doc runs, 0-based token indices") {
     val docs = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),

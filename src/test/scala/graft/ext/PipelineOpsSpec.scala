@@ -32,6 +32,40 @@ class PipelineOpsSpec extends SparkSpec {
     all(strat.values) should (be > 20L and be < 80L) // ~25% of 200 each
   }
 
+  test("importance weights: target-like docs score above anti-target docs; resample is deterministic") {
+    // target distribution = "apple banana" language; raw corpus mixes it
+    // with "stock market" language. DSIR log-likelihood-ratio weights must
+    // rank the target-like raw docs strictly above the others, and an
+    // empty doc sits at exactly 0 (evidence for neither side).
+    val raw = Seq(
+      (1L, "apple banana apple banana apple"),
+      (2L, "stock market stock market crash"),
+      (3L, "apple banana fruit salad"),
+      (4L, "market crash stock prices fall"),
+      (5L, ""),
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "apple banana apple"), (11L, "banana apple fruit"))
+      .toDF("doc_id", "text")
+    val w = Sampling.importanceLogWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    w.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L) // one row per raw doc
+    w(5L) shouldBe 0.0
+    // RELATIVE order is the contract (DSIR selects by rank); absolute
+    // signs are dominated by the α·D smoothing mass at toy corpus sizes
+    w(1L) should be > w(2L)
+    w(3L) should be > w(4L)
+    w(1L) should be > w(4L)
+    w(3L) should be > w(2L)
+    // Gumbel top-k with md5 uniforms: deterministic across invocations,
+    // k bounded, scores carried
+    val s1 = Sampling.importanceResample(raw, "doc_id", "text", target, "text", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq.sorted
+    val s2 = Sampling.importanceResample(raw, "doc_id", "text", target, "text", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq.sorted
+    s1 shouldBe s2
+    s1.length shouldBe 3
+  }
+
   test("repetitionRatio: novel text 0, doubled text ~0.5, short docs 0") {
     val df = Seq(
       (1L, "one two three four five six"),            // all 3-grams novel
