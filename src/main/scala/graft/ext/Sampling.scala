@@ -262,14 +262,19 @@ object Sampling {
     */
   private def gramBuckets(df: DataFrame, id: Column, text: Column,
       n: Int, prefixLen: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(text)
+    // tokens materialize in their OWN projection: Spark does not CSE
+    // duplicated subtrees inside one projection, and the gram expression
+    // references the token array ~3n times — inlined, the regex split
+    // would re-run per reference per row (measured ~4× the pipeline CPU)
+    val toks = col("__tk")
     val grams = flatten(array((1 to n).map { k =>
       when(size(toks) >= k,
         transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
         .otherwise(array().cast("array<string>"))
     }: _*))
-    df.select(id.cast("long").as("__id"), explode(grams).as("__g"))
+    df.select(id.cast("long").as("__id"), TextAnalysis.tokens(text).as("__tk"))
+      .select(col("__id"), explode(grams).as("__g"))
       .select(col("__id"), substring(md5(col("__g")), 1, prefixLen).as("__b"))
   }
 }

@@ -242,4 +242,38 @@ class PlanAssertionsSpec extends SparkSpec {
     allNodes(finalPlan(out)).collect { case w: WindowExec => w }
       .foreach(w => w.partitionSpec should not be empty)
   }
+
+  test("semantic dedup pairs: centroids broadcast into the assignment, no cartesian product") {
+    val emb = (1 to 200).map(i =>
+      (i.toLong, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)),
+      (2, Array(-1.0, 0.0)), (3, Array(0.0, -1.0))).toDF("__cid", "centroid")
+    val out = graft.ext.Dedup.semanticDupPairs(emb, "vec_id", "embedding",
+      centroids, threshold = 0.999)
+    out.collect()
+    val plan = finalPlan(out).toString
+    // assignment ranks against BROADCAST centroids; the only equi-joins
+    // are the cluster-key self-join and the semi-join size gate — a
+    // CartesianProduct would mean the blocking degenerated to all-pairs
+    plan should include("BroadcastNestedLoopJoin") // corpus × broadcast centroids
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("importance weights: the ratio table rides a broadcast join, top-k is TakeOrdered") {
+    val raw = (1 to 300).map(i => (i.toLong, s"tok${i % 7} tok${i % 11} tok${i % 13}"))
+      .toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" % 5 === 0)
+    val res = graft.ext.Sampling.importanceResample(raw, "doc_id", "text",
+      target, "text", k = 10)
+    res.collect()
+    val plan = finalPlan(res).toString
+    // the per-doc weight join against the ≤16^prefixLen-row ratio table
+    // must broadcast (never shuffle the doc-side counts against it), and
+    // the k-cut must be the distributed TakeOrderedAndProject, not a
+    // global single-partition sort
+    plan should include("BroadcastHashJoin")
+    plan should include("TakeOrderedAndProject")
+    (plan should not).include("CartesianProduct")
+  }
 }
