@@ -44,11 +44,27 @@ object Verify {
       case c => c.toString
     } + "\""
     // placeholder resolution: oracles that replay against the PERSISTED
-    // ANN index tables (x_knn_ivfsq — the kmeans training is not SQL, the
-    // query path given the stored centroids is) carry __GRAFT_ANNIDX__,
-    // resolved here to this run's staged index dir; oracleSql is a static
-    // map and cannot know the content-fingerprinted path itself
-    val annIdx = "/tmp/graft_annindex/" + graft.queries.Staging.tag(sfDir)
+    // ANN index tables (the kmeans training is not SQL, the query path
+    // given the stored centroids is) carry __GRAFT_ANNIDX__. The staged
+    // index lives under /tmp, but the only filesystem location the
+    // DuckDB comparator PROVABLY sees is this dump dir (it reads the
+    // parquet dumps from it) — so the index tables those oracles read
+    // are copied INTO the dump and the placeholder resolves there.
+    // oracleSql is a static map and cannot know either path itself.
+    val annSrc = "/tmp/graft_annindex/" + graft.queries.Staging.tag(sfDir)
+    val annIdx = s"$outDir/_annidx"
+    try {
+      val dst = new java.io.File(annIdx)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      Seq("ivf", "pq", "ivfpq", "ivfsq").foreach { layout =>
+        val from = new java.io.File(s"$annSrc/$layout")
+        if (from.isDirectory)
+          org.apache.commons.io.FileUtils.copyDirectory(from,
+            new java.io.File(dst, layout))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] index copy failed: ${e.getMessage}")
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_ANNIDX__", annIdx))}" }
       .mkString("{", ",", "}")
