@@ -202,4 +202,85 @@ object Joins {
         .select(col("__l.*"), col("__r.*"))
     }
   }
+
+  /** Set-similarity self-join with prefix filtering (AllPairs/PPJoin,
+    * Bayardo et al. 2007 / Xiao et al. 2008): every pair of rows whose
+    * token SETS have Jaccard ≥ `minJaccard`, without the all-pairs
+    * cross join. Exact, not approximate — the candidate generation is
+    * provably complete:
+    *
+    *   - order each set's tokens by a global total order (document
+    *     frequency ascending, then token — rare-first maximizes
+    *     pruning but ANY consistent order is correct);
+    *   - a set of size n keeps only its first `n - ⌈τ·n⌉ + 1` tokens
+    *     as its PREFIX: two sets with Jaccard ≥ τ must overlap in at
+    *     least `⌈τ/(1+τ)·(|A|+|B|)⌉ > max(|A|,|B|) - prefix` tokens,
+    *     so their prefixes share at least one token (pigeonhole);
+    *   - candidates = pairs sharing a prefix token (plus the length
+    *     filter `τ·|A| ≤ |B| ≤ |A|/τ`, also implied by Jaccard ≥ τ);
+    *   - verify candidates exactly with `|A∩B| / |A∪B| ≥ τ`.
+    *
+    * Scale shape: the token-frequency table is one map-side-combining
+    * aggregation; the prefix explode emits `O(Σ prefix)` narrow
+    * (token, id, size) rows that shuffle on the token; verification
+    * re-attaches the two token arrays by id (shuffle equi-joins) only
+    * for surviving candidate pairs. On a Zipfian vocabulary the rare-
+    * first prefixes land in SMALL token groups — the frequent-token
+    * blow-up the ordering exists to avoid; like every blocked join
+    * here the worst case (tiny vocabulary, near-identical sets) is the
+    * data saying most pairs really ARE similar. Output:
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4dp.
+    */
+  def setSimJoin(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      minJaccard: Double,
+  ): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1]: $minJaccard")
+    val sets = df.select(col(idCol).cast("long").as("__id"),
+        array_distinct(col(tokensCol)).as("__tok"))
+      .filter(size(col("__tok")) > 0)
+      .localCheckpoint(eager = true) // consumed by freq, prefix, verify
+    val freq = sets.select(explode(col("__tok")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // tokens re-collected in global (df, token) order; prefix length
+    // n - ceil(τ·n) + 1 (for τ=1 that is 1: exact-duplicate blocking)
+    val ordered = sets.select(col("__id"), explode(col("__tok")).as("__t"))
+      .join(freq, Seq("__t"))
+      .groupBy(col("__id"))
+      .agg(transform(array_sort(collect_list(struct(col("__df"), col("__t")))),
+        e => e("__t")).as("__tok"))
+      .withColumn("__n", size(col("__tok")))
+      // ⌈τ·n⌉ with an epsilon against fp overshoot: a product that lands
+      // one ulp ABOVE an exact integer would otherwise shorten the
+      // prefix by one and break completeness; the epsilon can only ever
+      // LENGTHEN a prefix (safe — more candidates, same result)
+      .withColumn("__pfx", slice(col("__tok"), lit(1),
+        (col("__n") - ceil(lit(minJaccard) * col("__n") - lit(1e-9)) + 1)
+          .cast("int")))
+      .localCheckpoint(eager = true)
+    val pfx = ordered.select(col("__id"), col("__n"), explode(col("__pfx")).as("__t"))
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id") &&
+          // length filter: Jaccard ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ
+          // (epsilon-relaxed: may only ADMIT extra candidates)
+          col("b.__n").cast("double") >=
+            lit(minJaccard) * col("a.__n") - lit(1e-9) &&
+          col("a.__n").cast("double") >=
+            lit(minJaccard) * col("b.__n") - lit(1e-9))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("__ta"), col("__tb")))
+    val jac = inter.cast("double") /
+      (col("__na") + col("__nb") - inter).cast("double")
+    cand
+      .join(ordered.select(col("__id").as("id_a"), col("__tok").as("__ta"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(ordered.select(col("__id").as("id_b"), col("__tok").as("__tb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .filter(jac >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+  }
 }

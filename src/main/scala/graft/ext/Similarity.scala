@@ -88,6 +88,93 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Binary quantization (BQ) sketch: the vector's per-dimension sign
+    * bits (`xᵢ > 0`) packed into `⌈dim/64⌉` longs — 1 bit per dimension,
+    * a 32× compression over float32. For cosine search the sign sketch
+    * IS the axis-aligned special case of random-hyperplane SRP (the
+    * hyperplanes are the coordinate axes), so hamming distance between
+    * sketches estimates the angle; the modern vector-store recipe
+    * (binary quantization + exact rescore of a shortlist) keeps the
+    * corpus-sized pass at one `xor`+`popcount` per word. Pure codegen
+    * higher-order-function expressions — no UDF.
+    */
+  def signSketch(vec: Column, dim: Int): Column = {
+    val nWords = (dim + 63) / 64
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(
+        // zip_with pads the last word's short slice with nulls; the
+        // null branch of `when` falls through to 0 bits, so a dim that
+        // is not a multiple of 64 just leaves the high bits clear
+        zip_with(slice(vec, w * lit(64) + lit(1), lit(64)),
+          sequence(lit(0), lit(63)),
+          (x, b) => when(x > 0, call_function("shiftleft", lit(1L), b))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc.bitwiseOR(v)))
+  }
+
+  /** Hamming distance between two [[signSketch]] word arrays: summed
+    * `popcount(xor)` per word — the whole corpus-side scan cost of a BQ
+    * search.
+    */
+  def signHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, h) => acc + h)
+
+  /** Top-k cosine search through a binary-quantization scan: rank the
+    * corpus per query by sketch hamming (1 bit/dim — the scan reads
+    * `dim/8` bytes per vector instead of `4·dim`), keep a `shortlist`
+    * of candidates, then rescore EXACTLY the shortlist with full-
+    * precision cosine. Self-matches by id are excluded; hamming ties
+    * and score ties break by neighbor id, so the result is fully
+    * deterministic (and engine-replayable).
+    *
+    * Scale shape: queries (with their sketches) broadcast into a single
+    * narrow corpus pass that emits only (query_id, neighbor_id, hamming);
+    * the shortlist window shuffles those 12-byte rows, never vectors;
+    * full-precision vectors are read again ONLY for the
+    * `nq × shortlist` survivors (broadcast semi-shape join against the
+    * corpus scan — column pruning keeps the first pass from ever
+    * reading the float arrays when the sketch is precomputed). Like
+    * brute force this scans all N sketches; the win over
+    * [[bruteForceTopK]] is bandwidth (1 bit vs 32 per dimension) and
+    * the xor+popcount inner loop — for sub-linear candidate counts
+    * compose with the IVF layouts instead. `shortlist` trades recall
+    * for rescore cost exactly like nprobe.
+    *
+    * Output: (query_id, rank, neighbor_id, cosine).
+    */
+  def binarySketchTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      shortlist: Int = 50,
+  ): DataFrame = {
+    val q = queries.select(qcol(idCol).cast("long").as("query_id"),
+      qcol(vecCol).as("__qv"), signSketch(qcol(vecCol), dim).as("__qs"))
+      .localCheckpoint(eager = true) // tiny; consumed by both passes
+    val sketches = corpus.select(qcol(idCol).cast("long").as("neighbor_id"),
+      signSketch(qcol(vecCol), dim).as("__cs"))
+    val ham = sketches.join(broadcast(q.select(col("query_id"), col("__qs"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        signHamming(col("__qs"), col("__cs")).as("__h"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__h"), col("neighbor_id"))
+    val short = ham.withColumn("__hr", row_number().over(w))
+      .filter(col("__hr") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = corpus
+      .select(qcol(idCol).cast("long").as("neighbor_id"), qcol(vecCol).as("__cv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKPerQuery(rescored, "cosine", "neighbor_id", k)
+  }
+
   /** Element-wise mean of grouped vectors (per-dimension avg via
     * posexplode), used by the Lloyd step. Returns (groupCol, centroid).
     */

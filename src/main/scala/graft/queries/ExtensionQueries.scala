@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AnnIndex, CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis, TextSearch}
+import graft.ext.{AnnIndex, CorpusClean, Dedup, Joins, Multimodal, Similarity, TextAnalysis, TextSearch}
 import graft.streaming.EventStreams
 
 /** Queries for the large-scale pipeline extensions (SURVEY §7.2 M9):
@@ -2682,11 +2682,123 @@ object ExtensionQueries {
     Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, maxBucketSize = 1000000)
   }
 
+  /** Binary-quantization ANN: sign-bit sketches (1 bit/dim) scanned by
+    * hamming, exact cosine rescore of a 50-candidate shortlist. Fully
+    * hash-matched: the sketch, the hamming ranking (ties by id) and the
+    * rescore are all deterministic, so DuckDB replays the whole path
+    * from first principles.
+    */
+  val knnBinary = q("x_knn_binary",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |ham AS (
+      |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+      |         len(list_filter(range(1, 65), i -> (q.qv[i] > 0) <> (e.embedding[i] > 0))) AS h,
+      |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+      |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+      |short AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS hr
+      |          FROM ham),
+      |r AS (SELECT query_id, neighbor_id, c,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY round(c, 4) DESC, neighbor_id) AS rank
+      |      FROM short WHERE hr <= 50)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.binarySketchTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", dim = 64, k = 5, shortlist = 50)
+  }
+
+  /** Exact set-similarity self-join via prefix filtering (AllPairs/
+    * PPJoin): all document pairs with token-set Jaccard ≥ 0.8 over a
+    * deterministic corpus slice. The oracle is the NAIVE all-pairs
+    * join — equality proves the prefix filter generated every
+    * qualifying candidate (completeness is the whole point of the
+    * operator; a lossy block would drop pairs and fail the hash).
+    */
+  val setSimJoin = q("x_setsim_join",
+    """WITH t AS (SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS tok
+      |           FROM documents WHERE doc_id % 4 = 0),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b,
+      |             len(list_intersect(a.tok, b.tok)) AS i,
+      |             len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS u
+      |      FROM t a, t b WHERE a.id < b.id)
+      |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / u, 4) AS jaccard
+      |FROM p WHERE CAST(i AS DOUBLE) / u >= 0.8""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    Joins.setSimJoin(docs, "doc_id", "toks", minJaccard = 0.8)
+  }
+
+  /** Multinomial Naive Bayes corpus router: trained on the %5≠0 split's
+    * (text, lang) pairs, classifying the held-out %5=0 split — the
+    * quality/domain-filtering workhorse shape (two counting passes to
+    * train, one token join to score). Hash-matched end to end: priors,
+    * Laplace-smoothed token likelihoods, per-class log scores and the
+    * deterministic argmax all replay in DuckDB.
+    */
+  val classifyNb = q("x_classify_nb",
+    """WITH tr AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents WHERE doc_id % 5 <> 0),
+      |cls AS (SELECT lang, count(*) AS n_toks, count(DISTINCT doc_id) AS n_docs
+      |        FROM tr GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT doc_id) AS n, count(DISTINCT tok) AS v FROM tr),
+      |tc AS (SELECT lang, tok, count(*) AS cnt FROM tr GROUP BY 1, 2),
+      |vocab AS (SELECT DISTINCT tok FROM tr),
+      |te AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |       FROM documents WHERE doc_id % 5 = 0),
+      |tv AS (SELECT te.doc_id, te.tok FROM te JOIN vocab USING (tok)),
+      |sc AS (
+      |  SELECT tv.doc_id, c.lang,
+      |         ln(c.n_docs) - ln(t.n) +
+      |         sum(ln(coalesce(tc.cnt, 0) + 1.0) - ln(c.n_toks + t.v)) AS score
+      |  FROM tv CROSS JOIN tot t JOIN cls c ON true
+      |  LEFT JOIN tc ON tc.lang = c.lang AND tc.tok = tv.tok
+      |  GROUP BY tv.doc_id, c.lang, c.n_docs, t.n),
+      |rk AS (SELECT doc_id, lang, score,
+      |              row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY round(score, 6) DESC, lang) AS rnk
+      |       FROM sc)
+      |SELECT doc_id, lang AS predicted, round(score, 4) AS score
+      |FROM rk WHERE rnk = 1""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val toks = split(col("text"), " ")
+    val model = graft.ext.Classify.trainNaiveBayes(
+      docs.filter(col("doc_id") % 5 =!= 0), toks, "lang")
+    graft.ext.Classify.classifyNaiveBayes(
+      model, docs.filter(col("doc_id") % 5 === 0), "doc_id", toks)
+  }
+
+  /** SCD2 dimension history from the events log: per-user validity
+    * intervals of the consecutive `event_type` runs — lag/running-sum
+    * run detection, half-open `[valid_from, valid_to)` tiling, current
+    * row flagged. Pure window/aggregate SQL, so the replay is exact.
+    */
+  val scd2Intervals = q("x_scd2",
+    """WITH o AS (SELECT user_id, ts, event_id, event_type,
+      |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |           FROM events),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg
+      |      FROM o),
+      |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS run FROM f),
+      |runs AS (SELECT user_id, run, min(event_type) AS event_type,
+      |                min(ts) AS valid_from, count(*) AS n_rows
+      |         FROM g GROUP BY 1, 2)
+      |SELECT user_id, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+      |       n_rows,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current
+      |FROM runs""".stripMargin) { (s, dir) =>
+    graft.ext.Scd2.intervals(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      "user_id", "ts", "event_id", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupResolve, dedupMinhash, dedupSimhash, dedupJaccard,
     dedupEmbCos, dedupEmbLsh, dedupSemantic,
     dedupComponents, dedupSpans, dedupSpanStats, dedupSpanRemove,
-    knnBrute, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
+    knnBrute, knnBinary, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     knnPqDelete, knnIvfPqRefine, knnIvfPqResRecall, knnIvfPqResidualErr,
     knnSq, knnSqErr, knnSqGuarantee, knnIvfSq, knnIvfSqFullProbe,
@@ -2698,6 +2810,7 @@ object ExtensionQueries {
     dsirWeights, dsirResample,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
+    setSimJoin, classifyNb, scd2Intervals,
     streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,
     streamDedupSimhash, streamDedupComponents, streamKnnAppend,
     streamStaticJoin, sessionize,

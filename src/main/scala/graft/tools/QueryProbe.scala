@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: dump a SUBSET of SparkEntry.queries (named on the command
+  * line) plus their oracle SQL, in the Verify layout, so
+  * `scripts/local_verify.py` can check just the queries under
+  * development without paying the full 130-query dump.
+  *
+  * Usage: runMain graft.tools.QueryProbe <sfDir> <outDir> <query> [query...]
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSet
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val qs = graft.SparkEntry.queries.filter(kv => names.contains(kv._1))
+    val missing = names -- qs.keySet
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
+    qs.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val oracles = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = oracles.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 curation operators: binary-quantization ANN, exact
+  * set-similarity join, Naive Bayes routing, SCD2 history.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("signSketch packs sign bits little-endian per 64-dim word, padding short tails") {
+    // dim 70: word 0 = bits 0..63, word 1 = bits 64..69 (high bits clear)
+    val v = Array.tabulate(70)(i => if (i == 0 || i == 3 || i == 65) 1.0f else -1.0f)
+    val row = Seq(Tuple1(v)).toDF("v")
+      .select(Similarity.signSketch(col("v"), 70).as("s"))
+      .head().getSeq[Long](0)
+    row should have size 2
+    row(0) shouldBe ((1L << 0) | (1L << 3))
+    row(1) shouldBe (1L << 1)
+  }
+
+  test("signHamming equals the per-dimension sign-disagreement count") {
+    val a = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val b = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val expected = (0 until 64).count(i => (i % 2 == 0) != (i % 3 == 0))
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.signHamming(
+        Similarity.signSketch(col("a"), 64),
+        Similarity.signSketch(col("b"), 64)).as("h"))
+      .head().getInt(0)
+    got shouldBe expected
+  }
+
+  test("binarySketchTopK with a corpus-sized shortlist equals brute force") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val bq = Similarity.binarySketchTopK(queries, corpus, "vec_id", "embedding",
+      dim = 64, k = 5, shortlist = 40)
+    val bf = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    bq.collect().toSet shouldBe bf.collect().toSet
+  }
+
+  test("binarySketchTopK ranks an exact duplicate vector first") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 30L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val corpus = (base :+ ((99L, base(2)._2))).toDF("vec_id", "embedding")
+    val top = Similarity.binarySketchTopK(corpus.filter(col("vec_id") === 2),
+        corpus, "vec_id", "embedding", dim = 64, k = 1, shortlist = 8)
+      .head()
+    top.getAs[Long]("neighbor_id") shouldBe 99L
+    top.getAs[Double]("cosine") shouldBe 1.0 +- 1e-9
+  }
+
+  test("setSimJoin equals the naive all-pairs jaccard join") {
+    val rnd = new scala.util.Random(3)
+    val vocab = ('a' to 'p').map(_.toString)
+    val docs = (0L until 60L).map { i =>
+      (i, rnd.shuffle(vocab).take(4 + rnd.nextInt(5)).toArray)
+    }.toDF("id", "toks")
+    val got = Joins.setSimJoin(docs, "id", "toks", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive reference
+    val sets = docs.collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val expected = (for {
+      (ia, ta) <- sets; (ib, tb) <- sets if ia < ib
+      j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      if j >= 0.5
+    } yield (ia, ib, math.rint(j * 10000) / 10000)).toSet
+    got shouldBe expected
+  }
+
+  test("setSimJoin at tau=1.0 finds exactly the equal-set pairs") {
+    val docs = Seq(
+      (1L, Array("x", "y", "z")), (2L, Array("z", "y", "x")),
+      (3L, Array("x", "y")), (4L, Array("x", "y", "w"))).toDF("id", "toks")
+    val got = Joins.setSimJoin(docs, "id", "toks", minJaccard = 1.0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L))
+  }
+
+  test("naive bayes classifies by token evidence; OOV tokens carry none") {
+    val train = Seq(
+      (1L, "spark scala jvm", "code"), (2L, "jvm scala build", "code"),
+      (3L, "scala spark shuffle", "code"),
+      (4L, "bread oven flour", "food"), (5L, "flour bread salt", "food"),
+      (6L, "oven salt bread", "food")).toDF("doc_id", "text", "topic")
+    val model = Classify.trainNaiveBayes(train, split(col("text"), " "), "topic")
+    model.vocabSize shouldBe 9
+    val test0 = Seq((10L, "scala jvm zzz-oov"), (11L, "bread flour zzz-oov"))
+      .toDF("doc_id", "text")
+    val out = Classify.classifyNaiveBayes(model, test0, "doc_id", split(col("text"), " "))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out shouldBe Map(10L -> "code", 11L -> "food")
+  }
+
+  test("naive bayes argmax tie breaks by label ascending") {
+    // perfectly symmetric classes: equal priors, mirrored token counts
+    val train = Seq(
+      (1L, "aa bb", "c1"), (2L, "aa bb", "c2")).toDF("doc_id", "text", "topic")
+    val model = Classify.trainNaiveBayes(train, split(col("text"), " "), "topic")
+    val out = Classify.classifyNaiveBayes(model,
+        Seq((9L, "aa")).toDF("doc_id", "text"), "doc_id", split(col("text"), " "))
+      .head()
+    out.getString(1) shouldBe "c1"
+  }
+
+  test("scd2 intervals collapse runs, tile half-open, and flag the current row") {
+    val log = Seq(
+      (1L, 10L, 100L, "bronze"), (1L, 20L, 101L, "bronze"),
+      (1L, 30L, 102L, "gold"), (1L, 40L, 103L, "bronze"),
+      (2L, 10L, 104L, "gold")).toDF("user_id", "ts", "event_id", "tier")
+    val out = Scd2.intervals(log, "user_id", "ts", "event_id", "tier")
+      .orderBy(col("user_id"), col("valid_from"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4), r.getBoolean(5)))
+    out shouldBe Array(
+      (1L, "bronze", 10L, Some(30L), 2L, false),
+      (1L, "gold", 30L, Some(40L), 1L, false),
+      (1L, "bronze", 40L, None, 1L, true),
+      (2L, "gold", 10L, None, 1L, true))
+  }
+
+  test("scd2 equal-timestamp observations order by the tiebreaker") {
+    val log = Seq(
+      (1L, 10L, 2L, "b"), (1L, 10L, 1L, "a"), (1L, 20L, 3L, "b"))
+      .toDF("user_id", "ts", "event_id", "attr")
+    val out = Scd2.intervals(log, "user_id", "ts", "event_id", "attr")
+      .orderBy(col("valid_from"), col("attr"))
+      .select(col("attr"), col("n_rows")).as[(String, Long)].collect()
+    // order at ts=10 is (event 1: a, event 2: b); the b run then absorbs ts=20
+    out shouldBe Array(("a", 1L), ("b", 2L))
+  }
+}

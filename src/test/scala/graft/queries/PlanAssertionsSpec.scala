@@ -276,4 +276,60 @@ class PlanAssertionsSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
     (plan should not).include("CartesianProduct")
   }
+
+  test("binary-sketch knn: queries broadcast into the sketch scan, corpus never sort-merges with them") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 200L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.binarySketchTopK(
+      corpus.filter($"vec_id" < 3), corpus, "vec_id", "embedding",
+      dim = 64, k = 5, shortlist = 20)
+    out.collect()
+    val plan = finalPlan(out).toString
+    // the hamming pass and the rescore both join the corpus against
+    // BROADCAST sides (queries resp. the nq×shortlist survivors); a
+    // sort-merge would mean the corpus-sized side shuffled
+    plan should include("BroadcastNestedLoopJoin") // corpus × broadcast queries
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("set-similarity join: candidates come from an equi-join on prefix tokens, never a cross join") {
+    val rnd = new scala.util.Random(9)
+    val vocab = ('a' to 'z').map(_.toString)
+    val docs = (0L until 150L)
+      .map(i => (i, rnd.shuffle(vocab).take(5).toArray)).toDF("id", "toks")
+    val out = graft.ext.Joins.setSimJoin(docs, "id", "toks", minJaccard = 0.6)
+    out.collect()
+    val plan = finalPlan(out).toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("naive bayes scoring: class stats broadcast; no cartesian product anywhere") {
+    val train = (1 to 200).map(i => (i.toLong, s"tok${i % 17} tok${i % 5} tok${i % 3}",
+      s"c${i % 4}")).toDF("doc_id", "text", "topic")
+    val model = graft.ext.Classify.trainNaiveBayes(train, split($"text", " "), "topic")
+    val out = graft.ext.Classify.classifyNaiveBayes(model,
+      train.limit(50), "doc_id", split($"text", " "))
+    out.collect()
+    val plan = finalPlan(out).toString
+    // the classes-sized stats frame rides broadcast joins (the explicit
+    // cross with it is a broadcast nested loop over ≤ |classes| rows —
+    // allowed); an unhinted CartesianProduct would mean a corpus-sized
+    // side crossed
+    (plan should not).include("CartesianProduct")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("scd2 intervals: every window is key-partitioned — no single-partition global sort") {
+    val log = (1 to 400).map(i => ((i % 20).toLong, i.toLong, i.toLong, s"s${i % 3}"))
+      .toDF("user_id", "ts", "event_id", "attr")
+    val out = graft.ext.Scd2.intervals(log, "user_id", "ts", "event_id", "attr")
+    out.collect()
+    val windows = allNodes(finalPlan(out)).collect { case w: WindowExec => w }
+    windows should not be empty
+    windows.foreach(w => w.partitionSpec should not be empty)
+  }
 }
