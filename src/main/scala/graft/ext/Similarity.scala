@@ -88,6 +88,40 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most cosine-similar corpus vectors with a DIFFERENT label — the
+    * "looks like a positive, isn't one" examples that make embedding-
+    * model batches informative. Same broadcast scan shape as
+    * [[bruteForceTopK]] (queries with labels broadcast, corpus in one
+    * pass) with the label disagreement folded into the join predicate,
+    * so pruning happens before any score is computed. Null labels are
+    * DISTINCT from everything, including each other (SQL
+    * `IS DISTINCT FROM`). Compose with the IVF/BQ layouts for
+    * sub-linear candidate generation when the corpus outgrows the
+    * brute-force pass.
+    *
+    * Output: (query_id, rank, neighbor_id, cosine).
+    */
+  def hardNegativesTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+  ): DataFrame = {
+    val q = queries.select(qcol(idCol).cast("long").as("query_id"),
+      qcol(vecCol).as("__qv"), qcol(labelCol).as("__ql"))
+    val c = corpus.select(qcol(idCol).cast("long").as("neighbor_id"),
+      qcol(vecCol).as("__cv"), qcol(labelCol).as("__cl"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          !(col("__ql") <=> col("__cl")))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKPerQuery(scored, "cosine", "neighbor_id", k)
+  }
+
   /** Binary quantization (BQ) sketch: the vector's per-dimension sign
     * bits (`xᵢ > 0`) packed into `⌈dim/64⌉` longs — 1 bit per dimension,
     * a 32× compression over float32. For cosine search the sign sketch

@@ -270,4 +270,57 @@ object TextAnalysis {
       .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("avg_surprisal"))
   }
+
+  /** Corpus-trained add-α bigram language-model perplexity per document —
+    * the next step up from [[unigramSurprisal]] in the perplexity-
+    * filtering ladder (CCNet-style: rank documents by how "expected"
+    * their word sequences are; high perplexity = boilerplate, noise, or
+    * wrong-language text):
+    *
+    *   P(w | prev) = (c(prev, w) + α) / (c(prev) + α·V)
+    *   ppl(d)      = exp(−avg over d's bigrams of ln P(w | prev))
+    *
+    * with V the corpus token vocabulary and c(prev) the count of
+    * bigrams starting at `prev`. Training is two map-side-combining
+    * group-bys over the exploded bigram stream (plus one vocab count);
+    * scoring re-joins each document's bigrams against the count tables
+    * (AQE broadcasts them when they fit) and re-aggregates per doc —
+    * linear passes throughout, the same cost family as the NB trainer.
+    *
+    * Output: (`doc_id`, `n_bigrams`, `ppl`); documents with fewer than
+    * two tokens keep a row with `n_bigrams` 0 and null `ppl`.
+    */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val base = docs.select(qcol(idCol).cast("long").as("doc_id"),
+      tokens(qcol(textCol)).as("__t"))
+    // size-2 guard BEFORE the sequence: sequence(1, n-1) with n < 2
+    // would generate a DESCENDING range, not an empty one
+    val bg = base.filter(size(col("__t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          struct(element_at(col("__t"), i).as("__prev"),
+            element_at(col("__t"), i + 1).as("__w")))).as("__b"))
+      .select(col("doc_id"), col("__b.__prev"), col("__b.__w"))
+      .localCheckpoint(eager = true) // feeds both count tables and scoring
+    val c2 = bg.groupBy(col("__prev"), col("__w"))
+      .agg(count(lit(1)).cast("double").as("__c2"))
+    val cp = bg.groupBy(col("__prev"))
+      .agg(count(lit(1)).cast("double").as("__cp"))
+    val vocab = base.select(explode(col("__t")).as("__term"))
+      .agg(countDistinct(col("__term")).cast("double").as("__v"))
+    val scored = bg
+      .join(c2, Seq("__prev", "__w"), "left")
+      .join(cp, Seq("__prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("__c2"), lit(0.0)) + lit(alpha)) /
+          (coalesce(col("__cp"), lit(0.0)) + lit(alpha) * col("__v"))).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), exp(-avg(col("__lp"))).as("ppl"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("ppl"))
+  }
 }

@@ -2716,14 +2716,14 @@ object ExtensionQueries {
     */
   val setSimJoin = q("x_setsim_join",
     """WITH t AS (SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS tok
-      |           FROM documents WHERE doc_id % 4 = 0),
+      |           FROM documents WHERE doc_id % 8 = 0),
       |p AS (SELECT a.id AS id_a, b.id AS id_b,
       |             len(list_intersect(a.tok, b.tok)) AS i,
       |             len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS u
       |      FROM t a, t b WHERE a.id < b.id)
       |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / u, 4) AS jaccard
       |FROM p WHERE CAST(i AS DOUBLE) / u >= 0.8""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 8 === 0)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     Joins.setSimJoin(docs, "doc_id", "toks", minJaccard = 0.8)
   }
@@ -2765,6 +2765,53 @@ object ExtensionQueries {
       docs.filter(col("doc_id") % 5 =!= 0), toks, "lang")
     graft.ext.Classify.classifyNaiveBayes(
       model, docs.filter(col("doc_id") % 5 === 0), "doc_id", toks)
+  }
+
+  /** Hard-negative mining over the labeled embeddings: per query the
+    * top-5 most-similar vectors with a DIFFERENT label — contrastive-
+    * batch construction. Same deterministic top-k discipline as
+    * x_knn_brute, label disagreement in the join predicate.
+    */
+  val mineHardNeg = q("x_mine_hardneg",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+      |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+      |  FROM q, embeddings e WHERE e.vec_id <> q.qid AND e.label IS DISTINCT FROM q.ql),
+      |r AS (SELECT query_id, neighbor_id, c,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY round(c, 4) DESC, neighbor_id) AS rank
+      |      FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegativesTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "label", k = 5)
+  }
+
+  /** Corpus-trained bigram-LM perplexity per document (CCNet-style
+    * perplexity filtering, one rung above x_text_surprisal's unigram
+    * form): add-1 smoothed P(w|prev), ppl = exp(−mean ln P). Counting
+    * passes to train, one join to score — fully hash-matched.
+    */
+  val textBigramPpl = q("x_text_bigram_ppl",
+    """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS t
+      |           FROM documents),
+      |bg AS (SELECT doc_id, t[i] AS prev, t[i + 1] AS w
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d WHERE len(t) >= 2)),
+      |c2 AS (SELECT prev, w, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY 1, 2),
+      |cp AS (SELECT prev, CAST(count(*) AS DOUBLE) AS cp FROM bg GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT te) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(t) AS te FROM d)),
+      |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+      |              exp(-avg(ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(cp.cp, 0) + v.v)))) AS ppl
+      |       FROM bg b LEFT JOIN c2 ON b.prev = c2.prev AND b.w = c2.w
+      |       LEFT JOIN cp ON b.prev = cp.prev CROSS JOIN v
+      |       GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, round(sc.ppl, 4) AS ppl
+      |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin) { (s, dir) =>
+    TextAnalysis.bigramPerplexity(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 4).as("ppl"))
   }
 
   /** SCD2 dimension history from the events log: per-user validity
@@ -2810,7 +2857,7 @@ object ExtensionQueries {
     dsirWeights, dsirResample,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
-    setSimJoin, classifyNb, scd2Intervals,
+    setSimJoin, classifyNb, scd2Intervals, mineHardNeg, textBigramPpl,
     streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,
     streamDedupSimhash, streamDedupComponents, streamKnnAppend,
     streamStaticJoin, sessionize,

@@ -107,6 +107,35 @@ class CurationOpsSpec extends SparkSpec {
     out.getString(1) shouldBe "c1"
   }
 
+  test("hard negatives exclude same-label neighbors; a different-label duplicate ranks first") {
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 30L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), (i % 3).toInt))
+    // vec 99: identical to vec 0 but with a different label — the
+    // canonical hard negative; vec 0's same-label twins must never appear
+    val corpus = (base :+ ((99L, base(0)._2, 2))).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesTopK(corpus.filter(col("vec_id") === 0),
+      corpus, "vec_id", "embedding", "label", k = 10).collect()
+    out.head.getAs[Long]("neighbor_id") shouldBe 99L
+    val sameLabel = base.filter(_._3 == 0).map(_._1).toSet
+    out.map(_.getAs[Long]("neighbor_id")).toSet.intersect(sameLabel) shouldBe empty
+  }
+
+  test("bigram perplexity matches the hand-computed add-1 model; short docs keep a null row") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).sortBy(_._1)
+    // corpus: c2(a,b)=3, c2(b,a)=1; cp(a)=3, cp(b)=1; V=3
+    val pAB = math.log((3 + 1.0) / (3 + 3.0))
+    val pBA = math.log((1 + 1.0) / (1 + 3.0))
+    out(0)._2 shouldBe 3L
+    out(0)._3.get shouldBe math.exp(-(pAB + pBA + pAB) / 3) +- 1e-9
+    out(1)._2 shouldBe 1L
+    out(1)._3.get shouldBe math.exp(-pAB) +- 1e-9
+    out(2) shouldBe ((3L, 0L, None))
+  }
+
   test("scd2 intervals collapse runs, tile half-open, and flag the current row") {
     val log = Seq(
       (1L, 10L, 100L, "bronze"), (1L, 20L, 101L, "bronze"),
