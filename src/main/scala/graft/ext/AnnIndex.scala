@@ -174,8 +174,9 @@ object AnnIndex {
     (r.getAs[Int]("m"), r.getAs[Int]("sub"), r.getAs[Int]("nlist"), residual)
   }
 
-  /** The index kind: pq / ivf / ivfpq / sq / ivfsq. Pre-layout-column
-    * metas derive from (m, nlist) — exactly the old implicit encoding.
+  /** The index kind: pq / ivf / ivfpq / sq / ivfsq / bq. Pre-layout-
+    * column metas derive from (m, nlist) — exactly the old implicit
+    * encoding.
     */
   private def readLayout(spark: SparkSession, dir: String): String = {
     val df = spark.read.parquet(s"$dir/meta")
@@ -539,6 +540,119 @@ object AnnIndex {
     graft.operators.Upsert.swapDirs(tmp, dir)
   }
 
+  // ------------------------------------------------------------ flat BQ
+  /** A loaded binary-quantization index: one codes table on disk holding
+    * (__id, __sig array&lt;long&gt;, __vec, __seq) — the 1-bit/dim sign
+    * sketches ([[Similarity.signSketch]]) BESIDE the full-precision
+    * vectors, in one parquet table whose COLUMN PRUNING is the layout's
+    * two-tier storage: the hamming scan reads only (__id, __sig, __seq)
+    * (dim/8 bytes + ids per row), the exact rescore re-opens the table
+    * for (__id, __vec) restricted to the nq×shortlist survivors.
+    * Training-free (the sketch has no learned parameters), so append ==
+    * rebuild EXACTLY and there is no drift-rebuild cadence — the only
+    * rebuild reason is tombstone debt.
+    */
+  final case class BqIndex(codesPath: String, dim: Int, dir: String)
+
+  private def readDim(spark: SparkSession, dir: String): Int =
+    graft.util.Hfs.readString(spark, s"$dir/_dim").trim.toInt
+
+  /** Build + persist the BQ index: corpus sketched once (`dim` must be
+    * every vector's length — recorded in a `_dim` sidecar so queries and
+    * appends sketch against the same geometry).
+    */
+  def buildBq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      dim: Int): Unit = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val spark = corpus.sparkSession
+    writeMeta(spark, dir, m = 0, sub = 0, nlist = -1, layout = "bq")
+    graft.util.Hfs.writeString(spark, s"$dir/_dim", dim.toString)
+    corpus.select(qcol(idCol).cast("long").as("__id"),
+        Similarity.signSketch(qcol(vecCol), dim).as("__sig"),
+        qcol(vecCol).as("__vec"), lit(0L).as("__seq"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def readBq(spark: SparkSession, dir: String): BqIndex = {
+    require(readLayout(spark, dir) == "bq",
+      s"$dir is not a BQ index — each layout has its own reader")
+    BqIndex(s"$dir/codes", readDim(spark, dir), dir)
+  }
+
+  /** BQ top-k against the persisted index: hamming over the pruned
+    * (__id, __sig) columns, exact cosine rescore of the shortlist from
+    * the same table's __vec column — [[Similarity.binarySketchTopK]]
+    * semantics over the build-once layout, tombstones subtracted.
+    */
+  def bqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int = 50): DataFrame = {
+    val idx = readBq(spark, dir)
+    val stored = spark.read.parquet(idx.codesPath)
+    Similarity.bqSearch(
+      queries.select(qcol(idCol).cast("long").as("query_id"),
+        qcol(vecCol).as("__qv"),
+        Similarity.signSketch(qcol(vecCol), idx.dim).as("__qs")),
+      liveOnly(spark, dir, stored.select(col("__id"), col("__sig"), col("__seq")))
+        .select(col("__id").as("neighbor_id"), col("__sig").as("__cs")),
+      liveOnly(spark, dir, stored.select(col("__id"), col("__vec"), col("__seq")))
+        .select(col("__id").as("neighbor_id"), col("__vec").as("__cv")),
+      k, shortlist)
+  }
+
+  /** [[appendPq]] for the BQ layout — nothing is trained, so append ==
+    * rebuild exactly (no quantization drift; same duplicate-id caller
+    * contract as every append).
+    */
+  def appendBq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val dim = readDim(spark, dir)
+    val seq = nextSeq(spark, dir)
+    rows.select(qcol(idCol).cast("long").as("__id"),
+        Similarity.signSketch(qcol(vecCol), dim).as("__sig"),
+        qcol(vecCol).as("__vec"), lit(seq).as("__seq"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  def updateBq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    deleteIds(spark, dir, rows, idCol)
+    appendBq(spark, dir, rows, idCol, vecCol)
+  }
+
+  /** [[compactPq]] for the BQ layout: live rows rewritten (sketches are
+    * parameter-free — carried as stored), swap-published, tombstone log
+    * reset; all-dead refusal as in every layout.
+    */
+  def compactBq(spark: SparkSession, dir: String): Unit = {
+    require(readLayout(spark, dir) == "bq",
+      s"$dir is not a BQ index — each layout has its own compaction")
+    val tmp = dir + ".compact-" + System.nanoTime()
+    val live = requireLive(
+      liveOnly(spark, dir, spark.read.parquet(s"$dir/codes")), dir)
+    writeMeta(spark, tmp, m = 0, sub = 0, nlist = -1, layout = "bq")
+    graft.util.Hfs.writeString(spark, s"$tmp/_dim",
+      readDim(spark, dir).toString)
+    live.withColumn("__seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** [[applyDiffIvfPq]] for the BQ layout. */
+  def applyDiffBq(spark: SparkSession, dir: String, diff: DataFrame,
+      keyCol: String, rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (dels, upserts) = diffSplit(diff, keyCol, rows, idCol)
+    deleteIds(spark, dir, dels, keyCol)
+    appendBq(spark, dir, upserts, idCol, vecCol)
+  }
+
+  /** [[rebuildPq]] for the BQ layout. */
+  def rebuildBq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      dim: Int): Unit = {
+    val tmp = dir + ".build-" + System.nanoTime()
+    buildBq(corpus, idCol, vecCol, tmp, dim)
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
   // --------------------------------------------------------- IVF × SQ8
   /** A loaded IVF×SQ index: coarse centroids + bounds in hand, byte
     * codes left ON DISK partitioned by coarse cluster. The practical
@@ -896,6 +1010,7 @@ object AnnIndex {
         case "ivfpq" => compactIvfPq(spark, dir)
         case "sq"    => compactSq(spark, dir)
         case "ivfsq" => compactIvfSq(spark, dir)
+        case "bq"    => compactBq(spark, dir)
         case other => throw new IllegalStateException(
           s"$dir has unknown index layout '$other'")
       }

@@ -185,13 +185,27 @@ object Similarity {
       dim: Int,
       k: Int,
       shortlist: Int = 50,
-  ): DataFrame = {
-    val q = queries.select(qcol(idCol).cast("long").as("query_id"),
-      qcol(vecCol).as("__qv"), signSketch(qcol(vecCol), dim).as("__qs"))
-      .localCheckpoint(eager = true) // tiny; consumed by both passes
-    val sketches = corpus.select(qcol(idCol).cast("long").as("neighbor_id"),
-      signSketch(qcol(vecCol), dim).as("__cs"))
-    val ham = sketches.join(broadcast(q.select(col("query_id"), col("__qs"))),
+  ): DataFrame =
+    bqSearch(
+      queries.select(qcol(idCol).cast("long").as("query_id"),
+        qcol(vecCol).as("__qv"), signSketch(qcol(vecCol), dim).as("__qs")),
+      corpus.select(qcol(idCol).cast("long").as("neighbor_id"),
+        signSketch(qcol(vecCol), dim).as("__cs")),
+      corpus.select(qcol(idCol).cast("long").as("neighbor_id"),
+        qcol(vecCol).as("__cv")),
+      k, shortlist)
+
+  /** The shared BQ search core (in-query form above, persisted-index
+    * form in [[AnnIndex.bqTopK]]): `q` = (query_id, __qv, __qs), `sigs`
+    * = (neighbor_id, __cs), `vecs` = (neighbor_id, __cv). Hamming scan →
+    * per-query shortlist (narrow 12-byte rows through the window) →
+    * exact cosine rescore of the `nq × shortlist` survivors via
+    * broadcast joins against the vector source.
+    */
+  private[ext] def bqSearch(q: DataFrame, sigs: DataFrame, vecs: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
+    val qc = q.localCheckpoint(eager = true) // tiny; consumed by both passes
+    val ham = sigs.join(broadcast(qc.select(col("query_id"), col("__qs"))),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         signHamming(col("__qs"), col("__cs")).as("__h"))
@@ -200,10 +214,9 @@ object Similarity {
     val short = ham.withColumn("__hr", row_number().over(w))
       .filter(col("__hr") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val rescored = corpus
-      .select(qcol(idCol).cast("long").as("neighbor_id"), qcol(vecCol).as("__cv"))
+    val rescored = vecs
       .join(broadcast(short), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("__qv"))), Seq("query_id"))
+      .join(broadcast(qc.select(col("query_id"), col("__qv"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
     topKPerQuery(rescored, "cosine", "neighbor_id", k)

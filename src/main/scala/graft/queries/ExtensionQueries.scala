@@ -59,7 +59,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v8_m8k16n16kvres_sqbyte_ivfsq")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v9_m8k16n16kvres_sqbyte_ivfsq_bq")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -161,6 +161,25 @@ object ExtensionQueries {
       // pruning; the full-probe gate pins exact equality with flat SQ
       "ivfsq" -> (() => AnnIndex.buildIvfSq(emb, "vec_id", "embedding",
         s"$tmp/ivfsq", nlist = 16, coarseIn = Some(coarse), boundsIn = Some(sqb))),
+      // BQ: training-free sign sketches beside the exact vectors — one
+      // table whose column pruning is the two-tier storage (x_knn_bq
+      // replays the whole query path over it in DuckDB)
+      "bq" -> (() => AnnIndex.buildBq(emb, "vec_id", "embedding",
+        s"$tmp/bq", dim = 64)),
+      // BQ maintenance fixture: build half, append half, tombstone
+      // {3, 11}, update {6} — x_knn_bq_maint pins the maintained index
+      // against the in-query scan over the live set (training-free, so
+      // the equality is exact, not just rank-stable)
+      "bq_maint16" -> (() => {
+        AnnIndex.buildBq(emb8, "vec_id", "embedding", s"$tmp/bq_maint16",
+          dim = 64)
+        AnnIndex.appendBq(s, s"$tmp/bq_maint16",
+          emb16.filter(col("vec_id") >= 8), "vec_id", "embedding")
+        AnnIndex.deleteIds(s, s"$tmp/bq_maint16",
+          emb16.filter(col("vec_id").isin(3, 11)), "vec_id")
+        AnnIndex.updateBq(s, s"$tmp/bq_maint16",
+          emb16.filter(col("vec_id") === 6), "vec_id", "embedding")
+      }),
       // the small gate indexes over the 16-vector sub-corpus: lossless
       // (ksub = corpus size) so the recall/persistence gates can pin
       // exact-equality semantics (iters=1: Lloyd is at its fixpoint after
@@ -2707,6 +2726,57 @@ object ExtensionQueries {
         "vec_id", "embedding", dim = 64, k = 5, shortlist = 50)
   }
 
+  /** BQ top-k against the PERSISTED index (build once, query many):
+    * hash-matched via a DuckDB replay over the stored codes table —
+    * hamming from the persisted sign sketches (two's-complement
+    * xor+bit_count, identical in both engines), shortlist, exact cosine
+    * rescore from the persisted vectors, deterministic top-k.
+    */
+  val knnBq = q("x_knn_bq",
+    """WITH c AS (SELECT __id, __sig, __vec
+      |           FROM read_parquet('__GRAFT_ANNIDX__/bq/codes/*.parquet')),
+      |q AS (SELECT __id AS qid, __vec AS qv, __sig AS qs FROM c WHERE __id < 5),
+      |ham AS (
+      |  SELECT q.qid AS query_id, c.__id AS neighbor_id,
+      |         list_sum(list_transform(range(1, len(q.qs) + 1),
+      |           i -> bit_count(xor(q.qs[i], c.__sig[i])))) AS h,
+      |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.__vec AS DOUBLE[])) AS cos
+      |  FROM q, c WHERE c.__id <> q.qid),
+      |short AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS hr
+      |          FROM ham),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 4) DESC, neighbor_id) AS rank
+      |      FROM short WHERE hr <= 50)
+      |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+      val idx = stageAnnIndexes(s, dir)
+      AnnIndex.bqTopK(s, s"$idx/bq",
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, shortlist = 50)
+  }
+
+  /** BQ maintenance parity: the staged build→append→delete→update
+    * fixture must serve EXACTLY the in-query scan over the live set
+    * (the sketch is training-free, so no drift term exists — a lost
+    * append, unsubtracted tombstone, or double-counted update
+    * generation breaks the equality outright).
+    */
+  val knnBqMaint = q("x_knn_bq_maint", "SELECT true AS bq_maint_ok") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+    val queries = emb16.filter(col("vec_id") < 5)
+    val served = AnnIndex.bqTopK(s, s"$idx/bq_maint16", queries,
+      "vec_id", "embedding", 5, shortlist = 16)
+    val ref = Similarity.binarySketchTopK(queries,
+        emb16.filter(!col("vec_id").isin(3, 11)), "vec_id", "embedding",
+        dim = 64, k = 5, shortlist = 16)
+      .withColumnRenamed("cosine", "__c2")
+    served.join(ref, Seq("query_id", "rank", "neighbor_id"), "full")
+      .agg((count(lit(1)) === count(col("cosine")) &&
+        count(lit(1)) === count(col("__c2")) &&
+        max(abs(col("cosine") - col("__c2"))) <= 1e-9).as("bq_maint_ok"))
+  }
+
   /** Exact set-similarity self-join via prefix filtering (AllPairs/
     * PPJoin): all document pairs with token-set Jaccard ≥ 0.8 over a
     * deterministic corpus slice. The oracle is the NAIVE all-pairs
@@ -2849,6 +2919,7 @@ object ExtensionQueries {
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     knnPqDelete, knnIvfPqRefine, knnIvfPqResRecall, knnIvfPqResidualErr,
     knnSq, knnSqErr, knnSqGuarantee, knnIvfSq, knnIvfSqFullProbe,
+    knnBq, knnBqMaint,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,

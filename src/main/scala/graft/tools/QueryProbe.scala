@@ -31,7 +31,24 @@ object QueryProbe {
         .parquet(s"$outDir/$name")
       println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // same placeholder resolution + index copy as graft.Verify, so ANN
+    // replay oracles probe correctly too
+    val annSrc = "/tmp/graft_annindex/" + graft.queries.Staging.tag(sfDir)
+    val annIdx = s"$outDir/_annidx"
+    try {
+      val dst = new java.io.File(annIdx)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      Seq("ivf", "pq", "ivfpq", "ivfsq", "bq").foreach { layout =>
+        val from = new java.io.File(s"$annSrc/$layout")
+        if (from.isDirectory)
+          org.apache.commons.io.FileUtils.copyDirectory(from,
+            new java.io.File(dst, layout))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] index copy failed: ${e.getMessage}")
+    }
     val oracles = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+      .map { case (k, v) => (k, v.replace("__GRAFT_ANNIDX__", annIdx)) }
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
