@@ -70,6 +70,39 @@ object CorpusClean {
     corpus.join(bad, qcol(idCol) === col("__did"), "left_anti")
   }
 
+  /** Contamination REPORT — the audit companion to [[decontaminate]]:
+    * instead of silently dropping flagged documents, emit one row per
+    * contaminated (corpus doc, eval doc) pair with the number of
+    * DISTINCT shared word `n`-grams — the evidence a curation review
+    * needs ("which benchmark leaked into which documents, how hard").
+    * Same scale shape as the drop path: both sides reduce to distinct
+    * 64-bit shingle hashes, the join runs on the hash (pairs only
+    * materialize where overlap exists — never corpus × eval), the
+    * count is one partial-aggregated group-by over the matches.
+    *
+    * Output: (`doc_id`, `eval_id`, `n_shared_grams`), contaminated
+    * pairs only.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      n: Int = 13,
+  ): DataFrame = {
+    val docSh = corpus.select(qcol(idCol).as("doc_id"),
+        explode(TextAnalysis.shingleHashes(qcol(textCol), n)).as("__s"))
+      .distinct()
+    val evalSh = eval.select(qcol(evalIdCol).as("eval_id"),
+        explode(TextAnalysis.shingleHashes(qcol(evalTextCol), n)).as("__s"))
+      .distinct()
+    docSh.join(evalSh, Seq("__s"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Bloom-filter decontamination — the map-only screen for when even the
     * eval-side semi-join shuffle is too much (a 100 TB corpus against a
     * benchmark suite): build ONE Bloom filter over the eval set's shingle

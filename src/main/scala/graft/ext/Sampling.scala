@@ -36,6 +36,33 @@ object Sampling {
     hashSample(df, concat(stratum.cast("string"), lit(":"), key.cast("string")),
       thresholdHex)
 
+  /** Leakage-safe train/eval split: rows whose `groupCol` matches (e.g.
+    * exact-duplicate text, a URL/domain, a near-dup cluster label from
+    * [[Dedup.connectedComponents]]) ALWAYS land in the same split — the
+    * split hash is taken on the group's canonical member (min id), not
+    * the row, so a document's duplicates can never leak across the
+    * boundary (the classic eval-contamination path a row-level random
+    * split walks straight into). Null groups are their own singleton
+    * groups (null text is no evidence of duplication — the
+    * x_dedup_resolve discipline).
+    *
+    * One window over the group key (a hash shuffle + per-partition sort;
+    * key the window on a fingerprint of the text at corpus scale rather
+    * than the raw string) and a deterministic md5 threshold — no RNG, so
+    * reruns, retries and both engines agree row for row.
+    *
+    * Output: the input plus a `split` column ('train' | 'test').
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, groupCol: Column,
+      trainRate: Double): DataFrame = {
+    val canon = when(groupCol.isNull, col(idCol).cast("long"))
+      .otherwise(min(col(idCol).cast("long"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    df.withColumn("split",
+      when(md5(canon.cast("string")) < lit(rateToHex(trainRate)), "train")
+        .otherwise("test"))
+  }
+
   /** Fractional rate → 8-hex-digit threshold for the lexicographic md5
     * compare: keeps exactly floor(rate·2³²)/2³² of a uniform hash space
     * (resolution ~2.3e-10). Rate 1.0 maps to "g", which sorts above every

@@ -1909,6 +1909,48 @@ object ExtensionQueries {
       .select(col("doc_id"))
   }
 
+  /** The contamination AUDIT: one row per contaminated (doc, eval) pair
+    * with the distinct shared 13-gram count — the evidence trail behind
+    * x_decontaminate's silent drop. Hash-matched: the Spark side counts
+    * distinct shingle HASHES, the oracle distinct gram strings
+    * (collision-free at these corpus sizes by construction of xxhash64).
+    */
+  val contaminationReport = q("x_contamination_report",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(toks) - 12),
+      |              i -> array_to_string(toks[i : i + 12], ' '))) AS s
+      |       FROM t WHERE len(toks) >= 13),
+      |ev AS (SELECT DISTINCT doc_id AS eval_id, s FROM sh WHERE doc_id % 17 = 0)
+      |SELECT d.doc_id, e.eval_id, count(*) AS n_shared_grams
+      |FROM sh d JOIN ev e USING (s)
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    CorpusClean.contaminationReport(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 17 === 0), "doc_id", "text", n = 13)
+  }
+
+  /** Leakage-safe 80/20 split over the copies corpus: exact-duplicate
+    * groups hash on their canonical member, so a document and its
+    * copies provably land in the same split (the oracle replays the
+    * window + md5 threshold exactly; a row-keyed hash would scatter
+    * the planted copies across the boundary).
+    */
+  val splitLeakageSafe = q("x_split_leakage_safe",
+    s"""WITH corpus AS (SELECT * FROM $docsWithCopiesSql),
+       |c AS (SELECT doc_id, CASE WHEN text IS NULL THEN doc_id
+       |                          ELSE min(doc_id) OVER (PARTITION BY text) END AS canon
+       |      FROM corpus)
+       |SELECT doc_id,
+       |       CASE WHEN md5(CAST(canon AS VARCHAR)) < 'cccccccc' THEN 'train'
+       |            ELSE 'test' END AS split
+       |FROM c""".stripMargin) { (s, dir) =>
+    graft.ext.Sampling.leakageSafeSplit(docsWithCopies(s, dir), "doc_id",
+        col("text"), trainRate = 0.8)
+      .select(col("doc_id"), col("split"))
+  }
+
   /** Bloom decontamination gate — the no-false-negative INVARIANT: the
     * Bloom screen's survivors must be a subset of the exact semi-join's
     * survivors (every truly contaminated doc gone; over-drop allowed at
@@ -2925,6 +2967,7 @@ object ExtensionQueries {
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
     textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate, decontaminateBloom,
+    contaminationReport, splitLeakageSafe,
     dsirWeights, dsirResample,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,

@@ -136,6 +136,34 @@ class CurationOpsSpec extends SparkSpec {
     out(2) shouldBe ((3L, 0L, None))
   }
 
+  test("contamination report counts distinct shared n-grams per (doc, eval) pair") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // shares the 3 grams of "b c d e" + head gram with eval 10
+      (2L, "z z z z"),     // clean
+      (10L, "a b c d e")).toDF("doc_id", "text")
+    val out = CorpusClean.contaminationReport(docs, "doc_id", "text",
+        docs.filter(col("doc_id") === 10), "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // eval doc 10 has grams {abc, bcd, cde}; doc 1 shares all three
+    out shouldBe Map((1L, 10L) -> 3L, (10L, 10L) -> 3L)
+  }
+
+  test("leakage-safe split: duplicates share a split; null texts are singleton groups") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "other"), (5L, null), (6L, null)).toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", col("text"), 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out(1L) shouldBe out(2L)
+    out(2L) shouldBe out(3L)
+    // null-text rows hash on their OWN id: md5("5") vs md5("6") — the
+    // group window must not have merged them (distinct assignment is
+    // data-dependent; the invariant is each uses its own canonical)
+    val md5_5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("5".getBytes).map("%02x".format(_)).mkString
+    out(5L) shouldBe (if (md5_5 < Sampling.rateToHex(0.5)) "train" else "test")
+  }
+
   test("scd2 intervals collapse runs, tile half-open, and flag the current row") {
     val log = Seq(
       (1L, 10L, 100L, "bronze"), (1L, 20L, 101L, "bronze"),
