@@ -88,4 +88,27 @@ object Stats {
       .withColumnRenamed("__g", groupCol)
       .withColumnRenamed("__n", "n")
   }
+
+  /** Exact per-group heavy hitters: the top-`k` most frequent `valueCol`
+    * values per group, ranked by (count desc, value asc) so ties are
+    * deterministic. One partial-aggregated count (map-side combine
+    * shrinks each partition to its distinct (group, value) pairs before
+    * the shuffle) + one window over the GROUP×DISTINCT-VALUE frame —
+    * far smaller than the data; per-task memory O(partition), never
+    * O(group).
+    *
+    * Output: (groupCol, rank, valueCol, n).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val counts = df.groupBy(qcol(groupCol).as("__g"), qcol(valueCol).as("__v"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+      .orderBy(col("n").desc, col("__v"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__g").as(groupCol), col("rank"), col("__v").as(valueCol),
+        col("n"))
+  }
 }

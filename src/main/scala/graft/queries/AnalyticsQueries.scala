@@ -115,6 +115,52 @@ object AnalyticsQueries {
       r.select(ok.as("rank_ok"))
   }
 
+  /** One-pass ANALYZE-style table profile over four lineitem measures:
+    * row/null/exact-distinct counts and 4dp value ranges per column —
+    * Spark plans the multi-column countDistinct through a single
+    * expand+partial-aggregate job (no per-column rescans).
+    */
+  val profileTable = q("x_profile_table",
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |       count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+         |       CAST(round(min($c), 4) AS DOUBLE) AS min_v,
+         |       CAST(round(max($c), 4) AS DOUBLE) AS max_v,
+         |       CAST(round(avg($c), 4) AS DOUBLE) AS avg_v
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")) { (s, dir) =>
+    graft.ext.Profile.numericProfile(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+  }
+
+  /** Exact per-group heavy hitters: top-3 event types per user by
+    * (count desc, type asc) — map-side-combined counts, window over the
+    * group×distinct-value frame only.
+    */
+  val topkPerGroup = q("x_topk_per_group",
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY n DESC, event_type) AS rank
+      |      FROM c)
+      |SELECT user_id, rank, event_type, n FROM r WHERE rank <= 3""".stripMargin) {
+    (s, dir) =>
+      graft.ext.Stats.topKPerGroup(Tables.events(s, dir), "user_id", "event_type", 3)
+  }
+
+  /** Sliding-window aggregation (2-hour windows hopping hourly): each
+    * event lands in length/slide overlapping windows — the oracle
+    * replays the expansion with an explicit hop unnest.
+    */
+  val slidingWindow = q("x_sliding_window",
+    """WITH w AS (SELECT time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+      |                  event_type, value
+      |           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.streaming.EventStreams.slidingWindowAgg(Tables.events(s, dir),
+      "2 hours", "1 hour")
+  }
+
   val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot, approxDistinctGate,
-    approxQuantileGate)
+    approxQuantileGate, profileTable, topkPerGroup, slidingWindow)
 }

@@ -29,6 +29,21 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** SLIDING-window aggregation (hop < length ⇒ overlapping windows):
+    * each event contributes to `length / slide` windows — Spark's
+    * `window()` expands the row into its member windows before the
+    * partial aggregate, so the shuffle carries pre-combined
+    * (window, type) partials exactly like the tumbling form, scaled by
+    * the overlap factor. Same output shape as [[windowedAgg]].
+    */
+  def slidingWindowAgg(events: DataFrame, windowLength: String,
+      slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming variant with watermark, for a parquet dir source (micros
     * timestamps, i.e. Spark-written batches).
     */

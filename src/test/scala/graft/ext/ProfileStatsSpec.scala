@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Analytics additions: table profiling, exact heavy hitters, sliding
+  * windows.
+  */
+class ProfileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numericProfile counts rows, nulls, distincts and 4dp ranges per column") {
+    val df = Seq((1.0, Some(2.0)), (2.0, None), (2.0, Some(8.0)))
+      .toDF("a", "b")
+    val out = Profile.numericProfile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    out("a") shouldBe ((3L, 0L, 2L, 1.0, 2.0, math.rint(5.0 / 3 * 10000) / 10000))
+    out("b") shouldBe ((3L, 1L, 2L, 2.0, 8.0, 5.0))
+  }
+
+  test("topKPerGroup ranks by count desc then value asc, exactly k rows per group") {
+    val df = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"), (1L, "y"), (1L, "z"),
+      (2L, "w")).toDF("g", "v")
+    val out = Stats.topKPerGroup(df, "g", "v", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // group 1: x and y tie at 2 -> x first (value asc); z cut by k=2
+    out shouldBe Array((1L, 1, "x", 2L), (1L, 2, "y", 2L), (2L, 1, "w", 1L))
+  }
+
+  test("slidingWindowAgg: each event lands in length/slide overlapping windows") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 05:30:00")
+    val df = Seq((ts, "click", 1.0)).toDF("ts", "event_type", "value")
+    val out = graft.streaming.EventStreams.slidingWindowAgg(df, "2 hours", "1 hour")
+      .collect().map(r => r.getTimestamp(0).toString).sorted
+    out shouldBe Array("2024-01-01 04:00:00.0", "2024-01-01 05:00:00.0")
+  }
+}
