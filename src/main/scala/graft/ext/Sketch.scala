@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) expressed as Spark
+  * aggregations: the fixed-size frequency summary for when the exact
+  * (group, count) table itself is too large to keep — depth×width
+  * counters (a few KB) summarize an unbounded value stream, point
+  * estimates never UNDERcount (est ≥ true always; overcount bounded by
+  * εN w.h.p.).
+  *
+  * No custom aggregate needed: each value contributes one bucket per
+  * depth row (an explode the partial aggregate combines map-side), so
+  * building the sketch is ONE pass with a counters-sized shuffle.
+  * Bucket hashing is the engine-portable md5-prefix form (the DSIR
+  * bucketing discipline) — deterministic, so two engines build
+  * bit-identical counter tables and the gates can hash-match the whole
+  * estimate path instead of trusting a probabilistic band.
+  */
+object Sketch {
+
+  /** Bucket of `v` in depth row `d`: first 8 hex chars of
+    * md5(d ":" v), mod `width` — independent-enough hash rows, exactly
+    * replayable (`CAST('0x'||substring(md5(…),1,8) AS UBIGINT) % width`).
+    */
+  private def bucket(d: Int, v: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(d.toString), lit(":"), v.cast("string"))),
+      1, 8), 16, 10).cast("long") % width
+
+  /** Build the counter table: (`d`, `b`, `n`) — at most depth·width
+    * rows regardless of input size.
+    */
+  def cmsCounters(df: DataFrame, valueCol: Column, depth: Int,
+      width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"bad sketch shape: $depth x $width")
+    df.select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), bucket(d, valueCol, width).as("b"))): _*)).as("__c"))
+      .groupBy(col("__c.d").as("d"), col("__c.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point estimates for `queries` (distinct values in `valueCol`):
+    * min over the depth rows' counters — the classic CM read. The
+    * counter table is sketch-sized, so it broadcasts; estimating is one
+    * narrow pass over the query set. Output: (valueCol, est_n).
+    */
+  def cmsEstimate(counters: DataFrame, queries: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val q = queries.select(col(valueCol)).distinct()
+      .select(col(valueCol), explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), bucket(d, col(valueCol), width).as("b"))): _*)).as("__c"))
+      .select(col(valueCol), col("__c.d").as("d"), col("__c.b").as("b"))
+    q.join(broadcast(counters), Seq("d", "b"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+  }
+}

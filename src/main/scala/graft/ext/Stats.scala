@@ -99,6 +99,40 @@ object Stats {
     *
     * Output: (groupCol, rank, valueCol, n).
     */
+  /** Equi-depth binning (feature bucketization): assign every row its
+    * ntile bucket WITHOUT a single-partition global window — the rank
+    * comes from the distributed range-partitioned
+    * [[Ids.globalRowNumber]] and the bucket from the closed-form ntile
+    * arithmetic (first `n mod bins` buckets hold ⌈n/bins⌉ rows —
+    * SQL-standard ntile, integer math, engine-exact). Ties order by
+    * (`valueCol`, `tieCol`) so the assignment is deterministic.
+    *
+    * Returns the per-bucket summary (`bin`, `n`, `min_v`, `max_v`);
+    * nulls are excluded (they have no order position).
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String, tieCol: String,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val base = df.select(qcol(valueCol).cast("double").as("__v"),
+        qcol(tieCol).as("__t"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(eager = true) // ranked scan + count read it
+    val n = base.count()
+    if (n == 0L) return base.sparkSession.range(0)
+      .select(lit(0).as("bin"), lit(0L).as("n"),
+        lit(0.0).as("min_v"), lit(0.0).as("max_v"))
+    val q = n / bins
+    val r = n % bins
+    val ranked = Ids.globalRowNumber(base, Seq(col("__v"), col("__t")), "__rk")
+    val bin = when(lit(r) > 0 && col("__rk") <= lit(r * (q + 1)),
+        (col("__rk") - 1) / lit(q + 1) + 1)
+      .otherwise((col("__rk") - lit(r * (q + 1)) - 1) / lit(q) + lit(r) + 1)
+    ranked.select(bin.cast("int").as("bin"), col("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), round(min(col("__v")), 4).as("min_v"),
+        round(max(col("__v")), 4).as("max_v"))
+  }
+
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")

@@ -161,6 +161,21 @@ object AnalyticsQueries {
       "2 hours", "1 hour")
   }
 
+  /** Equi-depth quartile binning of order totals WITHOUT a
+    * single-partition ntile window: distributed range-partitioned rank
+    * + closed-form SQL-standard ntile arithmetic (integer math, so the
+    * oracle's native ntile agrees row for row).
+    */
+  val ntileBinning = q("x_ntile_binning",
+    """WITH r AS (SELECT o_totalprice AS v,
+      |                  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      |           FROM orders WHERE o_totalprice IS NOT NULL)
+      |SELECT bin, count(*) AS n, round(min(v), 4) AS min_v, round(max(v), 4) AS max_v
+      |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+    graft.ext.Stats.equiDepthBins(Tables.orders(s, dir), "o_totalprice",
+      "o_orderkey", bins = 4)
+  }
+
   val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot, approxDistinctGate,
-    approxQuantileGate, profileTable, topkPerGroup, slidingWindow)
+    approxQuantileGate, profileTable, topkPerGroup, slidingWindow, ntileBinning)
 }

@@ -1909,6 +1909,44 @@ object ExtensionQueries {
       .select(col("doc_id"))
   }
 
+  /** Count-min-sketch token frequencies beside the exact counts: the
+    * fixed-size frequency summary (4×64 counters here — deliberately
+    * narrow so bucket collisions REALLY occur and the min-over-depths
+    * read does real work), est ≥ true by construction. Hash-matched:
+    * the md5-prefix bucketing replays bit-identically, so the oracle
+    * rebuilds the same counter table and the same estimates.
+    */
+  val freqCms = q("x_freq_cms",
+    """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS t
+      |              FROM documents),
+      |c AS (SELECT d, CAST('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || t), 1, 8) AS UBIGINT) % 64 AS b,
+      |             count(*) AS n
+      |      FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) GROUP BY 1, 2),
+      |qt AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS token
+      |       FROM documents WHERE doc_id < 3),
+      |est AS (SELECT qt.token, min(coalesce(c.n, 0)) AS est_n
+      |        FROM qt CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) AS dd
+      |        LEFT JOIN c ON c.d = dd.d
+      |          AND c.b = CAST('0x' || substring(md5(CAST(dd.d AS VARCHAR) || ':' || qt.token), 1, 8) AS UBIGINT) % 64
+      |        GROUP BY 1),
+      |tru AS (SELECT t AS token, count(*) AS true_n FROM toks GROUP BY 1)
+      |SELECT est.token, est.est_n, coalesce(tru.true_n, 0) AS true_n
+      |FROM est LEFT JOIN tru USING (token)""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .localCheckpoint(eager = true) // counters + exact counts share it
+    val counters = graft.ext.Sketch.cmsCounters(toks, col("token"),
+      depth = 4, width = 64)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token")).distinct()
+    val est = graft.ext.Sketch.cmsEstimate(counters, queries, "token",
+      depth = 4, width = 64)
+    val tru = toks.groupBy(col("token")).agg(count(lit(1)).as("true_n"))
+    est.join(tru, Seq("token"), "left")
+      .select(col("token"), col("est_n"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"))
+  }
+
   /** The contamination AUDIT: one row per contaminated (doc, eval) pair
     * with the distinct shared 13-gram count — the evidence trail behind
     * x_decontaminate's silent drop. Hash-matched: the Spark side counts
@@ -2967,7 +3005,7 @@ object ExtensionQueries {
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
     textRepetition, textBm25, textSurprisal, hybridRrf,
     sampleStratified, decontaminate, decontaminateBloom,
-    contaminationReport, splitLeakageSafe,
+    contaminationReport, splitLeakageSafe, freqCms,
     dsirWeights, dsirResample,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,

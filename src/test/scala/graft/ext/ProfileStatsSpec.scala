@@ -31,6 +31,32 @@ class ProfileStatsSpec extends SparkSpec {
     out shouldBe Array((1L, 1, "x", 2L), (1L, 2, "y", 2L), (2L, 1, "w", 1L))
   }
 
+  test("count-min sketch never undercounts; counters stay sketch-sized under collisions") {
+    val vals = (1 to 200).flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i"))
+    val df = vals.toDF("v")
+    val counters = Sketch.cmsCounters(df, col("v"), depth = 3, width = 8)
+    counters.count() should be <= (3L * 8)
+    val est = Sketch.cmsEstimate(counters, df.distinct(), "v", depth = 3, width = 8)
+    val tru = df.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val joined = est.join(tru, Seq("v")).collect()
+    joined should have size 200
+    // the CM guarantee: est >= true for every value, always
+    all(joined.map(r => r.getAs[Long]("est_n") - r.getAs[Long]("t"))) should be >= 0L
+    // 200 values into 8 buckets: collisions guaranteed, so SOME overcount
+    joined.map(r => r.getAs[Long]("est_n") - r.getAs[Long]("t")).max should be > 0L
+  }
+
+  test("equiDepthBins: SQL-standard ntile sizes, deterministic bounds, null exclusion") {
+    val df = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("v", "k")
+      .unionByName(Seq((Option.empty[Double], 99L)).toDF("v", "k"))
+    val out = Stats.equiDepthBins(df, "v", "k", bins = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // n=10, bins=4 -> sizes 3,3,2,2
+    out shouldBe Array((1, 3L, 1.0, 3.0), (2, 3L, 4.0, 6.0),
+      (3, 2L, 7.0, 8.0), (4, 2L, 9.0, 10.0))
+  }
+
   test("slidingWindowAgg: each event lands in length/slide overlapping windows") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 05:30:00")
     val df = Seq((ts, "click", 1.0)).toDF("ts", "event_type", "value")
