@@ -79,7 +79,7 @@ object AnnIndex {
     * sidecar; compaction/rebuild swaps the whole index dir, so the
     * sidecar resets together with the tombstone log it numbers.
     */
-  private def nextSeq(spark: SparkSession, dir: String): Long = {
+  private[ext] def nextSeq(spark: SparkSession, dir: String): Long = {
     val f = s"$dir/_next_seq"
     if (graft.util.Hfs.exists(spark, f))
       graft.util.Hfs.readString(spark, f).trim.toLong
@@ -100,7 +100,7 @@ object AnnIndex {
     * why that contract lives with the caller instead of a per-query
     * corpus-wide max-seq shuffle here.
     */
-  private def liveOnly(spark: SparkSession, dir: String, rows: DataFrame): DataFrame =
+  private[ext] def liveOnly(spark: SparkSession, dir: String, rows: DataFrame): DataFrame =
     readTombstones(spark, dir) match {
       case None => rows
       case Some(t) =>
@@ -893,7 +893,7 @@ object AnnIndex {
     * unreadable-table hazard — they adopt the guard anyway so every
     * layout's compaction refuses the same degenerate state.)
     */
-  private def requireLive(live: DataFrame, dir: String): DataFrame = {
+  private[ext] def requireLive(live: DataFrame, dir: String): DataFrame = {
     require(!live.isEmpty,
       s"refusing to compact $dir: every row is tombstoned — an empty " +
         "cluster-partitioned table is unreadable; rebuild or drop the index")

@@ -1,0 +1,184 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** Persisted inverted index — the LEXICAL sibling of the
+  * [[AnnIndex]] layouts: build once, query many, maintain between
+  * rebuilds. [[TextSearch.bm25Scores]] recomputes postings from the raw
+  * corpus per query batch; at 100 TB that is a full tokenize+shuffle per
+  * query, so this layout pays it once at build time:
+  *
+  *   - `postings/` — (__term, __id, __tf, __len, __seq) PARTITIONED BY
+  *     `__pt = pmod(xxhash64(__term), parts)`: a query's term set maps
+  *     to ≤ |terms| buckets, and the scan carries them as a literal
+  *     partition filter — the lexical analog of IVF's nprobe pruning
+  *     (only the touched term-bucket directories are ever listed);
+  *   - `lens/` — (__id, __len, __seq), one row per document INCLUDING
+  *     zero-token docs (they carry no postings but still count toward
+  *     N and the average length);
+  *   - `meta/` — (parts); tombstones + `_next_seq` shared with the ANN
+  *     maintenance machinery ([[AnnIndex.deleteIds]]).
+  *
+  * Every query-time quantity (document frequency, N, avgdl) is
+  * recomputed from LIVE rows, so append(build(A), B) == build(A∪B) and
+  * delete-then-query == build(live) EXACTLY — postings are per-document
+  * local facts with no global coupling, which is what makes the
+  * inverted layout compositional where quantizer layouts need frozen
+  * codebooks. Rebuild (swap-published) is only ever needed to reclaim
+  * tombstone debt, exactly like BQ.
+  */
+object TextIndex {
+
+  final case class InvIndex(postingsPath: String, lensPath: String,
+      parts: Int, dir: String)
+
+  private def bucket(term: Column, parts: Int): Column =
+    pmod(xxhash64(term), lit(parts)).cast("int")
+
+  /** One tokenized pass → postings + lens frames for `docs`. */
+  private def encode(docs: DataFrame, idCol: String, textCol: String,
+      parts: Int, seq: Long): (DataFrame, DataFrame) = {
+    val toks = docs.select(qcol(idCol).cast("long").as("__id"),
+      TextAnalysis.tokens(qcol(textCol)).as("__t"))
+    val lens = toks.select(col("__id"), size(col("__t")).cast("long").as("__len"),
+      lit(seq).as("__seq"))
+    val postings = toks
+      .select(col("__id"), size(col("__t")).cast("long").as("__len"),
+        explode(col("__t")).as("__term"))
+      .groupBy(col("__term"), col("__id"))
+      .agg(count(lit(1)).as("__tf"), first(col("__len")).as("__len"))
+      .withColumn("__seq", lit(seq))
+      .withColumn("__pt", bucket(col("__term"), parts))
+    (postings, lens)
+  }
+
+  /** Build + persist. `parts` is the term-bucket partition count — a
+    * layout knob sized like `storeParts` on the signature store: each
+    * bucket's files should stay scan-friendly at the corpus size.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      parts: Int = 16): Unit = {
+    require(parts > 0, s"parts must be positive: $parts")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(parts).toDF("parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val (postings, lens) = encode(docs, idCol, textCol, parts, seq = 0L)
+    postings.repartition(parts, col("__pt"))
+      .write.partitionBy("__pt").mode("overwrite").parquet(s"$dir/postings")
+    lens.write.mode("overwrite").parquet(s"$dir/lens")
+  }
+
+  def read(spark: SparkSession, dir: String): InvIndex = {
+    val parts = spark.read.parquet(s"$dir/meta").head().getAs[Int]("parts")
+    InvIndex(s"$dir/postings", s"$dir/lens", parts, dir)
+  }
+
+  /** Append new documents — compositional (no frozen statistics): the
+    * batch's postings land in their term-bucket directories (one file
+    * per touched bucket) and the lens row count/sum shift N and avgdl
+    * exactly as a rebuild would. Same duplicate-id caller contract as
+    * every index append (re-adding a live id goes through
+    * [[updateDocs]]).
+    */
+  def appendDocs(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val idx = read(spark, dir)
+    val seq = AnnIndex.nextSeq(spark, dir)
+    val (postings, lens) = encode(docs, idCol, textCol, idx.parts, seq)
+    postings.coalesce(1)
+      .write.partitionBy("__pt").mode("append").parquet(idx.postingsPath)
+    lens.coalesce(1).write.mode("append").parquet(idx.lensPath)
+  }
+
+  /** Tombstone-delete documents (shared maintenance machinery). */
+  def deleteDocs(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit =
+    AnnIndex.deleteIds(spark, dir, ids, idCol)
+
+  def updateDocs(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    deleteDocs(spark, dir, docs, idCol)
+    appendDocs(spark, dir, docs, idCol, textCol)
+  }
+
+  /** Compact: live postings/lens rewritten, tombstone log reset,
+    * swap-published; partitioning preserved with ~one file per bucket.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val idx = read(spark, dir)
+    val tmp = dir + ".compact-" + System.nanoTime()
+    val livePostings = AnnIndex.liveOnly(spark, dir,
+      spark.read.parquet(idx.postingsPath))
+    // the refuse-to-compact-to-empty guard every layout carries: an
+    // all-tombstoned index is a rebuild-or-drop decision (a zero-row
+    // parquet rewrite would leave an unreadable dir)
+    val liveLens = AnnIndex.requireLive(
+      AnnIndex.liveOnly(spark, dir, spark.read.parquet(idx.lensPath)), dir)
+    Seq(idx.parts).toDF("parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    livePostings.withColumn("__seq", lit(0L))
+      .repartition(idx.parts, col("__pt"))
+      .write.partitionBy("__pt").mode("overwrite").parquet(s"$tmp/postings")
+    liveLens.withColumn("__seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$tmp/lens")
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** BM25 top-k against the persisted index: the query vocabulary's
+    * term buckets become a LITERAL partition filter on the postings
+    * scan (only touched bucket directories are listed/opened — the
+    * pruning is plan-asserted), document frequency and corpus stats
+    * recomputed over live rows, scoring identical to
+    * [[TextSearch.bm25TopK]] — indexed == from-scratch, row for row.
+    */
+  def bm25TopKIndexed(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val idx = read(spark, dir)
+    val qterms = queries.select(qcol(qidCol).cast("long").as("__q"),
+        explode(TextAnalysis.tokens(qcol(qtextCol))).as("__term")).distinct()
+      .localCheckpoint(eager = true) // bucket collect + scoring join
+    val pts = qterms.select(bucket(col("__term"), idx.parts).as("__pt"))
+      .distinct().collect().map(_.getInt(0)) // ≤ |query terms| values
+    val dirs = pts.map(p => s"${idx.postingsPath}/__pt=$p")
+      .filter(graft.util.Hfs.exists(spark, _))
+    val stats = AnnIndex.liveOnly(spark, dir, spark.read.parquet(idx.lensPath))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("__len").cast("double")).as("__avg"))
+    if (dirs.isEmpty)
+      // no queried term bucket exists — nothing can score
+      return spark.range(0).select(col("id").as("query_id"),
+        lit(0).as("rank"), col("id").as("doc_id"), lit(0.0).as("score"))
+    val vocab = qterms.select(col("__term")).distinct()
+    val posts = AnnIndex.liveOnly(spark, dir,
+        spark.read.option("basePath", idx.postingsPath).parquet(dirs: _*)
+          .filter(col("__pt").isin(pts.map(Int.box): _*)))
+      .join(broadcast(vocab), Seq("__term"))
+      .select(col("__term"), col("__id").as("__d"),
+        col("__tf").cast("double").as("__tf"),
+        col("__len").cast("double").as("__len"))
+    // posts feeds both the df aggregate and the scoring join as TWO
+    // partition-pruned scans (deliberately no lineage cut: re-reading a
+    // few bucket directories beats materializing them, and the pruning
+    // stays visible in the executed plan)
+    val dfreq = posts.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val scored = posts
+      .join(broadcast(qterms), Seq("__term"))
+      .join(broadcast(dfreq), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * (k1 + 1) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / col("__avg"))))
+      .groupBy(col("__q"), col("__d"))
+      .agg(sum(col("__s")).as("score"))
+      .select(col("__q").as("query_id"), col("__d").as("doc_id"), col("score"))
+    Similarity.topKPerQuery(scored, "score", "doc_id", k)
+  }
+}

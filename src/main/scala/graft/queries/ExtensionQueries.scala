@@ -242,6 +242,34 @@ object ExtensionQueries {
     tmp
   }
 
+  /** Input prep (idempotent): the persisted inverted text index over the
+    * documents table — the lexical build-once/query-many layout beside
+    * the ANN indexes — plus its maintenance fixture (build even half,
+    * append odd half, tombstone %20, update doc 7).
+    */
+  def stageTextIndex(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_textindex/${Staging.tag(dir)}"
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v1_parts8")
+    if (done.exists()) return tmp
+    val tmpDir = new java.io.File(tmp)
+    if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = true) // consumed by both builds + maintenance
+    graft.streaming.StreamConf.withWidth(s, 4) {
+      graft.ext.TextIndex.build(docs, "doc_id", "text", s"$tmp/inv", parts = 8)
+      graft.ext.TextIndex.build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$tmp/inv_maint", parts = 8)
+      graft.ext.TextIndex.appendDocs(s, s"$tmp/inv_maint",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.ext.TextIndex.deleteDocs(s, s"$tmp/inv_maint",
+        docs.filter(col("doc_id") % 20 === 0), "doc_id")
+      graft.ext.TextIndex.updateDocs(s, s"$tmp/inv_maint",
+        docs.filter(col("doc_id") === 7), "doc_id", "text")
+    }
+    done.createNewFile()
+    tmp
+  }
+
   /** Input prep (idempotent): the streaming spool dirs — files that, in
     * production, exist because events ARRIVED, not because the engine ran.
     */
@@ -2474,6 +2502,69 @@ object ExtensionQueries {
       .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** BM25 through the PERSISTED inverted index: the query terms' buckets
+    * are a literal partition filter on the postings scan (plan-asserted
+    * pruning — the lexical nprobe), df/N/avgdl recomputed over live
+    * rows; the oracle computes BM25 from the raw corpus, so the hash
+    * match proves indexed == from-scratch row for row.
+    */
+  val textBm25Indexed = q("x_text_bm25_indexed",
+    """WITH q(qid, qtext) AS (VALUES (0, 'window merge scan'),
+      |                             (1, 'fast customer join'),
+      |                             (2, 'stream batch value')),
+      |toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') t
+      |         FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(CAST(len(t) AS DOUBLE)) avg_len FROM toks),
+      |qterms AS (SELECT DISTINCT qid, unnest(list_filter(string_split_regex(lower(trim(qtext)), '\W+'), x -> x <> '')) term
+      |           FROM q),
+      |posts AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf, CAST(any_value(len) AS DOUBLE) len
+      |          FROM (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks)
+      |          WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM posts GROUP BY 1),
+      |sc AS (SELECT qt.qid AS query_id, p.doc_id,
+      |              round(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * p.tf * 2.2 /
+      |                        (p.tf + 1.2 * (0.25 + 0.75 * p.len / s.avg_len))), 4) AS score
+      |       FROM posts p JOIN qterms qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
+      |       GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY score DESC, doc_id) AS rank
+      |      FROM sc)
+      |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val idx = stageTextIndex(s, dir)
+      val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+        (2L, "stream batch value")).toDF("qid", "qtext")
+      graft.ext.TextIndex.bm25TopKIndexed(s, s"$idx/inv", queries,
+        "qid", "qtext", 10)
+  }
+
+  /** Inverted-index maintenance parity: the staged
+    * build→append→delete→update fixture must serve EXACTLY the
+    * from-scratch BM25 over the live documents — postings are
+    * per-document local facts recombined with live-recomputed global
+    * stats, so unlike the quantizer layouts there is no frozen-model
+    * drift term at all; any lost append, unsubtracted tombstone, or
+    * stale stat breaks the equality.
+    */
+  val textBm25Maint = q("x_text_bm25_maint", "SELECT true AS bm25_maint_ok") {
+    (s, dir) =>
+      import s.implicits._
+      val idx = stageTextIndex(s, dir)
+      val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+        (2L, "stream batch value")).toDF("qid", "qtext")
+      val served = graft.ext.TextIndex.bm25TopKIndexed(s, s"$idx/inv_maint",
+        queries, "qid", "qtext", 10)
+      val live = Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 0)
+      val ref = TextSearch.bm25TopK(live, "doc_id", "text", queries,
+          "qid", "qtext", 10)
+        .withColumnRenamed("score", "__s2")
+      served.join(ref, Seq("query_id", "rank", "doc_id"), "full")
+        .agg((count(lit(1)) === count(col("score")) &&
+          count(lit(1)) === count(col("__s2")) &&
+          max(abs(col("score") - col("__s2"))) <= 1e-9).as("bm25_maint_ok"))
+  }
+
   /** Unigram-LM surprisal (CCNet-style perplexity quality signal,
     * simplified to a fully replayable form): add-one-smoothed unigram
     * log-probs trained on the corpus itself, documents scored by mean
@@ -3003,7 +3094,8 @@ object ExtensionQueries {
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
-    textRepetition, textBm25, textSurprisal, hybridRrf,
+    textRepetition, textBm25, textBm25Indexed, textBm25Maint,
+    textSurprisal, hybridRrf,
     sampleStratified, decontaminate, decontaminateBloom,
     contaminationReport, splitLeakageSafe, freqCms,
     dsirWeights, dsirResample,

@@ -24,6 +24,7 @@ object InputPrep {
       "stageMediaZip" -> (() => EngineQueries.stageMediaZip(spark, sfDir)),
       "stageStreams" -> (() => ExtensionQueries.stageStreams(spark, sfDir)),
       "stageAnnIndexes" -> (() => { ExtensionQueries.stageAnnIndexes(spark, sfDir); () }),
+      "stageTextIndex" -> (() => { ExtensionQueries.stageTextIndex(spark, sfDir); () }),
       "stageBucketed" -> (() => ScaleQueries.stageBucketed(spark, sfDir)),
       "stagePartitioned" -> (() => ScaleQueries.stagePartitioned(spark, sfDir)),
       "stageJsonl" -> (() => ScaleQueries.stageJsonl(spark, sfDir)))

@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index: indexed == from-scratch BM25, compositional
+  * append, tombstone maintenance, compaction, absent-term queries.
+  */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark shuffle join window"), (2L, "window scan merge"),
+    (3L, "spark spark spark window"), (4L, "unrelated words entirely"),
+    (5L, ""), (6L, "join window join scan"))
+
+  private val queries = Seq((0L, "spark window"), (1L, "scan join"))
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def topMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+      (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+
+  test("indexed BM25 equals the from-scratch computation row for row") {
+    val docs = corpus.toDF("doc_id", "text")
+    val q = queries.toDF("qid", "qtext")
+    val dir = tmpDir("inv")
+    TextIndex.build(docs, "doc_id", "text", dir, parts = 4)
+    val served = TextIndex.bm25TopKIndexed(spark, dir, q, "qid", "qtext", 5)
+    val ref = TextSearch.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", 5)
+    topMap(served) shouldBe topMap(ref)
+  }
+
+  test("append is compositional: build(A) + append(B) == build(A ∪ B)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val q = queries.toDF("qid", "qtext")
+    val dir = tmpDir("invapp")
+    TextIndex.build(docs.filter($"doc_id" <= 3), "doc_id", "text", dir, parts = 4)
+    TextIndex.appendDocs(spark, dir, docs.filter($"doc_id" > 3), "doc_id", "text")
+    val dir2 = tmpDir("invone")
+    TextIndex.build(docs, "doc_id", "text", dir2, parts = 4)
+    topMap(TextIndex.bm25TopKIndexed(spark, dir, q, "qid", "qtext", 5)) shouldBe
+      topMap(TextIndex.bm25TopKIndexed(spark, dir2, q, "qid", "qtext", 5))
+  }
+
+  test("delete + update change df, N and avgdl exactly; compaction preserves results") {
+    val docs = corpus.toDF("doc_id", "text")
+    val q = queries.toDF("qid", "qtext")
+    val dir = tmpDir("invdel")
+    TextIndex.build(docs, "doc_id", "text", dir, parts = 4)
+    TextIndex.deleteDocs(spark, dir, docs.filter($"doc_id" === 3), "doc_id")
+    TextIndex.updateDocs(spark, dir,
+      Seq((6L, "join window")).toDF("doc_id", "text"), "doc_id", "text")
+    val live = docs.filter($"doc_id" =!= 3 && $"doc_id" =!= 6)
+      .unionByName(Seq((6L, "join window")).toDF("doc_id", "text"))
+    val expected = topMap(TextSearch.bm25TopK(live, "doc_id", "text", q,
+      "qid", "qtext", 5))
+    topMap(TextIndex.bm25TopKIndexed(spark, dir, q, "qid", "qtext", 5)) shouldBe
+      expected
+    TextIndex.compact(spark, dir)
+    graft.util.Hfs.exists(spark, s"$dir/tombstones") shouldBe false
+    topMap(TextIndex.bm25TopKIndexed(spark, dir, q, "qid", "qtext", 5)) shouldBe
+      expected
+  }
+
+  test("queries whose terms miss every bucket return an empty, well-typed frame") {
+    val docs = corpus.toDF("doc_id", "text")
+    val dir = tmpDir("invmiss")
+    // parts ≫ vocab: most bucket directories don't exist, so absent-term
+    // queries exercise the no-touched-partition early return
+    TextIndex.build(docs, "doc_id", "text", dir, parts = 64)
+    val out = TextIndex.bm25TopKIndexed(spark, dir,
+      Seq((0L, "zzz qqq")).toDF("qid", "qtext"), "qid", "qtext", 5)
+    out.columns.toSeq shouldBe Seq("query_id", "rank", "doc_id", "score")
+    out.count() shouldBe 0L
+  }
+}

@@ -323,6 +323,23 @@ class PlanAssertionsSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("inverted-index BM25: the postings scan is partition-pruned to the query terms' buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv").toString + "/inv"
+    val docs = (1 to 60).map(i => (i.toLong, s"tok${i % 9} tok${i % 5} shared"))
+      .toDF("doc_id", "text")
+    graft.ext.TextIndex.build(docs, "doc_id", "text", dir, parts = 8)
+    val out = graft.ext.TextIndex.bm25TopKIndexed(spark, dir,
+      Seq((0L, "tok1 shared")).toDF("qid", "qtext"), "qid", "qtext", 5)
+    out.collect()
+    val plan = finalPlan(out)
+    (plan.toString should not).include("SortMergeJoin")
+    val scans = allNodes(plan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+    pruned should not be empty
+    pruned.head.partitionFilters.map(_.toString).mkString should include("__pt")
+  }
+
   test("scd2 intervals: every window is key-partitioned — no single-partition global sort") {
     val log = (1 to 400).map(i => ((i % 20).toLong, i.toLong, i.toLong, s"s${i % 3}"))
       .toDF("user_id", "ts", "event_id", "attr")
