@@ -2651,6 +2651,72 @@ object ExtensionQueries {
     TextSearch.rrfFuse(Seq(bm25, knn), k = 10)
   }
 
+  /** Hybrid retrieval through the PERSISTED indexes — the production
+    * serving composition: partition-pruned inverted-index BM25 fused
+    * (RRF) with the binary-quantization ANN index, both build-once
+    * layouts. Hash-matched end to end: the oracle recomputes both legs
+    * from first principles (raw corpus BM25; sign-sketch hamming
+    * shortlist + exact rescore) and the same fusion — so the match
+    * proves BOTH persisted query paths equal their from-scratch
+    * definitions composed.
+    */
+  val hybridIndexed = q("x_hybrid_indexed",
+    """WITH q(qid, qtext) AS (VALUES (0, 'window merge scan'),
+      |                             (1, 'fast customer join'),
+      |                             (2, 'stream batch value')),
+      |toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') t
+      |         FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(CAST(len(t) AS DOUBLE)) avg_len FROM toks),
+      |qterms AS (SELECT DISTINCT qid, unnest(list_filter(string_split_regex(lower(trim(qtext)), '\W+'), x -> x <> '')) term
+      |           FROM q),
+      |posts AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf, CAST(any_value(len) AS DOUBLE) len
+      |          FROM (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks)
+      |          WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM posts GROUP BY 1),
+      |bscore AS (
+      |  SELECT qt.qid, p.doc_id,
+      |         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * p.tf * 2.2 /
+      |             (p.tf + 1.2 * (0.25 + 0.75 * p.len / s.avg_len))) score
+      |  FROM posts p JOIN qterms qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
+      |  GROUP BY 1, 2),
+      |b20 AS (SELECT qid, doc_id, rnk FROM (
+      |          SELECT qid, doc_id,
+      |                 row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id) rnk
+      |          FROM bscore) WHERE rnk <= 20),
+      |kq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |ham AS (
+      |  SELECT kq.qid, e.vec_id AS doc_id,
+      |         len(list_filter(range(1, 65), i -> (kq.qv[i] > 0) <> (e.embedding[i] > 0))) AS h,
+      |         list_cosine_similarity(CAST(kq.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+      |  FROM kq, embeddings e WHERE e.vec_id <> kq.qid),
+      |short AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY h, doc_id) AS hr FROM ham),
+      |k20 AS (SELECT qid, doc_id, rnk FROM (
+      |          SELECT qid, doc_id,
+      |                 row_number() OVER (PARTITION BY qid ORDER BY round(c, 4) DESC, doc_id) rnk
+      |          FROM short WHERE hr <= 50) WHERE rnk <= 20),
+      |fused AS (SELECT qid, doc_id, sum(1.0 / (60 + rnk)) rrf
+      |          FROM (SELECT * FROM b20 UNION ALL SELECT * FROM k20) GROUP BY 1, 2)
+      |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+      |       round(rrf, 6) AS rrf_score
+      |FROM (SELECT qid, doc_id, rrf,
+      |             row_number() OVER (PARTITION BY qid ORDER BY round(rrf, 6) DESC, doc_id) rank
+      |      FROM fused)
+      |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+      (2L, "stream batch value")).toDF("qid", "qtext")
+    val inv = stageTextIndex(s, dir)
+    val ann = stageAnnIndexes(s, dir)
+    val bm25 = graft.ext.TextIndex.bm25TopKIndexed(s, s"$inv/inv", queries,
+        "qid", "qtext", 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val knn = AnnIndex.bqTopK(s, s"$ann/bq",
+        Tables.embeddings(s, dir).filter(col("vec_id") < 3),
+        "vec_id", "embedding", 20, shortlist = 50)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    TextSearch.rrfFuse(Seq(bm25, knn), k = 10)
+  }
+
   // -------------------------------------------------------- multimodal
   /** Feature extraction over text payloads: the real decoder dispatch
     * (no PNG/WAV signature → 1 channel). content_hash (CRC32) is dropped
@@ -3095,7 +3161,7 @@ object ExtensionQueries {
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
     textRepetition, textBm25, textBm25Indexed, textBm25Maint,
-    textSurprisal, hybridRrf,
+    textSurprisal, hybridRrf, hybridIndexed,
     sampleStratified, decontaminate, decontaminateBloom,
     contaminationReport, splitLeakageSafe, freqCms,
     dsirWeights, dsirResample,
