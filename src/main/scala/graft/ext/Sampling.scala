@@ -36,6 +36,24 @@ object Sampling {
     hashSample(df, concat(stratum.cast("string"), lit(":"), key.cast("string")),
       thresholdHex)
 
+  /** Exactly-k-per-stratum deterministic sample (the balanced-subset
+    * shape: k docs per source/domain/language regardless of stratum
+    * size): rank each stratum by md5 of the salted key — content-keyed,
+    * so reruns and engines agree row for row, unlike `TABLESAMPLE` —
+    * and keep the first `k`. One key-partitioned window over the
+    * (stratum, key) pairs; a stratum smaller than `k` keeps everything.
+    */
+  def stratifiedTopK(df: DataFrame, stratum: Column, key: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+      .orderBy(md5(concat(stratum.cast("string"), lit(":"),
+        key.cast("string"))), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Leakage-safe train/eval split: rows whose `groupCol` matches (e.g.
     * exact-duplicate text, a URL/domain, a near-dup cluster label from
     * [[Dedup.connectedComponents]]) ALWAYS land in the same split — the

@@ -271,6 +271,34 @@ object TextAnalysis {
         col("avg_surprisal"))
   }
 
+  /** Deflate compression ratio (compressed/raw bytes) — the
+    * Gopher/RedPajama-class "too compressible = boilerplate, too
+    * incompressible = noise" quality signal. A JVM UDF by necessity
+    * (there is no Catalyst deflate expression); per-row cost is the
+    * deflate itself, which IS the operator — budget it like the
+    * multimodal decoders, not the token metrics. Fixed compression
+    * level, so the signal is deterministic run to run; empty/null text
+    * scores 1.0 (incompressible by convention).
+    */
+  def compressionRatio(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val bytes = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6)
+        try {
+          d.setInput(bytes)
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          n.toDouble / bytes.length
+        } finally d.end()
+      }
+    }
+    f(text)
+  }
+
   /** Corpus-trained add-α bigram language-model perplexity per document —
     * the next step up from [[unigramSurprisal]] in the perplexity-
     * filtering ladder (CCNet-style: rank documents by how "expected"

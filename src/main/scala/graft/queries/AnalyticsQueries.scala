@@ -176,6 +176,31 @@ object AnalyticsQueries {
       "o_orderkey", bins = 4)
   }
 
+  /** Point-in-time rolling features (feature-store shape): per event,
+    * the same user's activity over the trailing 24 hours — a RANGE
+    * window frame on event time (micros), key-partitioned so the sort
+    * is per-user and spilling, never global. The as-of/sessionize cost
+    * class: one key shuffle + per-partition sort.
+    */
+  val rollingFeatures = q("x_rolling_features",
+    """SELECT event_id, user_id, ts,
+      |       count(*) OVER w AS n_24h,
+      |       round(sum(value) OVER w, 2) AS sum_24h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 24L * 3600 * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-dayUs, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_24h"),
+          round(sum(col("value")).over(w), 2).as("sum_24h"))
+  }
+
   val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot, approxDistinctGate,
-    approxQuantileGate, profileTable, topkPerGroup, slidingWindow, ntileBinning)
+    approxQuantileGate, profileTable, topkPerGroup, slidingWindow, ntileBinning,
+    rollingFeatures)
 }

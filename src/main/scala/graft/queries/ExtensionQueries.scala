@@ -1975,6 +1975,41 @@ object ExtensionQueries {
         coalesce(col("true_n"), lit(0L)).as("true_n"))
   }
 
+  /** Balanced per-stratum subset: exactly 5 docs per source, chosen by
+    * the deterministic salted-md5 order — content-keyed, so the oracle
+    * replays the exact row set (no RNG, no TABLESAMPLE).
+    */
+  val sampleGroupTopK = q("x_sample_group_topk",
+    """WITH r AS (SELECT doc_id, source,
+      |                  row_number() OVER (PARTITION BY source
+      |                    ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |           FROM documents)
+      |SELECT doc_id, source FROM r WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    graft.ext.Sampling.stratifiedTopK(Tables.documents(s, dir),
+        col("source"), col("doc_id"), k = 5)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Compression-ratio quality signal mechanics (deflate is not
+    * DuckDB-replayable, so the gate pins INVARIANTS): every ratio is
+    * positive and bounded, and a document repeated four times always
+    * compresses strictly better than the document itself — the exact
+    * property that makes the ratio a boilerplate detector.
+    */
+  val textCompressionGate =
+    q("x_text_compression_gate", "SELECT true AS compression_ok") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 64)
+        .select(col("text"),
+          TextAnalysis.compressionRatio(col("text")).as("__r1"),
+          TextAnalysis.compressionRatio(
+            concat_ws(" ", col("text"), col("text"), col("text"), col("text")))
+            .as("__r4"))
+      docs.agg((min(col("__r1")) > 0.0 && max(col("__r1")) <= 1.2 &&
+        max(when(col("__r4") >= col("__r1"), 1).otherwise(0)) === 0)
+        .as("compression_ok"))
+    }
+
   /** The contamination AUDIT: one row per contaminated (doc, eval) pair
     * with the distinct shared 13-gram count — the evidence trail behind
     * x_decontaminate's silent drop. Hash-matched: the Spark side counts
@@ -3164,6 +3199,7 @@ object ExtensionQueries {
     textSurprisal, hybridRrf, hybridIndexed,
     sampleStratified, decontaminate, decontaminateBloom,
     contaminationReport, splitLeakageSafe, freqCms,
+    sampleGroupTopK, textCompressionGate,
     dsirWeights, dsirResample,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,

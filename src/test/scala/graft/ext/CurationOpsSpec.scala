@@ -164,6 +164,32 @@ class CurationOpsSpec extends SparkSpec {
     out(5L) shouldBe (if (md5_5 < Sampling.rateToHex(0.5)) "train" else "test")
   }
 
+  test("stratifiedTopK keeps exactly k per stratum (all of an undersized stratum), deterministically") {
+    val df = ((1 to 20).map(i => (i.toLong, "big")) ++ Seq((100L, "small")))
+      .toDF("id", "src")
+    val out = Sampling.stratifiedTopK(df, col("src"), col("id"), 3)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    out.count(_._1 == "big") shouldBe 3
+    out.count(_._1 == "small") shouldBe 1
+    // determinism: a rerun picks the identical rows
+    Sampling.stratifiedTopK(df, col("src"), col("id"), 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet shouldBe out.toSet
+  }
+
+  test("compressionRatio: bounded, repeated text compresses strictly better, empty scores 1.0") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.compressionRatio(col("text")).as("r1"),
+        TextAnalysis.compressionRatio(
+          concat_ws(" ", col("text"), col("text"), col("text"), col("text"))).as("r4"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out(1L)._1 should (be > 0.0 and be <= 1.2)
+    out(1L)._2 should be < out(1L)._1
+    out(2L)._1 shouldBe 1.0
+  }
+
   test("scd2 intervals collapse runs, tile half-open, and flag the current row") {
     val log = Seq(
       (1L, 10L, 100L, "bronze"), (1L, 20L, 101L, "bronze"),
