@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** Iterative graph analytics as DataFrame joins — the Pregel-lite
+  * pattern: a bounded driver loop of FULLY DISTRIBUTED steps, each
+  * iteration one (edges ⋈ ranks) shuffle + one aggregate, state
+  * lineage-cut per round so iteration k+1 reads materialized blocks
+  * instead of replaying k plans. The same discipline as the Lloyd
+  * trainer in [[Similarity]]: the driver holds the loop COUNTER, never
+  * data.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank (Brin & Page 1998) over a directed edge
+    * list:
+    *
+    *   r₀(v) = 1/N
+    *   r_{k+1}(v) = (1−d)/N + d · Σ_{(u,v) ∈ E} r_k(u) / outdeg(u)
+    *
+    * The node set is every id appearing at either end. This is the
+    * textbook no-dangling-redistribution form (sinks leak their mass
+    * each round, total mass < 1 — fine for RANKING, which is what the
+    * fixed-iteration form is for; add a dangling term before
+    * interpreting scores as probabilities). Deterministic: the only
+    * data-dependent arithmetic is double sums, which callers round at
+    * the output (the gate pins 6dp equality against an unrolled SQL
+    * replay).
+    *
+    * Scale shape: edges and the degree table are computed ONCE
+    * (lineage-cut); each iteration shuffles (src-rank ⋈ edges) on the
+    * edge key — exactly the join PageRank is, with map-side partial
+    * aggregation of the incoming contributions. `iters` is small and
+    * fixed (ranking stabilizes in tens of rounds); per-iteration state
+    * is one (node, rank) frame, localCheckpointed so the plan never
+    * deepens.
+    *
+    * Output: (`node`, `rank`).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges.select(qcol(srcCol).cast("long").as("__src"),
+        qcol(dstCol).cast("long").as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+      .localCheckpoint(eager = true) // re-read every iteration
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val n = nodes.count().toDouble
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(eager = true)
+    var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(outdeg, col("node") === col("__src"))
+        .join(e, Seq("__src"))
+        .select(col("__dst").as("node"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+}

@@ -200,7 +200,41 @@ object AnalyticsQueries {
           round(sum(col("value")).over(w), 2).as("sum_24h"))
   }
 
+  /** Fixed-iteration PageRank over the supplier→customer fulfillment
+    * graph (suppliers offset to disambiguate the id spaces) — the
+    * iterative-joins computation class (Pregel-lite driver loop of
+    * distributed steps); the oracle unrolls the three iterations as SQL
+    * and must agree to 8dp on every node.
+    */
+  val pagerank = q("x_pagerank",
+    """WITH e AS (SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+      |c1 AS (SELECT e.dst AS node, sum(r0.r / deg.deg) AS i
+      |       FROM e JOIN r0 ON r0.node = e.src JOIN deg USING (src) GROUP BY 1),
+      |r1 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.i, 0) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c1 USING (node)),
+      |c2 AS (SELECT e.dst AS node, sum(r1.r / deg.deg) AS i
+      |       FROM e JOIN r1 ON r1.node = e.src JOIN deg USING (src) GROUP BY 1),
+      |r2 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.i, 0) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c2 USING (node)),
+      |c3 AS (SELECT e.dst AS node, sum(r2.r / deg.deg) AS i
+      |       FROM e JOIN r2 ON r2.node = e.src JOIN deg USING (src) GROUP BY 1),
+      |r3 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c3.i, 0) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c3 USING (node))
+      |SELECT node, round(r, 8) AS rank FROM r3""".stripMargin) { (s, dir) =>
+    val e = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+    graft.ext.Graph.pageRank(e, "src", "dst", iters = 3)
+      .select(col("node"), round(col("rank"), 8).as("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot, approxDistinctGate,
     approxQuantileGate, profileTable, topkPerGroup, slidingWindow, ntileBinning,
-    rollingFeatures)
+    rollingFeatures, pagerank)
 }

@@ -57,6 +57,20 @@ class ProfileStatsSpec extends SparkSpec {
       (3, 2L, 7.0, 8.0), (4, 2L, 9.0, 10.0))
   }
 
+  test("pageRank: a cycle stays uniform; a star concentrates on the hub") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val cr = Graph.pageRank(cycle, "s", "d", iters = 5)
+      .collect().map(_.getDouble(1))
+    all(cr) shouldBe (1.0 / 3) +- 1e-12
+    // star 1→2, 3→2: after one iteration r(2) = 0.15/3 + 0.85·(2/3)
+    val star = Seq((1L, 2L), (3L, 2L)).toDF("s", "d")
+    val sr = Graph.pageRank(star, "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sr(2L) shouldBe (0.15 / 3 + 0.85 * (2.0 / 3)) +- 1e-12
+    sr(1L) shouldBe (0.15 / 3) +- 1e-12
+    sr(3L) shouldBe (0.15 / 3) +- 1e-12
+  }
+
   test("slidingWindowAgg: each event lands in length/slide overlapping windows") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 05:30:00")
     val df = Seq((ts, "click", 1.0)).toDF("ts", "event_type", "value")
