@@ -89,6 +89,70 @@ class SkewSpec extends SparkSpec {
     // run completes with full coverage
   }
 
+  test("topKPerGroup skew: one group with every distinct value is one bounded window run") {
+    // the window runs over the (group, DISTINCT value) counts frame, so
+    // a hot group's cost is its distinct-value count, not its row count
+    // — pin correctness both ways and report the hot-vs-spread number
+    val n = 300000
+    def run(groups: Int): (Array[(Long, Long)], Double) = {
+      val df = spark.range(n.toLong).select((col("id") % groups).as("g"),
+        (col("id") % 997).as("v"))
+      val t0 = System.nanoTime()
+      val r = graft.ext.Stats.topKPerGroup(df.toDF(), "g", "v", 3)
+        .orderBy(col("g"), col("rank"))
+        .collect().map(x => (x.getLong(0), x.getLong(2)))
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (hot, hotSec) = run(groups = 1)
+    val (uni, uniSec) = run(groups = 512)
+    // groups=1: values 0..996 appear ~equally; ties break by value asc
+    hot.map(_._2).toSeq shouldBe Seq(0L, 1L, 2L)
+    uni should have length (512 * 3)
+    info(f"topk skew data point: hot $hotSec%.2f s vs uniform $uniSec%.2f s " +
+      f"(ratio ${hotSec / uniSec}%.1fx) at n=$n")
+  }
+
+  test("setSimJoin skew: a universal stopword-like token never enters the prefixes") {
+    // df-ordered prefixes put the RAREST tokens first, so a token shared
+    // by every set (the hot-block killer for naive token blocking) sorts
+    // last and stays out of every prefix whose set has any rarer token —
+    // results must still equal the naive join
+    val rnd = new scala.util.Random(17)
+    val vocab = ('a' to 'z').map(_.toString)
+    val docs = (0L until 80L).map { i =>
+      (i, (rnd.shuffle(vocab).take(4) :+ "thecommonone").toArray)
+    }.toDF("id", "toks")
+    val got = graft.ext.Joins.setSimJoin(docs, "id", "toks", minJaccard = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = docs.collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val expected = (for {
+      (ia, ta) <- sets; (ib, tb) <- sets if ia < ib
+      j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      if j >= 0.6
+    } yield (ia, ib, math.rint(j * 10000) / 10000)).toSet
+    got shouldBe expected
+  }
+
+  test("scd2 skew: one user holding the whole log is one sort run — correct, bounded") {
+    val n = 200000
+    def run(users: Int): (Long, Double) = {
+      val df = spark.range(n.toLong).select((col("id") % users).as("user_id"),
+        col("id").as("ts"), col("id").as("event_id"),
+        (col("id") % 3).cast("string").as("attr"))
+      val t0 = System.nanoTime()
+      val runs = graft.ext.Scd2.intervals(df.toDF(), "user_id", "ts",
+        "event_id", "attr").count()
+      (runs, (System.nanoTime() - t0) / 1e9)
+    }
+    val (hotRuns, hotSec) = run(users = 1)
+    val (uniRuns, uniSec) = run(users = 512)
+    // one user, attr cycling 0,1,2 per row: every row opens a run
+    hotRuns shouldBe n.toLong
+    uniRuns should be > 0L
+    info(f"scd2 skew data point: hot $hotSec%.2f s vs uniform $uniSec%.2f s " +
+      f"(ratio ${hotSec / uniSec}%.1fx) at n=$n")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val df = (1 to 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
