@@ -27,7 +27,8 @@ object InputPrep {
       "stageTextIndex" -> (() => { ExtensionQueries.stageTextIndex(spark, sfDir); () }),
       "stageBucketed" -> (() => ScaleQueries.stageBucketed(spark, sfDir)),
       "stagePartitioned" -> (() => ScaleQueries.stagePartitioned(spark, sfDir)),
-      "stageJsonl" -> (() => ScaleQueries.stageJsonl(spark, sfDir)))
+      "stageJsonl" -> (() => ScaleQueries.stageJsonl(spark, sfDir)),
+      "stageOrc" -> (() => ScaleQueries.stageOrc(spark, sfDir)))
     val failed = stages.flatMap { case (name, run) =>
       try { run(); None }
       catch { case e: Throwable =>

@@ -147,6 +147,47 @@ object ScaleQueries {
     s.read.schema("doc_id long, text string, source string").json(stageJsonl(s, dir))
   }
 
+  /** Input prep (idempotent): documents as ORC. */
+  def stageOrc(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_orc/${Staging.tag(dir)}"
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists())
+      Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+        .write.mode("overwrite").orc(tmp)
+    tmp
+  }
+
+  /** Columnar-format interop: the documents table written and read back
+    * as ORC (Spark's other first-class columnar format — predicate
+    * pushdown and column pruning work as on parquet). Values must
+    * survive the trip exactly; the oracle reads the original parquet.
+    */
+  val orcRoundtrip = q("x_orc_roundtrip",
+    "SELECT doc_id, text, source FROM documents") { (s, dir) =>
+    s.read.orc(stageOrc(s, dir))
+  }
+
+  /** Cross-system reconciliation manifest — the data-contract check two
+    * engines run independently and compare: per event_type, the row
+    * count and an order-independent content checksum (sum of md5-prefix
+    * integers over the business key). One partial-aggregated pass;
+    * engine-portable arithmetic, so the DuckDB replay must produce the
+    * IDENTICAL manifest — which is exactly the property that makes it a
+    * reconciliation tool.
+    */
+  val reconcileChecksum = q("x_reconcile_checksum",
+    """SELECT event_type, count(*) AS n_rows,
+      |       sum(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' ||
+      |           CAST(user_id AS VARCHAR)), 1, 8) AS UBIGINT)) AS checksum
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+          .as("checksum"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(saltedJoin, saltedAgg, bucketedJoin, partitionedScan, jsonlRoundtrip)
+    Seq(saltedJoin, saltedAgg, bucketedJoin, partitionedScan, jsonlRoundtrip,
+      orcRoundtrip, reconcileChecksum)
 }
