@@ -93,6 +93,17 @@ object TextIndex {
     lens.coalesce(1).write.mode("append").parquet(idx.lensPath)
   }
 
+  /** Encode one append batch against the stored geometry — the
+    * (postings, lens) frames a caller stages/publishes itself (the
+    * streaming exactly-once append); [[appendDocs]] is the plain
+    * parquet-append form of the same encode.
+    */
+  private[graft] def encodeForAppend(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val idx = read(spark, dir)
+    encode(batch, idCol, textCol, idx.parts, AnnIndex.nextSeq(spark, dir))
+  }
+
   /** Tombstone-delete documents (shared maintenance machinery). */
   def deleteDocs(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String): Unit =

@@ -352,6 +352,22 @@ object ExtensionQueries {
     tmp
   }
 
+  /** Documents spool for the streaming inverted-index append: the odd
+    * half of the corpus in two arrival slices. Fixture prep, untimed.
+    */
+  def stageTextSpool(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_stream_text/${Staging.tag(dir)}"
+    val done = new java.io.File(s"$tmp/_SPOOL_DONE")
+    if (done.exists()) return tmp
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    new java.io.File(tmp).mkdirs()
+    stageSpoolFile(docs.filter(col("doc_id") % 4 === 1), tmp, 0)
+    stageSpoolFile(docs.filter(col("doc_id") % 4 === 3), tmp, 1)
+    done.createNewFile()
+    tmp
+  }
+
   /** Session gap shared by the batch and incremental sessionize queries. */
   private val SessGapMs = 4L * 3600 * 1000
   /** Watermark delay for the incremental run — must cover the spool's
@@ -2243,6 +2259,43 @@ object ExtensionQueries {
         max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("stream_append_ok"))
   }
 
+  /** Streaming inverted-index maintenance through the real streaming
+    * path: the index built on the even half, the odd half APPENDED from
+    * a spool one micro-batch at a time under the exactly-once staged
+    * publish. The inverted layout appends compositionally (no frozen
+    * stats), so served BM25 must equal the from-scratch computation
+    * over the FULL corpus — a lost batch, double publish, or stale
+    * N/avgdl breaks the equality outright.
+    */
+  val streamTextAppend = q("x_stream_text_append",
+    "SELECT true AS stream_text_ok") { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val spool = stageTextSpool(s, dir)
+    val idx = s"/tmp/graft_stream_text/${Staging.tag(dir)}_idx"
+    val ckpt = s"${idx}_ckpt"
+    // index AND its paired checkpoint recreated together (the pairing
+    // guard refuses a stale half)
+    Seq(idx, ckpt).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    graft.ext.TextIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, parts = 8)
+    graft.streaming.DocStreams.runTextIndexAppendOnce(s, spool, idx, ckpt)
+    val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+      (2L, "stream batch value")).toDF("qid", "qtext")
+    val served = graft.ext.TextIndex.bm25TopKIndexed(s, idx, queries,
+      "qid", "qtext", 10)
+    val ref = TextSearch.bm25TopK(docs, "doc_id", "text", queries,
+        "qid", "qtext", 10)
+      .withColumnRenamed("score", "__s2")
+    served.join(ref, Seq("query_id", "rank", "doc_id"), "full")
+      .agg((count(lit(1)) === count(col("score")) &&
+        count(lit(1)) === count(col("__s2")) &&
+        max(abs(col("score") - col("__s2"))) <= 1e-9).as("stream_text_ok"))
+  }
+
   /** Stream-static join through the real streaming path: events enriched
     * with the customer dimension (market segment), aggregated per segment.
     */
@@ -3206,6 +3259,7 @@ object ExtensionQueries {
     setSimJoin, classifyNb, scd2Intervals, mineHardNeg, textBigramPpl,
     streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,
     streamDedupSimhash, streamDedupComponents, streamKnnAppend,
+    streamTextAppend,
     streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,

@@ -437,42 +437,7 @@ object DocStreams {
     require(meta.getAs[Int]("nlist") > 0 && meta.getAs[Int]("m") > 0,
       s"$indexDir is not an IVF×PQ index (m=${meta.getAs[Int]("m")}, " +
         s"nlist=${meta.getAs[Int]("nlist")})")
-    // batch ids are only meaningful relative to ONE checkpoint lineage,
-    // while the _batch_<id> markers persist in the index dir — a
-    // different checkpoint (fresh OR from another stream) would assign
-    // ids that collide with the markers and silently skip or double
-    // batches. The index records its paired checkpoint on first use and
-    // every later run must present the same one.
-    val idFile = s"$indexDir/_stream_checkpoint"
-    // identity comparisons use the filesystem-qualified spelling so
-    // "/a/b", "/a/b/" and "file:/a/b" don't spuriously refuse
-    val ckptId = Hfs.qualified(spark, checkpointDir)
-    val paired =
-      if (Hfs.exists(spark, idFile)) Some(Hfs.readString(spark, idFile))
-        .filter(_.nonEmpty) // a zero-byte record is absent, not corrupt
-      else None
-    paired match {
-      case Some(p) =>
-        require(p == ckptId,
-          s"$indexDir is paired with streaming checkpoint '$p' but this " +
-            s"run supplied '$ckptId' — batch ids from a different " +
-            "checkpoint collide with the index's _batch_* markers (lost or " +
-            "doubled appends); reuse the original checkpointLocation (or " +
-            "rebuild the index and start fresh)")
-      case None =>
-        // grandfather a pre-pairing index: markers + an established
-        // checkpoint (commits log) is the legitimate resume case the old
-        // probe accepted — adopt the pairing; markers with a FRESH
-        // checkpoint is the id-collision case and still refuses
-        require(
-          !Hfs.list(spark, indexDir).exists(_.startsWith("_batch_")) ||
-            Hfs.exists(spark, s"$checkpointDir/commits"),
-          s"$indexDir carries _batch_* markers but $checkpointDir is not " +
-            "an established checkpoint — batch ids would restart at 0 and " +
-            "map onto already-published batches; reuse the original " +
-            "checkpointLocation (or rebuild the index and start fresh)")
-        Hfs.writeString(spark, idFile, ckptId)
-    }
+    requirePairedCheckpoint(spark, indexDir, checkpointDir)
     StreamConf.withWidth(spark) {
       // the quantizers are FROZEN for the life of the run and maintenance
       // is serialized against the stream (caller contract) — load the
@@ -526,37 +491,149 @@ object DocStreams {
     Hfs.touch(spark, s"$indexDir/_batch_$batchId")
   }
 
-  /** Remove every published file of one batch from a live partitioned
-    * table — the replay sweep that makes a re-publish exactly-once.
+  /** Remove every published file of one batch from a live table — the
+    * replay sweep that makes a re-publish exactly-once. `partPrefix` is
+    * the partition-directory prefix (`__cluster=`, `__pt=`); empty
+    * sweeps the table root (unpartitioned tables like the index lens).
     */
   private def sweepPublished(spark: SparkSession, liveTable: String,
-      prefix: String): Unit = {
+      prefix: String, partPrefix: String = "__cluster="): Unit = {
     import graft.util.Hfs
-    if (Hfs.exists(spark, liveTable))
-      Hfs.list(spark, liveTable).filter(_.startsWith("__cluster=")).foreach { part =>
-        Hfs.list(spark, s"$liveTable/$part")
+    if (Hfs.exists(spark, liveTable)) {
+      val parts =
+        if (partPrefix.isEmpty) Seq("")
+        else Hfs.list(spark, liveTable).filter(_.startsWith(partPrefix)).map(_ + "/")
+      parts.foreach { part =>
+        Hfs.list(spark, s"$liveTable/$part".stripSuffix("/"))
           .filter(_.startsWith(prefix + "-"))
-          .foreach(f => Hfs.delete(spark, s"$liveTable/$part/$f"))
+          .foreach(f => Hfs.delete(spark, s"$liveTable/$part$f"))
       }
+    }
   }
 
-  /** Move a staged cluster-partitioned table's part files into the live
-    * layout under deterministic per-batch names (`<prefix>-<n>` within
-    * each partition dir) — replayable because the sweep above clears any
-    * partial previous publish first.
+  /** Move a staged partitioned table's part files into the live layout
+    * under deterministic per-batch names (`<prefix>-<n>` within each
+    * partition dir) — replayable because the sweep above clears any
+    * partial previous publish first. Empty `partPrefix` publishes an
+    * unpartitioned table into the live root.
     */
   private def publishStaged(spark: SparkSession, stagedTable: String,
-      liveTable: String, prefix: String): Unit = {
+      liveTable: String, prefix: String,
+      partPrefix: String = "__cluster="): Unit = {
     import graft.util.Hfs
-    Hfs.list(spark, stagedTable).filter(_.startsWith("__cluster=")).foreach { part =>
-      Hfs.mkdirs(spark, s"$liveTable/$part")
-      Hfs.list(spark, s"$stagedTable/$part")
+    val parts =
+      if (partPrefix.isEmpty) Seq("")
+      else Hfs.list(spark, stagedTable).filter(_.startsWith(partPrefix)).map(_ + "/")
+    parts.foreach { part =>
+      Hfs.mkdirs(spark, s"$liveTable/$part".stripSuffix("/"))
+      Hfs.list(spark, s"$stagedTable/$part".stripSuffix("/"))
         .filter(_.startsWith("part-")).sorted.zipWithIndex.foreach { case (f, i) =>
-          if (!Hfs.rename(spark, s"$stagedTable/$part/$f",
-              s"$liveTable/$part/$prefix-$i.parquet"))
+          if (!Hfs.rename(spark, s"$stagedTable/$part$f",
+              s"$liveTable/$part$prefix-$i.parquet"))
             throw new IllegalStateException(
-              s"publish rename failed: $stagedTable/$part/$f")
+              s"publish rename failed: $stagedTable/$part$f")
         }
     }
+  }
+
+  /** Streaming inverted-index maintenance: document batches arriving on
+    * a spool are appended into a persisted [[graft.ext.TextIndex]] one
+    * micro-batch at a time — the lexical leg of streaming ingestion
+    * beside [[runIvfPqAppendOnce]]. Because the inverted layout appends
+    * COMPOSITIONALLY (df/N/avgdl recompute over live rows; no frozen
+    * model), the post-stream index equals a one-shot build of
+    * everything ever indexed — the `x_stream_text_append` gate pins
+    * served BM25 == from-scratch BM25 on the union. Same exactly-once
+    * staged-generation publish, checkpoint pairing, and replay-sweep
+    * discipline as the KNN append (docs there); postings publish into
+    * their `__pt=` bucket directories, lens files into the table root.
+    */
+  def runTextIndexAppendOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): Unit = {
+    import graft.util.Hfs
+    require(Hfs.exists(spark, s"$indexDir/meta"),
+      s"$indexDir is not a built text index — build on the base corpus first")
+    requirePairedCheckpoint(spark, indexDir, checkpointDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema(s"$idCol long, $textCol string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!Hfs.exists(spark, s"$indexDir/_batch_$batchId"))
+            appendTextBatchExactlyOnce(spark, indexDir, batch.toDF(), batchId,
+              idCol, textCol)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  /** Checkpoint↔index pairing guard shared by the streaming appends:
+    * batch ids are only meaningful relative to ONE checkpoint lineage
+    * while `_batch_<id>` markers persist in the index dir — a different
+    * checkpoint would collide with them (lost or doubled batches). See
+    * [[runIvfPqAppendOnce]] for the full rationale.
+    */
+  private def requirePairedCheckpoint(spark: SparkSession, indexDir: String,
+      checkpointDir: String): Unit = {
+    import graft.util.Hfs
+    val idFile = s"$indexDir/_stream_checkpoint"
+    val ckptId = Hfs.qualified(spark, checkpointDir)
+    val paired =
+      if (Hfs.exists(spark, idFile)) Some(Hfs.readString(spark, idFile))
+        .filter(_.nonEmpty)
+      else None
+    paired match {
+      case Some(p) =>
+        require(p == ckptId,
+          s"$indexDir is paired with streaming checkpoint '$p' but this " +
+            s"run supplied '$ckptId' — batch ids from a different " +
+            "checkpoint collide with the index's _batch_* markers; reuse " +
+            "the original checkpointLocation (or rebuild and start fresh)")
+      case None =>
+        require(
+          !Hfs.list(spark, indexDir).exists(_.startsWith("_batch_")) ||
+            Hfs.exists(spark, s"$checkpointDir/commits"),
+          s"$indexDir carries _batch_* markers but $checkpointDir is not " +
+            "an established checkpoint — batch ids would restart at 0 and " +
+            "map onto already-published batches; reuse the original " +
+            "checkpointLocation (or rebuild and start fresh)")
+        Hfs.writeString(spark, idFile, ckptId)
+    }
+  }
+
+  /** One document batch's staged-generation append into the inverted
+    * index (unmarked batches only): sweep leftovers, stage the encoded
+    * postings + lens under an invisible dir, publish via deterministic
+    * renames, mark last.
+    */
+  private def appendTextBatchExactlyOnce(spark: SparkSession,
+      indexDir: String, batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      idCol: String, textCol: String): Unit = {
+    import graft.util.Hfs
+    val staged = s"$indexDir/.staged_batch_$batchId"
+    val prefix = s"b$batchId"
+    Hfs.delete(spark, staged)
+    sweepPublished(spark, s"$indexDir/postings", prefix, "__pt=")
+    sweepPublished(spark, s"$indexDir/lens", prefix, "")
+    val (postings, lens) = graft.ext.TextIndex.encodeForAppend(
+      spark, indexDir, batch, idCol, textCol)
+    postings.coalesce(1).write.mode("overwrite").partitionBy("__pt")
+      .parquet(s"$staged/postings")
+    lens.coalesce(1).write.mode("overwrite").parquet(s"$staged/lens")
+    publishStaged(spark, s"$staged/postings", s"$indexDir/postings", prefix, "__pt=")
+    publishStaged(spark, s"$staged/lens", s"$indexDir/lens", prefix, "")
+    Hfs.delete(spark, staged)
+    Hfs.touch(spark, s"$indexDir/_batch_$batchId")
   }
 }

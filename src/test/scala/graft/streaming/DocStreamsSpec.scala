@@ -220,6 +220,53 @@ class DocStreamsSpec extends SparkSpec {
     graft.util.Hfs.exists(spark, s"$idx/_stream_checkpoint") shouldBe true
   }
 
+  test("streaming text-index append: crash-replay lands once; result equals from-scratch BM25") {
+    import graft.ext.{TextIndex, TextSearch}
+    val corpus = Seq(
+      (1L, "spark shuffle join window"), (2L, "window scan merge"),
+      (3L, "spark spark window"), (4L, "join window join scan"),
+      (5L, "merge scan spark"), (6L, "window window join"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ti_idx").toString + "/inv"
+    TextIndex.build(corpus.filter($"doc_id" <= 2), "doc_id", "text", idx, parts = 4)
+    val spool = stageSpool(Seq(
+      Seq((3L, "spark spark window"), (4L, "join window join scan")),
+      Seq((5L, "merge scan spark"), (6L, "window window join"))))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ti_ckpt").toString + "/c"
+    DocStreams.runTextIndexAppendOnce(spark, spool, idx, ckpt)
+    val q = Seq((0L, "spark window"), (1L, "scan join")).toDF("qid", "qtext")
+    def served() = TextIndex.bm25TopKIndexed(spark, idx, q, "qid", "qtext", 6)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val clean = served()
+    // streamed == from-scratch over the union (compositional append)
+    clean shouldBe TextSearch.bm25TopK(corpus, "doc_id", "text", q,
+      "qid", "qtext", 6).orderBy($"query_id", $"rank").collect().toSeq
+
+    def rollbackCommit1(): Unit = Seq(s"$ckpt/commits/1", s"$ckpt/commits/.1.crc")
+      .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+
+    // crash inside batch 1: partial publish (one published postings file
+    // gone), marker missing, checkpoint redelivers — replay must sweep
+    // and land the batch exactly once
+    rollbackCommit1()
+    graft.util.Hfs.delete(spark, s"$idx/_batch_1")
+    val b1Files = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("b1-")).toSeq
+    }
+    b1Files should not be empty
+    java.nio.file.Files.delete(b1Files.head)
+    DocStreams.runTextIndexAppendOnce(spark, spool, idx, ckpt)
+    served() shouldBe clean
+
+    // crash after the marker: a marked batch's redelivery is skipped
+    rollbackCommit1()
+    DocStreams.runTextIndexAppendOnce(spark, spool, idx, ckpt)
+    served() shouldBe clean
+  }
+
   test("streaming dedup maintains duplicate clusters: incremental components equal the batch form") {
     import graft.ext.IncrementalComponents
     val spool = stageSpool(Seq(docs.take(3), docs.drop(3)))
