@@ -56,7 +56,7 @@ object Verify {
     try {
       val dst = new java.io.File(annIdx)
       org.apache.commons.io.FileUtils.deleteDirectory(dst)
-      Seq("ivf", "pq", "ivfpq", "ivfsq", "bq").foreach { layout =>
+      Seq("ivf", "pq", "ivfpq", "ivfsq", "bq", "pcapq").foreach { layout =>
         val from = new java.io.File(s"$annSrc/$layout")
         if (from.isDirectory)
           org.apache.commons.io.FileUtils.copyDirectory(from,

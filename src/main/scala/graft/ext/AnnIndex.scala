@@ -540,6 +540,111 @@ object AnnIndex {
     graft.operators.Upsert.swapDirs(tmp, dir)
   }
 
+  // --------------------------------------------------- PCA-rotated PQ
+  /** PCA-rotated product quantization — the FAISS
+    * `IndexPreTransform(PCAMatrix, IndexPQ)` composition: an
+    * uncentered-PCA rotation ([[Similarity.pcaRotation]] — a pure
+    * rotation, so cosine is preserved EXACTLY) persisted beside a
+    * standard flat-PQ index over the ROTATED corpus, nested at
+    * `dir/pq`. Rotation compacts energy into the leading dimensions, so
+    * the equal-width subspace split the PQ makes is better conditioned
+    * — the classic OPQ initialization, without OPQ's alternating
+    * optimization.
+    *
+    * Maintenance DELEGATES to the wrapped index exactly as in FAISS:
+    * append/update/CDC rotate the batch and forward (frozen rotation +
+    * frozen codebooks — same drift contract as every append), deletes
+    * and compaction act on `dir/pq` directly (it is a plain PQ index;
+    * `tombstoneDebt`/`compactIfNeeded` on `dir/pq` route as "pq").
+    */
+  final case class PcaPqIndex(rotation: Array[Array[Double]], pqDir: String,
+      dir: String)
+
+  private def writeRotation(spark: SparkSession, dir: String,
+      r: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    r.indices.map(i => (i, r(i).toSeq)).toDF("__i", "__row")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+  }
+
+  private def readRotation(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/rotation").orderBy(col("__i"))
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  def buildPcaPq(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, dim: Int, m: Int, ksub: Int, iters: Int = 2,
+      maxTrainRows: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val r = Similarity.pcaRotation(corpus, idCol, vecCol, dim,
+      maxTrainRows = if (maxTrainRows > 0) maxTrainRows else 4096)
+    writeMeta(spark, dir, m = 0, sub = 0, nlist = -1, layout = "pcapq")
+    writeRotation(spark, dir, r)
+    buildPq(corpus.select(qcol(idCol).as("__rid"),
+        Similarity.rotateExpr(qcol(vecCol), r).as("__rvec")),
+      "__rid", "__rvec", s"$dir/pq", m, ksub, iters)
+  }
+
+  def readPcaPq(spark: SparkSession, dir: String): PcaPqIndex = {
+    require(readLayout(spark, dir) == "pcapq",
+      s"$dir is not a PCA-PQ index — each layout has its own reader")
+    PcaPqIndex(readRotation(spark, dir), s"$dir/pq", dir)
+  }
+
+  /** PCA-PQ top-k: queries rotated against the stored matrix, then the
+    * standard persisted-PQ ADC path over the rotated codes.
+    */
+  def pcaPqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val idx = readPcaPq(spark, dir)
+    pqTopK(spark, idx.pqDir,
+      queries.select(qcol(idCol).as("__rid"),
+        Similarity.rotateExpr(qcol(vecCol), idx.rotation).as("__rvec")),
+      "__rid", "__rvec", k)
+  }
+
+  /** [[appendPq]] through the rotation (frozen rotation + codebooks). */
+  def appendPcaPq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val idx = readPcaPq(spark, dir)
+    appendPq(spark, idx.pqDir,
+      rows.select(qcol(idCol).as("__rid"),
+        Similarity.rotateExpr(qcol(vecCol), idx.rotation).as("__rvec")),
+      "__rid", "__rvec")
+  }
+
+  def deletePcaPq(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit =
+    deleteIds(spark, s"$dir/pq", ids, idCol)
+
+  def updatePcaPq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    deletePcaPq(spark, dir, rows, idCol)
+    appendPcaPq(spark, dir, rows, idCol, vecCol)
+  }
+
+  def applyDiffPcaPq(spark: SparkSession, dir: String, diff: DataFrame,
+      keyCol: String, rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (dels, upserts) = diffSplit(diff, keyCol, rows, idCol)
+    deletePcaPq(spark, dir, dels, keyCol)
+    appendPcaPq(spark, dir, upserts, idCol, vecCol)
+  }
+
+  /** Compaction delegates to the wrapped PQ index (rotation untouched —
+    * it has no per-row state).
+    */
+  def compactPcaPq(spark: SparkSession, dir: String): Unit = {
+    require(readLayout(spark, dir) == "pcapq",
+      s"$dir is not a PCA-PQ index — each layout has its own compaction")
+    compactPq(spark, s"$dir/pq")
+  }
+
+  def rebuildPcaPq(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, dim: Int, m: Int, ksub: Int, iters: Int = 2): Unit = {
+    val tmp = dir + ".build-" + System.nanoTime()
+    buildPcaPq(corpus, idCol, vecCol, tmp, dim, m, ksub, iters)
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
   // ------------------------------------------------------------ flat BQ
   /** A loaded binary-quantization index: one codes table on disk holding
     * (__id, __sig array&lt;long&gt;, __vec, __seq) — the 1-bit/dim sign

@@ -88,6 +88,128 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Uncentered-PCA rotation (the FAISS `PCAMatrix` analog, trained
+    * about the ORIGIN): eigenvectors of the corpus's second-moment
+    * matrix E[xxᵀ], sorted by eigenvalue descending. No centering, so
+    * the transform is a PURE rotation — inner products and cosines are
+    * preserved EXACTLY (the isometry gate pins it), while energy
+    * compacts into the leading dimensions, which is what makes a
+    * subsequent product quantizer's equal-width subspace split better
+    * conditioned (the classic OPQ initialization).
+    *
+    * Distributed part: one bounded-sample pass accumulates the d²
+    * moments (flat outer product → posexplode → per-cell sum — map-side
+    * combined). Driver part: a cyclic Jacobi eigensolver on the d×d
+    * symmetric matrix — dimension-sized math, the same driver budget as
+    * the SQ bounds or a FAISS training, never data-sized. Deterministic:
+    * fixed sweep order, eigenvalue-descending order with index
+    * tiebreak, sign-normalized eigenvectors.
+    *
+    * Returns the rotation as row vectors: y = R·x, yᵢ = ⟨R(i), x⟩.
+    */
+  def pcaRotation(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, maxTrainRows: Int = 4096): Array[Array[Double]] = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val base = corpus.select(qcol(idCol).cast("long").as("__sid0"),
+      qcol(vecCol).as("__v"))
+    val sample = trainSampleIds(base, "__sid0", maxTrainRows) match {
+      case Some(ids) =>
+        base.join(broadcast(ids), col("__sid0") === col("__sid")).drop("__sid")
+          .localCheckpoint(eager = true)
+      case None => base
+    }
+    val n = sample.count().toDouble
+    require(n > 0, "pcaRotation needs a non-empty corpus")
+    val d = dim
+    val flat = sample.select(posexplode(
+      transform(sequence(lit(0), lit(d * d - 1)), k => {
+        val i = ((k - pmod(k, lit(d))) / lit(d)).cast("int")
+        val j = pmod(k, lit(d)).cast("int")
+        element_at(col("__v"), i + 1).cast("double") *
+          element_at(col("__v"), j + 1).cast("double")
+      })))
+    val sums = flat.groupBy(col("pos")).agg(sum(col("col")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val moment = Array.tabulate(d, d)((i, j) => sums(i * d + j) / n)
+    val (eigvals, eigvecs) = jacobiEigen(moment) // eigvecs: columns
+    val order = eigvals.indices.sortBy(i => (-eigvals(i), i))
+    order.toArray.map { col0 =>
+      val v = Array.tabulate(d)(r => eigvecs(r)(col0))
+      // deterministic sign: first non-negligible component positive
+      val s = v.find(math.abs(_) > 1e-12).map(math.signum).getOrElse(1.0)
+      if (s < 0) v.map(-_) else v
+    }
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS). Deterministic fixed sweep
+    * order; converges quadratically — 64 sweeps is far past machine
+    * precision for any conditioning.
+    */
+  private def jacobiEigen(m0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-22) {
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = c * c * app - 2 * s * c * apq + s * s * aqq
+            a(q)(q) = s * s * app + 2 * s * c * apq + c * c * aqq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var k = 0
+            while (k < d) {
+              if (k != p && k != q) {
+                val akp = a(k)(p); val akq = a(k)(q)
+                a(k)(p) = c * akp - s * akq; a(p)(k) = a(k)(p)
+                a(k)(q) = s * akp + c * akq; a(q)(k) = a(k)(q)
+              }
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Apply a rotation (row-vector form) to a vector column — one
+    * codegen'd higher-order-function pass, the matrix riding as an
+    * array literal (d² doubles: dimension-sized, never data-sized).
+    * Output is `array<double>`.
+    */
+  def rotateExpr(vec: Column, r: Array[Array[Double]]): Column = {
+    val rows = typedLit(r.map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(r.length - 1)), i =>
+      aggregate(
+        zip_with(vec, element_at(rows, i + 1),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the top-k
     * most cosine-similar corpus vectors with a DIFFERENT label — the
     * "looks like a positive, isn't one" examples that make embedding-

@@ -59,7 +59,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v9_m8k16n16kvres_sqbyte_ivfsq_bq")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v10_m8k16n16kvres_sqbyte_ivfsq_bq_pcapq")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -161,6 +161,12 @@ object ExtensionQueries {
       // pruning; the full-probe gate pins exact equality with flat SQ
       "ivfsq" -> (() => AnnIndex.buildIvfSq(emb, "vec_id", "embedding",
         s"$tmp/ivfsq", nlist = 16, coarseIn = Some(coarse), boundsIn = Some(sqb))),
+      // PCA-rotated PQ (IndexPreTransform composition): uncentered-PCA
+      // rotation + flat PQ over the rotated corpus; x_knn_pcapq replays
+      // the stored rotation + ADC path, the isometry gate pins exact
+      // cosine preservation
+      "pcapq" -> (() => AnnIndex.buildPcaPq(emb, "vec_id", "embedding",
+        s"$tmp/pcapq", dim = 64, m = 8, ksub = 16, iters = 2)),
       // BQ: training-free sign sketches beside the exact vectors — one
       // table whose column pruning is the two-tier storage (x_knn_bq
       // replays the whole query path over it in DuckDB)
@@ -3051,6 +3057,73 @@ object ExtensionQueries {
         "vec_id", "embedding", dim = 64, k = 5, shortlist = 50)
   }
 
+  /** PCA-rotated PQ against the PERSISTED composed index: the oracle
+    * rotates the queries with the STORED matrix, normalizes, and replays
+    * the standard ADC path over the nested PQ tables — the whole
+    * IndexPreTransform query path in SQL.
+    */
+  val knnPcaPq = q("x_knn_pcapq",
+    """WITH qv AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |rot AS (SELECT __i, __row FROM read_parquet('__GRAFT_ANNIDX__/pcapq/rotation/*.parquet')),
+      |rq AS (
+      |  SELECT qv.qid, rot.__i,
+      |         list_sum(list_transform(range(1, 65), t -> qv.v[t] * rot.__row[t])) AS y
+      |  FROM qv, rot),
+      |rv AS (SELECT qid, list(y ORDER BY __i) AS v FROM rq GROUP BY qid),
+      |nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM rv),
+      |cb AS (
+      |  SELECT __j, __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/pcapq/pq/codebooks/*.parquet')),
+      |lut AS (
+      |  SELECT qid, __j, __cid AS code,
+      |         list_sum(list_transform(generate_series(1, len(centroid)),
+      |           i -> u[__j * 8 + i] * centroid[i])) AS p
+      |  FROM nq, cb),
+      |codes AS (
+      |  SELECT __id AS nid, __j, __code FROM read_parquet('__GRAFT_ANNIDX__/pcapq/pq/codes/*.parquet')),
+      |scored AS (
+      |  SELECT l.qid, c.nid, round(sum(l.p), 4) AS s
+      |  FROM codes c JOIN lut l ON l.__j = c.__j AND l.code = c.__code
+      |  WHERE l.qid <> c.nid GROUP BY l.qid, c.nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine_pq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine_pq FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+      val idx = stageAnnIndexes(s, dir)
+      AnnIndex.pcaPqTopK(s, s"$idx/pcapq",
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5)
+  }
+
+  /** The rotation's defining invariant, pinned on real data: a pure
+    * rotation preserves cosine EXACTLY, so brute-force search through
+    * the stored matrix must equal brute force on the raw vectors —
+    * ranks, neighbors and 4dp scores all identical.
+    */
+  val knnPcaPqIsometry =
+    q("x_knn_pcapq_isometry", "SELECT true AS isometry_ok") { (s, dir) =>
+      val idx = stageAnnIndexes(s, dir)
+      val r = AnnIndex.readPcaPq(s, s"$idx/pcapq").rotation
+      val emb = Tables.embeddings(s, dir)
+      val rot = emb.select(col("vec_id"),
+        Similarity.rotateExpr(col("embedding"), r).as("embedding"))
+      val raw = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", 5)
+      val rotated = Similarity.bruteForceTopK(rot.filter(col("vec_id") < 5), rot,
+          "vec_id", "embedding", 5)
+        .withColumnRenamed("cosine", "__c2")
+      raw.join(rotated, Seq("query_id", "rank", "neighbor_id"), "full")
+        .agg((count(lit(1)) === count(col("cosine")) &&
+          count(lit(1)) === count(col("__c2")) &&
+          max(abs(col("cosine") - col("__c2"))) <= 1e-9).as("isometry_ok"))
+    }
+
   /** BQ top-k against the PERSISTED index (build once, query many):
     * hash-matched via a DuckDB replay over the stored codes table —
     * hamming from the persisted sign sketches (two's-complement
@@ -3244,7 +3317,7 @@ object ExtensionQueries {
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     knnPqDelete, knnIvfPqRefine, knnIvfPqResRecall, knnIvfPqResidualErr,
     knnSq, knnSqErr, knnSqGuarantee, knnIvfSq, knnIvfSqFullProbe,
-    knnBq, knnBqMaint,
+    knnBq, knnBqMaint, knnPcaPq, knnPcaPqIsometry,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,

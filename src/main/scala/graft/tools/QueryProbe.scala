@@ -38,7 +38,7 @@ object QueryProbe {
     try {
       val dst = new java.io.File(annIdx)
       org.apache.commons.io.FileUtils.deleteDirectory(dst)
-      Seq("ivf", "pq", "ivfpq", "ivfsq", "bq").foreach { layout =>
+      Seq("ivf", "pq", "ivfpq", "ivfsq", "bq", "pcapq").foreach { layout =>
         val from = new java.io.File(s"$annSrc/$layout")
         if (from.isDirectory)
           org.apache.commons.io.FileUtils.copyDirectory(from,

@@ -1,0 +1,118 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PCA-rotated PQ: the rotation's algebraic contracts (orthonormality,
+  * exact cosine isometry, energy compaction), lossless-geometry
+  * equality, delegated maintenance.
+  */
+class PcaPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // anisotropic corpus: dimension j's scale decays with j, so the
+  // second-moment eigenbasis is non-trivial and energy compaction is
+  // observable
+  private def corpus(n: Int, d: Int = 16, seed: Int = 5) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val raw = Array.tabulate(d)(j =>
+        (rnd.nextGaussian() / (1 + j * 0.5)).toFloat)
+      (i.toLong, raw)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def tmpDir(name: String): String = {
+    val dd = java.nio.file.Files.createTempDirectory(name).toFile
+    dd.delete(); dd.getAbsolutePath
+  }
+
+  private def topMap(df: org.apache.spark.sql.DataFrame, score: String) =
+    df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+      (r.getAs[Long]("neighbor_id"), r.getAs[Double](score))).toMap
+
+  test("pcaRotation is orthonormal and rotateExpr preserves cosine exactly") {
+    val c = corpus(200)
+    val r = Similarity.pcaRotation(c, "vec_id", "embedding", dim = 16)
+    // R·Rᵀ = I
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+      dot shouldBe (if (i == j) 1.0 else 0.0) +- 1e-9
+    }
+    // isometry through the expression path, on real pairs
+    val rot = c.select(col("vec_id"),
+      Similarity.rotateExpr(col("embedding"), r).as("embedding"))
+    val raw = Similarity.bruteForceTopK(c.filter($"vec_id" < 2), c,
+      "vec_id", "embedding", 5)
+    val rotated = Similarity.bruteForceTopK(rot.filter($"vec_id" < 2), rot,
+      "vec_id", "embedding", 5)
+    topMap(rotated, "cosine") shouldBe topMap(raw, "cosine")
+  }
+
+  test("rotation compacts energy: leading rotated dimension carries the most variance") {
+    val c = corpus(400)
+    val r = Similarity.pcaRotation(c, "vec_id", "embedding", dim = 16)
+    val rot = c.select(Similarity.rotateExpr(col("embedding"), r).as("y"))
+    val moments = rot.select(posexplode(col("y")))
+      .groupBy(col("pos")).agg(avg(col("col") * col("col")).as("e2"))
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    // eigenvalue-descending order: dim 0 ≥ every later dim (sample
+    // moments equal the trained moments here — full corpus fits the cap)
+    val e = (0 until 16).map(moments)
+    all(e.tail.map(x => e.head - x)) should be >= -1e-9
+    e.head should be > e.last
+  }
+
+  test("lossless geometry: pcapq equals brute force; maintenance delegates to the wrapped pq") {
+    val c = corpus(16)
+    val dir = tmpDir("pcapq")
+    // ksub = corpus size makes every rotated subvector its own centroid
+    AnnIndex.buildPcaPq(c, "vec_id", "embedding", dir, dim = 16, m = 4,
+      ksub = 16, iters = 1)
+    val q = c.filter($"vec_id" < 2)
+    val served = AnnIndex.pcaPqTopK(spark, dir, q, "vec_id", "embedding", 5)
+    val brute = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 5)
+    served.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet shouldBe
+      brute.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // delete two ids through the wrapper; served must equal brute on the live set
+    AnnIndex.deletePcaPq(spark, dir, c.filter($"vec_id".isin(7, 9)), "vec_id")
+    val live = c.filter(!$"vec_id".isin(7, 9))
+    val served2 = AnnIndex.pcaPqTopK(spark, dir, q, "vec_id", "embedding", 5)
+    served2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet shouldBe
+      Similarity.bruteForceTopK(q, live, "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // debt/compaction act on the nested plain-pq index
+    AnnIndex.tombstoneDebt(spark, s"$dir/pq") should be > 0.0
+    AnnIndex.compactPcaPq(spark, dir)
+    AnnIndex.tombstoneDebt(spark, s"$dir/pq") shouldBe 0.0
+    AnnIndex.pcaPqTopK(spark, dir, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet shouldBe
+      served2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+  }
+
+  test("append through the rotation equals one-shot build (frozen rotation + codebooks)") {
+    val c = corpus(24, seed = 9)
+    val dir = tmpDir("pcapqapp")
+    AnnIndex.buildPcaPq(c.filter($"vec_id" < 12), "vec_id", "embedding", dir,
+      dim = 16, m = 4, ksub = 12, iters = 1)
+    AnnIndex.appendPcaPq(spark, dir, c.filter($"vec_id" >= 12),
+      "vec_id", "embedding")
+    val q = c.filter($"vec_id" < 2)
+    val idx = AnnIndex.readPcaPq(spark, dir)
+    // reference: one-shot encode of the FULL rotated corpus against the
+    // stored (frozen) codebooks
+    val rotAll = c.select(col("vec_id"),
+      Similarity.rotateExpr(col("embedding"), idx.rotation).as("rv"))
+    val model = AnnIndex.readPq(spark, idx.pqDir)
+    val ref = Similarity.pqTopKWithModel(
+      q.select(col("vec_id"),
+        Similarity.rotateExpr(col("embedding"), idx.rotation).as("rv")),
+      "vec_id", "rv",
+      Similarity.PqModel(model.centroids,
+        Similarity.pqEncode(rotAll, "vec_id", "rv", model.centroids,
+          model.m, model.sub), model.m, model.sub), 5)
+    topMap(AnnIndex.pcaPqTopK(spark, dir, q, "vec_id", "embedding", 5),
+      "cosine_pq") shouldBe topMap(ref, "cosine_pq")
+  }
+}
