@@ -1116,6 +1116,11 @@ object AnnIndex {
         case "sq"    => compactSq(spark, dir)
         case "ivfsq" => compactIvfSq(spark, dir)
         case "bq"    => compactBq(spark, dir)
+        // pcapq keeps its tombstones in the nested dir/pq (deletes
+        // delegate), so debt at the OUTER dir is structurally 0 — the
+        // route exists so a future outer-level tombstone writer cannot
+        // turn a compaction request into an unknown-layout error
+        case "pcapq" => compactPcaPq(spark, dir)
         case other => throw new IllegalStateException(
           s"$dir has unknown index layout '$other'")
       }
