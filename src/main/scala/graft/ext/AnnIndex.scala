@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Cols.qcol
 import graft.ext.Similarity.{PqModel, pqLut, probeClusters, topKPerQuery}
@@ -119,8 +119,23 @@ object AnnIndex {
     * codes/vectors file is rewritten; the query path subtracts the
     * tombstone table via one broadcast join and the next rebuild
     * compacts. Deleting an absent id is a harmless no-op tombstone.
+    *
+    * A PCA-PQ ROOT delegates to its nested `dir/pq` (where the query
+    * path reads liveness) — tombstones written at the root would be
+    * subtracted by nothing and the "deleted" rows would keep being
+    * served silently, which is how every wrong layout routing here
+    * must fail: loudly or not at all.
     */
   def deleteIds(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
+    if (graft.util.Hfs.exists(spark, s"$dir/meta")) {
+      // schema-tolerant sniff: deleteIds also serves NON-ANN tombstone
+      // consumers (the inverted text index) whose meta has a different
+      // shape — only an explicit layout = pcapq reroutes
+      val m = spark.read.parquet(s"$dir/meta")
+      if (m.columns.contains("layout") &&
+          m.head().getAs[String]("layout") == "pcapq")
+        return deleteIds(spark, s"$dir/pq", ids, idCol)
+    }
     val seq = nextSeq(spark, dir)
     val dead = ids.select(qcol(idCol).cast("long").as("__id")).distinct()
       .localCheckpoint(eager = true) // consumed by the emptiness probe AND the write
@@ -267,9 +282,18 @@ object AnnIndex {
     * PartitionFilter on the vectors scan, exact codegen cosine on the
     * surviving nprobe/nlist of the corpus. Output shape matches
     * bruteForceTopK.
+    *
+    * `where` is FILTERED SEARCH (the production "ANN + metadata
+    * predicate" shape): a predicate over the stored vector-table columns
+    * (`__id`, `__vec`) applied INSIDE the pruned scan — it composes with
+    * the partition filter and reaches the parquet reader as a pushed
+    * filter, so the result is the exact top-k of the probed ∩ predicate
+    * corpus (pre-scoring restriction — never the under-filled k that
+    * post-filtering a top-k list yields).
     */
   def ivfTopK(spark: SparkSession, index: IvfIndex, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      where: Column = lit(true)): DataFrame = {
     val q = queries.select(qcol(idCol).cast("long").as("query_id"),
       qcol(vecCol).as("__qv"))
     val probes = probeClusters(q, index.coarse, nprobe)
@@ -278,7 +302,8 @@ object AnnIndex {
       .collect().map(_.getInt(0)) // ≤ nlist values by construction
     val vectors = liveOnly(spark, index.dir,
       spark.read.parquet(index.vectorsPath)
-        .filter(col("__cluster").isin(probed.map(Int.box): _*)))
+        .filter(col("__cluster").isin(probed.map(Int.box): _*))
+        .filter(where))
     val scored = vectors
       .join(broadcast(probes), Seq("__cluster"))
       .filter(col("query_id") =!= col("__id"))

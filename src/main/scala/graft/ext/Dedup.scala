@@ -81,13 +81,15 @@ object Dedup {
     * Output: (`__id`, `__sig`).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 64, shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
     val sh = df.select(qcol(idCol).cast("long").as("__id"),
-      explode(TextAnalysis.shingleHashes(qcol(textCol), shingleSize)).as("__h"))
+      explode(TextAnalysis.shingleHashes(qcol(textCol), shingleSize, portable))
+        .as("__h"))
     val sigExpr = org.apache.spark.sql.GraftSqlBridge.column(
       graft.plans.MinHashAgg(
         org.apache.spark.sql.GraftSqlBridge.expression(col("__h")),
-        numHashes).toAggregateExpression())
+        numHashes, portable = portable).toAggregateExpression())
     sh.groupBy(col("__id")).agg(sigExpr.as("__sig"))
   }
 
@@ -95,12 +97,22 @@ object Dedup {
     * per band, signature carried along for the estimated-jaccard epilogue.
     * Output: (`__id`, `__sig`, `__band`, `__bh`).
     */
-  def minhashBanded(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def minhashBanded(sigs: DataFrame, numHashes: Int, bands: Int,
+      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // portable band key: the raw "v1,v2,..,vr,band" string itself — the
+    // xxhash64 exists only to shorten the shuffle/store key, and a
+    // replaying engine joins on the same string with no hash function
+    // involved. (Key TYPE therefore differs per family: long for the
+    // default, string for portable — each signature store carries
+    // exactly one family, so the column never mixes.)
+    def key(b: Column): Column = {
+      val s = concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows)), b.cast("string"))
+      if (portable) s else xxhash64(s)
+    }
     sigs.select(col("__id"), col("__sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows)), b.cast("string")))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), key(_)))
         .as(Seq("__band", "__bh")))
   }
 
@@ -123,18 +135,28 @@ object Dedup {
       shingleSize: Int = 3,
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 1000,
+      /** Engine-portable family ([[PortableHash]]): md5-prefix shingle
+        * hashes, the affine family over 2^61-1, raw-string band keys —
+        * every stage replayable bit-for-bit in a second engine's SQL.
+        * est_jaccard is then emitted UNROUNDED: each value is an exact
+        * binary rational k/numHashes, identical on every engine, while
+        * decimal rounding is the one step whose tie behavior engines
+        * disagree on. Default (false) keeps the faster XXH64 family.
+        */
+      portable: Boolean = false,
   ): DataFrame = {
     // validate BEFORE the eager signature materialization below — the
     // banding require alone would fire only after the corpus-wide sketch
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize,
+      portable)
       // consumed by bucket sizing + both sides of the candidate self-join;
       // one signature row per doc is tiny — lineage-cut materialization
       // (no cacheManager entry to leak; blocks GC-release with the frame)
       .localCheckpoint(eager = true)
 
     // (id, band, bandHash) — one shuffle key per band
-    val banded = minhashBanded(sigs, numHashes, bands)
+    val banded = minhashBanded(sigs, numHashes, bands, portable)
 
     // cap pathological buckets (boilerplate documents): a bucket of size m
     // yields m^2/2 pairs — drop buckets beyond maxBucketSize
@@ -151,7 +173,8 @@ object Dedup {
         estJaccard(col("__sa"), col("__sb"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .groupBy(col("id_a"), col("id_b"))
-      .agg(round(first(col("est_jaccard")), 4).as("est_jaccard"))
+      .agg((if (portable) first(col("est_jaccard"))
+            else round(first(col("est_jaccard")), 4)).as("est_jaccard"))
   }
 
   // ----------------------------------------------------- exact jaccard
@@ -235,9 +258,19 @@ object Dedup {
     * Column fold above allocates a 64-int array per token — both slower).
     * Zero-token documents produce no row. Output: (`__id`, `__sh`).
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = df.select(qcol(idCol).cast("long").as("__id"),
-      explode(transform(TextAnalysis.tokens(qcol(textCol)), t => xxhash64(t))).as("__h"))
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      /** Portable token hashes ([[PortableHash]]: 60-bit md5 prefix,
+        * applied AFTER the explode so the md5 stays inside whole-stage
+        * codegen). Bits 60..63 of every token hash are then 0, so those
+        * signature bits vote to 0 on every engine — the signature is
+        * effectively 60-bit, the bit-vote algebra unchanged.
+        */
+      portable: Boolean = false): DataFrame = {
+    val tok = df.select(qcol(idCol).cast("long").as("__id"),
+      explode(TextAnalysis.tokens(qcol(textCol))).as("__t"))
+    val th = tok.select(col("__id"),
+      (if (portable) PortableHash.md5Prefix15(col("__t"))
+       else xxhash64(col("__t"))).as("__h"))
     val sigExpr = org.apache.spark.sql.GraftSqlBridge.column(
       graft.plans.SimHashAgg(
         org.apache.spark.sql.GraftSqlBridge.expression(col("__h"))).toAggregateExpression())
@@ -262,11 +295,13 @@ object Dedup {
         * its other (maxHamming) blocks unless ALL its blocks are hot.
         */
       maxBucketSize: Int = 1000,
+      portable: Boolean = false,
   ): DataFrame =
     // signatures feed bucket sizing + both self-join sides — materialize
     // once (lineage cut, one long per doc)
     simhashPairsFromSigs(
-      simhashSignatures(df, idCol, textCol).localCheckpoint(eager = true),
+      simhashSignatures(df, idCol, textCol, portable)
+        .localCheckpoint(eager = true),
       maxHamming, maxBucketSize)
 
   /** Pigeonhole block join over precomputed (`__id`, `__sh`) signatures —

@@ -88,6 +88,32 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** [[hyperplaneBucket]] in ENGINE-PORTABLE integer arithmetic: the
+    * vector is quantized to 1e-6 resolution (`round(x·10^6)` as int64 —
+    * half-away-from-zero, the rounding rule engines agree on), plane
+    * components are md5-derived integers in [-1000, 1000]
+    * (`md5Prefix15("hp:k:j") % 2001 - 1000`, [[PortableHash]]), and each
+    * sign bit is the sign of an exact 64-bit integer dot product — no
+    * float summation anywhere, so no engine's accumulation ORDER can
+    * flip a boundary bit and the whole bucketing replays bit-for-bit in
+    * SQL. Sign flips vs the float form matter only for vectors within
+    * quantization noise of a hyperplane — the same measure-zero band
+    * where the float form is itself seed-arbitrary.
+    */
+  def hyperplaneBucketPortable(vec: Column, dim: Int, nBits: Int = 8): Column = {
+    val q = transform(vec, x => round(x.cast("double") * lit(1e6)).cast("long"))
+    // bind the quantized vector as a lambda variable so it evaluates once
+    // per row, not once per plane (the shingles() binding trick)
+    element_at(transform(array(q), qq =>
+      (0 until nBits).map { k =>
+        val plane = array((0 until dim).map(j =>
+          lit(PortableHash.md5Prefix15(s"hp:$k:$j") % 2001 - 1000)): _*)
+        val dot = aggregate(zip_with(qq, plane, (a, w) => a * w),
+          lit(0L), (acc, t) => acc + t)
+        when(dot > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce((a, b) => a.bitwiseOR(b))), 1)
+  }
+
   /** Uncentered-PCA rotation (the FAISS `PCAMatrix` analog, trained
     * about the ORIGIN): eigenvectors of the corpus's second-moment
     * matrix E[xxᵀ], sorted by eigenvalue descending. No centering, so
@@ -121,6 +147,17 @@ object Similarity {
     val n = sample.count().toDouble
     require(n > 0, "pcaRotation needs a non-empty corpus")
     val d = dim
+    // contract check BEFORE the moment pass: a short or null-holed vector
+    // would surface later as a cryptic NoSuchElementException/NPE on the
+    // per-cell sums map (a null cell nulls the whole cell sum) — fail
+    // loudly at the boundary instead, naming the offending rows
+    val bad = sample.filter(size(col("__v")) =!= d ||
+        exists(col("__v"), x => x.isNull))
+      .select(col("__sid0")).limit(5).collect().map(_.getLong(0))
+    require(bad.isEmpty,
+      s"pcaRotation requires every training vector to have exactly $d " +
+        s"non-null elements; violating ids (first ${bad.length}): " +
+        bad.mkString(", "))
     val flat = sample.select(posexplode(
       transform(sequence(lit(0), lit(d * d - 1)), k => {
         val i = ((k - pmod(k, lit(d))) / lit(d)).cast("int")
@@ -216,9 +253,11 @@ object Similarity {
     * model batches informative. Same broadcast scan shape as
     * [[bruteForceTopK]] (queries with labels broadcast, corpus in one
     * pass) with the label disagreement folded into the join predicate,
-    * so pruning happens before any score is computed. Null labels are
-    * DISTINCT from everything, including each other (SQL
-    * `IS DISTINCT FROM`). Compose with the IVF/BQ layouts for
+    * so pruning happens before any score is computed. Label comparison
+    * is SQL `IS DISTINCT FROM`: a null-label corpus row IS a negative
+    * for every labeled query (and vice versa), but two null labels
+    * compare EQUAL under that operator, so a null-label query never
+    * mines null-label corpus rows. Compose with the IVF/BQ layouts for
     * sub-linear candidate generation when the corpus outgrows the
     * brute-force pass.
     *

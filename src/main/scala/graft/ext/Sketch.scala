@@ -55,4 +55,45 @@ object Sketch {
       .groupBy(col(valueCol))
       .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
   }
+
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) per
+    * group: hash each value with the engine-portable 60-bit md5 prefix,
+    * keep the k smallest DISTINCT hashes per group, estimate
+    * |distinct| ≈ (k-1)·2^60 / h_(k) — the classic order-statistics
+    * estimator; groups with fewer than k distinct values report their
+    * exact count (the sketch degenerates to a complete sample).
+    *
+    * Same engine-portable discipline as the CMS: every stage —
+    * hashing, the k-smallest cut, the estimate arithmetic (exact-double
+    * operands: 2^60 and k-1 are exact, the IEEE divide is deterministic)
+    * — replays bit-for-bit in a second engine's SQL, so reconciliation
+    * can hash-match the ESTIMATES, not trust an error band.
+    *
+    * Scale shape: the distinct() pre-cut is one hash-keyed shuffle that
+    * map-side combines; the per-group k-cut is a window over the
+    * surviving DISTINCT hashes (per-group data ≤ |distinct values|,
+    * never row count. For billions of distinct values per group raise
+    * no machinery here — k-th-smallest stays a per-group sort of the
+    * group's distinct hashes; pre-thin with a WHERE h < threshold scan
+    * filter if that ever dominates).
+    *
+    * Output: (`groupCol`, `est_distinct` double rounded 4dp).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(col(groupCol),
+        PortableHash.md5Prefix15(valueCol).as("__h"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
+    h.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(max(col("__h")).as("__hk"), max(col("__rn")).as("__n"))
+      .select(col(groupCol),
+        round(when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk")), 4)
+          .as("est_distinct"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Cols.qcol
 import graft.operators.Ids
@@ -131,6 +131,54 @@ object Stats {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), round(min(col("__v")), 4).as("min_v"),
         round(max(col("__v")), 4).as("max_v"))
+  }
+
+  /** Population-stability-index drift report between a REFERENCE and a
+    * CURRENT snapshot, per group: equi-width bins over a FIXED domain
+    * [lo, hi) (edges data-independent, so two engines — and two months —
+    * bin identically; out-of-range values clamp to the edge bins, nulls
+    * are excluded on both sides), Laplace-smoothed shares
+    * p_b = (n_b + eps) / (N + eps·bins), and
+    * PSI = Σ_b (p_b − q_b)·ln(p_b / q_b) — the standard monitoring
+    * statistic (≥ 0; ~0.1 "investigate", ~0.25 "shifted" in the usual
+    * reading). Smoothing makes one-sided bins finite and empty-both-
+    * sides bins contribute exactly 0, so only observed (group, bin)
+    * rows need to exist.
+    *
+    * Scale shape: one union pass → a (group, bin)-keyed counting
+    * group-by (map-side combined, counters-sized) → a broadcast join of
+    * per-group totals → a bins-sized aggregate. Nothing corpus-sized
+    * shuffles; adding groups or bins grows the counter table, not the
+    * scan.
+    *
+    * Output: (`groupCol`, `n_ref`, `n_cur`, `psi` rounded 6dp).
+    */
+  def psi(ref: DataFrame, cur: DataFrame, groupCol: String, valueCol: Column,
+      bins: Int, lo: Double, hi: Double, eps: Double = 0.5): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(hi > lo, s"empty bin domain: [$lo, $hi)")
+    val width = (hi - lo) / bins
+    def binOf(c: Column): Column =
+      least(greatest(floor((c.cast("double") - lo) / width), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("int")
+    def side(df: DataFrame, r: Int, c: Int): DataFrame =
+      df.filter(valueCol.isNotNull)
+        .select(qcol(groupCol).as("__g"), binOf(valueCol).as("__b"),
+          lit(r).as("__r"), lit(c).as("__c"))
+    val counts = side(ref, 1, 0).unionByName(side(cur, 0, 1))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
+    val totals = counts.groupBy(col("__g"))
+      .agg(sum(col("__nr")).as("__Nr"), sum(col("__nc")).as("__Nc"))
+    val p = (col("__nr") + eps) / (col("__Nr") + eps * bins)
+    val q = (col("__nc") + eps) / (col("__Nc") + eps * bins)
+    counts.join(broadcast(totals), Seq("__g"))
+      .select(col("__g"), col("__Nr"), col("__Nc"),
+        ((p - q) * log(p / q)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(first(col("__Nr")).as("n_ref"), first(col("__Nc")).as("n_cur"),
+        round(sum(col("__t")), 6).as("psi"))
+      .withColumnRenamed("__g", groupCol)
   }
 
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,

@@ -55,10 +55,11 @@ object TextAnalysis {
     * but ~an order of magnitude cheaper: the declarative chain runs
     * interpreted (HOFs break codegen) with per-shingle allocations.
     */
-  def shingleHashes(text: Column, n: Int): Column =
+  def shingleHashes(text: Column, n: Int, portable: Boolean = false): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.plans.ShingleHashes(
-        org.apache.spark.sql.GraftSqlBridge.expression(tokens(text)), n))
+        org.apache.spark.sql.GraftSqlBridge.expression(tokens(text)), n,
+        portable))
 
   /** Stopword lists for the language-ID heuristic (n-gram/stopword evidence;
     * the classic cheap langid signal). Deterministic and tiny by design.

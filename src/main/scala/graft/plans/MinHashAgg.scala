@@ -24,15 +24,28 @@ import org.apache.spark.sql.types._
   * construction — any independent seeded family is valid for MinHash;
   * consumers only require internal consistency, which `DedupSpec` and the
   * `x_dedup_minhash_recall` gate assert.)
+  *
+  * `portable = true` swaps the XXH64 family for the engine-portable
+  * affine family over 2^61-1 (`graft.ext.PortableHash.affine`, constants
+  * from md5 of "a:k"/"b:k") — a second engine can regenerate the exact
+  * family in SQL and replay the signature bit-for-bit. Same primitive
+  * JVM loop: the md5s happen once at plan build (128 constants), each
+  * row update is two multiplies + shifts per family member.
   */
 case class MinHashAgg(
     child: Expression,
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0,
+    portable: Boolean = false,
 ) extends TypedImperativeAggregate[Array[Long]] {
 
   require(numHashes > 0)
+
+  @transient private lazy val famA: Array[Long] =
+    Array.tabulate(numHashes)(graft.ext.PortableHash.familyA)
+  @transient private lazy val famB: Array[Long] =
+    Array.tabulate(numHashes)(graft.ext.PortableHash.familyB)
 
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(
@@ -51,10 +64,18 @@ case class MinHashAgg(
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var k = 0
-      while (k < numHashes) {
-        val hk = XXH64.hashLong(h, k.toLong)
-        if (hk < buf(k)) buf(k) = hk
-        k += 1
+      if (portable) {
+        while (k < numHashes) {
+          val hk = graft.ext.PortableHash.affine(famA(k), h, famB(k))
+          if (hk < buf(k)) buf(k) = hk
+          k += 1
+        }
+      } else {
+        while (k < numHashes) {
+          val hk = XXH64.hashLong(h, k.toLong)
+          if (hk < buf(k)) buf(k) = hk
+          k += 1
+        }
       }
     }
     buf

@@ -20,11 +20,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * (Dedup is by 64-bit hash rather than by string — indistinguishable to
   * every consumer, which joins/intersects on the hash anyway.)
+  *
+  * `portable = true` swaps XXH64 for the engine-portable 60-bit md5
+  * prefix (`graft.ext.PortableHash`) — byte-identical to SQL
+  * `conv(substring(md5(shingle), 1, 15), 16, 10)` on the space-joined
+  * shingle string, so a second engine can replay the sketch exactly;
+  * same single pass, one MessageDigest reused across the row.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int,
+    portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(n > 0)
+
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -50,7 +60,11 @@ case class ShingleHashes(child: Expression, n: Int)
       var j = 0
       while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
       val s = UTF8String.concatWs(sep, window: _*)
-      val h = XxHash64Function.hash(s, StringType, 42L)
+      val h =
+        if (portable) {
+          md5.reset()
+          graft.ext.PortableHash.md5Prefix15(md5.digest(s.getBytes))
+        } else XxHash64Function.hash(s, StringType, 42L)
       if (seen.add(h)) { out(cnt) = h; cnt += 1 }
       i += 1
     }

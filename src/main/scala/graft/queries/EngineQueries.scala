@@ -169,8 +169,19 @@ object EngineQueries {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     d.mkdirs()
-    val ids = Tables.documents(s, dir).select(col("doc_id")).collect()
-      .map(_.getLong(0)).sorted
+    // fixture staging, not a query path: the archive is an inherently
+    // LOCAL artifact (it mirrors the reference's uploaded zip), so entry
+    // names stream through the driver via toLocalIterator — one
+    // partition resident at a time, never the corpus — behind a loud cap
+    // that sizes the FIXTURE (a 100k-entry zip is already implausible as
+    // a test upload). Do not copy this shape into a query path.
+    val idDf = Tables.documents(s, dir).select(col("doc_id"))
+      .orderBy(col("doc_id"))
+    val n = idDf.count()
+    require(n <= 100000,
+      s"media-zip fixture staging caps at 100k entries, got $n")
+    import scala.jdk.CollectionConverters._
+    val ids = idDf.toLocalIterator().asScala.map(_.getLong(0))
     // write to a temp name and rename after close: the reuse check above
     // keys on media.zip existing, which must imply a COMPLETE archive
     val tmpZip = s"$zipDir/media.zip.tmp"

@@ -330,6 +330,39 @@ object ExtensionQueries {
     * gate corpus (files appended per batch = touched partitions — the
     * layout-knob doc on runMinhashDedupOnce).
     */
+  /** The components gate's BATCH reference (connectedComponents over the
+    * stream's final pair set), persisted per fixture CONTENT: the pair
+    * set is deterministic per sf dir, so the iterative label-propagation
+    * loop — formerly half the gate's cost, re-paid by every JVM that ran
+    * the query — is computed once and keyed by an order-free fingerprint
+    * of the pairs. A fingerprint mismatch (changed fixture, changed
+    * sketch family) recomputes; a missing /tmp recomputes; the gate's
+    * semantics — streamed labels == batch labels on exactly these pairs
+    * — are unchanged, only where the batch side comes from.
+    */
+  private def batchComponentsRef(s: SparkSession, dir: String,
+      streamed: DataFrame): DataFrame = {
+    val base = s"/tmp/graft_stream_minhash/${Staging.tag(dir)}_compref"
+    val fpRow = streamed.agg(
+      count(lit(1)).cast("string").as("n"),
+      coalesce(sum(conv(substring(md5(concat_ws(":", col("id_a"), col("id_b"))),
+        1, 8), 16, 10).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .cast("string").as("h")).head()
+    val fp = s"${fpRow.getString(0)}:${fpRow.getString(1)}"
+    val fpFile = new java.io.File(s"$base/_FINGERPRINT")
+    val ok = new java.io.File(s"$base/ref/_SUCCESS").exists() &&
+      fpFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fp
+    if (!ok) {
+      val nodes = streamed.select(col("id_a").as("id"))
+        .unionByName(streamed.select(col("id_b").as("id"))).distinct()
+      Dedup.connectedComponents(nodes, "id", streamed)
+        .write.mode("overwrite").parquet(s"$base/ref")
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
+    }
+    s.read.parquet(s"$base/ref")
+  }
+
   private val minhashRuns = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def minhashStreamStore(s: SparkSession, dir: String): String =
     minhashRuns.computeIfAbsent(Staging.tag(dir), _ => {
@@ -522,13 +555,85 @@ object ExtensionQueries {
     Dedup.dropNearDuplicates(corpus, "doc_id", pairs).select(col("doc_id"))
   }
 
-  val dedupMinhash = qRowsOnly("x_dedup_minhash") { (s, dir) =>
-    Dedup.minhashCandidates(docsWithVariants(s, dir), "doc_id", "text",
-      numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
+  /** Banded-LSH MinHash candidates with the ENGINE-PORTABLE family
+    * ([[graft.ext.PortableHash]]): md5-prefix shingle hashes, the affine
+    * family h_k = (a_k·h + b_k) mod 2^61-1 with md5-derived constants,
+    * raw-string band keys. The oracle regenerates the 64-member family
+    * inline and replays signature → banding → bucket cap → pair join →
+    * estimated jaccard, so the whole sketch pipeline hash-matches
+    * cross-engine (previously rows-only: the XXH64 family is not
+    * DuckDB-expressible; that family remains the throughput default and
+    * keeps its own recall gate below). est_jaccard values are exact
+    * binary rationals k/64 — bit-identical on both engines unrounded.
+    */
+  val dedupMinhash = q("x_dedup_minhash",
+    s"""WITH corpus AS (SELECT doc_id, text FROM $docsWithVariantsSql),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         CAST(CAST('0x' || substring(md5(array_to_string(t[u.i:u.i+2], ' ')), 1, 15) AS UBIGINT) AS BIGINT) AS h
+       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+       |fam AS (
+       |  SELECT k,
+       |         CAST((CAST('0x'||substring(md5('a:'||k),1,15) AS UBIGINT) % 2305843009213693950) + 1 AS HUGEINT) AS a,
+       |         CAST(CAST('0x'||substring(md5('b:'||k),1,15) AS UBIGINT) % 2305843009213693951 AS HUGEINT) AS b
+       |  FROM UNNEST(generate_series(0, 63)) AS g(k)),
+       |sig AS (
+       |  SELECT doc_id, k, min(CAST((a * h + b) % 2305843009213693951 AS BIGINT)) AS m
+       |  FROM sh CROSS JOIN fam GROUP BY doc_id, k),
+       |sigs AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM sig GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sig, array_to_string(sig[b*4+1:b*4+4], ',') || ',' || b AS bk
+       |  FROM sigs, UNNEST(generate_series(0, 15)) AS gb(b)),
+       |ok AS (SELECT bk FROM banded GROUP BY bk HAVING count(*) > 1 AND count(*) <= 1000),
+       |inb AS (SELECT banded.* FROM banded JOIN ok USING (bk)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM inb a JOIN inb b USING (bk) WHERE a.doc_id < b.doc_id)
+       |SELECT DISTINCT id_a, id_b,
+       |       len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 AS est_jaccard
+       |FROM pairs
+       |WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5""".stripMargin) {
+    (s, dir) =>
+      Dedup.minhashCandidates(docsWithVariants(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5,
+        portable = true)
   }
 
-  val dedupSimhash = qRowsOnly("x_dedup_simhash") { (s, dir) =>
-    Dedup.simhashPairs(docsWithVariants(s, dir), "doc_id", "text", maxHamming = 3)
+  /** SimHash near-dup pairs with PORTABLE token hashes (60-bit md5
+    * prefix — signature bits 60..63 vote to 0 identically on every
+    * engine): the oracle replays token hashing, the ±1 bit votes, the
+    * 16-bit pigeonhole blocks with their hot-bucket cap, and the exact
+    * hamming epilogue. The XXH64 form stays the throughput default
+    * under its recall gate.
+    */
+  val dedupSimhash = q("x_dedup_simhash",
+    s"""WITH corpus AS (SELECT doc_id, text FROM $docsWithVariantsSql),
+       |tok AS (
+       |  SELECT doc_id, u.t AS t FROM (
+       |    SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS ts
+       |    FROM corpus), UNNEST(ts) AS u(t)),
+       |th AS (SELECT doc_id, CAST(CAST('0x'||substring(md5(t),1,15) AS UBIGINT) AS BIGINT) AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, UNNEST(generate_series(0, 59)) AS g(b) GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+       |  FROM votes GROUP BY doc_id),
+       |blocked AS (
+       |  SELECT doc_id, sh, blk, (sh >> (blk * 16)) & 65535 AS bv
+       |  FROM sig, UNNEST(generate_series(0, 3)) AS gb(blk)),
+       |ok AS (SELECT blk, bv FROM blocked GROUP BY blk, bv HAVING count(*) > 1 AND count(*) <= 1000),
+       |inb AS (SELECT blocked.* FROM blocked JOIN ok USING (blk, bv)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh)) AS hamming
+       |  FROM inb a JOIN inb b USING (blk, bv) WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, min(hamming) AS hamming FROM pairs
+       |WHERE hamming <= 3 GROUP BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.simhashPairs(docsWithVariants(s, dir), "doc_id", "text",
+      maxHamming = 3, portable = true)
   }
 
   /** Oracle mirrors the operator's document-frequency cap (shingles with
@@ -665,13 +770,43 @@ object ExtensionQueries {
   }
 
   /** Embedding near-dup with LSH hyperplane blocking instead of labels —
-    * the unlabeled-corpus scale path (rows-only: bucket boundaries are
-    * algorithm-specific). Variants are exact scalings so every (orig,
-    * variant) pair shares all sign bits and must be found.
+    * the unlabeled-corpus scale path, now with the PORTABLE bucket
+    * ([[graft.ext.Similarity.hyperplaneBucketPortable]]): md5-derived
+    * integer hyperplanes against the 1e-6-quantized vector, sign bits
+    * from exact 64-bit integer dot products — no float accumulation
+    * order anywhere in the blocking, so the oracle replays bucket
+    * assignment, the block-size cap, and the rounded-cosine epilogue
+    * (the same `list_cosine_similarity` discipline `x_dedup_embcos`
+    * already hash-matches). The gaussian-plane float form keeps its
+    * recall gate.
     */
-  val dedupEmbLsh = qRowsOnly("x_dedup_embcos_lsh") { (s, dir) =>
+  val dedupEmbLsh = q("x_dedup_embcos_lsh",
+    s"""WITH e AS (SELECT vec_id, embedding FROM $embWithVariantsSql),
+       |q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM e),
+       |plane AS (
+       |  SELECT k, j,
+       |         (CAST(CAST('0x'||substring(md5('hp:'||k||':'||j),1,15) AS UBIGINT) AS BIGINT) % 2001) - 1000 AS w
+       |  FROM UNNEST(generate_series(0, 7)) AS gk(k), UNNEST(generate_series(0, 63)) AS gj(j)),
+       |dots AS (
+       |  SELECT vec_id, k, sum(qv[j + 1] * w) AS dot
+       |  FROM q, plane GROUP BY vec_id, k),
+       |bkt AS (
+       |  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM e JOIN bkt b USING (vec_id)),
+       |ok AS (SELECT bucket FROM eb GROUP BY bucket HAVING count(*) > 1 AND count(*) <= 10000),
+       |g AS (SELECT eb.* FROM eb JOIN ok USING (bucket))
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |             CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+       |FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |            CAST(b.embedding AS DOUBLE[])), 4) >= 0.99""".stripMargin) { (s, dir) =>
     val withBucket = embWithVariants(s, dir)
-      .withColumn("bucket", graft.ext.Similarity.hyperplaneBucket(col("embedding"), dim = 64))
+      .withColumn("bucket",
+        graft.ext.Similarity.hyperplaneBucketPortable(col("embedding"), dim = 64))
     Dedup.embeddingCosinePairs(withBucket, "vec_id", "embedding", "bucket", threshold = 0.99)
   }
 
@@ -2211,9 +2346,7 @@ object ExtensionQueries {
     val store = minhashStreamStore(s, dir)
     val streamed = graft.streaming.DocStreams.readPairs(s, store)
     val comps = graft.ext.IncrementalComponents.read(s, s"$store/comps")
-    val nodes = streamed.select(col("id_a").as("id"))
-      .unionByName(streamed.select(col("id_b").as("id"))).distinct()
-    val batch = Dedup.connectedComponents(nodes, "id", streamed)
+    val batch = batchComponentsRef(s, dir, streamed)
       .withColumnRenamed("component", "__bc")
     comps.join(batch, Seq("id"), "full")
       .agg((count(lit(1)) === count(col("component")) &&

@@ -169,22 +169,30 @@ object ScaleQueries {
   /** Cross-system reconciliation manifest — the data-contract check two
     * engines run independently and compare: per event_type, the row
     * count and an order-independent content checksum (sum of md5-prefix
-    * integers over the business key). One partial-aggregated pass;
-    * engine-portable arithmetic, so the DuckDB replay must produce the
-    * IDENTICAL manifest — which is exactly the property that makes it a
-    * reconciliation tool.
+    * integers over the business key). One partial-aggregated pass.
+    *
+    * The checksum accumulates as decimal(38,0) — each term is < 2^32,
+    * so a 64-bit sum would silently wrap somewhere past ~4 billion rows
+    * per event_type, i.e. exactly at the cross-system-reconciliation
+    * scale where the manifest matters; 38 digits cannot overflow before
+    * ~10^28 rows — and is SERIALIZED AS A DECIMAL STRING: integer-width
+    * ladders differ per engine (DuckDB's sum(UBIGINT) is HUGEINT, which
+    * pandas then degrades to float64), and the r11 driver run proved
+    * that a manifest published in a width-dependent type hash-diverges
+    * even when every value is equal. Digits are engine-invariant;
+    * that invariance is the whole point of a reconciliation artifact.
     */
   val reconcileChecksum = q("x_reconcile_checksum",
     """SELECT event_type, count(*) AS n_rows,
-      |       sum(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' ||
-      |           CAST(user_id AS VARCHAR)), 1, 8) AS UBIGINT)) AS checksum
+      |       CAST(sum(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' ||
+      |           CAST(user_id AS VARCHAR)), 1, 8) AS UBIGINT)) AS VARCHAR) AS checksum
       |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         sum(conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
-          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"))
-          .as("checksum"))
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("decimal(38,0)"))
+          .cast("string").as("checksum"))
   }
 
   val all: Seq[QueryDef] =

@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Joins, Scd2, Graph, Similarity}
+
+/** Dev probe for the VOLUME behavior of the newest shuffle-heavy
+  * operators (SkewSpec covers skew, not volume): unions the sf corpus
+  * `mult`× with salted ids, runs each operator once at 1× and once at
+  * mult×, and prints wall/CPU per run so BENCH_NOTES can record observed
+  * scaling. Also A/Bs the portable (md5/affine) sketch family against
+  * the default XXH64 family on the three queries that switched, since
+  * the portable family's cost is the price of their hash-match.
+  *
+  * Usage: runMain graft.tools.ScaleProbe <sfDir> [mult]
+  */
+object ScaleProbe {
+  private def cpuMs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime / 1000000L
+
+  private def time(name: String)(f: => Long): Unit = {
+    val c0 = cpuMs(); val t0 = System.nanoTime()
+    val rows = f
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpu = (cpuMs() - c0) / 1e3
+    println(f"""{"probe":"$name","wall_s":$wall%.2f,"cpu_s":$cpu%.2f,"rows":$rows}""")
+  }
+
+  /** `mult` shifted copies: ids salted into disjoint ranges so volume
+    * grows mult× while per-key density (the skew profile) is preserved.
+    */
+  private def fan(df: DataFrame, idCols: Seq[String], mult: Int): DataFrame =
+    (0 until mult).map { i =>
+      idCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = true)
+    val events = Tables.events(spark, sfDir).localCheckpoint(eager = true)
+
+    for (m <- Seq(1, mult)) {
+      val d = (if (m == 1) docs else fan(docs, Seq("doc_id"), m))
+        .localCheckpoint(eager = true)
+      val e = (if (m == 1) events
+               else fan(events, Seq("event_id", "user_id"), m))
+        .localCheckpoint(eager = true)
+
+      // PPJoin set-similarity self-join over a %8 slice (the gate shape)
+      time(s"setsim_join_x$m") {
+        Joins.setSimJoin(
+          d.filter(pmod(col("doc_id"), lit(8)) === 0)
+            .select(col("doc_id"), split(col("text"), " ").as("toks")),
+          "doc_id", "toks", minJaccard = 0.8).count()
+      }
+      // SCD2 history build over the event stream as change records
+      time(s"scd2_x$m") {
+        Scd2.intervals(
+          e.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          "user_id", "ts", "event_id", "event_type").count()
+      }
+      // PageRank over the user co-occurrence-ish edge list
+      time(s"pagerank_x$m") {
+        val edges = e.select(col("user_id").as("src"),
+            (pmod(col("event_id"), lit(997))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        Graph.pageRank(edges, "src", "dst", iters = 3).count()
+      }
+      // span dedup census + spans over the copies corpus
+      time(s"dedup_spans_x$m") {
+        val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text")))
+        Dedup.duplicatedSpans(corpus, "doc_id", "text").count()
+      }
+    }
+
+    // ---- portable vs XXH64 family A/B (1× corpus, gate shapes) ----
+    val variants = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzvariant")).as("text")))
+      .localCheckpoint(eager = true)
+    for (portable <- Seq(false, true)) {
+      val tag = if (portable) "portable" else "xxh64"
+      time(s"minhash_$tag") {
+        Dedup.minhashCandidates(variants, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5,
+          portable = portable).count()
+      }
+      time(s"simhash_$tag") {
+        Dedup.simhashPairs(variants, "doc_id", "text", maxHamming = 3,
+          portable = portable).count()
+      }
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(eager = true)
+    time("emblsh_gaussian") {
+      Dedup.embeddingCosinePairs(emb.withColumn("bucket",
+          Similarity.hyperplaneBucket(col("embedding"), dim = 64)),
+        "vec_id", "embedding", "bucket", threshold = 0.99).count()
+    }
+    time("emblsh_portable") {
+      Dedup.embeddingCosinePairs(emb.withColumn("bucket",
+          Similarity.hyperplaneBucketPortable(col("embedding"), dim = 64)),
+        "vec_id", "embedding", "bucket", threshold = 0.99).count()
+    }
+    spark.stop()
+  }
+}

@@ -91,6 +91,41 @@ class PcaPqSpec extends SparkSpec {
       served2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
   }
 
+  test("generic deleteIds on a pcapq ROOT routes to the nested pq liveness") {
+    val c = corpus(16)
+    val dir = tmpDir("pcapqdel")
+    AnnIndex.buildPcaPq(c, "vec_id", "embedding", dir, dim = 16, m = 4,
+      ksub = 16, iters = 1)
+    // the any-layout entry point, aimed at the ROOT — before the layout
+    // routing this wrote root tombstones nothing ever subtracted and the
+    // deleted rows kept being served
+    AnnIndex.deleteIds(spark, dir, c.filter($"vec_id".isin(7, 9)), "vec_id")
+    val servedIds = AnnIndex.pcaPqTopK(spark, dir,
+        c.filter($"vec_id" < 2), "vec_id", "embedding", 16)
+      .select(col("neighbor_id")).distinct().as[Long].collect().toSet
+    servedIds should not contain 7L
+    servedIds should not contain 9L
+    // the tombstones landed where the query path reads liveness
+    AnnIndex.tombstoneDebt(spark, s"$dir/pq") should be > 0.0
+    new java.io.File(s"$dir/tombstones").exists() shouldBe false
+  }
+
+  test("pcaRotation refuses short or null-holed training vectors loudly") {
+    val good = corpus(20)
+    val bad = good.unionByName(
+      Seq((99L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaRotation(bad, "vec_id", "embedding", dim = 16)
+    }
+    e.getMessage should include("99")
+    val holed = good.select(col("vec_id"),
+      transform(col("embedding"),
+        x => when(col("vec_id") === 3L, lit(null)).otherwise(x)).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.pcaRotation(holed, "vec_id", "embedding", dim = 16)
+    }.getMessage should include("non-null")
+  }
+
   test("append through the rotation equals one-shot build (frozen rotation + codebooks)") {
     val c = corpus(24, seed = 9)
     val dir = tmpDir("pcapqapp")
