@@ -285,11 +285,14 @@ object AnnIndex {
     *
     * `where` is FILTERED SEARCH (the production "ANN + metadata
     * predicate" shape): a predicate over the stored vector-table columns
-    * (`__id`, `__vec`) applied INSIDE the pruned scan — it composes with
-    * the partition filter and reaches the parquet reader as a pushed
-    * filter, so the result is the exact top-k of the probed ∩ predicate
-    * corpus (pre-scoring restriction — never the under-filled k that
-    * post-filtering a top-k list yields).
+    * (`__id`, `__vec`) applied INSIDE the pruned scan, before any score
+    * is computed or joined — so the result is the exact top-k of the
+    * probed ∩ predicate corpus (never the under-filled k that
+    * post-filtering a top-k list yields). Pushable predicates
+    * (comparisons/IN/null tests on stored columns) additionally reach
+    * the parquet reader as PushedFilters; expression predicates (pmod,
+    * arithmetic) evaluate in the scan's filter operator — still
+    * pre-join, still pre-scoring.
     */
   def ivfTopK(spark: SparkSession, index: IvfIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,

@@ -85,6 +85,9 @@ object Sketch {
     import org.apache.spark.sql.expressions.Window
     val h = df.select(col(groupCol),
         PortableHash.md5Prefix15(valueCol).as("__h"))
+      // null values carry no distinct identity — and a null hash would
+      // sort FIRST and silently shift the k-th order statistic
+      .filter(col("__h").isNotNull)
       .distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
     h.withColumn("__rn", row_number().over(w))

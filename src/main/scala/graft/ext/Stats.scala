@@ -168,15 +168,17 @@ object Stats {
     val counts = side(ref, 1, 0).unionByName(side(cur, 0, 1))
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
+    // distinct names from the per-bin counts: the analyzer resolves
+    // case-insensitively, so __Nr would collide with __nr
     val totals = counts.groupBy(col("__g"))
-      .agg(sum(col("__nr")).as("__Nr"), sum(col("__nc")).as("__Nc"))
-    val p = (col("__nr") + eps) / (col("__Nr") + eps * bins)
-    val q = (col("__nc") + eps) / (col("__Nc") + eps * bins)
+      .agg(sum(col("__nr")).as("__tr"), sum(col("__nc")).as("__tc"))
+    val p = (col("__nr") + eps) / (col("__tr") + eps * bins)
+    val q = (col("__nc") + eps) / (col("__tc") + eps * bins)
     counts.join(broadcast(totals), Seq("__g"))
-      .select(col("__g"), col("__Nr"), col("__Nc"),
+      .select(col("__g"), col("__tr"), col("__tc"),
         ((p - q) * log(p / q)).as("__t"))
       .groupBy(col("__g"))
-      .agg(first(col("__Nr")).as("n_ref"), first(col("__Nc")).as("n_cur"),
+      .agg(first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"),
         round(sum(col("__t")), 6).as("psi"))
       .withColumnRenamed("__g", groupCol)
   }

@@ -150,6 +150,31 @@ class PlanAssertionsSpec extends SparkSpec {
       corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1))
   }
 
+  test("filtered ivf search: the metadata predicate evaluates at the pruned scan, before the score join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/fivf"
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.ext.AnnIndex.buildIvf(corpus, "vec_id", "embedding", dir,
+      nlist = 4, iters = 1)
+    val index = graft.ext.AnnIndex.readIvf(spark, dir)
+    val out = graft.ext.AnnIndex.ivfTopK(spark, index,
+      corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1,
+      where = pmod(col("__id"), lit(2)) === 0)
+    assertPrunedAnnPlan(out) // partition filter + no sort-merge still hold
+    // the predicate sits DIRECTLY over (or inside) the index scan — the
+    // scan subtree, not the post-join stream, evaluates it
+    val nodes = allNodes(finalPlan(out))
+    val preJoin = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("pmod") &&
+          allNodes(f).exists(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) => f
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.dataFilters.map(_.toString).mkString.contains("pmod") => s
+    }
+    preJoin should not be empty
+  }
+
   test("refined ivf-pq query path: BOTH index scans are partition-pruned, no corpus shuffle join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpqr"
     val corpus = (0 until 64).map(i =>
