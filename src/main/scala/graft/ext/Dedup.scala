@@ -177,6 +177,66 @@ object Dedup {
             else round(first(col("est_jaccard")), 4)).as("est_jaccard"))
   }
 
+  /** Cross-corpus near-duplicate JOIN — dedupe an INCOMING batch against
+    * an EXISTING corpus (the "new crawl vs what we already hold" shape,
+    * run before admission so the store never accumulates near-copies):
+    * MinHash signatures on both sides from the same family, LSH banding
+    * on both, candidates from the band-key equi-join LEFT × RIGHT only
+    * (within-side duplication is [[minhashCandidates]]' job — a batch is
+    * typically self-deduped first), estimated-jaccard epilogue. Id
+    * spaces may overlap freely: output pairs are (left, right) roles,
+    * not an ordered self-join.
+    *
+    * The hot-bucket cap reads the COMBINED bucket population (a
+    * boilerplate band key is pathological regardless of which side
+    * floods it); a capped bucket drops whole, same judgment as the
+    * self-join. Scale shape identical too: one shuffle per side keyed
+    * on band keys, join fan-out bounded by cap² per bucket — the
+    * incoming batch is usually the small side and its banded rows
+    * broadcast under AQE when they fit.
+    *
+    * Output: (`left_id`, `right_id`, `est_jaccard`).
+    */
+  def minhashJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000,
+      portable: Boolean = false,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sl = minhashSignatures(left, idCol, textCol, numHashes, shingleSize,
+      portable).localCheckpoint(eager = true)
+    val sr = minhashSignatures(right, idCol, textCol, numHashes, shingleSize,
+      portable).localCheckpoint(eager = true)
+    val bl = minhashBanded(sl, numHashes, bands, portable)
+    val br = minhashBanded(sr, numHashes, bands, portable)
+    val sizes = bl.select(col("__band"), col("__bh"))
+      .unionByName(br.select(col("__band"), col("__bh")))
+      .groupBy(col("__band"), col("__bh"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucketSize)
+      .select(col("__band"), col("__bh"))
+    val a = bl.join(sizes, Seq("__band", "__bh"))
+      .select(col("__band"), col("__bh"), col("__id").as("left_id"),
+        col("__sig").as("__sa"))
+    val b = br.join(sizes, Seq("__band", "__bh"))
+      .select(col("__band"), col("__bh"), col("__id").as("right_id"),
+        col("__sig").as("__sb"))
+    a.join(b, Seq("__band", "__bh"))
+      .select(col("left_id"), col("right_id"),
+        estJaccard(col("__sa"), col("__sb"), numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .groupBy(col("left_id"), col("right_id"))
+      .agg((if (portable) first(col("est_jaccard"))
+            else round(first(col("est_jaccard")), 4)).as("est_jaccard"))
+  }
+
   // ----------------------------------------------------- exact jaccard
   /** Exact word-n-gram Jaccard similarity for all pairs sharing ≥ 1
     * shingle, thresholded. Intersections computed by explode + equi-join

@@ -100,7 +100,19 @@ object Similarity {
     * quantization noise of a hyperplane — the same measure-zero band
     * where the float form is itself seed-arbitrary.
     */
-  def hyperplaneBucketPortable(vec: Column, dim: Int, nBits: Int = 8): Column = {
+  def hyperplaneBucketPortable(vec: Column, dim: Int, nBits: Int = 8): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.PortableHyperplaneBucket(
+        org.apache.spark.sql.GraftSqlBridge.expression(vec), dim, nBits))
+
+  /** The declarative reference of [[hyperplaneBucketPortable]] — kept as
+    * the spec's independent pin of the native expression (and as the
+    * readable statement of the arithmetic the DuckDB oracle replays).
+    * Interpreted HOFs re-walk the vector per plane; use the native form
+    * on hot paths.
+    */
+  private[ext] def hyperplaneBucketPortableRef(vec: Column, dim: Int,
+      nBits: Int = 8): Column = {
     val q = transform(vec, x => round(x.cast("double") * lit(1e6)).cast("long"))
     // bind the quantized vector as a lambda variable so it evaluates once
     // per row, not once per plane (the shingles() binding trick)

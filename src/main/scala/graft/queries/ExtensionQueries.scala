@@ -566,29 +566,46 @@ object ExtensionQueries {
     * keeps its own recall gate below). est_jaccard values are exact
     * binary rationals k/64 — bit-identical on both engines unrounded.
     */
-  val dedupMinhash = q("x_dedup_minhash",
-    s"""WITH corpus AS (SELECT doc_id, text FROM $docsWithVariantsSql),
-       |toks AS (
+  /** The portable affine family (a_k, b_k) as a CTE — regenerated
+    * inline by every minhash oracle, never pasted constants.
+    */
+  private val minhashFamSql =
+    """fam AS (
+      |  SELECT k,
+      |         CAST((CAST('0x'||substring(md5('a:'||k),1,15) AS UBIGINT) % 2305843009213693950) + 1 AS HUGEINT) AS a,
+      |         CAST(CAST('0x'||substring(md5('b:'||k),1,15) AS UBIGINT) % 2305843009213693951 AS HUGEINT) AS b
+      |  FROM UNNEST(generate_series(0, 63)) AS g(k))""".stripMargin
+
+  /** The portable minhash pipeline (tokenize → 3-shingle md5 hashes →
+    * 64-family affine minima → ordered signature → 16 string band keys)
+    * over the CTE named `corpus`, each stage prefixed `p` — the shared
+    * replay text of the self-join and cross-corpus oracles. Geometry
+    * literals (3-shingles via t[i:i+2], 64 hashes, 4-row bands) are the
+    * fixture parameters of both queries; change them together with the
+    * Scala calls or not at all.
+    */
+  private def minhashCteSql(p: String, corpus: String): String =
+    s"""${p}_toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
-       |  FROM corpus),
-       |sh AS (
+       |  FROM $corpus),
+       |${p}_sh AS (
        |  SELECT DISTINCT doc_id,
        |         CAST(CAST('0x' || substring(md5(array_to_string(t[u.i:u.i+2], ' ')), 1, 15) AS UBIGINT) AS BIGINT) AS h
-       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
-       |fam AS (
-       |  SELECT k,
-       |         CAST((CAST('0x'||substring(md5('a:'||k),1,15) AS UBIGINT) % 2305843009213693950) + 1 AS HUGEINT) AS a,
-       |         CAST(CAST('0x'||substring(md5('b:'||k),1,15) AS UBIGINT) % 2305843009213693951 AS HUGEINT) AS b
-       |  FROM UNNEST(generate_series(0, 63)) AS g(k)),
-       |sig AS (
+       |  FROM ${p}_toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+       |${p}_sig AS (
        |  SELECT doc_id, k, min(CAST((a * h + b) % 2305843009213693951 AS BIGINT)) AS m
-       |  FROM sh CROSS JOIN fam GROUP BY doc_id, k),
-       |sigs AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM sig GROUP BY doc_id),
-       |banded AS (
+       |  FROM ${p}_sh CROSS JOIN fam GROUP BY doc_id, k),
+       |${p}_sigs AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM ${p}_sig GROUP BY doc_id),
+       |${p}_banded AS (
        |  SELECT doc_id, sig, array_to_string(sig[b*4+1:b*4+4], ',') || ',' || b AS bk
-       |  FROM sigs, UNNEST(generate_series(0, 15)) AS gb(b)),
-       |ok AS (SELECT bk FROM banded GROUP BY bk HAVING count(*) > 1 AND count(*) <= 1000),
-       |inb AS (SELECT banded.* FROM banded JOIN ok USING (bk)),
+       |  FROM ${p}_sigs, UNNEST(generate_series(0, 15)) AS gb(b))""".stripMargin
+
+  val dedupMinhash = q("x_dedup_minhash",
+    s"""WITH corpus AS (SELECT doc_id, text FROM $docsWithVariantsSql),
+       |$minhashFamSql,
+       |${minhashCteSql("m", "corpus")},
+       |ok AS (SELECT bk FROM m_banded GROUP BY bk HAVING count(*) > 1 AND count(*) <= 1000),
+       |inb AS (SELECT m_banded.* FROM m_banded JOIN ok USING (bk)),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
        |  FROM inb a JOIN inb b USING (bk) WHERE a.doc_id < b.doc_id)
@@ -600,6 +617,45 @@ object ExtensionQueries {
       Dedup.minhashCandidates(docsWithVariants(s, dir), "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5,
         portable = true)
+  }
+
+  /** Cross-corpus admission dedup: an INCOMING batch (every 5th doc
+    * lightly edited + every 9th verbatim, under fresh ids) joined
+    * against the existing corpus via [[Dedup.minhashJoin]] — the
+    * "screen the new crawl against what we already hold" shape. The
+    * oracle replays BOTH sides' portable sketch pipelines and the
+    * combined-population bucket cap.
+    */
+  val dedupCross = q("x_dedup_cross",
+    s"""WITH $minhashFamSql,
+       |l_corpus AS (SELECT doc_id, text FROM documents),
+       |r_corpus AS (
+       |  SELECT doc_id + 200000 AS doc_id, text || ' zznew' AS text
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 9 = 0),
+       |${minhashCteSql("l", "l_corpus")},
+       |${minhashCteSql("r", "r_corpus")},
+       |sizes AS (
+       |  SELECT bk FROM (SELECT bk FROM l_banded UNION ALL SELECT bk FROM r_banded)
+       |  GROUP BY bk HAVING count(*) > 1 AND count(*) <= 1000),
+       |la AS (SELECT l_banded.* FROM l_banded JOIN sizes USING (bk)),
+       |rb AS (SELECT r_banded.* FROM r_banded JOIN sizes USING (bk)),
+       |pairs AS (
+       |  SELECT la.doc_id AS left_id, rb.doc_id AS right_id, la.sig AS sa, rb.sig AS sb
+       |  FROM la JOIN rb USING (bk))
+       |SELECT DISTINCT left_id, right_id,
+       |       len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 AS est_jaccard
+       |FROM pairs
+       |WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5""".stripMargin) {
+    (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zznew")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.minhashJoin(docs, incoming, "doc_id", "text", portable = true)
   }
 
   /** SimHash near-dup pairs with PORTABLE token hashes (60-bit md5
@@ -3443,7 +3499,7 @@ object ExtensionQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupResolve, dedupMinhash, dedupSimhash, dedupJaccard,
+    dedupExact, dedupResolve, dedupMinhash, dedupSimhash, dedupCross, dedupJaccard,
     dedupEmbCos, dedupEmbLsh, dedupSemantic,
     dedupComponents, dedupSpans, dedupSpanStats, dedupSpanRemove,
     knnBrute, knnBinary, knnIvf, knnPq, knnIvfPq, embCentroids, corpusClean,

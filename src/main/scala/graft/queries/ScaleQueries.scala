@@ -195,7 +195,69 @@ object ScaleQueries {
           .cast("string").as("checksum"))
   }
 
+  /** Z-order clustering summary: orders mapped onto a 10-bit × 10-bit
+    * Morton curve over (customer bucket, order-day bucket), then rolled
+    * up per coarse curve cell (z >> 12). The min/max spans per cell ARE
+    * the pruning statistics a z-clustered file layout gives every file:
+    * narrow on BOTH dimensions — which is what makes footer-stats
+    * pruning selective for predicates on either column. Bit
+    * interleaving is pure codegen'd shifts and replays in SQL as a bit
+    * sum ([[graft.ext.Layout.zOrder2]]); `LayoutSpec` covers the actual
+    * file rewrite + per-file span narrowing.
+    */
+  val zorderCluster = q("x_zorder_cluster",
+    """WITH d AS (
+      |  SELECT o_custkey % 1024 AS xd,
+      |         (CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 1024 AS yd
+      |  FROM orders),
+      |z AS (
+      |  SELECT xd, yd,
+      |         (SELECT CAST(sum((((xd >> b.b) & 1) << (2*b.b)) + (((yd >> b.b) & 1) << (2*b.b+1))) AS BIGINT)
+      |          FROM UNNEST(generate_series(0, 9)) AS b(b)) AS z
+      |  FROM d)
+      |SELECT z >> 12 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(xd) AS BIGINT) AS x_min, CAST(max(xd) AS BIGINT) AS x_max,
+      |       CAST(min(yd) AS BIGINT) AS y_min, CAST(max(yd) AS BIGINT) AS y_max
+      |FROM z GROUP BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir).select(
+      pmod(col("o_custkey"), lit(1024)).as("xd"),
+      pmod(datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1995-01-01"))),
+        lit(1024)).as("yd"))
+    o.select(col("xd"), col("yd"),
+        graft.ext.Layout.zOrder2(col("xd"), col("yd"), 10).as("z"))
+      .groupBy(shiftright(col("z"), 12).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xd")).cast("long").as("x_min"), max(col("xd")).cast("long").as("x_max"),
+        min(col("yd")).cast("long").as("y_min"), max(col("yd")).cast("long").as("y_max"))
+  }
+
+  /** Input prep (idempotent): documents deliberately shattered into 64
+    * small files, then compacted by the real operator. */
+  def stageCompacted(s: SparkSession, dir: String): String = {
+    val base = s"/tmp/graft_layout/${Staging.tag(dir)}"
+    val dst = s"$base/compacted"
+    if (!new java.io.File(s"$dst/_SUCCESS").exists()) {
+      val frag = s"$base/frag"
+      Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      graft.ext.Layout.compactParquet(s, frag, dst, targetBytes = 4L << 20)
+    }
+    dst
+  }
+
+  /** Small-file compaction roundtrip: the 64-way shattered documents
+    * table compacted to ~4 MB files by [[graft.ext.Layout.compactParquet]]
+    * must read back row-for-row identical to the source table (the
+    * oracle reads the ORIGINAL parquet — only the physical layout may
+    * change, never content). File-count/evenness mechanics are
+    * LayoutSpec's; this gate pins the part users can lose data on.
+    */
+  val layoutCompact = q("x_layout_compact",
+    "SELECT doc_id, text, source FROM documents") { (s, dir) =>
+    s.read.parquet(stageCompacted(s, dir))
+  }
+
   val all: Seq[QueryDef] =
     Seq(saltedJoin, saltedAgg, bucketedJoin, partitionedScan, jsonlRoundtrip,
-      orcRoundtrip, reconcileChecksum)
+      orcRoundtrip, reconcileChecksum, zorderCluster, layoutCompact)
 }

@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: z-order interleave + clustering locality,
+  * small-file compaction.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def morton(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map(b =>
+      (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).sum
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("zOrder2 matches the reference Morton interleave bit for bit") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (1023L, 1L),
+      (1023L, 1023L), (512L, 256L))
+    val got = cases.toDF("x", "y")
+      .select(Layout.zOrder2(col("x"), col("y"), 10).as("z"))
+      .as[Long].collect()
+    got.toSeq shouldBe cases.map { case (x, y) => morton(x, y, 10) }
+  }
+
+  test("z-clustered files have narrow spans on BOTH dimensions vs random layout") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 4096).map(_ =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)).toDF("x", "y")
+    val dst = tmp("graft_zorder")
+    Layout.clusterByZOrder(df, col("x"), col("y"), 10, dst, files = 16)
+    // per-FILE spans of each dimension, via the file the row came from
+    val spans = spark.read.parquet(dst)
+      .select(col("x"), col("y"),
+        element_at(split(input_file_name(), "/"), -1).as("f"))
+      .groupBy(col("f"))
+      .agg((max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .agg(avg(col("sx")).as("ax"), avg(col("sy")).as("ay"))
+      .head()
+    // a random 16-way split would span ~the full 0..1023 on both dims
+    // (expected ≈ 1017); contiguous z-ranges bound both well below half
+    spans.getAs[Double]("ax") should be < 512.0
+    spans.getAs[Double]("ay") should be < 512.0
+    // content preserved
+    spark.read.parquet(dst).count() shouldBe 4096
+  }
+
+  test("compactParquet merges small files evenly and preserves content") {
+    val df = (0 until 10000).map(i => (i.toLong, s"row $i payload")).toDF("id", "s")
+    val frag = tmp("graft_frag") + "/t"
+    df.repartition(64).write.parquet(frag)
+    val fragFiles = new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    fragFiles shouldBe 64
+    val dst = tmp("graft_compact") + "/t"
+    val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(frag))
+    val files = Layout.compactParquet(spark, frag, dst, targetBytes = bytes / 3)
+    // ceil(bytes / floor(bytes/3)) — 3, or 4 when the floor leaves a remainder
+    files should (be(3) or be(4))
+    val written = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    written.length shouldBe files
+    // even sizes: round-robin repartition — no file dominates
+    val sizes = written.map(_.length().toDouble)
+    (sizes.max / sizes.min) should be < 2.0
+    // content identical
+    spark.read.parquet(dst).as[(Long, String)].collect().sorted shouldBe
+      df.as[(Long, String)].collect().sorted
+  }
+}

@@ -91,6 +91,25 @@ class PortableHashSpec extends SparkSpec {
     pairs should contain((1L, 2L))
   }
 
+  test("minhashJoin finds cross-corpus near-dups and never pairs within a side") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight again"), // in-side dup of 1
+      (3L, "completely unrelated words about distributed query engines")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight again zznew"),
+      (11L, "fresh content sharing nothing with the existing corpus today")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashJoin(existing, incoming, "doc_id", "text",
+        minEstJaccard = 0.3, portable = true)
+      .select(col("left_id"), col("right_id")).as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 10L))
+    pairs should contain((2L, 10L))
+    // in-side duplication (1,2) is NOT this operator's output, and the
+    // unrelated incoming doc matches nothing
+    all(pairs.toSeq.map(_._2)) should be >= 10L
+    pairs.map(_._2) should not contain 11L
+  }
+
   test("portable hyperplane bucket groups an exact copy with its original") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.3).toFloat)
     val w = Array.tabulate(64)(i => (math.cos(i * 2 + 1) * 0.3).toFloat)
@@ -104,5 +123,26 @@ class PortableHashSpec extends SparkSpec {
     b(1L) shouldBe b(2L)
     b(1L) should be >= 0
     b(1L) should be < 256
+  }
+
+  test("native portable bucket equals the declarative reference; malformed vectors fail loudly") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 200).map(i =>
+        (i.toLong, Array.fill(64)((rnd.nextGaussian() * 0.4).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val both = df.select(
+        Similarity.hyperplaneBucketPortable(col("embedding"), dim = 64).as("a"),
+        Similarity.hyperplaneBucketPortableRef(col("embedding"), dim = 64).as("b"))
+      .as[(Int, Int)].collect()
+    all(both.toSeq.map(p => p._1 == p._2)) shouldBe true
+    both.map(_._1).distinct.length should be > 1 // planes actually split
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      short.select(Similarity.hyperplaneBucketPortable(col("embedding"), 64))
+        .collect()
+    }
+    e.getMessage should include("64")
   }
 }
