@@ -64,4 +64,16 @@ object Scd2 {
       .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
         col("n_rows"), col("is_current"))
   }
+
+  /** Point-in-time (time-travel) read of an [[intervals]] history: the
+    * one row per key whose half-open `[valid_from, valid_to)` interval
+    * contains `ts` — "what did the dimension say at T". Keys first
+    * observed after `ts` produce no row (they did not exist yet). A
+    * pushed-down filter over the history table — no join, no window;
+    * on a `valid_from`-partitioned history the scan prunes to the
+    * prefix ≤ T.
+    */
+  def asOf(intervals: DataFrame, ts: Column): DataFrame =
+    intervals.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || ts < col("valid_to")))
 }

@@ -79,6 +79,32 @@ object Sketch {
     *
     * Output: (`groupCol`, `est_distinct` double rounded 4dp).
     */
+  /** Hashing-trick featurizer (Weinberger et al. 2009): project an
+    * unbounded categorical feature space into `k` buckets with a signed
+    * hash — bucket = md5prefix(feature) mod k, sign from an INDEPENDENT
+    * md5 ("s:"+feature) so sign and bucket are uncorrelated and
+    * collisions cancel in expectation (the property that makes hashed
+    * features usable without a vocabulary). Engine-portable like every
+    * sketch here: a second engine rebuilds the identical feature
+    * vector, so train/serve skew between two stacks is a hash-match
+    * check, not a hope. Null features are dropped (no identity), null
+    * values contribute nothing.
+    *
+    * One counting pass, k-bounded output: (`bucket`, `weight` =
+    * Σ sign·value rounded 4dp, `n`).
+    */
+  def featureHash(df: DataFrame, featureCol: Column, valueCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val f = featureCol.cast("string")
+    df.filter(f.isNotNull && valueCol.isNotNull)
+      .select((PortableHash.md5Prefix15(f) % k).as("bucket"),
+        (when(PortableHash.md5Prefix15(concat(lit("s:"), f)) % 2 === 0, 1)
+          .otherwise(-1) * valueCol.cast("double")).as("__w"))
+      .groupBy(col("bucket"))
+      .agg(round(sum(col("__w")), 4).as("weight"), count(lit(1)).as("n"))
+  }
+
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: Column,
       k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2: $k")

@@ -2507,6 +2507,34 @@ object ExtensionQueries {
       "graft_stream_enriched")
   }
 
+  /** Streaming SKETCH maintenance through the real streaming path: CMS
+    * counter deltas appended exactly once per micro-batch over a
+    * 3-slice document spool ([[graft.streaming.DocStreams
+    * .runCmsAppendOnce]]). Counters are associative, so the summed
+    * delta store must equal the one-shot batch counters over the full
+    * corpus EXACTLY — integer cell-for-cell equality, no probabilistic
+    * band; a lost batch, double publish, or partial rename breaks it
+    * outright.
+    */
+  val streamFreqCms = q("x_stream_freq_cms",
+    "SELECT true AS stream_cms_ok") { (s, dir) =>
+    val spool = stageDocSpool(s, dir, nSlices = 3)
+    val store = s"/tmp/graft_stream_cms/${Staging.tag(dir)}_store"
+    graft.streaming.DocStreams.runCmsAppendOnce(s, spool, store,
+      depth = 4, width = 64)
+    val streamed = graft.streaming.DocStreams.readCmsCounters(s, store)
+    val batch = graft.ext.Sketch.cmsCounters(
+      docsWithVariants(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t")),
+      col("t"), depth = 4, width = 64)
+      .withColumnRenamed("n", "__bn")
+    streamed.join(batch, Seq("d", "b"), "full")
+      .agg((count(lit(1)) === count(col("n")) &&
+        count(lit(1)) === count(col("__bn")) &&
+        coalesce(max(when(col("n") =!= col("__bn"), 1).otherwise(0)) === 0,
+          lit(true))).as("stream_cms_ok"))
+  }
+
   /** AS-OF with a staleness cap: the point-in-time lookup refuses the
     * latest snapshot when it is older than the tolerance (feature-store
     * semantics — stale features are worse than missing ones). Oracle is
@@ -3520,7 +3548,7 @@ object ExtensionQueries {
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
     setSimJoin, classifyNb, scd2Intervals, mineHardNeg, textBigramPpl,
     streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,
-    streamDedupSimhash, streamDedupComponents, streamKnnAppend,
+    streamDedupSimhash, streamDedupComponents, streamKnnAppend, streamFreqCms,
     streamTextAppend,
     streamStaticJoin, sessionize,
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,

@@ -191,6 +191,127 @@ object QualityQueries {
         "vec_id", "embedding", 5)
   }
 
+  /** Exact triangle count over a deterministic unipartite projection of
+    * the event log (user ids and event-id buckets share the 0..149 id
+    * space, so triangles exist) — the compact-forward degree-ordered
+    * orientation: the wedge join fans out by ORIENTED degree, so hubs
+    * never explode it. Oracle replays simplification, degrees, the
+    * packed (degree·2^32 + id) orientation key, wedges and closure.
+    */
+  val triangleCount = q("x_triangle_count",
+    """WITH g AS (SELECT user_id AS u, event_id % 150 AS v FROM events),
+      |raw AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      |        FROM g WHERE u <> v AND u IS NOT NULL AND v IS NOT NULL),
+      |deg AS (SELECT n, count(*) AS c
+      |        FROM (SELECT a AS n FROM raw UNION ALL SELECT b FROM raw)
+      |        GROUP BY 1),
+      |keyed AS (
+      |  SELECT a, b, da.c * 4294967296 + a AS ka, db.c * 4294967296 + b AS kb
+      |  FROM raw JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+      |e AS (SELECT CASE WHEN ka < kb THEN a ELSE b END AS s,
+      |             CASE WHEN ka < kb THEN b ELSE a END AS d,
+      |             greatest(ka, kb) AS kd
+      |      FROM keyed),
+      |w AS (SELECT e1.d AS d1, e2.d AS d2
+      |      FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.kd < e2.kd)
+      |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM w JOIN e ON e.s = w.d1 AND e.d = w.d2""".stripMargin) { (s, dir) =>
+    graft.ext.Graph.triangleCount(
+      Tables.events(s, dir).select(col("user_id").as("u"),
+        pmod(col("event_id"), lit(150)).as("v")), "u", "v")
+  }
+
+  /** Point-in-time dimension read: the SCD2 history of x_scd2 queried
+    * as of 2024-01-10 — each user's state row whose [valid_from,
+    * valid_to) interval contains T; users first seen after T are
+    * absent. One pushed filter over the history, no join.
+    */
+  val scd2AsOf = q("x_scd2_asof",
+    """WITH o AS (SELECT user_id, ts, event_id, event_type,
+      |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |           FROM events),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg
+      |      FROM o),
+      |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS run FROM f),
+      |runs AS (SELECT user_id, run, min(event_type) AS event_type,
+      |                min(ts) AS valid_from, count(*) AS n_rows
+      |         FROM g GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT user_id, event_type, valid_from,
+      |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+      |         n_rows
+      |  FROM runs)
+      |SELECT user_id, event_type, valid_from, valid_to, n_rows
+      |FROM hist
+      |WHERE valid_from <= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND (valid_to IS NULL OR TIMESTAMP '2024-01-10 00:00:00' < valid_to)""".stripMargin) {
+    (s, dir) =>
+      val hist = graft.ext.Scd2.intervals(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+        "user_id", "ts", "event_id", "event_type")
+      graft.ext.Scd2.asOf(hist,
+          lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+        .drop("is_current")
+  }
+
+  /** Ordered funnel view → click → purchase over the FIRST 36 HOURS
+    * of the event stream (the full month saturates: every user
+    * eventually does everything; the narrow window leaves a real
+    * 72 → 30 → 8-shaped funnel so the strictly-after chaining is
+    * exercised, not just membership). Each stage is reached strictly
+    * after the user's previous-stage moment. Timestamps are unique in
+    * this corpus, so the oracle's min(ts) chain replays the operator's
+    * (ts, tie) order exactly.
+    */
+  val funnel = q("x_funnel",
+    """WITH ew AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00'),
+      |v AS (SELECT user_id, min(ts) AS t FROM ew WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t
+      |      FROM ew e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t
+      |      FROM ew e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+      |SELECT 0 AS stage_index, 'view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      |UNION ALL
+      |SELECT 1, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+      |UNION ALL
+      |SELECT 2, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)""".stripMargin) {
+    (s, dir) =>
+      graft.ext.Funnel.funnelCounts(
+        Tables.events(s, dir)
+          .filter(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 12:00:00"))),
+        "user_id", "ts", "event_id", Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+  }
+
+  /** Hashing-trick feature vector over (event_type × integer value
+    * bin) — the no-vocabulary featurizer; signed buckets so collisions
+    * cancel in expectation. The full k-bucket vector hash-matches the
+    * replay, which is exactly the train/serve-skew check two stacks
+    * would run.
+    */
+  val featureHash = q("x_feature_hash",
+    """WITH f AS (
+      |  SELECT event_type || ':' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS feat, value
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |h AS (
+      |  SELECT CAST(CAST('0x' || substring(md5(feat), 1, 15) AS UBIGINT) AS BIGINT) % 32 AS bucket,
+      |         CASE WHEN CAST(CAST('0x' || substring(md5('s:' || feat), 1, 15) AS UBIGINT) AS BIGINT) % 2 = 0
+      |              THEN 1 ELSE -1 END * value AS w
+      |  FROM f)
+      |SELECT bucket, round(sum(w), 4) AS weight, CAST(count(*) AS BIGINT) AS n
+      |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
+    Sketch.featureHash(Tables.events(s, dir),
+      concat(col("event_type"), lit(":"),
+        floor(col("value")).cast("long").cast("string")),
+      col("value"), 32)
+  }
+
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, dqExpectations,
-    knnFiltered, knnMrl)
+    knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash)
 }

@@ -636,4 +636,83 @@ object DocStreams {
     Hfs.delete(spark, staged)
     Hfs.touch(spark, s"$indexDir/_batch_$batchId")
   }
+
+  /** Streaming SKETCH maintenance: count-min counter DELTAS appended
+    * exactly once per document micro-batch. Counters are associative
+    * (the CMS is a sum of per-row one-hot increments), so an
+    * append-only delta store summed at read time equals the one-shot
+    * batch counters EXACTLY — integer equality, no band; that is the
+    * `x_stream_freq_cms` gate. Deltas are depth×width-bounded per
+    * batch, so the store grows by a few KB per micro-batch regardless
+    * of batch size and [[readCmsCounters]] is a counters-sized
+    * aggregate; compact by rewriting the summed table whenever file
+    * count matters (same judgment as every delta store here).
+    *
+    * Exactly-once: per batch — skip if `_batch_<id>` marker exists;
+    * else write the delta to a stage dir, sweep any partial previous
+    * publish of THIS batch id, deterministic renames into
+    * `deltas/b<id>-<i>.parquet`, then the marker. A crash at any point
+    * replays to the same store (the crash-replay spec walks the
+    * states). The store is DELETED at run start: a run owns its
+    * history ([[graft.streaming.EventStreams.runUpsertOnce]]'s
+    * contract), so markers never face a foreign checkpoint.
+    */
+  def runCmsAppendOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      storeDir: String,
+      depth: Int,
+      width: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): Unit = {
+    import graft.util.Hfs
+    Hfs.delete(spark, storeDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema(s"$idCol long, $textCol string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!Hfs.exists(spark, s"$storeDir/_batch_$batchId"))
+            appendCmsBatchExactlyOnce(spark, storeDir, batch.toDF(), batchId,
+              depth, width, textCol)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  private[streaming] def appendCmsBatchExactlyOnce(spark: SparkSession,
+      storeDir: String, batch: DataFrame, batchId: Long,
+      depth: Int, width: Int, textCol: String): Unit = {
+    import graft.util.Hfs
+    val delta = graft.ext.Sketch.cmsCounters(
+      batch.select(explode(graft.ext.TextAnalysis.tokens(col(textCol)))
+        .as("__t")),
+      col("__t"), depth, width)
+    val stage = s"$storeDir/_stage_$batchId"
+    delta.coalesce(1).write.mode("overwrite").parquet(stage)
+    val live = s"$storeDir/deltas"
+    Hfs.mkdirs(spark, live)
+    // replay-sweep THIS batch's partial publish, then deterministic names
+    Hfs.list(spark, live).filter(_.startsWith(s"b$batchId-"))
+      .foreach(f => Hfs.delete(spark, s"$live/$f"))
+    Hfs.list(spark, stage).filter(_.startsWith("part-")).sorted.zipWithIndex
+      .foreach { case (f, i) =>
+        if (!Hfs.rename(spark, s"$stage/$f", s"$live/b$batchId-$i.parquet"))
+          throw new IllegalStateException(s"cms publish rename failed: $stage/$f")
+      }
+    Hfs.delete(spark, stage)
+    Hfs.touch(spark, s"$storeDir/_batch_$batchId")
+  }
+
+  /** The live counter table of a [[runCmsAppendOnce]] store: deltas
+    * summed — (`d`, `b`, `n`), at most depth×width rows.
+    */
+  def readCmsCounters(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/deltas")
+      .groupBy(col("d"), col("b")).agg(sum(col("n")).as("n"))
 }

@@ -60,6 +60,73 @@ class QualityOpsSpec extends SparkSpec {
     r.getAs[Boolean]("pass") shouldBe false
   }
 
+  test("triangleCount: known graphs, duplicate/reversed/self edges simplified away") {
+    // K4 has 4 triangles; a pendant edge adds none
+    val k4 = for (i <- 0 to 3; j <- 0 to 3 if i != j) yield (i.toLong, j.toLong)
+    val edges = (k4 :+ (3L, 9L) :+ (9L, 3L) :+ (5L, 5L)).toDF("u", "v")
+    Graph.triangleCount(edges, "u", "v")
+      .head().getAs[Long]("n_triangles") shouldBe 4L
+    // a pure star (hub) has zero triangles — and the oriented join must
+    // not explode on the hub either (all edges orient INTO it)
+    val star = (1 to 50).map(i => (0L, i.toLong)).toDF("u", "v")
+    Graph.triangleCount(star, "u", "v")
+      .head().getAs[Long]("n_triangles") shouldBe 0L
+  }
+
+  test("funnelCounts: strictly-after chaining, ties resolved by the tie column") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      // u1 completes in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "buy"),
+      // u2 clicks BEFORE viewing — click must not count
+      (2L, ts("2024-01-01 09:00:00"), 4L, "click"),
+      (2L, ts("2024-01-01 09:30:00"), 5L, "view"),
+      // u3: view and click share a timestamp; tie order (event_id) puts
+      // the click after the view, so it counts
+      (3L, ts("2024-01-01 08:00:00"), 6L, "view"),
+      (3L, ts("2024-01-01 08:00:00"), 7L, "click"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.funnelCounts(events, "user_id", "ts", "event_id", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "buy" -> (col("event_type") === "buy")))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    got shouldBe Map("view" -> 3L, "click" -> 2L, "buy" -> 1L)
+  }
+
+  test("scd2 asOf returns exactly the interval containing T, none for later keys") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-05 00:00:00"), 2L, "b"),
+      (2L, ts("2024-01-09 00:00:00"), 3L, "x"), // first seen after T
+    ).toDF("k", "ts", "tie", "attr")
+    val hist = Scd2.intervals(obs, "k", "ts", "tie", "attr")
+    val at = Scd2.asOf(hist, lit(ts("2024-01-03 00:00:00")))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("attr")).toMap
+    at shouldBe Map(1L -> "a")
+    // on the boundary: half-open [from, to) — the NEW run owns its from
+    Scd2.asOf(hist, lit(ts("2024-01-05 00:00:00")))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("attr"))
+      .toMap shouldBe Map(1L -> "b")
+  }
+
+  test("featureHash: k-bounded output, same feature always lands together, nulls dropped") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), (null, 9.0))
+      .toDF("f", "v")
+    val out = Sketch.featureHash(df, col("f"), col("v"), 8).collect()
+    out.map(_.getAs[Long]("bucket")).foreach { b =>
+      b should be >= 0L; b should be < 8L
+    }
+    out.map(_.getAs[Long]("n")).sum shouldBe 3L // null feature dropped
+    // both 'a' rows share one bucket with |weight| = 3 (same sign)
+    val aBucket = PortableHash.md5Prefix15("a") % 8
+    val aRow = out.find(_.getAs[Long]("bucket") == aBucket).get
+    math.abs(aRow.getAs[Double]("weight")) shouldBe 3.0 +- 1e-9
+  }
+
   test("filtered ivfTopK equals brute force over the predicate-filtered corpus") {
     val rnd = new scala.util.Random(7)
     val corpus = (0 until 32).map(i =>

@@ -309,6 +309,37 @@ class DocStreamsSpec extends SparkSpec {
     (plan should not).include("SortMergeJoin")
   }
 
+  test("streaming CMS deltas: summed store equals batch counters; crash-replay lands once") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val spool = stageSpool(Seq(docs.take(2), docs.slice(2, 3), docs.drop(3)))
+    val store = java.nio.file.Files.createTempDirectory("graft_cms_store").toString + "/s"
+    DocStreams.runCmsAppendOnce(spark, spool, store, depth = 4, width = 16)
+
+    def counters() = DocStreams.readCmsCounters(spark, store)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batchRef = graft.ext.Sketch.cmsCounters(
+        docs.toDF("doc_id", "text")
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t")),
+        col("t"), depth = 4, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val clean = counters()
+    clean shouldBe batchRef
+
+    // crash state: batch 1's marker lost after a PARTIAL publish (a stray
+    // extra file under its name) — the replayed append must sweep the
+    // partial and land the batch exactly once
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$store/_batch_1"))
+    val stray = new java.io.File(s"$store/deltas").listFiles()
+      .find(_.getName.startsWith("b1-")).get
+    java.nio.file.Files.copy(stray.toPath,
+      java.nio.file.Paths.get(s"$store/deltas/b1-7.parquet"))
+    counters() should not be clean // the corrupted state is observable
+    DocStreams.appendCmsBatchExactlyOnce(spark, store,
+      docs.slice(2, 3).toDF("doc_id", "text"), 1L, depth = 4, width = 16, "text")
+    counters() shouldBe clean
+    new java.io.File(s"$store/_batch_1").exists() shouldBe true
+  }
+
   test("incremental minhash: empty store bootstrap and no-candidate batches are clean") {
     // single batch, nothing similar: no pairs dir contents, empty result
     val spool = stageSpool(Seq(Seq(
