@@ -36,7 +36,7 @@ def _fmt(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "\x00NULL"
-        return repr(round(v, 6))
+        return repr(round(v, 6) + 0.0)  # -0.0 → 0.0: IEEE-equal, same text
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_fmt(x) for x in v) + "]"
     if isinstance(v, dict):

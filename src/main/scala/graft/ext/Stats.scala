@@ -183,6 +183,55 @@ object Stats {
       .withColumnRenamed("__g", groupCol)
   }
 
+  /** Kolmogorov–Smirnov drift statistic over the SAME fixed-domain
+    * equi-width bins as [[psi]]: KS = max_b |F_ref(b) − F_cur(b)|, the
+    * largest gap between the two binned CDFs. PSI weights every bin's
+    * relative shift (log-ratio — sensitive to tail bins); KS reads the
+    * single worst cumulative gap (bounded in [0,1], distribution-free
+    * critical values) — monitoring stacks run both because they fire on
+    * different shift shapes. Same counters-sized shuffle shape as psi;
+    * the CDF is a window cumsum over ≤ `bins` rows per group.
+    *
+    * Output: (`groupCol`, `n_ref`, `n_cur`, `ks` rounded 6dp).
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valueCol: Column, bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(hi > lo, s"empty bin domain: [$lo, $hi)")
+    import org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / bins
+    def binOf(c: Column): Column =
+      least(greatest(floor((c.cast("double") - lo) / width), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("int")
+    def side(df: DataFrame, r: Int, c: Int): DataFrame =
+      df.filter(valueCol.isNotNull)
+        .select(qcol(groupCol).as("__g"), binOf(valueCol).as("__b"),
+          lit(r).as("__r"), lit(c).as("__c"))
+    val counts = side(ref, 1, 0).unionByName(side(cur, 0, 1))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts.groupBy(col("__g"))
+      .agg(sum(col("__nr")).as("__tr"), sum(col("__nc")).as("__tc"))
+    counts
+      .withColumn("__cr", sum(col("__nr")).over(w))
+      .withColumn("__cc", sum(col("__nc")).over(w))
+      .join(broadcast(totals), Seq("__g"))
+      .select(col("__g"), col("__tr"), col("__tc"),
+        // a side with no rows has an identically-zero CDF: its group's
+        // ks is then the other side's max cumulative share (= 1.0) —
+        // not a division by zero
+        abs(when(col("__tr") === 0, lit(0.0))
+            .otherwise(col("__cr").cast("double") / col("__tr")) -
+          when(col("__tc") === 0, lit(0.0))
+            .otherwise(col("__cc").cast("double") / col("__tc"))).as("__gap"))
+      .groupBy(col("__g"))
+      .agg(first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"),
+        round(max(col("__gap")), 6).as("ks"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")

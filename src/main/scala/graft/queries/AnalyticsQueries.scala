@@ -19,16 +19,43 @@ object AnalyticsQueries {
     * task's memory (OOM at 100 TB); percentile_approx would NOT
     * oracle-match. Exactness AND distribution are the point of the gate.
     */
+  /** The oracle replays the INTERPOLATION FORMULA from first principles
+    * (rank h = (n−1)·p in DOUBLE — the explicit casts matter: a DECIMAL
+    * probability literal would make h exact where Spark's double h is
+    * not — value = x_lo + frac·(x_hi − x_lo)): both engines then run
+    * the identical IEEE expression and the quantiles are BIT-identical,
+    * so no output rounding is needed — or wanted: decimal rounding was
+    * the one non-portable step (DuckDB rounds doubles by scaled
+    * multiply, Spark by true decimal expansion; at sf0.001 a p50 landed
+    * where the two disagree, caught by the driver-faithful harness).
+    */
   val percentiles = q("x_stats_percentiles",
-    """SELECT l_returnflag,
-      |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-      |       count(*) AS n
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    """WITH v AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |r AS (
+      |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS rk,
+      |         count(*) OVER (PARTITION BY g) AS n
+      |  FROM v),
+      |p AS (SELECT unnest(['p50', 'p95']) AS nm,
+      |             unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS pr),
+      |t AS (
+      |  SELECT gn.g, gn.n, p.nm, (gn.n - 1) * p.pr AS h
+      |  FROM (SELECT DISTINCT g, n FROM r) gn CROSS JOIN p),
+      |pick AS (
+      |  SELECT t.g, t.n, t.nm, t.h - floor(t.h) AS frac, lo.x AS xlo, hi.x AS xhi
+      |  FROM t
+      |  JOIN r lo ON lo.g = t.g AND lo.rk = CAST(floor(t.h) AS BIGINT)
+      |  JOIN r hi ON hi.g = t.g
+      |    AND hi.rk = least(CAST(floor(t.h) AS BIGINT) + 1, t.n - 1))
+      |SELECT g AS l_returnflag,
+      |       max(CASE WHEN nm = 'p50' THEN xlo + frac * (xhi - xlo) END) AS p50,
+      |       max(CASE WHEN nm = 'p95' THEN xlo + frac * (xhi - xlo) END) AS p95,
+      |       CAST(max(n) AS BIGINT) AS n
+      |FROM pick GROUP BY g""".stripMargin) { (s, dir) =>
     graft.ext.Stats.quantileCont(Tables.lineitem(s, dir),
         "l_returnflag", "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))
-      .select(col("l_returnflag"), round(col("p50"), 2).as("p50"),
-        round(col("p95"), 2).as("p95"), col("n"))
+      .select(col("l_returnflag"), col("p50"), col("p95"), col("n"))
   }
 
   /** Rollup lattice over region → nation with the partial-aggregation

@@ -65,6 +65,38 @@ object QualityQueries {
       "event_type", col("value"), bins = 20, lo = 0.0, hi = 20.0)
   }
 
+  /** KS drift beside PSI over the same halves and bins: the largest gap
+    * between the binned CDFs — PSI fires on relative tail shifts, KS on
+    * the worst cumulative gap; monitoring stacks run both. The cumsum,
+    * share division, and max-gap all replay exactly.
+    */
+  val driftKs = q("x_drift_ks",
+    """WITH e AS (
+      |  SELECT event_type, value, event_id % 2 AS side FROM events
+      |  WHERE value IS NOT NULL),
+      |b AS (
+      |  SELECT event_type,
+      |         CAST(least(greatest(floor((value - 0.0) / 1.0), 0), 19) AS INT) AS bin,
+      |         CASE WHEN side = 0 THEN 1 ELSE 0 END AS r,
+      |         CASE WHEN side = 1 THEN 1 ELSE 0 END AS c
+      |  FROM e),
+      |counts AS (SELECT event_type, bin, sum(r) AS nr, sum(c) AS nc FROM b GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, bin, nr, nc,
+      |         sum(nr) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cr,
+      |         sum(nc) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc
+      |  FROM counts),
+      |tot AS (SELECT event_type, sum(nr) AS tr, sum(nc) AS tc FROM counts GROUP BY 1)
+      |SELECT t.event_type, CAST(t.tr AS BIGINT) AS n_ref, CAST(t.tc AS BIGINT) AS n_cur,
+      |       round(max(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc)), 6) AS ks
+      |FROM cum JOIN tot t USING (event_type)
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    Stats.ksDrift(e.filter(col("event_id") % 2 === 0),
+      e.filter(col("event_id") % 2 === 1),
+      "event_type", col("value"), bins = 20, lo = 0.0, hi = 20.0)
+  }
+
   /** Declarative data-quality gate over orders: four row expectations in
     * ONE counter-aggregate scan plus referential integrity to customer
     * as a broadcast anti-join — the publish-time contract report. The
@@ -312,6 +344,6 @@ object QualityQueries {
       col("value"), 32)
   }
 
-  val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, dqExpectations,
+  val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
     knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash)
 }

@@ -39,6 +39,21 @@ class QualityOpsSpec extends SparkSpec {
       .head().getAs[Long]("n_ref") shouldBe 1001L
   }
 
+  test("ksDrift: identical → 0, shifted → large, one-sided group → 1") {
+    val ref = (0 until 1000).map(i => ("t", (i % 10).toDouble)).toDF("g", "v")
+    Stats.ksDrift(ref, ref, "g", col("v"), bins = 10, lo = 0, hi = 10)
+      .head().getAs[Double]("ks") shouldBe 0.0
+    val shifted = (0 until 1000).map(i => ("t", (i % 3).toDouble)).toDF("g", "v")
+    Stats.ksDrift(ref, shifted, "g", col("v"), bins = 10, lo = 0, hi = 10)
+      .head().getAs[Double]("ks") should be > 0.5
+    // a group present only on one side: the empty CDF is identically 0,
+    // so ks = 1 (total drift), not a division error
+    val extra = ref.unionByName(Seq(("only_ref", 5.0)).toDF("g", "v"))
+    val m = Stats.ksDrift(extra, ref, "g", col("v"), bins = 10, lo = 0, hi = 10)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("ks")).toMap
+    m("only_ref") shouldBe 1.0
+  }
+
   test("expectations: one-pass counts, null predicate counts as violation") {
     val df = Seq((1, Some(5)), (2, Some(50)), (3, None)).toDF("id", "x")
     val rep = Quality.expectations(df, Seq(
