@@ -70,6 +70,40 @@ object CorpusClean {
     corpus.join(bad, qcol(idCol) === col("__did"), "left_anti")
   }
 
+  /** SEMANTIC decontamination — the embedding-space leg of the
+    * train/test firewall: drop every corpus row whose embedding is
+    * within cosine `threshold` of ANY benchmark vector. Lexical
+    * decontamination ([[decontaminate]]) misses paraphrases and
+    * translations; this catches what n-grams can't, at the price of an
+    * embedding pass — run BOTH, like the SemDeDup-era pipelines do.
+    *
+    * The threshold compares the 4dp-ROUNDED cosine (the
+    * embeddingCosinePairs discipline) so the drop set is engine-exact
+    * and the oracle can replay it.
+    *
+    * Scale shape: the benchmark side is benchmark-sized BY DEFINITION
+    * (eval suites are thousands of rows, the corpus is the big side) —
+    * it broadcasts, and the anti-join is one corpus scan scoring
+    * |bench| cosines per row with zero shuffle. When a "benchmark"
+    * outgrows broadcast, block both sides with the trained IVF coarse
+    * quantizer first ([[Similarity.assign]]) and run this per cluster —
+    * the [[Dedup.semanticDupPairs]] geometry with the two corpora in
+    * the two roles.
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame,
+      benchVecCol: String,
+      threshold: Double = 0.99,
+  ): DataFrame = {
+    val b = broadcast(bench.select(qcol(benchVecCol).as("__bv")))
+    corpus.join(b,
+      round(Similarity.cosine(qcol(vecCol), col("__bv")), 4) >= threshold,
+      "left_anti")
+  }
+
   /** Contamination REPORT — the audit companion to [[decontaminate]]:
     * instead of silently dropping flagged documents, emit one row per
     * contaminated (corpus doc, eval doc) pair with the number of

@@ -237,6 +237,42 @@ object Dedup {
             else round(first(col("est_jaccard")), 4)).as("est_jaccard"))
   }
 
+  /** Cross-source duplication MATRIX — dedup observability: how many
+    * exact-duplicate pairs each (source, source) combination carries,
+    * the "which domains copy which" report a curation review reads
+    * before deciding canonical-keep policy. Computed in CLOSED FORM
+    * from per-(text, source) counts — a text duplicated n_a times in a
+    * and n_b times in b contributes n_a·n_b cross pairs and
+    * C(n_s, 2) within-source pairs — so no pair set ever materializes:
+    * one counting group-by plus a self-join bounded by the number of
+    * SOURCES sharing a text (a handful), never by duplicate
+    * multiplicity. Null texts carry no duplication evidence and are
+    * excluded (the dedupResolve convention).
+    *
+    * Output: (`source_a` ≤ `source_b`, `n_pairs` > 0).
+    */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val g = df.filter(qcol(textCol).isNotNull)
+      .groupBy(md5(qcol(textCol)).as("__h"), qcol(srcCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = true) // both sides of the source pairing
+    val a = g.select(col("__h"), col("__src").as("__sa"), col("__n").as("__na"))
+    val b = g.select(col("__h"), col("__src").as("__sb"), col("__n").as("__nb"))
+    a.join(b, Seq("__h"))
+      .filter(col("__sa") <= col("__sb"))
+      .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
+        // the pair-count arithmetic stays integral: Spark's `/` on longs
+        // returns double, so C(n,2) goes through an exact-valued double
+        // and is cast back (n(n−1) is even; exact below 2^52 pairs)
+        when(col("__sa") === col("__sb"),
+            (col("__na") * (col("__na") - 1) / 2).cast("long"))
+          .otherwise(col("__na") * col("__nb")).as("__p"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("__p")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+  }
+
   // ----------------------------------------------------- exact jaccard
   /** Exact word-n-gram Jaccard similarity for all pairs sharing ≥ 1
     * shingle, thresholded. Intersections computed by explode + equi-join

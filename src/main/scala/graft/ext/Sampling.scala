@@ -113,6 +113,36 @@ object Sampling {
     * specific — fine for production, but pin 0.5 where a foreign engine
     * must replay the exact row set.
     */
+  /** TOKEN-budget mixing — the unit curation actually budgets in: per
+    * source, admit documents in a deterministic md5 shuffle order until
+    * the source's cumulative TOKEN count would exceed `budget` (a doc
+    * that crosses the line is excluded; sources under budget keep
+    * everything). Row-count mixes ([[weightedMix]] and friends)
+    * over-weight long-document sources; training corpora are specified
+    * as "N billion tokens of X", which is this cut.
+    *
+    * Deterministic and engine-replayable: the order key is
+    * md5(key) (hex string order, ties by the key itself), the token
+    * count is [[TextAnalysis.tokenCount]], and the running sum is a
+    * per-source window — one key shuffle + per-partition sort, the
+    * sessionize cost class. Output: the admitted rows of `df`.
+    */
+  def tokenBudgetMix(df: DataFrame, sourceCol: Column, textCol: Column,
+      key: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__src"))
+      .orderBy(col("__ord"), col("__key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__src", sourceCol)
+      .withColumn("__key", key.cast("string"))
+      .withColumn("__ord", md5(col("__key")))
+      .withColumn("__tok", TextAnalysis.tokenCount(textCol).cast("long"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__src", "__key", "__ord", "__tok", "__cum")
+  }
+
   def temperatureMix(
       df: DataFrame, stratum: Column, key: Column,
       alpha: Double = 0.5, targetFraction: Double = 0.5,

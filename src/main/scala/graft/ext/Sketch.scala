@@ -56,29 +56,6 @@ object Sketch {
       .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
   }
 
-  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) per
-    * group: hash each value with the engine-portable 60-bit md5 prefix,
-    * keep the k smallest DISTINCT hashes per group, estimate
-    * |distinct| ≈ (k-1)·2^60 / h_(k) — the classic order-statistics
-    * estimator; groups with fewer than k distinct values report their
-    * exact count (the sketch degenerates to a complete sample).
-    *
-    * Same engine-portable discipline as the CMS: every stage —
-    * hashing, the k-smallest cut, the estimate arithmetic (exact-double
-    * operands: 2^60 and k-1 are exact, the IEEE divide is deterministic)
-    * — replays bit-for-bit in a second engine's SQL, so reconciliation
-    * can hash-match the ESTIMATES, not trust an error band.
-    *
-    * Scale shape: the distinct() pre-cut is one hash-keyed shuffle that
-    * map-side combines; the per-group k-cut is a window over the
-    * surviving DISTINCT hashes (per-group data ≤ |distinct values|,
-    * never row count. For billions of distinct values per group raise
-    * no machinery here — k-th-smallest stays a per-group sort of the
-    * group's distinct hashes; pre-thin with a WHERE h < threshold scan
-    * filter if that ever dominates).
-    *
-    * Output: (`groupCol`, `est_distinct` double rounded 4dp).
-    */
   /** Hashing-trick featurizer (Weinberger et al. 2009): project an
     * unbounded categorical feature space into `k` buckets with a signed
     * hash — bucket = md5prefix(feature) mod k, sign from an INDEPENDENT
@@ -105,18 +82,52 @@ object Sketch {
       .agg(round(sum(col("__w")), 4).as("weight"), count(lit(1)).as("n"))
   }
 
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) per
+    * group: hash each value with the engine-portable 60-bit md5 prefix,
+    * keep the k smallest DISTINCT hashes per group, estimate
+    * |distinct| ≈ (k-1)·2^60 / h_(k) — the classic order-statistics
+    * estimator; groups with fewer than k distinct values report their
+    * exact count (the sketch degenerates to a complete sample).
+    *
+    * Same engine-portable discipline as the CMS: every stage —
+    * hashing, the k-smallest cut, the estimate arithmetic (exact-double
+    * operands: 2^60 and k-1 are exact, the IEEE divide is deterministic)
+    * — replays bit-for-bit in a second engine's SQL, so reconciliation
+    * can hash-match the ESTIMATES, not trust an error band.
+    *
+    * Scale shape: the distinct() pre-cut is one hash-keyed shuffle that
+    * map-side combines; the per-group k-cut is a window over the
+    * surviving DISTINCT hashes (per-group data ≤ |distinct values|,
+    * never row count. For billions of distinct values per group raise
+    * no machinery here — k-th-smallest stays a per-group sort of the
+    * group's distinct hashes; pre-thin with a WHERE h < threshold scan
+    * filter if that ever dominates).
+    *
+    * Output: (`groupCol`, `est_distinct` double rounded 4dp).
+    */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int): DataFrame =
+    kmvFromHashes(
+      df.select(col(groupCol),
+          PortableHash.md5Prefix15(valueCol).as("__h"))
+        // null values carry no distinct identity — and a null hash would
+        // sort FIRST and silently shift the k-th order statistic
+        .filter(col("__h").isNotNull),
+      groupCol, k)
+
+  /** The estimator over already-hashed (`groupCol`, `__h`) rows — shared
+    * by [[kmvDistinct]] and the streaming delta-store reader (k-min is
+    * associative: the k smallest of a union are each among their own
+    * batch's k smallest, so per-batch-trimmed deltas re-minimized here
+    * equal the one-shot sketch EXACTLY).
+    */
+  private[graft] def kmvFromHashes(hashed: DataFrame, groupCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2: $k")
     import org.apache.spark.sql.expressions.Window
-    val h = df.select(col(groupCol),
-        PortableHash.md5Prefix15(valueCol).as("__h"))
-      // null values carry no distinct identity — and a null hash would
-      // sort FIRST and silently shift the k-th order statistic
-      .filter(col("__h").isNotNull)
-      .distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
-    h.withColumn("__rn", row_number().over(w))
+    hashed.distinct()
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(col(groupCol))
       .agg(max(col("__h")).as("__hk"), max(col("__rn")).as("__n"))

@@ -467,7 +467,7 @@ object ExtensionQueries {
     * yield exactly one part — a second one would be silently dropped and
     * the spool would lose events.
     */
-  private def stageSpoolFile(df: org.apache.spark.sql.DataFrame, tmp: String, i: Int): Unit = {
+  private[queries] def stageSpoolFile(df: org.apache.spark.sql.DataFrame, tmp: String, i: Int): Unit = {
     val stage = s"$tmp/.stage_$i"
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     val parts = new java.io.File(stage).listFiles()
@@ -799,14 +799,14 @@ object ExtensionQueries {
         shingleSize = 3, threshold = 0.5, maxShingleDf = 1000)
   }
 
-  private def embWithVariants(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def embWithVariants(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), col("label"))
     e.unionByName(e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => (x * lit(1.01)).cast("float")).as("embedding"),
         col("label")))
   }
-  private val embWithVariantsSql =
+  private[queries] val embWithVariantsSql =
     """(SELECT vec_id, embedding, label FROM embeddings
       | UNION ALL
       | SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)), label

@@ -344,6 +344,128 @@ object QualityQueries {
       col("value"), 32)
   }
 
+  /** SEMANTIC decontamination — the embedding-space leg of the
+    * train/test firewall beside the lexical 13-gram drop: corpus rows
+    * within rounded-cosine 0.99 of ANY benchmark vector are removed
+    * (paraphrases and translations that n-grams miss). The planted
+    * 1.01-scaled variants of benchmark vectors must vanish; the oracle
+    * replays the NOT EXISTS against the broadcast-sized bench side.
+    */
+  val decontaminateSemantic = q("x_decontaminate_semantic",
+    s"""WITH a AS (SELECT vec_id, embedding FROM ${ExtensionQueries.embWithVariantsSql}),
+       |corpus AS (SELECT vec_id, embedding FROM a WHERE vec_id >= 20),
+       |bench AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 20)
+       |SELECT c.vec_id FROM corpus c
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM bench b
+       |  WHERE round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |              CAST(b.bv AS DOUBLE[])), 4) >= 0.99)""".stripMargin) { (s, dir) =>
+    val all = ExtensionQueries.embWithVariants(s, dir)
+    graft.ext.CorpusClean.decontaminateSemantic(
+        all.filter(col("vec_id") >= 20).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding",
+        Tables.embeddings(s, dir).filter(col("vec_id") < 20),
+        "embedding", threshold = 0.99)
+      .select(col("vec_id"))
+  }
+
+  /** Token-budget mixing — the unit training corpora are specified in:
+    * per source, documents admitted in deterministic md5 order until
+    * the source's cumulative token count would cross 800 (row-count
+    * mixes over-weight long-document sources; "N tokens of X" is the
+    * real contract). Window cumsum per source; the oracle replays
+    * order, counts, and the cut.
+    */
+  val tokenBudgetMix = q("x_token_budget_mix",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         len(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS tok,
+      |         md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |         sum(tok) OVER (PARTITION BY source ORDER BY ord, CAST(doc_id AS VARCHAR)
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, source FROM c WHERE cum <= 800""".stripMargin) { (s, dir) =>
+    graft.ext.Sampling.tokenBudgetMix(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+        col("source"), col("text"), col("doc_id"), budget = 800L)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Cross-source duplication matrix — dedup observability: exact-dup
+    * PAIR counts per (source, source), in closed form from
+    * per-(text, source) multiplicities (n_a·n_b cross, C(n,2) within) —
+    * no pair set materializes. A mirrored slice of every 10th doc
+    * plants known cross-source mass.
+    */
+  val dedupMatrix = q("x_dedup_matrix",
+    """WITH corpus AS (
+      |  SELECT text, source FROM documents
+      |  UNION ALL
+      |  SELECT text, 'mirror' FROM documents WHERE doc_id % 10 = 0),
+      |g AS (SELECT md5(text) AS h, source AS s, count(*) AS n
+      |      FROM corpus WHERE text IS NOT NULL GROUP BY 1, 2)
+      |SELECT a.s AS source_a, b.s AS source_b,
+      |       CAST(sum(CASE WHEN a.s = b.s THEN (a.n * (a.n - 1)) // 2
+      |                     ELSE a.n * b.n END) AS BIGINT) AS n_pairs
+      |FROM g a JOIN g b ON a.h = b.h AND a.s <= b.s
+      |GROUP BY 1, 2
+      |HAVING sum(CASE WHEN a.s = b.s THEN (a.n * (a.n - 1)) // 2
+      |               ELSE a.n * b.n END) > 0""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.select(col("text"), col("source"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("text"), lit("mirror").as("source")))
+    graft.ext.Dedup.crossSourceDupMatrix(corpus, "text", "source")
+  }
+
+  /** Streaming KMV maintenance through the real streaming path: per
+    * micro-batch k-min trims published exactly once into a delta store;
+    * k-min is associative, so the re-minimized union must equal the
+    * one-shot batch sketch EXACTLY — estimate-for-estimate, the same
+    * integer-free determinism as the CMS gate.
+    */
+  val streamDistinctKmv = q("x_stream_distinct_kmv",
+    "SELECT true AS stream_kmv_ok") { (s, dir) =>
+    val spool = stageEventSpool3(s, dir)
+    val store = s"/tmp/graft_stream_kmv/${Staging.tag(dir)}_store"
+    graft.streaming.EventStreams.runKmvAppendOnce(s, spool, store,
+      "event_type", "user_id", k = 64)
+    val streamed = graft.streaming.EventStreams.readKmvEstimates(s, store,
+        "event_type", k = 64)
+      .withColumnRenamed("est_distinct", "__se")
+    val batch = Sketch.kmvDistinct(Tables.events(s, dir), "event_type",
+      col("user_id"), 64)
+    streamed.join(batch, Seq("event_type"), "full")
+      .agg((count(lit(1)) === count(col("__se")) &&
+        count(lit(1)) === count(col("est_distinct")) &&
+        coalesce(max(when(col("__se") =!= col("est_distinct"), 1).otherwise(0)) === 0,
+          lit(true))).as("stream_kmv_ok"))
+  }
+
+  /** Events split into 3 deterministic arrival slices. Fixture prep,
+    * untimed; the `_SPOOL_DONE` marker makes re-staging a no-op.
+    */
+  private def stageEventSpool3(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_stream_events3/${Staging.tag(dir)}"
+    val done = new java.io.File(s"$tmp/_SPOOL_DONE")
+    if (done.exists()) return tmp
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .localCheckpoint(eager = true)
+    new java.io.File(tmp).mkdirs()
+    (0 until 3).foreach { i =>
+      ExtensionQueries.stageSpoolFile(
+        e.filter(pmod(xxhash64(col("event_id")), lit(3)) === i), tmp, i)
+    }
+    done.createNewFile()
+    tmp
+  }
+
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
-    knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash)
+    knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash,
+    decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv)
 }

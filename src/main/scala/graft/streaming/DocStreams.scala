@@ -687,23 +687,33 @@ object DocStreams {
 
   private[streaming] def appendCmsBatchExactlyOnce(spark: SparkSession,
       storeDir: String, batch: DataFrame, batchId: Long,
-      depth: Int, width: Int, textCol: String): Unit = {
+      depth: Int, width: Int, textCol: String): Unit =
+    publishDeltaExactlyOnce(spark, storeDir,
+      graft.ext.Sketch.cmsCounters(
+        batch.select(explode(graft.ext.TextAnalysis.tokens(col(textCol)))
+          .as("__t")),
+        col("__t"), depth, width),
+      batchId)
+
+  /** The sketch-delta exactly-once publish, shared by every associative
+    * delta store (CMS counters, KMV k-min trims): stage → replay-sweep
+    * this batch id's partial publish → deterministic renames into
+    * `deltas/b<id>-<i>.parquet` → marker. Idempotent per (store,
+    * batchId): any crash point replays to the same store.
+    */
+  private[streaming] def publishDeltaExactlyOnce(spark: SparkSession,
+      storeDir: String, delta: DataFrame, batchId: Long): Unit = {
     import graft.util.Hfs
-    val delta = graft.ext.Sketch.cmsCounters(
-      batch.select(explode(graft.ext.TextAnalysis.tokens(col(textCol)))
-        .as("__t")),
-      col("__t"), depth, width)
     val stage = s"$storeDir/_stage_$batchId"
     delta.coalesce(1).write.mode("overwrite").parquet(stage)
     val live = s"$storeDir/deltas"
     Hfs.mkdirs(spark, live)
-    // replay-sweep THIS batch's partial publish, then deterministic names
     Hfs.list(spark, live).filter(_.startsWith(s"b$batchId-"))
       .foreach(f => Hfs.delete(spark, s"$live/$f"))
     Hfs.list(spark, stage).filter(_.startsWith("part-")).sorted.zipWithIndex
       .foreach { case (f, i) =>
         if (!Hfs.rename(spark, s"$stage/$f", s"$live/b$batchId-$i.parquet"))
-          throw new IllegalStateException(s"cms publish rename failed: $stage/$f")
+          throw new IllegalStateException(s"delta publish rename failed: $stage/$f")
       }
     Hfs.delete(spark, stage)
     Hfs.touch(spark, s"$storeDir/_batch_$batchId")

@@ -399,6 +399,58 @@ object EventStreams {
     * leftover generation from an earlier run would corrupt both the
     * content and the created/updated split.
     */
+  /** Streaming KMV distinct-sketch maintenance: per micro-batch, the
+    * batch's distinct (group, hash) pairs TRIMMED to each group's k
+    * smallest (a delta of ≤ |groups|·k rows regardless of batch size),
+    * published exactly once into an append-only delta store
+    * ([[DocStreams.publishDeltaExactlyOnce]] — the CMS discipline).
+    * K-min is associative — the k smallest of a union are each among
+    * their own batch's k smallest — so [[readKmvEstimates]]
+    * re-minimizing the union equals the one-shot batch sketch EXACTLY;
+    * the `x_stream_distinct_kmv` gate pins that equality. Store deleted
+    * at run start (a run owns its history, [[runUpsertOnce]]'s
+    * contract).
+    */
+  def runKmvAppendOnce(spark: SparkSession, spoolDir: String,
+      storeDir: String, groupCol: String, valueCol: String, k: Int): Unit = {
+    graft.util.Hfs.delete(spark, storeDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$batchId")) {
+            import org.apache.spark.sql.expressions.Window
+            val hashed = batch.toDF()
+              .select(col(groupCol).as("__g"),
+                graft.ext.PortableHash.md5Prefix15(col(valueCol)).as("__h"))
+              .filter(col("__h").isNotNull)
+              .distinct()
+            val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
+            val trimmed = hashed
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= k).drop("__rn")
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, trimmed, batchId)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  /** Estimates over a [[runKmvAppendOnce]] store: union the trimmed
+    * deltas, re-minimize, estimate — (`groupCol`, `est_distinct`).
+    */
+  def readKmvEstimates(spark: SparkSession, storeDir: String,
+      groupCol: String, k: Int): DataFrame =
+    graft.ext.Sketch.kmvFromHashes(
+      spark.read.parquet(s"$storeDir/deltas")
+        .select(col("__g").as(groupCol), col("__h")),
+      groupCol, k)
+
   def runUpsertOnce(spark: SparkSession, spoolDir: String, tableDir: String,
       key: String): (Long, Long) = {
     graft.util.Hfs.delete(spark, tableDir)

@@ -142,6 +142,55 @@ class QualityOpsSpec extends SparkSpec {
     math.abs(aRow.getAs[Double]("weight")) shouldBe 3.0 +- 1e-9
   }
 
+  test("semantic decontamination drops near-copies of benchmark vectors, keeps the rest") {
+    val v = Array.tabulate(8)(i => (math.sin(i + 1)).toFloat)
+    val w = Array.tabulate(8)(i => (math.cos(i * 3 + 2)).toFloat)
+    val bench = Seq((0L, v.toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val corpus = Seq(
+      (10L, v.map(x => x * 1.01f).toSeq), // paraphrase-shaped near-copy
+      (11L, w.toSeq),                      // unrelated
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val kept = CorpusClean.decontaminateSemantic(corpus, "vec_id", "embedding",
+        bench, "embedding", threshold = 0.99)
+      .select(col("vec_id")).as[Long].collect().toSet
+    kept shouldBe Set(11L)
+  }
+
+  test("tokenBudgetMix admits per-source prefixes by token count, never crossing the budget") {
+    val df = Seq(
+      (1L, "a", "one two three"),      // 3 tokens
+      (2L, "a", "four five six seven"), // 4 tokens
+      (3L, "a", "eight nine"),          // 2 tokens
+      (4L, "b", "just two"),            // under-budget source keeps all
+    ).toDF("doc_id", "source", "text")
+    val kept = Sampling.tokenBudgetMix(df, col("source"), col("text"),
+        col("doc_id"), budget = 5L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // source a admits docs in md5(doc_id) order until cum > 5; b keeps 4
+    kept should contain(4L)
+    val aKept = kept - 4L
+    val toks = Map(1L -> 3, 2L -> 4, 3L -> 2)
+    aKept.toSeq.map(toks).sum should be <= 5
+    aKept should not be empty
+    // determinism: same input, same admitted set
+    Sampling.tokenBudgetMix(df, col("source"), col("text"), col("doc_id"), 5L)
+      .select(col("doc_id")).as[Long].collect().toSet shouldBe kept
+  }
+
+  test("crossSourceDupMatrix counts pairs in closed form, diagonal included") {
+    val df = Seq(
+      ("t1", "a"), ("t1", "a"), ("t1", "b"),  // C(2,2)=1 within a; 2×1 cross
+      ("t2", "b"), ("t2", "c"),               // 1 cross (b,c)
+      ("t3", "c"),                            // singleton — no pairs
+      (null, "a"), (null, "b"),               // null text: no evidence
+    ).toDF("text", "source")
+    val m = Dedup.crossSourceDupMatrix(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    m shouldBe Map(("a", "a") -> 1L, ("a", "b") -> 2L, ("b", "c") -> 1L)
+  }
+
   test("filtered ivfTopK equals brute force over the predicate-filtered corpus") {
     val rnd = new scala.util.Random(7)
     val corpus = (0 until 32).map(i =>

@@ -147,6 +147,32 @@ class EventStreamsSpec extends SparkSpec {
       tgt.setLastModified(1600000000000L + i * 60000L)
     }
 
+  test("streaming KMV: trimmed deltas re-minimized equal the one-shot sketch; markers idempotent") {
+    // many distinct users per type so the estimator path (≥ k distinct)
+    // and the per-batch trim both engage with k = 8
+    val evs = (0 until 120).map(i => EventStreams.Event(
+      i.toLong, ts(f"2024-01-01 00:${i % 60}%02d:00"),
+      (i * 7 % 97).toLong, if (i % 2 == 0) "a" else "b", 1.0))
+    val spool = java.nio.file.Files.createTempDirectory("graft_kmv_spool").toString
+    writeSpool(spool, Seq(evs.take(40), evs.slice(40, 80), evs.drop(80)))
+    val store = java.nio.file.Files.createTempDirectory("graft_kmv_store").toString + "/s"
+    EventStreams.runKmvAppendOnce(spark, spool, store, "event_type", "user_id", k = 8)
+    def streamed() = EventStreams.readKmvEstimates(spark, store, "event_type", 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = graft.ext.Sketch.kmvDistinct(evs.toDS().toDF(), "event_type",
+        col("user_id"), 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    streamed() shouldBe batch
+    // delta store stays trim-bounded: ≤ groups × k rows per batch
+    spark.read.parquet(s"$store/deltas").count() should be <= (3L * 2 * 8)
+    // a full re-run (store deleted, fresh checkpoint lineage) rebuilds
+    // to the identical state — the determinism the gate depends on; the
+    // shared publishDeltaExactlyOnce crash states are walked by the CMS
+    // crash-replay spec
+    EventStreams.runKmvAppendOnce(spark, spool, store, "event_type", "user_id", k = 8)
+    streamed() shouldBe batch
+  }
+
   test("transformWithState sessionize equals sessionizeBatch, stale timers inert") {
     val gap = 1L * 3600 * 1000
     // user 7's session EXTENDS across batches: batch 1 registers a timer
