@@ -192,4 +192,92 @@ object TextIndex {
       .select(col("__q").as("query_id"), col("__d").as("doc_id"), col("score"))
     Similarity.topKPerQuery(scored, "score", "doc_id", k)
   }
+
+  // ------------------------------------------------ positional layout
+  /** POSITIONAL postings — the phrase/proximity-query layout: one
+    * (__term, __id, __pos, __len, __seq) row per token OCCURRENCE
+    * (multiplicity and order preserved, unlike the tf-aggregated
+    * `postings/`), same term-bucket partitioning, persisted beside the
+    * base index at `dir/positions`. Positions are per-document local
+    * facts like everything else in the inverted layout, so maintenance
+    * composes identically: an appended batch's rows land in their
+    * buckets and the union IS the rebuilt index — the tombstone/__seq
+    * machinery is shared.
+    */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, parts: Int = 16): Unit = {
+    require(parts > 0, s"parts must be positive: $parts")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(parts).toDF("parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    positionalRows(docs, idCol, textCol, parts, seq = 0L)
+      .repartition(parts, col("__pt"))
+      .write.partitionBy("__pt").mode("overwrite").parquet(s"$dir/positions")
+  }
+
+  /** Compositional append for the positional layout (no frozen stats —
+    * the [[appendDocs]] contract).
+    */
+  def appendPositional(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val parts = spark.read.parquet(s"$dir/meta").head().getAs[Int]("parts")
+    val seq = AnnIndex.nextSeq(spark, dir)
+    positionalRows(docs, idCol, textCol, parts, seq)
+      .coalesce(1)
+      .write.partitionBy("__pt").mode("append").parquet(s"$dir/positions")
+  }
+
+  private def positionalRows(docs: DataFrame, idCol: String, textCol: String,
+      parts: Int, seq: Long): DataFrame =
+    docs.select(qcol(idCol).cast("long").as("__id"),
+        posexplode(TextAnalysis.tokens(qcol(textCol))).as(Seq("__pos", "__term")))
+      .withColumn("__seq", lit(seq))
+      .withColumn("__pt", bucket(col("__term"), parts))
+
+  /** Exact phrase occurrences from the positional index: the classic
+    * offset-chained positional join — anchor on the phrase's FIRST term
+    * and equi-join each later term at (__id, anchor position + k). The
+    * phrase's ≤ |phrase| term buckets arrive as a literal partition
+    * filter (the lexical nprobe, same as BM25), every join is an
+    * equi-join on (doc, position), and the per-term frames are
+    * df-sized, so cost tracks the RAREST phrase term's postings —
+    * phrase search never rescans text. Tombstones subtract exactly as
+    * in every layout.
+    *
+    * Output: (`doc_id`, `n_occurrences` > 0).
+    */
+  def phraseOccurrences(spark: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val parts = spark.read.parquet(s"$dir/meta").head().getAs[Int]("parts")
+    val terms = phrase.map(_.toLowerCase)
+    val pts = terms.map(t =>
+      math.floorMod(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L),
+        parts.toLong).toInt).distinct
+    // plan-side bucket arithmetic must equal the stored `bucket()`
+    // column exactly — asserted by the membership filter below rather
+    // than trusted: the scan prunes to the computed buckets AND
+    // re-filters by term, so a wrong bucket yields an empty frame (a
+    // loud zero in the gate), never a wrong match
+    val dirs = pts.map(p => s"$dir/positions/__pt=$p")
+      .filter(graft.util.Hfs.exists(spark, _))
+    if (dirs.isEmpty) return spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("n_occurrences"))
+    val posts = AnnIndex.liveOnly(spark, dir,
+        spark.read.option("basePath", s"$dir/positions").parquet(dirs: _*))
+      .select(col("__term"), col("__id"), col("__pos"))
+      .localCheckpoint(eager = true) // one pruned read feeds every chain link
+    val anchor = posts.filter(col("__term") === terms.head)
+      .select(col("__id"), col("__pos"))
+    terms.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, k)) =>
+      acc.join(posts.filter(col("__term") === t)
+          .select(col("__id"), (col("__pos") - k).as("__pos")),
+        Seq("__id", "__pos"))
+    }
+      .groupBy(col("__id").as("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -445,6 +445,41 @@ object QualityQueries {
           lit(true))).as("stream_kmv_ok"))
   }
 
+  /** Exact phrase search through the PERSISTED positional index: the
+    * offset-chained positional join ("slow hash batch" anchored on its
+    * first term, each later term equi-joined at anchor+k), the phrase's
+    * term buckets a literal partition filter — the lexical nprobe. The
+    * oracle is INDEPENDENT, not a replay: it recounts occurrences by
+    * scanning the raw tokenized text, so index construction, bucket
+    * routing, position encoding and the join chain are all on trial at
+    * once.
+    */
+  val textPhrase = q("x_text_phrase",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS t
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |         len(list_filter(range(1, greatest(len(t) - 1, 1)),
+      |             i -> t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch')) AS n_occurrences
+      |  FROM toks)
+      |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      |FROM occ WHERE n_occurrences > 0""".stripMargin) { (s, dir) =>
+    val idx = stagePositionalIndex(s, dir)
+    graft.ext.TextIndex.phraseOccurrences(s, idx,
+      Seq("slow", "hash", "batch"))
+  }
+
+  /** Input prep (idempotent): the positional index over documents. */
+  def stagePositionalIndex(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_posindex/${Staging.tag(dir)}"
+    if (!new java.io.File(s"$tmp/positions/_SUCCESS").exists())
+      graft.ext.TextIndex.buildPositional(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", tmp, parts = 8)
+    tmp
+  }
+
   /** Events split into 3 deterministic arrival slices. Fixture prep,
     * untimed; the `_SPOOL_DONE` marker makes re-staging a no-op.
     */
@@ -467,5 +502,6 @@ object QualityQueries {
 
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
     knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash,
-    decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv)
+    decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
+    textPhrase)
 }

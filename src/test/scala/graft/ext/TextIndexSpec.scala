@@ -68,6 +68,31 @@ class TextIndexSpec extends SparkSpec {
       expected
   }
 
+  test("positional phrase search: multi-occurrence counts, repeated terms, append, tombstones") {
+    val docs = Seq(
+      (1L, "big data big data big data pipeline"), // "big data" ×3, overlapping anchor walk
+      (2L, "data big data"),                       // "big data" ×1
+      (3L, "big big big"),                         // repeated-term phrase "big big" ×2
+      (4L, "nothing relevant here"))
+    val dir = tmpDir("graft_pos") + "/p"
+    TextIndex.buildPositional(docs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      parts = 4)
+    def occ(phrase: String*) =
+      TextIndex.phraseOccurrences(spark, dir, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    occ("big", "data") shouldBe Map(1L -> 3L, 2L -> 1L)
+    occ("big", "big") shouldBe Map(3L -> 2L) // overlapping occurrences count
+    occ("big", "data", "pipeline") shouldBe Map(1L -> 1L)
+    occ("absent", "phrase") shouldBe empty
+    // compositional append: a new doc's occurrences just appear
+    TextIndex.appendPositional(spark, dir,
+      Seq((5L, "big data again")).toDF("doc_id", "text"), "doc_id", "text")
+    occ("big", "data") shouldBe Map(1L -> 3L, 2L -> 1L, 5L -> 1L)
+    // tombstones subtract through the shared liveness machinery
+    AnnIndex.deleteIds(spark, dir, Seq(1L).toDF("doc_id"), "doc_id")
+    occ("big", "data") shouldBe Map(2L -> 1L, 5L -> 1L)
+  }
+
   test("queries whose terms miss every bucket return an empty, well-typed frame") {
     val docs = corpus.toDF("doc_id", "text")
     val dir = tmpDir("invmiss")

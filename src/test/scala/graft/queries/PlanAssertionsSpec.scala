@@ -320,6 +320,54 @@ class PlanAssertionsSpec extends SparkSpec {
     (plan should not).include("CartesianProduct")
   }
 
+  test("cross-corpus minhash join: band-key equi-joins only, no cross join anywhere") {
+    val left = (0L until 60L).map(i =>
+      (i, s"alpha beta gamma delta epsilon token$i word${i % 7} more text here"))
+      .toDF("doc_id", "text")
+    val right = (100L until 130L).map(i =>
+      (i, s"alpha beta gamma delta epsilon token${i - 100} word${i % 7} more text here"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.minhashJoin(left, right, "doc_id", "text",
+      minEstJaccard = 0.3, portable = true)
+    out.collect()
+    val plan = finalPlan(out).toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("semantic decontamination: the bench side is broadcast — the corpus never shuffles") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 300L)
+      .map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val bench = corpus.filter($"vec_id" < 5)
+    val out = graft.ext.CorpusClean.decontaminateSemantic(
+      corpus.filter($"vec_id" >= 5), "vec_id", "embedding",
+      bench, "embedding", threshold = 0.99)
+    out.collect()
+    val plan = finalPlan(out).toString
+    // a theta anti-join against a BROADCAST bench side is the intended
+    // shape (|bench| cosines per corpus row, zero shuffle); a shuffled
+    // nested loop would mean the corpus moved
+    plan should include("BroadcastNestedLoopJoin")
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("Exchange hashpartitioning")
+  }
+
+  test("token-budget mix: one key-partitioned window, no global sort") {
+    val docs = (0L until 500L).map(i =>
+      (i, s"src${i % 7}", "some words " * (i % 9 + 1).toInt))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ext.Sampling.tokenBudgetMix(docs, col("source"),
+      col("text"), col("doc_id"), budget = 40L)
+    out.collect()
+    val plan = finalPlan(out)
+    val windows = allNodes(plan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    windows should not be empty
+    all(windows.map(_.partitionSpec.nonEmpty)) shouldBe true // never global
+  }
+
   test("set-similarity join: candidates come from an equi-join on prefix tokens, never a cross join") {
     val rnd = new scala.util.Random(9)
     val vocab = ('a' to 'z').map(_.toString)
