@@ -247,29 +247,70 @@ object TextIndex {
     *
     * Output: (`doc_id`, `n_occurrences` > 0).
     */
+  /** PROXIMITY search over the positional layout: documents where the
+    * two terms co-occur within `slop` token positions (any order) —
+    * "near(a, b, 3)", the query operators like `"a b"~3` compile to.
+    * Same pruned two-bucket scan as [[phraseOccurrences]]; the
+    * candidate join is an equi-join on the document id with the
+    * |Δpos| ≤ slop band applied after — per-doc fan-out is
+    * tf(a)·tf(b), the positional-index price every proximity engine
+    * pays (documents where BOTH terms are frequent do the work; the
+    * doc-id equi-join keeps it off the shuffle).
+    *
+    * Output: (`doc_id`, `n_pairs` = co-occurring position pairs > 0).
+    */
+  def proximityOccurrences(spark: SparkSession, dir: String,
+      termA: String, termB: String, slop: Int): DataFrame = {
+    require(slop >= 1, s"slop must be >= 1: $slop")
+    require(termA.toLowerCase != termB.toLowerCase,
+      "proximity of a term with itself is phraseOccurrences territory")
+    val posts = positionalScan(spark, dir, Seq(termA, termB))
+    if (posts.isEmpty) return spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("n_pairs"))
+    val p = posts.get
+    val a = p.filter(col("__term") === termA.toLowerCase)
+      .select(col("__id"), col("__pos").as("__pa"))
+    val b = p.filter(col("__term") === termB.toLowerCase)
+      .select(col("__id"), col("__pos").as("__pb"))
+    a.join(b, Seq("__id"))
+      .filter(abs(col("__pa") - col("__pb")) <= slop)
+      .groupBy(col("__id").as("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The pruned, live positional read shared by phrase and proximity:
+    * None when no queried term bucket exists on disk.
+    */
+  private def positionalScan(spark: SparkSession, dir: String,
+      terms: Seq[String]): Option[DataFrame] = {
+    val parts = spark.read.parquet(s"$dir/meta").head().getAs[Int]("parts")
+    val pts = terms.map(t =>
+      math.floorMod(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t.toLowerCase),
+          org.apache.spark.sql.types.StringType, 42L),
+        parts.toLong).toInt).distinct
+    val dirs = pts.map(p => s"$dir/positions/__pt=$p")
+      .filter(graft.util.Hfs.exists(spark, _))
+    if (dirs.isEmpty) None
+    else Some(AnnIndex.liveOnly(spark, dir,
+        spark.read.option("basePath", s"$dir/positions").parquet(dirs: _*))
+      .select(col("__term"), col("__id"), col("__pos"))
+      .localCheckpoint(eager = true))
+  }
+
   def phraseOccurrences(spark: SparkSession, dir: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val parts = spark.read.parquet(s"$dir/meta").head().getAs[Int]("parts")
     val terms = phrase.map(_.toLowerCase)
-    val pts = terms.map(t =>
-      math.floorMod(org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
-          org.apache.spark.sql.types.StringType, 42L),
-        parts.toLong).toInt).distinct
-    // plan-side bucket arithmetic must equal the stored `bucket()`
-    // column exactly — asserted by the membership filter below rather
-    // than trusted: the scan prunes to the computed buckets AND
-    // re-filters by term, so a wrong bucket yields an empty frame (a
-    // loud zero in the gate), never a wrong match
-    val dirs = pts.map(p => s"$dir/positions/__pt=$p")
-      .filter(graft.util.Hfs.exists(spark, _))
-    if (dirs.isEmpty) return spark.range(0)
+    // plan-side bucket arithmetic (positionalScan) must equal the
+    // stored `bucket()` column exactly — asserted by the membership
+    // filter below rather than trusted: the scan prunes to the computed
+    // buckets AND re-filters by term, so a wrong bucket yields an empty
+    // frame (a loud zero in the gate), never a wrong match
+    val scanned = positionalScan(spark, dir, terms)
+    if (scanned.isEmpty) return spark.range(0)
       .select(col("id").as("doc_id"), col("id").as("n_occurrences"))
-    val posts = AnnIndex.liveOnly(spark, dir,
-        spark.read.option("basePath", s"$dir/positions").parquet(dirs: _*))
-      .select(col("__term"), col("__id"), col("__pos"))
-      .localCheckpoint(eager = true) // one pruned read feeds every chain link
+    val posts = scanned.get
     val anchor = posts.filter(col("__term") === terms.head)
       .select(col("__id"), col("__pos"))
     terms.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, k)) =>

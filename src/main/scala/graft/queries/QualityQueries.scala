@@ -470,6 +470,26 @@ object QualityQueries {
       Seq("slow", "hash", "batch"))
   }
 
+  /** Proximity search ("customer query"~2) through the same positional
+    * index: co-occurring position pairs within 2 tokens, any order —
+    * the near() operator. Independent oracle again: position pairs
+    * recounted from raw tokenized text.
+    */
+  val textProximity = q("x_text_proximity",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS t
+      |  FROM documents),
+      |pa AS (SELECT doc_id, u.i AS p FROM toks,
+      |       UNNEST(generate_series(1, len(t))) AS u(i) WHERE t[u.i] = 'customer'),
+      |pb AS (SELECT doc_id, u.i AS p FROM toks,
+      |       UNNEST(generate_series(1, len(t))) AS u(i) WHERE t[u.i] = 'query')
+      |SELECT pa.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 2
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    graft.ext.TextIndex.proximityOccurrences(s, stagePositionalIndex(s, dir),
+      "customer", "query", slop = 2)
+  }
+
   /** Input prep (idempotent): the positional index over documents. */
   def stagePositionalIndex(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_posindex/${Staging.tag(dir)}"
@@ -503,5 +523,5 @@ object QualityQueries {
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
     knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash,
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
-    textPhrase)
+    textPhrase, textProximity)
 }

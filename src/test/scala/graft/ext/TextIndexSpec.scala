@@ -93,6 +93,24 @@ class TextIndexSpec extends SparkSpec {
     occ("big", "data") shouldBe Map(2L -> 1L, 5L -> 1L)
   }
 
+  test("proximity search counts within-slop pairs in either order") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // alpha..delta distance 3
+      (2L, "delta x x x alpha"),           // reversed order, distance 4
+      (3L, "alpha x delta alpha"),         // pairs at |Δ|=2 and |Δ|=1
+      (4L, "alpha only here"))
+    val dir = tmpDir("graft_prox") + "/p"
+    TextIndex.buildPositional(docs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      parts = 4)
+    def near(slop: Int) =
+      TextIndex.proximityOccurrences(spark, dir, "alpha", "delta", slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    near(3) shouldBe Map(1L -> 1L, 3L -> 2L)
+    near(4) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 2L) // order-free
+    TextIndex.proximityOccurrences(spark, dir, "absent", "delta", 3)
+      .collect() shouldBe empty
+  }
+
   test("queries whose terms miss every bucket return an empty, well-typed frame") {
     val docs = corpus.toDF("doc_id", "text")
     val dir = tmpDir("invmiss")
