@@ -153,6 +153,52 @@ class SkewSpec extends SparkSpec {
       f"(ratio ${hotSec / uniSec}%.1fx) at n=$n")
   }
 
+  test("phrase search skew: a stopword in the phrase costs its postings scan, never a blowup") {
+    // "the" appears in every doc many times; the offset-chained join's
+    // fan-out per doc is bounded by the per-term tf product AT MATCHING
+    // OFFSETS (an equi-join on (doc, pos) — each anchor position matches
+    // at most one position of the next term), so a stopword inflates the
+    // scan, not the join: candidates after the anchor join ≤ tf(anchor)
+    val docs = (0L until 60L).map { i =>
+      (i, ("the word " * 20) + (if (i % 7 == 0) "the target phrase here" else "filler end"))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_pos").toString + "/p"
+    graft.ext.TextIndex.buildPositional(docs, "doc_id", "text", dir, parts = 4)
+    val hits = graft.ext.TextIndex.phraseOccurrences(spark, dir,
+        Seq("the", "target", "phrase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hits.keySet shouldBe (0L until 60L by 7).toSet
+    all(hits.values.toSeq) shouldBe 1L
+    // the repeated bigram "the word" ×20: overlap-correct counts, no dupes
+    graft.ext.TextIndex.phraseOccurrences(spark, dir, Seq("the", "word"))
+      .filter(col("doc_id") === 0L).head().getLong(1) shouldBe 20L
+  }
+
+  test("cross-corpus minhash join skew: a boilerplate band key on BOTH sides is capped whole") {
+    // every left doc AND every right doc share one template text →
+    // every band bucket holds left+right ≈ 2n rows; with the cap below
+    // that population the join must return NOTHING rather than n² pairs,
+    // and with the cap above it everything matches — the combined-
+    // population judgment, exercised on both settings
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val left = (0L until 40L).map(i => (i, template)).toDF("doc_id", "text")
+    val right = (100L until 140L).map(i => (i, template)).toDF("doc_id", "text")
+    val capped = graft.ext.Dedup.minhashJoin(left, right, "doc_id", "text",
+      minEstJaccard = 0.5, maxBucketSize = 50, portable = true)
+    capped.count() shouldBe 0L
+    val uncapped = graft.ext.Dedup.minhashJoin(left, right, "doc_id", "text",
+      minEstJaccard = 0.5, maxBucketSize = 1000, portable = true)
+    uncapped.count() shouldBe 40L * 40L
+  }
+
+  test("kmv skew: one group holding millions of duplicate values stays distinct-bounded") {
+    // 200k rows, 50 distinct values, one group: the window after the
+    // distinct() pre-cut sees 50 rows, not 200k — and reports exactly
+    val df = (0 until 200000).map(i => ("hot", s"v${i % 50}")).toDF("g", "v")
+    graft.ext.Sketch.kmvDistinct(df, "g", col("v"), 64)
+      .head().getDouble(1) shouldBe 50.0
+  }
+
   test("salted aggregation equals plain aggregation") {
     val df = (1 to 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
