@@ -717,10 +717,18 @@ object AnnIndex {
     * the same table's __vec column — [[Similarity.binarySketchTopK]]
     * semantics over the build-once layout, tombstones subtracted.
     */
+  /** `where`: FILTERED binary-quantized search — the [[ivfTopK]]
+    * predicate contract on this layout's stored columns (`__id`,
+    * `__sig`, `__vec`): applied inside BOTH column-pruned scans (the
+    * hamming pass and the exact rescore read the same filtered live
+    * set), before any score, so the result is the exact top-k of the
+    * predicate corpus and the shortlist never under-fills.
+    */
   def bqTopK(spark: SparkSession, dir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, shortlist: Int = 50): DataFrame = {
+      idCol: String, vecCol: String, k: Int, shortlist: Int = 50,
+      where: Column = lit(true)): DataFrame = {
     val idx = readBq(spark, dir)
-    val stored = spark.read.parquet(idx.codesPath)
+    val stored = spark.read.parquet(idx.codesPath).filter(where)
     Similarity.bqSearch(
       queries.select(qcol(idCol).cast("long").as("query_id"),
         qcol(vecCol).as("__qv"),

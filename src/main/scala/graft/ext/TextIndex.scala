@@ -228,6 +228,16 @@ object TextIndex {
       .write.partitionBy("__pt").mode("append").parquet(s"$dir/positions")
   }
 
+  /** [[encodeForAppend]] for the positional layout — the rows frame a
+    * streaming exactly-once append stages/publishes itself.
+    */
+  private[graft] def encodePositionalForAppend(spark: SparkSession,
+      dir: String, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val parts = spark.read.parquet(s"$dir/meta").head().getAs[Int]("parts")
+    positionalRows(batch, idCol, textCol, parts, AnnIndex.nextSeq(spark, dir))
+  }
+
   private def positionalRows(docs: DataFrame, idCol: String, textCol: String,
       parts: Int, seq: Long): DataFrame =
     docs.select(qcol(idCol).cast("long").as("__id"),

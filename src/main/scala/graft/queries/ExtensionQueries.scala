@@ -3370,6 +3370,39 @@ object ExtensionQueries {
         "vec_id", "embedding", 5, shortlist = 50)
   }
 
+  /** FILTERED search on the BQ layout — the metadata-predicate contract
+    * extended across index families (the x_knn_filtered shape on IVF):
+    * the predicate restricts BOTH the hamming pass and the exact
+    * rescore before any score exists, so the shortlist never
+    * under-fills. Oracle = the x_knn_bq replay with the same predicate
+    * on the stored rows.
+    */
+  val knnBqFiltered = q("x_knn_bq_filtered",
+    """WITH c AS (SELECT __id, __sig, __vec
+      |           FROM read_parquet('__GRAFT_ANNIDX__/bq/codes/*.parquet')
+      |           WHERE __id % 2 = 0),
+      |q AS (SELECT __id AS qid, __vec AS qv, __sig AS qs
+      |      FROM read_parquet('__GRAFT_ANNIDX__/bq/codes/*.parquet') WHERE __id < 5),
+      |ham AS (
+      |  SELECT q.qid AS query_id, c.__id AS neighbor_id,
+      |         list_sum(list_transform(range(1, len(q.qs) + 1),
+      |           i -> bit_count(xor(q.qs[i], c.__sig[i])))) AS h,
+      |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.__vec AS DOUBLE[])) AS cos
+      |  FROM q, c WHERE c.__id <> q.qid),
+      |short AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS hr
+      |          FROM ham),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 4) DESC, neighbor_id) AS rank
+      |      FROM short WHERE hr <= 50)
+      |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+      val idx = stageAnnIndexes(s, dir)
+      AnnIndex.bqTopK(s, s"$idx/bq",
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, shortlist = 50,
+        where = pmod(col("__id"), lit(2)) === 0)
+  }
+
   /** BQ maintenance parity: the staged build→append→delete→update
     * fixture must serve EXACTLY the in-query scan over the live set
     * (the sketch is training-free, so no drift term exists — a lost
@@ -3534,7 +3567,7 @@ object ExtensionQueries {
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     knnPqDelete, knnIvfPqRefine, knnIvfPqResRecall, knnIvfPqResidualErr,
     knnSq, knnSqErr, knnSqGuarantee, knnIvfSq, knnIvfSqFullProbe,
-    knnBq, knnBqMaint, knnPcaPq, knnPcaPqIsometry,
+    knnBq, knnBqMaint, knnBqFiltered, knnPcaPq, knnPcaPqIsometry,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,

@@ -490,6 +490,40 @@ object QualityQueries {
       "customer", "query", slop = 2)
   }
 
+  /** Streaming positional-index maintenance through the real streaming
+    * path: the index built on the even half, the odd half APPENDED from
+    * the shared text spool one micro-batch at a time under the
+    * exactly-once staged publish. Positions are per-doc local facts
+    * (append == rebuild), so phrase counts served from the streamed
+    * index HASH-match the independent raw-text recount over the FULL
+    * corpus — a lost batch, double publish, or partial rename shows up
+    * as a wrong count, not a failed boolean.
+    */
+  val streamPhraseAppend = q("x_stream_phrase_append",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS t
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |         len(list_filter(range(1, greatest(len(t) - 1, 1)),
+      |             i -> t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch')) AS n_occurrences
+      |  FROM toks)
+      |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      |FROM occ WHERE n_occurrences > 0""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val spool = ExtensionQueries.stageTextSpool(s, dir) // the odd half, 2 slices
+    val idx = s"/tmp/graft_stream_pos/${Staging.tag(dir)}_idx"
+    val ckpt = s"${idx}_ckpt"
+    Seq(idx, ckpt).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    graft.ext.TextIndex.buildPositional(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, parts = 8)
+    graft.streaming.DocStreams.runPositionalAppendOnce(s, spool, idx, ckpt)
+    graft.ext.TextIndex.phraseOccurrences(s, idx, Seq("slow", "hash", "batch"))
+  }
+
   /** Input prep (idempotent): the positional index over documents. */
   def stagePositionalIndex(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_posindex/${Staging.tag(dir)}"
@@ -523,5 +557,5 @@ object QualityQueries {
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
     knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash,
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
-    textPhrase, textProximity)
+    textPhrase, textProximity, streamPhraseAppend)
 }

@@ -637,6 +637,64 @@ object DocStreams {
     Hfs.touch(spark, s"$indexDir/_batch_$batchId")
   }
 
+  /** Streaming POSITIONAL-index maintenance — the phrase/proximity
+    * sibling of [[runTextIndexAppendOnce]]: document batches append
+    * per-occurrence (term, doc, pos) rows into their term buckets under
+    * the same exactly-once staged publish, checkpoint pairing, and
+    * replay-sweep discipline. Positions are per-document local facts,
+    * so append == rebuild exactly — which lets the
+    * `x_stream_phrase_append` gate HASH-match phrase counts over the
+    * streamed index against an independent raw-text recount of the full
+    * corpus, not just a boolean.
+    */
+  def runPositionalAppendOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): Unit = {
+    import graft.util.Hfs
+    require(Hfs.exists(spark, s"$indexDir/meta"),
+      s"$indexDir is not a built positional index — build on the base corpus first")
+    requirePairedCheckpoint(spark, indexDir, checkpointDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema(s"$idCol long, $textCol string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!Hfs.exists(spark, s"$indexDir/_batch_$batchId"))
+            appendPositionalBatchExactlyOnce(spark, indexDir, batch.toDF(),
+              batchId, idCol, textCol)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  private def appendPositionalBatchExactlyOnce(spark: SparkSession,
+      indexDir: String, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String): Unit = {
+    import graft.util.Hfs
+    val staged = s"$indexDir/.staged_batch_$batchId"
+    val prefix = s"b$batchId"
+    Hfs.delete(spark, staged)
+    sweepPublished(spark, s"$indexDir/positions", prefix, "__pt=")
+    graft.ext.TextIndex.encodePositionalForAppend(spark, indexDir, batch,
+        idCol, textCol)
+      .coalesce(1).write.mode("overwrite").partitionBy("__pt")
+      .parquet(s"$staged/positions")
+    publishStaged(spark, s"$staged/positions", s"$indexDir/positions",
+      prefix, "__pt=")
+    Hfs.delete(spark, staged)
+    Hfs.touch(spark, s"$indexDir/_batch_$batchId")
+  }
+
   /** Streaming SKETCH maintenance: count-min counter DELTAS appended
     * exactly once per document micro-batch. Counters are associative
     * (the CMS is a sum of per-row one-hot increments), so an

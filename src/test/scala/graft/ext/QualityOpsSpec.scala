@@ -191,6 +191,23 @@ class QualityOpsSpec extends SparkSpec {
     m shouldBe Map(("a", "a") -> 1L, ("a", "b") -> 2L, ("b", "c") -> 1L)
   }
 
+  test("filtered bqTopK equals brute force over the predicate-filtered corpus") {
+    val rnd = new scala.util.Random(19)
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fbq").toString + "/bq"
+    AnnIndex.buildBq(corpus, "vec_id", "embedding", dir, dim = 8)
+    val q = corpus.filter($"vec_id" < 2)
+    val served = AnnIndex.bqTopK(spark, dir, q, "vec_id", "embedding",
+        k = 5, shortlist = 32, // exhaustive shortlist → exact
+        where = pmod(col("__id"), lit(2)) === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(q,
+        corpus.filter(pmod($"vec_id", lit(2)) === 0), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    served shouldBe brute
+  }
+
   test("filtered ivfTopK equals brute force over the predicate-filtered corpus") {
     val rnd = new scala.util.Random(7)
     val corpus = (0 until 32).map(i =>

@@ -267,6 +267,50 @@ class DocStreamsSpec extends SparkSpec {
     served() shouldBe clean
   }
 
+  test("streaming positional append: crash-replay lands once; phrase counts equal full-corpus truth") {
+    import graft.ext.TextIndex
+    val corpus = Seq(
+      (1L, "big data big data pipeline"), (2L, "data big data"),
+      (3L, "big data again today"), (4L, "nothing here"),
+      (5L, "more big data rows"), (6L, "filler text"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pos_idx").toString + "/p"
+    TextIndex.buildPositional(corpus.filter($"doc_id" <= 2), "doc_id", "text",
+      idx, parts = 4)
+    val spool = stageSpool(Seq(
+      Seq((3L, "big data again today"), (4L, "nothing here")),
+      Seq((5L, "more big data rows"), (6L, "filler text"))))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pos_ckpt").toString + "/c"
+    DocStreams.runPositionalAppendOnce(spark, spool, idx, ckpt)
+    def served() = TextIndex.phraseOccurrences(spark, idx, Seq("big", "data"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clean = served()
+    clean shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 5L -> 1L)
+
+    def rollbackCommit1(): Unit = Seq(s"$ckpt/commits/1", s"$ckpt/commits/.1.crc")
+      .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+
+    // crash inside batch 1: partial publish, marker missing — the replay
+    // must sweep the partial and land the batch exactly once
+    rollbackCommit1()
+    graft.util.Hfs.delete(spark, s"$idx/_batch_1")
+    val b1Files = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("b1-")).toSeq
+    }
+    b1Files should not be empty
+    java.nio.file.Files.delete(b1Files.head)
+    DocStreams.runPositionalAppendOnce(spark, spool, idx, ckpt)
+    served() shouldBe clean
+
+    // crash after the marker: redelivery of a marked batch is a no-op
+    rollbackCommit1()
+    DocStreams.runPositionalAppendOnce(spark, spool, idx, ckpt)
+    served() shouldBe clean
+  }
+
   test("streaming dedup maintains duplicate clusters: incremental components equal the batch form") {
     import graft.ext.IncrementalComponents
     val spool = stageSpool(Seq(docs.take(3), docs.drop(3)))
