@@ -191,6 +191,39 @@ class QualityOpsSpec extends SparkSpec {
     m shouldBe Map(("a", "a") -> 1L, ("a", "b") -> 2L, ("b", "c") -> 1L)
   }
 
+  test("funnelCounts: an empty early stage zeroes every later stage, no errors") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "buy")) // no clicks anywhere
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.funnelCounts(events, "user_id", "ts", "event_id", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "buy" -> (col("event_type") === "buy")))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    got shouldBe Map("view" -> 1L, "click" -> 0L, "buy" -> 0L)
+  }
+
+  test("zOrder2: contiguous z-ranges bound rectangles; bit interleave round-trips") {
+    // de-interleaving the curve value recovers both coordinates exactly
+    val pts = Seq((0L, 0L), (7L, 7L), (1023L, 0L), (0L, 1023L), (700L, 300L))
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zOrder2(col("x"), col("y"), 10).as("z"))
+      .collect()
+    zs.foreach { r =>
+      val z = r.getLong(2)
+      val x = (0 until 10).map(b => ((z >> (2 * b)) & 1) << b).sum
+      val y = (0 until 10).map(b => ((z >> (2 * b + 1)) & 1) << b).sum
+      (x, y) shouldBe ((r.getLong(0), r.getLong(1)))
+    }
+    // geometry: any aligned z-quartet covers exactly a 2x2 cell
+    val cell = (0L until 4L).map(z =>
+      ((0 until 10).map(b => ((z >> (2 * b)) & 1) << b).sum,
+       (0 until 10).map(b => ((z >> (2 * b + 1)) & 1) << b).sum)).toSet
+    cell shouldBe Set((0, 0), (1, 0), (0, 1), (1, 1))
+  }
+
   test("filtered bqTopK equals brute force over the predicate-filtered corpus") {
     val rnd = new scala.util.Random(19)
     val corpus = (0 until 32).map(i =>
