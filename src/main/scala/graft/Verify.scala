@@ -51,8 +51,15 @@ object Verify {
     // parquet dumps from it) — so the index tables those oracles read
     // are copied INTO the dump and the placeholder resolves there.
     // oracleSql is a static map and cannot know either path itself.
+    // DOT-PREFIXED on purpose: the copied tables carry array-typed
+    // centroid columns, and the driver's frame-diff (which enumerates
+    // dump subdirectories and pandas-sorts every readable one) chokes
+    // on ndarray cells — `_annidx` polluted r11/r12's CORRECTNESS with
+    // a spurious err row. Python glob('*') skips dot-entries, so
+    // `.annidx` stays readable to DuckDB (absolute path in the oracle
+    // SQL) but invisible to the dump enumeration.
     val annSrc = "/tmp/graft_annindex/" + graft.queries.Staging.tag(sfDir)
-    val annIdx = s"$outDir/_annidx"
+    val annIdx = s"$outDir/.annidx"
     try {
       val dst = new java.io.File(annIdx)
       org.apache.commons.io.FileUtils.deleteDirectory(dst)

@@ -233,10 +233,21 @@ object AnnIndex {
       m, sub)
   }
 
-  /** PQ top-k against a persisted index (build once, query many). */
+  /** PQ top-k against a persisted index (build once, query many).
+    * `where` is FILTERED SEARCH over the stored codes scan (flat layout:
+    * no partition pruning, but the predicate still evaluates pre-LUT,
+    * pre-aggregate, so the top-k is exact over the predicate corpus).
+    * Same per-ID-column contract as the IVF×PQ path: codes rows are
+    * exploded per subvector, so the predicate must keep or drop WHOLE
+    * ids (key on `__id`), never reference `__j`/`__code`.
+    */
   def pqTopK(spark: SparkSession, dir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame =
-    Similarity.pqTopKWithModel(queries, idCol, vecCol, readPq(spark, dir), k)
+      idCol: String, vecCol: String, k: Int,
+      where: Column = lit(true)): DataFrame = {
+    val model = readPq(spark, dir)
+    Similarity.pqTopKWithModel(queries, idCol, vecCol,
+      model.copy(codes = model.codes.filter(where)), k)
+  }
 
   // ----------------------------------------------------------- IVF-flat
   /** A loaded IVF-flat index: coarse centroids in hand, full vectors left
@@ -402,8 +413,10 @@ object AnnIndex {
     * final groupBy over (query, candidate-in-probed-cluster) pairs.
     */
   def ivfPqTopK(spark: SparkSession, index: IvfPqIndex, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val (scored, _, _) = adcScored(spark, index, queries, idCol, vecCol, nprobe)
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      where: Column = lit(true)): DataFrame = {
+    val (scored, _, _) =
+      adcScored(spark, index, queries, idCol, vecCol, nprobe, where)
     topKPerQuery(scored, "cosine_pq", "neighbor_id", k)
   }
 
@@ -418,10 +431,19 @@ object AnnIndex {
     * after the aggregate. Grouping additionally by `__cluster` costs
     * nothing (a live id has exactly one cluster) and keeps the offset
     * join above the final cut.
+    *
+    * `where` is FILTERED SEARCH on the quantized layout (the [[ivfTopK]]
+    * contract on the codes table): evaluated INSIDE the partition-pruned
+    * codes scan, before the LUT join and the ADC aggregate, so the
+    * top-k is the exact ADC top-k of the probed ∩ predicate corpus and
+    * never under-fills. The predicate MUST key on per-ID columns
+    * (`__id`, `__cluster`) only: codes rows are exploded per subvector
+    * (`__j`, `__code`), and a predicate that kept some of an id's m
+    * rows would silently truncate its ADC sum instead of excluding it.
     */
   private def adcScored(spark: SparkSession, index: IvfPqIndex,
       queries: DataFrame, idCol: String, vecCol: String,
-      nprobe: Int): (DataFrame, Array[Int], DataFrame) = {
+      nprobe: Int, where: Column = lit(true)): (DataFrame, Array[Int], DataFrame) = {
     val q = queries.select(qcol(idCol).cast("long").as("query_id"),
       qcol(vecCol).as("__qv"))
     val probesFull = probeClusters(q, index.coarse, nprobe)
@@ -431,7 +453,8 @@ object AnnIndex {
       .collect().map(_.getInt(0)) // ≤ nlist values by construction
     val codes = liveOnly(spark, index.dir,
       spark.read.parquet(index.codesPath)
-        .filter(col("__cluster").isin(probed.map(Int.box): _*)))
+        .filter(col("__cluster").isin(probed.map(Int.box): _*))
+        .filter(where))
     val adc = codes
       .join(broadcast(probes), Seq("__cluster"))
       .filter(col("query_id") =!= col("__id"))
@@ -469,12 +492,16 @@ object AnnIndex {
     */
   def ivfPqTopKRefined(spark: SparkSession, index: IvfPqIndex,
       queries: DataFrame, idCol: String, vecCol: String, k: Int, nprobe: Int,
-      refine: Int = 4): DataFrame = {
+      refine: Int = 4, where: Column = lit(true)): DataFrame = {
     require(refine >= 1, s"refine factor must be >= 1: $refine")
     require(graft.util.Hfs.exists(spark, s"${index.dir}/vectors"),
       s"${index.dir} has no vectors/ table — build with keepVectors = true " +
         "to enable exact re-ranking")
-    val (scored, probed, q) = adcScored(spark, index, queries, idCol, vecCol, nprobe)
+    // `where` constrains the SHORTLIST (applied in the codes scan); the
+    // exact re-rank joins by shortlist id, so the predicate holds
+    // transitively without re-evaluating against the vectors table
+    val (scored, probed, q) =
+      adcScored(spark, index, queries, idCol, vecCol, nprobe, where)
     val shortlist = topKPerQuery(scored, "cosine_pq", "neighbor_id", k * refine)
       .select(col("query_id"), col("neighbor_id"))
       .join(q, Seq("query_id")) // attach the query vector (both tiny)
@@ -619,15 +646,19 @@ object AnnIndex {
   }
 
   /** PCA-PQ top-k: queries rotated against the stored matrix, then the
-    * standard persisted-PQ ADC path over the rotated codes.
+    * standard persisted-PQ ADC path over the rotated codes. `where`
+    * filters the stored codes pre-scoring ([[pqTopK]]'s contract —
+    * rotation touches vectors, not ids, so id predicates pass through
+    * unchanged).
     */
   def pcaPqTopK(spark: SparkSession, dir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      where: Column = lit(true)): DataFrame = {
     val idx = readPcaPq(spark, dir)
     pqTopK(spark, idx.pqDir,
       queries.select(qcol(idCol).as("__rid"),
         Similarity.rotateExpr(qcol(vecCol), idx.rotation).as("__rvec")),
-      "__rid", "__rvec", k)
+      "__rid", "__rvec", k, where)
   }
 
   /** [[appendPq]] through the rotation (frozen rotation + codebooks). */
@@ -845,9 +876,16 @@ object AnnIndex {
     * nothing corpus-sized shuffles — the codes scan is pruned, probes and
     * query frames broadcast, and the only exchange feeds the top-k
     * window over scored candidates.
+    *
+    * `where` is FILTERED SEARCH ([[ivfTopK]]'s contract): evaluated
+    * inside the pruned codes scan, pre-scoring — exact top-k of
+    * probed ∩ predicate, never under-filled. SQ codes are one row per
+    * id (`__id`, `__cluster`, `__codes`), so any per-row predicate over
+    * those columns is safe.
     */
   def ivfSqTopK(spark: SparkSession, index: IvfSqIndex, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      where: Column = lit(true)): DataFrame = {
     val q = queries.select(qcol(idCol).cast("long").as("query_id"),
       qcol(vecCol).as("__qv"))
     val probes = probeClusters(q, index.coarse, nprobe)
@@ -857,7 +895,8 @@ object AnnIndex {
       .collect().map(_.getInt(0)) // ≤ nlist values by construction
     val codes = liveOnly(spark, index.dir,
       spark.read.parquet(index.codesPath)
-        .filter(col("__cluster").isin(probed.map(Int.box): _*)))
+        .filter(col("__cluster").isin(probed.map(Int.box): _*))
+        .filter(where))
     val scored = codes
       .join(broadcast(probes), Seq("__cluster"))
       .filter(col("query_id") =!= col("__id"))
@@ -1375,5 +1414,60 @@ object AnnIndex {
     val spark = corpus.sparkSession
     buildIvfPq(corpus, idCol, vecCol, dir, nlist, m, ksub, iters, maxTrainRows)
     ivfPqTopK(spark, readIvfPq(spark, dir), queries, idCol, vecCol, k, nprobe)
+  }
+
+  // --------------------------------------------------- recall reporting
+  /** Measured serving-quality report: recall@k and rank agreement of
+    * each served ANN layout against a reference (brute-force) top-k, at
+    * the layouts' OPERATING parameters — the number a production vector
+    * -store dashboard tracks per index build (the mechanics gates prove
+    * full-probe == brute; this measures what the approximation actually
+    * costs at the nprobe/shortlist a user runs).
+    *
+    * `results` are (layout name, served top-k frame) pairs and
+    * `reference` the exact top-k, all in the standard ranked shape
+    * (`query_id`, `rank`, `neighbor_id`, score) that every topK
+    * operator here emits; rows with rank > k are ignored so callers can
+    * pass wider frames.
+    *
+    * Metrics are INTEGER-NUMERATOR by design (the hash-match
+    * discipline): `hits` = |served ∩ reference| and `rank_footrule` =
+    * Σ |rank_served − rank_ref| over the intersection (Spearman's
+    * footrule restricted to shared neighbors — 0 iff the shared lists
+    * agree in order) are exact counts, and `recall_at_k` = hits /
+    * possible is ONE IEEE division of those counts, so the whole row
+    * reproduces bit-for-bit in any engine.
+    *
+    * Scale shape: per layout one (query_id, neighbor_id)-keyed join of
+    * two (n_queries × k)-sized frames plus a scalar aggregate — nothing
+    * corpus-sized; the report costs less than any single search it
+    * measures.
+    *
+    * Output: (`layout`, `k`, `n_queries`, `possible`, `hits`,
+    * `recall_at_k`, `rank_footrule`), one row per layout in input order.
+    */
+  def recallReport(results: Seq[(String, DataFrame)], reference: DataFrame,
+      k: Int): DataFrame = {
+    require(results.nonEmpty, "no layouts to report")
+    require(k > 0, s"k must be positive: $k")
+    val ref = reference.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__rref"))
+      .localCheckpoint(eager = true) // joined once per layout
+    val totals = ref.agg(count(lit(1)).as("__possible"),
+      countDistinct(col("query_id")).as("__nq"))
+    results.map { case (name, served) =>
+      served.filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("__rsrv"))
+        .join(ref, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"),
+          coalesce(sum(abs(col("__rsrv") - col("__rref"))), lit(0L))
+            .as("rank_footrule"))
+        .crossJoin(broadcast(totals))
+        .select(lit(name).as("layout"), lit(k).as("k"),
+          col("__nq").as("n_queries"), col("__possible").as("possible"),
+          col("hits"),
+          (col("hits").cast("double") / col("__possible")).as("recall_at_k"),
+          col("rank_footrule"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -87,8 +87,12 @@ object Graph {
     * hub degree. Three joins total (two for degrees, one wedge + one
     * closure semi-equi-join), everything equi-keyed and
     * partial-aggregated; the (degree, id) order is packed into one
-    * int64 (`deg·2^32 + id`, exact while ids < 2^32) so the engines
-    * compare a single integer, not a struct.
+    * int64 (`deg·2^32 + id`, exact while ids ∈ [0, 2^32)) so the
+    * engines compare a single integer, not a struct. That id range is
+    * ENFORCED at runtime (one scalar agg over the already-checkpointed
+    * edge set): snowflake-style 64-bit ids would silently collide in
+    * the packed key and mis-orient edges, producing a wrong count with
+    * no error — so out-of-range ids throw instead.
     *
     * Output: one row, (`n_triangles`).
     */
@@ -101,6 +105,16 @@ object Graph {
         greatest(col("__u"), col("__v")).as("__b"))
       .distinct()
       .localCheckpoint(eager = true) // degree pass + orientation read it
+    // packed-key domain guard: one scalar agg over the checkpointed edge
+    // set (tiny vs the wedge join it protects)
+    val idRange = raw.agg(min(col("__a")).as("mn"),
+      max(greatest(col("__a"), col("__b"))).as("mx")).head()
+    if (!idRange.isNullAt(0)) {
+      val (mn, mx) = (idRange.getLong(0), idRange.getLong(1))
+      require(mn >= 0L && mx < 4294967296L,
+        s"triangleCount: node ids must be in [0, 2^32) for the packed " +
+          s"(degree, id) orientation key; got range [$mn, $mx]")
+    }
     val deg = raw.select(explode(array(col("__a"), col("__b"))).as("__n"))
       .groupBy(col("__n")).agg(count(lit(1)).as("__c"))
     val keyed = raw

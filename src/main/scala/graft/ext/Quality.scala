@@ -30,8 +30,11 @@ object Quality {
     */
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "no expectations given")
+    // coalesce: sum over ZERO rows is NULL — an empty input must report
+    // 0 violations / pass = true, not an indeterminate NULL contract
     val aggs = rules.zipWithIndex.map { case ((_, p), i) =>
-      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+      coalesce(sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"__v$i")
     }
     df.agg(count(lit(1)).as("__n"), aggs: _*)
       .select(col("__n"), explode(array(rules.zipWithIndex.map {

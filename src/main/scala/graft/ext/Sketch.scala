@@ -67,19 +67,32 @@ object Sketch {
     * check, not a hope. Null features are dropped (no identity), null
     * values contribute nothing.
     *
-    * One counting pass, k-bounded output: (`bucket`, `weight` =
-    * Σ sign·value rounded 4dp, `n`).
+    * Accumulation is FIXED-POINT: each row contributes
+    * floor(sign·value·scale) as an int64, and the bucket weight is the
+    * integer sum — exact, associative, and therefore independent of
+    * partitioning, retry order, and engine (a float sum is none of
+    * those; its round-to-4dp gate was the r12 ADVICE boundary-straddle
+    * seam). Precision is 1/scale per row, the trade every
+    * reproducible-training feature store makes. The double `weight` is
+    * derived by ONE division from the integer, so it is bit-exact too.
+    *
+    * One counting pass, k-bounded output: (`bucket`, `weight_q` =
+    * Σ floor(sign·value·scale) as int64, `weight` = weight_q/scale,
+    * `n`).
     */
   def featureHash(df: DataFrame, featureCol: Column, valueCol: Column,
-      k: Int): DataFrame = {
+      k: Int, scale: Long = 10000L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    require(scale > 0, s"scale must be positive: $scale")
     val f = featureCol.cast("string")
     df.filter(f.isNotNull && valueCol.isNotNull)
       .select((PortableHash.md5Prefix15(f) % k).as("bucket"),
-        (when(PortableHash.md5Prefix15(concat(lit("s:"), f)) % 2 === 0, 1)
-          .otherwise(-1) * valueCol.cast("double")).as("__w"))
+        floor(when(PortableHash.md5Prefix15(concat(lit("s:"), f)) % 2 === 0, 1)
+          .otherwise(-1) * valueCol.cast("double") * scale).as("__w"))
       .groupBy(col("bucket"))
-      .agg(round(sum(col("__w")), 4).as("weight"), count(lit(1)).as("n"))
+      .agg(sum(col("__w")).as("weight_q"),
+        (sum(col("__w")).cast("double") / scale).as("weight"),
+        count(lit(1)).as("n"))
   }
 
   /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) per
@@ -103,7 +116,8 @@ object Sketch {
     * group's distinct hashes; pre-thin with a WHERE h < threshold scan
     * filter if that ever dominates).
     *
-    * Output: (`groupCol`, `est_distinct` double rounded 4dp).
+    * Output: (`groupCol`, `est_distinct` double, unrounded — it
+    * reproduces bit-for-bit from the integer k-th order statistic).
     */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: Column,
       k: Int): DataFrame =
@@ -131,9 +145,15 @@ object Sketch {
       .filter(col("__rn") <= k)
       .groupBy(col(groupCol))
       .agg(max(col("__h")).as("__hk"), max(col("__rn")).as("__n"))
+      // UNROUNDED: (k−1)·2^60 is exactly representable (k−1 fits the
+      // significand), the int64 h_(k) converts to double by one
+      // round-to-nearest, and the single IEEE divide is deterministic —
+      // so the estimate reproduces bit-for-bit in any engine from the
+      // same integer order statistic; rounding would only add a
+      // boundary-straddle hazard (the r12 ADVICE seam)
       .select(col(groupCol),
-        round(when(col("__n") < k, col("__n").cast("double"))
-          .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk")), 4)
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk"))
           .as("est_distinct"))
   }
 }

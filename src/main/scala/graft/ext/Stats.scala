@@ -141,17 +141,26 @@ object Stats {
     * p_b = (n_b + eps) / (N + eps·bins), and
     * PSI = Σ_b (p_b − q_b)·ln(p_b / q_b) — the standard monitoring
     * statistic (≥ 0; ~0.1 "investigate", ~0.25 "shifted" in the usual
-    * reading). Smoothing makes one-sided bins finite and empty-both-
-    * sides bins contribute exactly 0, so only observed (group, bin)
-    * rows need to exist.
+    * reading). The sum runs over the FULL bin domain, generated per
+    * group: under Laplace smoothing an empty-both-sides bin still
+    * contributes (eps/(N_r+eps·b) − eps/(N_c+eps·b))·ln(·), which is
+    * nonzero whenever the two sides' totals differ — dropping those
+    * bins would understate the textbook smoothed PSI.
     *
     * Scale shape: one union pass → a (group, bin)-keyed counting
-    * group-by (map-side combined, counters-sized) → a broadcast join of
-    * per-group totals → a bins-sized aggregate. Nothing corpus-sized
-    * shuffles; adding groups or bins grows the counter table, not the
-    * scan.
+    * group-by (map-side combined, counters-sized) → a generated
+    * (group × bins) domain left-joined with the observed counts → a
+    * bins-sized aggregate. Nothing corpus-sized shuffles; adding groups
+    * or bins grows the counter table, not the scan.
     *
-    * Output: (`groupCol`, `n_ref`, `n_cur`, `psi` rounded 6dp).
+    * Output: (`groupCol`, `n_ref`, `n_cur`, `psi` rounded 6dp). The
+    * rounding is a DELIBERATE tolerance, kept only here: psi contains
+    * ln(), whose last-ulp value is libm-implementation-specific, and
+    * the per-bin terms are summed in engine-chosen order — unlike the
+    * ks/percentiles outputs, bit-exact cross-engine psi is not
+    * attainable, so 6dp absorbs the transcendental + summation-order
+    * seam (a boundary-straddling value would diverge; acceptable for a
+    * monitoring statistic whose decisions live at 0.1/0.25).
     */
   def psi(ref: DataFrame, cur: DataFrame, groupCol: String, valueCol: Column,
       bins: Int, lo: Double, hi: Double, eps: Double = 0.5): DataFrame = {
@@ -172,9 +181,14 @@ object Stats {
     // case-insensitively, so __Nr would collide with __nr
     val totals = counts.groupBy(col("__g"))
       .agg(sum(col("__nr")).as("__tr"), sum(col("__nc")).as("__tc"))
-    val p = (col("__nr") + eps) / (col("__tr") + eps * bins)
-    val q = (col("__nc") + eps) / (col("__tc") + eps * bins)
-    counts.join(broadcast(totals), Seq("__g"))
+    // full bin domain per group (groups × bins rows — counter-sized, not
+    // corpus-sized): unobserved bins enter with 0/0 counts so their
+    // smoothed contribution is summed, not silently dropped
+    val domain = totals.select(col("__g"), col("__tr"), col("__tc"),
+      explode(sequence(lit(0), lit(bins - 1))).as("__b"))
+    val p = (coalesce(col("__nr"), lit(0L)) + eps) / (col("__tr") + eps * bins)
+    val q = (coalesce(col("__nc"), lit(0L)) + eps) / (col("__tc") + eps * bins)
+    domain.join(counts, Seq("__g", "__b"), "left")
       .select(col("__g"), col("__tr"), col("__tc"),
         ((p - q) * log(p / q)).as("__t"))
       .groupBy(col("__g"))
@@ -190,9 +204,13 @@ object Stats {
     * single worst cumulative gap (bounded in [0,1], distribution-free
     * critical values) — monitoring stacks run both because they fire on
     * different shift shapes. Same counters-sized shuffle shape as psi;
-    * the CDF is a window cumsum over ≤ `bins` rows per group.
+    * the CDF is a window cumsum over ≤ `bins` rows per group. Bins
+    * observed on neither side need no row: both CDFs are flat there,
+    * so the running gap cannot reach a new extremum — observed-bin max
+    * IS the full-domain max.
     *
-    * Output: (`groupCol`, `n_ref`, `n_cur`, `ks` rounded 6dp).
+    * Output: (`groupCol`, `n_ref`, `n_cur`, `ks` unrounded — every gap
+    * is integer/integer in IEEE, so it reproduces bit-for-bit).
     */
   def ksDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
       valueCol: Column, bins: Int, lo: Double, hi: Double): DataFrame = {
@@ -227,8 +245,14 @@ object Stats {
           when(col("__tc") === 0, lit(0.0))
             .otherwise(col("__cc").cast("double") / col("__tc"))).as("__gap"))
       .groupBy(col("__g"))
+      // UNROUNDED: every gap is integer-cumsum / integer-total — two
+      // deterministic IEEE ops on identical operands in any engine — and
+      // max() picks one value rather than summing, so the double is
+      // bit-reproducible cross-engine with no rounding tolerance (the
+      // x_stats_percentiles discipline; rounding would reintroduce a
+      // boundary-straddle hazard)
       .agg(first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"),
-        round(max(col("__gap")), 6).as("ks"))
+        max(col("__gap")).as("ks"))
       .withColumnRenamed("__g", groupCol)
   }
 

@@ -3403,6 +3403,404 @@ object ExtensionQueries {
         where = pmod(col("__id"), lit(2)) === 0)
   }
 
+  /** FILTERED search on the QUANTIZED served layout — the production
+    * composition (metadata predicate + nprobe partition pruning + ADC)
+    * a real vector-store user hits first: the predicate evaluates
+    * inside the partition-pruned codes scan, BEFORE the LUT join and
+    * ADC aggregate, so the top-k is the exact ADC top-k of the
+    * probed ∩ predicate corpus (never the under-filled k of
+    * post-filtering). Oracle = the x_knn_ivfpq replay with the same
+    * predicate in the codes CTE.
+    */
+  val knnIvfPqFiltered = q("x_knn_ivfpq_filtered",
+    """WITH qv AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/coarse/*.parquet')),
+      |probe AS (
+      |  SELECT qid, __cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qv, cent),
+      |probed AS (SELECT qid, __cid FROM probe WHERE pr <= 4),
+      |nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM qv),
+      |cb AS (
+      |  SELECT __j, __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/codebooks/*.parquet')),
+      |lut AS (
+      |  SELECT qid, __j, __cid AS code,
+      |         list_sum(list_transform(generate_series(1, len(centroid)),
+      |           i -> u[__j * 8 + i] * centroid[i])) AS p
+      |  FROM nq, cb),
+      |codes AS (
+      |  SELECT __id AS nid, __j, __code, CAST(__cluster AS INTEGER) AS cl
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/codes/*/*.parquet', hive_partitioning=1)
+      |  WHERE __id % 2 = 0),
+      |scored AS (
+      |  SELECT l.qid, c.nid, round(sum(l.p), 4) AS s
+      |  FROM probed p
+      |  JOIN codes c ON c.cl = p.__cid
+      |  JOIN lut l ON l.qid = p.qid AND l.__j = c.__j AND l.code = c.__code
+      |  WHERE l.qid <> c.nid GROUP BY l.qid, c.nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine_pq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine_pq FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    AnnIndex.ivfPqTopK(s, AnnIndex.readIvfPq(s, s"$idx/ivfpq"),
+      Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+      "vec_id", "embedding", 5, nprobe = 4,
+      where = pmod(col("__id"), lit(2)) === 0)
+  }
+
+  /** FILTERED search on the IVF×SQ served layout — same contract as
+    * [[knnIvfPqFiltered]]: predicate inside the pruned codes scan,
+    * pre-scoring; oracle = the x_knn_ivfsq replay with the predicate in
+    * the codes CTE.
+    */
+  val knnIvfSqFiltered = q("x_knn_ivfsq_filtered",
+    """WITH qv AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/coarse/*.parquet')),
+      |probe AS (
+      |  SELECT qid, __cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qv, cent),
+      |probed AS (SELECT qid, __cid FROM probe WHERE pr <= 4),
+      |b AS (
+      |  SELECT list(vmin ORDER BY __pos) AS lo,
+      |         list((vmax - vmin) / 255.0 ORDER BY __pos) AS step
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/bounds/*.parquet')),
+      |nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM qv),
+      |qf AS (
+      |  SELECT qid,
+      |         list_sum(list_transform(generate_series(1, len(u)), i -> u[i] * b.lo[i])) AS qoff,
+      |         list_transform(generate_series(1, len(u)), i -> u[i] * b.step[i]) AS qstep
+      |  FROM nq, b),
+      |codes AS (
+      |  SELECT __id AS nid, CAST(__cluster AS INTEGER) AS cl,
+      |         list_transform(__codes, c -> CAST(c AS DOUBLE) + 128.0) AS c
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/codes/*/*.parquet', hive_partitioning=1)
+      |  WHERE __id % 2 = 0),
+      |scored AS (
+      |  SELECT p.qid, codes.nid,
+      |         round(qf.qoff + list_sum(list_transform(generate_series(1, len(qf.qstep)),
+      |           i -> c[i] * qf.qstep[i])), 4) AS s
+      |  FROM probed p JOIN codes ON codes.cl = p.__cid
+      |  JOIN qf ON qf.qid = p.qid
+      |  WHERE p.qid <> codes.nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine_sq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine_sq FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    AnnIndex.ivfSqTopK(s, AnnIndex.readIvfSq(s, s"$idx/ivfsq"),
+      Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+      "vec_id", "embedding", 5, nprobe = 4,
+      where = pmod(col("__id"), lit(2)) === 0)
+  }
+
+  /** FILTERED search through the PCA rotation — [[pqTopK]]'s flat codes
+    * scan takes the predicate pre-ADC (rotation touches vectors, not
+    * ids, so the id predicate is unchanged); oracle = the x_knn_pcapq
+    * replay with the predicate in the codes CTE.
+    */
+  val knnPcaPqFiltered = q("x_knn_pcapq_filtered",
+    """WITH qv AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |rot AS (SELECT __i, __row FROM read_parquet('__GRAFT_ANNIDX__/pcapq/rotation/*.parquet')),
+      |rq AS (
+      |  SELECT qv.qid, rot.__i,
+      |         list_sum(list_transform(range(1, 65), t -> qv.v[t] * rot.__row[t])) AS y
+      |  FROM qv, rot),
+      |rv AS (SELECT qid, list(y ORDER BY __i) AS v FROM rq GROUP BY qid),
+      |nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM rv),
+      |cb AS (
+      |  SELECT __j, __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/pcapq/pq/codebooks/*.parquet')),
+      |lut AS (
+      |  SELECT qid, __j, __cid AS code,
+      |         list_sum(list_transform(generate_series(1, len(centroid)),
+      |           i -> u[__j * 8 + i] * centroid[i])) AS p
+      |  FROM nq, cb),
+      |codes AS (
+      |  SELECT __id AS nid, __j, __code FROM read_parquet('__GRAFT_ANNIDX__/pcapq/pq/codes/*.parquet')
+      |  WHERE __id % 2 = 0),
+      |scored AS (
+      |  SELECT l.qid, c.nid, round(sum(l.p), 4) AS s
+      |  FROM codes c JOIN lut l ON l.__j = c.__j AND l.code = c.__code
+      |  WHERE l.qid <> c.nid GROUP BY l.qid, c.nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine_pq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine_pq FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+      val idx = stageAnnIndexes(s, dir)
+      AnnIndex.pcaPqTopK(s, s"$idx/pcapq",
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5,
+        where = pmod(col("__id"), lit(2)) === 0)
+  }
+
+  /** Measured recall@k dashboard over EVERY persisted served layout at
+    * its operating parameters (nprobe = 4, BQ shortlist = 50) vs brute
+    * force — the serving-quality number a production vector store
+    * tracks per index build. The mechanics gates prove full-probe ==
+    * brute; this measures what the approximation actually costs where
+    * users run it. Deterministic given the stored indexes (integer
+    * hits/footrule + one division), so the WHOLE report hash-matches a
+    * DuckDB replay composed from the per-layout oracles.
+    */
+  val knnRecallReport = q("x_knn_recall_report",
+    """WITH qv AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM qv),
+      |brute_s AS (
+      |  SELECT q.qid, e.vec_id AS nid,
+      |         list_cosine_similarity(CAST(q.v AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+      |  FROM qv q, embeddings e WHERE e.vec_id <> q.qid),
+      |brute AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY round(c, 4) DESC, nid) AS rank
+      |  FROM brute_s QUALIFY rank <= 5),
+      |tot AS (SELECT count(*) AS possible, count(DISTINCT query_id) AS nqy FROM brute),
+      |ivf_cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivf/coarse/*.parquet')),
+      |ivf_probe AS (
+      |  SELECT qid, __cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qv, ivf_cent QUALIFY pr <= 4),
+      |ivf_vecs AS (
+      |  SELECT __id AS nid, CAST(__cluster AS INTEGER) AS cl,
+      |         list_transform(__vec, x -> CAST(x AS DOUBLE)) AS w
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivf/vectors/*/*.parquet', hive_partitioning=1)),
+      |ivf_scored AS (
+      |  SELECT p.qid, ivf_vecs.nid,
+      |         round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * ivf_vecs.w[i]))
+      |           / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+      |              * sqrt(list_sum(list_transform(ivf_vecs.w, x -> x*x)))), 4) AS s
+      |  FROM ivf_probe p JOIN ivf_vecs ON ivf_vecs.cl = p.__cid
+      |  JOIN qv q ON q.qid = p.qid
+      |  WHERE p.qid <> ivf_vecs.nid),
+      |ivf_top AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM ivf_scored QUALIFY rank <= 5),
+      |pq_cb AS (
+      |  SELECT __j, __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/pq/codebooks/*.parquet')),
+      |pq_lut AS (
+      |  SELECT qid, __j, __cid AS code,
+      |         list_sum(list_transform(generate_series(1, len(centroid)),
+      |           i -> u[__j * 8 + i] * centroid[i])) AS p
+      |  FROM nq, pq_cb),
+      |pq_codes AS (
+      |  SELECT __id AS nid, __j, __code FROM read_parquet('__GRAFT_ANNIDX__/pq/codes/*.parquet')),
+      |pq_scored AS (
+      |  SELECT l.qid, c.nid, round(sum(l.p), 4) AS s
+      |  FROM pq_codes c JOIN pq_lut l ON l.__j = c.__j AND l.code = c.__code
+      |  WHERE l.qid <> c.nid GROUP BY l.qid, c.nid),
+      |pq_top AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM pq_scored QUALIFY rank <= 5),
+      |ivfpq_cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/coarse/*.parquet')),
+      |ivfpq_probe AS (
+      |  SELECT qid, __cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qv, ivfpq_cent QUALIFY pr <= 4),
+      |ivfpq_cb AS (
+      |  SELECT __j, __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/codebooks/*.parquet')),
+      |ivfpq_lut AS (
+      |  SELECT qid, __j, __cid AS code,
+      |         list_sum(list_transform(generate_series(1, len(centroid)),
+      |           i -> u[__j * 8 + i] * centroid[i])) AS p
+      |  FROM nq, ivfpq_cb),
+      |ivfpq_codes AS (
+      |  SELECT __id AS nid, __j, __code, CAST(__cluster AS INTEGER) AS cl
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/codes/*/*.parquet', hive_partitioning=1)),
+      |ivfpq_scored AS (
+      |  SELECT l.qid, c.nid, round(sum(l.p), 4) AS s
+      |  FROM ivfpq_probe p
+      |  JOIN ivfpq_codes c ON c.cl = p.__cid
+      |  JOIN ivfpq_lut l ON l.qid = p.qid AND l.__j = c.__j AND l.code = c.__code
+      |  WHERE l.qid <> c.nid GROUP BY l.qid, c.nid),
+      |ivfpq_top AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM ivfpq_scored QUALIFY rank <= 5),
+      |ivfsq_cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/coarse/*.parquet')),
+      |ivfsq_probe AS (
+      |  SELECT qid, __cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qv, ivfsq_cent QUALIFY pr <= 4),
+      |ivfsq_b AS (
+      |  SELECT list(vmin ORDER BY __pos) AS lo,
+      |         list((vmax - vmin) / 255.0 ORDER BY __pos) AS step
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/bounds/*.parquet')),
+      |ivfsq_qf AS (
+      |  SELECT qid,
+      |         list_sum(list_transform(generate_series(1, len(u)), i -> u[i] * b.lo[i])) AS qoff,
+      |         list_transform(generate_series(1, len(u)), i -> u[i] * b.step[i]) AS qstep
+      |  FROM nq, ivfsq_b b),
+      |ivfsq_codes AS (
+      |  SELECT __id AS nid, CAST(__cluster AS INTEGER) AS cl,
+      |         list_transform(__codes, c -> CAST(c AS DOUBLE) + 128.0) AS c
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/codes/*/*.parquet', hive_partitioning=1)),
+      |ivfsq_scored AS (
+      |  SELECT p.qid, ivfsq_codes.nid,
+      |         round(qf.qoff + list_sum(list_transform(generate_series(1, len(qf.qstep)),
+      |           i -> c[i] * qf.qstep[i])), 4) AS s
+      |  FROM ivfsq_probe p JOIN ivfsq_codes ON ivfsq_codes.cl = p.__cid
+      |  JOIN ivfsq_qf qf ON qf.qid = p.qid
+      |  WHERE p.qid <> ivfsq_codes.nid),
+      |ivfsq_top AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM ivfsq_scored QUALIFY rank <= 5),
+      |bq_c AS (SELECT __id, __sig, __vec
+      |         FROM read_parquet('__GRAFT_ANNIDX__/bq/codes/*.parquet')),
+      |bq_q AS (SELECT __id AS qid, __vec AS qv, __sig AS qs FROM bq_c WHERE __id < 5),
+      |bq_ham AS (
+      |  SELECT q.qid, c.__id AS nid,
+      |         list_sum(list_transform(range(1, len(q.qs) + 1),
+      |           i -> bit_count(xor(q.qs[i], c.__sig[i])))) AS h,
+      |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.__vec AS DOUBLE[])) AS cos
+      |  FROM bq_q q, bq_c c WHERE c.__id <> q.qid),
+      |bq_short AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY h, nid) AS hr
+      |             FROM bq_ham),
+      |bq_top AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, nid) AS rank
+      |  FROM bq_short WHERE hr <= 50 QUALIFY rank <= 5),
+      |pp_rot AS (SELECT __i, __row FROM read_parquet('__GRAFT_ANNIDX__/pcapq/rotation/*.parquet')),
+      |pp_rq AS (
+      |  SELECT qv.qid, pp_rot.__i,
+      |         list_sum(list_transform(range(1, 65), t -> qv.v[t] * pp_rot.__row[t])) AS y
+      |  FROM qv, pp_rot),
+      |pp_rv AS (SELECT qid, list(y ORDER BY __i) AS v FROM pp_rq GROUP BY qid),
+      |pp_nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM pp_rv),
+      |pp_cb AS (
+      |  SELECT __j, __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/pcapq/pq/codebooks/*.parquet')),
+      |pp_lut AS (
+      |  SELECT qid, __j, __cid AS code,
+      |         list_sum(list_transform(generate_series(1, len(centroid)),
+      |           i -> u[__j * 8 + i] * centroid[i])) AS p
+      |  FROM pp_nq, pp_cb),
+      |pp_codes AS (
+      |  SELECT __id AS nid, __j, __code FROM read_parquet('__GRAFT_ANNIDX__/pcapq/pq/codes/*.parquet')),
+      |pp_scored AS (
+      |  SELECT l.qid, c.nid, round(sum(l.p), 4) AS s
+      |  FROM pp_codes c JOIN pp_lut l ON l.__j = c.__j AND l.code = c.__code
+      |  WHERE l.qid <> c.nid GROUP BY l.qid, c.nid),
+      |pp_top AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM pp_scored QUALIFY rank <= 5),
+      |m_ivf AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
+      |          FROM ivf_top s JOIN brute b USING (query_id, neighbor_id)),
+      |m_pq AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
+      |         FROM pq_top s JOIN brute b USING (query_id, neighbor_id)),
+      |m_ivfpq AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
+      |            FROM ivfpq_top s JOIN brute b USING (query_id, neighbor_id)),
+      |m_ivfsq AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
+      |            FROM ivfsq_top s JOIN brute b USING (query_id, neighbor_id)),
+      |m_bq AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
+      |         FROM bq_top s JOIN brute b USING (query_id, neighbor_id)),
+      |m_pp AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
+      |         FROM pp_top s JOIN brute b USING (query_id, neighbor_id))
+      |SELECT 'ivf' AS layout, 5 AS k, CAST(tot.nqy AS BIGINT) AS n_queries,
+      |       CAST(tot.possible AS BIGINT) AS possible, CAST(m.hits AS BIGINT) AS hits,
+      |       CAST(m.hits AS DOUBLE) / tot.possible AS recall_at_k,
+      |       CAST(m.fr AS BIGINT) AS rank_footrule
+      |FROM m_ivf m, tot
+      |UNION ALL
+      |SELECT 'pq', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
+      |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
+      |       CAST(m.fr AS BIGINT)
+      |FROM m_pq m, tot
+      |UNION ALL
+      |SELECT 'ivfpq', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
+      |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
+      |       CAST(m.fr AS BIGINT)
+      |FROM m_ivfpq m, tot
+      |UNION ALL
+      |SELECT 'ivfsq', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
+      |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
+      |       CAST(m.fr AS BIGINT)
+      |FROM m_ivfsq m, tot
+      |UNION ALL
+      |SELECT 'bq', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
+      |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
+      |       CAST(m.fr AS BIGINT)
+      |FROM m_bq m, tot
+      |UNION ALL
+      |SELECT 'pcapq', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
+      |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
+      |       CAST(m.fr AS BIGINT)
+      |FROM m_pp m, tot""".stripMargin) { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+    AnnIndex.recallReport(Seq(
+      "ivf" -> AnnIndex.ivfTopK(s, AnnIndex.readIvf(s, s"$idx/ivf"),
+        queries, "vec_id", "embedding", 5, nprobe = 4),
+      "pq" -> AnnIndex.pqTopK(s, s"$idx/pq", queries, "vec_id", "embedding", 5),
+      "ivfpq" -> AnnIndex.ivfPqTopK(s, AnnIndex.readIvfPq(s, s"$idx/ivfpq"),
+        queries, "vec_id", "embedding", 5, nprobe = 4),
+      "ivfsq" -> AnnIndex.ivfSqTopK(s, AnnIndex.readIvfSq(s, s"$idx/ivfsq"),
+        queries, "vec_id", "embedding", 5, nprobe = 4),
+      "bq" -> AnnIndex.bqTopK(s, s"$idx/bq", queries, "vec_id", "embedding", 5,
+        shortlist = 50),
+      "pcapq" -> AnnIndex.pcaPqTopK(s, s"$idx/pcapq", queries,
+        "vec_id", "embedding", 5),
+    ), brute, 5)
+  }
+
   /** BQ maintenance parity: the staged build→append→delete→update
     * fixture must serve EXACTLY the in-query scan over the live set
     * (the sketch is training-free, so no drift term exists — a lost
@@ -3567,7 +3965,8 @@ object ExtensionQueries {
     knnIvfRecall, knnPqRecall, knnPqErr, knnIvfPqRecall, knnPqPersist, knnPqAppend,
     knnPqDelete, knnIvfPqRefine, knnIvfPqResRecall, knnIvfPqResidualErr,
     knnSq, knnSqErr, knnSqGuarantee, knnIvfSq, knnIvfSqFullProbe,
-    knnBq, knnBqMaint, knnBqFiltered, knnPcaPq, knnPcaPqIsometry,
+    knnBq, knnBqMaint, knnBqFiltered, knnIvfPqFiltered, knnIvfSqFiltered,
+    knnPcaPqFiltered, knnRecallReport, knnPcaPq, knnPcaPqIsometry,
     dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,

@@ -29,8 +29,8 @@ object QualityQueries {
       |kept AS (SELECT event_type, max(h) AS hk, max(rn) AS n
       |         FROM r WHERE rn <= 64 GROUP BY event_type)
       |SELECT event_type,
-      |       round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-      |             ELSE 63.0 * 1152921504606846976 / hk END, 4) AS est_distinct
+      |       CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+      |            ELSE 63.0 * 1152921504606846976 / hk END AS est_distinct
       |FROM kept""".stripMargin) { (s, dir) =>
     Sketch.kmvDistinct(Tables.events(s, dir), "event_type", col("user_id"), 64)
   }
@@ -53,11 +53,17 @@ object QualityQueries {
       |         CASE WHEN side = 1 THEN 1 ELSE 0 END AS c
       |  FROM e),
       |counts AS (SELECT event_type, bin, sum(r) AS nr, sum(c) AS nc FROM b GROUP BY 1, 2),
-      |tot AS (SELECT event_type, sum(nr) AS tr, sum(nc) AS tc FROM counts GROUP BY 1)
-      |SELECT t.event_type, CAST(t.tr AS BIGINT) AS n_ref, CAST(t.tc AS BIGINT) AS n_cur,
+      |tot AS (SELECT event_type, sum(nr) AS tr, sum(nc) AS tc FROM counts GROUP BY 1),
+      |dom AS (
+      |  SELECT t.event_type, t.tr, t.tc, bb.bin,
+      |         coalesce(counts.nr, 0) AS nr, coalesce(counts.nc, 0) AS nc
+      |  FROM tot t
+      |  CROSS JOIN (SELECT UNNEST(generate_series(0, 19)) AS bin) bb
+      |  LEFT JOIN counts ON counts.event_type = t.event_type AND counts.bin = bb.bin)
+      |SELECT event_type, CAST(tr AS BIGINT) AS n_ref, CAST(tc AS BIGINT) AS n_cur,
       |       round(sum(((nr + 0.5) / (tr + 10.0) - (nc + 0.5) / (tc + 10.0))
       |             * ln(((nr + 0.5) / (tr + 10.0)) / ((nc + 0.5) / (tc + 10.0)))), 6) AS psi
-      |FROM counts JOIN tot t USING (event_type)
+      |FROM dom
       |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
     val e = Tables.events(s, dir)
     Stats.psi(e.filter(col("event_id") % 2 === 0),
@@ -88,7 +94,7 @@ object QualityQueries {
       |  FROM counts),
       |tot AS (SELECT event_type, sum(nr) AS tr, sum(nc) AS tc FROM counts GROUP BY 1)
       |SELECT t.event_type, CAST(t.tr AS BIGINT) AS n_ref, CAST(t.tc AS BIGINT) AS n_cur,
-      |       round(max(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc)), 6) AS ks
+      |       max(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc)) AS ks
       |FROM cum JOIN tot t USING (event_type)
       |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
     val e = Tables.events(s, dir)
@@ -325,7 +331,10 @@ object QualityQueries {
     * bin) — the no-vocabulary featurizer; signed buckets so collisions
     * cancel in expectation. The full k-bucket vector hash-matches the
     * replay, which is exactly the train/serve-skew check two stacks
-    * would run.
+    * would run. Weights accumulate in FIXED-POINT int64 (1e-4 units):
+    * per-row floor is a deterministic IEEE expression and the integer
+    * sum is order-free, so the vector — including the derived double —
+    * is bit-exact with no rounding tolerance.
     */
   val featureHash = q("x_feature_hash",
     """WITH f AS (
@@ -333,10 +342,12 @@ object QualityQueries {
       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
       |h AS (
       |  SELECT CAST(CAST('0x' || substring(md5(feat), 1, 15) AS UBIGINT) AS BIGINT) % 32 AS bucket,
-      |         CASE WHEN CAST(CAST('0x' || substring(md5('s:' || feat), 1, 15) AS UBIGINT) AS BIGINT) % 2 = 0
-      |              THEN 1 ELSE -1 END * value AS w
+      |         CAST(floor((CASE WHEN CAST(CAST('0x' || substring(md5('s:' || feat), 1, 15) AS UBIGINT) AS BIGINT) % 2 = 0
+      |              THEN 1 ELSE -1 END * value) * 10000) AS BIGINT) AS wq
       |  FROM f)
-      |SELECT bucket, round(sum(w), 4) AS weight, CAST(count(*) AS BIGINT) AS n
+      |SELECT bucket, CAST(sum(wq) AS BIGINT) AS weight_q,
+      |       CAST(sum(wq) AS DOUBLE) / 10000 AS weight,
+      |       CAST(count(*) AS BIGINT) AS n
       |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
     Sketch.featureHash(Tables.events(s, dir),
       concat(col("event_type"), lit(":"),

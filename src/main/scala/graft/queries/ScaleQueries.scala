@@ -203,12 +203,16 @@ object ScaleQueries {
     * pruning selective for predicates on either column. Bit
     * interleaving is pure codegen'd shifts and replays in SQL as a bit
     * sum ([[graft.ext.Layout.zOrder2]]); `LayoutSpec` covers the actual
-    * file rewrite + per-file span narrowing.
+    * file rewrite + per-file span narrowing. The oracle buckets with
+    * `((x % m) + m) % m` — DuckDB's `%` follows the dividend's sign
+    * while Spark's `pmod` is always non-negative, so a pre-epoch date
+    * in a regenerated fixture would otherwise diverge (and a negative
+    * bucket would sign-extend through the bit interleave).
     */
   val zorderCluster = q("x_zorder_cluster",
     """WITH d AS (
-      |  SELECT o_custkey % 1024 AS xd,
-      |         (CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 1024 AS yd
+      |  SELECT ((o_custkey % 1024) + 1024) % 1024 AS xd,
+      |         ((((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 1024) + 1024) % 1024) AS yd
       |  FROM orders),
       |z AS (
       |  SELECT xd, yd,

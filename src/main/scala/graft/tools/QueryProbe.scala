@@ -34,7 +34,7 @@ object QueryProbe {
     // same placeholder resolution + index copy as graft.Verify, so ANN
     // replay oracles probe correctly too
     val annSrc = "/tmp/graft_annindex/" + graft.queries.Staging.tag(sfDir)
-    val annIdx = s"$outDir/_annidx"
+    val annIdx = s"$outDir/.annidx"
     try {
       val dst = new java.io.File(annIdx)
       org.apache.commons.io.FileUtils.deleteDirectory(dst)

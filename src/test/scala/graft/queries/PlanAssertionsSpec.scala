@@ -175,6 +175,33 @@ class PlanAssertionsSpec extends SparkSpec {
     preJoin should not be empty
   }
 
+  test("filtered ivf-pq search: the metadata predicate evaluates at the pruned codes scan, before the ADC join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/fivfpq"
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.ext.AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
+      nlist = 4, m = 2, ksub = 4, iters = 1)
+    val index = graft.ext.AnnIndex.readIvfPq(spark, dir)
+    val out = graft.ext.AnnIndex.ivfPqTopK(spark, index,
+      corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1,
+      where = pmod(col("__id"), lit(2)) === 0)
+    assertPrunedAnnPlan(out) // nprobe partition pruning + no sort-merge hold
+    // the predicate sits in the codes-scan subtree, below the LUT join
+    // and the ADC aggregate — never post-filtering a scored stream
+    val nodes = allNodes(finalPlan(out))
+    val preJoin = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("pmod") &&
+          allNodes(f).exists(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) => f
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.dataFilters.map(_.toString).mkString.contains("pmod") => s
+    }
+    preJoin should not be empty
+    // result correctness: every served neighbor satisfies the predicate
+    out.collect().foreach(r => r.getAs[Long]("neighbor_id") % 2 shouldBe 0L)
+  }
+
   test("refined ivf-pq query path: BOTH index scans are partition-pruned, no corpus shuffle join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/ivfpqr"
     val corpus = (0 until 64).map(i =>
