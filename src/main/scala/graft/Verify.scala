@@ -72,8 +72,23 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] index copy failed: ${e.getMessage}")
     }
+    // same contract for the staged BPE merges table (the trained
+    // tokenizer artifact behind x_text_chunks_bpe's encoding replay)
+    val bpeSrc = "/tmp/graft_bpe/" + graft.queries.Staging.tag(sfDir)
+    val bpeIdx = s"$outDir/.bpe"
+    try {
+      val dst = new java.io.File(bpeIdx)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      val from = new java.io.File(s"$bpeSrc/merges")
+      if (from.isDirectory)
+        org.apache.commons.io.FileUtils.copyDirectory(from,
+          new java.io.File(dst, "merges"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] bpe copy failed: ${e.getMessage}")
+    }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_ANNIDX__", annIdx))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_ANNIDX__", annIdx)
+        .replace("__GRAFT_BPE__", bpeIdx))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

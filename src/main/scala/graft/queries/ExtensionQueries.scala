@@ -15,8 +15,6 @@ object ExtensionQueries {
 
   private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, Some(oracle))
-  private def qRowsOnly(name: String)(fn: (SparkSession, String) => DataFrame) =
-    QueryDef(name, fn, None)
 
   /** documents ∪ exact copies of every 10th doc (ids offset by 100000) —
     * the known-duplicate corpus used by the dedup queries.
@@ -368,8 +366,15 @@ object ExtensionQueries {
     minhashRuns.computeIfAbsent(Staging.tag(dir), _ => {
       val spool = stageDocSpool(s, dir)
       val store = s"/tmp/graft_stream_minhash/${Staging.tag(dir)}_store"
+      // the CMS counter store rides the SAME ingestion run as a per-batch
+      // hook (under the store root, so the run's start-of-run delete owns
+      // it too) — one document stream maintains the signature store, the
+      // incremental components AND the frequency sketch; the CMS gate
+      // reads the deltas instead of paying a second stream
       graft.streaming.DocStreams.runMinhashDedupOnce(s, spool, store,
-        maxBucketSize = 1000000, storeParts = 4, withComponents = true)
+        maxBucketSize = 1000000, storeParts = 4, withComponents = true,
+        alsoPerBatch = graft.streaming.DocStreams.cmsPerBatchHook(
+          s, s"$store/cms", depth = 4, width = 64))
       store
     })
 
@@ -1842,18 +1847,90 @@ object ExtensionQueries {
       chunkSize = 128, overlap = 32)
   }
 
-  /** Context-window chunking under a REAL byte-pair encoder: merges
-    * learned from the corpus itself (Sennrich procedure, deterministic —
-    * frequency ties break lexicographically), then 128-subword windows
-    * with 32 of overlap. Rows-only: the learned merge list is the
-    * tokenizer, and no SQL engine replays an iterative BPE merge loop —
-    * the algorithm itself is pinned by BpeSpec against hand-computed
-    * tokenizations (including the published-format merges round-trip).
+  /** Input prep (idempotent): the BPE merge list learned from the
+    * documents corpus (Sennrich procedure, deterministic — frequency
+    * ties break lexicographically), persisted as a (rank, lft, rgt)
+    * parquet table — the trained-tokenizer artifact, built once like
+    * the ANN index tables. The marker carries the recipe version.
     */
-  val textChunksBpe = qRowsOnly("x_text_chunks_bpe") { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val model = graft.ext.Bpe.learn(docs, "text", numMerges = 200)
-    graft.ext.Bpe.chunkTokens(docs, "doc_id", "text",
+  def stageBpeModel(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_bpe/${Staging.tag(dir)}"
+    val done = new java.io.File(s"$tmp/_BPE_DONE_v1_m200")
+    if (done.exists()) return tmp
+    val d = new java.io.File(tmp)
+    if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    val model = graft.ext.Bpe.learn(Tables.documents(s, dir), "text",
+      numMerges = 200)
+    import s.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "lft", "rgt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/merges")
+    done.createNewFile()
+    tmp
+  }
+
+  /** Context-window chunking under a REAL byte-pair encoder, now fully
+    * HASH-MATCHED (retiring the suite's last rows-only exemption): the
+    * merge LEARNING loop stays engine-side (it is not SQL), but its
+    * artifact — the staged merges table — is a fixture input, and
+    * ENCODING given the merges is mechanical: the oracle replays greedy
+    * merge application as a recursive CTE over each DISTINCT word
+    * (symbols = characters + `</w>`), merging ONE occurrence per step —
+    * the leftmost occurrence of the lowest-ranked adjacent pair. That
+    * one-at-a-time order equals the reference all-occurrences loop for
+    * any LEARNED merge list: merging (a,b)→ab can only create pairs
+    * involving the new symbol, and every merge involving a compound
+    * symbol is learned (= ranked) after the merge that formed it, so no
+    * newly-created pair can outrank the remaining occurrences.
+    * Recursion depth is bounded by symbols-per-word. The encoded words
+    * then flatten back in document order and the 128/32 window replay
+    * of x_text_chunks cuts the sub-token stream. (Characters: DuckDB
+    * substr is codepoint-based vs Scala's UTF-16 units — identical for
+    * the corpus's BMP text.)
+    */
+  val textChunksBpe = q("x_text_chunks_bpe",
+    """WITH RECURSIVE
+      |rm AS (SELECT map(list(lft || chr(1) || rgt ORDER BY rank),
+      |                  list(rank ORDER BY rank)) AS mp
+      |       FROM read_parquet('__GRAFT_BPE__/merges/*.parquet')),
+      |dw AS (
+      |  SELECT doc_id, w, wpos FROM (
+      |    SELECT doc_id,
+      |           unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS w,
+      |           unnest(generate_series(1, len(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')))) AS wpos
+      |    FROM documents WHERE text IS NOT NULL)),
+      |uw AS (SELECT DISTINCT w FROM dw),
+      |base AS (
+      |  SELECT w, list_append(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), '</w>') AS syms
+      |  FROM uw),
+      |enc AS (
+      |  SELECT w, syms FROM base
+      |  UNION ALL
+      |  SELECT w, syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms
+      |  FROM (
+      |    SELECT w, syms,
+      |           list_position(list_transform(range(1, len(syms)), i -> map_extract(rm.mp, syms[i] || chr(1) || syms[i+1])[1]),
+      |                         list_min(list_transform(range(1, len(syms)), i -> map_extract(rm.mp, syms[i] || chr(1) || syms[i+1])[1]))) AS bp
+      |    FROM enc, rm) WHERE bp IS NOT NULL),
+      |done AS (
+      |  SELECT w, syms FROM enc, rm
+      |  WHERE list_min(list_transform(range(1, len(syms)), i -> map_extract(rm.mp, syms[i] || chr(1) || syms[i+1])[1])) IS NULL),
+      |toks AS (
+      |  SELECT doc_id, flatten(list(syms ORDER BY wpos)) AS t
+      |  FROM dw JOIN done USING (w) GROUP BY doc_id),
+      |c AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 96)) AS st
+      |      FROM toks WHERE len(t) > 0)
+      |SELECT doc_id, CAST(st // 96 AS INTEGER) AS chunk_idx,
+      |       array_to_string(t[st + 1 : st + 128], ' ') AS chunk,
+      |       CAST(least(len(t) - st, 128) AS INTEGER) AS n_tokens
+      |FROM c""".stripMargin) { (s, dir) =>
+    val bpe = stageBpeModel(s, dir)
+    val model = graft.ext.Bpe.BpeModel(
+      s.read.parquet(s"$bpe/merges").orderBy(col("rank"))
+        .collect().map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt")))
+        .toVector)
+    graft.ext.Bpe.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
       chunkSize = 128, overlap = 32, model)
   }
 
@@ -2508,21 +2585,24 @@ object ExtensionQueries {
   }
 
   /** Streaming SKETCH maintenance through the real streaming path: CMS
-    * counter deltas appended exactly once per micro-batch over a
-    * 3-slice document spool ([[graft.streaming.DocStreams
-    * .runCmsAppendOnce]]). Counters are associative, so the summed
-    * delta store must equal the one-shot batch counters over the full
-    * corpus EXACTLY — integer cell-for-cell equality, no probabilistic
-    * band; a lost batch, double publish, or partial rename breaks it
-    * outright.
+    * counter deltas appended exactly once per micro-batch, FOLDED onto
+    * the shared minhash ingestion run (the [[minhashStreamStore]]
+    * memoized run's `alsoPerBatch` hook) — one document stream
+    * maintains the dedup signature store, the incremental components
+    * AND this frequency sketch, so the gate pays a store read instead
+    * of a second stream + spool. Counters are associative, so the
+    * summed delta store must equal the one-shot batch counters over the
+    * full corpus EXACTLY — integer cell-for-cell equality, no
+    * probabilistic band; a lost batch, double publish, or partial
+    * rename breaks it outright. (The standalone
+    * [[graft.streaming.DocStreams.runCmsAppendOnce]] operator remains
+    * the single-store entry point; its crash-replay spec pins the same
+    * publish machinery this hook uses.)
     */
   val streamFreqCms = q("x_stream_freq_cms",
     "SELECT true AS stream_cms_ok") { (s, dir) =>
-    val spool = stageDocSpool(s, dir, nSlices = 3)
-    val store = s"/tmp/graft_stream_cms/${Staging.tag(dir)}_store"
-    graft.streaming.DocStreams.runCmsAppendOnce(s, spool, store,
-      depth = 4, width = 64)
-    val streamed = graft.streaming.DocStreams.readCmsCounters(s, store)
+    val store = minhashStreamStore(s, dir)
+    val streamed = graft.streaming.DocStreams.readCmsCounters(s, s"$store/cms")
     val batch = graft.ext.Sketch.cmsCounters(
       docsWithVariants(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("t")),

@@ -440,7 +440,7 @@ object QualityQueries {
     */
   val streamDistinctKmv = q("x_stream_distinct_kmv",
     "SELECT true AS stream_kmv_ok") { (s, dir) =>
-    val spool = stageEventSpool3(s, dir)
+    val spool = stageEventSpool2(s, dir)
     val store = s"/tmp/graft_stream_kmv/${Staging.tag(dir)}_store"
     graft.streaming.EventStreams.runKmvAppendOnce(s, spool, store,
       "event_type", "user_id", k = 64)
@@ -454,6 +454,35 @@ object QualityQueries {
         count(lit(1)) === count(col("est_distinct")) &&
         coalesce(max(when(col("__se") =!= col("est_distinct"), 1).otherwise(0)) === 0,
           lit(true))).as("stream_kmv_ok"))
+  }
+
+  /** Streaming funnel through the real streaming path (Spark 4
+    * `transformWithState`, RocksDB state store): per-user stage keys
+    * accumulate across micro-batches over the SAME 2-slice event spool
+    * the KMV gate stages (shared-spool discipline), each batch
+    * re-derives the strict (ts, tie) chain, and the latest per-user
+    * reach must reproduce the one-shot batch funnel EXACTLY — the
+    * hash-keyed slices interleave users across batches, so late
+    * stage-0 arrivals that resurrect earlier stage-1 keys are
+    * genuinely exercised, not just within-batch ordering.
+    */
+  val streamFunnel = q("x_stream_funnel",
+    "SELECT true AS stream_funnel_ok") { (s, dir) =>
+    val spool = stageEventSpool2(s, dir)
+    val streamed = graft.streaming.EventStreams.runFunnelOnce(s, spool,
+      "graft_stream_funnel", Seq("view", "click", "purchase"))
+    val sCounts = streamed.filter(col("upto") >= 1)
+      .select(explode(sequence(lit(0), col("upto") - 1)).as("stage_index"))
+      .groupBy(col("stage_index")).agg(count(lit(1)).as("__sn"))
+    val batch = graft.ext.Funnel.funnelCounts(Tables.events(s, dir),
+      "user_id", "ts", "event_id", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+    batch.join(sCounts, Seq("stage_index"), "left")
+      .agg(coalesce(
+        max(when(col("n_users") =!= coalesce(col("__sn"), lit(0L)), 1)
+          .otherwise(0)) === 0, lit(true)).as("stream_funnel_ok"))
   }
 
   /** Exact phrase search through the PERSISTED positional index: the
@@ -548,8 +577,15 @@ object QualityQueries {
   /** Events split into 3 deterministic arrival slices. Fixture prep,
     * untimed; the `_SPOOL_DONE` marker makes re-staging a no-op.
     */
-  private def stageEventSpool3(s: SparkSession, dir: String): String = {
-    val tmp = s"/tmp/graft_stream_events3/${Staging.tag(dir)}"
+  /** Plain events in TWO hash-keyed arrival slices — two is the minimum
+    * that proves store incrementality (batch 1 bootstraps the delta
+    * store, batch 2 exercises re-minimization against it) and every
+    * further slice only re-pays the fixed micro-batch machinery cost,
+    * the measured dominator of gate wall time (the stageDocSpool
+    * argument, applied to the event side). Fixture prep, untimed.
+    */
+  private def stageEventSpool2(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_stream_events2/${Staging.tag(dir)}"
     val done = new java.io.File(s"$tmp/_SPOOL_DONE")
     if (done.exists()) return tmp
     val e = Tables.events(s, dir)
@@ -557,9 +593,9 @@ object QualityQueries {
         col("value"))
       .localCheckpoint(eager = true)
     new java.io.File(tmp).mkdirs()
-    (0 until 3).foreach { i =>
+    (0 until 2).foreach { i =>
       ExtensionQueries.stageSpoolFile(
-        e.filter(pmod(xxhash64(col("event_id")), lit(3)) === i), tmp, i)
+        e.filter(pmod(xxhash64(col("event_id")), lit(2)) === i), tmp, i)
     }
     done.createNewFile()
     tmp
@@ -568,5 +604,5 @@ object QualityQueries {
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
     knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash,
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
-    textPhrase, textProximity, streamPhraseAppend)
+    streamFunnel, textPhrase, textProximity, streamPhraseAppend)
 }

@@ -76,6 +76,16 @@ object DocStreams {
         */
       storeParts: Int = 8,
       withComponents: Boolean = false,
+      /** Per-batch side hook: called with (raw batch frame, batchId)
+        * inside the same foreachBatch, BEFORE the signature-store
+        * append. One ingestion run can thereby maintain sibling stores
+        * (e.g. the CMS counter deltas) from the same micro-batches —
+        * the production shape where a document stream feeds every
+        * derived store at once instead of re-reading the spool per
+        * store. The hook must be idempotent per batchId (foreachBatch
+        * is at-least-once); the exactly-once delta publishers are.
+        */
+      alsoPerBatch: (DataFrame, Long) => Unit = (_, _) => (),
   ): DataFrame = {
     // fail before the stream starts, not inside the first foreachBatch
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -88,7 +98,7 @@ object DocStreams {
       keep = _ >= minEstJaccard,
       aggScore = c => round(first(c), 4),
       maxBucketSize = maxBucketSize, storeParts = storeParts,
-      withComponents = withComponents)
+      withComponents = withComponents, alsoPerBatch = alsoPerBatch)
   }
 
   /** Incremental SimHash near-duplicate detection over a document stream
@@ -125,7 +135,8 @@ object DocStreams {
       keep = _ <= maxHamming,
       aggScore = c => min(c),
       maxBucketSize = maxBucketSize, storeParts = storeParts,
-      withComponents = withComponents)
+      withComponents = withComponents,
+      alsoPerBatch = (_, _) => ())
 
   /** The shared signature-store micro-batch loop: sketch the batch into
     * (`__id`, `__sig`, `__band`, `__bh`) rows, join against the
@@ -148,6 +159,7 @@ object DocStreams {
       maxBucketSize: Int,
       storeParts: Int,
       withComponents: Boolean,
+      alsoPerBatch: (DataFrame, Long) => Unit,
   ): DataFrame = {
     graft.util.Hfs.delete(spark, storeDir)
     val sigsPath = s"$storeDir/sigs"
@@ -158,7 +170,8 @@ object DocStreams {
         .option("maxFilesPerTrigger", "1")
         .parquet(spoolDir)
       val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          alsoPerBatch(batch.toDF(), batchId)
           val bandedNew = sketch(batch.toDF())
             .withColumn("__pb",
               pmod(xxhash64(col("__band"), col("__bh")), lit(storeParts)).cast("int"))
@@ -742,6 +755,21 @@ object DocStreams {
       try q.processAllAvailable() finally q.stop()
     }
   }
+
+  /** An [[runMinhashDedupOnce]] `alsoPerBatch` hook that maintains a CMS
+    * counter delta store from the SAME document micro-batches — one
+    * ingestion run feeds both the dedup signature store and the
+    * frequency sketch, instead of a second stream re-reading the spool.
+    * Idempotent per batchId (marker + exactly-once delta publish), as
+    * the hook contract requires.
+    */
+  def cmsPerBatchHook(spark: SparkSession, storeDir: String,
+      depth: Int, width: Int, textCol: String = "text"): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$batchId"))
+        appendCmsBatchExactlyOnce(spark, storeDir, batch, batchId,
+          depth, width, textCol)
+    }
 
   private[streaming] def appendCmsBatchExactlyOnce(spark: SparkSession,
       storeDir: String, batch: DataFrame, batchId: Long,

@@ -281,6 +281,124 @@ object EventStreams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // ------------------------------------------------------------- funnel
+  /** One stage-qualifying event key in a user's funnel state. */
+  final case class StageKey(stage: Int, ts: Long, tie: Long)
+  // public like SessionState: the state encoder's generated code
+  // constructs it reflectively, and janino cannot reach a private class
+  final case class FunnelState(seq: Long, keys: Seq[StageKey])
+  /** One per-user reach emission: `upto` = consecutive stages reached
+    * (the chain length), `seq` strictly increasing per user so the
+    * LATEST emission is selectable downstream.
+    */
+  final case class FunnelReach(user_id: Long, seq: Long, upto: Int)
+
+  /** The strict-order chain of [[graft.ext.Funnel.funnelCounts]] over a
+    * user's accumulated stage keys: stage k's reach is the minimum
+    * (ts, tie) among stage-k keys strictly after the stage-(k−1) reach.
+    */
+  private def chainLength(keys: Seq[StageKey], nStages: Int): Int = {
+    var r: (Long, Long) = null
+    var k = 0
+    while (k < nStages) {
+      var best: (Long, Long) = null
+      keys.foreach { s =>
+        if (s.stage == k) {
+          val t = (s.ts, s.tie)
+          if ((r == null || Ordering[(Long, Long)].gt(t, r)) &&
+              (best == null || Ordering[(Long, Long)].lt(t, best)))
+            best = t
+        }
+      }
+      if (best == null) return k
+      r = best
+      k += 1
+    }
+    k
+  }
+
+  /** Incremental ordered-funnel state: per user, the qualifying event
+    * keys per stage accumulate across micro-batches, and each batch that
+    * touches a user re-derives the strict (ts, tie) chain and emits the
+    * user's current reach. EXACT under arbitrary cross-batch disorder —
+    * a late stage-0 event can lower r₀ and thereby resurrect an earlier
+    * stage-1 key, which is why the state holds the user's qualifying
+    * KEYS, not just the current minima (the minima alone cannot be
+    * repaired). State per user is bounded by the user's stage-qualifying
+    * events — the exactness price; a production deployment bounds
+    * lateness with a TTL/watermark eviction on this state and accepts
+    * frozen chains past it.
+    */
+  private class FunnelProcessor(stages: Seq[String])
+      extends StatefulProcessor[Long, Event, FunnelReach] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, it: Iterator[Event],
+        timers: TimerValues): Iterator[FunnelReach] = {
+      val idx = stages.zipWithIndex.toMap
+      val add = it.flatMap(e => idx.get(e.event_type)
+        .map(s => StageKey(s, toMicros(e.ts), e.event_id))).toVector
+      if (add.isEmpty) return Iterator.empty // nothing qualifying: no churn
+      val prev = if (st.exists()) st.get() else FunnelState(0L, Vector.empty)
+      val next = FunnelState(prev.seq + 1, prev.keys ++ add)
+      st.update(next)
+      Iterator.single(
+        FunnelReach(userId, next.seq, chainLength(next.keys, stages.length)))
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelReach] = Iterator.empty
+  }
+
+  def funnelTws(events: org.apache.spark.sql.Dataset[Event],
+      stages: Seq[String]): org.apache.spark.sql.Dataset[FunnelReach] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Run the incremental funnel over a staged spool to completion (the
+    * real streaming path; RocksDB provider switched in for the run like
+    * [[runSessionizeTwsOnce]]) and return the FINAL per-user reach:
+    * latest emission per user, (`user_id`, `upto`).
+    */
+  def runFunnelOnce(spark: SparkSession, dir: String, queryName: String,
+      stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try StreamConf.withWidth(spark) {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .as[Event]
+      val q = funnelTws(stream, stages)
+        .toDF()
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("seq").desc)
+    spark.table(queryName)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("upto"))
+  }
+
   /** The batch-advance worker shared by BOTH incremental sessionizers:
     * fold one micro-batch's (sorted-here) events for a user into the
     * open-session state. Returns (sessions closed by roll-over or

@@ -47,8 +47,21 @@ object QueryProbe {
     } catch { case e: Throwable =>
       System.err.println(s"[probe] index copy failed: ${e.getMessage}")
     }
+    val bpeSrc = "/tmp/graft_bpe/" + graft.queries.Staging.tag(sfDir)
+    val bpeIdx = s"$outDir/.bpe"
+    try {
+      val dst = new java.io.File(bpeIdx)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      val from = new java.io.File(s"$bpeSrc/merges")
+      if (from.isDirectory)
+        org.apache.commons.io.FileUtils.copyDirectory(from,
+          new java.io.File(dst, "merges"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] bpe copy failed: ${e.getMessage}")
+    }
     val oracles = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => (k, v.replace("__GRAFT_ANNIDX__", annIdx)) }
+      .map { case (k, v) => (k, v.replace("__GRAFT_ANNIDX__", annIdx)
+        .replace("__GRAFT_BPE__", bpeIdx)) }
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -87,6 +87,40 @@ object ScaleProbe {
           .select((col("doc_id") + 900000000L).as("doc_id"), col("text")))
         Dedup.duplicatedSpans(corpus, "doc_id", "text").count()
       }
+      // positional index build (one bucketed write) + its two query
+      // shapes: the phrase chain and the slop window, both through the
+      // term-bucket partition filter (the lexical nprobe)
+      val pdir = s"/tmp/graft_scaleprobe_pos/x$m"
+      time(s"positional_build_x$m") {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
+        graft.ext.TextIndex.buildPositional(d, "doc_id", "text", pdir)
+        spark.read.parquet(s"$pdir/positions").count()
+      }
+      time(s"phrase_query_x$m") {
+        graft.ext.TextIndex.phraseOccurrences(spark, pdir,
+          Seq("slow", "hash", "batch")).count()
+      }
+      time(s"proximity_query_x$m") {
+        graft.ext.TextIndex.proximityOccurrences(spark, pdir,
+          "hash", "batch", slop = 5).count()
+      }
+      // cross-corpus admission join: standing corpus × incoming batch
+      // (both sides' banded sketches, bucket-capped equi-join)
+      time(s"dedup_cross_x$m") {
+        val incoming = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat(col("text"), lit(" zznew")).as("text"))
+        Dedup.minhashJoin(d, incoming, "doc_id", "text",
+          portable = true).count()
+      }
+      // exact triangles over the event projection (compact-forward
+      // orientation; v stays a 150-value hub set as volume grows, so
+      // this also stresses the orientation's hub defense)
+      time(s"triangles_x$m") {
+        Graph.triangleCount(e.select(col("user_id").as("u"),
+          pmod(col("event_id"), lit(150)).as("v")), "u", "v")
+          .head().getLong(0) // rows = the triangle count itself
+      }
     }
 
     // ---- portable vs XXH64 family A/B (1× corpus, gate shapes) ----

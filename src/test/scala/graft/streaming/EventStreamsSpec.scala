@@ -147,6 +147,37 @@ class EventStreamsSpec extends SparkSpec {
       tgt.setLastModified(1600000000000L + i * 60000L)
     }
 
+  test("streaming funnel: late stage-0 arrival resurrects an earlier stage-1 key") {
+    // user 1: batch 1 delivers click@00:05 only → chain stops at 0
+    // stages reached (no view yet). Batch 2 delivers view@00:01 —
+    // EARLIER in event time — which must set r0=00:01 and make the
+    // already-seen click@00:05 eligible: final reach = 2 stages.
+    // user 2: view then click in order across batches → 2 stages.
+    // user 3: click@00:01 BEFORE its view@00:05 → strictly-after
+    // chaining stops at 1 stage (view reached, no later click).
+    val b1 = Seq(
+      EventStreams.Event(10L, ts("2024-01-01 00:05:00"), 1L, "click", 0.0),
+      EventStreams.Event(11L, ts("2024-01-01 00:01:00"), 2L, "view", 0.0),
+      EventStreams.Event(12L, ts("2024-01-01 00:01:00"), 3L, "click", 0.0))
+    val b2 = Seq(
+      EventStreams.Event(20L, ts("2024-01-01 00:01:00"), 1L, "view", 0.0),
+      EventStreams.Event(21L, ts("2024-01-01 00:05:00"), 2L, "click", 0.0),
+      EventStreams.Event(22L, ts("2024-01-01 00:05:00"), 3L, "view", 0.0))
+    val spool = java.nio.file.Files.createTempDirectory("graft_funnel_spool").toString
+    writeSpool(spool, Seq(b1, b2))
+    val reach = EventStreams.runFunnelOnce(spark, spool, "funnel_spec",
+        Seq("view", "click"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("upto")).toMap
+    reach shouldBe Map(1L -> 2, 2L -> 2, 3L -> 1)
+    // and the latest-emission selection equals the batch funnel counts
+    val batch = graft.ext.Funnel.funnelCounts((b1 ++ b2).toDS().toDF(),
+        "user_id", "ts", "event_id",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click")))
+      .collect().map(r => r.getAs[Int]("stage_index") -> r.getAs[Long]("n_users")).toMap
+    batch shouldBe Map(0 -> 3L, 1 -> 2L)
+  }
+
   test("streaming KMV: trimmed deltas re-minimized equal the one-shot sketch; markers idempotent") {
     // many distinct users per type so the estimator path (≥ k distinct)
     // and the per-batch trim both engage with k = 8
