@@ -2539,22 +2539,41 @@ object ExtensionQueries {
     * over the FULL corpus — a lost batch, double publish, or stale
     * N/avgdl breaks the equality outright.
     */
+  /** One memoized run of the COMBINED text-ingestion stream per fixture
+    * (the shared-run discipline): both text indexes — inverted and
+    * positional — are rebuilt on the even half and the odd-half spool
+    * is streamed ONCE, each micro-batch appending into both layouts
+    * ([[graft.streaming.DocStreams.runTextIndexesAppendOnce]]).
+    * Whichever gate runs first pays the run; both read their index.
+    * Returns (inverted index dir, positional index dir).
+    */
+  private val textAppendRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[queries] def textAppendIndexes(s: SparkSession, dir: String): (String, String) =
+    textAppendRuns.computeIfAbsent(Staging.tag(dir), _ => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val spool = stageTextSpool(s, dir)
+      val idx = s"/tmp/graft_stream_text/${Staging.tag(dir)}_idx"
+      val pidx = s"/tmp/graft_stream_pos/${Staging.tag(dir)}_idx"
+      val ckpt = s"${idx}_ckpt"
+      // indexes AND their paired checkpoint recreated together (the
+      // pairing guard refuses a stale half)
+      Seq(idx, pidx, ckpt).foreach { p =>
+        val f = new java.io.File(p)
+        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      }
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      graft.ext.TextIndex.build(base, "doc_id", "text", idx, parts = 8)
+      graft.ext.TextIndex.buildPositional(base, "doc_id", "text", pidx, parts = 8)
+      graft.streaming.DocStreams.runTextIndexesAppendOnce(s, spool, idx, pidx, ckpt)
+      (idx, pidx)
+    })
+
   val streamTextAppend = q("x_stream_text_append",
     "SELECT true AS stream_text_ok") { (s, dir) =>
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val spool = stageTextSpool(s, dir)
-    val idx = s"/tmp/graft_stream_text/${Staging.tag(dir)}_idx"
-    val ckpt = s"${idx}_ckpt"
-    // index AND its paired checkpoint recreated together (the pairing
-    // guard refuses a stale half)
-    Seq(idx, ckpt).foreach { p =>
-      val f = new java.io.File(p)
-      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-    }
-    graft.ext.TextIndex.build(docs.filter(col("doc_id") % 2 === 0),
-      "doc_id", "text", idx, parts = 8)
-    graft.streaming.DocStreams.runTextIndexAppendOnce(s, spool, idx, ckpt)
+    val (idx, _) = textAppendIndexes(s, dir)
     val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
       (2L, "stream batch value")).toDF("qid", "qtext")
     val served = graft.ext.TextIndex.bm25TopKIndexed(s, idx, queries,

@@ -531,9 +531,10 @@ object QualityQueries {
   }
 
   /** Streaming positional-index maintenance through the real streaming
-    * path: the index built on the even half, the odd half APPENDED from
-    * the shared text spool one micro-batch at a time under the
-    * exactly-once staged publish. Positions are per-doc local facts
+    * path, on the COMBINED text-ingestion run (one stream appends each
+    * micro-batch into the inverted AND positional layouts —
+    * [[ExtensionQueries.textAppendIndexes]]; whichever text gate runs
+    * first pays the stream). Positions are per-doc local facts
     * (append == rebuild), so phrase counts served from the streamed
     * index HASH-match the independent raw-text recount over the FULL
     * corpus — a lost batch, double publish, or partial rename shows up
@@ -550,18 +551,8 @@ object QualityQueries {
       |  FROM toks)
       |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
       |FROM occ WHERE n_occurrences > 0""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val spool = ExtensionQueries.stageTextSpool(s, dir) // the odd half, 2 slices
-    val idx = s"/tmp/graft_stream_pos/${Staging.tag(dir)}_idx"
-    val ckpt = s"${idx}_ckpt"
-    Seq(idx, ckpt).foreach { p =>
-      val f = new java.io.File(p)
-      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-    }
-    graft.ext.TextIndex.buildPositional(docs.filter(col("doc_id") % 2 === 0),
-      "doc_id", "text", idx, parts = 8)
-    graft.streaming.DocStreams.runPositionalAppendOnce(s, spool, idx, ckpt)
-    graft.ext.TextIndex.phraseOccurrences(s, idx, Seq("slow", "hash", "batch"))
+    val (_, pidx) = ExtensionQueries.textAppendIndexes(s, dir)
+    graft.ext.TextIndex.phraseOccurrences(s, pidx, Seq("slow", "hash", "batch"))
   }
 
   /** Input prep (idempotent): the positional index over documents. */

@@ -591,6 +591,54 @@ object DocStreams {
     }
   }
 
+  /** One text-ingestion stream maintaining BOTH text indexes — the
+    * inverted (BM25) layout and the positional (phrase/proximity)
+    * layout — from the same micro-batches: the production shape where a
+    * document stream feeds every derived text index at once instead of
+    * each index re-reading the spool through its own stream. Each index
+    * keeps its own `_batch_<id>` markers and staged-generation publish,
+    * so exactly-once holds per index independently (a crash between the
+    * two appends replays the batch and only the unmarked index
+    * re-publishes); the single checkpoint lineage is pairing-guarded
+    * against BOTH index dirs.
+    */
+  def runTextIndexesAppendOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      textIndexDir: String,
+      posIndexDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): Unit = {
+    import graft.util.Hfs
+    require(Hfs.exists(spark, s"$textIndexDir/meta"),
+      s"$textIndexDir is not a built text index — build on the base corpus first")
+    require(Hfs.exists(spark, s"$posIndexDir/meta"),
+      s"$posIndexDir is not a built positional index — build on the base corpus first")
+    requirePairedCheckpoint(spark, textIndexDir, checkpointDir)
+    requirePairedCheckpoint(spark, posIndexDir, checkpointDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema(s"$idCol long, $textCol string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!Hfs.exists(spark, s"$textIndexDir/_batch_$batchId"))
+            appendTextBatchExactlyOnce(spark, textIndexDir, batch.toDF(),
+              batchId, idCol, textCol)
+          if (!Hfs.exists(spark, s"$posIndexDir/_batch_$batchId"))
+            appendPositionalBatchExactlyOnce(spark, posIndexDir, batch.toDF(),
+              batchId, idCol, textCol)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   /** Checkpoint↔index pairing guard shared by the streaming appends:
     * batch ids are only meaningful relative to ONE checkpoint lineage
     * while `_batch_<id>` markers persist in the index dir — a different

@@ -311,6 +311,54 @@ class DocStreamsSpec extends SparkSpec {
     served() shouldBe clean
   }
 
+  test("combined text+positional append: one stream feeds both indexes; a crash between the two appends replays only the unmarked index") {
+    import graft.ext.TextIndex
+    val corpus = Seq(
+      (1L, "big data big data pipeline"), (2L, "data big data"),
+      (3L, "big data again today"), (4L, "nothing here"),
+      (5L, "more big data rows"), (6L, "filler text"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_combo").toString
+    val idx = s"$root/inv"
+    val pidx = s"$root/pos"
+    val base = corpus.filter($"doc_id" <= 2)
+    TextIndex.build(base, "doc_id", "text", idx, parts = 4)
+    TextIndex.buildPositional(base, "doc_id", "text", pidx, parts = 4)
+    val spool = stageSpool(Seq(
+      Seq((3L, "big data again today"), (4L, "nothing here")),
+      Seq((5L, "more big data rows"), (6L, "filler text"))))
+    val ckpt = s"$root/ckpt"
+    DocStreams.runTextIndexesAppendOnce(spark, spool, idx, pidx, ckpt)
+    val q = Seq((0L, "big data")).toDF("qid", "qtext")
+    def servedBm25() = TextIndex.bm25TopKIndexed(spark, idx, q, "qid", "qtext", 6)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    def servedPhrase() = TextIndex.phraseOccurrences(spark, pidx, Seq("big", "data"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cleanBm25 = servedBm25()
+    val cleanPhrase = servedPhrase()
+    // both layouts equal their full-corpus truths from ONE stream run
+    cleanBm25 shouldBe graft.ext.TextSearch.bm25TopK(corpus, "doc_id", "text",
+      q, "qid", "qtext", 6).orderBy($"query_id", $"rank").collect().toSeq
+    cleanPhrase shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 5L -> 1L)
+    // crash BETWEEN the two appends of batch 1: the inverted index is
+    // marked, the positional one is not (partial publish swept there) —
+    // the checkpoint redelivers and only the unmarked index re-publishes
+    Seq(s"$ckpt/commits/1", s"$ckpt/commits/.1.crc")
+      .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    graft.util.Hfs.delete(spark, s"$pidx/_batch_1")
+    val b1Files = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(pidx))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("b1-")).toSeq
+    }
+    b1Files should not be empty
+    java.nio.file.Files.delete(b1Files.head)
+    DocStreams.runTextIndexesAppendOnce(spark, spool, idx, pidx, ckpt)
+    servedBm25() shouldBe cleanBm25
+    servedPhrase() shouldBe cleanPhrase
+  }
+
   test("streaming dedup maintains duplicate clusters: incremental components equal the batch form") {
     import graft.ext.IncrementalComponents
     val spool = stageSpool(Seq(docs.take(3), docs.drop(3)))
