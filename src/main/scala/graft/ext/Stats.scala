@@ -177,6 +177,17 @@ object Stats {
     val counts = side(ref, 1, 0).unionByName(side(cur, 0, 1))
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
+    psiFromBinCounts(counts, bins, eps).withColumnRenamed("__g", groupCol)
+  }
+
+  /** The PSI tail over already-binned counts — shared by [[psi]] and the
+    * streaming drift monitor (bin counts are associative, so a delta
+    * store's summed counters feed the same arithmetic). `counts` rows:
+    * (`__g`, `__b`, `__nr`, `__nc`); output (`__g`, `n_ref`, `n_cur`,
+    * `psi`).
+    */
+  private[graft] def psiFromBinCounts(counts: DataFrame, bins: Int,
+      eps: Double): DataFrame = {
     // distinct names from the per-bin counts: the analyzer resolves
     // case-insensitively, so __Nr would collide with __nr
     val totals = counts.groupBy(col("__g"))
@@ -194,7 +205,15 @@ object Stats {
       .groupBy(col("__g"))
       .agg(first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"),
         round(sum(col("__t")), 6).as("psi"))
-      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** The shared fixed-domain equi-width binning of [[psi]]/[[ksDrift]],
+    * exposed for the streaming drift monitor's per-batch counting. */
+  private[graft] def binExpr(c: Column, bins: Int, lo: Double,
+      hi: Double): Column = {
+    val width = (hi - lo) / bins
+    least(greatest(floor((c.cast("double") - lo) / width), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
   }
 
   /** Kolmogorov–Smirnov drift statistic over the SAME fixed-domain

@@ -2184,6 +2184,66 @@ object ExtensionQueries {
     graft.ext.Packing.packSequences(Tables.documents(s, dir), "doc_id", "text", 128)
   }
 
+  /** Sequence packing under the REAL tokenizer: the same
+    * exclusive-prefix-sum window arithmetic as x_pack_sequences, but
+    * budgeted by BPE sub-token counts from the persisted merges table —
+    * "128 tokens" means tokenizer tokens, which is the actual training
+    * contract (word counts over-pack subword-heavy documents). The
+    * oracle composes the x_text_chunks_bpe recursive-CTE encoder (per
+    * DISTINCT word, counts only) with the packing replay.
+    */
+  val packSequencesBpe = q("x_pack_sequences_bpe",
+    """WITH RECURSIVE
+      |rm AS (SELECT map(list(lft || chr(1) || rgt ORDER BY rank),
+      |                  list(rank ORDER BY rank)) AS mp
+      |       FROM read_parquet('__GRAFT_BPE__/merges/*.parquet')),
+      |dw AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |wc AS (SELECT doc_id, w, count(*) AS cnt FROM dw GROUP BY 1, 2),
+      |uw AS (SELECT DISTINCT w FROM wc),
+      |base AS (
+      |  SELECT w, list_append(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), '</w>') AS syms
+      |  FROM uw),
+      |enc AS (
+      |  SELECT w, syms FROM base
+      |  UNION ALL
+      |  SELECT w, syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms
+      |  FROM (
+      |    SELECT w, syms,
+      |           list_position(list_transform(range(1, len(syms)), i -> map_extract(rm.mp, syms[i] || chr(1) || syms[i+1])[1]),
+      |                         list_min(list_transform(range(1, len(syms)), i -> map_extract(rm.mp, syms[i] || chr(1) || syms[i+1])[1]))) AS bp
+      |    FROM enc, rm) WHERE bp IS NOT NULL),
+      |done AS (
+      |  SELECT w, len(syms) AS ntok FROM enc, rm
+      |  WHERE list_min(list_transform(range(1, len(syms)), i -> map_extract(rm.mp, syms[i] || chr(1) || syms[i+1])[1])) IS NULL),
+      |t AS (
+      |  SELECT d.doc_id,
+      |         CAST(coalesce((SELECT sum(wc.cnt * done.ntok) FROM wc JOIN done USING (w)
+      |                        WHERE wc.doc_id = d.doc_id), 0) AS BIGINT) AS n
+      |  FROM documents d),
+      |c AS (
+      |  SELECT doc_id, n,
+      |         CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+      |  FROM t),
+      |e AS (
+      |  SELECT doc_id, n, st, unnest(generate_series(st // 128, (st + n - 1) // 128)) AS seq_id
+      |  FROM c WHERE n > 0)
+      |SELECT doc_id, seq_id,
+      |       greatest(seq_id * 128 - st, 0) AS doc_from,
+      |       least((seq_id + 1) * 128, st + n) - st AS doc_to,
+      |       greatest(st - seq_id * 128, 0) AS seq_off
+      |FROM e""".stripMargin) { (s, dir) =>
+    val bpe = stageBpeModel(s, dir)
+    val model = graft.ext.Bpe.BpeModel(
+      s.read.parquet(s"$bpe/merges").orderBy(col("rank"))
+        .collect().map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt")))
+        .toVector)
+    graft.ext.Bpe.packSequences(Tables.documents(s, dir), "doc_id", "text",
+      128, model)
+  }
+
   /** AS-OF join (point-in-time lookup): each event sees its user's latest
     * order-day snapshot at event time. DuckDB's native ASOF LEFT JOIN is
     * the oracle for the union + running-last formulation.
@@ -4075,7 +4135,8 @@ object ExtensionQueries {
     contaminationReport, splitLeakageSafe, freqCms,
     sampleGroupTopK, textCompressionGate,
     dsirWeights, dsirResample,
-    weightedMix, weightedMixWide, temperatureMixQ, packSequences, asofJoin, asofTolerance,
+    weightedMix, weightedMixWide, temperatureMixQ, packSequences,
+    packSequencesBpe, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
     setSimJoin, classifyNb, scd2Intervals, mineHardNeg, textBigramPpl,
     streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,

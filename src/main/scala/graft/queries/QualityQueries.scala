@@ -485,6 +485,41 @@ object QualityQueries {
           .otherwise(0)) === 0, lit(true)).as("stream_funnel_ok"))
   }
 
+  /** Streaming drift monitoring through the real streaming path: the
+    * odd event_id half (the "arriving month") streams over the shared
+    * 2-slice event spool, each micro-batch publishing its fixed-domain
+    * bin counts exactly once into a delta store; PSI of the summed
+    * store against the frozen even-half reference must equal the batch
+    * [[graft.ext.Stats.psi]] over the same halves — bin counts are
+    * associative, so the scheduled monitor becomes a store read instead
+    * of a corpus rescan. Counts compare cell-exact; the psi doubles to
+    * 1e-9 (same-engine summation-order headroom).
+    */
+  val streamDriftPsi = q("x_stream_drift_psi",
+    "SELECT true AS stream_drift_ok") { (s, dir) =>
+    val spool = stageEventSpool2(s, dir)
+    val store = s"/tmp/graft_stream_drift/${Staging.tag(dir)}_store"
+    graft.streaming.EventStreams.runDriftCountsOnce(s, spool, store,
+      "event_type", "value", bins = 20, lo = 0.0, hi = 20.0,
+      rowFilter = col("event_id") % 2 === 1)
+    val e = Tables.events(s, dir)
+    val streamed = graft.streaming.EventStreams.readDriftPsi(s, store,
+        e.filter(col("event_id") % 2 === 0), "event_type", col("value"),
+        bins = 20, lo = 0.0, hi = 20.0)
+      .withColumnRenamed("psi", "__sp").withColumnRenamed("n_ref", "__snr")
+      .withColumnRenamed("n_cur", "__snc")
+    val batch = Stats.psi(e.filter(col("event_id") % 2 === 0),
+      e.filter(col("event_id") % 2 === 1),
+      "event_type", col("value"), bins = 20, lo = 0.0, hi = 20.0)
+    streamed.join(batch, Seq("event_type"), "full")
+      .agg((count(lit(1)) === count(col("__sp")) &&
+        count(lit(1)) === count(col("psi")) &&
+        coalesce(max(when(col("__snr") =!= col("n_ref") ||
+            col("__snc") =!= col("n_cur") ||
+            abs(col("__sp") - col("psi")) > 1e-9, 1)
+          .otherwise(0)) === 0, lit(true))).as("stream_drift_ok"))
+  }
+
   /** Exact phrase search through the PERSISTED positional index: the
     * offset-chained positional join ("slow hash batch" anchored on its
     * first term, each later term equi-joined at anchor+k), the phrase's
@@ -595,5 +630,6 @@ object QualityQueries {
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
     knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash,
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
-    streamFunnel, textPhrase, textProximity, streamPhraseAppend)
+    streamFunnel, streamDriftPsi, textPhrase, textProximity,
+    streamPhraseAppend)
 }

@@ -569,6 +569,70 @@ object EventStreams {
         .select(col("__g").as(groupCol), col("__h")),
       groupCol, k)
 
+  /** Streaming drift-monitor maintenance: per micro-batch, the arriving
+    * events' fixed-domain bin counts (the [[graft.ext.Stats.psi]]
+    * binning — data-independent edges, so every batch bins identically)
+    * publish exactly once into a delta store. Bin counts are
+    * associative, so the summed store equals one-shot batch binning
+    * cell for cell, and [[readDriftPsi]] against a frozen reference
+    * computes the same PSI a batch recomputation would — the scheduled
+    * production monitor becomes a store read instead of a corpus scan.
+    * Store deleted at run start (a run owns its history).
+    */
+  def runDriftCountsOnce(spark: SparkSession, spoolDir: String,
+      storeDir: String, groupCol: String, valueCol: String,
+      bins: Int, lo: Double, hi: Double,
+      rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(hi > lo, s"empty bin domain: [$lo, $hi)")
+    graft.util.Hfs.delete(spark, storeDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$batchId")) {
+            val delta = batch.toDF()
+              .filter(rowFilter)
+              .filter(col(valueCol).isNotNull)
+              .select(col(groupCol).as("__g"),
+                graft.ext.Stats.binExpr(col(valueCol), bins, lo, hi).as("__b"))
+              .groupBy(col("__g"), col("__b"))
+              .agg(count(lit(1)).as("__n"))
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  /** PSI of the streamed bin-count store (CURRENT side) against a
+    * frozen REFERENCE frame, via the shared
+    * [[graft.ext.Stats.psiFromBinCounts]] arithmetic. Output matches
+    * [[graft.ext.Stats.psi]]: (`groupCol`, `n_ref`, `n_cur`, `psi`).
+    */
+  def readDriftPsi(spark: SparkSession, storeDir: String,
+      ref: DataFrame, groupCol: String, valueCol: org.apache.spark.sql.Column,
+      bins: Int, lo: Double, hi: Double, eps: Double = 0.5): DataFrame = {
+    val cur = spark.read.parquet(s"$storeDir/deltas")
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__n")).as("__nc"), lit(0L).as("__nr"))
+    val refCounts = ref.filter(valueCol.isNotNull)
+      .select(col(groupCol).as("__g"),
+        graft.ext.Stats.binExpr(valueCol, bins, lo, hi).as("__b"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__nr"), lit(0L).as("__nc"))
+    val counts = refCounts.unionByName(cur)
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__nr")).as("__nr"), sum(col("__nc")).as("__nc"))
+    graft.ext.Stats.psiFromBinCounts(counts, bins, eps)
+      .withColumnRenamed("__g", groupCol)
+  }
+
   def runUpsertOnce(spark: SparkSession, spoolDir: String, tableDir: String,
       key: String): (Long, Long) = {
     graft.util.Hfs.delete(spark, tableDir)

@@ -86,6 +86,41 @@ class QualityOpsSpec extends SparkSpec {
     val star = (1 to 50).map(i => (0L, i.toLong)).toDF("u", "v")
     Graph.triangleCount(star, "u", "v")
       .head().getAs[Long]("n_triangles") shouldBe 0L
+    // packed-key domain guard: a snowflake-style 64-bit id (or a
+    // negative one) would silently collide in deg*2^32 + id — must
+    // THROW, not return a wrong count
+    val big = Seq((1L, 1L << 33), (1L << 33, 2L)).toDF("u", "v")
+    val e1 = intercept[Exception] {
+      Graph.triangleCount(big, "u", "v").head()
+    }
+    e1.getMessage should include("2^32")
+    val neg = Seq((-5L, 2L), (2L, 3L)).toDF("u", "v")
+    val e2 = intercept[Exception] {
+      Graph.triangleCount(neg, "u", "v").head()
+    }
+    e2.getMessage should include("2^32")
+  }
+
+  test("recallReport: hand-computed hits, recall and footrule; empty intersection reports zero") {
+    // reference top-3 for query 1: neighbors 10,20,30 at ranks 1,2,3
+    val ref = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L))
+      .toDF("query_id", "rank", "neighbor_id")
+    // layout A: same set, 20/30 swapped → hits 3, footrule |2-3|+|3-2|=2
+    val a = Seq((1L, 1, 10L), (1L, 2, 30L), (1L, 3, 20L))
+      .toDF("query_id", "rank", "neighbor_id")
+    // layout B: disjoint → hits 0, footrule 0, recall 0
+    val b = Seq((1L, 1, 77L), (1L, 2, 88L), (1L, 3, 99L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val rep = AnnIndex.recallReport(Seq("a" -> a, "b" -> b), ref, k = 3)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    rep("a").getAs[Long]("hits") shouldBe 3L
+    rep("a").getAs[Long]("possible") shouldBe 3L
+    rep("a").getAs[Double]("recall_at_k") shouldBe 1.0
+    rep("a").getAs[Long]("rank_footrule") shouldBe 2L
+    rep("b").getAs[Long]("hits") shouldBe 0L
+    rep("b").getAs[Double]("recall_at_k") shouldBe 0.0
+    rep("b").getAs[Long]("rank_footrule") shouldBe 0L
+    rep("a").getAs[Long]("n_queries") shouldBe 1L
   }
 
   test("funnelCounts: strictly-after chaining, ties resolved by the tie column") {
