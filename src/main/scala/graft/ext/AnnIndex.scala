@@ -1141,12 +1141,25 @@ object AnnIndex {
     * cheap reclaim ([[compactPq]]/Ivf/IvfPq: one rewrite, codebooks
     * frozen) pays for itself.
     */
-  def tombstoneDebt(spark: SparkSession, dir: String): Double =
+  def tombstoneDebt(spark: SparkSession, dir: String): Double = {
+    val (total, live) = storeCounts(spark, dir)
+    if (total == 0L) 0.0 else (total - live).toDouble / total
+  }
+
+  /** (total stored rows, live rows) of a layout's main table — the
+    * integer numerators behind [[tombstoneDebt]] and [[healthReport]].
+    * Rows are the table's PHYSICAL grain (exploded per subvector for
+    * PQ-coded layouts): that is what every scan pays, which is what the
+    * debt policy prices.
+    */
+  private def storeCounts(spark: SparkSession, dir: String): (Long, Long) = {
+    val table =
+      if (readLayout(spark, dir) == "ivf") s"$dir/vectors" else s"$dir/codes"
     readTombstones(spark, dir) match {
-      case None => 0.0
+      case None =>
+        val total = spark.read.parquet(table).count()
+        (total, total)
       case Some(t) =>
-        val table =
-          if (readLayout(spark, dir) == "ivf") s"$dir/vectors" else s"$dir/codes"
         // total and live counted in ONE pass over the (id, seq)-pruned
         // table: the same per-id-max tombstone broadcast as liveOnly,
         // with the liveness predicate under a conditional count instead
@@ -1163,9 +1176,31 @@ object AnnIndex {
             count(when(col("__tseq").isNull ||
               coalesce(col("__seq"), lit(0L)) > col("__tseq"), 1)).as("__live"))
           .head()
-        val (total, live) = (r.getLong(0), r.getLong(1))
-        if (total == 0L) 0.0 else (total - live).toDouble / total
+        (r.getLong(0), r.getLong(1))
     }
+  }
+
+  /** Store-health dashboard over a set of index layouts: per layout the
+    * physical row count, the live count under tombstone semantics, and
+    * the tombstone debt [[compactIfNeeded]] prices — the maintenance
+    * number an index fleet tracks per store per day. All-integer
+    * numerators plus one division, so the report reproduces bit-for-bit
+    * (hash-matchable against a replay over the stored tables). Each
+    * layout costs one metadata-light scan; nothing corpus-sized moves.
+    * PCA-PQ callers pass the nested `dir/pq` (the table-owning level,
+    * same as its maintenance entry points).
+    */
+  def healthReport(spark: SparkSession, layouts: Seq[(String, String)]): DataFrame = {
+    require(layouts.nonEmpty, "no layouts to report")
+    layouts.map { case (name, dir) =>
+      val (total, live) = storeCounts(spark, dir)
+      val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
+      spark.range(1).select(lit(name).as("layout"),
+        lit(total).as("total_rows"), lit(live).as("live_rows"),
+        lit(total - live).as("dead_rows"),
+        lit(debt).as("tombstone_debt"))
+    }.reduce(_ unionByName _)
+  }
 
   /** The compaction POLICY: measure [[tombstoneDebt]] and, at or above
     * `threshold`, route to the layout's compaction; returns whether a

@@ -469,6 +469,26 @@ object Dedup {
     * is refused (conservative: a loud error, never silently-partial
     * labels).
     */
+  /** Duplicate-cluster size histogram over a components labeling — the
+    * dedup AUDIT number: how many clusters of each size, covering how
+    * many documents (n_docs = cluster_size · n_clusters, carried
+    * explicitly so the report self-checks and sums to the corpus).
+    * Curation runs read it per snapshot: a fattening tail says
+    * boilerplate is flooding the candidate generator before any
+    * downstream job notices. Two counter-sized hash aggregates —
+    * map-side combined, output bounded by the number of DISTINCT
+    * cluster sizes; nothing corpus-sized shuffles twice.
+    *
+    * Output: (`cluster_size`, `n_clusters`, `n_docs`).
+    */
+  def clusterSizeHistogram(components: DataFrame,
+      componentCol: String = "component"): DataFrame =
+    components.groupBy(qcol(componentCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__n"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__n")).as("n_docs"))
+      .select(col("__n").as("cluster_size"), col("n_clusters"), col("n_docs"))
+
   def connectedComponents(
       nodes: DataFrame,
       idCol: String,

@@ -203,6 +203,70 @@ object Joins {
     }
   }
 
+  /** Interval-OVERLAP join — the second interval-join shape beside
+    * [[rangeJoin]]'s point-in-interval containment: every (left, right)
+    * pair whose CLOSED intervals intersect, `ls ≤ re AND rs ≤ le`
+    * (concurrent sessions, downtime × requests, campaign × visit
+    * windows). A naive `ON ls <= re AND rs <= le` theta join falls to
+    * BroadcastNestedLoop/Cartesian — the same scale trap rangeJoin
+    * names — so both sides explode into their covered buckets and join
+    * on the bucket equi-key.
+    *
+    * Dedup is STRUCTURAL, not a post-shuffle distinct: a pair sharing k
+    * buckets would match k times, so each pair is emitted only in the
+    * overlap's FIRST bucket — `__b = max(bidx(ls), bidx(rs))`, a
+    * per-row predicate (the overlap begins at max(ls, rs) and bidx is
+    * monotone, so that bucket is shared exactly once). Output is one
+    * row per overlapping pair with both sides' columns (names must be
+    * disjoint; null interval bounds drop; intervals wider than
+    * `maxBucketsPerInterval` buckets are refused by filter, the
+    * rangeJoin contract).
+    *
+    * Scale shape: shuffle keys are (bucket, extra equi-key); per-bucket
+    * fan-out is the interval density the data actually has — the worst
+    * case (everything overlaps everything) is the answer being
+    * quadratic, not the plan. Width picks the trade: narrower buckets
+    * → more replicas, smaller groups.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      lStartExpr: Column,
+      lEndExpr: Column,
+      right: DataFrame,
+      rStartExpr: Column,
+      rEndExpr: Column,
+      bucketWidth: Long,
+      leftExtraKey: Option[Column] = None,
+      rightExtraKey: Option[Column] = None,
+      maxBucketsPerInterval: Int = 10000,
+  ): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(leftExtraKey.isDefined == rightExtraKey.isDefined,
+      "extra equi-keys must be given for both sides or neither")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"overlapJoin output carries both sides' columns; " +
+      s"rename colliding column(s): ${dup.mkString(", ")}")
+    def bidx(c: Column): Column =
+      floor(c.cast("decimal(30,0)") / lit(bucketWidth)).cast("long")
+    def side(df: DataFrame, s: Column, e: Column, xk: Option[Column],
+        tag: String): DataFrame =
+      df.select(struct(df.columns.map(col): _*).as(s"__$tag"),
+          s.cast("long").as(s"__${tag}s"), e.cast("long").as(s"__${tag}e"),
+          xk.getOrElse(lit(0)).as("__xk"))
+        .filter(col(s"__${tag}s").isNotNull && col(s"__${tag}e").isNotNull &&
+          col(s"__${tag}s") <= col(s"__${tag}e"))
+        .filter(bidx(col(s"__${tag}e")) - bidx(col(s"__${tag}s")) < maxBucketsPerInterval)
+        .withColumn("__b",
+          explode(sequence(bidx(col(s"__${tag}s")), bidx(col(s"__${tag}e")))))
+    val l = side(left, lStartExpr, lEndExpr, leftExtraKey, "l")
+    val r = side(right, rStartExpr, rEndExpr, rightExtraKey, "r")
+    l.join(r, Seq("__b", "__xk"))
+      .filter(col("__ls") <= col("__re") && col("__rs") <= col("__le"))
+      // first-shared-bucket emission: exactly one row per pair
+      .filter(col("__b") === greatest(bidx(col("__ls")), bidx(col("__rs"))))
+      .select(col("__l.*"), col("__r.*"))
+  }
+
   /** Set-similarity self-join with prefix filtering (AllPairs/PPJoin,
     * Bayardo et al. 2007 / Xiao et al. 2008): every pair of rows whose
     * token SETS have Jaccard ≥ `minJaccard`, without the all-pairs

@@ -1054,6 +1054,36 @@ object ExtensionQueries {
       Dedup.connectedComponents(nodes, "doc_id", edges)
   }
 
+  /** Duplicate-cluster size AUDIT over the planted component topology:
+    * every 10th doc anchors a 4-node chain, everything else is a
+    * singleton — so the histogram is closed-form and the whole
+    * clustering + histogram pipeline hash-matches it (n_docs carried
+    * per row, so the report sums back to the node count).
+    */
+  val dedupClusterSizes = q("x_dedup_cluster_sizes",
+    """WITH d AS (
+      |  SELECT count(*) AS n_total,
+      |         sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS n_p
+      |  FROM documents)
+      |SELECT CAST(1 AS BIGINT) AS cluster_size,
+      |       CAST(n_total - n_p AS BIGINT) AS n_clusters,
+      |       CAST(n_total - n_p AS BIGINT) AS n_docs
+      |FROM d WHERE n_total - n_p > 0
+      |UNION ALL
+      |SELECT 4, CAST(n_p AS BIGINT), CAST(4 * n_p AS BIGINT)
+      |FROM d WHERE n_p > 0""".stripMargin) { (s, dir) =>
+    val off = 10000000000L
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val planted = d.filter(col("doc_id") % 10 === 0)
+    val nodes = d.unionByName(planted.select((col("doc_id") + off).as("doc_id")))
+      .unionByName(planted.select((col("doc_id") + 2 * off).as("doc_id")))
+      .unionByName(planted.select((col("doc_id") + 3 * off).as("doc_id")))
+    val edges = planted.select(col("doc_id").as("id_a"), (col("doc_id") + off).as("id_b"))
+      .unionByName(planted.select(col("doc_id").as("id_a"), (col("doc_id") + 2 * off).as("id_b")))
+      .unionByName(planted.select((col("doc_id") + off).as("id_a"), (col("doc_id") + 3 * off).as("id_b")))
+    Dedup.clusterSizeHistogram(Dedup.connectedComponents(nodes, "doc_id", edges))
+  }
+
   /** Per-label embedding centroids (flat shape): the curation-side
     * aggregate over vector columns — partial-aggregated per (label, dim),
     * no vector ever crosses the shuffle whole.
@@ -2728,6 +2758,51 @@ object ExtensionQueries {
     * bugs (inclusive ends, bucket-crossing intervals, the decimal floor)
     * break the hash.
     */
+  /** Interval-OVERLAP join (the shape rangeJoin's containment cannot
+    * express): concurrent-session pairs across users — every pair of
+    * sessions that intersect in time, one row per pair via the
+    * first-shared-bucket emission (no post-dedup), aggregated per user
+    * pair with exact integer overlap durations. The oracle replays it
+    * as the straight `a.st <= b.en AND b.st <= a.en` theta join, so
+    * bucket-boundary bugs, closed-endpoint handling, and the
+    * structural dedup all break the hash.
+    */
+  val overlapJoinSessions = q("x_overlap_join",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '4 hours'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+      |sess AS (SELECT user_id su, min(ts) st, max(ts) en
+      |         FROM s GROUP BY user_id, sid),
+      |p AS (
+      |  SELECT a.su AS a_user, b.su AS b_user,
+      |         epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st)) AS ov
+      |  FROM sess a JOIN sess b ON a.st <= b.en AND b.st <= a.en AND a.su < b.su)
+      |SELECT a_user, b_user, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(ov) AS BIGINT) AS overlap_us
+      |FROM p GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val sess = EventStreams.sessionizeBatch(events, gapMs = 4L * 3600 * 1000)
+    val a = sess.select(col("user_id").as("a_user"),
+      col("start").as("a_start"), col("end").as("a_end"))
+    val b = sess.select(col("user_id").as("b_user"),
+      col("start").as("b_start"), col("end").as("b_end"))
+    graft.ext.Joins.overlapJoin(
+        a, unix_micros(col("a_start")), unix_micros(col("a_end")),
+        b, unix_micros(col("b_start")), unix_micros(col("b_end")),
+        bucketWidth = 6L * 3600 * 1000000L)
+      .filter(col("a_user") < col("b_user"))
+      .groupBy(col("a_user"), col("b_user"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(unix_micros(least(col("a_end"), col("b_end"))) -
+          unix_micros(greatest(col("a_start"), col("b_start")))).as("overlap_us"))
+  }
+
   val rangeJoinSessions = q("x_range_join",
     """WITH e AS (
       |  SELECT user_id, ts, event_id, value,
@@ -3960,6 +4035,77 @@ object ExtensionQueries {
     ), brute, 5)
   }
 
+  /** Store-health dashboard over EVERY persisted layout plus three
+    * maintained fixtures carrying real tombstones: physical row count,
+    * live count under tombstone semantics, and the tombstone debt the
+    * compaction policy prices — the per-store maintenance number an
+    * index fleet tracks. Integer numerators + one division, so the
+    * whole report hash-matches a DuckDB replay over the stored tables
+    * (the maintained fixtures make the debt arithmetic nonzero, not
+    * just an all-clean identity).
+    */
+  val indexHealth = q("x_index_health",
+    """WITH d_pqd AS (SELECT __id, max(__seq) AS tseq
+      |              FROM read_parquet('__GRAFT_ANNIDX__/pq_del16/tombstones/*.parquet') GROUP BY 1),
+      |d_bqm AS (SELECT __id, max(__seq) AS tseq
+      |          FROM read_parquet('__GRAFT_ANNIDX__/bq_maint16/tombstones/*.parquet') GROUP BY 1),
+      |d_ipd AS (SELECT __id, max(__seq) AS tseq
+      |          FROM read_parquet('__GRAFT_ANNIDX__/ivfpq_del16/tombstones/*.parquet') GROUP BY 1),
+      |m_pqd AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.tseq IS NULL OR coalesce(c.__seq, 0) > d.tseq THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_ANNIDX__/pq_del16/codes/*.parquet') c
+      |  LEFT JOIN d_pqd d ON c.__id = d.__id),
+      |m_bqm AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.tseq IS NULL OR coalesce(c.__seq, 0) > d.tseq THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_ANNIDX__/bq_maint16/codes/*.parquet') c
+      |  LEFT JOIN d_bqm d ON c.__id = d.__id),
+      |m_ipd AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.tseq IS NULL OR coalesce(c.__seq, 0) > d.tseq THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_ANNIDX__/ivfpq_del16/codes/*/*.parquet', hive_partitioning=1) c
+      |  LEFT JOIN d_ipd d ON c.__id = d.__id)
+      |SELECT 'ivf' AS layout, CAST(count(*) AS BIGINT) AS total_rows,
+      |       CAST(count(*) AS BIGINT) AS live_rows, CAST(0 AS BIGINT) AS dead_rows,
+      |       0.0 AS tombstone_debt
+      |FROM read_parquet('__GRAFT_ANNIDX__/ivf/vectors/*/*.parquet', hive_partitioning=1)
+      |UNION ALL
+      |SELECT 'pq', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
+      |FROM read_parquet('__GRAFT_ANNIDX__/pq/codes/*.parquet')
+      |UNION ALL
+      |SELECT 'ivfpq', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
+      |FROM read_parquet('__GRAFT_ANNIDX__/ivfpq/codes/*/*.parquet', hive_partitioning=1)
+      |UNION ALL
+      |SELECT 'ivfsq', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
+      |FROM read_parquet('__GRAFT_ANNIDX__/ivfsq/codes/*/*.parquet', hive_partitioning=1)
+      |UNION ALL
+      |SELECT 'bq', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
+      |FROM read_parquet('__GRAFT_ANNIDX__/bq/codes/*.parquet')
+      |UNION ALL
+      |SELECT 'pcapq', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
+      |FROM read_parquet('__GRAFT_ANNIDX__/pcapq/pq/codes/*.parquet')
+      |UNION ALL
+      |SELECT 'pq_del16', total, live, total - live,
+      |       CASE WHEN total = 0 THEN 0.0 ELSE CAST(total - live AS DOUBLE) / total END
+      |FROM m_pqd
+      |UNION ALL
+      |SELECT 'bq_maint16', total, live, total - live,
+      |       CASE WHEN total = 0 THEN 0.0 ELSE CAST(total - live AS DOUBLE) / total END
+      |FROM m_bqm
+      |UNION ALL
+      |SELECT 'ivfpq_del16', total, live, total - live,
+      |       CASE WHEN total = 0 THEN 0.0 ELSE CAST(total - live AS DOUBLE) / total END
+      |FROM m_ipd""".stripMargin) { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    AnnIndex.healthReport(s, Seq(
+      "ivf" -> s"$idx/ivf", "pq" -> s"$idx/pq", "ivfpq" -> s"$idx/ivfpq",
+      "ivfsq" -> s"$idx/ivfsq", "bq" -> s"$idx/bq",
+      "pcapq" -> s"$idx/pcapq/pq",
+      "pq_del16" -> s"$idx/pq_del16", "bq_maint16" -> s"$idx/bq_maint16",
+      "ivfpq_del16" -> s"$idx/ivfpq_del16"))
+  }
+
   /** BQ maintenance parity: the staged build→append→delete→update
     * fixture must serve EXACTLY the in-query scan over the live set
     * (the sketch is training-free, so no drift term exists — a lost
@@ -4125,8 +4271,8 @@ object ExtensionQueries {
     knnPqDelete, knnIvfPqRefine, knnIvfPqResRecall, knnIvfPqResidualErr,
     knnSq, knnSqErr, knnSqGuarantee, knnIvfSq, knnIvfSqFullProbe,
     knnBq, knnBqMaint, knnBqFiltered, knnIvfPqFiltered, knnIvfSqFiltered,
-    knnPcaPqFiltered, knnRecallReport, knnPcaPq, knnPcaPqIsometry,
-    dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
+    knnPcaPqFiltered, knnRecallReport, indexHealth, knnPcaPq, knnPcaPqIsometry,
+    dedupClusterSizes, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
     textRepetition, textBm25, textBm25Indexed, textBm25Maint,
@@ -4137,7 +4283,7 @@ object ExtensionQueries {
     dsirWeights, dsirResample,
     weightedMix, weightedMixWide, temperatureMixQ, packSequences,
     packSequencesBpe, asofJoin, asofTolerance,
-    rangeJoinSessions, rangeJoinWide, snapshotDiffQ,
+    rangeJoinSessions, rangeJoinWide, overlapJoinSessions, snapshotDiffQ,
     setSimJoin, classifyNb, scd2Intervals, mineHardNeg, textBigramPpl,
     streamWindow, streamFileWindow, streamDedup, streamDedupMinhash,
     streamDedupSimhash, streamDedupComponents, streamKnnAppend, streamFreqCms,

@@ -241,6 +241,35 @@ class PipelineOpsSpec extends SparkSpec {
         points.withColumnRenamed("pid", "iid"), col("t"), 10L)
   }
 
+  test("overlapJoin: closed endpoints, one row per pair across shared buckets, drops and keys") {
+    // width 10: [5, 25] and [20, 45] share buckets 2..2? — they share
+    // [20,25] spanning buckets 2; [5,25] covers 0..2, [20,45] covers
+    // 2..4 — a pair emitted once despite the bucket machinery
+    val a = Seq((1L, 5L, 25L), (2L, 100L, 110L), (3L, 60L, 50L))
+      .toDF("aid", "as_", "ae") // aid 3 inverted: drops
+    val b = Seq(
+      (10L, 20L, 45L),  // overlaps aid 1 on [20, 25]
+      (11L, 25L, 30L),  // touches aid 1 at the closed endpoint 25
+      (12L, 26L, 40L),  // just past aid 1's end: no match
+      (13L, 0L, 200L))  // spans everything: overlaps 1 and 2
+      .toDF("bid", "bs", "be")
+    val out = Joins.overlapJoin(a, col("as_"), col("ae"), b, col("bs"), col("be"),
+        bucketWidth = 10L)
+      .select("aid", "bid").as[(Long, Long)].collect().toList
+    // LIST, not set: structural dedup must yield exactly one row per pair
+    out.sorted shouldBe List((1L, 10L), (1L, 11L), (1L, 13L), (2L, 13L))
+    // extra equi-key separates tenants
+    val ka = Seq((1L, 0L, 100L, "t1")).toDF("aid", "as_", "ae", "ak")
+    val kb = Seq((10L, 50L, 60L, "t1"), (11L, 50L, 60L, "t2")).toDF("bid", "bs", "be", "bk")
+    Joins.overlapJoin(ka, col("as_"), col("ae"), kb, col("bs"), col("be"), 10L,
+        leftExtraKey = Some(col("ak")), rightExtraKey = Some(col("bk")))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet shouldBe Set((1L, 10L))
+    // colliding column names rejected
+    an[IllegalArgumentException] should be thrownBy
+      Joins.overlapJoin(a, col("as_"), col("ae"),
+        b.withColumnRenamed("bid", "aid"), col("bs"), col("be"), 10L)
+  }
+
   test("rangeJoin narrowPayload: identical results, duplicates and wide payload intact") {
     // wide-ish payload + a DUPLICATE interval row: the rowid re-attach
     // must return each duplicate its own payload copy, exactly like the

@@ -240,6 +240,19 @@ class PlanAssertionsSpec extends SparkSpec {
     (plan should not).include("ShuffledHashJoin")
   }
 
+  test("overlap join: bucketized equi-join plan, no cartesian or nested loop") {
+    val a = (1 to 50).map(i => (i.toLong, i.toLong * 7, i.toLong * 7 + 30))
+      .toDF("aid", "as_", "ae")
+    val b = (1 to 50).map(i => (i.toLong + 100, i.toLong * 5, i.toLong * 5 + 20))
+      .toDF("bid", "bs", "be")
+    val out = graft.ext.Joins.overlapJoin(a, col("as_"), col("ae"),
+      b, col("bs"), col("be"), bucketWidth = 25L)
+    out.collect()
+    val plan = finalPlan(out).toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("narrow-payload range join: the bucket explosion carries no payload struct") {
     val intervals = (1 to 50).map(i =>
       (i.toLong, i.toLong * 10, i.toLong * 10 + 25, "w" * 50)).toDF("iid", "s", "e", "blob")
