@@ -228,6 +228,55 @@ object Sampling {
     }
   }
 
+  /** Epoch-based UPSAMPLING — the other half of data mixing beside the
+    * down-sampling rates (a filter cannot repeat rows; training mixes
+    * routinely specify "source X for 2.5 epochs"): each source slated
+    * for `e` epochs contributes ⌊e⌋ full copies plus a deterministic
+    * md5-threshold sample of the corpus at rate `e − ⌊e⌋` as the final
+    * partial epoch. Every emitted row carries its `epoch` index and a
+    * deterministic `order_key` (md5 over epoch:stratum:key) — the
+    * reproducible global training-order shuffle, content-keyed so
+    * reruns and engines agree row for row and the copies of a document
+    * interleave across the order instead of clustering. Sources absent
+    * from `epochs` drop (the map IS the mix, the weightedMix
+    * convention).
+    *
+    * Scale shape: one broadcast of the (source, n_epochs, threshold)
+    * config, one narrow explode bounded by ⌈e⌉ per row — no shuffle at
+    * all; consumers sort by `order_key` only when materializing the
+    * final training order (a sort they were paying anyway).
+    */
+  def epochUpsample(df: DataFrame, stratum: Column, key: Column,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.nonEmpty, "epochUpsample: empty epochs map")
+    epochs.foreach { case (s, e) =>
+      require(e > 0.0 && e <= 1000.0, s"epochs out of (0, 1000] for '$s': $e")
+    }
+    val dup = df.columns.toSet
+      .intersect(Set("__eu_s", "__eu_n", "__eu_frac", "epoch", "order_key"))
+    require(dup.isEmpty,
+      s"epochUpsample reserves column names: rename ${dup.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cfg = epochs.toSeq.map { case (s, e) =>
+      val nFull = math.floor(e).toInt
+      val frac = e - nFull
+      val hasFrac = frac > 1e-12
+      (s, nFull + (if (hasFrac) 1 else 0), if (hasFrac) rateToHex(frac) else "")
+    }.toDF("__eu_s", "__eu_n", "__eu_frac")
+    val h = (pre: Column) => md5(concat(pre, col("epoch").cast("string"),
+      lit(":"), stratum.cast("string"), lit(":"), key.cast("string")))
+    df.join(broadcast(cfg), stratum.cast("string") === col("__eu_s"))
+      .withColumn("epoch", explode(sequence(lit(0), col("__eu_n") - 1)))
+      // full epochs keep everything; the one fractional epoch (always
+      // the LAST index, iff a threshold exists) keeps the md5 sample
+      .filter(col("epoch") <
+          col("__eu_n") - when(col("__eu_frac") =!= "", 1).otherwise(0) ||
+        h(lit("")) < col("__eu_frac"))
+      .withColumn("order_key", h(lit("o:")))
+      .drop("__eu_s", "__eu_n", "__eu_frac")
+  }
+
   // ------------------------------------------------ importance resampling
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): featurize

@@ -247,6 +247,16 @@ object Stats {
     val counts = side(ref, 1, 0).unionByName(side(cur, 0, 1))
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
+    ksFromBinCounts(counts).withColumnRenamed("__g", groupCol)
+  }
+
+  /** The KS tail over already-binned counts — shared by [[ksDrift]] and
+    * the streaming drift monitor (the [[psiFromBinCounts]] pattern).
+    * `counts` rows: (`__g`, `__b`, `__nr`, `__nc`); output (`__g`,
+    * `n_ref`, `n_cur`, `ks`).
+    */
+  private[graft] def ksFromBinCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__g")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = counts.groupBy(col("__g"))
@@ -272,7 +282,6 @@ object Stats {
       // boundary-straddle hazard)
       .agg(first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"),
         max(col("__gap")).as("ks"))
-      .withColumnRenamed("__g", groupCol)
   }
 
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,

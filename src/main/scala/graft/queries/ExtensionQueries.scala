@@ -2093,6 +2093,38 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Epoch UPSAMPLING (the "source X for 2.5 epochs" training-mix
+    * contract a keep-rate filter cannot express): src0 at 2.5 epochs
+    * (2 full copies + an md5-threshold half), src1 at exactly 1, src2
+    * at 0.25 (pure fraction, zero full copies), everything else
+    * dropped. The oracle replays the epoch explode, the full/fractional
+    * split, the threshold arithmetic AND the deterministic order_key —
+    * so copy counts, the sampled fraction's exact row set, and the
+    * reproducible shuffle all hash-match.
+    */
+  val upsampleEpochs = q("x_upsample_epochs",
+    """WITH cfg AS (
+      |  SELECT * FROM (VALUES ('src0', 3, '80000000'), ('src1', 1, ''),
+      |                        ('src2', 1, '40000000')) t(src, n, frac)),
+      |eps AS (
+      |  SELECT src, n, frac, unnest(generate_series(0, n - 1)) AS ep FROM cfg),
+      |e AS (
+      |  SELECT d.doc_id, d.source, eps.n, eps.frac, eps.ep
+      |  FROM documents d JOIN eps ON d.source = eps.src),
+      |kept AS (
+      |  SELECT * FROM e
+      |  WHERE ep < n - (CASE WHEN frac <> '' THEN 1 ELSE 0 END)
+      |     OR md5(CAST(ep AS VARCHAR) || ':' || source || ':' || CAST(doc_id AS VARCHAR)) < frac)
+      |SELECT doc_id, source, CAST(ep AS INTEGER) AS epoch,
+      |       md5('o:' || CAST(ep AS VARCHAR) || ':' || source || ':' || CAST(doc_id AS VARCHAR)) AS order_key
+      |FROM kept""".stripMargin) { (s, dir) =>
+    graft.ext.Sampling.epochUpsample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"),
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+      .select(col("doc_id"), col("source"), col("epoch"), col("order_key"))
+  }
+
   /** High-cardinality weighted mixing (the per-DOMAIN mix): a 12 000-entry
     * weights map over `l_orderkey % 12000` strata, rates formula-derived
     * (residue mod 97 → 1%..97%) so the oracle RECOMPUTES every threshold
@@ -4281,7 +4313,7 @@ object ExtensionQueries {
     contaminationReport, splitLeakageSafe, freqCms,
     sampleGroupTopK, textCompressionGate,
     dsirWeights, dsirResample,
-    weightedMix, weightedMixWide, temperatureMixQ, packSequences,
+    weightedMix, weightedMixWide, temperatureMixQ, upsampleEpochs, packSequences,
     packSequencesBpe, asofJoin, asofTolerance,
     rangeJoinSessions, rangeJoinWide, overlapJoinSessions, snapshotDiffQ,
     setSimJoin, classifyNb, scd2Intervals, mineHardNeg, textBigramPpl,

@@ -495,13 +495,24 @@ object QualityQueries {
     * of a corpus rescan. Counts compare cell-exact; the psi doubles to
     * 1e-9 (same-engine summation-order headroom).
     */
+  /** One memoized drift-counts stream run per fixture, shared by the
+    * PSI and KS gates (the batch monitors run as a pair off one binning
+    * — so do the streamed ones, off one store). */
+  private val driftRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def driftStore(s: SparkSession, dir: String): String =
+    driftRuns.computeIfAbsent(Staging.tag(dir), _ => {
+      val spool = stageEventSpool2(s, dir)
+      val store = s"/tmp/graft_stream_drift/${Staging.tag(dir)}_store"
+      graft.streaming.EventStreams.runDriftCountsOnce(s, spool, store,
+        "event_type", "value", bins = 20, lo = 0.0, hi = 20.0,
+        rowFilter = col("event_id") % 2 === 1)
+      store
+    })
+
   val streamDriftPsi = q("x_stream_drift_psi",
     "SELECT true AS stream_drift_ok") { (s, dir) =>
-    val spool = stageEventSpool2(s, dir)
-    val store = s"/tmp/graft_stream_drift/${Staging.tag(dir)}_store"
-    graft.streaming.EventStreams.runDriftCountsOnce(s, spool, store,
-      "event_type", "value", bins = 20, lo = 0.0, hi = 20.0,
-      rowFilter = col("event_id") % 2 === 1)
+    val store = driftStore(s, dir)
     val e = Tables.events(s, dir)
     val streamed = graft.streaming.EventStreams.readDriftPsi(s, store,
         e.filter(col("event_id") % 2 === 0), "event_type", col("value"),
@@ -518,6 +529,34 @@ object QualityQueries {
             col("__snc") =!= col("n_cur") ||
             abs(col("__sp") - col("psi")) > 1e-9, 1)
           .otherwise(0)) === 0, lit(true))).as("stream_drift_ok"))
+  }
+
+  /** KS from the SAME streamed drift store (one store, both monitors —
+    * the batch psi/ks pairing on the streaming side): the binned-CDF
+    * max gap computed off the summed counters must equal the batch
+    * [[graft.ext.Stats.ksDrift]] over the same halves. KS is pure
+    * integer-cumsum arithmetic, so the doubles compare EXACTLY — no
+    * tolerance band.
+    */
+  val streamDriftKs = q("x_stream_drift_ks",
+    "SELECT true AS stream_ks_ok") { (s, dir) =>
+    val store = driftStore(s, dir)
+    val e = Tables.events(s, dir)
+    val streamed = graft.streaming.EventStreams.readDriftKs(s, store,
+        e.filter(col("event_id") % 2 === 0), "event_type", col("value"),
+        bins = 20, lo = 0.0, hi = 20.0)
+      .withColumnRenamed("ks", "__sk").withColumnRenamed("n_ref", "__snr")
+      .withColumnRenamed("n_cur", "__snc")
+    val batch = Stats.ksDrift(e.filter(col("event_id") % 2 === 0),
+      e.filter(col("event_id") % 2 === 1),
+      "event_type", col("value"), bins = 20, lo = 0.0, hi = 20.0)
+    streamed.join(batch, Seq("event_type"), "full")
+      .agg((count(lit(1)) === count(col("__sk")) &&
+        count(lit(1)) === count(col("ks")) &&
+        coalesce(max(when(col("__snr") =!= col("n_ref") ||
+            col("__snc") =!= col("n_cur") ||
+            col("__sk") =!= col("ks"), 1)
+          .otherwise(0)) === 0, lit(true))).as("stream_ks_ok"))
   }
 
   /** Exact phrase search through the PERSISTED positional index: the
@@ -630,6 +669,6 @@ object QualityQueries {
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
     knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash,
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
-    streamFunnel, streamDriftPsi, textPhrase, textProximity,
+    streamFunnel, streamDriftPsi, streamDriftKs, textPhrase, textProximity,
     streamPhraseAppend)
 }

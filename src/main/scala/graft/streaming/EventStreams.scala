@@ -617,7 +617,26 @@ object EventStreams {
     */
   def readDriftPsi(spark: SparkSession, storeDir: String,
       ref: DataFrame, groupCol: String, valueCol: org.apache.spark.sql.Column,
-      bins: Int, lo: Double, hi: Double, eps: Double = 0.5): DataFrame = {
+      bins: Int, lo: Double, hi: Double, eps: Double = 0.5): DataFrame =
+    graft.ext.Stats.psiFromBinCounts(
+        driftCounts(spark, storeDir, ref, groupCol, valueCol, bins, lo, hi),
+        bins, eps)
+      .withColumnRenamed("__g", groupCol)
+
+  /** KS against the same streamed store — one store, both monitors (the
+    * batch psi/ks pairing carried over to the streaming side). */
+  def readDriftKs(spark: SparkSession, storeDir: String,
+      ref: DataFrame, groupCol: String, valueCol: org.apache.spark.sql.Column,
+      bins: Int, lo: Double, hi: Double): DataFrame =
+    graft.ext.Stats.ksFromBinCounts(
+        driftCounts(spark, storeDir, ref, groupCol, valueCol, bins, lo, hi))
+      .withColumnRenamed("__g", groupCol)
+
+  /** (group, bin) counts: frozen reference binned batch-side ∪ the
+    * summed delta store as the CURRENT side. */
+  private def driftCounts(spark: SparkSession, storeDir: String,
+      ref: DataFrame, groupCol: String, valueCol: org.apache.spark.sql.Column,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
     val cur = spark.read.parquet(s"$storeDir/deltas")
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__n")).as("__nc"), lit(0L).as("__nr"))
@@ -626,11 +645,9 @@ object EventStreams {
         graft.ext.Stats.binExpr(valueCol, bins, lo, hi).as("__b"))
       .groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("__nr"), lit(0L).as("__nc"))
-    val counts = refCounts.unionByName(cur)
+    refCounts.unionByName(cur)
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__nr")).as("__nr"), sum(col("__nc")).as("__nc"))
-    graft.ext.Stats.psiFromBinCounts(counts, bins, eps)
-      .withColumnRenamed("__g", groupCol)
   }
 
   def runUpsertOnce(spark: SparkSession, spoolDir: String, tableDir: String,

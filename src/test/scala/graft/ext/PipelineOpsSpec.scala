@@ -207,6 +207,31 @@ class PipelineOpsSpec extends SparkSpec {
     nn.filter(col("src").isNull).count() shouldBe 0L
   }
 
+  test("epochUpsample: exact full copies, deterministic fraction, dropped strata, distinct order keys") {
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 150).map(i => (i.toLong, "b")) ++
+      (151 to 160).map(i => (i.toLong, "c"))).toDF("id", "src")
+    val out = Sampling.epochUpsample(df, col("src"), col("id"),
+      Map("a" -> 2.0, "b" -> 0.5))
+    val rows = out.collect()
+    // 'a' at 2.0 epochs: exactly two full copies, epochs {0, 1} complete
+    rows.count(_.getAs[String]("src") == "a") shouldBe 200
+    out.filter(col("src") === "a").groupBy("epoch").count()
+      .collect().map(r => r.getAs[Int]("epoch") -> r.getAs[Long]("count"))
+      .toMap shouldBe Map(0 -> 100L, 1 -> 100L)
+    // 'b' at 0.5: zero full copies, an md5-threshold fraction of epoch 0 —
+    // nonempty, not everything, and bit-reproducible
+    val b1 = rows.filter(_.getAs[String]("src") == "b").map(_.getAs[Long]("id")).toSet
+    b1.size should (be > 0 and be < 50)
+    val b2 = Sampling.epochUpsample(df, col("src"), col("id"), Map("b" -> 0.5))
+      .collect().map(_.getAs[Long]("id")).toSet
+    b2 shouldBe b1
+    // strata absent from the map drop entirely
+    rows.count(_.getAs[String]("src") == "c") shouldBe 0
+    // the shuffle key is unique across copies (content + epoch keyed)
+    rows.map(_.getAs[String]("order_key")).distinct.length shouldBe rows.length
+  }
+
   test("rangeJoin: inclusive bounds, bucket-crossing intervals, drops and caps") {
     // buckets of width 10: interval [5, 25] crosses three buckets; every
     // containment must surface exactly ONCE (no per-bucket duplicates)
