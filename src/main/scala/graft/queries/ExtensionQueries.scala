@@ -3515,6 +3515,80 @@ object ExtensionQueries {
     Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, maxBucketSize = 1000000)
   }
 
+  /** CROSS-MODAL duplicate clustering — the composition a multimodal
+    * corpus actually needs: text near-dup pairs (portable MinHash over
+    * the variants corpus) UNIONED with image near-dup pairs (pHash of
+    * each document's PNG through the pigeonhole join), resolved into
+    * ONE set of duplicate clusters. Evidence from either modality links
+    * a pair; components make the merge transitive across modalities.
+    * The oracle replays BOTH pair pipelines from first principles and
+    * closes the union with a recursive min-label propagation — so the
+    * sketches, the union, and the transitive resolution all hash-match.
+    */
+  val dedupCrossmodal = q("x_dedup_crossmodal",
+    s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM $docsWithVariantsSql),
+       |$minhashFamSql,
+       |${minhashCteSql("m", "corpus")},
+       |ok AS (SELECT bk FROM m_banded GROUP BY bk HAVING count(*) > 1 AND count(*) <= 1000),
+       |inb AS (SELECT m_banded.* FROM m_banded JOIN ok USING (bk)),
+       |tpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM inb a JOIN inb b USING (bk) WHERE a.doc_id < b.doc_id
+       |    AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.5),
+       |all_docs AS (
+       |  SELECT doc_id AS vid, doc_id AS base, FALSE AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, doc_id, TRUE FROM documents WHERE doc_id % 10 = 0),
+       |cells AS (
+       |  SELECT vid, by, bx,
+       |         CASE WHEN pert AND bx = 0 AND by = 0
+       |              THEN ((base * 37 + bx * 17 + by * 29) % 251 + 7) % 251
+       |              ELSE (base * 37 + bx * 17 + by * 29) % 251 END AS v
+       |  FROM all_docs
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS by)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bx)),
+       |mm AS (SELECT vid, sum(v) // 64 AS mean FROM cells GROUP BY vid),
+       |bits AS (
+       |  SELECT c.vid, c.by, c.bx, (c.v > mm.mean) AS bit
+       |  FROM cells c JOIN mm USING (vid)),
+       |ipairs AS (
+       |  SELECT a.vid AS id_a, b.vid AS id_b
+       |  FROM bits a JOIN bits b ON a.vid < b.vid AND a.by = b.by AND a.bx = b.bx
+       |  GROUP BY a.vid, b.vid
+       |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
+       |pairs AS (SELECT id_a, id_b FROM tpairs UNION SELECT id_a, id_b FROM ipairs),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)
+       |  UNION
+       |  SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       |SELECT n.doc_id AS id, coalesce(comp.lbl, n.doc_id) AS component
+       |FROM (SELECT doc_id FROM $docsWithVariantsSql) n
+       |LEFT JOIN comp ON comp.id = n.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = docsWithVariants(s, dir)
+    val tpairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5,
+        portable = true)
+      .select(col("id_a"), col("id_b"))
+    val media = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+      .as[Long].flatMap { id =>
+        val base = phashPng(id, id, perturb = false)
+        if (id % 10 == 0) Seq(base, phashPng(id, id + 100000, perturb = true))
+        else Seq(base)
+      }
+    val ipairs = Dedup.simhashPairsFromSigs(
+        Multimodal.imagePhash(media).toDF()
+          .select(col("id").as("__id"), col("phash").as("__sh"))
+          .localCheckpoint(eager = true),
+        maxHamming = 3, maxBucketSize = 1000000)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+      tpairs.unionByName(ipairs).distinct())
+  }
+
   /** Binary-quantization ANN: sign-bit sketches (1 bit/dim) scanned by
     * hamming, exact cosine rescore of a 50-candidate shortlist. Fully
     * hash-matched: the sketch, the hamming ranking (ties by id) and the
@@ -4324,6 +4398,6 @@ object ExtensionQueries {
     streamSessionize, streamSessionizeTws, streamUpsert, streamUpsertCounters,
     multimodalDecode, multimodalFrames, multimodalAviFrames,
     multimodalImageMeta, multimodalAudioMeta,
-    multimodalPhash, dedupPhash,
+    multimodalPhash, dedupPhash, dedupCrossmodal,
   )
 }
