@@ -3446,6 +3446,33 @@ object ExtensionQueries {
     Multimodal.MediaRow(outId, bytes, "image", "png")
   }
 
+  /** The crossmodal fixture's cell value: md5-hashed per (base, cell) so
+    * every document's image is DISTINCT (the linear phash formula is
+    * additive in base, so it yields at most 251 distinct images — at
+    * larger scale factors those exact-dup classes collapse the whole
+    * corpus into one near-dup component, which is degenerate evidence
+    * AND makes the oracle's recursive closure quadratic). Hashed cells
+    * keep the image pair set essentially the planted near-copies, in
+    * arithmetic DuckDB replays verbatim.
+    */
+  private def crossmodalCell(base: Long, bx: Int, by: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$base:$bx:$by".getBytes("UTF-8"))
+      .take(2).map("%02x".format(_)).mkString
+    Integer.parseInt(hex, 16) % 251
+  }
+
+  private def crossmodalPng(base: Long, outId: Long, perturb: Boolean): Multimodal.MediaRow = {
+    val w = 8 * (base % 4 + 2).toInt
+    val h = 8 * ((base * 3) % 5 + 2).toInt
+    val ct = (base % 3) match { case 0L => 0; case 1L => 2; case _ => 6 }
+    val bytes = Multimodal.synthPng(outId, w, h, ct, (bx, by) => {
+      val v = crossmodalCell(base, bx, by)
+      if (perturb && bx == 0 && by == 0) (v + 7) % 251 else v
+    })
+    Multimodal.MediaRow(outId, bytes, "image", "png")
+  }
+
   /** REAL perceptual hashing end-to-end: complete synthetic PNGs (deflated
     * + per-row-filtered IDAT, CRCs) are pixel-decoded with JDK zlib, then
     * average-hashed. The oracle rebuilds the expected hash bit string from
@@ -3495,12 +3522,27 @@ object ExtensionQueries {
       |m AS (SELECT vid, sum(v) // 64 AS mean FROM cells GROUP BY vid),
       |bits AS (
       |  SELECT c.vid, c.by, c.bx, (c.v > m.mean) AS bit
-      |  FROM cells c JOIN m USING (vid))
-      |SELECT a.vid AS id_a, b.vid AS id_b,
-      |       CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
-      |FROM bits a JOIN bits b ON a.vid < b.vid AND a.by = b.by AND a.bx = b.bx
-      |GROUP BY a.vid, b.vid
-      |HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin) {
+      |  FROM cells c JOIN m USING (vid)),
+      |sig AS (
+      |  SELECT vid,
+      |         coalesce(bit_or(CASE WHEN bit AND (by*8+bx) < 32 THEN 1::BIGINT << (by*8+bx) END), 0) AS lo,
+      |         coalesce(bit_or(CASE WHEN bit AND (by*8+bx) >= 32 THEN 1::BIGINT << (by*8+bx-32) END), 0) AS hi
+      |  FROM bits GROUP BY vid),
+      |blocked AS (
+      |  SELECT vid, lo, hi, blk,
+      |         CASE WHEN blk = 0 THEN lo & 65535
+      |              WHEN blk = 1 THEN (lo >> 16) & 65535
+      |              WHEN blk = 2 THEN hi & 65535
+      |              ELSE (hi >> 16) & 65535 END AS bv
+      |  FROM sig, UNNEST(generate_series(0, 3)) AS g(blk)),
+      |cand AS (
+      |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
+      |         a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+      |  FROM blocked a JOIN blocked b USING (blk, bv) WHERE a.vid < b.vid)
+      |SELECT id_a, id_b,
+      |       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INTEGER) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3""".stripMargin) {
     (s, dir) =>
     import s.implicits._
     val media = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
@@ -3541,21 +3583,34 @@ object ExtensionQueries {
        |  SELECT doc_id + 100000, doc_id, TRUE FROM documents WHERE doc_id % 10 = 0),
        |cells AS (
        |  SELECT vid, by, bx,
-       |         CASE WHEN pert AND bx = 0 AND by = 0
-       |              THEN ((base * 37 + bx * 17 + by * 29) % 251 + 7) % 251
-       |              ELSE (base * 37 + bx * 17 + by * 29) % 251 END AS v
-       |  FROM all_docs
-       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS by)
-       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bx)),
+       |         CASE WHEN pert AND bx = 0 AND by = 0 THEN (hv + 7) % 251 ELSE hv END AS v
+       |  FROM (
+       |    SELECT vid, base, pert, by, bx,
+       |           CAST(CAST('0x' || substring(md5(CAST(base AS VARCHAR) || ':' || CAST(bx AS VARCHAR) || ':' || CAST(by AS VARCHAR)), 1, 4) AS UBIGINT) % 251 AS BIGINT) AS hv
+       |    FROM all_docs
+       |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS by)
+       |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bx))),
        |mm AS (SELECT vid, sum(v) // 64 AS mean FROM cells GROUP BY vid),
        |bits AS (
        |  SELECT c.vid, c.by, c.bx, (c.v > mm.mean) AS bit
        |  FROM cells c JOIN mm USING (vid)),
+       |isig AS (
+       |  SELECT vid,
+       |         coalesce(bit_or(CASE WHEN bit AND (by*8+bx) < 32 THEN 1::BIGINT << (by*8+bx) END), 0) AS lo,
+       |         coalesce(bit_or(CASE WHEN bit AND (by*8+bx) >= 32 THEN 1::BIGINT << (by*8+bx-32) END), 0) AS hi
+       |  FROM bits GROUP BY vid),
+       |iblk AS (
+       |  SELECT vid, lo, hi, blk,
+       |         CASE WHEN blk = 0 THEN lo & 65535
+       |              WHEN blk = 1 THEN (lo >> 16) & 65535
+       |              WHEN blk = 2 THEN hi & 65535
+       |              ELSE (hi >> 16) & 65535 END AS bv
+       |  FROM isig, UNNEST(generate_series(0, 3)) AS g(blk)),
        |ipairs AS (
-       |  SELECT a.vid AS id_a, b.vid AS id_b
-       |  FROM bits a JOIN bits b ON a.vid < b.vid AND a.by = b.by AND a.bx = b.bx
-       |  GROUP BY a.vid, b.vid
-       |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+       |  FROM iblk a JOIN iblk b USING (blk, bv)
+       |  WHERE a.vid < b.vid
+       |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
        |pairs AS (SELECT id_a, id_b FROM tpairs UNION SELECT id_a, id_b FROM ipairs),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
@@ -3575,8 +3630,8 @@ object ExtensionQueries {
       .select(col("id_a"), col("id_b"))
     val media = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
       .as[Long].flatMap { id =>
-        val base = phashPng(id, id, perturb = false)
-        if (id % 10 == 0) Seq(base, phashPng(id, id + 100000, perturb = true))
+        val base = crossmodalPng(id, id, perturb = false)
+        if (id % 10 == 0) Seq(base, crossmodalPng(id, id + 100000, perturb = true))
         else Seq(base)
       }
     val ipairs = Dedup.simhashPairsFromSigs(
