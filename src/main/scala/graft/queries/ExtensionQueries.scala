@@ -2791,13 +2791,16 @@ object ExtensionQueries {
     * break the hash.
     */
   /** Interval-OVERLAP join (the shape rangeJoin's containment cannot
-    * express): concurrent-session pairs across users — every pair of
-    * sessions that intersect in time, one row per pair via the
-    * first-shared-bucket emission (no post-dedup), aggregated per user
-    * pair with exact integer overlap durations. The oracle replays it
-    * as the straight `a.st <= b.en AND b.st <= a.en` theta join, so
-    * bucket-boundary bugs, closed-endpoint handling, and the
-    * structural dedup all break the hash.
+    * express): sessions of a WATCHLIST of users (every 50th id) overlap-
+    * joined against the whole corpus's sessions — which sessions ran
+    * concurrently with a monitored user's, one row per session pair via
+    * the first-shared-bucket emission (no post-dedup), aggregated per
+    * user pair with exact integer overlap durations. The watchlist keeps
+    * the ANSWER near-linear (all-users × all-users concurrency on a
+    * uniform fixture is genuinely quadratic — the answer, not the plan);
+    * the oracle replays the straight `a.st <= b.en AND b.st <= a.en`
+    * theta join, so bucket-boundary bugs, closed-endpoint handling, and
+    * the structural dedup all break the hash.
     */
   val overlapJoinSessions = q("x_overlap_join",
     """WITH e AS (
@@ -2813,22 +2816,24 @@ object ExtensionQueries {
       |p AS (
       |  SELECT a.su AS a_user, b.su AS b_user,
       |         epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st)) AS ov
-      |  FROM sess a JOIN sess b ON a.st <= b.en AND b.st <= a.en AND a.su < b.su)
+      |  FROM sess a JOIN sess b ON a.st <= b.en AND b.st <= a.en
+      |   AND a.su % 50 = 0 AND a.su <> b.su)
       |SELECT a_user, b_user, CAST(count(*) AS BIGINT) AS n_pairs,
       |       CAST(sum(ov) AS BIGINT) AS overlap_us
       |FROM p GROUP BY 1, 2""".stripMargin) { (s, dir) =>
     val events = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val sess = EventStreams.sessionizeBatch(events, gapMs = 4L * 3600 * 1000)
-    val a = sess.select(col("user_id").as("a_user"),
-      col("start").as("a_start"), col("end").as("a_end"))
+    val a = sess.filter(col("user_id") % 50 === 0)
+      .select(col("user_id").as("a_user"),
+        col("start").as("a_start"), col("end").as("a_end"))
     val b = sess.select(col("user_id").as("b_user"),
       col("start").as("b_start"), col("end").as("b_end"))
     graft.ext.Joins.overlapJoin(
         a, unix_micros(col("a_start")), unix_micros(col("a_end")),
         b, unix_micros(col("b_start")), unix_micros(col("b_end")),
         bucketWidth = 6L * 3600 * 1000000L)
-      .filter(col("a_user") < col("b_user"))
+      .filter(col("a_user") =!= col("b_user"))
       .groupBy(col("a_user"), col("b_user"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(unix_micros(least(col("a_end"), col("b_end"))) -

@@ -240,6 +240,19 @@ class PlanAssertionsSpec extends SparkSpec {
     (plan should not).include("ShuffledHashJoin")
   }
 
+  test("epochUpsample: broadcast config + bounded explode, zero shuffle exchanges") {
+    val df = (1 to 500).map(i => (i.toLong, s"s${i % 5}")).toDF("id", "src")
+    val out = graft.ext.Sampling.epochUpsample(df, col("src"), col("id"),
+      Map("s0" -> 2.5, "s1" -> 1.0))
+    out.collect()
+    val plan = finalPlan(out).toString
+    // the config rides a broadcast; the row stream never repartitions —
+    // the "no shuffle at all" claim in the operator doc, held by the plan
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("Exchange hashpartitioning")
+    (plan should not).include("Exchange rangepartitioning")
+  }
+
   test("overlap join: bucketized equi-join plan, no cartesian or nested loop") {
     val a = (1 to 50).map(i => (i.toLong, i.toLong * 7, i.toLong * 7 + 30))
       .toDF("aid", "as_", "ae")
