@@ -3471,8 +3471,11 @@ object ExtensionQueries {
     val w = 8 * (base % 4 + 2).toInt
     val h = 8 * ((base * 3) % 5 + 2).toInt
     val ct = (base % 3) match { case 0L => 0; case 1L => 2; case _ => 6 }
+    // synthPng calls the cell fn PER PIXEL — hash the 64 cells once, not
+    // w×h times (the md5 was >90% of the fixture build otherwise)
+    val cells = Array.tabulate(8, 8)((by, bx) => crossmodalCell(base, bx, by))
     val bytes = Multimodal.synthPng(outId, w, h, ct, (bx, by) => {
-      val v = crossmodalCell(base, bx, by)
+      val v = cells(by)(bx)
       if (perturb && bx == 0 && by == 0) (v + 7) % 251 else v
     })
     Multimodal.MediaRow(outId, bytes, "image", "png")
