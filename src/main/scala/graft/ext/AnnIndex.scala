@@ -1501,7 +1501,10 @@ object AnnIndex {
         .select(lit(name).as("layout"), lit(k).as("k"),
           col("__nq").as("n_queries"), col("__possible").as("possible"),
           col("hits"),
-          (col("hits").cast("double") / col("__possible")).as("recall_at_k"),
+          // an empty reference must report recall 0.0, not 0/0 = NaN
+          when(col("__possible") === 0L, lit(0.0))
+            .otherwise(col("hits").cast("double") / col("__possible"))
+            .as("recall_at_k"),
           col("rank_footrule"))
     }.reduce(_ unionByName _)
   }

@@ -121,6 +121,24 @@ object ScaleProbe {
           pmod(col("event_id"), lit(150)).as("v")), "u", "v")
           .head().getLong(0) // rows = the triangle count itself
       }
+      // watchlist interval-overlap join over sessions (salting preserves
+      // user_id % 50, so the watchlist share is scale-invariant)
+      time(s"overlap_join_x$m") {
+        val sess = graft.streaming.EventStreams.sessionizeBatch(
+          e.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")),
+          gapMs = 4L * 3600 * 1000)
+        val a = sess.filter(col("user_id") % 50 === 0)
+          .select(col("user_id").as("a_user"),
+            col("start").as("a_start"), col("end").as("a_end"))
+        val b = sess.select(col("user_id").as("b_user"),
+          col("start").as("b_start"), col("end").as("b_end"))
+        Joins.overlapJoin(
+            a, unix_micros(col("a_start")), unix_micros(col("a_end")),
+            b, unix_micros(col("b_start")), unix_micros(col("b_end")),
+            bucketWidth = 6L * 3600 * 1000000L)
+          .filter(col("a_user") =!= col("b_user")).count()
+      }
     }
 
     // ---- portable vs XXH64 family A/B (1× corpus, gate shapes) ----

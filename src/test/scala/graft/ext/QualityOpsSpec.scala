@@ -121,6 +121,11 @@ class QualityOpsSpec extends SparkSpec {
     rep("b").getAs[Double]("recall_at_k") shouldBe 0.0
     rep("b").getAs[Long]("rank_footrule") shouldBe 0L
     rep("a").getAs[Long]("n_queries") shouldBe 1L
+    // empty reference: recall reports 0.0, never NaN from 0/0
+    val emptyRef = ref.filter(col("rank") > 99)
+    val er = AnnIndex.recallReport(Seq("a" -> a), emptyRef, k = 3).head()
+    er.getAs[Long]("possible") shouldBe 0L
+    er.getAs[Double]("recall_at_k") shouldBe 0.0
   }
 
   test("funnelCounts: strictly-after chaining, ties resolved by the tie column") {
