@@ -469,6 +469,57 @@ object Dedup {
     * is refused (conservative: a loud error, never silently-partial
     * labels).
     */
+  /** EFFECTIVE dataset size under exact dedup — the accounting number a
+    * training-data pipeline reports per source per snapshot: raw
+    * doc/token counts beside the counts after collapsing exact-text
+    * duplicates to one canonical member (min id), with each duplicate
+    * group attributed to its CANONICAL's group — so "how many of source
+    * X's tokens survive dedup" answers globally, not per source in
+    * isolation. "N tokens of X" is the contract training mixes are
+    * specified in; the raw row count over-states a duplicated crawl.
+    *
+    * Null texts carry no content identity and never collapse (each
+    * keeps an id-salted key). `token_dup_ratio` is ONE IEEE division of
+    * integer counts (0.0 for an empty group), so the whole report
+    * reproduces bit-for-bit.
+    *
+    * Scale shape: one md5-keyed hash aggregate over (group, id, token
+    * count) — map-side combined, nothing wider than a 16-byte key plus
+    * three numbers shuffles; the report is groups-sized.
+    *
+    * Output: (`groupCol`, `n_docs`, `n_tokens`, `n_docs_effective`,
+    * `n_tokens_effective`, `token_dup_ratio`).
+    */
+  def effectiveSize(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val base = df.select(qcol(groupCol).as("__g"),
+        qcol(idCol).cast("long").as("__eid"),
+        coalesce(md5(qcol(textCol)),
+          concat(lit("null:"), qcol(idCol).cast("string"))).as("__h"),
+        coalesce(size(TextAnalysis.tokens(qcol(textCol))), lit(0))
+          .cast("long").as("__n"))
+      .localCheckpoint(eager = true) // raw and canonical sides share it
+    val raw = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    // canonical member per exact-text group: min (id, group, tokens) —
+    // deterministic, and the struct carries the attribution columns
+    val canon = base
+      .groupBy(col("__h"))
+      .agg(min(struct(col("__eid"), col("__g"), col("__n"))).as("__c"))
+      .select(col("__c.__g").as("__g"), col("__c.__n").as("__n"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs_effective"),
+        sum(col("__n")).as("n_tokens_effective"))
+    raw.join(canon, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_docs_effective"), lit(0L)).as("n_docs_effective"),
+        coalesce(col("n_tokens_effective"), lit(0L)).as("n_tokens_effective"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise((col("n_tokens") - coalesce(col("n_tokens_effective"), lit(0L)))
+            .cast("double") / col("n_tokens"))
+          .as("token_dup_ratio"))
+  }
+
   /** Duplicate-cluster size histogram over a components labeling — the
     * dedup AUDIT number: how many clusters of each size, covering how
     * many documents (n_docs = cluster_size · n_clusters, carried

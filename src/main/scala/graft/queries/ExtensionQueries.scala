@@ -1084,6 +1084,42 @@ object ExtensionQueries {
     Dedup.clusterSizeHistogram(Dedup.connectedComponents(nodes, "doc_id", edges))
   }
 
+  /** EFFECTIVE dataset size per source — the accounting behind every
+    * training mix ("N tokens of X" means post-dedup tokens): raw vs
+    * exact-dedup doc/token counts, each duplicate group attributed to
+    * its canonical (min-id) member's source. The planted 'mirror'
+    * source is verbatim copies of every 10th doc, so its effective
+    * counts collapse to ZERO (the originals own the canonical) — the
+    * cross-source attribution, not per-source-in-isolation dedup, is
+    * what the oracle pins.
+    */
+  val corpusEffectiveSize = q("x_corpus_effective_size",
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, 'mirror' FROM documents WHERE doc_id % 10 = 0),
+      |b AS (
+      |  SELECT source AS g, doc_id AS id,
+      |         coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR)) AS h,
+      |         CAST(coalesce(len(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')), 0) AS BIGINT) AS n
+      |  FROM corpus),
+      |raw AS (SELECT g, CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS nt FROM b GROUP BY 1),
+      |cn AS (SELECT h, arg_min(g, id) AS g, arg_min(n, id) AS n FROM b GROUP BY h),
+      |eff AS (SELECT g, CAST(count(*) AS BIGINT) AS nde, CAST(sum(n) AS BIGINT) AS nte FROM cn GROUP BY 1)
+      |SELECT r.g AS source, r.nd AS n_docs, r.nt AS n_tokens,
+      |       coalesce(e.nde, 0) AS n_docs_effective,
+      |       coalesce(e.nte, 0) AS n_tokens_effective,
+      |       CASE WHEN r.nt = 0 THEN 0.0
+      |            ELSE CAST(r.nt - coalesce(e.nte, 0) AS DOUBLE) / r.nt END AS token_dup_ratio
+      |FROM raw r LEFT JOIN eff e USING (g)""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          lit("mirror").as("source")))
+    Dedup.effectiveSize(corpus, "doc_id", "text", "source")
+  }
+
   /** Per-label embedding centroids (flat shape): the curation-side
     * aggregate over vector columns — partial-aggregated per (label, dim),
     * no vector ever crosses the shuffle whole.
@@ -4441,7 +4477,7 @@ object ExtensionQueries {
     knnSq, knnSqErr, knnSqGuarantee, knnIvfSq, knnIvfSqFullProbe,
     knnBq, knnBqMaint, knnBqFiltered, knnIvfPqFiltered, knnIvfSqFiltered,
     knnPcaPqFiltered, knnRecallReport, indexHealth, knnPcaPq, knnPcaPqIsometry,
-    dedupClusterSizes, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
+    dedupClusterSizes, corpusEffectiveSize, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
     textRepetition, textBm25, textBm25Indexed, textBm25Maint,

@@ -162,4 +162,27 @@ class DedupSpec extends SparkSpec {
       (5L, ""),
       (6L, ""))
   }
+
+  test("effectiveSize: cross-source attribution to the canonical, null texts never collapse") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta", "a"),   // canonical of the dup group
+      (2L, "alpha beta", "b"),   // exact dup, later id → collapses into a
+      (3L, "gamma", "b"),
+      (4L, null.asInstanceOf[String], "b"),
+      (5L, null.asInstanceOf[String], "b")) // null texts keep their own identity
+      .toDF("id", "text", "src")
+    val rep = Dedup.effectiveSize(df, "id", "text", "src")
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    rep("a").getAs[Long]("n_docs") shouldBe 1L
+    rep("a").getAs[Long]("n_docs_effective") shouldBe 1L
+    rep("a").getAs[Long]("n_tokens_effective") shouldBe 2L
+    // source b: 4 raw docs (one dup, two nulls) → 3 effective (the dup
+    // attributed to a; both nulls survive with 0 tokens)
+    rep("b").getAs[Long]("n_docs") shouldBe 4L
+    rep("b").getAs[Long]("n_tokens") shouldBe 3L
+    rep("b").getAs[Long]("n_docs_effective") shouldBe 3L
+    rep("b").getAs[Long]("n_tokens_effective") shouldBe 1L
+    rep("b").getAs[Double]("token_dup_ratio") shouldBe (2.0 / 3.0)
+  }
 }
