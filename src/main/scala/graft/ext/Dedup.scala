@@ -520,6 +520,44 @@ object Dedup {
           .as("token_dup_ratio"))
   }
 
+  /** [[effectiveSize]] under a PRECOMPUTED duplicate clustering (near-
+    * dup components, cross-modal merges — any labeling): canonical =
+    * the min-id member of each component; rows absent from `components`
+    * are singletons. Same output shape and attribution semantics as the
+    * exact form — the near-dup accounting completes the "N tokens of X"
+    * pair (exact dedup understates savings when paraphrase-level copies
+    * dominate a crawl).
+    */
+  def effectiveSizeByComponents(df: DataFrame, idCol: String,
+      textCol: String, groupCol: String, components: DataFrame): DataFrame = {
+    val base = df.select(qcol(groupCol).as("__g"),
+        qcol(idCol).cast("long").as("__eid"),
+        coalesce(size(TextAnalysis.tokens(qcol(textCol))), lit(0))
+          .cast("long").as("__n"))
+      .join(components.select(col("id").cast("long").as("__eid"),
+        col("component").cast("long").as("__comp")), Seq("__eid"), "left")
+      .select(col("__g"), col("__eid"), col("__n"),
+        coalesce(col("__comp"), col("__eid")).as("__comp"))
+      .localCheckpoint(eager = true) // raw and canonical sides share it
+    val raw = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    val canon = base
+      .groupBy(col("__comp"))
+      .agg(min(struct(col("__eid"), col("__g"), col("__n"))).as("__c"))
+      .select(col("__c.__g").as("__g"), col("__c.__n").as("__n"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs_effective"),
+        sum(col("__n")).as("n_tokens_effective"))
+    raw.join(canon, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_docs_effective"), lit(0L)).as("n_docs_effective"),
+        coalesce(col("n_tokens_effective"), lit(0L)).as("n_tokens_effective"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise((col("n_tokens") - coalesce(col("n_tokens_effective"), lit(0L)))
+            .cast("double") / col("n_tokens"))
+          .as("token_dup_ratio"))
+  }
+
   /** Duplicate-cluster size histogram over a components labeling — the
     * dedup AUDIT number: how many clusters of each size, covering how
     * many documents (n_docs = cluster_size · n_clusters, carried

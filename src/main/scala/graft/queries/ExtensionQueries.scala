@@ -1120,6 +1120,65 @@ object ExtensionQueries {
     Dedup.effectiveSize(corpus, "doc_id", "text", "source")
   }
 
+  /** Effective dataset size under NEAR-dup clustering — the companion
+    * of x_corpus_effective_size when paraphrase-level copies dominate:
+    * MinHash candidate pairs over the variants corpus resolve into
+    * components, the canonical (min-id) member owns each cluster's
+    * accounting, and the planted 'variant' source (one-token edits of
+    * every 10th doc) collapses to near-zero effective counts. The
+    * oracle replays the portable sketch pipeline, the recursive
+    * closure, AND the attribution arithmetic.
+    */
+  val corpusEffectiveNear = q("x_corpus_effective_near",
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zzvariant', 'variant'
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |$minhashFamSql,
+       |${minhashCteSql("m", "corpus")},
+       |ok AS (SELECT bk FROM m_banded GROUP BY bk HAVING count(*) > 1 AND count(*) <= 1000),
+       |inb AS (SELECT m_banded.* FROM m_banded JOIN ok USING (bk)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM inb a JOIN inb b USING (bk) WHERE a.doc_id < b.doc_id
+       |    AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)
+       |  UNION
+       |  SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |b AS (
+       |  SELECT c.source AS g, c.doc_id AS id,
+       |         CAST(coalesce(len(list_filter(string_split_regex(lower(trim(c.text)), '\\W+'), x -> x <> '')), 0) AS BIGINT) AS n,
+       |         coalesce(comp.lbl, c.doc_id) AS cmp
+       |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id),
+       |raw AS (SELECT g, CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS nt FROM b GROUP BY 1),
+       |cn AS (SELECT cmp, arg_min(g, id) AS g, arg_min(n, id) AS n FROM b GROUP BY cmp),
+       |eff AS (SELECT g, CAST(count(*) AS BIGINT) AS nde, CAST(sum(n) AS BIGINT) AS nte FROM cn GROUP BY 1)
+       |SELECT r.g AS source, r.nd AS n_docs, r.nt AS n_tokens,
+       |       coalesce(e.nde, 0) AS n_docs_effective,
+       |       coalesce(e.nte, 0) AS n_tokens_effective,
+       |       CASE WHEN r.nt = 0 THEN 0.0
+       |            ELSE CAST(r.nt - coalesce(e.nte, 0) AS DOUBLE) / r.nt END AS token_dup_ratio
+       |FROM raw r LEFT JOIN eff e USING (g)""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zzvariant")).as("text"),
+          lit("variant").as("source")))
+    val pairs = Dedup.minhashCandidates(corpus.select(col("doc_id"), col("text")),
+        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 3,
+        minEstJaccard = 0.5, portable = true)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(
+      corpus.select(col("doc_id")), "doc_id", pairs)
+    Dedup.effectiveSizeByComponents(corpus, "doc_id", "text", "source", comps)
+  }
+
   /** Per-label embedding centroids (flat shape): the curation-side
     * aggregate over vector columns — partial-aggregated per (label, dim),
     * no vector ever crosses the shuffle whole.
@@ -4477,7 +4536,7 @@ object ExtensionQueries {
     knnSq, knnSqErr, knnSqGuarantee, knnIvfSq, knnIvfSqFullProbe,
     knnBq, knnBqMaint, knnBqFiltered, knnIvfPqFiltered, knnIvfSqFiltered,
     knnPcaPqFiltered, knnRecallReport, indexHealth, knnPcaPq, knnPcaPqIsometry,
-    dedupClusterSizes, corpusEffectiveSize, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
+    dedupClusterSizes, corpusEffectiveSize, corpusEffectiveNear, dedupMinhashRecall, dedupSimhashRecall, dedupEmbLshRecall,
     textTokens, textQuality, textLangId, textFingerprint, textRedact,
     textChunks, textChunksBpe, textBpeBaseCount, textBpeByteCount,
     textRepetition, textBm25, textBm25Indexed, textBm25Maint,
