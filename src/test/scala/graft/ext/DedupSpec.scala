@@ -185,4 +185,23 @@ class DedupSpec extends SparkSpec {
     rep("b").getAs[Long]("n_tokens_effective") shouldBe 1L
     rep("b").getAs[Double]("token_dup_ratio") shouldBe (2.0 / 3.0)
   }
+
+  test("effectiveSizeByComponents: clustering drives attribution, unlabeled rows are singletons") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three", "a"),  // clustered with 2 (near-dup labeling)
+      (2L, "one two threeX", "b"), // NOT an exact dup — the components decide
+      (3L, "four", "b"))           // absent from the labeling → singleton
+      .toDF("id", "text", "src")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val rep = Dedup.effectiveSizeByComponents(df, "id", "text", "src", comps)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    // cluster {1, 2} canonical is 1 → source a owns its tokens
+    rep("a").getAs[Long]("n_docs_effective") shouldBe 1L
+    rep("a").getAs[Long]("n_tokens_effective") shouldBe 3L
+    // source b keeps only the singleton (doc 2 attributed to a)
+    rep("b").getAs[Long]("n_docs") shouldBe 2L
+    rep("b").getAs[Long]("n_docs_effective") shouldBe 1L
+    rep("b").getAs[Long]("n_tokens_effective") shouldBe 1L
+  }
 }
