@@ -527,6 +527,13 @@ object Dedup {
     * exact form — the near-dup accounting completes the "N tokens of X"
     * pair (exact dedup understates savings when paraphrase-level copies
     * dominate a crawl).
+    *
+    * Component labels may live in an ARBITRARY namespace (not
+    * necessarily member ids), so singleton fallback keys are kept
+    * disjoint from label keys by a tag column instead of a bare
+    * coalesce: an unlabeled row whose id happens to equal some
+    * component label must stay a singleton, not be merged into that
+    * unrelated cluster (r13 ADVICE).
     */
   def effectiveSizeByComponents(df: DataFrame, idCol: String,
       textCol: String, groupCol: String, components: DataFrame): DataFrame = {
@@ -537,7 +544,10 @@ object Dedup {
       .join(components.select(col("id").cast("long").as("__eid"),
         col("component").cast("long").as("__comp")), Seq("__eid"), "left")
       .select(col("__g"), col("__eid"), col("__n"),
-        coalesce(col("__comp"), col("__eid")).as("__comp"))
+        when(col("__comp").isNotNull,
+            struct(lit(0).as("ns"), col("__comp").as("v")))
+          .otherwise(struct(lit(1).as("ns"), col("__eid").as("v")))
+          .as("__comp"))
       .localCheckpoint(eager = true) // raw and canonical sides share it
     val raw = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))

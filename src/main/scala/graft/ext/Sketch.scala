@@ -68,7 +68,7 @@ object Sketch {
     * values contribute nothing.
     *
     * Accumulation is FIXED-POINT: each row contributes
-    * floor(sign·value·scale) as an int64, and the bucket weight is the
+    * sign·floor(value·scale) as an int64, and the bucket weight is the
     * integer sum — exact, associative, and therefore independent of
     * partitioning, retry order, and engine (a float sum is none of
     * those; its round-to-4dp gate was the r12 ADVICE boundary-straddle
@@ -87,8 +87,14 @@ object Sketch {
     val f = featureCol.cast("string")
     df.filter(f.isNotNull && valueCol.isNotNull)
       .select((PortableHash.md5Prefix15(f) % k).as("bucket"),
-        floor(when(PortableHash.md5Prefix15(concat(lit("s:"), f)) % 2 === 0, 1)
-          .otherwise(-1) * valueCol.cast("double") * scale).as("__w"))
+        // quantize the MAGNITUDE first, apply the hash sign after: with
+        // floor(sign·v·scale) a negatively-signed contribution is up to
+        // 1/scale larger in magnitude than the same value positively
+        // signed (floor truncates toward -inf), so collisions stop
+        // cancelling in expectation — a small systematic negative bias
+        // per bucket (r13 ADVICE). sign·floor(v·scale) is symmetric.
+        (when(PortableHash.md5Prefix15(concat(lit("s:"), f)) % 2 === 0, 1)
+          .otherwise(-1) * floor(valueCol.cast("double") * scale)).as("__w"))
       .groupBy(col("bucket"))
       .agg(sum(col("__w")).as("weight_q"),
         (sum(col("__w")).cast("double") / scale).as("weight"),

@@ -163,7 +163,8 @@ object Stats {
     * monitoring statistic whose decisions live at 0.1/0.25).
     */
   def psi(ref: DataFrame, cur: DataFrame, groupCol: String, valueCol: Column,
-      bins: Int, lo: Double, hi: Double, eps: Double = 0.5): DataFrame = {
+      bins: Int, lo: Double, hi: Double, eps: Double = 0.5,
+      roundDp: Option[Int] = Some(6)): DataFrame = {
     require(bins > 0, s"bins must be positive: $bins")
     require(hi > lo, s"empty bin domain: [$lo, $hi)")
     val width = (hi - lo) / bins
@@ -177,7 +178,7 @@ object Stats {
     val counts = side(ref, 1, 0).unionByName(side(cur, 0, 1))
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
-    psiFromBinCounts(counts, bins, eps).withColumnRenamed("__g", groupCol)
+    psiFromBinCounts(counts, bins, eps, roundDp).withColumnRenamed("__g", groupCol)
   }
 
   /** The PSI tail over already-binned counts — shared by [[psi]] and the
@@ -187,7 +188,7 @@ object Stats {
     * `psi`).
     */
   private[graft] def psiFromBinCounts(counts: DataFrame, bins: Int,
-      eps: Double): DataFrame = {
+      eps: Double, roundDp: Option[Int] = Some(6)): DataFrame = {
     // distinct names from the per-bin counts: the analyzer resolves
     // case-insensitively, so __Nr would collide with __nr
     val totals = counts.groupBy(col("__g"))
@@ -204,7 +205,13 @@ object Stats {
         ((p - q) * log(p / q)).as("__t"))
       .groupBy(col("__g"))
       .agg(first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"),
-        round(sum(col("__t")), 6).as("psi"))
+        // roundDp=None serves equality GATES comparing two same-engine
+        // computations: both sides rounding to 6dp first turns a
+        // summation-order straddle at the rounding boundary into a 1e-6
+        // jump no small tolerance can absorb (r13 ADVICE) — gates
+        // compare the raw sums instead
+        roundDp.map(dp => round(sum(col("__t")), dp))
+          .getOrElse(sum(col("__t"))).as("psi"))
   }
 
   /** The shared fixed-domain equi-width binning of [[psi]]/[[ksDrift]],

@@ -342,8 +342,8 @@ object QualityQueries {
       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
       |h AS (
       |  SELECT CAST(CAST('0x' || substring(md5(feat), 1, 15) AS UBIGINT) AS BIGINT) % 32 AS bucket,
-      |         CAST(floor((CASE WHEN CAST(CAST('0x' || substring(md5('s:' || feat), 1, 15) AS UBIGINT) AS BIGINT) % 2 = 0
-      |              THEN 1 ELSE -1 END * value) * 10000) AS BIGINT) AS wq
+      |         (CASE WHEN CAST(CAST('0x' || substring(md5('s:' || feat), 1, 15) AS UBIGINT) AS BIGINT) % 2 = 0
+      |              THEN 1 ELSE -1 END) * CAST(floor(value * 10000) AS BIGINT) AS wq
       |  FROM f)
       |SELECT bucket, CAST(sum(wq) AS BIGINT) AS weight_q,
       |       CAST(sum(wq) AS DOUBLE) / 10000 AS weight,
@@ -514,14 +514,19 @@ object QualityQueries {
     "SELECT true AS stream_drift_ok") { (s, dir) =>
     val store = driftStore(s, dir)
     val e = Tables.events(s, dir)
+    // both sides UNROUNDED (roundDp=None): rounding both to 6dp first
+    // turns a summation-order straddle at the rounding boundary into a
+    // 1e-6 jump the 1e-9 band cannot absorb (r13 ADVICE) — the gate
+    // compares raw sums; the user-facing psi reports stay rounded
     val streamed = graft.streaming.EventStreams.readDriftPsi(s, store,
         e.filter(col("event_id") % 2 === 0), "event_type", col("value"),
-        bins = 20, lo = 0.0, hi = 20.0)
+        bins = 20, lo = 0.0, hi = 20.0, roundDp = None)
       .withColumnRenamed("psi", "__sp").withColumnRenamed("n_ref", "__snr")
       .withColumnRenamed("n_cur", "__snc")
     val batch = Stats.psi(e.filter(col("event_id") % 2 === 0),
       e.filter(col("event_id") % 2 === 1),
-      "event_type", col("value"), bins = 20, lo = 0.0, hi = 20.0)
+      "event_type", col("value"), bins = 20, lo = 0.0, hi = 20.0,
+      roundDp = None)
     streamed.join(batch, Seq("event_type"), "full")
       .agg((count(lit(1)) === count(col("__sp")) &&
         count(lit(1)) === count(col("psi")) &&

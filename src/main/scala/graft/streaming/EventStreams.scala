@@ -617,10 +617,11 @@ object EventStreams {
     */
   def readDriftPsi(spark: SparkSession, storeDir: String,
       ref: DataFrame, groupCol: String, valueCol: org.apache.spark.sql.Column,
-      bins: Int, lo: Double, hi: Double, eps: Double = 0.5): DataFrame =
+      bins: Int, lo: Double, hi: Double, eps: Double = 0.5,
+      roundDp: Option[Int] = Some(6)): DataFrame =
     graft.ext.Stats.psiFromBinCounts(
         driftCounts(spark, storeDir, ref, groupCol, valueCol, bins, lo, hi),
-        bins, eps)
+        bins, eps, roundDp)
       .withColumnRenamed("__g", groupCol)
 
   /** KS against the same streamed store — one store, both monitors (the
@@ -637,14 +638,21 @@ object EventStreams {
   private def driftCounts(spark: SparkSession, storeDir: String,
       ref: DataFrame, groupCol: String, valueCol: org.apache.spark.sql.Column,
       bins: Int, lo: Double, hi: Double): DataFrame = {
-    val cur = spark.read.parquet(s"$storeDir/deltas")
-      .groupBy(col("__g"), col("__b"))
-      .agg(sum(col("__n")).as("__nc"), lit(0L).as("__nr"))
     val refCounts = ref.filter(valueCol.isNotNull)
       .select(col(groupCol).as("__g"),
         graft.ext.Stats.binExpr(valueCol, bins, lo, hi).as("__b"))
       .groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("__nr"), lit(0L).as("__nc"))
+    // an empty spool publishes zero delta files, so the deltas dir may
+    // not exist — that is an all-reference monitor reading, not an
+    // error (r13 ADVICE): substitute an empty current side
+    val cur =
+      if (graft.util.Hfs.exists(spark, s"$storeDir/deltas"))
+        spark.read.parquet(s"$storeDir/deltas")
+          .groupBy(col("__g"), col("__b"))
+          .agg(sum(col("__n")).as("__nc"), lit(0L).as("__nr"))
+      else refCounts.limit(0).select(col("__g"), col("__b"),
+        col("__nc"), col("__nr"))
     refCounts.unionByName(cur)
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__nr")).as("__nr"), sum(col("__nc")).as("__nc"))
