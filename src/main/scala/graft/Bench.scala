@@ -104,6 +104,18 @@ object Bench {
     // own line so a cold /tmp never inflates the first consumer's timing
     // and the cost stays visible instead of hidden
     println(f"""{"staging_sec":$stagingSec%.3f}""")
+    // shared ingestion runs (one stream, several reader gates) execute
+    // here on their own accounting line: engine work, but charging the
+    // whole stream to whichever gate alphabetically runs first mis-flags
+    // that gate as a regression (r13 candor item) — gates now pay only
+    // their marginal read/compare cost
+    val shared0 = System.nanoTime()
+    try graft.queries.InputPrep.sharedRuns(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] shared runs failed: ${e.getMessage}")
+    }
+    val sharedSec = (System.nanoTime() - shared0) / 1e9
+    println(f"""{"shared_runs_sec":$sharedSec%.3f}""")
     // compile a representative Engine pipeline on a 3-row in-memory frame:
     // validator casts, relation resolution, media theta match and the merge
     // counter aggregate all hit the codegen + planner caches here instead
@@ -175,7 +187,8 @@ object Bench {
     val totalCpu = results.map(_._3).sum
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""cpu_total":$totalCpu%.3f,"cpu":$cpuQs,"staging_sec":$stagingSec%.3f,"sf":"$sfDir"}"""
+      f""""cpu_total":$totalCpu%.3f,"cpu":$cpuQs,"staging_sec":$stagingSec%.3f,""" +
+      f""""shared_runs_sec":$sharedSec%.3f,"sf":"$sfDir"}"""
     // complete record to a file the repo commits — immune to capture
     // limits. A FILTERED micro-bench run must not clobber it: the file's
     // whole point is the complete suite record.

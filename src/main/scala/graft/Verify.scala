@@ -21,6 +21,13 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] input prep failed: ${e.getMessage}")
     }
+    // shared ingestion runs up front (idempotent, memoized): a failure
+    // names itself here instead of surfacing in whichever gate reads
+    // the store first
+    try graft.queries.InputPrep.sharedRuns(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] shared runs failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -362,7 +362,7 @@ object ExtensionQueries {
   }
 
   private val minhashRuns = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def minhashStreamStore(s: SparkSession, dir: String): String =
+  private[queries] def minhashStreamStore(s: SparkSession, dir: String): String =
     minhashRuns.computeIfAbsent(Staging.tag(dir), _ => {
       val spool = stageDocSpool(s, dir)
       val store = s"/tmp/graft_stream_minhash/${Staging.tag(dir)}_store"
@@ -3064,7 +3064,7 @@ object ExtensionQueries {
     */
   private val upsertRuns =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
-  private def upsertStreamRun(s: SparkSession, dir: String): (String, Long, Long) =
+  private[queries] def upsertStreamRun(s: SparkSession, dir: String): (String, Long, Long) =
     upsertRuns.computeIfAbsent(Staging.tag(dir), _ => {
       val spool = stageUpsertSpool(s, dir)
       val table = s"/tmp/graft_stream_upsert_tbl/${Staging.tag(dir)}"

@@ -39,4 +39,31 @@ object InputPrep {
     if (failed.nonEmpty)
       throw new RuntimeException(s"input prep stages failed: ${failed.mkString(", ")}")
   }
+
+  /** Force every MEMOIZED shared ingestion run (one stream maintaining
+    * stores that several gates read) ahead of any timed query, so no
+    * gate's reported time absorbs another gate's store build — the
+    * r13 bench showed `x_stream_phrase_append` charged 5.7 s for the
+    * combined text+positional stream its sibling also reads. The runs
+    * stay lazily callable from the gates (standalone correctness is
+    * unchanged); this only moves WHEN the one execution happens. Timed
+    * separately from [[all]] by the bench (`shared_runs_sec`): these are
+    * engine work under test, not fixture generation — the line keeps
+    * their cost visible instead of hiding it inside staging.
+    */
+  def sharedRuns(spark: SparkSession, sfDir: String): Unit = {
+    val runs: Seq[(String, () => Unit)] = Seq(
+      "minhashStreamStore" -> (() => { ExtensionQueries.minhashStreamStore(spark, sfDir); () }),
+      "textAppendIndexes" -> (() => { ExtensionQueries.textAppendIndexes(spark, sfDir); () }),
+      "upsertStreamRun" -> (() => { ExtensionQueries.upsertStreamRun(spark, sfDir); () }),
+      "driftStore" -> (() => { QualityQueries.driftStore(spark, sfDir); () }))
+    runs.foreach { case (name, run) =>
+      try run()
+      catch { case e: Throwable =>
+        // a failed prewarm costs nothing: the owning gates re-attempt
+        // the memoized run themselves and fail with their own context
+        System.err.println(s"[inputprep] shared run $name failed: ${e.getMessage}")
+      }
+    }
+  }
 }

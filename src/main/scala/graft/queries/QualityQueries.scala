@@ -500,7 +500,7 @@ object QualityQueries {
     * — so do the streamed ones, off one store). */
   private val driftRuns =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def driftStore(s: SparkSession, dir: String): String =
+  private[queries] def driftStore(s: SparkSession, dir: String): String =
     driftRuns.computeIfAbsent(Staging.tag(dir), _ => {
       val spool = stageEventSpool2(s, dir)
       val store = s"/tmp/graft_stream_drift/${Staging.tag(dir)}_store"
