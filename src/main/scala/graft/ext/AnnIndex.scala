@@ -1155,6 +1155,16 @@ object AnnIndex {
   private def storeCounts(spark: SparkSession, dir: String): (Long, Long) = {
     val table =
       if (readLayout(spark, dir) == "ivf") s"$dir/vectors" else s"$dir/codes"
+    tableCounts(spark, dir, table)
+  }
+
+  /** [[storeCounts]] with the main table named explicitly — shared with
+    * the non-ANN tombstone consumers (the text-index layouts), whose
+    * main table lives at a layout-specific path but whose tombstone
+    * discipline is this one.
+    */
+  private[ext] def tableCounts(spark: SparkSession, dir: String,
+      table: String): (Long, Long) = {
     readTombstones(spark, dir) match {
       case None =>
         val total = spark.read.parquet(table).count()

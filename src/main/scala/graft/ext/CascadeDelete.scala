@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** The stores one "forget these documents" request must reach. Paths are
+  * store ROOTS: any [[AnnIndex]] layout (pq/ivf/ivfpq/sq/ivfsq/bq; a
+  * PCA-PQ root delegates its tombstones itself), [[TextIndex]] inverted
+  * and positional layouts, and [[graft.streaming.DocStreams]] dedup
+  * signature stores (sigs + pairs + comps).
+  */
+final case class CascadeTargets(
+    annIndexes: Seq[String] = Nil,
+    textIndexes: Seq[String] = Nil,
+    dedupStores: Seq[String] = Nil)
+
+/** Cross-store cascading delete — the takedown/opt-out operation a
+  * production corpus runs on a cadence: one id set driven through EVERY
+  * derived store a document touches, as one contract instead of N
+  * per-store calls a caller can forget half of.
+  *
+  * Reference context: the reference engine deletes a record in one
+  * table per request (`server/services/csv-import.js:341-405` finds and
+  * overwrites by key); it has no derived stores to keep consistent.
+  * At 100 TB a document fans out into ANN codes, inverted/positional
+  * postings, dedup signatures, candidate pairs, and cluster labels —
+  * this operator is the closure of that fan-out under deletion.
+  *
+  * Mechanics per store family (each O(|ids|), never corpus-sized):
+  *   - ANN layouts: [[AnnIndex.deleteIds]] tombstones (delete → re-append
+  *     stays expressible via the __seq discipline);
+  *   - text layouts: [[TextIndex.deleteDocs]] (same tombstone log; BM25
+  *     N/avgdl recompute over live rows, so served scores shift to the
+  *     survivor corpus immediately);
+  *   - dedup stores: [[graft.streaming.DocStreams.deleteFromDedupStore]]
+  *     (id-tombstone log + immediate components rebuild from live pairs
+  *     — a node removal can SPLIT a cluster, which no tombstone can
+  *     express).
+  *
+  * Every store's tombstone debt is then priced by its own compaction
+  * policy ([[AnnIndex.compactIfNeeded]] / [[TextIndex.compactIfNeeded]] /
+  * [[graft.streaming.DocStreams.dedupStoreDebt]] →
+  * `compactDedupStore`): steady low-rate takedowns accumulate into one
+  * rewrite per store instead of many.
+  *
+  * Idempotent: re-running the same forget is a no-op on every surface
+  * (duplicate tombstones subtract identically; the components rebuild is
+  * deterministic). Like all maintenance, the caller serializes a forget
+  * against rebuilds/streams of the same stores.
+  *
+  * Returns a per-store report: (`target`, `kind`, `compacted`) — the
+  * audit row a takedown pipeline logs per request.
+  */
+object CascadeDelete {
+
+  def forget(spark: SparkSession, ids: DataFrame, idCol: String,
+      targets: CascadeTargets, compactThreshold: Double = 0.25): DataFrame = {
+    require(targets.annIndexes.nonEmpty || targets.textIndexes.nonEmpty ||
+      targets.dedupStores.nonEmpty, "no stores to cascade into")
+    // one materialization of the delete set, reused across every store
+    val del = ids.select(qcol(idCol).cast("long").as("__id")).distinct()
+      .localCheckpoint(eager = true)
+    val report = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)]
+    targets.annIndexes.foreach { dir =>
+      AnnIndex.deleteIds(spark, dir, del, "__id")
+      report += ((dir, "ann", AnnIndex.compactIfNeeded(spark, dir, compactThreshold)))
+    }
+    targets.textIndexes.foreach { dir =>
+      TextIndex.deleteDocs(spark, dir, del, "__id")
+      report += ((dir, "text", TextIndex.compactIfNeeded(spark, dir, compactThreshold)))
+    }
+    targets.dedupStores.foreach { dir =>
+      graft.streaming.DocStreams.deleteFromDedupStore(spark, dir, del, "__id")
+      val compacted =
+        graft.streaming.DocStreams.dedupStoreDebt(spark, dir) >= compactThreshold
+      if (compacted) graft.streaming.DocStreams.compactDedupStore(spark, dir)
+      report += ((dir, "dedup", compacted))
+    }
+    import spark.implicits._
+    report.toSeq.toDF("target", "kind", "compacted")
+  }
+}

@@ -162,7 +162,7 @@ object IncrementalComponents {
     * maps to the minimum id reachable in its component — the exact label
     * contract of [[Dedup.connectedComponents]].
     */
-  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+  private[graft] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -51,6 +51,61 @@ object Layout {
       .write.mode("overwrite").parquet(dst)
   }
 
+  /** Write the per-file min/max column-stats MANIFEST of a parquet
+    * table — the data-skipping layer that turns the z-order clustering
+    * into actual file pruning (each z-clustered file owns a bounded
+    * rectangle of both dimensions, so its min/max are tight). One
+    * column-pruned scan of exactly `statsCols`, grouped by
+    * `input_file_name` — the manifest is FILES-sized, lands at
+    * `<table>/_manifest` (underscore-prefixed: invisible to the table's
+    * own readers, the `_SUCCESS` convention), and rewrites atomically
+    * on recompute. Nulls don't widen a file's [min, max] (min/max skip
+    * them), so a pruned read is exact only for null-rejecting
+    * predicates — the standard zone-map contract.
+    */
+  def writeManifest(spark: SparkSession, tableDir: String,
+      statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "no stats columns")
+    import org.apache.spark.sql.functions.input_file_name
+    val df = spark.read.parquet(tableDir)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val m = df
+      .select(input_file_name().as("__file") +: statsCols.map(col): _*)
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val tmp = s"$tableDir/.manifest-${System.nanoTime()}"
+    m.coalesce(1).write.mode("overwrite").parquet(tmp)
+    graft.util.Hfs.delete(spark, s"$tableDir/_manifest")
+    if (!graft.util.Hfs.rename(spark, tmp, s"$tableDir/_manifest"))
+      throw new IllegalStateException(s"manifest publish failed: $tableDir")
+  }
+
+  /** Predicate-driven FILE pruning through the manifest: keep only the
+    * files whose stats row satisfies `keep` (a Column over the
+    * manifest's `min_<c>`/`max_<c>` columns — e.g. for
+    * `x BETWEEN a AND b` pass `max_x >= a && min_x <= b`), and read
+    * just those. The manifest filter runs DRIVER-side over a
+    * files-sized table (the bounded-collect discipline); at 100 TB this
+    * is the scan that opens 40 of 40,000 files instead of listing them
+    * all. Returns (pruned frame, files read, files total) so callers
+    * and specs can assert the skip actually happened. Soundness is the
+    * caller's `keep` being IMPLIED by the row predicate — the gate
+    * hash-checks it against a full-scan replay.
+    */
+  def manifestPrunedRead(spark: SparkSession, tableDir: String,
+      keep: Column): (DataFrame, Int, Int) = {
+    val m = spark.read.parquet(s"$tableDir/_manifest")
+    val total = m.select(col("__file")).count().toInt
+    val files = m.filter(keep).select(col("__file"))
+      .collect().map(_.getString(0))
+    val df =
+      if (files.isEmpty) spark.read.parquet(tableDir).limit(0)
+      else spark.read.option("basePath", tableDir).parquet(files.toSeq: _*)
+    (df, files.length, total)
+  }
+
   /** Compact a fragmented parquet table to ~`targetBytes` per output
     * file: measure the actual on-disk footprint, round-robin
     * `repartition` to the implied file count (even file sizes — a

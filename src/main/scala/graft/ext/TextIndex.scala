@@ -331,4 +331,54 @@ object TextIndex {
       .groupBy(col("__id").as("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
   }
+
+  // ------------------------------------------------ maintenance policy
+  /** Dead fraction of the layout's main table under tombstone semantics
+    * — the same debt number [[graft.ext.AnnIndex.tombstoneDebt]] prices
+    * for the vector layouts, measured over `lens/` (one row per doc;
+    * the postings table's dead fraction tracks it) for the inverted
+    * layout and `positions/` for the positional one.
+    */
+  def tombstoneDebt(spark: SparkSession, dir: String): Double = {
+    val table =
+      if (graft.util.Hfs.exists(spark, s"$dir/lens")) s"$dir/lens"
+      else s"$dir/positions"
+    val (total, live) = AnnIndex.tableCounts(spark, dir, table)
+    if (total == 0L) 0.0 else (total - live).toDouble / total
+  }
+
+  /** [[compact]] for the positional layout: live occurrence rows
+    * rewritten (~one file per term bucket, partitioning preserved),
+    * tombstone log reset, swap-published.
+    */
+  def compactPositional(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val parts = spark.read.parquet(s"$dir/meta").head().getAs[Int]("parts")
+    val tmp = dir + ".compact-" + System.nanoTime()
+    val live = AnnIndex.requireLive(
+      AnnIndex.liveOnly(spark, dir, spark.read.parquet(s"$dir/positions")), dir)
+    Seq(parts).toDF("parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    live.withColumn("__seq", lit(0L))
+      .repartition(parts, col("__pt"))
+      .write.partitionBy("__pt").mode("overwrite").parquet(s"$tmp/positions")
+    graft.operators.Upsert.swapDirs(tmp, dir)
+  }
+
+  /** The text-layout compaction policy (the
+    * [[graft.ext.AnnIndex.compactIfNeeded]] shape): measure
+    * [[tombstoneDebt]] and, at or above `threshold`, route to the
+    * layout's compaction; returns whether one ran.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String,
+      threshold: Double = 0.25): Boolean = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    if (tombstoneDebt(spark, dir) < threshold) false
+    else {
+      if (graft.util.Hfs.exists(spark, s"$dir/lens")) compact(spark, dir)
+      else compactPositional(spark, dir)
+      true
+    }
+  }
 }

@@ -25,9 +25,11 @@ object InputPrep {
       "stageStreams" -> (() => ExtensionQueries.stageStreams(spark, sfDir)),
       "stageAnnIndexes" -> (() => { ExtensionQueries.stageAnnIndexes(spark, sfDir); () }),
       "stageTextIndex" -> (() => { ExtensionQueries.stageTextIndex(spark, sfDir); () }),
+      "stageCascade" -> (() => { ExtensionQueries.stageCascadeFixtures(spark, sfDir); () }),
       "stageBucketed" -> (() => ScaleQueries.stageBucketed(spark, sfDir)),
       "stagePartitioned" -> (() => ScaleQueries.stagePartitioned(spark, sfDir)),
       "stageJsonl" -> (() => ScaleQueries.stageJsonl(spark, sfDir)),
+      "stageZordered" -> (() => { ScaleQueries.stageZordered(spark, sfDir); () }),
       "stageOrc" -> (() => ScaleQueries.stageOrc(spark, sfDir)))
     val failed = stages.flatMap { case (name, run) =>
       try { run(); None }

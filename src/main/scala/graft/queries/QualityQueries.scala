@@ -444,16 +444,38 @@ object QualityQueries {
     val store = s"/tmp/graft_stream_kmv/${Staging.tag(dir)}_store"
     graft.streaming.EventStreams.runKmvAppendOnce(s, spool, store,
       "event_type", "user_id", k = 64)
+    // materialized NOW: the rebuild below swaps the store out from
+    // under a lazy read — the append-leg view must be pinned first
     val streamed = graft.streaming.EventStreams.readKmvEstimates(s, store,
         "event_type", k = 64)
       .withColumnRenamed("est_distinct", "__se")
+      .localCheckpoint(eager = true)
     val batch = Sketch.kmvDistinct(Tables.events(s, dir), "event_type",
       col("user_id"), 64)
-    streamed.join(batch, Seq("event_type"), "full")
+    val okAppend = streamed.join(batch, Seq("event_type"), "full")
       .agg((count(lit(1)) === count(col("__se")) &&
         count(lit(1)) === count(col("est_distinct")) &&
         coalesce(max(when(col("__se") =!= col("est_distinct"), 1).otherwise(0)) === 0,
-          lit(true))).as("stream_kmv_ok"))
+          lit(true))).as("__ok_append"))
+    // DELETION leg (r13 VERDICT #2): k-min cannot subtract — forgetting
+    // users is rebuild-on-cadence from the live set (stale-high until
+    // the rebuild; the cadence IS the staleness bound). After rebuilding
+    // from the survivor events, the store's estimates must equal the
+    // one-shot batch sketch over the same survivors exactly.
+    val live = Tables.events(s, dir).filter(col("user_id") % 10 =!= 3)
+    graft.streaming.EventStreams.rebuildKmvStore(s, store, live,
+      "event_type", "user_id", k = 64)
+    val rebuilt = graft.streaming.EventStreams.readKmvEstimates(s, store,
+        "event_type", k = 64)
+      .withColumnRenamed("est_distinct", "__re")
+    val batchLive = Sketch.kmvDistinct(live, "event_type", col("user_id"), 64)
+    val okRebuild = rebuilt.join(batchLive, Seq("event_type"), "full")
+      .agg((count(lit(1)) === count(col("__re")) &&
+        count(lit(1)) === count(col("est_distinct")) &&
+        coalesce(max(when(col("__re") =!= col("est_distinct"), 1).otherwise(0)) === 0,
+          lit(true))).as("__ok_rebuild"))
+    okAppend.crossJoin(okRebuild)
+      .select((col("__ok_append") && col("__ok_rebuild")).as("stream_kmv_ok"))
   }
 
   /** Streaming funnel through the real streaming path (Spark 4

@@ -261,7 +261,61 @@ object ScaleQueries {
     s.read.parquet(stageCompacted(s, dir))
   }
 
+  /** Input prep (idempotent): orders z-order-clustered into 16 files on
+    * the (customer bucket, order-day bucket) Morton curve, with the
+    * per-file min/max stats manifest written beside it — the persisted
+    * layout whose payoff [[zonePrunedScan]] gates.
+    */
+  def stageZordered(s: SparkSession, dir: String): String = {
+    val base = s"/tmp/graft_layout/${Staging.tag(dir)}"
+    val dst = s"$base/zordered"
+    if (!new java.io.File(s"$dst/_MANIFEST_DONE_v1").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        pmod(col("o_custkey"), lit(1024)).as("xd"),
+        pmod(datediff(col("o_orderdate"),
+          lit(java.sql.Date.valueOf("1995-01-01"))), lit(1024)).as("yd"))
+      graft.ext.Layout.clusterByZOrder(o, col("xd"), col("yd"), bits = 10,
+        dst, files = 16)
+      graft.ext.Layout.writeManifest(s, dst, Seq("xd", "yd"))
+      new java.io.File(s"$dst/_MANIFEST_DONE_v1").createNewFile()
+    }
+    dst
+  }
+
+  /** Data-skipping payoff of the z-order work (r13 VERDICT #4): a
+    * selective rectangle predicate over the z-clustered orders layout
+    * answered through the persisted per-file min/max manifest —
+    * [[graft.ext.Layout.manifestPrunedRead]] turns the predicate into
+    * an explicit file list BEFORE any scan (zone-map semantics), and
+    * the result must hash-equal the oracle's FULL-scan replay: a
+    * manifest that wrongly skips a file containing matches loses rows
+    * and breaks the hash outright. LayoutSpec asserts files-read <
+    * files-total on this same layout (the skip itself); at 100 TB this
+    * is the difference between opening 40 files and 40,000.
+    */
+  val zonePrunedScan = q("x_zone_pruned_scan",
+    """WITH d AS (
+      |  SELECT o_orderstatus, o_totalprice,
+      |         ((o_custkey % 1024) + 1024) % 1024 AS xd,
+      |         ((((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 1024) + 1024) % 1024) AS yd
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM d WHERE xd BETWEEN 96 AND 159 AND yd BETWEEN 192 AND 287
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val t = stageZordered(s, dir)
+    val (pruned, _, _) = graft.ext.Layout.manifestPrunedRead(s, t,
+      col("max_xd") >= 96 && col("min_xd") <= 159 &&
+        col("max_yd") >= 192 && col("min_yd") <= 287)
+    pruned.filter(col("xd").between(96, 159) && col("yd").between(192, 287))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(saltedJoin, saltedAgg, bucketedJoin, partitionedScan, jsonlRoundtrip,
-      orcRoundtrip, reconcileChecksum, zorderCluster, layoutCompact)
+      orcRoundtrip, reconcileChecksum, zorderCluster, layoutCompact,
+      zonePrunedScan)
 }

@@ -287,7 +287,8 @@ object DocStreams {
       aggScore: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val pairsPath = s"$storeDir/pairs"
     if (graft.util.Hfs.exists(spark, pairsPath))
-      spark.read.parquet(pairsPath)
+      subtractDeleted(spark, storeDir,
+          spark.read.parquet(pairsPath), Seq("id_a", "id_b"))
         .groupBy(col("id_a"), col("id_b"))
         .agg(aggScore(col(scoreCol)).as(scoreCol))
     else {
@@ -298,6 +299,107 @@ object DocStreams {
         Seq.empty[(Long, Long, Int)].toDF("id_a", "id_b", scoreCol)
       else Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", scoreCol)
     }
+  }
+
+  // ------------------------------------------------ takedown / tombstones
+  private def idTombstonesPath(storeDir: String) = s"$storeDir/id_tombstones"
+
+  /** Drop rows referencing a tombstoned id in ANY of `idCols` — one
+    * broadcast anti-join per column (the tombstone table is
+    * delete-volume-sized, never corpus-sized).
+    */
+  private def subtractDeleted(spark: SparkSession, storeDir: String,
+      rows: DataFrame, idCols: Seq[String]): DataFrame =
+    if (!graft.util.Hfs.exists(spark, idTombstonesPath(storeDir))) rows
+    else {
+      val t = spark.read.parquet(idTombstonesPath(storeDir))
+      idCols.foldLeft(rows)((acc, c) =>
+        acc.join(broadcast(t), acc(c) === t("__id"), "left_anti"))
+    }
+
+  /** Forget documents from a streaming dedup store — the takedown leg
+    * of the signature-store family. O(|ids|) on the signature and pair
+    * stores: ids land in an id-tombstone log that every read path
+    * ([[readPairs]]/[[readSimhashPairs]], the per-batch
+    * [[prunedStoreScan]]) subtracts through a broadcast anti-join, so
+    * deleted docs stop being served AND stop pairing with future
+    * arrivals; [[compactDedupStore]] folds the log into the next
+    * rewrite. The components store is DERIVED from the pair set
+    * (deleting a node can split a cluster — no tombstone can express
+    * that), so it is rebuilt from the live pairs immediately: the pair
+    * store is candidate-sized, far below the corpus, and the rebuild
+    * swap-publishes with a reset generation.
+    *
+    * Unlike the ANN layouts there is no sequence number here: a
+    * tombstoned id stays dead until the store is compacted — re-adding
+    * a forgotten document requires [[compactDedupStore]] first (the
+    * takedown-then-reinstate path is rare enough that the per-row __seq
+    * everywhere in the sigs store is not worth its scan weight). Like
+    * every maintenance op, the caller serializes this against a running
+    * ingestion stream of the same store. Deleting twice, or deleting
+    * absent ids, is a harmless no-op.
+    */
+  def deleteFromDedupStore(spark: SparkSession, storeDir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    import graft.util.Hfs
+    ids.select(col(idCol).cast("long").as("__id")).distinct()
+      .coalesce(1).write.mode("append").parquet(idTombstonesPath(storeDir))
+    val compsPath = s"$storeDir/comps"
+    if (Hfs.exists(spark, compsPath)) {
+      val live = readPairsStore(spark, storeDir, scoreColOf(spark, storeDir),
+          c => first(c))
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(eager = true) // probe + labeling share one execution
+      // bounded driver union-find first (the IncrementalComponents.update
+      // discipline — the live pair set is candidate-sized); distributed
+      // components only when it overflows the cap
+      val maxDriverEdges = 100000
+      val sample = live.limit(maxDriverEdges + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labels =
+        if (sample.length <= maxDriverEdges) {
+          import spark.implicits._
+          graft.ext.IncrementalComponents.unionFind(sample).toSeq
+            .toDF("id", "component").coalesce(1)
+        } else {
+          val nodes = live.select(col("id_a").as("id"))
+            .unionByName(live.select(col("id_b").as("id"))).distinct()
+          graft.ext.Dedup.connectedComponents(nodes, "id", live, "id_a", "id_b")
+        }
+      val tmp = compsPath + ".rebuild-" + System.nanoTime()
+      labels.withColumn("__seq", lit(0L))
+        .write.mode("overwrite").parquet(tmp)
+      Hfs.writeString(spark, s"$tmp/_next_seq", "1")
+      graft.operators.Upsert.swapDirs(tmp, compsPath)
+    }
+  }
+
+  /** Dead fraction of the signature store under the id-tombstone log —
+    * the debt number the compaction policy prices (the
+    * [[graft.ext.AnnIndex.tombstoneDebt]] shape).
+    */
+  def dedupStoreDebt(spark: SparkSession, storeDir: String): Double = {
+    val sigsPath = s"$storeDir/sigs"
+    if (!graft.util.Hfs.exists(spark, sigsPath) ||
+        !graft.util.Hfs.exists(spark, idTombstonesPath(storeDir))) return 0.0
+    val t = spark.read.parquet(idTombstonesPath(storeDir)).distinct()
+    val r = spark.read.parquet(sigsPath).select(col("__id"))
+      .join(broadcast(t.withColumn("__dead", lit(1))), Seq("__id"), "left")
+      .agg(count(lit(1)).as("__total"), count(col("__dead")).as("__dead_n"))
+      .head()
+    val total = r.getLong(0)
+    if (total == 0L) 0.0 else r.getLong(1).toDouble / total
+  }
+
+  /** The stored score column of a dedup store (est_jaccard or hamming),
+    * sniffed from the pairs schema — absent store defaults to the
+    * MinHash shape.
+    */
+  private def scoreColOf(spark: SparkSession, storeDir: String): String = {
+    val pairsPath = s"$storeDir/pairs"
+    if (!graft.util.Hfs.exists(spark, pairsPath)) "est_jaccard"
+    else spark.read.parquet(pairsPath).columns
+      .filterNot(Set("id_a", "id_b")).head
   }
 
   /** Compact the streaming dedup store: every sub-store accretes one
@@ -328,7 +430,10 @@ object DocStreams {
     val compsPath = s"$storeDir/comps"
     if (Hfs.exists(spark, pairsPath)) {
       val tmp = pairsPath + ".compact-" + System.nanoTime()
-      val p = spark.read.parquet(pairsPath)
+      // the id-tombstone log (takedowns) folds into the rewrite: dead
+      // pairs/signatures are dropped physically and the log resets below
+      val p = subtractDeleted(spark, storeDir,
+        spark.read.parquet(pairsPath), Seq("id_a", "id_b"))
       // score column by schema (est_jaccard or hamming): replay copies of
       // a pair carry identical scores, so `first` is deterministic
       val scoreCol = p.columns.filterNot(Set("id_a", "id_b")).head
@@ -346,7 +451,8 @@ object DocStreams {
         // ~one file per partition dir (a bare distinct would leave
         // hash-partitioned tasks each writing to every dir — the exact
         // tasks×parts small-file explosion this op removes)
-        spark.read.parquet(sigsPath).distinct()
+        subtractDeleted(spark, storeDir,
+            spark.read.parquet(sigsPath), Seq("__id")).distinct()
           .repartition(parts, col("__pb"))
           .write.mode("overwrite").partitionBy("__pb").parquet(tmp)
         graft.operators.Upsert.swapDirs(tmp, sigsPath)
@@ -362,6 +468,9 @@ object DocStreams {
       Hfs.writeString(spark, s"$tmp/_next_seq", "1")
       graft.operators.Upsert.swapDirs(tmp, compsPath)
     }
+    // the id-tombstone log is folded into the rewrites above — clear it
+    // LAST, so a crash mid-compaction leaves subtraction-at-read correct
+    Hfs.delete(spark, idTombstonesPath(storeDir))
   }
 
   /** The per-batch store read: literal partition filter on the batch's
@@ -383,9 +492,14 @@ object DocStreams {
     val dirs = pbs.map(p => s"$sigsPath/__pb=$p")
       .filter(graft.util.Hfs.exists(spark, _))
     if (dirs.isEmpty) None
-    else Some(spark.read.option("basePath", sigsPath).parquet(dirs: _*)
-      .filter(col("__pb").isin(pbs.map(Int.box): _*))
-      .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi"))
+    // id-tombstone subtraction keeps forgotten docs from pairing with
+    // future arrivals (the takedown contract, [[deleteFromDedupStore]])
+    else Some(subtractDeleted(spark,
+      sigsPath.stripSuffix("/sigs"),
+      spark.read.option("basePath", sigsPath).parquet(dirs: _*)
+        .filter(col("__pb").isin(pbs.map(Int.box): _*))
+        .join(broadcast(newKeys), Seq("__band", "__bh"), "left_semi"),
+      Seq("__id")))
   }
 
   /** Streaming ANN index maintenance: embedding batches arriving on a
@@ -836,21 +950,58 @@ object DocStreams {
     * batchId): any crash point replays to the same store.
     */
   private[streaming] def publishDeltaExactlyOnce(spark: SparkSession,
-      storeDir: String, delta: DataFrame, batchId: Long): Unit = {
+      storeDir: String, delta: DataFrame, batchId: Long): Unit =
+    publishDeltaKeyed(spark, storeDir, delta, batchId.toString)
+
+  /** The string-keyed form of the delta publish: micro-batches key by
+    * their batch id; OUT-OF-BAND deltas (a delete batch's negative CMS
+    * counters) key by their own namespace (`"d<n>"`) so they can never
+    * collide with a stream's numbering.
+    */
+  private[streaming] def publishDeltaKeyed(spark: SparkSession,
+      storeDir: String, delta: DataFrame, key: String): Unit = {
     import graft.util.Hfs
-    val stage = s"$storeDir/_stage_$batchId"
+    val stage = s"$storeDir/_stage_$key"
     delta.coalesce(1).write.mode("overwrite").parquet(stage)
     val live = s"$storeDir/deltas"
     Hfs.mkdirs(spark, live)
-    Hfs.list(spark, live).filter(_.startsWith(s"b$batchId-"))
+    Hfs.list(spark, live).filter(_.startsWith(s"b$key-"))
       .foreach(f => Hfs.delete(spark, s"$live/$f"))
     Hfs.list(spark, stage).filter(_.startsWith("part-")).sorted.zipWithIndex
       .foreach { case (f, i) =>
-        if (!Hfs.rename(spark, s"$stage/$f", s"$live/b$batchId-$i.parquet"))
+        if (!Hfs.rename(spark, s"$stage/$f", s"$live/b$key-$i.parquet"))
           throw new IllegalStateException(s"delta publish rename failed: $stage/$f")
       }
     Hfs.delete(spark, stage)
-    Hfs.touch(spark, s"$storeDir/_batch_$batchId")
+    Hfs.touch(spark, s"$storeDir/_batch_$key")
+  }
+
+  /** Deletion leg of the streaming CMS store: counters are ASSOCIATIVE,
+    * so forgetting documents publishes their token counters NEGATED
+    * through the same exactly-once delta protocol the appends use — the
+    * summed store then equals the batch counters over the survivors,
+    * cell for cell, with no rebuild. Keyed by `key` (a caller-chosen
+    * namespace like `"d0"`), idempotent per (store, key): replaying the
+    * same delete cannot subtract twice. The ids/texts passed must be the
+    * rows AS INGESTED — a delete of never-ingested or altered text
+    * silently skews counters negative (counters carry no identity; the
+    * caller owns that contract, exactly as with CDC diffs).
+    *
+    * The KMV sketch has NO such leg: k-min retains only order statistics
+    * and cannot un-see a minimum — deletion there is rebuild-on-cadence
+    * ([[graft.streaming.EventStreams.rebuildKmvStore]]).
+    */
+  def publishCmsDelete(spark: SparkSession, storeDir: String,
+      docs: DataFrame, key: String, depth: Int, width: Int,
+      textCol: String = "text"): Unit = {
+    if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$key"))
+      publishDeltaKeyed(spark, storeDir,
+        graft.ext.Sketch.cmsCounters(
+          docs.select(explode(graft.ext.TextAnalysis.tokens(col(textCol)))
+            .as("__t")),
+          col("__t"), depth, width)
+          .select(col("d"), col("b"), (-col("n")).as("n")),
+        key)
   }
 
   /** The live counter table of a [[runCmsAppendOnce]] store: deltas

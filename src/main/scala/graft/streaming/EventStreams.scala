@@ -569,6 +569,38 @@ object EventStreams {
         .select(col("__g").as(groupCol), col("__h")),
       groupCol, k)
 
+  /** Deletion semantics for the KMV store: k-min retains only order
+    * statistics, so — unlike the CMS's associative counters
+    * ([[graft.streaming.DocStreams.publishCmsDelete]]) — a deletion
+    * CANNOT be expressed as a delta (the sketch can't un-see a
+    * minimum). The production answer is rebuild-on-cadence: recompute
+    * the per-group k smallest hashes from the LIVE set in one shot and
+    * swap-publish them as the store's single delta (generation 0).
+    * Between a delete and the next rebuild the estimates are STALE-HIGH
+    * by exactly the deleted values still counted — the staleness bound
+    * is the rebuild cadence, and monitoring consumers read it as such.
+    * One counting pass over the live set (the same distinct + k-trim
+    * shape as the per-batch path); the swap is crash-safe
+    * ([[graft.operators.Upsert.swapDirs]]).
+    */
+  def rebuildKmvStore(spark: SparkSession, storeDir: String,
+      live: DataFrame, groupCol: String, valueCol: String, k: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = live
+      .select(col(groupCol).as("__g"),
+        graft.ext.PortableHash.md5Prefix15(col(valueCol)).as("__h"))
+      .filter(col("__h").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
+    val trimmed = hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+    val tmp = storeDir + ".rebuild-" + System.nanoTime()
+    trimmed.coalesce(1).write.mode("overwrite").parquet(s"$tmp/deltas")
+    graft.util.Hfs.touch(spark, s"$tmp/_batch_r0")
+    graft.operators.Upsert.swapDirs(tmp, storeDir)
+  }
+
   /** Streaming drift-monitor maintenance: per micro-batch, the arriving
     * events' fixed-domain bin counts (the [[graft.ext.Stats.psi]]
     * binning — data-independent edges, so every batch bins identically)

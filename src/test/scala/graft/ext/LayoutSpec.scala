@@ -48,6 +48,40 @@ class LayoutSpec extends SparkSpec {
     spark.read.parquet(dst).count() shouldBe 4096
   }
 
+  test("manifest pruning skips files, keeps every matching row, empty selection is sound") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 4096).map(i =>
+      (i.toLong, rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)).toDF("id", "x", "y")
+    val dst = tmp("graft_manifest")
+    Layout.clusterByZOrder(df, col("x"), col("y"), 10, dst, files = 16)
+    Layout.writeManifest(spark, dst, Seq("x", "y"))
+    // the manifest dir is invisible to the table's own readers
+    spark.read.parquet(dst).count() shouldBe 4096
+    // manifest rows: one per data file, with n_rows summing to the table
+    val m = spark.read.parquet(s"$dst/_manifest")
+    m.count() shouldBe 16
+    m.agg(sum(col("n_rows"))).head().getLong(0) shouldBe 4096L
+    // selective rectangle: pruned read skips files AND loses no rows
+    val keep = col("max_x") >= 100 && col("min_x") <= 163 &&
+      col("max_y") >= 200 && col("min_y") <= 263
+    val (pruned, nRead, nTotal) = Layout.manifestPrunedRead(spark, dst, keep)
+    nTotal shouldBe 16
+    nRead should be < nTotal
+    val got = pruned.filter(col("x").between(100, 163) && col("y").between(200, 263))
+      .select("id").as[Long].collect().sorted
+    val want = df.filter(col("x").between(100, 163) && col("y").between(200, 263))
+      .select("id").as[Long].collect().sorted
+    got shouldBe want
+    want.length should be > 0
+    // a predicate outside the domain selects zero files and zero rows,
+    // with the table's schema intact
+    val (none, zero, _) = Layout.manifestPrunedRead(spark, dst,
+      col("min_x") > 5000)
+    zero shouldBe 0
+    none.columns.toSeq shouldBe Seq("id", "x", "y")
+    none.count() shouldBe 0L
+  }
+
   test("compactParquet merges small files evenly and preserves content") {
     val df = (0 until 10000).map(i => (i.toLong, s"row $i payload")).toDF("id", "s")
     val frag = tmp("graft_frag") + "/t"
