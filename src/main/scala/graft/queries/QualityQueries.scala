@@ -676,6 +676,40 @@ object QualityQueries {
     * the measured dominator of gate wall time (the stageDocSpool
     * argument, applied to the event side). Fixture prep, untimed.
     */
+  /** Streaming SCD2 maintenance through the real streaming path (r13
+    * VERDICT #6, the history family's streaming leg): the event log
+    * arrives over the shared 2-slice spool — hash-sliced, so a user's
+    * observations interleave across batches and out-of-order arrival is
+    * genuinely exercised — and `transformWithState` folds each batch
+    * into per-key validity intervals
+    * ([[graft.streaming.EventStreams.runScd2Once]]). The served table
+    * (latest version per key) must equal the one-shot batch
+    * [[graft.ext.Scd2.intervals]] on the union EXACTLY: run boundaries,
+    * three-valued null semantics, half-open tiling, n_rows, and the
+    * is_current flags all compare cell-for-cell.
+    */
+  val streamScd2 = q("x_stream_scd2",
+    "SELECT true AS stream_scd2_ok") { (s, dir) =>
+    val spool = stageEventSpool2(s, dir)
+    val streamed = graft.streaming.EventStreams.runScd2Once(s, spool,
+      "graft_stream_scd2")
+    val batch = graft.ext.Scd2.intervals(Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type")
+      .withColumnRenamed("event_type", "__ba")
+      .withColumnRenamed("valid_to", "__bto")
+      .withColumnRenamed("n_rows", "__bn")
+      .withColumnRenamed("is_current", "__bc")
+    streamed.join(batch, Seq("user_id", "valid_from"), "full")
+      .agg((count(lit(1)) === count(col("n_rows")) &&
+        count(lit(1)) === count(col("__bn")) &&
+        coalesce(max(when(not(col("attr") <=> col("__ba")) ||
+            not(col("valid_to") <=> col("__bto")) ||
+            col("n_rows") =!= col("__bn") ||
+            col("is_current") =!= col("__bc"), 1).otherwise(0)) === 0,
+          lit(true))).as("stream_scd2_ok"))
+  }
+
   private def stageEventSpool2(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_stream_events2/${Staging.tag(dir)}"
     val done = new java.io.File(s"$tmp/_SPOOL_DONE")
@@ -694,7 +728,7 @@ object QualityQueries {
   }
 
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
-    knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash,
+    knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash, streamScd2,
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
     streamFunnel, streamDriftPsi, streamDriftKs, textPhrase, textProximity,
     streamPhraseAppend)

@@ -399,6 +399,137 @@ object EventStreams {
       .select(col("user_id"), col("upto"))
   }
 
+  // ------------------------------------------------------------- scd2
+  /** One observation in a key's SCD2 state: event-time micros, the
+    * unique tiebreaker, the observed attribute value (nullable — the
+    * batch form's three-valued null semantics are reproduced exactly).
+    */
+  final case class ScdObs(ts: Long, tie: Long, attr: String)
+  final case class ScdState(seq: Long, obs: Seq[ScdObs])
+  /** One validity interval emitted for a key at state version `seq` —
+    * the latest version per key IS the key's current history.
+    */
+  final case class ScdIntervalRow(user_id: Long, seq: Long, attr: String,
+      valid_from: Timestamp, valid_to: Timestamp, n_rows: Long,
+      is_current: Boolean)
+
+  /** Streaming SCD2 maintenance (the history family's streaming leg):
+    * CDC/observation batches fold into per-key validity intervals via
+    * `transformWithState` — the funnel's accumulate-and-rederive shape.
+    * State is the key's full observation log (the dimension-history
+    * grain: per-key observation counts are bounded in practice, and
+    * ONLY a full log can re-run the batch semantics under out-of-order
+    * arrival, where a straggler can split or merge runs retroactively);
+    * each batch merges its rows, re-derives the interval chain with
+    * EXACTLY the batch [[graft.ext.Scd2.intervals]] semantics (ts+tie
+    * ordering, `prev IS NULL OR prev <> attr` three-valued run breaks,
+    * min-non-null run attr, half-open tiling, null `valid_to` on the
+    * current run), and re-emits the key's history stamped with a
+    * strictly-increasing version — the latest version per key is the
+    * served table, exactly how a warehouse publishes dimension updates.
+    */
+  private class Scd2Processor
+      extends StatefulProcessor[Long, Event, ScdIntervalRow] {
+    @transient private var state: ValueState[ScdState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScdState]("scd2",
+        org.apache.spark.sql.Encoders.product[ScdState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, it: Iterator[Event],
+        timers: TimerValues): Iterator[ScdIntervalRow] = {
+      val prev = if (state.exists()) state.get() else ScdState(0L, Nil)
+      // tie uniqueness makes ++/distinct a set-merge even under
+      // at-least-once batch replays
+      val merged = (prev.obs ++ it.map(e =>
+          ScdObs(toMicros(e.ts), e.event_id, e.event_type)))
+        .distinct.sortBy(o => (o.ts, o.tie))
+      val seq = prev.seq + 1L
+      state.update(ScdState(seq, merged))
+      scd2Intervals(key, seq, merged).iterator
+    }
+  }
+
+  /** The batch [[graft.ext.Scd2.intervals]] run-detection over one key's
+    * sorted observation log — shared by the processor and its spec.
+    */
+  private[streaming] def scd2Intervals(key: Long, seq: Long,
+      sorted: Seq[ScdObs]): Seq[ScdIntervalRow] = {
+    if (sorted.isEmpty) return Nil
+    // SQL 3VL of `lag(attr) IS NULL OR lag(attr) <> attr`, row for row:
+    // the key's first row always breaks (lag is null); a row AFTER a
+    // null observation breaks (lag is null again); a null observation
+    // itself never breaks (non-null <> null is null ⇒ no break, it
+    // attaches to the preceding run); two non-null rows break iff the
+    // values differ. Run attr is min(attr) over the run (nulls skipped).
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    // (valid_from, n_rows, min non-null attr)
+    var prevRow: String = null
+    var first = true
+    sorted.foreach { o =>
+      if (first || prevRow == null || (o.attr != null && o.attr != prevRow))
+        runs += ((o.ts, 0L, null))
+      val i = runs.length - 1
+      val (from, n, a) = runs(i)
+      runs(i) = (from, n + 1,
+        if (a == null) o.attr
+        else if (o.attr == null) a
+        else if (o.attr < a) o.attr else a)
+      prevRow = o.attr
+      first = false
+    }
+    runs.toSeq.zipWithIndex.map { case ((from, n, a), i) =>
+      val to = if (i + 1 < runs.length) fromMicros(runs(i + 1)._1) else null
+      ScdIntervalRow(key, seq, a, fromMicros(from), to, n, i == runs.length - 1)
+    }
+  }
+
+  def scd2Tws(events: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[ScdIntervalRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Run the streaming SCD2 maintenance over a staged spool to
+    * completion (real streaming path, RocksDB provider) and return the
+    * served interval table: the LATEST version per key, one row per
+    * validity interval — (`user_id`, `attr`, `valid_from`, `valid_to`,
+    * `n_rows`, `is_current`), the exact output shape of the batch
+    * [[graft.ext.Scd2.intervals]].
+    */
+  def runScd2Once(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try StreamConf.withWidth(spark) {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .as[Event]
+      val q = scd2Tws(stream)
+        .toDF()
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    spark.table(queryName)
+      .withColumn("__mx", max(col("seq")).over(byKey))
+      .filter(col("seq") === col("__mx"))
+      .select(col("user_id"), col("attr"), col("valid_from"), col("valid_to"),
+        col("n_rows"), col("is_current"))
+  }
+
   /** The batch-advance worker shared by BOTH incremental sessionizers:
     * fold one micro-batch's (sorted-here) events for a user into the
     * open-session state. Returns (sessions closed by roll-over or

@@ -150,6 +150,34 @@ class PlanAssertionsSpec extends SparkSpec {
       corpus.filter($"vec_id" < 2), "vec_id", "embedding", 3, nprobe = 1))
   }
 
+  test("maxsim serving: stage 1 partition-prunes, no cartesian or nested-loop join anywhere") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/maxsim"
+    // 16 docs × 4 token vectors each, ids = doc·64 + pos
+    val tokVecs = (0 until 16).flatMap(doc => (0 until 4).map(p =>
+      (doc.toLong * 64 + p,
+        Array.tabulate(8)(d => ((doc * 7 + p * 5 + d * 3) % 13 - 6).toFloat))))
+      .toDF("__id", "__vec")
+    graft.ext.AnnIndex.buildIvf(tokVecs, "__id", "__vec", dir,
+      nlist = 4, iters = 1)
+    val qt = tokVecs.filter($"__id" < 2 * 64)
+      .select(($"__id" + 10000000L).as("__qtok"),
+        floor($"__id" / 64).cast("long").as("qdoc"), $"__vec")
+    // stage 1 (executed eagerly inside maxSimTopK) is the shared
+    // ivfTopK path — assert its partition pruning on the same index and
+    // queries maxSimTopK hands it
+    assertPrunedAnnPlan(graft.ext.AnnIndex.ivfTopK(spark,
+      graft.ext.AnnIndex.readIvf(spark, dir),
+      qt.select($"__qtok", $"__vec"), "__qtok", "__vec", 4, nprobe = 1))
+    // stage 2 (the returned frame): candidate-keyed equi-joins only
+    val out = graft.ext.MaxSim.maxSimTopK(spark, dir, qt,
+      "qdoc", "__qtok", "__vec", k = 3, nprobe = 1, candPerToken = 4, cap = 64)
+    out.collect()
+    val plan = finalPlan(out).toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoop")
+    (plan should not).include("SortMergeJoin")
+  }
+
   test("filtered ivf search: the metadata predicate evaluates at the pruned scan, before the score join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/fivf"
     val corpus = (0 until 64).map(i =>

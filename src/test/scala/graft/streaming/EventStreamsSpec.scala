@@ -178,6 +178,47 @@ class EventStreamsSpec extends SparkSpec {
     batch shouldBe Map(0 -> 3L, 1 -> 2L)
   }
 
+  test("streaming SCD2: out-of-order arrivals split runs retroactively; nulls follow batch 3VL") {
+    // user 1, in-order within batches but a RETROACTIVE split: batch 1
+    // delivers A@1, A@5; batch 2 delivers B@3 — the final history must
+    // be A[1,3) B[3,5) A[5,∞), which only a re-derivation can produce
+    // (no append-only fold could split the A-run after the fact).
+    // user 2 exercises nulls: A@1, null@2, A@3 — the null attaches to
+    // the A run and the next row REOPENS a run (lag is null), so the
+    // batch form yields A[1,3) A[3,∞); the stream must match.
+    val b1 = Seq(
+      EventStreams.Event(10L, ts("2024-01-01 00:01:00"), 1L, "A", 0.0),
+      EventStreams.Event(11L, ts("2024-01-01 00:05:00"), 1L, "A", 0.0),
+      EventStreams.Event(12L, ts("2024-01-01 00:01:00"), 2L, "A", 0.0),
+      EventStreams.Event(13L, ts("2024-01-01 00:02:00"), 2L, null, 0.0))
+    val b2 = Seq(
+      EventStreams.Event(20L, ts("2024-01-01 00:03:00"), 1L, "B", 0.0),
+      EventStreams.Event(21L, ts("2024-01-01 00:03:00"), 2L, "A", 0.0))
+    val spool = java.nio.file.Files.createTempDirectory("graft_scd2_spool").toString
+    writeSpool(spool, Seq(b1, b2))
+    val streamed = EventStreams.runScd2Once(spark, spool, "scd2_spec")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("attr"),
+        r.getAs[Timestamp]("valid_from"), r.getAs[Timestamp]("valid_to"),
+        r.getAs[Long]("n_rows"), r.getAs[Boolean]("is_current"))).toSet
+    streamed shouldBe Set(
+      (1L, "A", ts("2024-01-01 00:01:00"), ts("2024-01-01 00:03:00"), 1L, false),
+      (1L, "B", ts("2024-01-01 00:03:00"), ts("2024-01-01 00:05:00"), 1L, false),
+      (1L, "A", ts("2024-01-01 00:05:00"), null, 1L, true),
+      (2L, "A", ts("2024-01-01 00:01:00"), ts("2024-01-01 00:03:00"), 2L, false),
+      (2L, "A", ts("2024-01-01 00:03:00"), null, 1L, true))
+    // and cell-for-cell equality with the batch operator on the union
+    val batch = graft.ext.Scd2.intervals((b1 ++ b2).toDS().toDF()
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+        "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("valid_from"), r.getAs[Timestamp]("valid_to"),
+        r.getAs[Long]("n_rows"), r.getAs[Boolean]("is_current"))).toSet
+    batch shouldBe streamed
+  }
+
   test("streaming KMV: trimmed deltas re-minimized equal the one-shot sketch; markers idempotent") {
     // many distinct users per type so the estimator path (≥ k distinct)
     // and the per-batch trim both engage with k = 8
