@@ -71,7 +71,7 @@ object Verify {
       val dst = new java.io.File(annIdx)
       org.apache.commons.io.FileUtils.deleteDirectory(dst)
       Seq("ivf", "pq", "ivfpq", "ivfsq", "bq", "pcapq",
-          "pq_del16", "bq_maint16", "ivfpq_del16", "maxsim", "maxsim_q").foreach { layout =>
+          "pq_del16", "bq_maint16", "ivfpq_del16", "maxsim", "maxsim_q", "opq").foreach { layout =>
         val from = new java.io.File(s"$annSrc/$layout")
         if (from.isDirectory)
           org.apache.commons.io.FileUtils.copyDirectory(from,
@@ -94,9 +94,24 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] bpe copy failed: ${e.getMessage}")
     }
+    // same contract for the staged unigram vocabulary (the trained
+    // SentencePiece-style artifact behind x_text_unigram_count's replay)
+    val uniSrc = "/tmp/graft_unigram/" + graft.queries.Staging.tag(sfDir)
+    val uniIdx = s"$outDir/.unigram"
+    try {
+      val dst = new java.io.File(uniIdx)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      val from = new java.io.File(s"$uniSrc/vocab")
+      if (from.isDirectory)
+        org.apache.commons.io.FileUtils.copyDirectory(from,
+          new java.io.File(dst, "vocab"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] unigram copy failed: ${e.getMessage}")
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_ANNIDX__", annIdx)
-        .replace("__GRAFT_BPE__", bpeIdx))}" }
+        .replace("__GRAFT_BPE__", bpeIdx)
+        .replace("__GRAFT_UNI__", uniIdx))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

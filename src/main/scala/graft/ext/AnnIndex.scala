@@ -133,7 +133,7 @@ object AnnIndex {
       // shape — only an explicit layout = pcapq reroutes
       val m = spark.read.parquet(s"$dir/meta")
       if (m.columns.contains("layout") &&
-          m.head().getAs[String]("layout") == "pcapq")
+          Set("pcapq", "opq")(m.head().getAs[String]("layout")))
         return deleteIds(spark, s"$dir/pq", ids, idCol)
     }
     val seq = nextSeq(spark, dir)
@@ -659,6 +659,58 @@ object AnnIndex {
       queries.select(qcol(idCol).as("__rid"),
         Similarity.rotateExpr(qcol(vecCol), idx.rotation).as("__rvec")),
       "__rid", "__rvec", k, where)
+  }
+
+  // ------------------------------------------------------------- OPQ
+  /** OPQ index (FAISS `OPQMatrix` + `IndexPreTransform` composition):
+    * the [[Similarity.opqRotation]] alternating-minimization rotation —
+    * the transform PCA-PQ only approximates — persisted in the same
+    * rotation + nested-PQ layout as PCA-PQ, so serving, maintenance and
+    * compaction all reuse that machinery. Final codebooks are retrained
+    * DISTRIBUTED over the full rotated corpus (the [[buildPcaPq]]
+    * discipline); the driver-sample codebooks exist only inside the
+    * rotation's training loop.
+    */
+  def buildOpq(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, dim: Int, m: Int, ksub: Int, iters: Int = 2,
+      opqIters: Int = 3, maxTrainRows: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val r = Similarity.opqRotation(corpus, idCol, vecCol, dim, m, ksub,
+      opqIters, maxTrainRows = if (maxTrainRows > 0) maxTrainRows else 1024)
+    writeMeta(spark, dir, m = 0, sub = 0, nlist = -1, layout = "opq")
+    writeRotation(spark, dir, r)
+    buildPq(corpus.select(qcol(idCol).as("__rid"),
+        Similarity.rotateExpr(qcol(vecCol), r).as("__rvec")),
+      "__rid", "__rvec", s"$dir/pq", m, ksub, iters)
+  }
+
+  def readOpq(spark: SparkSession, dir: String): PcaPqIndex = {
+    require(readLayout(spark, dir) == "opq",
+      s"$dir is not an OPQ index — each layout has its own reader")
+    PcaPqIndex(readRotation(spark, dir), s"$dir/pq", dir)
+  }
+
+  /** OPQ top-k — identical query path to [[pcaPqTopK]] under the OPQ
+    * rotation: rotate queries, ADC over the nested PQ index.
+    */
+  def opqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      where: Column = lit(true)): DataFrame = {
+    val idx = readOpq(spark, dir)
+    pqTopK(spark, idx.pqDir,
+      queries.select(qcol(idCol).as("__rid"),
+        Similarity.rotateExpr(qcol(vecCol), idx.rotation).as("__rvec")),
+      "__rid", "__rvec", k, where)
+  }
+
+  /** [[appendPq]] through the OPQ rotation (frozen rotation + codebooks). */
+  def appendOpq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val idx = readOpq(spark, dir)
+    appendPq(spark, idx.pqDir,
+      rows.select(qcol(idCol).as("__rid"),
+        Similarity.rotateExpr(qcol(vecCol), idx.rotation).as("__rvec")),
+      "__rid", "__rvec")
   }
 
   /** [[appendPq]] through the rotation (frozen rotation + codebooks). */
@@ -1241,6 +1293,7 @@ object AnnIndex {
         // route exists so a future outer-level tombstone writer cannot
         // turn a compaction request into an unknown-layout error
         case "pcapq" => compactPcaPq(spark, dir)
+        case "opq"   => compactPq(spark, s"$dir/pq")
         case other => throw new IllegalStateException(
           s"$dir has unknown index layout '$other'")
       }

@@ -190,6 +190,183 @@ object Similarity {
     }
   }
 
+  /** OPQ rotation (Ge et al., "Optimized Product Quantization", CVPR'13
+    * — non-parametric alternating minimization): the orthogonal
+    * transform PCA-PQ only approximates, trained by alternating
+    *   (1) fix R, train PQ codebooks on the rotated sample and quantize;
+    *   (2) fix the reconstructions X̂, solve the orthogonal Procrustes
+    *       problem min_R ||R·X − X̂||_F — R = V·Uᵀ from the SVD of
+    *       M = Σᵢ xᵢ x̂ᵢᵀ.
+    * Initialized at the [[pcaRotation]] (the standard OPQ init), so an
+    * OPQ with zero iterations IS PCA-PQ. All alternation runs on the
+    * BOUNDED driver sample — the FAISS `OPQMatrix` training budget:
+    * sample×d doubles on the driver, d×d Procrustes math per iteration,
+    * never data-sized. Deterministic end to end (hash-ordered sample,
+    * first-distinct k-means init, fixed iteration counts, the Jacobi
+    * eigensolver's fixed sweeps). Returns row vectors: y = R·x.
+    */
+  def opqRotation(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, opqIters: Int = 3,
+      maxTrainRows: Int = 1024): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(opqIters >= 0, s"opqIters must be non-negative: $opqIters")
+    val base = corpus.select(qcol(idCol).cast("long").as("__sid0"),
+      qcol(vecCol).as("__v"))
+    val sample = trainSampleIds(base, "__sid0", maxTrainRows) match {
+      case Some(ids) =>
+        base.join(broadcast(ids), col("__sid0") === col("__sid")).drop("__sid")
+      case None => base
+    }
+    // driver-side training matrix, id-ordered for determinism
+    val x = sample.orderBy(col("__sid0")).select(col("__v"))
+      .collect().map(_.getSeq[Any](0).toArray.map {
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"non-numeric vector element: $other")
+      })
+    require(x.nonEmpty, "opqRotation needs a non-empty corpus")
+    require(x.forall(_.length == dim),
+      s"opqRotation requires every training vector to have exactly $dim elements")
+    var r = pcaRotation(corpus, idCol, vecCol, dim, maxTrainRows)
+    val sub = dim / m
+    for (_ <- 0 until opqIters) {
+      val y = x.map(v => Array.tabulate(dim)(i =>
+        { var s = 0.0; var j = 0; while (j < dim) { s += r(i)(j) * v(j); j += 1 }; s }))
+      // per-subspace codebooks on the rotated sample, then reconstruct
+      val xhat = Array.fill(y.length)(new Array[Double](dim))
+      for (s0 <- 0 until m) {
+        val pts = y.map(_.slice(s0 * sub, (s0 + 1) * sub))
+        val cents = lloydDriver(pts, ksub, iters = 4)
+        pts.zipWithIndex.foreach { case (p, i) =>
+          val c = cents(nearest(p, cents))
+          System.arraycopy(c, 0, xhat(i), s0 * sub, sub)
+        }
+      }
+      // Procrustes: M = Σ x x̂ᵀ; R = V·Uᵀ maximizes tr(R·M)
+      val mm = Array.fill(dim, dim)(0.0)
+      var i = 0
+      while (i < x.length) {
+        var a = 0
+        while (a < dim) {
+          var b = 0
+          while (b < dim) { mm(a)(b) += x(i)(a) * xhat(i)(b); b += 1 }
+          a += 1
+        }
+        i += 1
+      }
+      r = procrustesRotation(mm)
+    }
+    r
+  }
+
+  /** Deterministic driver k-means for the OPQ inner loop: first-ksub-
+    * distinct init (id-ordered points), fixed Lloyd iterations, empty
+    * clusters keep their centroid.
+    */
+  private def lloydDriver(pts: Array[Array[Double]], ksub: Int,
+      iters: Int): Array[Array[Double]] = {
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    pts.foreach { p =>
+      if (init.length < ksub && seen.add(p.toSeq)) init += p.clone()
+    }
+    while (init.length < ksub) init += init(init.length % math.max(1, seen.size)).clone()
+    var cents = init.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(ksub)(new Array[Double](pts.head.length))
+      val counts = new Array[Long](ksub)
+      pts.foreach { p =>
+        val c = nearest(p, cents)
+        counts(c) += 1
+        var j = 0
+        while (j < p.length) { sums(c)(j) += p(j); j += 1 }
+      }
+      cents = Array.tabulate(ksub)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents
+  }
+
+  private def nearest(p: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var j = 0
+      while (j < p.length) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** R = V·Uᵀ from the SVD M = U·S·Vᵀ — the orthogonal Procrustes
+    * solution. V comes from the Jacobi eigendecomposition of MᵀM;
+    * U columns are M·vᵢ/sᵢ (pairing preserved), with near-null singular
+    * directions completed by Gram–Schmidt against the accepted columns
+    * (any orthogonal completion is optimal there).
+    */
+  private def procrustesRotation(mIn: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = mIn.length
+    val mtm = Array.tabulate(d, d)((i, j) => {
+      var s = 0.0; var k = 0
+      while (k < d) { s += mIn(k)(i) * mIn(k)(j); k += 1 }
+      s
+    })
+    val (ev, evec) = jacobiEigen(mtm)
+    val order = ev.indices.sortBy(i => (-ev(i), i)).toArray
+    val v = order.map(c => Array.tabulate(d)(rr => evec(rr)(c))) // rows = vᵢ
+    val sVals = order.map(i => math.sqrt(math.max(ev(i), 0.0)))
+    val scale = math.max(sVals.headOption.getOrElse(0.0), 1e-300)
+    val u = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (i <- 0 until d) {
+      val cand =
+        if (sVals(i) > 1e-12 * scale)
+          Array.tabulate(d)(rr => {
+            var s = 0.0; var k = 0
+            while (k < d) { s += mIn(rr)(k) * v(i)(k); k += 1 }
+            s / sVals(i)
+          })
+        else {
+          // complete the basis: first canonical vector with a non-trivial
+          // residual against the accepted columns
+          var pick: Array[Double] = null
+          var e = 0
+          while (pick == null && e < d) {
+            val cand0 = Array.tabulate(d)(rr => if (rr == e) 1.0 else 0.0)
+            u.foreach { uc =>
+              var dot = 0.0; var k = 0
+              while (k < d) { dot += cand0(k) * uc(k); k += 1 }
+              var k2 = 0
+              while (k2 < d) { cand0(k2) -= dot * uc(k2); k2 += 1 }
+            }
+            val n = math.sqrt(cand0.map(t => t * t).sum)
+            if (n > 1e-9) pick = cand0.map(_ / n)
+            e += 1
+          }
+          require(pick != null, "procrustes basis completion failed")
+          pick
+        }
+      // re-orthonormalize against earlier columns (numerical hygiene)
+      u.foreach { uc =>
+        var dot = 0.0; var k = 0
+        while (k < d) { dot += cand(k) * uc(k); k += 1 }
+        var k2 = 0
+        while (k2 < d) { cand(k2) -= dot * uc(k2); k2 += 1 }
+      }
+      val n = math.sqrt(cand.map(t => t * t).sum)
+      require(n > 1e-12, "procrustes produced a degenerate column")
+      u += cand.map(_ / n)
+    }
+    // R = V·Uᵀ: R(i)(j) = Σ_k V(k,i?)… with v rows = vᵢ and u rows = uᵢ:
+    // R = Σᵢ vᵢ uᵢᵀ, so R(a)(b) = Σᵢ v(i)(a)·u(i)(b)
+    Array.tabulate(d, d)((a, b) => {
+      var s = 0.0; var i = 0
+      while (i < d) { s += v(i)(a) * u(i)(b); i += 1 }
+      s
+    })
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvector COLUMNS). Deterministic fixed sweep
     * order; converges quadratically — 64 sweeps is far past machine

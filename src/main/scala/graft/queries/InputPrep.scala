@@ -26,6 +26,8 @@ object InputPrep {
       "stageAnnIndexes" -> (() => { ExtensionQueries.stageAnnIndexes(spark, sfDir); () }),
       "stageTextIndex" -> (() => { ExtensionQueries.stageTextIndex(spark, sfDir); () }),
       "stageCascade" -> (() => { ExtensionQueries.stageCascadeFixtures(spark, sfDir); () }),
+      "stageBpe" -> (() => { ExtensionQueries.stageBpeModel(spark, sfDir); () }),
+      "stageUnigram" -> (() => { ExtensionQueries.stageUnigramModel(spark, sfDir); () }),
       "stageBucketed" -> (() => ScaleQueries.stageBucketed(spark, sfDir)),
       "stagePartitioned" -> (() => ScaleQueries.stagePartitioned(spark, sfDir)),
       "stageJsonl" -> (() => ScaleQueries.stageJsonl(spark, sfDir)),

@@ -31,6 +31,59 @@ class PcaPqSpec extends SparkSpec {
     df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
       (r.getAs[Long]("neighbor_id"), r.getAs[Double](score))).toMap
 
+  test("opqRotation: orthonormal, zero iterations IS the PCA init") {
+    val c = corpus(200)
+    val r0 = Similarity.opqRotation(c, "vec_id", "embedding", dim = 16,
+      m = 4, ksub = 8, opqIters = 0)
+    val pca = Similarity.pcaRotation(c, "vec_id", "embedding", dim = 16)
+    r0.flatten.toSeq shouldBe pca.flatten.toSeq
+    val r = Similarity.opqRotation(c, "vec_id", "embedding", dim = 16,
+      m = 4, ksub = 8, opqIters = 3)
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+      dot shouldBe (if (i == j) 1.0 else 0.0) +- 1e-9
+    }
+    // an orthogonal R preserves cosine: brute force through the trained
+    // rotation equals brute force raw
+    val rot = c.select(col("vec_id"),
+      Similarity.rotateExpr(col("embedding"), r).as("embedding"))
+    val raw = Similarity.bruteForceTopK(c.filter($"vec_id" < 2), c,
+      "vec_id", "embedding", 5)
+    val rotated = Similarity.bruteForceTopK(rot.filter($"vec_id" < 2), rot,
+      "vec_id", "embedding", 5)
+    topMap(rotated, "cosine") shouldBe topMap(raw, "cosine")
+  }
+
+  test("OPQ index: lossless geometry equals brute force; maintenance delegates to the nested PQ") {
+    // ksub = corpus size on a 16-vector corpus: quantization is lossless,
+    // so the rotated ADC path must equal brute force exactly
+    val c = corpus(16)
+    val dir = tmpDir("graft_opq")
+    AnnIndex.buildOpq(c, "vec_id", "embedding", dir, dim = 16, m = 4,
+      ksub = 16, iters = 1, opqIters = 2)
+    val served = AnnIndex.opqTopK(spark, dir, c.filter($"vec_id" < 3),
+        "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(c.filter($"vec_id" < 3), c,
+        "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    served shouldBe brute
+    // delete routes through the nested pq; the deleted id stops serving
+    AnnIndex.deleteIds(spark, dir, Seq(7L).toDF("vec_id"), "vec_id")
+    AnnIndex.opqTopK(spark, dir, c.filter($"vec_id" < 3),
+        "vec_id", "embedding", 5)
+      .select("neighbor_id").as[Long].collect() should not contain 7L
+    // append through the frozen rotation + codebooks re-serves it
+    AnnIndex.appendOpq(spark, dir, c.filter($"vec_id" === 7),
+      "vec_id", "embedding")
+    AnnIndex.opqTopK(spark, dir, c.filter($"vec_id" < 3),
+        "vec_id", "embedding", 16)
+      .select("neighbor_id").as[Long].collect() should contain(7L)
+  }
+
   test("pcaRotation is orthonormal and rotateExpr preserves cosine exactly") {
     val c = corpus(200)
     val r = Similarity.pcaRotation(c, "vec_id", "embedding", dim = 16)
