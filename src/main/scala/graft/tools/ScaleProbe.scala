@@ -141,6 +141,107 @@ object ScaleProbe {
       }
     }
 
+    // ---- r13/r14 additions at 1× and mult× ----
+    for (m <- Seq(1, mult)) {
+      val d = (if (m == 1) docs else fan(docs, Seq("doc_id"), m))
+        .localCheckpoint(eager = true)
+      val e = (if (m == 1) events
+               else fan(events, Seq("event_id", "user_id"), m))
+        .localCheckpoint(eager = true)
+      // near-dup effective-size accounting: LSH pairs → components →
+      // the two group-by aggregations (x_corpus_effective_near shape)
+      time(s"effective_near_x$m") {
+        val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              concat(col("text"), lit(" zzvariant")).as("text")))
+          .withColumn("src", (col("doc_id") % 4).cast("string"))
+          .localCheckpoint(eager = true)
+        val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
+        val comps = Dedup.connectedComponents(
+            corpus.select(col("doc_id")), "doc_id", pairs)
+          .withColumnRenamed("doc_id", "id")
+        Dedup.effectiveSizeByComponents(corpus, "doc_id", "text", "src",
+          comps).count()
+      }
+      // batch funnel over the fanned event log (x_stream_funnel's
+      // reference computation — the stream side is micro-batch machinery)
+      time(s"funnel_x$m") {
+        graft.ext.Funnel.funnelCounts(e, "user_id", "ts", "event_id",
+          Seq("view" -> (col("event_type") === "view"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase"))).count()
+      }
+      // cross-modal composition: two modalities' pair sets unioned into
+      // one components labeling (x_dedup_crossmodal's scale shape; the
+      // second modality proxied by the shifted-id pair set — pair
+      // generation per modality is probed separately above)
+      time(s"crossmodal_components_x$m") {
+        val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"), col("text")))
+          .localCheckpoint(eager = true)
+        val p1 = Dedup.minhashCandidates(corpus, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
+        val p2 = p1.select((col("id_a") + 7L).as("id_a"),
+          (col("id_b") + 7L).as("id_b"), col("est_jaccard"))
+        Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
+          p1.unionByName(p2)).count()
+      }
+      // MaxSim: token-vector IVF build + the two-stage serve
+      val mdir = s"/tmp/graft_scaleprobe_maxsim/x$m"
+      time(s"maxsim_build_x$m") {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(mdir))
+        val emb64 = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 64).select(col("vec_id"), col("embedding"))
+        val tokVecs = d.select(col("doc_id"),
+            posexplode(slice(graft.ext.TextAnalysis.tokens(col("text")), 1, 8))
+              .as(Seq("pos", "tok")))
+          .join(broadcast(emb64),
+            pmod(xxhash64(col("tok")), lit(64)) === col("vec_id"))
+          .select((col("doc_id") * 64 + col("pos")).as("__id"),
+            col("embedding").as("__vec"))
+        graft.ext.AnnIndex.buildIvf(tokVecs, "__id", "__vec", mdir,
+          nlist = 32, iters = 2)
+        spark.read.parquet(s"$mdir/vectors").count()
+      }
+      time(s"maxsim_serve_x$m") {
+        val qt = spark.read.parquet(s"$mdir/vectors")
+          .filter(col("__id") < 3 * 64)
+          .select((col("__id") + 10000000L).as("__qtok"),
+            floor(col("__id") / 64).cast("long").as("qdoc"), col("__vec"))
+        graft.ext.MaxSim.maxSimTopK(spark, mdir, qt, "qdoc", "__qtok",
+          "__vec", k = 5, nprobe = 4, candPerToken = 8, cap = 64).count()
+      }
+      // unigram Viterbi encode under a fixed trained model
+      time(s"unigram_encode_x$m") {
+        val model = graft.ext.Unigram.learn(docs, "text", maxPieceLen = 4,
+          minCount = 2, emIters = 1, maxVocab = 2048)
+        d.select(graft.ext.Unigram.tokenCount(col("text"), model).as("n"))
+          .agg(sum(col("n"))).head()
+        d.count()
+      }
+      // manifest-pruned scan over the z-clustered fanned orders layout
+      time(s"zone_pruned_x$m") {
+        val zdir = s"/tmp/graft_scaleprobe_zone/x$m"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
+        val o = (if (m == 1) Tables.orders(spark, sfDir)
+                 else fan(Tables.orders(spark, sfDir), Seq("o_orderkey"), m))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            pmod(col("o_custkey"), lit(1024)).as("xd"),
+            pmod(datediff(col("o_orderdate"),
+              lit(java.sql.Date.valueOf("1995-01-01"))), lit(1024)).as("yd"))
+        graft.ext.Layout.clusterByZOrder(o, col("xd"), col("yd"), bits = 10,
+          zdir, files = 16 * m)
+        graft.ext.Layout.writeManifest(spark, zdir, Seq("xd", "yd"))
+        val (pruned, nRead, nTotal) = graft.ext.Layout.manifestPrunedRead(
+          spark, zdir, col("max_xd") >= 96 && col("min_xd") <= 159 &&
+            col("max_yd") >= 192 && col("min_yd") <= 287)
+        println(s"""{"zone_files_read":$nRead,"zone_files_total":$nTotal}""")
+        pruned.filter(col("xd").between(96, 159) && col("yd").between(192, 287))
+          .count()
+      }
+    }
+
     // ---- portable vs XXH64 family A/B (1× corpus, gate shapes) ----
     val variants = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
