@@ -64,23 +64,87 @@ object Layout {
     * predicates — the standard zone-map contract.
     */
   def writeManifest(spark: SparkSession, tableDir: String,
-      statsCols: Seq[String]): Unit = {
-    require(statsCols.nonEmpty, "no stats columns")
-    import org.apache.spark.sql.functions.input_file_name
-    val df = spark.read.parquet(tableDir)
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
-    val m = df
-      .select(input_file_name().as("__file") +: statsCols.map(col): _*)
-      .groupBy(col("__file"))
-      .agg(aggs.head, aggs.tail: _*)
+      statsCols: Seq[String], keyCols: Seq[String] = Nil,
+      keyBits: Int = 256): Unit = {
+    val m = manifestRows(spark, tableDir, statsCols, keyCols, keyBits, None)
     val tmp = s"$tableDir/.manifest-${System.nanoTime()}"
     m.coalesce(1).write.mode("overwrite").parquet(tmp)
     graft.util.Hfs.delete(spark, s"$tableDir/_manifest")
     if (!graft.util.Hfs.rename(spark, tmp, s"$tableDir/_manifest"))
       throw new IllegalStateException(s"manifest publish failed: $tableDir")
   }
+
+  /** Fold files APPENDED since the last manifest into it incrementally:
+    * stats are computed for the new files only (the manifest is
+    * authoritative for files it already covers — per-file stats never
+    * change after a parquet file is sealed), so maintaining the
+    * manifest costs one scan of the APPENDED data, not the table. The
+    * geometry (stats/key columns, bits) is read back from the existing
+    * manifest's schema so an append can never silently change it.
+    */
+  def appendToManifest(spark: SparkSession, tableDir: String): Unit = {
+    val mPath = s"$tableDir/_manifest"
+    require(graft.util.Hfs.exists(spark, mPath),
+      s"no manifest to append to at $tableDir — writeManifest first")
+    val existing = spark.read.parquet(mPath)
+    val statsCols = existing.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSeq
+    val keyCols = existing.columns.collect {
+      case c if c.startsWith("key_") => c.stripPrefix("key_") }.toSeq
+    // bits ride the schema via the stored bucket domain? No — the bucket
+    // arithmetic must match the original exactly, so the bit count is
+    // recorded in the manifest itself as a constant column
+    val keyBits =
+      if (existing.columns.contains("__key_bits"))
+        existing.select(col("__key_bits")).head().getInt(0)
+      else 256
+    val known = existing.select(col("__file"))
+    val fresh = manifestRows(spark, tableDir, statsCols, keyCols, keyBits,
+      newOnly = Some(known))
+    val merged = existing.unionByName(fresh)
+    val tmp = s"$tableDir/.manifest-${System.nanoTime()}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    graft.util.Hfs.delete(spark, mPath)
+    if (!graft.util.Hfs.rename(spark, tmp, mPath))
+      throw new IllegalStateException(s"manifest publish failed: $tableDir")
+  }
+
+  private def manifestRows(spark: SparkSession, tableDir: String,
+      statsCols: Seq[String], keyCols: Seq[String], keyBits: Int,
+      newOnly: Option[DataFrame]): DataFrame = {
+    require(statsCols.nonEmpty, "no stats columns")
+    require(keyBits > 0 && keyBits <= 65536, s"keyBits out of range: $keyBits")
+    import org.apache.spark.sql.functions.input_file_name
+    val df0 = spark.read.parquet(tableDir)
+      .select(input_file_name().as("__file") +:
+        (statsCols ++ keyCols).distinct.map(col): _*)
+    val df = newOnly match {
+      case Some(known) => df0.join(broadcast(known), Seq("__file"), "left_anti")
+      case None => df0
+    }
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      // per-file KEY-membership fingerprint: the sorted distinct bucket
+      // set of the engine-portable hash — the zone-map answer to point
+      // lookups, where min/max spans are useless on a hashed or
+      // high-cardinality key. False positives only (a present bucket
+      // may be another key's), never false negatives — pruning keeps
+      // every file that could hold the key
+      keyCols.map(c => array_sort(collect_set(
+        pmod(graft.ext.PortableHash.md5Prefix15(col(c)), lit(keyBits))
+          .cast("int"))).as(s"key_$c")) ++
+      Seq(count(lit(1)).as("n_rows")) ++
+      (if (keyCols.nonEmpty) Seq(first(lit(keyBits)).as("__key_bits")) else Nil)
+    df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The manifest `keep` predicate for a point lookup `keyCol = value`:
+    * a file survives iff its fingerprint contains the value's bucket.
+    * Compose with min/max range predicates with `&&`.
+    */
+  def keyMember(keyCol: String, value: Column, keyBits: Int = 256): Column =
+    array_contains(col(s"key_$keyCol"),
+      pmod(graft.ext.PortableHash.md5Prefix15(value), lit(keyBits)).cast("int"))
 
   /** Predicate-driven FILE pruning through the manifest: keep only the
     * files whose stats row satisfies `keep` (a Column over the

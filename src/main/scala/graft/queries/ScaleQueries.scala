@@ -269,7 +269,7 @@ object ScaleQueries {
   def stageZordered(s: SparkSession, dir: String): String = {
     val base = s"/tmp/graft_layout/${Staging.tag(dir)}"
     val dst = s"$base/zordered"
-    if (!new java.io.File(s"$dst/_MANIFEST_DONE_v1").exists()) {
+    if (!new java.io.File(s"$dst/_MANIFEST_DONE_v2_keys").exists()) {
       val o = Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
         pmod(col("o_custkey"), lit(1024)).as("xd"),
@@ -277,10 +277,41 @@ object ScaleQueries {
           lit(java.sql.Date.valueOf("1995-01-01"))), lit(1024)).as("yd"))
       graft.ext.Layout.clusterByZOrder(o, col("xd"), col("yd"), bits = 10,
         dst, files = 16)
-      graft.ext.Layout.writeManifest(s, dst, Seq("xd", "yd"))
-      new java.io.File(s"$dst/_MANIFEST_DONE_v1").createNewFile()
+      // min/max zone stats on the curve dims, a key-membership
+      // fingerprint on the order key (point lookups don't range-prune:
+      // the z-layout scatters o_orderkey, so min/max spans cover
+      // everything — the fingerprint is what skips files)
+      graft.ext.Layout.writeManifest(s, dst, Seq("xd", "yd"),
+        keyCols = Seq("o_orderkey"), keyBits = 256)
+      new java.io.File(s"$dst/_MANIFEST_DONE_v2_keys").createNewFile()
     }
     dst
+  }
+
+  /** Point lookup through the per-file KEY fingerprint: three order
+    * keys fetched from the z-ordered layout by pruning to the files
+    * whose membership set contains each key's bucket — false positives
+    * only, so the exact row filter on the pruned scan must hash-equal
+    * the oracle's full-scan lookup (a fingerprint that wrongly skips a
+    * file loses rows outright). The zone min/max stats are USELESS for
+    * this predicate (the curve scatters the key) — the fingerprint is
+    * the layer that makes hashed/high-cardinality point access cheap.
+    */
+  val zonePointLookup = q("x_zone_point_lookup",
+    """SELECT o_orderkey, round(sum(o_totalprice), 2) AS total,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM orders WHERE o_orderkey IN (1, 1000, 5000)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val t = stageZordered(s, dir)
+    val keys = Seq(1L, 1000L, 5000L)
+    val keep = keys.map(k =>
+      graft.ext.Layout.keyMember("o_orderkey", lit(k), keyBits = 256))
+      .reduce(_ || _)
+    val (pruned, _, _) = graft.ext.Layout.manifestPrunedRead(s, t, keep)
+    pruned.filter(col("o_orderkey").isin(keys: _*))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"))
   }
 
   /** Data-skipping payoff of the z-order work (r13 VERDICT #4): a
@@ -317,5 +348,5 @@ object ScaleQueries {
   val all: Seq[QueryDef] =
     Seq(saltedJoin, saltedAgg, bucketedJoin, partitionedScan, jsonlRoundtrip,
       orcRoundtrip, reconcileChecksum, zorderCluster, layoutCompact,
-      zonePrunedScan)
+      zonePrunedScan, zonePointLookup)
 }

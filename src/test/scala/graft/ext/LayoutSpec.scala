@@ -82,6 +82,43 @@ class LayoutSpec extends SparkSpec {
     none.count() shouldBe 0L
   }
 
+  test("key fingerprints skip files on point lookups; appendToManifest covers only new files") {
+    val df = (0 until 4096).map(i =>
+      (i.toLong, (i % 1024).toLong, ((i * 7) % 1024).toLong)).toDF("id", "x", "y")
+    val dst = tmp("graft_keymanifest")
+    Layout.clusterByZOrder(df, col("x"), col("y"), 10, dst, files = 16)
+    Layout.writeManifest(spark, dst, Seq("x", "y"), keyCols = Seq("id"),
+      keyBits = 256)
+    // a point lookup through the fingerprint: skips files AND finds the row
+    val (pruned, nRead, nTotal) = Layout.manifestPrunedRead(spark, dst,
+      Layout.keyMember("id", lit(123L), keyBits = 256))
+    nTotal shouldBe 16
+    nRead should be < nTotal // 256 buckets over 256 rows/file ⇒ real skips
+    pruned.filter(col("id") === 123L).count() shouldBe 1L
+    // no false negatives across a key sample
+    Seq(0L, 999L, 2048L, 4095L).foreach { k =>
+      val (p2, _, _) = Layout.manifestPrunedRead(spark, dst,
+        Layout.keyMember("id", lit(k), keyBits = 256))
+      p2.filter(col("id") === k).count() shouldBe 1L
+    }
+    // append new rows as new files, fold them into the manifest
+    // incrementally: the old rows keep their manifest rows (same count),
+    // the new file is covered, and lookups into the appended range work
+    val before = spark.read.parquet(s"$dst/_manifest")
+      .select("__file").as[String].collect().toSet
+    (5000 until 5100).map(i => (i.toLong, (i % 1024).toLong, ((i * 7) % 1024).toLong))
+      .toDF("id", "x", "y").coalesce(1).write.mode("append").parquet(dst)
+    Layout.appendToManifest(spark, dst)
+    val after = spark.read.parquet(s"$dst/_manifest")
+    after.count() shouldBe (before.size + 1).toLong
+    after.select("__file").as[String].collect().toSet should contain allElementsOf before
+    val (p3, n3, t3) = Layout.manifestPrunedRead(spark, dst,
+      Layout.keyMember("id", lit(5050L), keyBits = 256))
+    t3 shouldBe 17
+    n3 should be < t3
+    p3.filter(col("id") === 5050L).count() shouldBe 1L
+  }
+
   test("compactParquet merges small files evenly and preserves content") {
     val df = (0 until 10000).map(i => (i.toLong, s"row $i payload")).toDF("id", "s")
     val frag = tmp("graft_frag") + "/t"
