@@ -58,6 +58,8 @@ object CascadeDelete {
       targets: CascadeTargets, compactThreshold: Double = 0.25): DataFrame = {
     require(targets.annIndexes.nonEmpty || targets.textIndexes.nonEmpty ||
       targets.dedupStores.nonEmpty, "no stores to cascade into")
+    require(compactThreshold > 0.0 && compactThreshold <= 1.0,
+      s"compactThreshold must be in (0, 1]: $compactThreshold")
     // one materialization of the delete set, reused across every store
     val del = ids.select(qcol(idCol).cast("long").as("__id")).distinct()
       .localCheckpoint(eager = true)

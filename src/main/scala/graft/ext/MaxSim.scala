@@ -52,7 +52,9 @@ object MaxSim {
     // candidate (query doc, corpus doc) pairs — stage-1-sized, broadcastable
     val pairs = cand
       .join(qt.select(col("__qtok").as("query_id"), col("__qdoc")), Seq("query_id"))
-      .select(col("__qdoc"), floor(col("neighbor_id") / cap).cast("long").as("__doc"))
+      // exact integral division (`div`), not floor(double /): a double
+      // round-trip silently corrupts doc attribution for ids past 2^53
+      .select(col("__qdoc"), expr(s"neighbor_id div $cap").as("__doc"))
       .filter(col("__qdoc") =!= col("__doc"))
       .distinct()
       .localCheckpoint(eager = true)
@@ -61,7 +63,7 @@ object MaxSim {
     // semi-join, never corpus-wide
     val dt = AnnIndex.liveOnly(spark, indexDir,
         spark.read.parquet(s"$indexDir/vectors"))
-      .select(floor(col("__id") / cap).cast("long").as("__doc"), col("__vec"))
+      .select(expr(s"__id div $cap").as("__doc"), col("__vec"))
       .join(broadcast(pairs.select(col("__doc")).distinct()), Seq("__doc"), "left_semi")
     val perTok = broadcast(pairs)
       .join(qt, Seq("__qdoc"))

@@ -136,20 +136,34 @@ object Unigram {
     */
   private[ext] val UnknownLp: Double = -100.0
 
+  /** Executor-side segmentation memo (the [[Bpe]] `WordEncoder` shape):
+    * Zipf keeps the hot words far under the cap; past it, stop caching
+    * rather than grow executor memory on high-cardinality text.
+    */
+  private final class WordSegmenter(vocab: Map[String, Double])
+      extends Serializable {
+    @transient private lazy val cache =
+      scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    private val MaxCache = 65536
+    def segment(w: String): Seq[String] = cache.get(w) match {
+      case Some(v) => v
+      case None =>
+        val v = viterbi(w, vocab)
+        if (cache.size < MaxCache) cache.update(w, v)
+        v
+    }
+  }
+
   /** Number of unigram tokens per text — the budget number chunking and
     * packing would consume. One scalar UDF over the text with the
-    * broadcast vocabulary, memoizing per distinct word within a
-    * partition (the [[Bpe.tokenCount]] shape); null/empty text counts 0.
+    * vocabulary riding the closure, memoizing per distinct word per
+    * executor (the [[Bpe.tokenCount]] shape); null/empty text counts 0.
     */
   def tokenCount(text: Column, model: UnigramModel): Column = {
-    val vocab = model.pieces
+    val seg = new WordSegmenter(model.pieces)
     val f = udf { (s: String) =>
       if (s == null) 0
-      else {
-        val cache = scala.collection.mutable.HashMap.empty[String, Int]
-        wordsOf(s).map(w =>
-          cache.getOrElseUpdate(w, viterbi(w, vocab).length)).sum
-      }
+      else wordsOf(s).map(w => seg.segment(w).length).sum
     }
     f(text)
   }
@@ -158,10 +172,10 @@ object Unigram {
     * consumers): one row per (word position, piece index) flattening.
     */
   def tokens(text: Column, model: UnigramModel): Column = {
-    val vocab = model.pieces
+    val seg = new WordSegmenter(model.pieces)
     val f = udf { (s: String) =>
       if (s == null) Seq.empty[String]
-      else wordsOf(s).flatMap(w => viterbi(w, vocab))
+      else wordsOf(s).flatMap(seg.segment)
     }
     f(text)
   }

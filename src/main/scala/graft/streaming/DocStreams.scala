@@ -985,7 +985,10 @@ object DocStreams {
     * same delete cannot subtract twice. The ids/texts passed must be the
     * rows AS INGESTED — a delete of never-ingested or altered text
     * silently skews counters negative (counters carry no identity; the
-    * caller owns that contract, exactly as with CDC diffs).
+    * caller owns that contract, exactly as with CDC diffs). Each
+    * DISTINCT delete needs its own key: reusing a key silently no-ops
+    * (that is what idempotence means here) — a takedown pipeline keys
+    * by its request id.
     *
     * The KMV sketch has NO such leg: k-min retains only order statistics
     * and cannot un-see a minimum — deletion there is rebuild-on-cadence

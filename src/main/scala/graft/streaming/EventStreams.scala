@@ -712,7 +712,11 @@ object EventStreams {
     * is the rebuild cadence, and monitoring consumers read it as such.
     * One counting pass over the live set (the same distinct + k-trim
     * shape as the per-batch path); the swap is crash-safe
-    * ([[graft.operators.Upsert.swapDirs]]).
+    * ([[graft.operators.Upsert.swapDirs]]). Like every maintenance op,
+    * serialize against a running append stream of the same store: the
+    * swap resets the batch markers with the generation, so a replayed
+    * pre-rebuild batch would re-publish stale minima into the fresh
+    * store.
     */
   def rebuildKmvStore(spark: SparkSession, storeDir: String,
       live: DataFrame, groupCol: String, valueCol: String, k: Int): Unit = {
