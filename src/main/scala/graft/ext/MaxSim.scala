@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Late-interaction (MaxSim / ColBERT-style) multi-vector retrieval: a
@@ -35,9 +35,18 @@ object MaxSim {
     * `candPerToken` the stage-1 depth per query token. Self-retrieval
     * (doc == query doc) is excluded, the retrieval-gate convention.
     */
+  /** `docWhere` is FILTERED SEARCH at the document grain: a predicate
+    * builder applied to the doc-id expression, evaluated at the STAGE-1
+    * pruned scan (excluded docs never consume candidate slots — the
+    * post-filter pitfall where a filter applied after retrieval starves
+    * the top-k is avoided, the same predicate-below-scoring discipline
+    * as the quantized layouts' `where`), and again on the stage-2 bag
+    * scan. Keys whole documents; default admits everything.
+    */
   def maxSimTopK(spark: SparkSession, indexDir: String, queryToks: DataFrame,
       qdocCol: String, qtokCol: String, vecCol: String, k: Int,
-      nprobe: Int, candPerToken: Int, cap: Int): DataFrame = {
+      nprobe: Int, candPerToken: Int, cap: Int,
+      docWhere: Column => Column = _ => lit(true)): DataFrame = {
     require(cap > 0 && k > 0 && nprobe > 0 && candPerToken > 0,
       s"bad maxsim geometry: cap=$cap k=$k nprobe=$nprobe cand=$candPerToken")
     val idx = AnnIndex.readIvf(spark, indexDir)
@@ -45,10 +54,12 @@ object MaxSim {
         col(qtokCol).cast("long").as("__qtok"), col(vecCol).as("__qv"))
       .localCheckpoint(eager = true) // stage 1, the pair map and the refine share it
     // stage 1: per query token, top candidates through the partition-
-    // pruned IVF path (each token is its own "query" to the index)
+    // pruned IVF path (each token is its own "query" to the index);
+    // the doc predicate evaluates INSIDE the pruned scan via the ivf
+    // layout's own filtered-search hook, on the stored token id
     val cand = AnnIndex.ivfTopK(spark, idx,
       qt.select(col("__qtok"), col("__qv")), "__qtok", "__qv",
-      candPerToken, nprobe)
+      candPerToken, nprobe, where = docWhere(expr(s"__id div $cap")))
     // candidate (query doc, corpus doc) pairs — stage-1-sized, broadcastable
     val pairs = cand
       .join(qt.select(col("__qtok").as("query_id"), col("__qdoc")), Seq("query_id"))
@@ -62,7 +73,8 @@ object MaxSim {
     // vectors scan is row-pruned to candidate docs via the broadcast
     // semi-join, never corpus-wide
     val dt = AnnIndex.liveOnly(spark, indexDir,
-        spark.read.parquet(s"$indexDir/vectors"))
+        spark.read.parquet(s"$indexDir/vectors")
+          .filter(docWhere(expr(s"__id div $cap"))))
       .select(expr(s"__id div $cap").as("__doc"), col("__vec"))
       .join(broadcast(pairs.select(col("__doc")).distinct()), Seq("__doc"), "left_semi")
     val perTok = broadcast(pairs)

@@ -4775,6 +4775,60 @@ object ExtensionQueries {
       "qdoc", "__qtok", "__vec", k = 5, nprobe = 3, candPerToken = 8, cap = 64)
   }
 
+  /** FILTERED MaxSim — the metadata-predicate leg of the late-
+    * interaction layout (the `x_knn_*_filtered` family member): only
+    * even-id documents are searchable, with the predicate evaluated at
+    * the stage-1 PRUNED scan (excluded docs never consume candidate
+    * slots) and the stage-2 bag scan. Oracle = the maxsim replay with
+    * the predicate on the stored token table — a post-filter
+    * implementation (filter after retrieval) would starve candidate
+    * depth and break the hash.
+    */
+  val knnMaxSimFiltered = q("x_knn_maxsim_filtered",
+    """WITH dt AS (
+      |  SELECT __id, __id // 64 AS doc, CAST(__cluster AS INT) AS cl,
+      |         list_transform(__vec, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM read_parquet('__GRAFT_ANNIDX__/maxsim/vectors/*/*.parquet', hive_partitioning=1)
+      |  WHERE (__id // 64) % 2 = 0),
+      |qt AS (
+      |  SELECT __qtok, qdoc, list_transform(__vec, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM read_parquet('__GRAFT_ANNIDX__/maxsim_q/*.parquet')),
+      |cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/maxsim/coarse/*.parquet')),
+      |probe AS (
+      |  SELECT __qtok, __cid,
+      |         row_number() OVER (PARTITION BY __qtok ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qt, cent),
+      |cand AS (
+      |  SELECT q.__qtok, q.qdoc, d.doc,
+      |         row_number() OVER (PARTITION BY q.__qtok ORDER BY
+      |           round(list_cosine_similarity(q.v, d.v), 4) DESC, d.__id) AS rn
+      |  FROM (SELECT __qtok, __cid FROM probe WHERE pr <= 3) p
+      |  JOIN qt q ON q.__qtok = p.__qtok
+      |  JOIN dt d ON d.cl = p.__cid
+      |  WHERE d.__id <> q.__qtok),
+      |pairs AS (SELECT DISTINCT qdoc, doc FROM cand WHERE rn <= 8 AND doc <> qdoc),
+      |ref AS (
+      |  SELECT p.qdoc, p.doc, q.__qtok, max(list_cosine_similarity(q.v, d.v)) AS mx
+      |  FROM pairs p JOIN qt q ON q.qdoc = p.qdoc JOIN dt d ON d.doc = p.doc
+      |  GROUP BY 1, 2, 3),
+      |sc AS (SELECT qdoc AS query_id, doc, sum(mx) AS m FROM ref GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc AS doc_id, m,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY round(m, 4) DESC, doc) AS rank
+      |      FROM sc)
+      |SELECT query_id, rank, doc_id, round(m, 4) AS maxsim FROM r WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val qt = s.read.parquet(s"$idx/maxsim_q")
+    graft.ext.MaxSim.maxSimTopK(s, s"$idx/maxsim", qt,
+      "qdoc", "__qtok", "__vec", k = 5, nprobe = 3, candPerToken = 8, cap = 64,
+      docWhere = d => d % 2 === 0)
+  }
+
   /** The bounded corpus the cascading-delete gate forgets from: 64 docs
     * plus near-copy variants of every 10th — small enough that every
     * derived store builds in scheduler time, shaped enough that deletes
@@ -4803,7 +4857,7 @@ object ExtensionQueries {
     */
   def stageCascadeFixtures(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_cascade/${Staging.tag(dir)}"
-    val done = new java.io.File(s"$tmp/_CASCADE_DONE_v2_forget_in_staging")
+    val done = new java.io.File(s"$tmp/_CASCADE_DONE_v3_streamed_takedown")
     if (done.exists()) return tmp
     val tmpDir = new java.io.File(tmp)
     if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
@@ -4827,13 +4881,21 @@ object ExtensionQueries {
       s"$tmp/dedup_store", maxBucketSize = 1000000, storeParts = 4,
       withComponents = true)
     // the forget-everywhere maintenance runs HERE, like every other
-    // staged maintenance history (the ivfpq_del16 pattern): the gate
-    // serves the post-delete stores and compares against survivors —
+    // staged maintenance history (the ivfpq_del16 pattern) — and it
+    // runs THROUGH THE STREAMING TAKEDOWN FEED: the %8==2 delete set
+    // arrives as two takedown batches on a spool, each folded through
+    // CascadeDelete by [[graft.streaming.DocStreams.runForgetOnce]],
+    // so the x_cascade_delete gate verifies the streamed takedown
+    // path end-to-end (every served surface vs the survivors).
     // CascadeDeleteSpec drives the operator's own mechanics (compaction
-    // routing, idempotency, cluster splits) as a spec
-    graft.ext.CascadeDelete.forget(s,
-      docs.filter(col("doc_id") % 8 === 2).select(col("doc_id")),
-      "doc_id", graft.ext.CascadeTargets(
+    // routing, idempotency, cluster splits, batch-marker replay).
+    val deletes = docs.filter(col("doc_id") % 8 === 2).select(col("doc_id"))
+    val tspool = s"$tmp/takedown_spool"
+    new java.io.File(tspool).mkdirs()
+    stageSpoolFile(deletes.filter(col("doc_id") % 16 === 2), tspool, 0)
+    stageSpoolFile(deletes.filter(col("doc_id") % 16 =!= 2), tspool, 1)
+    graft.streaming.DocStreams.runForgetOnce(s, tspool,
+      s"$tmp/takedown_markers", graft.ext.CascadeTargets(
         annIndexes = Seq(s"$tmp/ann_pq"),
         textIndexes = Seq(s"$tmp/text_inv", s"$tmp/text_pos"),
         dedupStores = Seq(s"$tmp/dedup_store")))
@@ -4986,6 +5048,6 @@ object ExtensionQueries {
     multimodalDecode, multimodalFrames, multimodalAviFrames,
     multimodalImageMeta, multimodalAudioMeta,
     multimodalPhash, dedupPhash, dedupCrossmodal,
-    cascadeDelete, knnMaxSim, knnOpq, textUnigramCount,
+    cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, textUnigramCount,
   )
 }

@@ -374,6 +374,43 @@ object DocStreams {
     }
   }
 
+  /** Takedown batches arriving CONTINUOUSLY: id batches on a spool,
+    * each driven through [[graft.ext.CascadeDelete.forget]] — the
+    * streaming form of the takedown cadence (opt-out requests land all
+    * day; the pipeline forgets them store-by-store as they arrive
+    * instead of batching to a nightly window). Per-batch markers under
+    * `markerDir` skip already-processed batches on a checkpoint replay;
+    * the marker lands AFTER the forget, so a crash between the two
+    * replays the batch — safe, because forget is idempotent on every
+    * surface (duplicate tombstones subtract identically, the components
+    * rebuild is deterministic). Each batch's compaction-debt check runs
+    * inside forget, so steady takedowns still accumulate into one
+    * rewrite per store at the threshold.
+    */
+  def runForgetOnce(spark: SparkSession, spoolDir: String, markerDir: String,
+      targets: graft.ext.CascadeTargets, idCol: String = "doc_id",
+      compactThreshold: Double = 0.25): Unit = {
+    import graft.util.Hfs
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema(s"$idCol long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!Hfs.exists(spark, s"$markerDir/_batch_$batchId")) {
+            graft.ext.CascadeDelete.forget(spark, batch.toDF(), idCol,
+              targets, compactThreshold)
+            Hfs.mkdirs(spark, markerDir)
+            Hfs.touch(spark, s"$markerDir/_batch_$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   /** Dead fraction of the signature store under the id-tombstone log —
     * the debt number the compaction policy prices (the
     * [[graft.ext.AnnIndex.tombstoneDebt]] shape).

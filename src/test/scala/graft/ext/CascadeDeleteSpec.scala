@@ -122,6 +122,47 @@ class CascadeDeleteSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet should contain noneOf (2L, 4L)
   }
 
+  test("streaming takedown feed equals one direct forget of the union; markers skip replays") {
+    val (root, store, _) = buildFixture()
+    // reference: a second identical fixture forgotten in ONE direct call
+    val (root2, store2, _) = buildFixture()
+    CascadeDelete.forget(spark, Seq(2L, 4L).toDF("doc_id"), "doc_id",
+      CascadeTargets(annIndexes = Seq(s"$root2/pq"),
+        textIndexes = Seq(s"$root2/inv"), dedupStores = Seq(store2)))
+    // streamed: the same ids arrive as two takedown batches
+    val spool = java.nio.file.Files.createTempDirectory("graft_takedown").toString
+    Seq(Seq(2L), Seq(4L)).zipWithIndex.foreach { case (ids, i) =>
+      val stage = s"$spool/.stage_$i"
+      ids.toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(spool, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1600000000000L + i * 60000L)
+    }
+    val markers = s"$root/takedown_markers"
+    DocStreams.runForgetOnce(spark, spool, markers,
+      CascadeTargets(annIndexes = Seq(s"$root/pq"),
+        textIndexes = Seq(s"$root/inv"), dedupStores = Seq(store)))
+    // every served surface equals the direct-forget reference
+    val emb = docs.map { case (id, _) => (id, vec(id.toInt)) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    def annIds(r: String) = AnnIndex.pqTopK(spark, s"$r/pq",
+        emb.filter(col("vec_id") === 1), "vec_id", "embedding", 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    annIds(root) shouldBe annIds(root2)
+    def pairs(st: String) = DocStreams.readPairs(spark, st)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs(store) shouldBe pairs(store2)
+    // markers landed, one per batch; a replayed run is a no-op
+    new java.io.File(markers).listFiles().count(_.getName.startsWith("_batch_")) shouldBe 2
+    val before = pairs(store)
+    DocStreams.runForgetOnce(spark, spool, markers,
+      CascadeTargets(dedupStores = Seq(store)))
+    pairs(store) shouldBe before
+  }
+
   test("forgetting absent ids is a no-op on every store") {
     val (root, store, _) = buildFixture()
     val before = DocStreams.readPairs(spark, store).collect().toSet
