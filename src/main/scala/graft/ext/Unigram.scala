@@ -180,6 +180,25 @@ object Unigram {
     f(text)
   }
 
+  /** Context-window chunking over unigram pieces — the tokenizer-budget
+    * chunker under the ML segmentation (the [[Bpe.chunkTokens]] seam).
+    * Output shape matches [[TextAnalysis.chunkTokens]].
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int, model: UnigramModel): DataFrame =
+    TextAnalysis.chunkTokenArray(
+      df.select(qcol(idCol), tokens(qcol(textCol), model).as("__toks")),
+      idCol, chunkSize, overlap)
+
+  /** Sequence packing by unigram token counts (the
+    * [[Bpe.packSequences]] seam). Output shape matches
+    * [[Packing.packSequences]].
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, model: UnigramModel): DataFrame =
+    Packing.packSequencesByCount(df, idCol,
+      tokenCount(qcol(textCol), model), seqLen)
+
   /** The SAME word segmentation as [[TextAnalysis.tokens]] (lower, trim,
     * split on non-word runs, drop empties) — pinned against the SQL
     * replay by the base-count identity in the gate family.

@@ -2095,6 +2095,118 @@ object ExtensionQueries {
       graft.ext.Unigram.tokenCount(col("text"), model).as("n_unigram"))
   }
 
+  /** Context-window chunking over UNIGRAM pieces — x_text_chunks_bpe's
+    * recipe under the maximum-likelihood tokenizer: the recursive-CTE
+    * Viterbi DP additionally carries each prefix's best-path TOKEN LIST
+    * (same pinned tiebreak), words flatten back in document order, and
+    * the 128/32 window replay cuts the piece stream. A wrong
+    * segmentation (not just a wrong count) breaks the hash.
+    */
+  val textChunksUnigram = q("x_text_chunks_unigram",
+    """WITH RECURSIVE
+      |vm AS (SELECT map(list(piece), list(lp)) AS mp
+      |       FROM read_parquet('__GRAFT_UNI__/vocab/*.parquet')),
+      |dw AS (SELECT doc_id, w, wpos FROM (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS w,
+      |         unnest(generate_series(1, len(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')))) AS wpos
+      |  FROM documents WHERE text IS NOT NULL)),
+      |uw AS (SELECT DISTINCT w FROM dw),
+      |dp AS (
+      |  SELECT w, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS sc,
+      |         [CAST([] AS VARCHAR[])] AS tl FROM uw
+      |  UNION ALL
+      |  SELECT w, pos + 1,
+      |         list_append(sc, CASE WHEN m IS NULL THEN sc[pos + 1] + (-100.0) ELSE m END),
+      |         list_append(tl, CASE WHEN m IS NULL
+      |           THEN list_append(tl[pos + 1], substr(w, pos + 1, 1))
+      |           ELSE list_append(tl[bj], substr(w, bj, pos + 2 - bj)) END)
+      |  FROM (
+      |    SELECT w, pos, sc, tl,
+      |           list_max(list_transform(cands, c -> c.s)) AS m,
+      |           list_min(list_transform(
+      |             list_filter(cands, c -> c.s = list_max(list_transform(cands, c -> c.s))),
+      |             c -> c.j)) AS bj
+      |    FROM (
+      |      SELECT w, pos, sc, tl,
+      |             list_filter(list_transform(generate_series(1, pos + 1), j ->
+      |                 {'s': sc[j] + map_extract(vm.mp, substr(w, j, pos + 2 - j))[1],
+      |                  'j': j}),
+      |               c -> c.s IS NOT NULL) AS cands
+      |      FROM dp, vm WHERE pos < length(w)))),
+      |done AS (SELECT w, tl[length(w) + 1] AS syms FROM dp WHERE pos = length(w)),
+      |toks AS (
+      |  SELECT doc_id, flatten(list(syms ORDER BY wpos)) AS t
+      |  FROM dw JOIN done USING (w) GROUP BY doc_id),
+      |c AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 96)) AS st
+      |      FROM toks WHERE len(t) > 0)
+      |SELECT doc_id, CAST(st // 96 AS INTEGER) AS chunk_idx,
+      |       array_to_string(t[st + 1 : st + 128], ' ') AS chunk,
+      |       CAST(least(len(t) - st, 128) AS INTEGER) AS n_tokens
+      |FROM c""".stripMargin) { (s, dir) =>
+    val uni = stageUnigramModel(s, dir)
+    val model = graft.ext.Unigram.load(s, s"$uni/vocab")
+    graft.ext.Unigram.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 128, overlap = 32, model)
+  }
+
+  /** Sequence packing under the unigram budget — x_pack_sequences_bpe's
+    * pack arithmetic composed with the Viterbi counting DP: per-doc
+    * piece counts prefix-sum into a global token stream cut at 128.
+    */
+  val packSequencesUnigram = q("x_pack_sequences_unigram",
+    """WITH RECURSIVE
+      |vm AS (SELECT map(list(piece), list(lp)) AS mp
+      |       FROM read_parquet('__GRAFT_UNI__/vocab/*.parquet')),
+      |dw AS (SELECT doc_id, w FROM (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS w
+      |  FROM documents WHERE text IS NOT NULL)),
+      |uw AS (SELECT DISTINCT w FROM dw),
+      |dp AS (
+      |  SELECT w, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS sc, [0] AS nt FROM uw
+      |  UNION ALL
+      |  SELECT w, pos + 1,
+      |         list_append(sc, CASE WHEN m IS NULL THEN sc[pos + 1] + (-100.0) ELSE m END),
+      |         list_append(nt, CASE WHEN m IS NULL THEN nt[pos + 1] + 1 ELSE nt[bj] + 1 END)
+      |  FROM (
+      |    SELECT w, pos, sc, nt,
+      |           list_max(list_transform(cands, c -> c.s)) AS m,
+      |           list_min(list_transform(
+      |             list_filter(cands, c -> c.s = list_max(list_transform(cands, c -> c.s))),
+      |             c -> c.j)) AS bj
+      |    FROM (
+      |      SELECT w, pos, sc, nt,
+      |             list_filter(list_transform(generate_series(1, pos + 1), j ->
+      |                 {'s': sc[j] + map_extract(vm.mp, substr(w, j, pos + 2 - j))[1],
+      |                  'j': j}),
+      |               c -> c.s IS NOT NULL) AS cands
+      |      FROM dp, vm WHERE pos < length(w)))),
+      |done AS (SELECT w, nt[length(w) + 1] AS ntok FROM dp WHERE pos = length(w)),
+      |wc AS (SELECT doc_id, w, count(*) AS cnt FROM dw GROUP BY 1, 2),
+      |t AS (
+      |  SELECT d.doc_id,
+      |         CAST(coalesce((SELECT sum(wc.cnt * done.ntok) FROM wc JOIN done USING (w)
+      |                        WHERE wc.doc_id = d.doc_id), 0) AS BIGINT) AS n
+      |  FROM documents d),
+      |c AS (
+      |  SELECT doc_id, n,
+      |         CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+      |  FROM t),
+      |e AS (
+      |  SELECT doc_id, n, st, unnest(generate_series(st // 128, (st + n - 1) // 128)) AS seq_id
+      |  FROM c WHERE n > 0)
+      |SELECT doc_id, seq_id,
+      |       greatest(seq_id * 128 - st, 0) AS doc_from,
+      |       least((seq_id + 1) * 128, st + n) - st AS doc_to,
+      |       greatest(st - seq_id * 128, 0) AS seq_off
+      |FROM e""".stripMargin) { (s, dir) =>
+    val uni = stageUnigramModel(s, dir)
+    val model = graft.ext.Unigram.load(s, s"$uni/vocab")
+    graft.ext.Unigram.packSequences(Tables.documents(s, dir), "doc_id",
+      "text", seqLen = 128, model)
+  }
+
   /** Context-window chunking under a REAL byte-pair encoder, now fully
     * HASH-MATCHED (retiring the suite's last rows-only exemption): the
     * merge LEARNING loop stays engine-side (it is not SQL), but its
@@ -5049,5 +5161,6 @@ object ExtensionQueries {
     multimodalImageMeta, multimodalAudioMeta,
     multimodalPhash, dedupPhash, dedupCrossmodal,
     cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, textUnigramCount,
+    textChunksUnigram, packSequencesUnigram,
   )
 }

@@ -430,6 +430,25 @@ class DocStreamsSpec extends SparkSpec {
       docs.slice(2, 3).toDF("doc_id", "text"), 1L, depth = 4, width = 16, "text")
     counters() shouldBe clean
     new java.io.File(s"$store/_batch_1").exists() shouldBe true
+
+    // DELETION leg: forgetting doc 4 publishes its counters negated —
+    // the summed store equals the batch counters over the survivors,
+    // cell for cell (zero cells allowed on the store side)
+    DocStreams.publishCmsDelete(spark, store,
+      docs.filter(_._1 == 4L).toDF("doc_id", "text"), "d0",
+      depth = 4, width = 16)
+    val survivors = graft.ext.Sketch.cmsCounters(
+        docs.filter(_._1 != 4L).toDF("doc_id", "text")
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t")),
+        col("t"), depth = 4, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val afterDelete = counters().filter(_._2 != 0L)
+    afterDelete shouldBe survivors
+    // a replayed delete with the same key cannot subtract twice
+    DocStreams.publishCmsDelete(spark, store,
+      docs.filter(_._1 == 4L).toDF("doc_id", "text"), "d0",
+      depth = 4, width = 16)
+    counters().filter(_._2 != 0L) shouldBe survivors
   }
 
   test("incremental minhash: empty store bootstrap and no-candidate batches are clean") {
