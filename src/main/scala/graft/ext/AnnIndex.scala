@@ -132,9 +132,13 @@ object AnnIndex {
       // consumers (the inverted text index) whose meta has a different
       // shape — only an explicit layout = pcapq reroutes
       val m = spark.read.parquet(s"$dir/meta")
-      if (m.columns.contains("layout") &&
-          Set("pcapq", "opq")(m.head().getAs[String]("layout")))
-        return deleteIds(spark, s"$dir/pq", ids, idCol)
+      if (m.columns.contains("layout")) {
+        val l = m.head().getAs[String]("layout")
+        if (Set("pcapq", "opq")(l))
+          return deleteIds(spark, s"$dir/pq", ids, idCol)
+        if (l == "opqivfpq")
+          return deleteIds(spark, s"$dir/ivfpq", ids, idCol)
+      }
     }
     val seq = nextSeq(spark, dir)
     val dead = ids.select(qcol(idCol).cast("long").as("__id")).distinct()
@@ -701,6 +705,58 @@ object AnnIndex {
       queries.select(qcol(idCol).as("__rid"),
         Similarity.rotateExpr(qcol(vecCol), idx.rotation).as("__rvec")),
       "__rid", "__rvec", k, where)
+  }
+
+  /** OPQ × IVF-PQ — the FAISS production index string
+    * (`OPQm,IVFnlist,PQm`): the learned rotation in front of the
+    * cluster-partitioned codes layout, so the serving path composes
+    * BOTH scale levers — nprobe partition pruning AND the
+    * rotation-conditioned quantizer. Coarse centroids and codebooks
+    * train in the ROTATED space; queries rotate once, then ride the
+    * standard IVF-PQ pruned ADC path.
+    */
+  def buildOpqIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, dim: Int, nlist: Int, m: Int, ksub: Int, iters: Int = 2,
+      opqIters: Int = 3, maxTrainRows: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val r = Similarity.opqRotation(corpus, idCol, vecCol, dim, m, ksub,
+      opqIters, maxTrainRows = if (maxTrainRows > 0) maxTrainRows else 1024)
+    writeMeta(spark, dir, m = 0, sub = 0, nlist = -1, layout = "opqivfpq")
+    writeRotation(spark, dir, r)
+    buildIvfPq(corpus.select(qcol(idCol).as("__rid"),
+        Similarity.rotateExpr(qcol(vecCol), r).as("__rvec")),
+      "__rid", "__rvec", s"$dir/ivfpq", nlist, m, ksub, iters)
+  }
+
+  def readOpqIvfPq(spark: SparkSession, dir: String): PcaPqIndex = {
+    require(readLayout(spark, dir) == "opqivfpq",
+      s"$dir is not an OPQ×IVF-PQ index — each layout has its own reader")
+    PcaPqIndex(readRotation(spark, dir), s"$dir/ivfpq", dir)
+  }
+
+  /** Rotate queries against the stored matrix, then the partition-pruned
+    * IVF-PQ ADC path over the nested index.
+    */
+  def opqIvfPqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      where: Column = lit(true)): DataFrame = {
+    val idx = readOpqIvfPq(spark, dir)
+    ivfPqTopK(spark, readIvfPq(spark, idx.pqDir),
+      queries.select(qcol(idCol).as("__rid"),
+        Similarity.rotateExpr(qcol(vecCol), idx.rotation).as("__rvec")),
+      "__rid", "__rvec", k, nprobe, where)
+  }
+
+  /** [[appendIvfPq]] through the OPQ rotation (frozen rotation, coarse
+    * quantizer and codebooks).
+    */
+  def appendOpqIvfPq(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val idx = readOpqIvfPq(spark, dir)
+    appendIvfPq(spark, idx.pqDir,
+      rows.select(qcol(idCol).as("__rid"),
+        Similarity.rotateExpr(qcol(vecCol), idx.rotation).as("__rvec")),
+      "__rid", "__rvec")
   }
 
   /** [[appendPq]] through the OPQ rotation (frozen rotation + codebooks). */
@@ -1294,6 +1350,7 @@ object AnnIndex {
         // turn a compaction request into an unknown-layout error
         case "pcapq" => compactPcaPq(spark, dir)
         case "opq"   => compactPq(spark, s"$dir/pq")
+        case "opqivfpq" => compactIvfPq(spark, s"$dir/ivfpq")
         case other => throw new IllegalStateException(
           s"$dir has unknown index layout '$other'")
       }

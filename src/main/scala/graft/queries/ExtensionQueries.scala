@@ -57,7 +57,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v12_maxsim_opq")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v13_opqivf")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -170,6 +170,12 @@ object ExtensionQueries {
       // replays the stored rotation + ADC path like x_knn_pcapq
       "opq" -> (() => AnnIndex.buildOpq(emb, "vec_id", "embedding",
         s"$tmp/opq", dim = 64, m = 8, ksub = 16, iters = 2, opqIters = 3)),
+      // OPQ x IVF-PQ: the FAISS production composition (OPQ8,IVF16,PQ8)
+      // — rotation + cluster-partitioned codes; x_knn_opqivfpq replays
+      // rotation, probe, pruned ADC and ranking from the stored tables
+      "opqivf" -> (() => AnnIndex.buildOpqIvfPq(emb, "vec_id", "embedding",
+        s"$tmp/opqivf", dim = 64, nlist = 16, m = 8, ksub = 16, iters = 2,
+        opqIters = 3)),
       // BQ: training-free sign sketches beside the exact vectors — one
       // table whose column pruning is the two-tier storage (x_knn_bq
       // replays the whole query path over it in DuckDB)
@@ -4085,6 +4091,66 @@ object ExtensionQueries {
         "vec_id", "embedding", 5)
   }
 
+  /** OPQ × IVF-PQ serving — the FAISS production index string
+    * (`OPQ8,IVF16,PQ8`): queries rotate against the stored matrix,
+    * then ride the partition-pruned IVF-PQ ADC path over the nested
+    * index. Oracle = the stored rotation prefix composed with the
+    * x_knn_ivfpq replay (probe selection, pruned codes scan, ADC,
+    * ranking) against the nested tables.
+    */
+  val knnOpqIvfPq = q("x_knn_opqivfpq",
+    """WITH qv0 AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |rot AS (SELECT __i, __row FROM read_parquet('__GRAFT_ANNIDX__/opqivf/rotation/*.parquet')),
+      |rq AS (
+      |  SELECT qv0.qid, rot.__i,
+      |         list_sum(list_transform(range(1, 65), t -> qv0.v[t] * rot.__row[t])) AS y
+      |  FROM qv0, rot),
+      |qv AS (SELECT qid, list(y ORDER BY __i) AS v FROM rq GROUP BY qid),
+      |cent AS (
+      |  SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/opqivf/ivfpq/coarse/*.parquet')),
+      |probe AS (
+      |  SELECT qid, __cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY
+      |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+      |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+      |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+      |           __cid) AS pr
+      |  FROM qv, cent),
+      |probed AS (SELECT qid, __cid FROM probe WHERE pr <= 4),
+      |nq AS (
+      |  SELECT qid,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      |  FROM qv),
+      |cb AS (
+      |  SELECT __j, __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/opqivf/ivfpq/codebooks/*.parquet')),
+      |lut AS (
+      |  SELECT qid, __j, __cid AS code,
+      |         list_sum(list_transform(generate_series(1, len(centroid)),
+      |           i -> u[__j * 8 + i] * centroid[i])) AS p
+      |  FROM nq, cb),
+      |codes AS (
+      |  SELECT __id AS nid, __j, __code, CAST(__cluster AS INTEGER) AS cl
+      |  FROM read_parquet('__GRAFT_ANNIDX__/opqivf/ivfpq/codes/*/*.parquet', hive_partitioning=1)),
+      |scored AS (
+      |  SELECT l.qid, c.nid, round(sum(l.p), 4) AS s
+      |  FROM probed p
+      |  JOIN codes c ON c.cl = p.__cid
+      |  JOIN lut l ON l.qid = p.qid AND l.__j = c.__j AND l.code = c.__code
+      |  WHERE l.qid <> c.nid GROUP BY l.qid, c.nid),
+      |ranked AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id, s AS cosine_pq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine_pq FROM ranked WHERE rank <= 5""".stripMargin) {
+    (s, dir) =>
+      val idx = stageAnnIndexes(s, dir)
+      AnnIndex.opqIvfPqTopK(s, s"$idx/opqivf",
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, nprobe = 4)
+  }
+
   /** The rotation's defining invariant, pinned on real data: a pure
     * rotation preserves cosine EXACTLY, so brute-force search through
     * the stored matrix must equal brute force on the raw vectors —
@@ -5160,7 +5226,7 @@ object ExtensionQueries {
     multimodalDecode, multimodalFrames, multimodalAviFrames,
     multimodalImageMeta, multimodalAudioMeta,
     multimodalPhash, dedupPhash, dedupCrossmodal,
-    cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, textUnigramCount,
+    cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, knnOpqIvfPq, textUnigramCount,
     textChunksUnigram, packSequencesUnigram,
   )
 }

@@ -84,6 +84,34 @@ class PcaPqSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect() should contain(7L)
   }
 
+  test("OPQ x IVF-PQ: full probe + lossless geometry equals brute force; delete routes to the nested index") {
+    val c = corpus(16)
+    val dir = tmpDir("graft_opqivf")
+    AnnIndex.buildOpqIvfPq(c, "vec_id", "embedding", dir, dim = 16,
+      nlist = 4, m = 4, ksub = 16, iters = 1, opqIters = 2)
+    // nprobe = nlist and ksub = corpus size: both approximations vanish
+    val served = AnnIndex.opqIvfPqTopK(spark, dir, c.filter($"vec_id" < 3),
+        "vec_id", "embedding", 5, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(c.filter($"vec_id" < 3), c,
+        "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    served shouldBe brute
+    // generic deleteIds on the ROOT routes to the nested ivfpq liveness
+    AnnIndex.deleteIds(spark, dir, Seq(9L).toDF("vec_id"), "vec_id")
+    AnnIndex.opqIvfPqTopK(spark, dir, c.filter($"vec_id" < 3),
+        "vec_id", "embedding", 5, nprobe = 4)
+      .select("neighbor_id").as[Long].collect() should not contain 9L
+    // append through the frozen rotation + quantizers re-serves it
+    AnnIndex.appendOpqIvfPq(spark, dir, c.filter($"vec_id" === 9),
+      "vec_id", "embedding")
+    AnnIndex.opqIvfPqTopK(spark, dir, c.filter($"vec_id" < 3),
+        "vec_id", "embedding", 16, nprobe = 4)
+      .select("neighbor_id").as[Long].collect() should contain(9L)
+  }
+
   test("pcaRotation is orthonormal and rotateExpr preserves cosine exactly") {
     val c = corpus(200)
     val r = Similarity.pcaRotation(c, "vec_id", "embedding", dim = 16)
