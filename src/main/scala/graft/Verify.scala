@@ -94,6 +94,31 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] bpe copy failed: ${e.getMessage}")
     }
+    // same contract for the text-index maintenance fixture and the
+    // cascade fixture's stores (x_store_health replays their tombstone
+    // liveness): whole sub-stores copied under dot-dirs
+    val tiSrc = "/tmp/graft_textindex/" + graft.queries.Staging.tag(sfDir)
+    val tiIdx = s"$outDir/.textidx"
+    val cSrc = "/tmp/graft_cascade/" + graft.queries.Staging.tag(sfDir)
+    val cIdx = s"$outDir/.cascade"
+    try {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tiIdx))
+      Seq("inv", "inv_maint").foreach { d =>
+        val from = new java.io.File(s"$tiSrc/$d")
+        if (from.isDirectory)
+          org.apache.commons.io.FileUtils.copyDirectory(from,
+            new java.io.File(tiIdx, d))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cIdx))
+      Seq("text_pos", "dedup_store").foreach { d =>
+        val from = new java.io.File(s"$cSrc/$d")
+        if (from.isDirectory)
+          org.apache.commons.io.FileUtils.copyDirectory(from,
+            new java.io.File(cIdx, d))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] store-health copy failed: ${e.getMessage}")
+    }
     // same contract for the staged unigram vocabulary (the trained
     // SentencePiece-style artifact behind x_text_unigram_count's replay)
     val uniSrc = "/tmp/graft_unigram/" + graft.queries.Staging.tag(sfDir)
@@ -111,7 +136,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_ANNIDX__", annIdx)
         .replace("__GRAFT_BPE__", bpeIdx)
-        .replace("__GRAFT_UNI__", uniIdx))}" }
+        .replace("__GRAFT_UNI__", uniIdx)
+        .replace("__GRAFT_TEXTIDX__", tiIdx)
+        .replace("__GRAFT_CASCADE__", cIdx))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -347,6 +347,29 @@ object TextIndex {
     if (total == 0L) 0.0 else (total - live).toDouble / total
   }
 
+  /** [[graft.ext.AnnIndex.healthReport]] for the text layouts: per
+    * layout the physical row count of its main table (lens for the
+    * inverted index — one row per doc generation; positions for the
+    * positional one), the live count under tombstone semantics, and the
+    * debt the compaction policy prices. All-integer numerators plus one
+    * division — hash-matchable against a replay over the stored tables.
+    */
+  def healthReport(spark: SparkSession,
+      layouts: Seq[(String, String)]): DataFrame = {
+    require(layouts.nonEmpty, "no layouts to report")
+    layouts.map { case (name, dir) =>
+      val table =
+        if (graft.util.Hfs.exists(spark, s"$dir/lens")) s"$dir/lens"
+        else s"$dir/positions"
+      val (total, live) = AnnIndex.tableCounts(spark, dir, table)
+      val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
+      spark.range(1).select(lit(name).as("layout"),
+        lit(total).as("total_rows"), lit(live).as("live_rows"),
+        lit(total - live).as("dead_rows"),
+        lit(debt).as("tombstone_debt"))
+    }.reduce(_ unionByName _)
+  }
+
   /** [[compact]] for the positional layout: live occurrence rows
     * rewritten (~one file per term bucket, partitioning preserved),
     * tombstone log reset, swap-published.

@@ -5007,6 +5007,67 @@ object ExtensionQueries {
       docWhere = d => d % 2 === 0)
   }
 
+  /** Store-health dashboard across the NON-ANN store families — the
+    * maintenance number a store fleet tracks per day, extended beyond
+    * the vector layouts (x_index_health) to the inverted/positional
+    * text indexes and the streaming dedup signature store: physical
+    * rows, live rows under each family's tombstone semantics
+    * ((__id, __seq) max-tombstone liveness for the text layouts, the
+    * id-tombstone log for the dedup store), and the debt each
+    * compaction policy prices. All-integer numerators, replayed from
+    * the stored tables: the full-build index reports zero debt, the
+    * maintenance fixture reports its delete/update history, the
+    * takedown-tombstoned positional index and signature store report
+    * the cascade's forget — four different tombstone disciplines under
+    * one dashboard row shape.
+    */
+  val storeHealth = q("x_store_health",
+    """WITH d_im AS (SELECT __id, max(__seq) AS tseq
+      |             FROM read_parquet('__GRAFT_TEXTIDX__/inv_maint/tombstones/*.parquet') GROUP BY 1),
+      |m_im AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.tseq IS NULL OR coalesce(l.__seq, 0) > d.tseq THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_TEXTIDX__/inv_maint/lens/*.parquet') l
+      |  LEFT JOIN d_im d ON l.__id = d.__id),
+      |d_tp AS (SELECT __id, max(__seq) AS tseq
+      |         FROM read_parquet('__GRAFT_CASCADE__/text_pos/tombstones/*.parquet') GROUP BY 1),
+      |m_tp AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.tseq IS NULL OR coalesce(p.__seq, 0) > d.tseq THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_CASCADE__/text_pos/positions/*/*.parquet', hive_partitioning=1) p
+      |  LEFT JOIN d_tp d ON p.__id = d.__id),
+      |d_ds AS (SELECT DISTINCT __id
+      |         FROM read_parquet('__GRAFT_CASCADE__/dedup_store/id_tombstones/*.parquet')),
+      |m_ds AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.__id IS NULL THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_CASCADE__/dedup_store/sigs/*/*.parquet', hive_partitioning=1) s
+      |  LEFT JOIN d_ds d ON s.__id = d.__id)
+      |SELECT 'inv' AS layout, CAST(count(*) AS BIGINT) AS total_rows,
+      |       CAST(count(*) AS BIGINT) AS live_rows, CAST(0 AS BIGINT) AS dead_rows,
+      |       0.0 AS tombstone_debt
+      |FROM read_parquet('__GRAFT_TEXTIDX__/inv/lens/*.parquet')
+      |UNION ALL
+      |SELECT 'inv_maint', total, live, total - live,
+      |       CASE WHEN total = 0 THEN 0.0 ELSE CAST(total - live AS DOUBLE) / total END
+      |FROM m_im
+      |UNION ALL
+      |SELECT 'pos_takedown', total, live, total - live,
+      |       CASE WHEN total = 0 THEN 0.0 ELSE CAST(total - live AS DOUBLE) / total END
+      |FROM m_tp
+      |UNION ALL
+      |SELECT 'dedup_sigs', total, live, total - live,
+      |       CASE WHEN total = 0 THEN 0.0 ELSE CAST(total - live AS DOUBLE) / total END
+      |FROM m_ds""".stripMargin) { (s, dir) =>
+    val ti = stageTextIndex(s, dir)
+    val cf = stageCascadeFixtures(s, dir)
+    graft.ext.TextIndex.healthReport(s, Seq(
+        "inv" -> s"$ti/inv", "inv_maint" -> s"$ti/inv_maint",
+        "pos_takedown" -> s"$cf/text_pos"))
+      .unionByName(graft.streaming.DocStreams.dedupStoreHealth(s,
+        "dedup_sigs", s"$cf/dedup_store"))
+  }
+
   /** The bounded corpus the cascading-delete gate forgets from: 64 docs
     * plus near-copy variants of every 10th — small enough that every
     * derived store builds in scheduler time, shaped enough that deletes
@@ -5227,6 +5288,6 @@ object ExtensionQueries {
     multimodalImageMeta, multimodalAudioMeta,
     multimodalPhash, dedupPhash, dedupCrossmodal,
     cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, knnOpqIvfPq, textUnigramCount,
-    textChunksUnigram, packSequencesUnigram,
+    textChunksUnigram, packSequencesUnigram, storeHealth,
   )
 }

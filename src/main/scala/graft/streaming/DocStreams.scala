@@ -416,16 +416,37 @@ object DocStreams {
     * [[graft.ext.AnnIndex.tombstoneDebt]] shape).
     */
   def dedupStoreDebt(spark: SparkSession, storeDir: String): Double = {
+    val (total, live) = dedupStoreCounts(spark, storeDir)
+    if (total == 0L) 0.0 else (total - live).toDouble / total
+  }
+
+  /** (total signature rows, live rows) under the id-tombstone log. */
+  private def dedupStoreCounts(spark: SparkSession, storeDir: String): (Long, Long) = {
     val sigsPath = s"$storeDir/sigs"
-    if (!graft.util.Hfs.exists(spark, sigsPath) ||
-        !graft.util.Hfs.exists(spark, idTombstonesPath(storeDir))) return 0.0
+    if (!graft.util.Hfs.exists(spark, sigsPath)) return (0L, 0L)
+    if (!graft.util.Hfs.exists(spark, idTombstonesPath(storeDir))) {
+      val n = spark.read.parquet(sigsPath).count()
+      return (n, n)
+    }
     val t = spark.read.parquet(idTombstonesPath(storeDir)).distinct()
     val r = spark.read.parquet(sigsPath).select(col("__id"))
       .join(broadcast(t.withColumn("__dead", lit(1))), Seq("__id"), "left")
       .agg(count(lit(1)).as("__total"), count(col("__dead")).as("__dead_n"))
       .head()
-    val total = r.getLong(0)
-    if (total == 0L) 0.0 else r.getLong(1).toDouble / total
+    (r.getLong(0), r.getLong(0) - r.getLong(1))
+  }
+
+  /** The dedup store's row in a store-health dashboard — the
+    * [[graft.ext.AnnIndex.healthReport]] shape over the signature
+    * store's id-tombstone liveness.
+    */
+  def dedupStoreHealth(spark: SparkSession, name: String,
+      storeDir: String): DataFrame = {
+    val (total, live) = dedupStoreCounts(spark, storeDir)
+    val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
+    spark.range(1).select(lit(name).as("layout"),
+      lit(total).as("total_rows"), lit(live).as("live_rows"),
+      lit(total - live).as("dead_rows"), lit(debt).as("tombstone_debt"))
   }
 
   /** The stored score column of a dedup store (est_jaccard or hamming),

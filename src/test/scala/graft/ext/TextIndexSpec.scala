@@ -111,6 +111,52 @@ class TextIndexSpec extends SparkSpec {
       .collect() shouldBe empty
   }
 
+  test("healthReport: zero debt on a full build, exact counts after deletes, zero after compaction") {
+    val docs = corpus.toDF("doc_id", "text")
+    val inv = tmpDir("invhealth")
+    val pos = tmpDir("poshealth") + "/p"
+    TextIndex.build(docs, "doc_id", "text", inv, parts = 4)
+    TextIndex.buildPositional(Seq(
+      (1L, "big data big data"), (2L, "data big"), (3L, "big big"))
+      .toDF("doc_id", "text"), "doc_id", "text", pos, parts = 4)
+    def rows() = TextIndex.healthReport(spark, Seq("inv" -> inv, "pos" -> pos))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // fresh builds: every physical row live, zero debt
+    val fresh = rows()
+    fresh("inv") shouldBe ((6L, 6L, 0L, 0.0))
+    fresh("pos")._1 shouldBe fresh("pos")._2
+    fresh("pos")._4 shouldBe 0.0
+    // one inverted delete (doc 3) + one positional delete (doc 1, 4 of
+    // the 8 occurrence rows): totals unchanged, live drops exactly
+    TextIndex.deleteDocs(spark, inv, docs.filter($"doc_id" === 3), "doc_id")
+    AnnIndex.deleteIds(spark, pos, Seq(1L).toDF("doc_id"), "doc_id")
+    val after = rows()
+    after("inv") shouldBe ((6L, 5L, 1L, 1.0 / 6))
+    after("pos") shouldBe ((8L, 4L, 4L, 0.5))
+    // compaction drops the dead rows and the debt returns to zero
+    TextIndex.compact(spark, inv)
+    TextIndex.compactPositional(spark, pos)
+    val compacted = rows()
+    compacted("inv") shouldBe ((5L, 5L, 0L, 0.0))
+    compacted("pos") shouldBe ((4L, 4L, 0L, 0.0))
+  }
+
+  test("dedupStoreHealth prices the id-tombstone log; no log means all rows live") {
+    import graft.streaming.DocStreams
+    val store = tmpDir("dedupstorehealth")
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("__id", "__part").write.partitionBy("__part")
+      .parquet(s"$store/sigs")
+    def row() = DocStreams.dedupStoreHealth(spark, "sigs", store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).head
+    row() shouldBe (("sigs", 4L, 4L, 0L, 0.0))
+    // duplicate tombstone entries for one id must not double-count
+    Seq(2L, 2L, 9L).toDF("__id").write.parquet(s"$store/id_tombstones")
+    row() shouldBe (("sigs", 4L, 3L, 1L, 0.25))
+  }
+
   test("queries whose terms miss every bucket return an empty, well-typed frame") {
     val docs = corpus.toDF("doc_id", "text")
     val dir = tmpDir("invmiss")
