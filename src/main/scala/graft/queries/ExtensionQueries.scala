@@ -5068,6 +5068,108 @@ object ExtensionQueries {
         "dedup_sigs", s"$cf/dedup_store"))
   }
 
+  /** Scratch copies of four maintenance-history fixture stores plus one
+    * pristine one, swept ONCE by [[graft.ext.StoreMaintenance.sweep]] at
+    * threshold 0.1, report persisted. Copies, because the sweep MUTATES
+    * (compacts) its stores and the originals are read by the health
+    * dashboards — and because a second sweep of the same stores would
+    * see zero debt, so idempotency lives in the persisted report, not in
+    * re-running the action. The fixtures are chosen to exercise every
+    * decision branch: zero debt (inv), sub-threshold debt left alone
+    * (inv_maint at sf0.01+), and over-threshold debt compacted through
+    * three different families' rewrites (ann codes, positional text,
+    * dedup signatures).
+    */
+  def stageSweepFixtures(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_sweep/${Staging.tag(dir)}"
+    val done = new java.io.File(s"$tmp/_SWEEP_DONE_v1")
+    if (done.exists()) return tmp
+    val tmpDir = new java.io.File(tmp)
+    if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
+    val ti = stageTextIndex(s, dir)
+    val cf = stageCascadeFixtures(s, dir)
+    val ai = stageAnnIndexes(s, dir)
+    Seq(s"$ti/inv" -> "inv", s"$ti/inv_maint" -> "inv_maint",
+        s"$ai/pq_del16" -> "pq_del16", s"$cf/text_pos" -> "text_pos",
+        s"$cf/dedup_store" -> "dedup_store").foreach { case (from, name) =>
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(from), new java.io.File(s"$tmp/$name"))
+    }
+    graft.ext.StoreMaintenance.sweep(s, Seq(
+        graft.ext.StoreRef("inv", "text", s"$tmp/inv"),
+        graft.ext.StoreRef("inv_maint", "text", s"$tmp/inv_maint"),
+        graft.ext.StoreRef("pq_del16", "ann", s"$tmp/pq_del16"),
+        graft.ext.StoreRef("pos_takedown", "text", s"$tmp/text_pos"),
+        graft.ext.StoreRef("dedup_sigs", "dedup", s"$tmp/dedup_store")),
+      threshold = 0.1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/report")
+    done.createNewFile()
+    tmp
+  }
+
+  /** Fleet maintenance sweep — the dashboard's actuator
+    * ([[graft.ext.StoreMaintenance.sweep]]): one call measures
+    * tombstone debt across ANN, text, and dedup stores, compacts the
+    * ones at or above threshold through their own family's rewrite, and
+    * reports before/after. The oracle re-derives debt_before from the
+    * UNTOUCHED original fixture stores and PREDICTS the outcome
+    * (compacted ⇔ debt ≥ 0.1; total_after = live_before and
+    * debt_after = 0 for compacted stores, all unchanged otherwise) —
+    * while the engine side MEASURES total_after/debt_after from the
+    * swept copies on disk, so a compaction that dropped the wrong rows
+    * or left debt behind hash-fails the gate.
+    */
+  val maintenanceSweep = q("x_maintenance_sweep",
+    """WITH d_im AS (SELECT __id, max(__seq) AS tseq
+      |             FROM read_parquet('__GRAFT_TEXTIDX__/inv_maint/tombstones/*.parquet') GROUP BY 1),
+      |m_im AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.tseq IS NULL OR coalesce(l.__seq, 0) > d.tseq THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_TEXTIDX__/inv_maint/lens/*.parquet') l
+      |  LEFT JOIN d_im d ON l.__id = d.__id),
+      |d_pq AS (SELECT __id, max(__seq) AS tseq
+      |         FROM read_parquet('__GRAFT_ANNIDX__/pq_del16/tombstones/*.parquet') GROUP BY 1),
+      |m_pq AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.tseq IS NULL OR coalesce(c.__seq, 0) > d.tseq THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_ANNIDX__/pq_del16/codes/*.parquet') c
+      |  LEFT JOIN d_pq d ON c.__id = d.__id),
+      |d_tp AS (SELECT __id, max(__seq) AS tseq
+      |         FROM read_parquet('__GRAFT_CASCADE__/text_pos/tombstones/*.parquet') GROUP BY 1),
+      |m_tp AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.tseq IS NULL OR coalesce(p.__seq, 0) > d.tseq THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_CASCADE__/text_pos/positions/*/*.parquet', hive_partitioning=1) p
+      |  LEFT JOIN d_tp d ON p.__id = d.__id),
+      |d_ds AS (SELECT DISTINCT __id
+      |         FROM read_parquet('__GRAFT_CASCADE__/dedup_store/id_tombstones/*.parquet')),
+      |m_ds AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(CASE WHEN d.__id IS NULL THEN 1 END) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_CASCADE__/dedup_store/sigs/*/*.parquet', hive_partitioning=1) s
+      |  LEFT JOIN d_ds d ON s.__id = d.__id),
+      |r AS (
+      |  SELECT 'inv' AS store, 'text' AS kind, CAST(count(*) AS BIGINT) AS total,
+      |         CAST(count(*) AS BIGINT) AS live
+      |  FROM read_parquet('__GRAFT_TEXTIDX__/inv/lens/*.parquet')
+      |  UNION ALL SELECT 'inv_maint', 'text', total, live FROM m_im
+      |  UNION ALL SELECT 'pq_del16', 'ann', total, live FROM m_pq
+      |  UNION ALL SELECT 'pos_takedown', 'text', total, live FROM m_tp
+      |  UNION ALL SELECT 'dedup_sigs', 'dedup', total, live FROM m_ds),
+      |g AS (
+      |  SELECT store, kind, total, live,
+      |         CASE WHEN total = 0 THEN 0.0 ELSE CAST(total - live AS DOUBLE) / total END AS debt
+      |  FROM r)
+      |SELECT store, kind, total AS total_before, live AS live_before,
+      |       debt AS debt_before, debt >= 0.1 AS compacted,
+      |       CASE WHEN debt >= 0.1 THEN live ELSE total END AS total_after,
+      |       live AS live_after,
+      |       CASE WHEN debt >= 0.1 THEN 0.0 ELSE debt END AS debt_after
+      |FROM g""".stripMargin) { (s, dir) =>
+    val f = stageSweepFixtures(s, dir)
+    s.read.parquet(s"$f/report")
+  }
+
   /** The bounded corpus the cascading-delete gate forgets from: 64 docs
     * plus near-copy variants of every 10th — small enough that every
     * derived store builds in scheduler time, shaped enough that deletes
@@ -5288,6 +5390,6 @@ object ExtensionQueries {
     multimodalImageMeta, multimodalAudioMeta,
     multimodalPhash, dedupPhash, dedupCrossmodal,
     cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, knnOpqIvfPq, textUnigramCount,
-    textChunksUnigram, packSequencesUnigram, storeHealth,
+    textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
   )
 }

@@ -28,6 +28,9 @@ object InputPrep {
       "stageCascade" -> (() => { ExtensionQueries.stageCascadeFixtures(spark, sfDir); () }),
       "stageBpe" -> (() => { ExtensionQueries.stageBpeModel(spark, sfDir); () }),
       "stageUnigram" -> (() => { ExtensionQueries.stageUnigramModel(spark, sfDir); () }),
+      // depends on stageAnnIndexes/stageTextIndex/stageCascade above
+      // (copies their stores, then runs the one memoized sweep)
+      "stageSweep" -> (() => { ExtensionQueries.stageSweepFixtures(spark, sfDir); () }),
       "stageBucketed" -> (() => ScaleQueries.stageBucketed(spark, sfDir)),
       "stagePartitioned" -> (() => ScaleQueries.stagePartitioned(spark, sfDir)),
       "stageJsonl" -> (() => ScaleQueries.stageJsonl(spark, sfDir)),

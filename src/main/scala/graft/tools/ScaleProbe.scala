@@ -240,6 +240,19 @@ object ScaleProbe {
         pruned.filter(col("xd").between(96, 159) && col("yd").between(192, 287))
           .count()
       }
+      // fleet maintenance sweep over a 20%-tombstoned inverted index:
+      // counter-sized debt measurement + the live-row compaction rewrite
+      // (the store build/tombstoning is fixture prep, outside the timer)
+      val swdir = s"/tmp/graft_scaleprobe_sweep/x$m"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(swdir))
+      graft.ext.TextIndex.build(d, "doc_id", "text", s"$swdir/inv", parts = 16)
+      graft.ext.TextIndex.deleteDocs(spark, s"$swdir/inv",
+        d.filter(col("doc_id") % 5 === 0), "doc_id")
+      time(s"sweep_x$m") {
+        graft.ext.StoreMaintenance.sweep(spark, Seq(
+          graft.ext.StoreRef("inv", "text", s"$swdir/inv")),
+          threshold = 0.1).count()
+      }
     }
 
     // ---- portable vs XXH64 family A/B (1× corpus, gate shapes) ----
