@@ -4823,6 +4823,118 @@ object ExtensionQueries {
       model, docs.filter(col("doc_id") % 5 === 0), "doc_id", toks)
   }
 
+  /** Feature expressions for the logistic classifier — shared shape with
+    * [[lrOracleSql]]'s textual features: every operation is IEEE-exact
+    * (integer counts from the portable tokenizer, then only ÷ and
+    * greatest), so Spark and DuckDB compute bit-identical doubles and
+    * the TRAINED WEIGHTS replay exactly. Order of terms and association
+    * of divisions must match the SQL strings verbatim.
+    */
+  private def lrFeatures(): Seq[org.apache.spark.sql.Column] = {
+    val t = TextAnalysis.tokens(col("text"))
+    val nc = length(col("text")).cast("double")
+    val gt = greatest(size(t), lit(1)).cast("double")
+    // centered/rescaled by FIXED literals (a priori constants, not data
+    // statistics — data-dependent standardization would need a float
+    // mean whose partition-order-dependent sum breaks bit-exactness):
+    // roughly zero-mean unit-ish features converge in ~8 GD passes
+    // where the raw ones need 32+
+    Seq(
+      (nc / lit(1000.0) - lit(0.3)) * lit(4.0),
+      (size(t).cast("double") / lit(100.0) - lit(0.55)) * lit(4.0),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double") - lit(0.8)) * lit(4.0),
+      (size(filter(t, x => x.isin("the", "a", "and", "of", "to", "in",
+        "is", "it", "that", "for"))).cast("double") / gt - lit(0.0625)) * lit(8.0),
+      (nc / gt / lit(10.0) - lit(0.55)) * lit(4.0),
+    )
+  }
+
+  /** The full LR training trajectory as DuckDB SQL: `iters` gradient +
+    * weight-update CTE pairs unrolled textually (no recursive-CTE
+    * aggregate needed), then the held-out split scored with the final
+    * weights. Bit-exact against [[graft.ext.Classify.trainLogistic]]
+    * because both sides use only IEEE-exact ops and the fixed-point
+    * BIGINT gradient reduction — see the Scaladoc there.
+    */
+  private def lrOracleSql(iters: Int, lr: Double = 8.0): String = {
+    val stop = "['the','a','and','of','to','in','is','it','that','for']"
+    val feats = Seq(
+      "(CAST(length(text) AS DOUBLE)/1000.0 - 0.3)*4.0",
+      "(CAST(len(__toks) AS DOUBLE)/100.0 - 0.55)*4.0",
+      "(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +
+        "/CAST(greatest(length(text),1) AS DOUBLE) - 0.8)*4.0",
+      s"(CAST(len(list_filter(__toks, x -> list_contains($stop, x))) AS DOUBLE)" +
+        "/CAST(greatest(len(__toks),1) AS DOUBLE) - 0.0625)*8.0",
+      "(CAST(length(text) AS DOUBLE)/CAST(greatest(len(__toks),1) AS DOUBLE)/10.0 - 0.55)*4.0",
+    )
+    val k = feats.length
+    val xs = (1 to k).map(j => s"x$j").mkString(", ")
+    val zExpr = ("w.w0" +: (1 to k).map(j => s"w.w$j*x$j")).mkString(" + ")
+    def gsel(j: Int) = {
+      val v = if (j == 0) "e" else s"e*x$j"
+      s"sum(CAST(sign($v)*floor(abs($v)*1000000.0) AS BIGINT)) AS g$j"
+    }
+    val featSel = feats.zipWithIndex.map { case (f, i) => s"$f AS x${i + 1}" }
+      .mkString(",\n         ")
+    val iterCtes = (0 until iters).map { i =>
+      s"""gr$i AS MATERIALIZED (
+         |  SELECT ${(0 to k).map(gsel).mkString(",\n         ")}
+         |  FROM (SELECT 0.5 + z/(2.0*(1.0+abs(z))) - y AS e, $xs
+         |        FROM (SELECT y, $xs, $zExpr AS z FROM tr, wi$i w))),
+         |wi${i + 1} AS MATERIALIZED (
+         |  SELECT ${(0 to k).map(j =>
+               s"w.w$j - $lr*((CAST(g.g$j AS DOUBLE)/1000000.0)/nn.n) AS w$j")
+               .mkString(",\n         ")}
+         |  FROM wi$i w, gr$i g, nn)""".stripMargin
+    }.mkString(",\n")
+    val tokenize =
+      "list_filter(string_split_regex(lower(trim(text)), '" + "\\" +
+        "W+'), x -> x <> '')"
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, lang, text, $tokenize AS __toks
+       |  FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN len(__toks) >= 55 THEN 1.0 ELSE 0.0 END AS y,
+       |         $featSel
+       |  FROM base),
+       |tr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 0),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
+       |wi0 AS (SELECT ${(0 to k).map(j => s"0.0 AS w$j").mkString(", ")}),
+       |$iterCtes
+       |SELECT doc_id,
+       |       CAST(floor((0.5 + z/(2.0*(1.0+abs(z))))*1000000.0) AS BIGINT) AS prob_q,
+       |       CASE WHEN z >= 0 THEN 1 ELSE 0 END AS predicted
+       |FROM (SELECT doc_id, $zExpr AS z FROM f, wi$iters w WHERE doc_id % 5 = 0)""".stripMargin
+  }
+
+  /** Deterministic distributed logistic regression — the TRAINED quality/
+    * routing filter (fastText/CCNet-class), with the TRAINING ITSELF under
+    * oracle: full-batch GD distills a teacher gating rule (token count ≥
+    * 55 — the labels a rule-based quality pass produces) into a linear
+    * scorer over shape features of the %5≠0 split; the held-out %5=0
+    * split is scored with the final weights (8 iterations at lr 8 over
+    * the literal-centered features reach 100% held-out agreement with
+    * the teacher — the model really learns the boundary, it doesn't
+    * just predict the majority class).
+    * The algebraic sigmoid + fixed-point BIGINT gradient reduction make
+    * the whole trajectory bit-reproducible across partitionings AND
+    * engines, so the DuckDB oracle replays all 8 weight updates exactly
+    * — a hash mismatch is a real training divergence, not float noise.
+    * At 100 TB: `iters` narrow scans with counter-sized driver state.
+    */
+  val classifyLr = q("x_classify_lr", lrOracleSql(8)) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val feats = lrFeatures()
+    val y = when(size(TextAnalysis.tokens(col("text"))) >= 55, lit(1.0))
+      .otherwise(lit(0.0))
+    val w = graft.ext.Classify.trainLogistic(
+      docs.filter(col("doc_id") % 5 =!= 0), feats, y, iters = 8, lr = 8.0)
+    graft.ext.Classify.scoreLogistic(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", feats, w)
+  }
+
   /** Hard-negative mining over the labeled embeddings: per query the
     * top-5 most-similar vectors with a DIFFERENT label — contrastive-
     * batch construction. Same deterministic top-k discipline as
@@ -5391,5 +5503,6 @@ object ExtensionQueries {
     multimodalPhash, dedupPhash, dedupCrossmodal,
     cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, knnOpqIvfPq, textUnigramCount,
     textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
+    classifyLr,
   )
 }

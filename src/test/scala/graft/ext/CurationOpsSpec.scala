@@ -81,6 +81,61 @@ class CurationOpsSpec extends SparkSpec {
     got shouldBe Set((1L, 2L))
   }
 
+  // ---- deterministic distributed logistic regression -----------------
+
+  /** Linearly separable synthetic set: y = 1 iff x1 + x2 > 0. */
+  private def lrFrame(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      (i.toLong, x1, x2, if (x1 + x2 > 0) 1.0 else 0.0)
+    }.toDF("id", "x1", "x2", "y")
+  }
+
+  test("trainLogistic is bit-identical across partitionings") {
+    val df = lrFrame(500, 21)
+    val feats = Seq(col("x1"), col("x2"))
+    val w1 = Classify.trainLogistic(df, feats, col("y"), iters = 6)
+    val w2 = Classify.trainLogistic(df.repartition(7), feats, col("y"), iters = 6)
+    val w3 = Classify.trainLogistic(df.repartition(1), feats, col("y"), iters = 6)
+    // EXACT equality — the fixed-point BIGINT gradient reduction makes the
+    // trajectory independent of partition count and combine order
+    w1.toSeq shouldBe w2.toSeq
+    w1.toSeq shouldBe w3.toSeq
+  }
+
+  test("trainLogistic learns a separable boundary and squared loss falls") {
+    val train = lrFrame(500, 22)
+    val test0 = lrFrame(200, 23)
+    def mse(iters: Int): Double = {
+      val w = Classify.trainLogistic(train, Seq(col("x1"), col("x2")), col("y"),
+        iters = iters, lr = 2.0)
+      Classify.scoreLogistic(test0, "id", Seq(col("x1"), col("x2")), w)
+        .join(test0, "id")
+        .select(avg(pow(col("prob_q").cast("double") / 1e6 - col("y"), 2)))
+        .head().getDouble(0)
+    }
+    val m1 = mse(1); val m12 = mse(12)
+    m12 should be < m1
+    val w = Classify.trainLogistic(train, Seq(col("x1"), col("x2")), col("y"),
+      iters = 12, lr = 2.0)
+    val acc = Classify.scoreLogistic(test0, "id", Seq(col("x1"), col("x2")), w)
+      .join(test0, "id")
+      .select(avg(when(col("predicted").cast("double") === col("y"), 1.0)
+        .otherwise(0.0)))
+      .head().getDouble(0)
+    acc should be >= 0.95
+  }
+
+  test("scoreLogistic: prob_q/predicted match the closed form") {
+    val w = Array(0.25, 1.0) // z = 0.25 + x
+    val out = Classify.scoreLogistic(Seq((1L, 0.75), (2L, -1.25), (3L, -0.25))
+        .toDF("id", "x"), "id", Seq(col("x")), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList.sorted
+    def pq(z: Double): Long = math.floor((0.5 + z / (2.0 * (1.0 + math.abs(z)))) * 1e6).toLong
+    out shouldBe List((1L, pq(1.0), 1), (2L, pq(-1.0), 0), (3L, pq(0.0), 1))
+  }
+
   test("naive bayes classifies by token evidence; OOV tokens carry none") {
     val train = Seq(
       (1L, "spark scala jvm", "code"), (2L, "jvm scala build", "code"),
