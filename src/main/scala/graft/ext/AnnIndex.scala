@@ -101,18 +101,44 @@ object AnnIndex {
     * corpus-wide max-seq shuffle here.
     */
   private[ext] def liveOnly(spark: SparkSession, dir: String, rows: DataFrame): DataFrame =
-    readTombstones(spark, dir) match {
+    liveAsOf(spark, dir, rows, None)
+
+  /** [[liveOnly]] with an optional TIME-TRAVEL horizon: `asOf = Some(S)`
+    * answers with the index state after every maintenance epoch ≤ S and
+    * none after — rows written at `__seq ≤ S`, killed only by tombstones
+    * with `__seq ≤ S` (the usual tseq ≥ rowseq rule within the cut).
+    *
+    * The epoch clock is the tombstone sequence ([[nextSeq]]): every
+    * non-empty DELETE advances it; appends land in the current epoch.
+    * An UPDATE is therefore two epochs — its tombstone's S shows the id
+    * absent (mid-update), S+1 shows the new generation — and a snapshot
+    * between the halves of an update is exactly what those two cuts
+    * return. Retention: compaction/rebuild collapse history to the
+    * current state (seq resets, tombstones drop — the same trade every
+    * log-structured store makes; cf. Delta VACUUM vs time travel), so
+    * as-of reads answer within the history SINCE the last compaction;
+    * horizons at or past the current epoch equal the live view.
+    */
+  private[ext] def liveAsOf(spark: SparkSession, dir: String, rows: DataFrame,
+      asOf: Option[Long]): DataFrame = {
+    // legacy rows written before the tombstone layout carry no __seq —
+    // treat them as generation 0
+    val seq = if (rows.columns.contains("__seq"))
+      coalesce(col("__seq"), lit(0L)) else lit(0L)
+    val cutRows = asOf match {
+      case Some(s0) => rows.filter(seq <= s0)
       case None => rows
+    }
+    readTombstones(spark, dir)
+      .map(t => asOf.map(s0 => t.filter(col("__seq") <= s0)).getOrElse(t)) match {
+      case None => cutRows
       case Some(t) =>
         val dead = t.groupBy(col("__id")).agg(max(col("__seq")).as("__tseq"))
-        // legacy rows written before the tombstone layout carry no __seq —
-        // treat them as generation 0
-        val seq = if (rows.columns.contains("__seq"))
-          coalesce(col("__seq"), lit(0L)) else lit(0L)
-        rows.join(broadcast(dead), Seq("__id"), "left")
+        cutRows.join(broadcast(dead), Seq("__id"), "left")
           .filter(col("__tseq").isNull || seq > col("__tseq"))
           .drop("__tseq")
     }
+  }
 
   /** Delete ids from a persisted index (any layout) by appending
     * tombstones — the FAISS `remove_ids` maintenance op, O(|ids|): no
@@ -197,7 +223,7 @@ object AnnIndex {
     * column metas derive from (m, nlist) — exactly the old implicit
     * encoding.
     */
-  private def readLayout(spark: SparkSession, dir: String): String = {
+  private[ext] def readLayout(spark: SparkSession, dir: String): String = {
     val df = spark.read.parquet(s"$dir/meta")
     val r = df.head()
     if (df.columns.contains("layout")) r.getAs[String]("layout")
@@ -230,10 +256,16 @@ object AnnIndex {
   /** Load a persisted PQ index as a [[Similarity.PqModel]] — drop-in for
     * `pqScores`/`pqTopK` query paths, with zero training cost.
     */
-  def readPq(spark: SparkSession, dir: String): PqModel = {
+  def readPq(spark: SparkSession, dir: String): PqModel =
+    readPqAsOf(spark, dir, None)
+
+  /** [[readPq]] at a time-travel horizon ([[liveAsOf]]): the codes view
+    * as of maintenance epoch ≤ S. None = live view.
+    */
+  def readPqAsOf(spark: SparkSession, dir: String, asOf: Option[Long]): PqModel = {
     val (m, sub, _, _) = readMeta(spark, dir)
     PqModel(spark.read.parquet(s"$dir/codebooks"),
-      liveOnly(spark, dir, spark.read.parquet(s"$dir/codes")).drop("__seq"),
+      liveAsOf(spark, dir, spark.read.parquet(s"$dir/codes"), asOf).drop("__seq"),
       m, sub)
   }
 
@@ -244,11 +276,12 @@ object AnnIndex {
     * Same per-ID-column contract as the IVF×PQ path: codes rows are
     * exploded per subvector, so the predicate must keep or drop WHOLE
     * ids (key on `__id`), never reference `__j`/`__code`.
+    * `asOf` serves the index state at a maintenance epoch ([[liveAsOf]]).
     */
   def pqTopK(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      where: Column = lit(true)): DataFrame = {
-    val model = readPq(spark, dir)
+      where: Column = lit(true), asOf: Option[Long] = None): DataFrame = {
+    val model = readPqAsOf(spark, dir, asOf)
     Similarity.pqTopKWithModel(queries, idCol, vecCol,
       model.copy(codes = model.codes.filter(where)), k)
   }
@@ -418,9 +451,13 @@ object AnnIndex {
     */
   def ivfPqTopK(spark: SparkSession, index: IvfPqIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      where: Column = lit(true)): DataFrame = {
+      where: Column = lit(true),
+      /** Time-travel horizon ([[liveAsOf]]): serve the index state as of
+        * maintenance epoch ≤ S. None = live view.
+        */
+      asOf: Option[Long] = None): DataFrame = {
     val (scored, _, _) =
-      adcScored(spark, index, queries, idCol, vecCol, nprobe, where)
+      adcScored(spark, index, queries, idCol, vecCol, nprobe, where, asOf)
     topKPerQuery(scored, "cosine_pq", "neighbor_id", k)
   }
 
@@ -447,7 +484,8 @@ object AnnIndex {
     */
   private def adcScored(spark: SparkSession, index: IvfPqIndex,
       queries: DataFrame, idCol: String, vecCol: String,
-      nprobe: Int, where: Column = lit(true)): (DataFrame, Array[Int], DataFrame) = {
+      nprobe: Int, where: Column = lit(true),
+      asOf: Option[Long] = None): (DataFrame, Array[Int], DataFrame) = {
     val q = queries.select(qcol(idCol).cast("long").as("query_id"),
       qcol(vecCol).as("__qv"))
     val probesFull = probeClusters(q, index.coarse, nprobe)
@@ -455,10 +493,10 @@ object AnnIndex {
     val probes = probesFull.select(col("query_id"), col("__cluster"))
     val probed = probes.select(col("__cluster")).distinct()
       .collect().map(_.getInt(0)) // ≤ nlist values by construction
-    val codes = liveOnly(spark, index.dir,
+    val codes = liveAsOf(spark, index.dir,
       spark.read.parquet(index.codesPath)
         .filter(col("__cluster").isin(probed.map(Int.box): _*))
-        .filter(where))
+        .filter(where), asOf)
     val adc = codes
       .join(broadcast(probes), Seq("__cluster"))
       .filter(col("query_id") =!= col("__id"))

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation over ranked lists — the harness that
+  * turns "the ANN index looks fine" into graded numbers (precision@k,
+  * MRR, NDCG@k) against a deterministic qrels set. Built bit-exact:
+  *
+  *   - per-(query, rank) relevance flags reduce to INTEGERS (hit count,
+  *     first-hit rank, one 0/1 flag per rank position), which aggregate
+  *     order-independently;
+  *   - the NDCG discount table (1/log2(r+1)) and its ideal prefix sums
+  *     are computed ONCE on the driver and flow as the SAME double
+  *     literals into both the Spark plan and any generated oracle SQL
+  *     ([[discounts]]/[[idealPrefix]] + [[literal]]), so no cross-engine
+  *     libm call ever happens;
+  *   - metrics quantize to fixed point (floor ×1e6) BIGINTs.
+  *
+  * Scale shape: one join of the ranked lists (queries×k rows) against
+  * qrels, one group-by per (system, query) producing k+3 integer
+  * aggregates — nothing corpus-sized beyond what produced the rankings.
+  */
+object Eval {
+
+  /** 1/log2(r+1) for r = 1..k — computed once, driver-side. */
+  def discounts(k: Int): Array[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).toArray
+
+  /** Ideal-DCG prefix sums: idealPrefix(k)(j) = Σ_{r≤j} discount(r),
+    * j = 0..k (index 0 = 0.0), summed left-to-right — the one summation
+    * order both engines share via the literal table.
+    */
+  def idealPrefix(k: Int): Array[Double] =
+    discounts(k).scanLeft(0.0)(_ + _)
+
+  /** Shortest round-trip decimal text of a double — parses back to the
+    * identical bits in Java AND in any IEEE-correct SQL engine, so the
+    * generated oracle works with the same values the plan does.
+    */
+  def literal(d: Double): String = java.lang.Double.toString(d)
+
+  /** Grade ranked lists against qrels. `ranked`: (groupCols..., query
+    * col `query_id`, `rank` 1-based, `neighbor_id`); `qrels`:
+    * (`query_id`, `doc_id`) relevant pairs, both long-keyed. Returns one
+    * row per (groupCols, query_id): integer `hits`/`rels`/`first_hit`
+    * plus fixed-point `prec_q`/`mrr_q`/`ndcg_q` (floor ×1e6 BIGINTs).
+    * Queries with zero relevant docs grade 0 across the board rather
+    * than dropping (an eval that silently skips ungradeable queries
+    * overstates every mean).
+    */
+  def rankedEval(ranked: DataFrame, qrels: DataFrame, k: Int,
+      groupCols: Seq[String] = Seq("system")): DataFrame = {
+    require(k >= 1 && k <= 100, s"k out of range: $k")
+    val d = discounts(k)
+    val ideal = idealPrefix(k)
+    val rels = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("rels"))
+    val flags = ranked
+      .join(qrels.withColumn("__rel", lit(1)),
+        ranked("query_id") === qrels("query_id") &&
+          col("neighbor_id") === col("doc_id"), "left")
+      .drop(qrels("query_id")).drop("doc_id")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0)))
+    val keys = groupCols.map(col) :+ col("query_id")
+    val perRank = (1 to k).map(r =>
+      max(when(col("rank") === r, col("__rel")).otherwise(lit(0))).as(s"__m$r"))
+    val aggs = Seq(
+      sum(col("__rel")).cast("long").as("hits"),
+      min(when(col("__rel") === 1, col("rank"))).as("first_hit")) ++ perRank
+    val per = flags.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .join(broadcast(rels), Seq("query_id"), "left")
+      .withColumn("rels", coalesce(col("rels"), lit(0L)))
+    // DCG: Σ m_r · D_r in FIXED rank order (left-assoc literal fold);
+    // IDCG from the literal prefix-sum table at min(rels, k)
+    val dcg = (1 to k).map(r => col(s"__m$r") * lit(d(r - 1)))
+      .reduce(_ + _)
+    val idcg = (1 to k).foldLeft(lit(ideal(k)): Column) { (acc, j) =>
+      when(col("rels") === (j - 1), lit(ideal(j - 1))).otherwise(acc)
+    }
+    def fx(c: Column): Column = floor(c * lit(1e6)).cast("long")
+    per.select(keys ++ Seq(
+      col("hits"), col("rels"),
+      // 0 = no hit in the top k; avoids a nullable-int column whose
+      // pandas dtype would drift between engines in the hash compare
+      coalesce(col("first_hit"), lit(0)).cast("long").as("first_hit"),
+      fx(col("hits").cast("double") / lit(k.toDouble)).as("prec_q"),
+      fx(when(col("first_hit").isNull, lit(0.0))
+        .otherwise(lit(1.0) / col("first_hit"))).as("mrr_q"),
+      fx(when(col("rels") === 0, lit(0.0)).otherwise(dcg / idcg)).as("ndcg_q"),
+    ): _*)
+  }
+
+  /** The CASE/arithmetic SQL fragments a generated oracle needs to
+    * replay [[rankedEval]]'s metric epilogue bit-for-bit: (dcgExpr over
+    * m1..mk columns, idcgExpr over a `rels` column) — the same literal
+    * doubles the plan uses, textualized via [[literal]].
+    */
+  def metricSqlFragments(k: Int): (String, String) = {
+    val d = discounts(k)
+    val ideal = idealPrefix(k)
+    val dcg = (1 to k).map(r => s"m$r*${literal(d(r - 1))}").mkString(" + ")
+    val idcg = (1 until k)
+      .map(j => s"WHEN rels = $j THEN ${literal(ideal(j))}")
+      .mkString(s"CASE WHEN rels = 0 THEN 0.0 ", " ",
+        s" ELSE ${literal(ideal(k))} END")
+    (dcg, idcg)
+  }
+}

@@ -109,6 +109,29 @@ object Layout {
       throw new IllegalStateException(s"manifest publish failed: $tableDir")
   }
 
+  /** Drop manifest rows whose file path contains `pathContains` — the
+    * REPAIR half of replay-safe streaming maintenance: a re-delivered
+    * micro-batch overwrites its own `ingest_batch=<id>` directory, which
+    * renames every file in it, so any manifest rows folded in by the
+    * earlier (crashed) attempt now point at dead paths. Dropping by the
+    * batch directory substring is exact (the caller knows which dir it
+    * is about to rewrite) and needs no filesystem listing. No-op when no
+    * manifest exists yet.
+    */
+  def dropManifestFiles(spark: SparkSession, tableDir: String,
+      pathContains: String): Unit = {
+    val mPath = s"$tableDir/_manifest"
+    if (!graft.util.Hfs.exists(spark, mPath)) return
+    val kept = spark.read.parquet(mPath)
+      .filter(!col("__file").contains(pathContains))
+      .localCheckpoint(eager = true) // read fully before the overwrite
+    val tmp = s"$tableDir/.manifest-${System.nanoTime()}"
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+    graft.util.Hfs.delete(spark, mPath)
+    if (!graft.util.Hfs.rename(spark, tmp, mPath))
+      throw new IllegalStateException(s"manifest publish failed: $tableDir")
+  }
+
   private def manifestRows(spark: SparkSession, tableDir: String,
       statsCols: Seq[String], keyCols: Seq[String], keyBits: Int,
       newOnly: Option[DataFrame]): DataFrame = {

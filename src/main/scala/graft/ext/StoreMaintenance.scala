@@ -58,6 +58,68 @@ object StoreMaintenance {
     * (each family's requireLive guard) — a rebuild-or-drop decision the
     * sweep propagates loudly rather than masking.
     */
+  /** Live DISTINCT-id view of one store under its family's tombstone
+    * semantics — the membership [[fsck]] audits. One narrow scan +
+    * the per-id tombstone broadcast; ids only, never payload columns.
+    */
+  private def liveIds(spark: SparkSession, ref: StoreRef): DataFrame = ref.kind match {
+    case "ann" =>
+      val table =
+        if (AnnIndex.readLayout(spark, ref.dir) == "ivf") s"${ref.dir}/vectors"
+        else s"${ref.dir}/codes"
+      AnnIndex.liveOnly(spark, ref.dir, spark.read.parquet(table))
+        .select(col("__id").cast("long").as("__id")).distinct()
+    case "text" =>
+      val table =
+        if (graft.util.Hfs.exists(spark, s"${ref.dir}/lens")) s"${ref.dir}/lens"
+        else s"${ref.dir}/positions"
+      AnnIndex.liveOnly(spark, ref.dir, spark.read.parquet(table))
+        .select(col("__id").cast("long").as("__id")).distinct()
+    case "dedup" =>
+      graft.streaming.DocStreams.dedupLiveIds(spark, ref.dir)
+  }
+
+  /** Cross-store referential-consistency audit — the fsck beside the
+    * health dashboards: health counts rows WITHIN a store, fsck checks
+    * each store's live id set AGAINST the corpus it is supposed to
+    * mirror. Per store: `missing_ids` = base ids with no live row
+    * (ingestion gaps, or a delete that over-reached) and `orphan_ids` =
+    * live ids absent from the base (takedowns/retention that never
+    * propagated — the compliance number). `consistent` iff both are 0.
+    *
+    * Scale shape: one distinct-id projection per store full-outer-joined
+    * against the (checkpointed) base id set — narrow id-only frames, one
+    * aggregation pass per store, and the driver holds one counter row
+    * per store. Run it on the maintenance cadence right after
+    * [[sweep]]; a nonzero orphan count after a takedown batch is the
+    * signal that some store missed the cascade.
+    */
+  def fsck(spark: SparkSession, base: DataFrame, idCol: String,
+      stores: Seq[StoreRef]): DataFrame = {
+    require(stores.nonEmpty, "no stores to audit")
+    val bad = stores.filterNot(s => kinds(s.kind))
+    require(bad.isEmpty,
+      s"unknown store kind(s): ${bad.map(s => s"${s.name}=${s.kind}").mkString(", ")}")
+    val b = base.select(graft.functions.Cols.qcol(idCol).cast("long").as("__id"))
+      .distinct().withColumn("__b", lit(1))
+      .localCheckpoint(eager = true) // joined once per store
+    stores.map { ref =>
+      val r = b.join(liveIds(spark, ref).withColumn("__l", lit(1)),
+          Seq("__id"), "full")
+        .agg(count(col("__b")).as("__base"), count(col("__l")).as("__live"),
+          count(when(col("__l").isNull, 1)).as("__missing"),
+          count(when(col("__b").isNull, 1)).as("__orphans"))
+        .head()
+      val (nb, nl, miss, orph) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      spark.range(1).select(
+        lit(ref.name).as("store"), lit(ref.kind).as("kind"),
+        lit(nb).as("base_ids"), lit(nl).as("live_ids"),
+        lit(miss).as("missing_ids"), lit(orph).as("orphan_ids"),
+        lit(miss == 0L && orph == 0L).as("consistent"))
+    }.reduce(_ unionByName _)
+  }
+
   def sweep(spark: SparkSession, stores: Seq[StoreRef],
       threshold: Double = 0.25): DataFrame = {
     require(stores.nonEmpty, "no stores to sweep")

@@ -1511,6 +1511,60 @@ object ExtensionQueries {
         coalesce(col("__maxerr") <= 1e-9, lit(true))).as("refine_ok"))
   }
 
+  /** Time-travel (as-of) gate over the maintained IVF×PQ store: the
+    * tombstone log's sequence numbers are an epoch clock
+    * ([[graft.ext.AnnIndex.liveAsOf]]), so the staged
+    * build(A) + append(B) + delete{3,11} + update{6} fixture serves
+    * THREE distinct historical states through the same partition-pruned
+    * path. Epoch 0 (post-first-delete: 6's ORIGINAL generation live)
+    * and epoch 1 (mid-update: 6 absent entirely) must each equal a
+    * one-shot frozen-codebook encode of that epoch's live corpus — the
+    * x_knn_pq_delete reference discipline applied at two historical
+    * cuts. A time-travel read that ignores the horizon serves the
+    * current state and fails the epoch-1 leg (6 present); one that cuts
+    * rows but not tombstones loses 6 at epoch 0. Retention = history
+    * since the last compaction (the Delta-VACUUM trade, documented on
+    * liveAsOf).
+    */
+  val knnAsOf = q("x_knn_asof", "SELECT true AS asof_ok") { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+    val queries = emb16.filter(col("vec_id") < 5)
+    val index = AnnIndex.readIvfPq(s, s"$idx/ivfpq_del16")
+    def ref(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopKWithModel(queries, "vec_id", "embedding",
+          Similarity.PqModel(index.codebooks,
+            Similarity.pqEncode(corpus, "vec_id", "embedding",
+              index.codebooks, index.m, index.sub),
+            index.m, index.sub), 5)
+        .withColumnRenamed("cosine_pq", "__c2")
+    def matches(served: org.apache.spark.sql.DataFrame,
+        reference: org.apache.spark.sql.DataFrame, okCol: String) =
+      served.join(reference, Seq("query_id", "rank", "neighbor_id"), "full")
+        .agg((count(lit(1)) === count(col("cosine_pq")) &&
+          count(lit(1)) === count(col("__c2")) &&
+          max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as(okCol))
+    // epoch 0: post-delete{3,11}, 6's original generation still live
+    val ok0 = matches(
+      AnnIndex.ivfPqTopK(s, index, queries, "vec_id", "embedding", 5,
+        nprobe = 4, asOf = Some(0L)),
+      ref(emb16.filter(!col("vec_id").isin(3, 11))), "__ok0")
+    // epoch 1: mid-update — 6's tombstone landed, its re-append has not
+    val ok1 = matches(
+      AnnIndex.ivfPqTopK(s, index, queries, "vec_id", "embedding", 5,
+        nprobe = 4, asOf = Some(1L)),
+      ref(emb16.filter(!col("vec_id").isin(3, 11, 6))), "__ok1")
+    // a horizon at/past the newest epoch is the live view
+    val okNow = matches(
+      AnnIndex.ivfPqTopK(s, index, queries, "vec_id", "embedding", 5,
+        nprobe = 4, asOf = Some(Long.MaxValue)),
+      AnnIndex.ivfPqTopK(s, index, queries, "vec_id", "embedding", 5,
+          nprobe = 4)
+        .withColumnRenamed("cosine_pq", "__c2"), "__oknow")
+    ok0.crossJoin(ok1).crossJoin(okNow)
+      .select((col("__ok0") && col("__ok1") && col("__oknow")).as("asof_ok"))
+  }
+
   /** Residual-mode mechanics gate: on the lossless gate geometry
     * (ksub = corpus size) every RESIDUAL subvector is its own centroid,
     * so the ADC sum reconstructs ⟨q̂, r⟩ exactly — and the cosine
@@ -5180,6 +5234,283 @@ object ExtensionQueries {
         "dedup_sigs", s"$cf/dedup_store"))
   }
 
+  /** The retrieval-eval oracle: replay both ranked systems from the
+    * stored tables (the x_knn_brute / x_knn_ivf ranking SQL at k = 10,
+    * nprobe = 1), derive qrels from the embeddings labels, and replay
+    * the metric epilogue with the SAME double literals the Spark plan
+    * uses ([[graft.ext.Eval.metricSqlFragments]]).
+    */
+  private def retrievalEvalSql(): String = {
+    val k = 10
+    val (dcg, idcg) = graft.ext.Eval.metricSqlFragments(k)
+    val mCols = (1 to k).map(r =>
+      s"max(CASE WHEN rank = $r THEN rel ELSE 0 END) AS m$r").mkString(",\n         ")
+    s"""WITH qrels AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id AND b.label = a.label),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |bscored AS (
+       |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+       |brute AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY round(c, 4) DESC, neighbor_id) AS rank
+       |  FROM bscored),
+       |qv AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings WHERE vec_id < 10),
+       |cent AS (SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivf/coarse/*.parquet')),
+       |probe AS (
+       |  SELECT qid, __cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY
+       |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+       |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+       |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+       |           __cid) AS pr
+       |  FROM qv, cent),
+       |vecs AS (
+       |  SELECT __id AS nid, CAST(__cluster AS INTEGER) AS cl,
+       |         list_transform(__vec, x -> CAST(x AS DOUBLE)) AS w
+       |  FROM read_parquet('__GRAFT_ANNIDX__/ivf/vectors/*/*.parquet', hive_partitioning=1)),
+       |iscored AS (
+       |  SELECT p.qid, vecs.nid,
+       |         round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * vecs.w[i]))
+       |           / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+       |              * sqrt(list_sum(list_transform(vecs.w, x -> x*x)))), 4) AS s
+       |  FROM (SELECT qid, __cid FROM probe WHERE pr <= 1) p
+       |  JOIN vecs ON vecs.cl = p.__cid
+       |  JOIN qv q ON q.qid = p.qid
+       |  WHERE p.qid <> vecs.nid),
+       |ivf AS (
+       |  SELECT qid AS query_id, nid AS neighbor_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+       |  FROM iscored),
+       |lists AS (
+       |  SELECT 'brute' AS system, query_id, rank, neighbor_id FROM brute WHERE rank <= $k
+       |  UNION ALL
+       |  SELECT 'ivf', query_id, rank, neighbor_id FROM ivf WHERE rank <= $k),
+       |flags AS (
+       |  SELECT l.system, l.query_id, l.rank,
+       |         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM lists l LEFT JOIN qrels r
+       |    ON r.query_id = l.query_id AND r.doc_id = l.neighbor_id),
+       |per AS (
+       |  SELECT system, query_id,
+       |         CAST(sum(rel) AS BIGINT) AS hits,
+       |         min(CASE WHEN rel = 1 THEN rank END) AS fh,
+       |         $mCols
+       |  FROM flags GROUP BY 1, 2),
+       |j AS (SELECT p.*, coalesce(r.rels, 0) AS rels
+       |      FROM per p LEFT JOIN (SELECT query_id, CAST(count(*) AS BIGINT) AS rels
+       |                            FROM qrels GROUP BY 1) r USING (query_id))
+       |SELECT system, query_id, hits, rels,
+       |       CAST(coalesce(fh, 0) AS BIGINT) AS first_hit,
+       |       CAST(floor(CAST(hits AS DOUBLE)/10.0*1000000.0) AS BIGINT) AS prec_q,
+       |       CAST(floor((CASE WHEN fh IS NULL THEN 0.0 ELSE 1.0/fh END)*1000000.0) AS BIGINT) AS mrr_q,
+       |       CAST(floor((CASE WHEN rels = 0 THEN 0.0
+       |                        ELSE ($dcg)/($idcg) END)*1000000.0) AS BIGINT) AS ndcg_q
+       |FROM j""".stripMargin
+  }
+
+  /** Retrieval-quality eval harness ([[graft.ext.Eval.rankedEval]]):
+    * label-derived qrels grade the exact brute-force ranking (the
+    * ceiling) and the deliberately lossy nprobe=1 IVF ranking side by
+    * side — precision@10, MRR, NDCG@10 per (system, query), every
+    * metric a fixed-point BIGINT. Integer per-rank flags keep the
+    * aggregation order-free; the NDCG discount/ideal tables are driver
+    * literals shared verbatim with the oracle, so the hash pins the
+    * whole grading pipeline, not just the rankings.
+    */
+  val retrievalEval = q("x_retrieval_eval", retrievalEvalSql()) { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val qrels = queries.select(col("vec_id").as("query_id"), col("label").as("__ql"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+        col("label") === col("__ql") && col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"))
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select(lit("brute").as("system"), col("query_id"), col("rank"),
+        col("neighbor_id"))
+    val ivf = AnnIndex.ivfTopK(s, AnnIndex.readIvf(s, s"$idx/ivf"),
+        queries, "vec_id", "embedding", 10, nprobe = 1)
+      .select(lit("ivf").as("system"), col("query_id"), col("rank"),
+        col("neighbor_id"))
+    graft.ext.Eval.rankedEval(brute.unionByName(ivf), qrels, 10)
+  }
+
+  /** Input prep (idempotent): a parquet table built ENTIRELY by the
+    * streaming manifest-maintenance run — four doc-id-quartile batches
+    * arrive on a spool, each lands in its own `ingest_batch` directory
+    * and folds into the per-file min/max + key-fingerprint manifest
+    * incrementally ([[graft.streaming.DocStreams.runManifestAppendOnce]]).
+    * Quartile batches make the per-file doc_id spans tight, so the
+    * gate's range predicate genuinely prunes.
+    */
+  def stageStreamManifest(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_streammanifest/${Staging.tag(dir)}"
+    val done = new java.io.File(s"$tmp/_DONE_v1")
+    if (done.exists()) return tmp
+    val tmpDir = new java.io.File(tmp)
+    if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .localCheckpoint(eager = true)
+    val n = docs.count()
+    val qsize = math.max(1L, (n + 3) / 4)
+    val spool = s"$tmp/spool"
+    new java.io.File(spool).mkdirs()
+    (0 until 4).foreach { i =>
+      stageSpoolFile(docs.filter(col("doc_id") >= i * qsize &&
+        col("doc_id") < (i + 1) * qsize), spool, i)
+    }
+    graft.streaming.DocStreams.runManifestAppendOnce(s, spool, s"$tmp/table",
+      s"$tmp/ckpt", "doc_id long, lang string, n_chars long",
+      statsCols = Seq("doc_id"), keyCols = Seq("doc_id"))
+    done.createNewFile()
+    tmp
+  }
+
+  /** Streaming manifest maintenance — the data-skipping layer kept
+    * CURRENT while the table grows: the staged table exists only through
+    * streamed micro-batch appends, each folding its new files into the
+    * manifest incrementally, and the gate answers a selective doc-id
+    * range through [[graft.ext.Layout.manifestPrunedRead]] against the
+    * oracle's FULL-scan replay over the source documents table. A
+    * manifest that went stale (missed files → wrong pruning) loses rows
+    * and hash-fails; StreamManifestSpec asserts the skip itself
+    * (files read < files total) and replay convergence of the
+    * repair-then-fold discipline.
+    */
+  val streamManifest = q("x_stream_manifest",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE doc_id BETWEEN 100 AND 299
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val t = s"${stageStreamManifest(s, dir)}/table"
+    val (pruned, _, _) = graft.ext.Layout.manifestPrunedRead(s, t,
+      col("max_doc_id") >= 100 && col("min_doc_id") <= 299)
+    pruned.filter(col("doc_id").between(100, 299))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
+  /** Cross-store referential-consistency audit
+    * ([[graft.ext.StoreMaintenance.fsck]]) — the check beside the health
+    * dashboards: each store's LIVE id set against the corpus it should
+    * mirror. Three scopes over the cascade fixture stores prove the
+    * audit detects each drift direction: vs the SURVIVOR corpus
+    * (post-takedown) all three stores are consistent — the cascade
+    * reached every store; vs the FULL corpus the inverted index shows
+    * `missing = |takedown set|` and zero orphans — staleness reads as
+    * missing, exactly; vs a RETENTION slice (even ids only) the dedup
+    * store shows its odd live ids as orphans — the compliance signal
+    * that a retention pass did NOT propagate. The oracle replays every
+    * live set from the persisted tables (lens/positions max-tombstone
+    * liveness, sigs minus the id-tombstone log) and every base from the
+    * documents table.
+    */
+  val storeFsck = q("x_store_fsck",
+    """WITH corpus AS (
+      |  SELECT doc_id FROM documents WHERE doc_id < 64
+      |  UNION ALL
+      |  SELECT doc_id + 100000 FROM documents WHERE doc_id < 64 AND doc_id % 10 = 0),
+      |survivors AS (SELECT doc_id FROM corpus WHERE doc_id % 8 <> 2),
+      |retention AS (SELECT doc_id FROM survivors WHERE doc_id % 2 = 0),
+      |inv_t AS (SELECT __id, max(__seq) AS tseq
+      |          FROM read_parquet('__GRAFT_CASCADE__/text_inv/tombstones/*.parquet') GROUP BY 1),
+      |inv_live AS (
+      |  SELECT DISTINCT l.__id FROM read_parquet('__GRAFT_CASCADE__/text_inv/lens/*.parquet') l
+      |  LEFT JOIN inv_t d ON l.__id = d.__id
+      |  WHERE d.tseq IS NULL OR coalesce(l.__seq, 0) > d.tseq),
+      |pos_t AS (SELECT __id, max(__seq) AS tseq
+      |          FROM read_parquet('__GRAFT_CASCADE__/text_pos/tombstones/*.parquet') GROUP BY 1),
+      |pos_live AS (
+      |  SELECT DISTINCT p.__id FROM read_parquet('__GRAFT_CASCADE__/text_pos/positions/*/*.parquet', hive_partitioning=1) p
+      |  LEFT JOIN pos_t d ON p.__id = d.__id
+      |  WHERE d.tseq IS NULL OR coalesce(p.__seq, 0) > d.tseq),
+      |ded_live AS (
+      |  SELECT DISTINCT __id FROM read_parquet('__GRAFT_CASCADE__/dedup_store/sigs/*/*.parquet', hive_partitioning=1) s
+      |  WHERE NOT EXISTS (SELECT 1 FROM read_parquet('__GRAFT_CASCADE__/dedup_store/id_tombstones/*.parquet') t
+      |                    WHERE t.__id = s.__id))
+      |SELECT 'text_inv' AS store, 'text' AS kind, 'survivors' AS scope,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM survivors) AS base_ids,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM inv_live) AS live_ids,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM survivors s
+      |        WHERE NOT EXISTS (SELECT 1 FROM inv_live v WHERE v.__id = s.doc_id)) AS missing_ids,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM inv_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = v.__id)) AS orphan_ids,
+      |       (SELECT count(*) FROM survivors s
+      |        WHERE NOT EXISTS (SELECT 1 FROM inv_live v WHERE v.__id = s.doc_id)) = 0
+      |       AND (SELECT count(*) FROM inv_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = v.__id)) = 0 AS consistent
+      |UNION ALL
+      |SELECT 'text_pos', 'text', 'survivors',
+      |       (SELECT CAST(count(*) AS BIGINT) FROM survivors),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM pos_live),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM survivors s
+      |        WHERE NOT EXISTS (SELECT 1 FROM pos_live v WHERE v.__id = s.doc_id)),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM pos_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = v.__id)),
+      |       (SELECT count(*) FROM survivors s
+      |        WHERE NOT EXISTS (SELECT 1 FROM pos_live v WHERE v.__id = s.doc_id)) = 0
+      |       AND (SELECT count(*) FROM pos_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = v.__id)) = 0
+      |UNION ALL
+      |SELECT 'dedup_sigs', 'dedup', 'survivors',
+      |       (SELECT CAST(count(*) AS BIGINT) FROM survivors),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM ded_live),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM survivors s
+      |        WHERE NOT EXISTS (SELECT 1 FROM ded_live v WHERE v.__id = s.doc_id)),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM ded_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = v.__id)),
+      |       (SELECT count(*) FROM survivors s
+      |        WHERE NOT EXISTS (SELECT 1 FROM ded_live v WHERE v.__id = s.doc_id)) = 0
+      |       AND (SELECT count(*) FROM ded_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = v.__id)) = 0
+      |UNION ALL
+      |SELECT 'text_inv', 'text', 'full',
+      |       (SELECT CAST(count(*) AS BIGINT) FROM corpus),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM inv_live),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM corpus c
+      |        WHERE NOT EXISTS (SELECT 1 FROM inv_live v WHERE v.__id = c.doc_id)),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM inv_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.doc_id = v.__id)),
+      |       (SELECT count(*) FROM corpus c
+      |        WHERE NOT EXISTS (SELECT 1 FROM inv_live v WHERE v.__id = c.doc_id)) = 0
+      |       AND (SELECT count(*) FROM inv_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.doc_id = v.__id)) = 0
+      |UNION ALL
+      |SELECT 'dedup_sigs', 'dedup', 'retention',
+      |       (SELECT CAST(count(*) AS BIGINT) FROM retention),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM ded_live),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM retention r
+      |        WHERE NOT EXISTS (SELECT 1 FROM ded_live v WHERE v.__id = r.doc_id)),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM ded_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM retention r WHERE r.doc_id = v.__id)),
+      |       (SELECT count(*) FROM retention r
+      |        WHERE NOT EXISTS (SELECT 1 FROM ded_live v WHERE v.__id = r.doc_id)) = 0
+      |       AND (SELECT count(*) FROM ded_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM retention r WHERE r.doc_id = v.__id)) = 0""".stripMargin) {
+    (s, dir) =>
+    val cf = stageCascadeFixtures(s, dir)
+    val corpus = cascadeDocs(s, dir).select(col("doc_id"))
+    val survivors = corpus.filter(col("doc_id") % 8 =!= 2)
+    val retention = survivors.filter(col("doc_id") % 2 === 0)
+    import graft.ext.{StoreMaintenance, StoreRef}
+    val stores = Seq(
+      StoreRef("text_inv", "text", s"$cf/text_inv"),
+      StoreRef("text_pos", "text", s"$cf/text_pos"),
+      StoreRef("dedup_sigs", "dedup", s"$cf/dedup_store"))
+    StoreMaintenance.fsck(s, survivors, "doc_id", stores)
+      .withColumn("scope", lit("survivors"))
+      .unionByName(StoreMaintenance.fsck(s, corpus, "doc_id", stores.take(1))
+        .withColumn("scope", lit("full")))
+      .unionByName(StoreMaintenance.fsck(s, retention, "doc_id", stores.drop(2))
+        .withColumn("scope", lit("retention")))
+  }
+
   /** Scratch copies of four maintenance-history fixture stores plus one
     * pristine one, swept ONCE by [[graft.ext.StoreMaintenance.sweep]] at
     * threshold 0.1, report persisted. Copies, because the sweep MUTATES
@@ -5503,6 +5834,6 @@ object ExtensionQueries {
     multimodalPhash, dedupPhash, dedupCrossmodal,
     cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, knnOpqIvfPq, textUnigramCount,
     textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
-    classifyLr,
+    classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval,
   )
 }

@@ -436,6 +436,25 @@ object DocStreams {
     (r.getLong(0), r.getLong(0) - r.getLong(1))
   }
 
+  /** Live DISTINCT doc ids of the signature store (sigs minus the
+    * id-tombstone log) — the membership view
+    * [[graft.ext.StoreMaintenance.fsck]] audits against the corpus.
+    */
+  private[graft] def dedupLiveIds(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    val sigsPath = s"$storeDir/sigs"
+    val sigs =
+      if (!graft.util.Hfs.exists(spark, sigsPath))
+        spark.range(0).select(col("id").as("__id"))
+      else spark.read.parquet(sigsPath)
+        .select(col("__id").cast("long").as("__id")).distinct()
+    if (!graft.util.Hfs.exists(spark, idTombstonesPath(storeDir))) sigs
+    else sigs.join(
+      spark.read.parquet(idTombstonesPath(storeDir))
+        .select(col("__id").cast("long").as("__id")).distinct(),
+      Seq("__id"), "left_anti")
+  }
+
   /** The dedup store's row in a store-health dashboard — the
     * [[graft.ext.AnnIndex.healthReport]] shape over the signature
     * store's id-tombstone liveness.
@@ -817,6 +836,67 @@ object DocStreams {
     * checkpoint would collide with them (lost or doubled batches). See
     * [[runIvfPqAppendOnce]] for the full rationale.
     */
+  /** Streaming DATA-SKIPPING-MANIFEST maintenance: a document stream
+    * appends micro-batches into a growing parquet table while keeping
+    * the table's per-file min/max + key-fingerprint manifest
+    * ([[graft.ext.Layout]]) current — so
+    * [[graft.ext.Layout.manifestPrunedRead]] stays exact while the
+    * table grows, at the cost of one scan of each APPENDED batch (the
+    * manifest is authoritative for sealed files; nothing table-sized is
+    * ever rescanned). The first batch creates the manifest with the
+    * given geometry; every later batch folds in incrementally with the
+    * geometry read back from the manifest schema.
+    *
+    * Exactly-once: each batch lands in its own `ingest_batch=<id>`
+    * partition directory (an idempotent overwrite), and the manifest
+    * fold is REPAIRED before the rewrite
+    * ([[graft.ext.Layout.dropManifestFiles]]): a replayed batch first
+    * drops any manifest rows a crashed attempt folded in for paths the
+    * overwrite is about to rename away, so crash at ANY point between
+    * data write, manifest fold, and the `_batch_<id>` marker converges
+    * on replay. Underscore-prefixed sidecars (`_manifest`, `_batch_*`,
+    * `_stream_checkpoint`) are invisible to the table's own readers.
+    */
+  def runManifestAppendOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      schema: String,
+      statsCols: Seq[String],
+      keyCols: Seq[String] = Nil,
+  ): Unit = {
+    import graft.util.Hfs
+    requirePairedCheckpoint(spark, tableDir, checkpointDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!Hfs.exists(spark, s"$tableDir/_batch_$batchId")) {
+            // repair BEFORE the rewrite: a crashed earlier attempt may
+            // have folded manifest rows for files the overwrite below
+            // renames away
+            graft.ext.Layout.dropManifestFiles(spark, tableDir,
+              s"/ingest_batch=$batchId/")
+            batch.toDF().write.mode("overwrite")
+              .parquet(s"$tableDir/ingest_batch=$batchId")
+            if (!Hfs.exists(spark, s"$tableDir/_manifest"))
+              graft.ext.Layout.writeManifest(spark, tableDir, statsCols, keyCols)
+            else
+              graft.ext.Layout.appendToManifest(spark, tableDir)
+            Hfs.touch(spark, s"$tableDir/_batch_$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   private def requirePairedCheckpoint(spark: SparkSession, indexDir: String,
       checkpointDir: String): Unit = {
     import graft.util.Hfs

@@ -60,9 +60,48 @@ object QueryProbe {
     } catch { case e: Throwable =>
       System.err.println(s"[probe] bpe copy failed: ${e.getMessage}")
     }
+    // text-index / cascade / unigram fixture copies (the graft.Verify
+    // placeholder contract), so store-replay oracles probe correctly
+    val tiSrc = "/tmp/graft_textindex/" + graft.queries.Staging.tag(sfDir)
+    val tiIdx = s"$outDir/.textidx"
+    val cSrc = "/tmp/graft_cascade/" + graft.queries.Staging.tag(sfDir)
+    val cIdx = s"$outDir/.cascade"
+    try {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tiIdx))
+      Seq("inv", "inv_maint").foreach { d =>
+        val from = new java.io.File(s"$tiSrc/$d")
+        if (from.isDirectory)
+          org.apache.commons.io.FileUtils.copyDirectory(from,
+            new java.io.File(tiIdx, d))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cIdx))
+      Seq("text_inv", "text_pos", "dedup_store").foreach { d =>
+        val from = new java.io.File(s"$cSrc/$d")
+        if (from.isDirectory)
+          org.apache.commons.io.FileUtils.copyDirectory(from,
+            new java.io.File(cIdx, d))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] store copy failed: ${e.getMessage}")
+    }
+    val uniSrc = "/tmp/graft_unigram/" + graft.queries.Staging.tag(sfDir)
+    val uniIdx = s"$outDir/.unigram"
+    try {
+      val dst = new java.io.File(uniIdx)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      val from = new java.io.File(s"$uniSrc/vocab")
+      if (from.isDirectory)
+        org.apache.commons.io.FileUtils.copyDirectory(from,
+          new java.io.File(dst, "vocab"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] unigram copy failed: ${e.getMessage}")
+    }
     val oracles = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => (k, v.replace("__GRAFT_ANNIDX__", annIdx)
-        .replace("__GRAFT_BPE__", bpeIdx)) }
+        .replace("__GRAFT_BPE__", bpeIdx)
+        .replace("__GRAFT_UNI__", uniIdx)
+        .replace("__GRAFT_TEXTIDX__", tiIdx)
+        .replace("__GRAFT_CASCADE__", cIdx)) }
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

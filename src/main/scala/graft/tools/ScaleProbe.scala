@@ -21,7 +21,14 @@ object ScaleProbe {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
       .getProcessCpuTime / 1000000L
 
+  /** Optional probe-name substring filter (args 3+); empty = run all.
+    * Query probes that read a prior probe's store (phrase/proximity
+    * after positional_build) need the builder included in the filter.
+    */
+  private var only: Seq[String] = Nil
+
   private def time(name: String)(f: => Long): Unit = {
+    if (only.nonEmpty && !only.exists(name.contains)) return
     val c0 = cpuMs(); val t0 = System.nanoTime()
     val rows = f
     val wall = (System.nanoTime() - t0) / 1e9
@@ -41,6 +48,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val mult = if (args.length > 1) args(1).toInt else 10
+    only = args.drop(2).toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -244,14 +252,37 @@ object ScaleProbe {
       // counter-sized debt measurement + the live-row compaction rewrite
       // (the store build/tombstoning is fixture prep, outside the timer)
       val swdir = s"/tmp/graft_scaleprobe_sweep/x$m"
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(swdir))
-      graft.ext.TextIndex.build(d, "doc_id", "text", s"$swdir/inv", parts = 16)
-      graft.ext.TextIndex.deleteDocs(spark, s"$swdir/inv",
-        d.filter(col("doc_id") % 5 === 0), "doc_id")
+      if (only.isEmpty || only.exists(n => s"sweep_x$m".contains(n) ||
+          s"fsck_x$m".contains(n))) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(swdir))
+        graft.ext.TextIndex.build(d, "doc_id", "text", s"$swdir/inv", parts = 16)
+        graft.ext.TextIndex.deleteDocs(spark, s"$swdir/inv",
+          d.filter(col("doc_id") % 5 === 0), "doc_id")
+      }
+      // cross-store audit BEFORE the sweep mutates the fixture: one
+      // id-set full-outer join per store (the missing fifth shows up)
+      time(s"fsck_x$m") {
+        graft.ext.StoreMaintenance.fsck(spark, d.select(col("doc_id")),
+          "doc_id", Seq(graft.ext.StoreRef("inv", "text", s"$swdir/inv")))
+          .count()
+      }
       time(s"sweep_x$m") {
         graft.ext.StoreMaintenance.sweep(spark, Seq(
           graft.ext.StoreRef("inv", "text", s"$swdir/inv")),
           threshold = 0.1).count()
+      }
+      // deterministic distributed LR: 8 narrow passes over the fanned
+      // corpus + one scoring pass — wall should track corpus, not iters²
+      time(s"classify_lr_x$m") {
+        val t = graft.ext.TextAnalysis.tokens(col("text"))
+        val feats = Seq(
+          (length(col("text")).cast("double") / lit(1000.0) - lit(0.3)) * lit(4.0),
+          (size(t).cast("double") / lit(100.0) - lit(0.55)) * lit(4.0))
+        val y = when(size(t) >= 55, lit(1.0)).otherwise(lit(0.0))
+        val w = graft.ext.Classify.trainLogistic(
+          d.filter(col("doc_id") % 5 =!= 0), feats, y, iters = 8, lr = 8.0)
+        graft.ext.Classify.scoreLogistic(
+          d.filter(col("doc_id") % 5 === 0), "doc_id", feats, w).count()
       }
     }
 

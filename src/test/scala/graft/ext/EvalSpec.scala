@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Retrieval-eval harness: metrics match hand computation, zero-relevant
+  * queries grade 0 instead of dropping, and the discount/ideal literal
+  * tables are the exact values both the plan and any oracle share.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("discount and ideal-prefix tables") {
+    val d = Eval.discounts(3)
+    d(0) shouldBe 1.0
+    d(1) shouldBe (1.0 / (math.log(3.0) / math.log(2.0)))
+    val s = Eval.idealPrefix(3)
+    s(0) shouldBe 0.0
+    s(1) shouldBe d(0)
+    s(3) shouldBe (d(0) + d(1) + d(2))
+    // literal round-trips the exact bits
+    java.lang.Double.parseDouble(Eval.literal(d(1))) shouldBe d(1)
+  }
+
+  test("rankedEval matches hand-computed precision/MRR/NDCG") {
+    // query 1: ranks 1..3 = docs 10, 11, 12; relevant = {11, 12, 99}
+    //   hits = 2, first hit rank 2, R = 3
+    //   prec@3 = 2/3; mrr = 1/2
+    //   dcg = D2 + D3; idcg = D1 + D2 + D3
+    val ranked = Seq(
+      ("s", 1L, 1, 10L), ("s", 1L, 2, 11L), ("s", 1L, 3, 12L),
+    ).toDF("system", "query_id", "rank", "neighbor_id")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 99L)).toDF("query_id", "doc_id")
+    val r = Eval.rankedEval(ranked, qrels, k = 3).head()
+    val d = Eval.discounts(3)
+    r.getAs[Long]("hits") shouldBe 2L
+    r.getAs[Long]("rels") shouldBe 3L
+    r.getAs[Long]("first_hit") shouldBe 2L
+    r.getAs[Long]("prec_q") shouldBe math.floor(2.0 / 3.0 * 1e6).toLong
+    r.getAs[Long]("mrr_q") shouldBe 500000L
+    val ndcg = (d(1) + d(2)) / (d(0) + d(1) + d(2))
+    r.getAs[Long]("ndcg_q") shouldBe math.floor(ndcg * 1e6).toLong
+  }
+
+  test("a perfect ranking grades 1.0 across the board; zero-relevant grades 0") {
+    val ranked = Seq(
+      ("s", 1L, 1, 11L), ("s", 1L, 2, 12L),
+      ("s", 2L, 1, 20L), ("s", 2L, 2, 21L),
+    ).toDF("system", "query_id", "rank", "neighbor_id")
+    val qrels = Seq((1L, 11L), (1L, 12L)).toDF("query_id", "doc_id")
+    val out = Eval.rankedEval(ranked, qrels, k = 2)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("prec_q"), r.getAs[Long]("mrr_q"),
+         r.getAs[Long]("ndcg_q"))).toMap
+    out(1L) shouldBe ((1000000L, 1000000L, 1000000L))
+    out(2L) shouldBe ((0L, 0L, 0L))
+  }
+
+  test("R > k caps the ideal at the k-prefix (NDCG can still reach 1.0)") {
+    val ranked = Seq(("s", 1L, 1, 11L), ("s", 1L, 2, 12L))
+      .toDF("system", "query_id", "rank", "neighbor_id")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L))
+      .toDF("query_id", "doc_id")
+    Eval.rankedEval(ranked, qrels, k = 2).head()
+      .getAs[Long]("ndcg_q") shouldBe 1000000L
+  }
+}

@@ -94,4 +94,43 @@ class StoreMaintenanceSpec extends SparkSpec {
     // every rejection happened before mutation: the tombstone log survives
     graft.util.Hfs.exists(spark, s"$base/inv/tombstones") shouldBe true
   }
+
+  test("fsck: consistent store, then missing after delete, orphans after base shrink") {
+    val base = tmpDir("graft_fsckspec")
+    val docs = Seq((1L, "spark shuffle join"), (2L, "window scan"),
+      (3L, "spark window"), (4L, "join scan")).toDF("doc_id", "text")
+    TextIndex.build(docs, "doc_id", "text", s"$base/inv", parts = 2)
+    AnnIndex.buildPq(corpus, "vec_id", "embedding", s"$base/pq",
+      m = 2, ksub = 3, iters = 1)
+    val refs = Seq(StoreRef("inv", "text", s"$base/inv"))
+    def row(b: org.apache.spark.sql.DataFrame, r: Seq[StoreRef]) =
+      StoreMaintenance.fsck(spark, b, "doc_id", r).collect().map(x =>
+        (x.getAs[String]("store"), x.getAs[Long]("base_ids"),
+         x.getAs[Long]("live_ids"), x.getAs[Long]("missing_ids"),
+         x.getAs[Long]("orphan_ids"), x.getAs[Boolean]("consistent")))
+    // freshly built over the full base: consistent
+    row(docs.select($"doc_id"), refs).toSeq shouldBe Seq(("inv", 4L, 4L, 0L, 0L, true))
+    // delete doc 3 but audit against the full base: 1 missing
+    TextIndex.deleteDocs(spark, s"$base/inv", Seq(3L).toDF("doc_id"), "doc_id")
+    row(docs.select($"doc_id"), refs).toSeq shouldBe Seq(("inv", 4L, 3L, 1L, 0L, false))
+    // shrink the base below the live set: live {1,2,4} vs base {1,2} —
+    // doc 4 is an orphan, nothing is missing
+    row(docs.filter($"doc_id" <= 2).select($"doc_id"), refs).toSeq shouldBe
+      Seq(("inv", 2L, 3L, 0L, 1L, false))
+    // ann store audited against its vector-id base: consistent, then the
+    // tombstone shows as missing
+    val vecBase = corpus.select($"vec_id")
+    val annRef = Seq(StoreRef("pq", "ann", s"$base/pq"))
+    StoreMaintenance.fsck(spark, vecBase, "vec_id", annRef)
+      .head().getAs[Boolean]("consistent") shouldBe true
+    AnnIndex.deleteIds(spark, s"$base/pq", Seq(2L).toDF("vec_id"), "vec_id")
+    val r = StoreMaintenance.fsck(spark, vecBase, "vec_id", annRef).head()
+    r.getAs[Long]("missing_ids") shouldBe 1L
+    r.getAs[Boolean]("consistent") shouldBe false
+    // unknown kind rejected eagerly
+    intercept[IllegalArgumentException] {
+      StoreMaintenance.fsck(spark, vecBase, "vec_id",
+        Seq(StoreRef("x", "wat", s"$base/nope")))
+    }
+  }
 }
