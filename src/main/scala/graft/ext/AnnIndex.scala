@@ -1639,6 +1639,82 @@ object AnnIndex {
     * Output: (`layout`, `k`, `n_queries`, `possible`, `hits`,
     * `recall_at_k`, `rank_footrule`), one row per layout in input order.
     */
+  /** Measured recall@k of the served IVF×PQ path against the index's
+    * OWN live exact vectors (requires a `keepVectors = true` build) —
+    * the counter pair a recall monitor logs: (hits, possible). Integer
+    * counts from the ranked-list join, so the measurement replays
+    * exactly. One brute pass over the live vectors + one pruned serve.
+    */
+  def ivfPqRecallCounters(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): (Long, Long) = {
+    require(graft.util.Hfs.exists(spark, s"$dir/vectors"),
+      s"$dir has no vectors/ table — build with keepVectors = true " +
+        "to enable recall measurement")
+    val index = readIvfPq(spark, dir)
+    val live = liveOnly(spark, dir, spark.read.parquet(s"$dir/vectors"))
+      .select(col("__id").as(idCol), col("__vec").as(vecCol))
+    val q = queries.select(qcol(idCol), qcol(vecCol))
+      .localCheckpoint(eager = true) // feeds reference AND serve
+    val ref = Similarity.bruteForceTopK(q, live, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true)
+    val served = ivfPqTopK(spark, index, q, idCol, vecCol, k, nprobe)
+    val hits = served.select(col("query_id"), col("neighbor_id"))
+      .join(ref, Seq("query_id", "neighbor_id"), "left_semi").count()
+    (hits, ref.count())
+  }
+
+  /** Operating-point selection for the served IVF index (the FAISS
+    * autotune shape): measure recall@k against the index's OWN live
+    * exact vectors for each candidate nprobe — ascending — and choose
+    * the SMALLEST candidate meeting the target, falling back to the
+    * largest when none does. This is the knob a serving deployment sets
+    * once per rebuild: the report row per candidate keeps the whole
+    * curve auditable, `chosen` marks the operating point.
+    *
+    * Deterministic end to end: hit counts are integers (the ranked-list
+    * join), recall quantizes to fixed point (floor ×1e6), and the
+    * target compares as an integer — so the selection replays exactly
+    * in SQL. `targetRecallQ` is the ×1e6 fixed-point target (950000 =
+    * 0.95). Cost: one brute-force pass over the live vectors (the
+    * reference — queries-sized × corpus, the honest price of measuring
+    * recall) plus one pruned serve per candidate.
+    */
+  def autotuneNprobe(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, targetRecallQ: Long,
+      candidates: Seq[Int]): DataFrame = {
+    require(candidates.nonEmpty && candidates == candidates.sorted &&
+      candidates.distinct == candidates,
+      s"candidates must be ascending and distinct: $candidates")
+    require(targetRecallQ >= 0L && targetRecallQ <= 1000000L,
+      s"targetRecallQ out of [0, 1e6]: $targetRecallQ")
+    val index = readIvf(spark, dir)
+    val live = liveOnly(spark, dir, spark.read.parquet(index.vectorsPath))
+      .select(col("__id").as(idCol), col("__vec").as(vecCol))
+    val q = queries.select(qcol(idCol), qcol(vecCol))
+      .localCheckpoint(eager = true) // reused per candidate
+    val ref = Similarity.bruteForceTopK(q, live, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true)
+    val possible = ref.count()
+    val rows = candidates.map { np =>
+      val served = ivfTopK(spark, index, q, idCol, vecCol, k, np)
+      val hits = served.select(col("query_id"), col("neighbor_id"))
+        .join(ref, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val recallQ =
+        if (possible == 0L) 0L
+        else math.floor(hits.toDouble / possible * 1e6).toLong
+      (np, hits, recallQ, recallQ >= targetRecallQ)
+    }
+    val chosen = rows.find(_._4).map(_._1).getOrElse(candidates.max)
+    rows.map { case (np, hits, recallQ, meets) =>
+      spark.range(1).select(lit(np).as("nprobe"), lit(hits).as("hits"),
+        lit(possible).as("possible"), lit(recallQ).as("recall_q"),
+        lit(meets).as("meets"), lit(np == chosen).as("chosen"))
+    }.reduce(_ unionByName _)
+  }
+
   def recallReport(results: Seq[(String, DataFrame)], reference: DataFrame,
       k: Int): DataFrame = {
     require(results.nonEmpty, "no layouts to report")

@@ -186,6 +186,69 @@ object CorpusClean {
   /** Run the pipeline; returns surviving rows (canonical = min id for any
     * duplicate group).
     */
+  /** Forensic companion to [[clean]] — "WHY was this document dropped":
+    * one row per input document with each stage's verdict and the final
+    * disposition (`verdict` = `kept` or the FIRST failing stage in
+    * pipeline order: `quality` → `language` → `exact_dup` → `near_dup`).
+    * Stage flags are evaluated over the population that REACHES the
+    * stage (exact-dup canonicals depend on which rows survived the
+    * gates — same semantics as [[clean]]); rows dropped earlier carry
+    * `false` for later stages, so every column is a total boolean (no
+    * nulls). `kept` rows are EXACTLY [[clean]]'s output — the spec pins
+    * the equivalence, including the near-dup leg.
+    *
+    * This is the debuggability tool a 100 TB curation pass needs: the
+    * aggregate of `verdict` is the funnel report, the per-doc rows are
+    * the appeal trail. Same scale shape as [[clean]] plus one narrow
+    * projection — the stages already compute every flag; the audit just
+    * refuses to throw them away.
+    */
+  def cleanAudit(df: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val lang0 = TextAnalysis.withLangId(
+      df.select(qcol(idCol), qcol(textCol)), idCol, textCol, "__lang")
+    val flagged = lang0
+      .withColumn("__q", qualityPredicate(qcol(textCol), cfg))
+      .withColumn("__l",
+        if (cfg.languages.isEmpty) lit(true)
+        else col("__lang").isin(cfg.languages.toSeq: _*))
+    // exact dedup among the gate-passers: the same min-id-canonical rule
+    // as Dedup.dropExactDuplicates, flagged instead of dropped
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qcol(textCol)).orderBy(qcol(idCol))
+    val exactFlagged = flagged
+      .withColumn("__rn",
+        when(col("__q") && col("__l"), row_number().over(w)).otherwise(lit(1)))
+      .withColumn("__e", col("__q") && col("__l") && col("__rn") > 1)
+      .drop("__rn")
+    val withNear =
+      if (!cfg.dropNearDups) exactFlagged.withColumn("__n", lit(false))
+      else {
+        val survivors = exactFlagged
+          .filter(col("__q") && col("__l") && !col("__e"))
+          .select(qcol(idCol), qcol(textCol))
+        val pairs = Dedup.minhashCandidates(survivors, idCol, textCol,
+          minEstJaccard = cfg.nearDupJaccard)
+        val comp = Dedup.connectedComponents(survivors.select(qcol(idCol)),
+          idCol, pairs, maxIter = cfg.componentMaxIter)
+        val drops = comp.filter(col("id") =!= col("component"))
+          .select(col("id").as("__drop"), lit(true).as("__n0"))
+        exactFlagged.join(drops,
+            qcol(idCol).cast("long") === col("__drop"), "left")
+          .withColumn("__n", coalesce(col("__n0"), lit(false)))
+          .drop("__drop", "__n0")
+      }
+    withNear.select(qcol(idCol),
+      col("__q").as("quality_ok"), col("__lang").as("lang_pred"),
+      col("__l").as("lang_ok"), col("__e").as("exact_dup"),
+      col("__n").as("near_dup"),
+      when(!col("__q"), lit("quality"))
+        .when(!col("__l"), lit("language"))
+        .when(col("__e"), lit("exact_dup"))
+        .when(col("__n"), lit("near_dup"))
+        .otherwise(lit("kept")).as("verdict"))
+  }
+
   def clean(df: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
     val gated0 = df.filter(qualityPredicate(qcol(textCol), cfg))
     val gated =

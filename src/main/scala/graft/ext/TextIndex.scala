@@ -148,7 +148,14 @@ object TextIndex {
     */
   def bm25TopKIndexed(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      /** Time-travel horizon ([[graft.ext.AnnIndex.liveAsOf]]): serve
+        * the index state as of maintenance epoch ≤ S — corpus stats
+        * (N, avgdl) and postings BOTH cut at the same horizon, so the
+        * historical scores are exactly what the index served then.
+        * None = live view.
+        */
+      asOf: Option[Long] = None): DataFrame = {
     val idx = read(spark, dir)
     val qterms = queries.select(qcol(qidCol).cast("long").as("__q"),
         explode(TextAnalysis.tokens(qcol(qtextCol))).as("__term")).distinct()
@@ -157,7 +164,8 @@ object TextIndex {
       .distinct().collect().map(_.getInt(0)) // ≤ |query terms| values
     val dirs = pts.map(p => s"${idx.postingsPath}/__pt=$p")
       .filter(graft.util.Hfs.exists(spark, _))
-    val stats = AnnIndex.liveOnly(spark, dir, spark.read.parquet(idx.lensPath))
+    val stats = AnnIndex.liveAsOf(spark, dir,
+        spark.read.parquet(idx.lensPath), asOf)
       .agg(count(lit(1)).cast("double").as("__n"),
         avg(col("__len").cast("double")).as("__avg"))
     if (dirs.isEmpty)
@@ -165,9 +173,9 @@ object TextIndex {
       return spark.range(0).select(col("id").as("query_id"),
         lit(0).as("rank"), col("id").as("doc_id"), lit(0.0).as("score"))
     val vocab = qterms.select(col("__term")).distinct()
-    val posts = AnnIndex.liveOnly(spark, dir,
+    val posts = AnnIndex.liveAsOf(spark, dir,
         spark.read.option("basePath", idx.postingsPath).parquet(dirs: _*)
-          .filter(col("__pt").isin(pts.map(Int.box): _*)))
+          .filter(col("__pt").isin(pts.map(Int.box): _*)), asOf)
       .join(broadcast(vocab), Seq("__term"))
       .select(col("__term"), col("__id").as("__d"),
         col("__tf").cast("double").as("__tf"),

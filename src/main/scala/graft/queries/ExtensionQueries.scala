@@ -1022,6 +1022,93 @@ object ExtensionQueries {
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5, nprobe = 4)
   }
 
+  /** The autotune oracle: replay the brute-force reference and every
+    * candidate's pruned serving from the stored IVF tables, count hits
+    * as integers, quantize recall to fixed point, and replay the
+    * smallest-meeting-candidate selection.
+    */
+  private def knnAutotuneSql(candidates: Seq[Int], k: Int,
+      target: Long): String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> x*x)))" +
+        s" * sqrt(list_sum(list_transform($b, x -> x*x))))"
+    val served = candidates.map { np =>
+      s"""s$np AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.qid AS query_id, v.nid AS neighbor_id,
+         |           row_number() OVER (PARTITION BY p.qid ORDER BY
+         |             round(${cos("q.v", "v.w")}, 4) DESC, v.nid) AS rank
+         |    FROM (SELECT qid, __cid FROM probe WHERE pr <= $np) p
+         |    JOIN vecs v ON v.cl = p.__cid
+         |    JOIN qv q ON q.qid = p.qid
+         |    WHERE p.qid <> v.nid)
+         |  WHERE rank <= $k),
+         |h$np AS (
+         |  SELECT $np AS np,
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM s$np s JOIN ref USING (query_id, neighbor_id)) AS hits)""".stripMargin
+    }.mkString(",\n")
+    val unions = candidates.map(np => s"SELECT * FROM h$np")
+      .mkString("\n  UNION ALL ")
+    s"""WITH qv AS (
+       |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < 8),
+       |cent AS (SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivf/coarse/*.parquet')),
+       |probe AS (
+       |  SELECT qid, __cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY
+       |           list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * centroid[i]))
+       |             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+       |                * sqrt(list_sum(list_transform(centroid, x -> x*x)))) DESC,
+       |           __cid) AS pr
+       |  FROM qv, cent),
+       |vecs AS (
+       |  SELECT __id AS nid, CAST(__cluster AS INTEGER) AS cl,
+       |         list_transform(__vec, x -> CAST(x AS DOUBLE)) AS w
+       |  FROM read_parquet('__GRAFT_ANNIDX__/ivf/vectors/*/*.parquet', hive_partitioning=1)),
+       |ref AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.qid AS query_id, v.nid AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             round(${cos("q.v", "v.w")}, 4) DESC, v.nid) AS rank
+       |    FROM qv q, vecs v WHERE v.nid <> q.qid)
+       |  WHERE rank <= $k),
+       |$served,
+       |r AS (
+       |  $unions),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM ref),
+       |e AS (SELECT np, hits, possible,
+       |             CASE WHEN possible = 0 THEN CAST(0 AS BIGINT)
+       |                  ELSE CAST(floor(CAST(hits AS DOUBLE)/possible*1000000.0) AS BIGINT)
+       |             END AS recall_q
+       |      FROM r, tot),
+       |m AS (SELECT *, recall_q >= $target AS meets FROM e),
+       |sel AS (SELECT min(CASE WHEN meets THEN np END) AS mnp, max(np) AS mxnp FROM m)
+       |SELECT m.np AS nprobe, m.hits, m.possible, m.recall_q, m.meets,
+       |       m.np = coalesce(sel.mnp, sel.mxnp) AS chosen
+       |FROM m, sel""".stripMargin
+  }
+
+  /** Recall-driven operating-point selection
+    * ([[graft.ext.AnnIndex.autotuneNprobe]]) — the FAISS-autotune knob:
+    * per candidate nprobe the measured recall@5 against the index's own
+    * live vectors (integer hits, fixed-point recall), and `chosen` on
+    * the smallest candidate meeting the target. The oracle replays the
+    * reference, every candidate's pruned serving, the quantization AND
+    * the selection from the stored tables — a tuner that picks a wrong
+    * operating point hash-fails, not just one that mismeasures.
+    */
+  val knnAutotune = q("x_knn_autotune",
+    knnAutotuneSql(Seq(1, 2, 4, 8), k = 5, target = 700000L)) { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    AnnIndex.autotuneNprobe(s, s"$idx/ivf", emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, targetRecallQ = 700000L,
+      candidates = Seq(1, 2, 4, 8))
+      .withColumnRenamed("nprobe", "nprobe")
+  }
+
   /** Product-quantization ANN (8 subspaces × 16 codes over the 64-dim
     * embeddings) against the PERSISTED index — build once (input prep),
     * query many: the timed path is a codes scan + broadcast ADC lookup,
@@ -1948,6 +2035,56 @@ object ExtensionQueries {
     CorpusClean.clean(docsWithCopies(s, dir), "doc_id", "text",
       CorpusClean.Config(minTokens = 20, minAlphaRatio = 0.5, languages = Set("en")))
       .select(col("doc_id"))
+  }
+
+  /** Forensic corpus-clean audit ([[graft.ext.CorpusClean.cleanAudit]])
+    * — "why was this document dropped": one row per input doc with each
+    * stage's verdict and the first-failing-stage disposition, over the
+    * same copies corpus and config as `x_corpus_clean`. The oracle
+    * replays the quality gate, the stopword-argmax language id, and the
+    * min-id-canonical exact-dup rule per document; CorpusCleanSpec pins
+    * kept == clean() including the near-dup leg.
+    */
+  val corpusCleanAudit = q("x_corpus_clean_audit",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+      |t AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS toks,
+      |         string_split_regex(lower(trim(text)), '\W+') AS rawtoks
+      |  FROM corpus),
+      |s AS (
+      |  SELECT doc_id, text, toks,
+      |    len(list_filter(rawtoks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf'], x))) AS s_de,
+      |    len(list_filter(rawtoks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS s_en,
+      |    len(list_filter(rawtoks, x -> list_contains(['el','los','las','y','es','una','para','por','que'], x))) AS s_es,
+      |    len(list_filter(rawtoks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que'], x))) AS s_fr
+      |  FROM t),
+      |f AS (
+      |  SELECT doc_id, text,
+      |         (len(toks) >= 20 AND
+      |          length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) >= 0.5) AS quality_ok,
+      |         CASE WHEN greatest(s_de*4+3, s_en*4+2, s_es*4+1, s_fr*4+0) // 4 < 1 THEN 'und'
+      |              ELSE CASE greatest(s_de*4+3, s_en*4+2, s_es*4+1, s_fr*4+0) % 4
+      |                   WHEN 3 THEN 'de' WHEN 2 THEN 'en' WHEN 1 THEN 'es' ELSE 'fr' END
+      |         END AS lang_pred
+      |  FROM s),
+      |g AS (SELECT *, (lang_pred = 'en') AS lang_ok FROM f),
+      |p AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |      FROM g WHERE quality_ok AND lang_ok)
+      |SELECT g.doc_id, g.quality_ok, g.lang_pred, g.lang_ok,
+      |       coalesce(p.rn > 1, false) AS exact_dup,
+      |       false AS near_dup,
+      |       CASE WHEN NOT g.quality_ok THEN 'quality'
+      |            WHEN NOT g.lang_ok THEN 'language'
+      |            WHEN coalesce(p.rn, 1) > 1 THEN 'exact_dup'
+      |            ELSE 'kept' END AS verdict
+      |FROM g LEFT JOIN p USING (doc_id)""".stripMargin) { (s, dir) =>
+    CorpusClean.cleanAudit(docsWithCopies(s, dir), "doc_id", "text",
+      CorpusClean.Config(minTokens = 20, minAlphaRatio = 0.5,
+        languages = Set("en")))
   }
 
   // ------------------------------------------------------------- text
@@ -3020,6 +3157,67 @@ object ExtensionQueries {
         max(abs(col("cosine_pq") - col("__c2"))) <= 1e-9).as("stream_append_ok"))
   }
 
+  /** Streaming recall monitor — quality-over-time for the frozen-
+    * quantizer append maintenance: the same spool streamed through
+    * [[graft.streaming.DocStreams.runIvfPqAppendWithRecallOnce]], each
+    * batch logging (hits, possible, recall_q) of the served index vs
+    * its own live exact vectors in the batch's exactly-once
+    * transaction. The gate recomputes every batch's expected counters
+    * from scratch — a one-shot frozen-quantizer encode of the prefix
+    * corpus (the x_knn_pq_append invariant gives streamed state ==
+    * prefix encode), measured by the same counter helper — and the log
+    * must match row for row: a monitor that measured a half-published
+    * batch, double-counted a replay, or logged the wrong epoch's state
+    * breaks the equality.
+    */
+  val streamRecall = q("x_stream_recall",
+    "SELECT true AS stream_recall_ok") { (s, dir) =>
+    val emb16 = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+    val spool = stageEmbSpool(s, dir)
+    val idx = s"/tmp/graft_stream_recall/${Staging.tag(dir)}_idx"
+    val ckpt = s"${idx}_ckpt"
+    Seq(idx, ckpt).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val base = emb16.filter(col("vec_id") < 8)
+    val queries = emb16.filter(col("vec_id") < 5)
+      .localCheckpoint(eager = true)
+    AnnIndex.buildIvfPq(base, "vec_id", "embedding", idx,
+      nlist = 4, m = 8, ksub = 8, iters = 1, keepVectors = true)
+    graft.streaming.DocStreams.runIvfPqAppendWithRecallOnce(s, spool, idx,
+      ckpt, queries, k = 5, nprobe = 2)
+    val logged = s.read.parquet(s"$idx/recall_log")
+      .select(col("batch_id"), col("hits"), col("possible"), col("recall_q"))
+    // expected per prefix: scratch index = one-shot encode of the prefix
+    // corpus against the streamed index's frozen quantizers
+    val streamed = AnnIndex.readIvfPq(s, idx)
+    val expected = Seq(0L -> (col("vec_id") < 12), 1L -> lit(true)).map {
+      case (bid, pred) =>
+        val scratch = s"${idx}_prefix$bid"
+        val f = new java.io.File(scratch)
+        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+        val prefix = emb16.filter(pred)
+        AnnIndex.buildIvfPq(prefix, "vec_id", "embedding",
+          scratch, nlist = 4, m = 8, ksub = 8, iters = 1, keepVectors = true,
+          coarseIn = Some(streamed.coarse), modelIn = Some(
+            Similarity.PqModel(streamed.codebooks,
+              Similarity.pqEncode(prefix, "vec_id", "embedding",
+                streamed.codebooks, streamed.m, streamed.sub),
+              streamed.m, streamed.sub)))
+        val (h, p) = AnnIndex.ivfPqRecallCounters(s, scratch, queries,
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        val rq = if (p == 0L) 0L else math.floor(h.toDouble / p * 1e6).toLong
+        s.range(1).select(lit(bid).as("batch_id"), lit(h).as("hits"),
+          lit(p).as("possible"), lit(rq).as("recall_q"))
+    }.reduce(_ unionByName _)
+    logged.withColumn("__a", lit(1))
+      .join(expected.withColumn("__b", lit(1)),
+        Seq("batch_id", "hits", "possible", "recall_q"), "full")
+      .agg((count(lit(1)) === lit(2) && count(col("__a")) === lit(2) &&
+        count(col("__b")) === lit(2)).as("stream_recall_ok"))
+  }
+
   /** Streaming inverted-index maintenance through the real streaming
     * path: the index built on the even half, the odd half APPENDED from
     * a spool one micro-batch at a time under the exactly-once staged
@@ -3521,6 +3719,47 @@ object ExtensionQueries {
         .agg((count(lit(1)) === count(col("score")) &&
           count(lit(1)) === count(col("__s2")) &&
           max(abs(col("score") - col("__s2"))) <= 1e-9).as("bm25_maint_ok"))
+  }
+
+  /** Time-travel BM25 — [[knnAsOf]]'s discipline on the TEXT family:
+    * the inv_maint fixture's history (build even half + append odd half
+    * at epoch 0, delete %20 ending epoch 0, update doc 7 = tombstone at
+    * epoch 1 + re-append at epoch 2) serves two historical states
+    * through the same bucket-pruned path, each pinned against the
+    * from-scratch batch scorer over that epoch's corpus — N/avgdl AND
+    * postings cut at the same horizon, so historical scores are exactly
+    * what the index served then. Epoch 1 (doc 7 mid-update, absent) is
+    * the discriminating cut: a horizon-ignoring read serves 7 and
+    * fails it.
+    */
+  val textAsOf = q("x_text_asof", "SELECT true AS text_asof_ok") { (s, dir) =>
+    import s.implicits._
+    val idx = stageTextIndex(s, dir)
+    val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+      (2L, "stream batch value")).toDF("qid", "qtext")
+    def matches(asOf: Long, corpus: org.apache.spark.sql.DataFrame,
+        okCol: String) = {
+      val served = graft.ext.TextIndex.bm25TopKIndexed(s, s"$idx/inv_maint",
+        queries, "qid", "qtext", 10, asOf = Some(asOf))
+      val ref = TextSearch.bm25TopK(corpus, "doc_id", "text", queries,
+          "qid", "qtext", 10)
+        .withColumnRenamed("score", "__s2")
+      served.join(ref, Seq("query_id", "rank", "doc_id"), "full")
+        .agg((count(lit(1)) === count(col("score")) &&
+          count(lit(1)) === count(col("__s2")) &&
+          max(abs(col("score") - col("__s2"))) <= 1e-9).as(okCol))
+    }
+    val docs = Tables.documents(s, dir)
+    // epoch 0: post-%20-delete, doc 7's original generation live
+    val ok0 = matches(0L, docs.filter(col("doc_id") % 20 =!= 0), "__ok0")
+    // epoch 1: mid-update — doc 7 tombstoned, its re-append not yet in
+    val ok1 = matches(1L, docs.filter(col("doc_id") % 20 =!= 0 &&
+      col("doc_id") =!= 7), "__ok1")
+    // horizon past the newest epoch = the live view
+    val okNow = matches(Long.MaxValue, docs.filter(col("doc_id") % 20 =!= 0),
+      "__oknow")
+    ok0.crossJoin(ok1).crossJoin(okNow)
+      .select((col("__ok0") && col("__ok1") && col("__oknow")).as("text_asof_ok"))
   }
 
   /** Unigram-LM surprisal (CCNet-style perplexity quality signal,
@@ -5834,6 +6073,7 @@ object ExtensionQueries {
     multimodalPhash, dedupPhash, dedupCrossmodal,
     cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, knnOpqIvfPq, textUnigramCount,
     textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
-    classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval,
+    classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval, textAsOf,
+    corpusCleanAudit, knnAutotune, streamRecall,
   )
 }

@@ -666,13 +666,87 @@ object DocStreams {
     }
   }
 
+  /** [[runIvfPqAppendOnce]] with a RECALL MONITOR riding the same
+    * exactly-once transaction: after each batch's append, the served
+    * index is measured against its own live exact vectors
+    * ([[graft.ext.AnnIndex.ivfPqRecallCounters]] over the fixed
+    * `probeQueries`) and one (batch_id, k, nprobe, hits, possible,
+    * recall_q) row publishes into `indexDir/recall_log` under the
+    * batch's deterministic file name — the marker lands only after BOTH
+    * the data publish and the monitor row, so a crash between them
+    * replays the batch and re-measures (the append re-publish is
+    * idempotent, the log row sweeps by prefix first).
+    *
+    * This is the quality-over-time monitor the frozen-quantizer append
+    * maintenance needs: recall drifts as appended data moves away from
+    * the training sample, and the rebuild cadence is exactly the policy
+    * this log informs. Cost per batch: one brute pass of the probe set
+    * over live vectors — the honest price of measuring recall; size the
+    * probe set accordingly.
+    */
+  def runIvfPqAppendWithRecallOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      probeQueries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Unit = {
+    import graft.util.Hfs
+    require(Hfs.exists(spark, s"$indexDir/meta"),
+      s"$indexDir is not a built IVF×PQ index — build on the base corpus first")
+    require(Hfs.exists(spark, s"$indexDir/vectors"),
+      s"$indexDir keeps no exact vectors — build with keepVectors = true " +
+        "to enable the recall monitor")
+    requirePairedCheckpoint(spark, indexDir, checkpointDir)
+    val probes = probeQueries.localCheckpoint(eager = true)
+    StreamConf.withWidth(spark) {
+      val ctx = graft.ext.AnnIndex.ivfPqAppendContext(spark, indexDir)
+      val q = spark.readStream
+        .schema(s"$idCol long, $vecCol array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!Hfs.exists(spark, s"$indexDir/_batch_$batchId")) {
+            appendBatchExactlyOnce(spark, indexDir, ctx, batch.toDF(), batchId,
+              idCol, vecCol, touchMarker = false)
+            val (hits, possible) = graft.ext.AnnIndex.ivfPqRecallCounters(
+              spark, indexDir, probes, idCol, vecCol, k, nprobe)
+            val recallQ =
+              if (possible == 0L) 0L
+              else math.floor(hits.toDouble / possible * 1e6).toLong
+            val logDir = s"$indexDir/recall_log"
+            sweepPublished(spark, logDir, s"rb$batchId", partPrefix = "")
+            val staged = s"$indexDir/.staged_recall_$batchId"
+            Hfs.delete(spark, staged)
+            spark.range(1).select(
+                lit(batchId).as("batch_id"), lit(k).as("k"),
+                lit(nprobe).as("nprobe"), lit(hits).as("hits"),
+                lit(possible).as("possible"), lit(recallQ).as("recall_q"))
+              .coalesce(1).write.mode("overwrite").parquet(staged)
+            publishStaged(spark, staged, logDir, s"rb$batchId", partPrefix = "")
+            Hfs.delete(spark, staged)
+            Hfs.touch(spark, s"$indexDir/_batch_$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   /** One batch's staged-generation append (unmarked batches only): sweep
     * any leftovers of a crashed attempt, stage the encoded batch under an
     * invisible dir, publish via deterministic renames, mark last.
     */
   private def appendBatchExactlyOnce(spark: SparkSession, indexDir: String,
       ctx: graft.ext.AnnIndex.AppendContext, batch: DataFrame, batchId: Long,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String, touchMarker: Boolean = true): Unit = {
     import graft.util.Hfs
     val staged = s"$indexDir/.staged_batch_$batchId"
     val prefix = s"b$batchId"
@@ -692,7 +766,9 @@ object DocStreams {
     if (vectors.isDefined)
       publishStaged(spark, s"$staged/vectors", s"$indexDir/vectors", prefix)
     Hfs.delete(spark, staged)
-    Hfs.touch(spark, s"$indexDir/_batch_$batchId")
+    // callers composing more per-batch work into the same transaction
+    // (the recall monitor) mark AFTER their own publish instead
+    if (touchMarker) Hfs.touch(spark, s"$indexDir/_batch_$batchId")
   }
 
   /** Remove every published file of one batch from a live table — the

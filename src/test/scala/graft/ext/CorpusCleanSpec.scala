@@ -55,4 +55,36 @@ class CorpusCleanSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     withNear shouldBe Array(1L) // 3 is a near dup of 1, higher id dropped
   }
+
+  test("cleanAudit: kept rows are exactly clean()'s output; verdicts name the first failing stage") {
+    val docs = Seq(
+      (1L, good),
+      (2L, good), // exact dup of 1
+      (3L, good + " extra trailing words here"), // near dup of 1
+      (4L, "short text"), // fails minTokens
+      (5L, "der hund und die katze ist nicht auf der couch mit dem ball " +
+        "und der vogel ist auf dem baum mit der sonne und dem wind heute"), // German
+    ).toDF("doc_id", "text")
+    val cfg = CorpusClean.Config(minTokens = 15, minAlphaRatio = 0.5,
+      languages = Set("en"), dropNearDups = true, nearDupJaccard = 0.5)
+    val audit = CorpusClean.cleanAudit(docs, "doc_id", "text", cfg)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    audit shouldBe Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
+      4L -> "quality", 5L -> "language")
+    // kept == clean() including the near-dup leg
+    val kept = audit.filter(_._2 == "kept").keys.toSeq.sorted
+    kept shouldBe CorpusClean.clean(docs, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // stage flags are total booleans evaluated over the reaching population
+    val rows = CorpusClean.cleanAudit(docs, "doc_id", "text", cfg)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("quality_ok"), r.getAs[Boolean]("lang_ok"),
+         r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
+    // doc 4: quality fails AND its two tokens hit no stopword list
+    // (lang 'und') — both flags false, verdict names the FIRST stage
+    rows(4L) shouldBe ((false, false, false, false))
+    rows(2L) shouldBe ((true, true, true, false))
+    rows(3L) shouldBe ((true, true, false, true))
+  }
 }
