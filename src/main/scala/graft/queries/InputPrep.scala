@@ -63,7 +63,11 @@ object InputPrep {
       "minhashStreamStore" -> (() => { ExtensionQueries.minhashStreamStore(spark, sfDir); () }),
       "textAppendIndexes" -> (() => { ExtensionQueries.textAppendIndexes(spark, sfDir); () }),
       "upsertStreamRun" -> (() => { ExtensionQueries.upsertStreamRun(spark, sfDir); () }),
-      "driftStore" -> (() => { QualityQueries.driftStore(spark, sfDir); () }))
+      "driftStore" -> (() => { QualityQueries.driftStore(spark, sfDir); () }),
+      // the monitored IVF×PQ append run + its per-prefix expected
+      // counters (x_stream_recall reads both; staged once like the
+      // sweep fixtures, replay mechanics spec-driven)
+      "streamRecallRun" -> (() => { ExtensionQueries.stageStreamRecall(spark, sfDir); () }))
     runs.foreach { case (name, run) =>
       try run()
       catch { case e: Throwable =>

@@ -96,4 +96,33 @@ class AnnAsOfSpec extends SparkSpec {
     at0 shouldBe now
     at0 should not contain 5L
   }
+
+  test("text-index asOf: epoch cuts and horizon-past-newest = live view") {
+    val dir = "/tmp/graft_asof_spec/text"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    val docs = Seq((1L, "spark shuffle join"), (2L, "window scan spark"),
+      (3L, "spark window"), (4L, "join scan")).toDF("doc_id", "text")
+    TextIndex.build(docs, "doc_id", "text", dir, parts = 2)
+    TextIndex.deleteDocs(spark, dir, Seq(3L).toDF("doc_id"), "doc_id")
+    TextIndex.updateDocs(spark, dir,
+      Seq((2L, "merge merge merge")).toDF("doc_id", "text"), "doc_id", "text")
+    val q = Seq((0L, "spark")).toDF("qid", "qtext")
+    def docsAt(asOf: Option[Long]): Set[Long] =
+      TextIndex.bm25TopKIndexed(spark, dir, q, "qid", "qtext", 10,
+          asOf = asOf)
+        .select(col("doc_id")).as[Long].collect().toSet
+    // epoch 0: post-delete{3}, doc 2's ORIGINAL text (contains 'spark')
+    docsAt(Some(0L)) shouldBe Set(1L, 2L)
+    // epoch 1: mid-update — doc 2 absent entirely
+    docsAt(Some(1L)) shouldBe Set(1L)
+    // live: doc 2's new text has no 'spark'
+    docsAt(None) shouldBe Set(1L)
+    // horizon past the newest epoch is the live view (scores included)
+    val live = TextIndex.bm25TopKIndexed(spark, dir, q, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val past = TextIndex.bm25TopKIndexed(spark, dir, q, "qid", "qtext", 10,
+        asOf = Some(Long.MaxValue))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    past shouldBe live
+  }
 }

@@ -503,4 +503,53 @@ class PlanAssertionsSpec extends SparkSpec {
     windows should not be empty
     windows.foreach(w => w.partitionSpec should not be empty)
   }
+
+  test("LR gradient pass: map-side partial aggregation, broadcast weights, no sort-merge") {
+    // the per-iteration plan shape trainLogistic relies on at 100 TB:
+    // the corpus-sized side sees ONE narrow scan feeding a partial
+    // HashAggregate; the weights ride a broadcast — nothing corpus-sized
+    // shuffles (only the k+1 partial sums move)
+    val df = (1 to 500).map(i => (i.toLong, i / 500.0, (500 - i) / 500.0,
+      if (i % 2 == 0) 1.0 else 0.0)).toDF("id", "x1", "x2", "y")
+    val f = df.select(col("y").as("__y"), col("x1").as("__x1"),
+      col("x2").as("__x2"))
+    val wdf = Seq((0.1, 0.2, 0.3)).toDF("__w0", "__w1", "__w2")
+    val z = col("__w0") + col("__w1") * col("__x1") + col("__w2") * col("__x2")
+    val err = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z))) - col("__y")
+    val g = f.crossJoin(broadcast(wdf))
+      .agg(sum((signum(err) * floor(abs(err) * 1e6)).cast("long")).as("g0"))
+    g.collect()
+    val plan = finalPlan(g).toString
+    plan should include("Broadcast")
+    (plan should not).include("SortMergeJoin")
+    // partial + final aggregate pair (map-side combine)
+    plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
+  }
+
+  test("retrieval eval: the qrels side broadcasts; no cartesian product") {
+    val ranked = (1 to 200).map(i => ("s", (i % 10).toLong, i % 20 + 1,
+      (i % 40).toLong)).toDF("system", "query_id", "rank", "neighbor_id")
+    val qrels = (1 to 50).map(i => ((i % 10).toLong, (i % 40).toLong))
+      .toDF("query_id", "doc_id").distinct()
+    val out = graft.ext.Eval.rankedEval(ranked, qrels, k = 10)
+    out.collect()
+    val plan = finalPlan(out).toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("fsck: the store side is id-projected before the audit join — no payload columns move") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fsck_plan").toString
+    val docs = (1 to 60).map(i => (i.toLong, s"text about topic ${i % 7}"))
+      .toDF("doc_id", "text")
+    graft.ext.TextIndex.build(docs, "doc_id", "text", s"$base/inv", parts = 2)
+    val out = graft.ext.StoreMaintenance.fsck(spark, docs.select(col("doc_id")),
+      "doc_id", Seq(graft.ext.StoreRef("inv", "text", s"$base/inv")))
+    // the report frame itself is literal-built; the assertion that
+    // matters ran inside fsck (the full-outer id join) — verify the
+    // output shape and that the audit is consistent on a fresh store
+    val r = out.head()
+    r.getAs[Boolean]("consistent") shouldBe true
+    r.getAs[Long]("base_ids") shouldBe 60L
+  }
 }
