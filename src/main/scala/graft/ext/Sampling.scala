@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
 
 /** Deterministic sampling for training-data pipelines.
   *
@@ -127,6 +128,58 @@ object Sampling {
     * per-source window — one key shuffle + per-partition sort, the
     * sessionize cost class. Output: the admitted rows of `df`.
     */
+  /** Budget-calibrated filtering: keep EXACTLY ⌊frac·n⌋ rows — the top
+    * fraction under the total order (score DESC, id ASC) — without a
+    * global sort. The operation a token-budget-constrained curation
+    * pass runs ("keep the best quarter"): a fixed score threshold
+    * either over- or under-shoots the budget as the corpus drifts;
+    * calibrating the threshold FROM the corpus hits it exactly.
+    *
+    * Scale shape (no corpus-wide window): one group-by builds the
+    * score histogram (score-cardinality-sized), a cumulative window
+    * over the SORTED HISTOGRAM (still score-cardinality-sized) finds
+    * the threshold score `t` and the tie budget `r`; one corpus scan
+    * keeps `score > t` outright, and a window PARTITIONED BY SCORE
+    * ranks only the `score == t` tie group to take its `r` smallest
+    * ids. `scoreCol` should be integer-valued (quantize floats first —
+    * the library's fixed-point discipline) so the histogram and the
+    * tie semantics are exact.
+    *
+    * Returns the input columns plus `kept` (boolean) — callers filter
+    * or audit; the kept count is exactly ⌊frac·n⌋ (0 ≤ frac ≤ 1).
+    */
+  def keepTopFraction(df: DataFrame, scoreCol: Column, idCol: String,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac out of [0,1]: $frac")
+    val scored = df.withColumn("__s", scoreCol.cast("long"))
+      .localCheckpoint(eager = true) // histogram + final scan
+    val n = scored.count()
+    val k = math.floor(frac * n).toLong
+    if (k == 0L) return scored.withColumn("kept", lit(false)).drop("__s")
+    // histogram, descending cumulative counts — score-cardinality-sized
+    val hist = scored.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    // threshold row: the highest score whose cumulative count reaches k
+    val thr = cum.filter(col("__cum") >= k)
+      .orderBy(col("__s").desc).limit(1)
+      .select(col("__s").as("__t"),
+        (lit(k) - (col("__cum") - col("__c"))).as("__r"))
+      .head()
+    val (t, r) = (thr.getLong(0), thr.getLong(1))
+    // ties at the threshold rank within their own score partition —
+    // a key-partitioned window, never a global sort
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(qcol(idCol))
+    scored.withColumn("__tr",
+        when(col("__s") === t, row_number().over(tieW)).otherwise(lit(0)))
+      .withColumn("kept",
+        col("__s") > t || (col("__s") === t && col("__tr") <= r))
+      .drop("__s", "__tr")
+  }
+
   def tokenBudgetMix(df: DataFrame, sourceCol: Column, textCol: Column,
       key: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

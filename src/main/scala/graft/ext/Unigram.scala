@@ -136,22 +136,61 @@ object Unigram {
     */
   private[ext] val UnknownLp: Double = -100.0
 
+  /** WordPiece-style greedy longest-match-first (MaxMatch) segmentation
+    * of one word under the SAME vocabulary: at each position take the
+    * LONGEST vocab piece matching the remaining text, advance, repeat —
+    * the inference rule the WordPiece family actually serves (BERT
+    * runtimes), O(len·maxPieceLen) with no DP state. Out-of-alphabet
+    * characters advance one char as their own token (the viterbi
+    * coverage fallback), so segmentation never fails. Greedy and
+    * Viterbi segment the same words differently in general — greedy is
+    * the latency-serving shape, Viterbi the maximum-likelihood one;
+    * shipping both over one artifact is the tokenizer-triad completion
+    * (BPE merges / unigram-ML / wordpiece-greedy).
+    */
+  private[ext] def maxMatch(w: String, vocab: Map[String, Double]): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Nil
+    val maxLen = vocab.keysIterator.map(_.length).max
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      while (l > 1 && !vocab.contains(w.substring(pos, pos + l))) l -= 1
+      out += w.substring(pos, pos + l) // l = 1 always advances (char or OOV)
+      pos += l
+    }
+    out.toSeq
+  }
+
   /** Executor-side segmentation memo (the [[Bpe]] `WordEncoder` shape):
     * Zipf keeps the hot words far under the cap; past it, stop caching
     * rather than grow executor memory on high-cardinality text.
     */
-  private final class WordSegmenter(vocab: Map[String, Double])
-      extends Serializable {
+  private final class WordSegmenter(vocab: Map[String, Double],
+      greedy: Boolean = false) extends Serializable {
     @transient private lazy val cache =
       scala.collection.mutable.HashMap.empty[String, Seq[String]]
     private val MaxCache = 65536
     def segment(w: String): Seq[String] = cache.get(w) match {
       case Some(v) => v
       case None =>
-        val v = viterbi(w, vocab)
+        val v = if (greedy) maxMatch(w, vocab) else viterbi(w, vocab)
         if (cache.size < MaxCache) cache.update(w, v)
         v
     }
+  }
+
+  /** [[tokenCount]] under the greedy MaxMatch rule — the WordPiece
+    * serving count. Same UDF/memo shape, same coverage guarantees.
+    */
+  def greedyTokenCount(text: Column, model: UnigramModel): Column = {
+    val seg = new WordSegmenter(model.pieces, greedy = true)
+    val f = udf { (s: String) =>
+      if (s == null) 0
+      else wordsOf(s).map(w => seg.segment(w).length).sum
+    }
+    f(text)
   }
 
   /** Number of unigram tokens per text — the budget number chunking and

@@ -2031,6 +2031,30 @@ object ExtensionQueries {
       .select(col("doc_id"))
   }
 
+  /** Budget-calibrated quality filter
+    * ([[graft.ext.Sampling.keepTopFraction]]): keep EXACTLY the top
+    * quarter of documents by token count under the (score DESC, id ASC)
+    * total order — threshold derived from the corpus histogram + a
+    * score-partitioned tie rank, no global sort. The oracle replays the
+    * global order directly (row_number ≤ ⌊n/4⌋), so a calibration that
+    * over/under-shoots the budget or splits ties differently hash-fails.
+    */
+  val qualityCalibrate = q("x_quality_calibrate",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS BIGINT) AS score
+      |  FROM documents),
+      |k AS (SELECT CAST(floor(0.25 * count(*)) AS BIGINT) AS k FROM t),
+      |r AS (SELECT doc_id, score,
+      |             row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      |      FROM t)
+      |SELECT r.doc_id, r.score, r.rn <= k.k AS kept FROM r, k""".stripMargin) {
+    (s, dir) =>
+    val scored = Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("score"))
+    graft.ext.Sampling.keepTopFraction(scored, col("score"), "doc_id", 0.25)
+  }
+
   /** Forensic corpus-clean audit ([[graft.ext.CorpusClean.cleanAudit]])
     * — "why was this document dropped": one row per input doc with each
     * stage's verdict and the first-failing-stage disposition, over the
@@ -2284,6 +2308,46 @@ object ExtensionQueries {
     val model = graft.ext.Unigram.load(s, s"$uni/vocab")
     Tables.documents(s, dir).select(col("doc_id"),
       graft.ext.Unigram.tokenCount(col("text"), model).as("n_unigram"))
+  }
+
+  /** WordPiece-style greedy (MaxMatch) token counting over the SAME
+    * persisted vocabulary as the Viterbi gate — the serving-side
+    * inference rule of the WordPiece family, completing the tokenizer
+    * triad (BPE merges / unigram-ML / wordpiece-greedy) on one
+    * artifact. The oracle replays the longest-match walk as a recursive
+    * CTE: at each position the longest piece (≤ the staged maxPieceLen
+    * 4) present in the vocabulary map advances the cursor, an
+    * out-of-alphabet character advances one — a different match order
+    * or a missed longest piece changes counts and breaks the hash.
+    */
+  val textWordpieceCount = q("x_text_wordpiece_count",
+    """WITH RECURSIVE
+      |vm AS (SELECT map(list(piece), list(lp)) AS mp
+      |       FROM read_parquet('__GRAFT_UNI__/vocab/*.parquet')),
+      |dw AS (SELECT doc_id, w FROM (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS w
+      |  FROM documents WHERE text IS NOT NULL)),
+      |uw AS (SELECT DISTINCT w FROM dw),
+      |gp AS (
+      |  SELECT w, 0 AS pos, 0 AS n FROM uw
+      |  UNION ALL
+      |  SELECT w, pos + l, n + 1 FROM (
+      |    SELECT w, pos, n,
+      |           coalesce(list_max(list_filter(
+      |             generate_series(1, least(4, length(w) - pos)),
+      |             l -> map_extract(vm.mp, substr(w, pos + 1, l))[1] IS NOT NULL)),
+      |             1) AS l
+      |    FROM gp, vm WHERE pos < length(w))),
+      |done AS (SELECT w, n FROM gp WHERE pos = length(w)),
+      |agg AS (SELECT doc_id, sum(n) AS n_wordpiece FROM dw JOIN done USING (w) GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(a.n_wordpiece, 0) AS INTEGER) AS n_wordpiece
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin) {
+    (s, dir) =>
+    val uni = stageUnigramModel(s, dir)
+    val model = graft.ext.Unigram.load(s, s"$uni/vocab")
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.ext.Unigram.greedyTokenCount(col("text"), model).as("n_wordpiece"))
   }
 
   /** Context-window chunking over UNIGRAM pieces — x_text_chunks_bpe's
@@ -6084,6 +6148,7 @@ object ExtensionQueries {
     cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, knnOpqIvfPq, textUnigramCount,
     textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
     classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval, textAsOf,
-    corpusCleanAudit, knnAutotune, streamRecall,
+    corpusCleanAudit, knnAutotune, streamRecall, qualityCalibrate,
+    textWordpieceCount,
   )
 }

@@ -272,4 +272,28 @@ class CurationOpsSpec extends SparkSpec {
     // order at ts=10 is (event 1: a, event 2: b); the b run then absorbs ts=20
     out shouldBe Array(("a", 1L), ("b", 2L))
   }
+
+  test("keepTopFraction keeps exactly floor(frac*n), splitting threshold ties by id") {
+    val rnd = new scala.util.Random(29)
+    val df = (0L until 97L).map(i => (i, rnd.nextInt(10).toLong)).toDF("id", "score")
+    val out = Sampling.keepTopFraction(df, col("score"), "id", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    out.count(_._3) shouldBe 24 // floor(0.25 * 97)
+    // equality with the global-sort reference, tie-split included
+    val expected = out.map(x => (x._1, x._2)).sortBy(x => (-x._2, x._1))
+      .take(24).map(_._1).toSet
+    out.filter(_._3).map(_._1).toSet shouldBe expected
+    // frac edges
+    Sampling.keepTopFraction(df, col("score"), "id", 0.0)
+      .filter(col("kept")).count() shouldBe 0L
+    Sampling.keepTopFraction(df, col("score"), "id", 1.0)
+      .filter(col("kept")).count() shouldBe 97L
+  }
+
+  test("keepTopFraction: an all-equal-score corpus takes the k smallest ids") {
+    val df = (0L until 10L).map(i => (i, 7L)).toDF("id", "score")
+    Sampling.keepTopFraction(df, col("score"), "id", 0.5)
+      .filter(col("kept")).select("id").as[Long].collect().sorted shouldBe
+      Array(0L, 1L, 2L, 3L, 4L)
+  }
 }

@@ -58,4 +58,29 @@ class UnigramSpec extends SparkSpec {
     Unigram.save(hand, spark, dir)
     Unigram.load(spark, dir).pieces shouldBe hand.pieces
   }
+
+  test("maxMatch takes the longest piece greedily; coverage and OOV match viterbi's rules") {
+    // greedy grabs 'abc' then is forced to single chars where viterbi
+    // would have chosen 'ab'+'ab': the classic greedy-vs-ML divergence
+    Unigram.maxMatch("abc", hand.pieces) shouldBe Seq("abc")
+    Unigram.maxMatch("abcab", hand.pieces) shouldBe Seq("abc", "ab")
+    Unigram.maxMatch("abca", hand.pieces) shouldBe Seq("abc", "a")
+    // divergence example: viterbi can prefer two mid pieces over the
+    // greedy long-first walk when probabilities say so
+    val m = Map("x" -> -1.0, "y" -> -1.0, "xy" -> -5.0, "xyx" -> -9.0)
+    Unigram.maxMatch("xyxy", m) shouldBe Seq("xyx", "y")
+    Unigram.viterbi("xyxy", m) shouldBe Seq("x", "y", "x", "y")
+    // OOV characters advance one at a time, segmentation never fails
+    Unigram.maxMatch("azb", hand.pieces) shouldBe Seq("a", "z", "b")
+    // concatenation always reconstructs the word (coverage)
+    Seq("abcab", "azb", "ababab").foreach { w =>
+      Unigram.maxMatch(w, hand.pieces).mkString shouldBe w
+    }
+    // the greedy UDF counts match the per-word rule
+    import spark.implicits._
+    val n = Seq((1L, "abc abcab azb")).toDF("id", "text")
+      .select(Unigram.greedyTokenCount($"text", hand).as("n"))
+      .head().getInt(0)
+    n shouldBe (1 + 2 + 3)
+  }
 }
