@@ -284,6 +284,15 @@ object ScaleProbe {
         graft.ext.Classify.scoreLogistic(
           d.filter(col("doc_id") % 5 === 0), "doc_id", feats, w).count()
       }
+      // budget calibration: histogram + score-partitioned tie rank —
+      // one shuffle on the (bounded-cardinality) score, one scan
+      time(s"quality_calibrate_x$m") {
+        graft.ext.Sampling.keepTopFraction(
+          d.select(col("doc_id"),
+            size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+              .as("score")),
+          col("score"), "doc_id", 0.25).filter(col("kept")).count()
+      }
     }
 
     // ---- portable vs XXH64 family A/B (1× corpus, gate shapes) ----
