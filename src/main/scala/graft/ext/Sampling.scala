@@ -151,7 +151,12 @@ object Sampling {
   def keepTopFraction(df: DataFrame, scoreCol: Column, idCol: String,
       frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac out of [0,1]: $frac")
-    val scored = df.withColumn("__s", scoreCol.cast("long"))
+    // null scores sort LAST (below every real score): without this, a
+    // threshold landing in the null group would make every comparison
+    // null and silently keep nothing — the budget must stay exact even
+    // on a corpus whose scorer has gaps
+    val scored = df.withColumn("__s",
+      coalesce(scoreCol.cast("long"), lit(Long.MinValue)))
       .localCheckpoint(eager = true) // histogram + final scan
     val n = scored.count()
     val k = math.floor(frac * n).toLong

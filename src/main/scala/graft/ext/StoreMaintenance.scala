@@ -64,10 +64,18 @@ object StoreMaintenance {
     */
   private def liveIds(spark: SparkSession, ref: StoreRef): DataFrame = ref.kind match {
     case "ann" =>
+      // composed layouts keep their tables (and tombstones) in the
+      // nested index — route like compactIfNeeded does, so an fsck of
+      // an OPQ/PCA-PQ ROOT audits the store that actually serves
+      val dir = AnnIndex.readLayout(spark, ref.dir) match {
+        case "pcapq" | "opq" => s"${ref.dir}/pq"
+        case "opqivfpq" => s"${ref.dir}/ivfpq"
+        case _ => ref.dir
+      }
       val table =
-        if (AnnIndex.readLayout(spark, ref.dir) == "ivf") s"${ref.dir}/vectors"
-        else s"${ref.dir}/codes"
-      AnnIndex.liveOnly(spark, ref.dir, spark.read.parquet(table))
+        if (AnnIndex.readLayout(spark, dir) == "ivf") s"$dir/vectors"
+        else s"$dir/codes"
+      AnnIndex.liveOnly(spark, dir, spark.read.parquet(table))
         .select(col("__id").cast("long").as("__id")).distinct()
     case "text" =>
       val table =

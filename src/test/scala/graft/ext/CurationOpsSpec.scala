@@ -296,4 +296,14 @@ class CurationOpsSpec extends SparkSpec {
       .filter(col("kept")).select("id").as[Long].collect().sorted shouldBe
       Array(0L, 1L, 2L, 3L, 4L)
   }
+
+  test("keepTopFraction: null scores sort last and the budget stays exact") {
+    val df = Seq((1L, Some(9L)), (2L, None), (3L, Some(5L)), (4L, None))
+      .toDF("id", "score")
+    // k = 3 reaches INTO the null group: the two real scores plus the
+    // smallest-id null row
+    Sampling.keepTopFraction(df, col("score"), "id", 0.75)
+      .filter(col("kept")).select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L)
+  }
 }
