@@ -5746,7 +5746,14 @@ object ExtensionQueries {
       |ded_live AS (
       |  SELECT DISTINCT __id FROM read_parquet('__GRAFT_CASCADE__/dedup_store/sigs/*/*.parquet', hive_partitioning=1) s
       |  WHERE NOT EXISTS (SELECT 1 FROM read_parquet('__GRAFT_CASCADE__/dedup_store/id_tombstones/*.parquet') t
-      |                    WHERE t.__id = s.__id))
+      |                    WHERE t.__id = s.__id)),
+      |ann_t AS (SELECT __id, max(__seq) AS tseq
+      |          FROM read_parquet('__GRAFT_CASCADE__/ann_pq/tombstones/*.parquet') GROUP BY 1),
+      |ann_live AS (
+      |  SELECT DISTINCT c.__id FROM read_parquet('__GRAFT_CASCADE__/ann_pq/codes/*.parquet') c
+      |  LEFT JOIN ann_t d ON c.__id = d.__id
+      |  WHERE d.tseq IS NULL OR coalesce(c.__seq, 0) > d.tseq),
+      |annbase AS (SELECT vec_id FROM embeddings WHERE vec_id < 64 AND vec_id % 8 <> 2)
       |SELECT 'text_inv' AS store, 'text' AS kind, 'survivors' AS scope,
       |       (SELECT CAST(count(*) AS BIGINT) FROM survivors) AS base_ids,
       |       (SELECT CAST(count(*) AS BIGINT) FROM inv_live) AS live_ids,
@@ -5805,7 +5812,19 @@ object ExtensionQueries {
       |       (SELECT count(*) FROM retention r
       |        WHERE NOT EXISTS (SELECT 1 FROM ded_live v WHERE v.__id = r.doc_id)) = 0
       |       AND (SELECT count(*) FROM ded_live v
-      |        WHERE NOT EXISTS (SELECT 1 FROM retention r WHERE r.doc_id = v.__id)) = 0""".stripMargin) {
+      |        WHERE NOT EXISTS (SELECT 1 FROM retention r WHERE r.doc_id = v.__id)) = 0
+      |UNION ALL
+      |SELECT 'ann_pq', 'ann', 'survivors',
+      |       (SELECT CAST(count(*) AS BIGINT) FROM annbase),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM ann_live),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM annbase b
+      |        WHERE NOT EXISTS (SELECT 1 FROM ann_live v WHERE v.__id = b.vec_id)),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM ann_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM annbase b WHERE b.vec_id = v.__id)),
+      |       (SELECT count(*) FROM annbase b
+      |        WHERE NOT EXISTS (SELECT 1 FROM ann_live v WHERE v.__id = b.vec_id)) = 0
+      |       AND (SELECT count(*) FROM ann_live v
+      |        WHERE NOT EXISTS (SELECT 1 FROM annbase b WHERE b.vec_id = v.__id)) = 0""".stripMargin) {
     (s, dir) =>
     val cf = stageCascadeFixtures(s, dir)
     val corpus = cascadeDocs(s, dir).select(col("doc_id"))
@@ -5822,6 +5841,15 @@ object ExtensionQueries {
         .withColumn("scope", lit("full")))
       .unionByName(StoreMaintenance.fsck(s, retention, "doc_id", stores.drop(2))
         .withColumn("scope", lit("retention")))
+      // the ANN family under the same audit: the cascade's forget
+      // tombstoned the vec_ids of the takedown set, so the survivors
+      // base is the embedding slice minus them
+      .unionByName(StoreMaintenance.fsck(s,
+          Tables.embeddings(s, dir)
+            .filter(col("vec_id") < 64 && col("vec_id") % 8 =!= 2)
+            .select(col("vec_id")),
+          "vec_id", Seq(StoreRef("ann_pq", "ann", s"$cf/ann_pq")))
+        .withColumn("scope", lit("survivors")))
   }
 
   /** Scratch copies of four maintenance-history fixture stores plus one

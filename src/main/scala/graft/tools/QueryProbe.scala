@@ -75,7 +75,7 @@ object QueryProbe {
             new java.io.File(tiIdx, d))
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cIdx))
-      Seq("text_inv", "text_pos", "dedup_store").foreach { d =>
+      Seq("text_inv", "text_pos", "dedup_store", "ann_pq").foreach { d =>
         val from = new java.io.File(s"$cSrc/$d")
         if (from.isDirectory)
           org.apache.commons.io.FileUtils.copyDirectory(from,
