@@ -1299,9 +1299,19 @@ object AnnIndex {
     * debt policy prices.
     */
   private def storeCounts(spark: SparkSession, dir: String): (Long, Long) = {
+    // composed layouts keep their tables AND tombstones in the nested
+    // index (deletes delegate) — route to the table-owning level the
+    // same way liveIds/compactIfNeeded do, so healthReport/sweep/fsck
+    // on a composed ROOT measure the store that actually serves
+    val owner = readLayout(spark, dir) match {
+      case "pcapq" | "opq" => s"$dir/pq"
+      case "opqivfpq"      => s"$dir/ivfpq"
+      case _               => dir
+    }
     val table =
-      if (readLayout(spark, dir) == "ivf") s"$dir/vectors" else s"$dir/codes"
-    tableCounts(spark, dir, table)
+      if (readLayout(spark, owner) == "ivf") s"$owner/vectors"
+      else s"$owner/codes"
+    tableCounts(spark, owner, table)
   }
 
   /** [[storeCounts]] with the main table named explicitly — shared with

@@ -54,13 +54,17 @@ object Eval {
     require(k >= 1 && k <= 100, s"k out of range: $k")
     val d = discounts(k)
     val ideal = idealPrefix(k)
-    val rels = qrels.groupBy(col("query_id"))
+    // qrels are a relevance SET — dedup (query_id, doc_id) up front so
+    // a doubled qrels row can neither fan out ranked rows through the
+    // join (hits > k, prec_q past 1e6) nor double-count rels
+    val qrelsD = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val rels = qrelsD.groupBy(col("query_id"))
       .agg(count(lit(1)).as("rels"))
     val flags = ranked
-      .join(qrels.withColumn("__rel", lit(1)),
-        ranked("query_id") === qrels("query_id") &&
+      .join(qrelsD.withColumn("__rel", lit(1)),
+        ranked("query_id") === qrelsD("query_id") &&
           col("neighbor_id") === col("doc_id"), "left")
-      .drop(qrels("query_id")).drop("doc_id")
+      .drop(qrelsD("query_id")).drop("doc_id")
       .withColumn("__rel", coalesce(col("__rel"), lit(0)))
     val keys = groupCols.map(col) :+ col("query_id")
     val perRank = (1 to k).map(r =>

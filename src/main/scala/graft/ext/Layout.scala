@@ -98,9 +98,20 @@ object Layout {
       if (existing.columns.contains("__key_bits"))
         existing.select(col("__key_bits")).head().getInt(0)
       else 256
-    val known = existing.select(col("__file"))
+    // find the appended files by FILESYSTEM listing, not by scanning
+    // the table: the manifest is files-sized (bounded collect), and a
+    // row-level anti-join would re-read every sealed file per
+    // micro-batch — exactly the table-sized cost this entry point
+    // exists to avoid. Paths compare scheme-normalized (input_file_name
+    // spells file:///, FileStatus spells file:/).
+    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val knownPaths = existing.select(col("__file"))
+      .collect().map(r => uriPath(r.getString(0))).toSet
+    val freshFiles = graft.util.Hfs.listDataFiles(spark, tableDir)
+      .filterNot(f => knownPaths(uriPath(f)))
+    if (freshFiles.isEmpty) return
     val fresh = manifestRows(spark, tableDir, statsCols, keyCols, keyBits,
-      newOnly = Some(known))
+      onlyFiles = Some(freshFiles))
     val merged = existing.unionByName(fresh)
     val tmp = s"$tableDir/.manifest-${System.nanoTime()}"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -134,17 +145,20 @@ object Layout {
 
   private def manifestRows(spark: SparkSession, tableDir: String,
       statsCols: Seq[String], keyCols: Seq[String], keyBits: Int,
-      newOnly: Option[DataFrame]): DataFrame = {
+      onlyFiles: Option[Seq[String]]): DataFrame = {
     require(statsCols.nonEmpty, "no stats columns")
     require(keyBits > 0 && keyBits <= 65536, s"keyBits out of range: $keyBits")
     import org.apache.spark.sql.functions.input_file_name
-    val df0 = spark.read.parquet(tableDir)
-      .select(input_file_name().as("__file") +:
-        (statsCols ++ keyCols).distinct.map(col): _*)
-    val df = newOnly match {
-      case Some(known) => df0.join(broadcast(known), Seq("__file"), "left_anti")
-      case None => df0
+    // incremental callers name the appended files explicitly — the scan
+    // opens ONLY those paths (file pruning at the source, not a
+    // read-everything-then-anti-join)
+    val reader = spark.read.option("basePath", tableDir)
+    val src = onlyFiles match {
+      case Some(paths) => reader.parquet(paths: _*)
+      case None => reader.parquet(tableDir)
     }
+    val df = src.select(input_file_name().as("__file") +:
+      (statsCols ++ keyCols).distinct.map(col): _*)
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
       // per-file KEY-membership fingerprint: the sorted distinct bucket

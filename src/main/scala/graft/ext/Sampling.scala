@@ -135,15 +135,19 @@ object Sampling {
     * either over- or under-shoots the budget as the corpus drifts;
     * calibrating the threshold FROM the corpus hits it exactly.
     *
-    * Scale shape (no corpus-wide window): one group-by builds the
-    * score histogram (score-cardinality-sized), a cumulative window
-    * over the SORTED HISTOGRAM (still score-cardinality-sized) finds
-    * the threshold score `t` and the tie budget `r`; one corpus scan
-    * keeps `score > t` outright, and a window PARTITIONED BY SCORE
+    * Scale shape (no corpus-wide window, no single-task sort anywhere):
+    * one group-by builds the score histogram (score-cardinality-sized),
+    * a DISTRIBUTED cumulative sum over the sorted histogram
+    * ([[graft.operators.Ids.globalPrefixSum]]: range partition +
+    * per-partition window + driver offsets over partition-count totals)
+    * finds the threshold score `t` and the tie budget `r`; one corpus
+    * scan keeps `score > t` outright, and a window PARTITIONED BY SCORE
     * ranks only the `score == t` tie group to take its `r` smallest
     * ids. `scoreCol` should be integer-valued (quantize floats first —
     * the library's fixed-point discipline) so the histogram and the
-    * tie semantics are exact.
+    * tie semantics are exact; a continuous score still computes the
+    * same answer, through a row-sized histogram that the two-phase
+    * prefix sum keeps distributed.
     *
     * Returns the input columns plus `kept` (boolean) — callers filter
     * or audit; the kept count is exactly ⌊frac·n⌋ (0 ≤ frac ≤ 1).
@@ -162,16 +166,22 @@ object Sampling {
     val k = math.floor(frac * n).toLong
     if (k == 0L) return scored.withColumn("kept", lit(false)).drop("__s")
     // histogram, descending cumulative counts — score-cardinality-sized
+    // in the QUANTIZED contract, but nothing enforces quantization, so
+    // the cumulative sum runs through the two-phase distributed prefix
+    // machinery (range partition + per-partition window + driver
+    // offsets over ≤ partition-count totals) instead of an
+    // unpartitioned ORDER BY window: a caller passing a continuous
+    // score gets a row-sized histogram, which must not become a
+    // single-task global sort
     val hist = scored.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    val cum = graft.operators.Ids.globalPrefixSum(
+        hist, Seq(col("__s").desc), col("__c"), "__pre")
+      .withColumn("__cum", col("__pre") + col("__c"))
     // threshold row: the highest score whose cumulative count reaches k
     val thr = cum.filter(col("__cum") >= k)
       .orderBy(col("__s").desc).limit(1)
       .select(col("__s").as("__t"),
-        (lit(k) - (col("__cum") - col("__c"))).as("__r"))
+        (lit(k) - col("__pre")).as("__r"))
       .head()
     val (t, r) = (thr.getLong(0), thr.getLong(1))
     // ties at the threshold rank within their own score partition —

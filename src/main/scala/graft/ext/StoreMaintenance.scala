@@ -145,6 +145,14 @@ object StoreMaintenance {
         case "text" => TextIndex.compactIfNeeded(spark, ref.dir, threshold)
         case "dedup" =>
           if (db >= threshold) {
+            // the ANN/text families refuse via their own requireLive;
+            // compactDedupStore has no such guard (a direct caller may
+            // legitimately empty a store), so the sweep enforces the
+            // same rebuild-or-drop contract here — a fully-tombstoned
+            // store must fail loudly, not compact to silently empty
+            require(lb > 0L, s"refusing to compact fully-tombstoned " +
+              s"dedup store '${ref.name}' (${ref.dir}): 0 live rows — " +
+              "rebuild or drop it")
             graft.streaming.DocStreams.compactDedupStore(spark, ref.dir)
             true
           } else false

@@ -378,14 +378,19 @@ object DocStreams {
     * each driven through [[graft.ext.CascadeDelete.forget]] — the
     * streaming form of the takedown cadence (opt-out requests land all
     * day; the pipeline forgets them store-by-store as they arrive
-    * instead of batching to a nightly window). Per-batch markers under
-    * `markerDir` skip already-processed batches on a checkpoint replay;
-    * the marker lands AFTER the forget, so a crash between the two
-    * replays the batch — safe, because forget is idempotent on every
-    * surface (duplicate tombstones subtract identically, the components
-    * rebuild is deterministic). Each batch's compaction-debt check runs
-    * inside forget, so steady takedowns still accumulate into one
-    * rewrite per store at the threshold.
+    * instead of batching to a nightly window). Per-FILE markers under
+    * `markerDir` skip already-processed spool files on a replay: markers
+    * are keyed by spool file NAME, not Spark batchId — this stream runs
+    * without a durable checkpoint, so batch numbering restarts at 0 and
+    * is derived from file mtime ordering on every invocation; a
+    * batchId-keyed marker would silently skip a never-processed
+    * takedown batch whenever ids remap (a compliance hole). The marker
+    * lands AFTER the forget, so a crash between the two replays the
+    * file — safe, because forget is idempotent on every surface
+    * (duplicate tombstones subtract identically, the components rebuild
+    * is deterministic). Each batch's compaction-debt check runs inside
+    * forget, so steady takedowns still accumulate into one rewrite per
+    * store at the threshold.
     */
   def runForgetOnce(spark: SparkSession, spoolDir: String, markerDir: String,
       targets: graft.ext.CascadeTargets, idCol: String = "doc_id",
@@ -397,12 +402,22 @@ object DocStreams {
         .option("maxFilesPerTrigger", "1")
         .parquet(spoolDir)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!Hfs.exists(spark, s"$markerDir/_batch_$batchId")) {
-            graft.ext.CascadeDelete.forget(spark, batch.toDF(), idCol,
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // one file per trigger, but never assume it: recover every
+          // file backing this batch, drop the already-forgotten ones,
+          // and re-read the fresh set from disk (ids come from exactly
+          // the files the markers will name)
+          val files = batch.select(input_file_name().as("__f"))
+            .distinct().collect().map(_.getString(0)).sorted
+          val fresh = files.filterNot(f =>
+            Hfs.exists(spark, s"$markerDir/_file_${new java.io.File(f).getName}"))
+          if (fresh.nonEmpty) {
+            val ids = spark.read.schema(s"$idCol long").parquet(fresh: _*)
+            graft.ext.CascadeDelete.forget(spark, ids, idCol,
               targets, compactThreshold)
             Hfs.mkdirs(spark, markerDir)
-            Hfs.touch(spark, s"$markerDir/_batch_$batchId")
+            fresh.foreach(f =>
+              Hfs.touch(spark, s"$markerDir/_file_${new java.io.File(f).getName}"))
           }
           ()
         }

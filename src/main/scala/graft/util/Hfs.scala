@@ -55,6 +55,28 @@ object Hfs {
     else f.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Recursively list DATA file paths under a table directory, skipping
+    * hidden and underscore-prefixed names at every level (the parquet
+    * reader's own convention — `_manifest`, `_SUCCESS`, `.staging`
+    * never count as data). Empty when the directory is absent. Cost is
+    * one filesystem listing — FILES-sized, never row-sized — which is
+    * what makes it the right probe for incremental manifest
+    * maintenance: finding "what was appended" must not scan the table.
+    */
+  def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(d: Path): Unit = f.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath) else out += st.getPath.toString
+      }
+    }
+    walk(p)
+    out.toSeq
+  }
+
   /** Rename within one filesystem (the Hadoop contract; fails across FSs). */
   def rename(spark: SparkSession, src: String, dst: String): Boolean = {
     val (f, s) = fs(spark, src)

@@ -155,12 +155,32 @@ class CascadeDeleteSpec extends SparkSpec {
     def pairs(st: String) = DocStreams.readPairs(spark, st)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs(store) shouldBe pairs(store2)
-    // markers landed, one per batch; a replayed run is a no-op
-    new java.io.File(markers).listFiles().count(_.getName.startsWith("_batch_")) shouldBe 2
+    // markers landed, one per SPOOL FILE (batchId-keyed markers would
+    // remap across restarts — file-name keying is the compliance-safe
+    // form); a replayed run is a no-op
+    new java.io.File(markers).listFiles()
+      .count(_.getName.startsWith("_file_")) shouldBe 2
     val before = pairs(store)
     DocStreams.runForgetOnce(spark, spool, markers,
       CascadeTargets(dedupStores = Seq(store)))
     pairs(store) shouldBe before
+    // a LATE spool file whose mtime sorts BEFORE the processed ones
+    // must still be forgotten: with batchId-keyed markers its batch
+    // would renumber to an already-marked id and silently skip — an
+    // unforgotten document on a compliance path
+    val stage = s"$spool/.stage_late"
+    Seq(1L).toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val tgt = new java.io.File(spool, "spool_000_late.parquet")
+    java.nio.file.Files.move(part.toPath, tgt.toPath)
+    tgt.setLastModified(1600000000000L - 60000L) // earliest mtime in the spool
+    DocStreams.runForgetOnce(spark, spool, markers,
+      CascadeTargets(dedupStores = Seq(store)))
+    DocStreams.dedupLiveIds(spark, store)
+      .as[Long].collect().toSet should not contain 1L
+    new java.io.File(markers).listFiles()
+      .count(_.getName.startsWith("_file_")) shouldBe 3
   }
 
   test("forgetting absent ids is a no-op on every store") {

@@ -56,6 +56,22 @@ class EvalSpec extends SparkSpec {
     out(2L) shouldBe ((0L, 0L, 0L))
   }
 
+  test("duplicate qrels rows grade identically to the distinct set") {
+    // qrels are a SET: a doubled (query, doc) pair must neither fan out
+    // ranked rows through the join (hits > k, prec past 1e6) nor
+    // double-count rels
+    val ranked = Seq(
+      ("s", 1L, 1, 10L), ("s", 1L, 2, 11L), ("s", 1L, 3, 12L),
+    ).toDF("system", "query_id", "rank", "neighbor_id")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 99L)).toDF("query_id", "doc_id")
+    val doubled = qrels.unionByName(qrels).unionByName(qrels.limit(1))
+    val clean = Eval.rankedEval(ranked, qrels, k = 3).head()
+    val dup = Eval.rankedEval(ranked, doubled, k = 3).head()
+    Seq("hits", "rels", "first_hit", "prec_q", "mrr_q", "ndcg_q").foreach { c =>
+      dup.getAs[Long](c) shouldBe clean.getAs[Long](c)
+    }
+  }
+
   test("R > k caps the ideal at the k-prefix (NDCG can still reach 1.0)") {
     val ranked = Seq(("s", 1L, 1, 11L), ("s", 1L, 2, 12L))
       .toDF("system", "query_id", "rank", "neighbor_id")

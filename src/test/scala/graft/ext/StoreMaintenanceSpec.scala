@@ -95,6 +95,69 @@ class StoreMaintenanceSpec extends SparkSpec {
     graft.util.Hfs.exists(spark, s"$base/inv/tombstones") shouldBe true
   }
 
+  test("composed roots: health/sweep/fsck route to the nested table-owning index") {
+    val base = tmpDir("graft_composedspec")
+    // 4-dim corpus so OPQ has a real rotation to learn
+    val c4 = Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f, 0.1f)), (1L, Array(0.9f, 0.1f, 0.3f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.1f, 0.9f)), (3L, Array(-1.0f, 0.0f, 0.8f, 0.2f)),
+      (4L, Array(0.7f, 0.7f, 0.5f, 0.4f)),
+    ).toDF("vec_id", "embedding")
+    AnnIndex.buildOpq(c4, "vec_id", "embedding", s"$base/opq",
+      dim = 4, m = 2, ksub = 3, iters = 1, opqIters = 1)
+    AnnIndex.buildOpqIvfPq(c4, "vec_id", "embedding", s"$base/opqivfpq",
+      dim = 4, nlist = 2, m = 2, ksub = 3, iters = 1, opqIters = 1)
+    // pre-fix these THREW: storeCounts read `$root/codes`, which a
+    // composed root does not have (tables live in the nested index)
+    val h0 = AnnIndex.healthReport(spark, Seq(
+        "opq" -> s"$base/opq", "opqivfpq" -> s"$base/opqivfpq"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    h0("opq") shouldBe ((10L, 10L))      // 5 docs × m=2 code rows
+    h0("opqivfpq") shouldBe ((10L, 10L))
+    // delete one id (routes to the nested index); debt = 2/10 ≥ 0.18
+    AnnIndex.deleteIds(spark, s"$base/opq", Seq(3L).toDF("vec_id"), "vec_id")
+    AnnIndex.deleteIds(spark, s"$base/opqivfpq", Seq(3L).toDF("vec_id"), "vec_id")
+    val q = c4.filter($"vec_id" === 0)
+    val servedBefore = AnnIndex.opqIvfPqTopK(spark, s"$base/opqivfpq", q,
+      "vec_id", "embedding", 3, nprobe = 2).orderBy("rank").collect().toSeq
+    val report = StoreMaintenance.sweep(spark, Seq(
+        StoreRef("opq", "ann", s"$base/opq"),
+        StoreRef("opqivfpq", "ann", s"$base/opqivfpq")),
+      threshold = 0.18)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(5), r.getLong(6),
+          r.getDouble(8)))).toMap
+    report("opq") shouldBe ((10L, 8L, true, 8L, 0.0))
+    report("opqivfpq") shouldBe ((10L, 8L, true, 8L, 0.0))
+    // the NESTED tombstone logs are gone; serving unchanged post-compaction
+    graft.util.Hfs.exists(spark, s"$base/opq/pq/tombstones") shouldBe false
+    graft.util.Hfs.exists(spark, s"$base/opqivfpq/ivfpq/tombstones") shouldBe false
+    AnnIndex.opqIvfPqTopK(spark, s"$base/opqivfpq", q,
+        "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("rank").collect().toSeq shouldBe servedBefore
+    // fsck on the composed root sees the survivor live set
+    val r = StoreMaintenance.fsck(spark, c4.select($"vec_id"), "vec_id",
+      Seq(StoreRef("opq", "ann", s"$base/opq"))).head()
+    r.getAs[Long]("live_ids") shouldBe 4L
+    r.getAs[Long]("missing_ids") shouldBe 1L
+  }
+
+  test("sweep refuses to compact a fully-tombstoned dedup store") {
+    val base = tmpDir("graft_sweepdead")
+    Seq((1L, 0), (2L, 0)).toDF("__id", "__pb")
+      .write.partitionBy("__pb").parquet(s"$base/dedup/sigs")
+    Seq(1L, 2L).toDF("__id").write.parquet(s"$base/dedup/id_tombstones")
+    // debt 1.0 ≥ threshold, 0 live rows → rebuild-or-drop, loudly
+    val e = intercept[IllegalArgumentException] {
+      StoreMaintenance.sweep(spark,
+        Seq(StoreRef("sigs", "dedup", s"$base/dedup")), 0.5)
+    }
+    e.getMessage should include("fully-tombstoned")
+    // nothing was compacted: the store still holds its dead rows + log
+    spark.read.parquet(s"$base/dedup/sigs").count() shouldBe 2L
+    graft.util.Hfs.exists(spark, s"$base/dedup/id_tombstones") shouldBe true
+  }
+
   test("fsck: consistent store, then missing after delete, orphans after base shrink") {
     val base = tmpDir("graft_fsckspec")
     val docs = Seq((1L, "spark shuffle join"), (2L, "window scan"),
