@@ -175,6 +175,37 @@ object Bench {
       println(f"""{"q":"$name","sec":$sec%.3f,"cpu":$cpuSec%.3f}""")
       (name, sec, cpuSec)
     }
+    // ---- pinned canary normalization: ten stable queries spanning the
+    // suite's cost classes (scan, broadcast join, engine pipeline,
+    // salted shuffle, hash agg, brute vector math, batch text scoring,
+    // distributed prefix sum, iterative graph, sketch) whose CODE
+    // changes rarely. host_factor = median(current / reference) over
+    // them — a uniform band across unrelated queries is host drift, not
+    // code; readers divide wall totals by it instead of re-litigating
+    // rep-to-rep drift by hand. Reference values pinned from the r15
+    // builder rep (sf0.1, local[32], 2026-08-15); re-pin deliberately
+    // when the canary queries themselves change.
+    val canaryRef: Map[String, Double] = Map(
+      "s1_csv_roundtrip" -> 0.482,
+      "j1_relation_eqi" -> 0.240,
+      "ep1_engine_import" -> 1.218,
+      "x_salted_join" -> 0.879,
+      "x_dedup_exact" -> 0.427,
+      "x_knn_brute" -> 0.643,
+      "x_text_bm25" -> 0.715,
+      "x_pack_sequences" -> 0.336,
+      "x_pagerank" -> 3.428,
+      "x_freq_cms" -> 0.452,
+    )
+    val ratios = results
+      .collect { case (n, s, _) if canaryRef.contains(n) => s / canaryRef(n) }
+      .sorted
+    val hostFactor =
+      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    val canaryJson = results
+      .collect { case (n, s, _) if canaryRef.contains(n) =>
+        "\"" + n + f"""":$s%.3f""" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // per-query executor CPU beside the wall map: host drift moves wall
@@ -185,10 +216,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._3).sum
+    // the per-query BUDGET in CPU seconds (host-independent) and the
+    // canary-normalized wall form — the two numbers the suite budget is
+    // stated in from r15 on (BENCH_NOTES), ending per-rep wall-clock
+    // relitigation
+    val n = math.max(1, results.size)
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""cpu_total":$totalCpu%.3f,"cpu":$cpuQs,"staging_sec":$stagingSec%.3f,""" +
-      f""""shared_runs_sec":$sharedSec%.3f,"sf":"$sfDir"}"""
+      f""""shared_runs_sec":$sharedSec%.3f,""" +
+      f""""canary":$canaryJson,"canary_ref_rep":"r15_builder_sf01_20260815",""" +
+      f""""host_factor":$hostFactor%.3f,""" +
+      f""""wall_per_query":${total / n}%.3f,""" +
+      f""""wall_per_query_normalized":${total / n / hostFactor}%.3f,""" +
+      f""""cpu_per_query":${totalCpu / n}%.3f,"sf":"$sfDir"}"""
     // complete record to a file the repo commits — immune to capture
     // limits. A FILTERED micro-bench run must not clobber it: the file's
     // whole point is the complete suite record.

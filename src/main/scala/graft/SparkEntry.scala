@@ -25,5 +25,6 @@ object SparkEntry {
   private def allDefs =
     ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all ++
       EngineQueries.all ++ CoverageQueries.all ++ graft.queries.ScaleQueries.all ++
-      graft.queries.AnalyticsQueries.all ++ graft.queries.QualityQueries.all
+      graft.queries.AnalyticsQueries.all ++ graft.queries.QualityQueries.all ++
+      graft.queries.PipelineQueries.all
 }

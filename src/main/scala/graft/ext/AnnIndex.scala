@@ -194,7 +194,7 @@ object AnnIndex {
       codesPath: String, m: Int, sub: Int, dir: String,
       residual: Boolean = false)
 
-  private def writeMeta(spark: SparkSession, dir: String, m: Int, sub: Int,
+  private[ext] def writeMeta(spark: SparkSession, dir: String, m: Int, sub: Int,
       nlist: Int, residual: Boolean = false, layout: String = ""): Unit = {
     import spark.implicits._
     val l = if (layout.nonEmpty) layout else derivedLayout(m, nlist)
@@ -1308,9 +1308,11 @@ object AnnIndex {
       case "opqivfpq"      => s"$dir/ivfpq"
       case _               => dir
     }
-    val table =
-      if (readLayout(spark, owner) == "ivf") s"$owner/vectors"
-      else s"$owner/codes"
+    val table = readLayout(spark, owner) match {
+      // vector-table layouts (IVF-flat, graph) have no codes table
+      case "ivf" | "graph" => s"$owner/vectors"
+      case _               => s"$owner/codes"
+    }
     tableCounts(spark, owner, table)
   }
 

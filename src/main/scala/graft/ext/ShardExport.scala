@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-shard export — the final mile a training job
+  * actually consumes: the packed-sequence table written as a FIXED
+  * number of shards, each shard internally ordered by a content-derived
+  * key, with a per-shard manifest row (row count + integer checksum)
+  * the loader can verify before a single batch is built.
+  *
+  * Determinism is the whole contract:
+  *   - shard assignment hashes the SEQUENCE id (a sequence is the
+  *     training unit — its rows never split across shards), through the
+  *     engine-portable md5 family;
+  *   - within-shard order is a content-keyed md5 (`order_key`, the
+  *     [[Sampling.epochUpsample]] `order_key` discipline) — no
+  *     timestamps, no partition-order dependence, so a re-export from
+  *     the same packed table reproduces byte-identical shard content;
+  *   - the manifest checksum is the [[graft.queries]] reconcile
+  *     machinery: per row an md5-prefix-8 integer over the canonical
+  *     field string, summed exactly as DECIMAL(38,0) — order-free,
+  *     overflow-free, replayable in any engine.
+  *
+  * Scale shape: one hash shuffle into `shards` writer tasks (each task
+  * sorts only its own shard — never a global sort), one counter-sized
+  * aggregation for the manifest. At 100 TB the shard count is the
+  * parallelism knob exactly like a real tokenized-dataset export.
+  */
+object ShardExport {
+
+  /** The canonical per-row checksum term: md5-prefix-8 (32 bits) of the
+    * colon-joined fields, as a DECIMAL(38,0) so the per-shard SUM is
+    * exact at any row count.
+    */
+  private def rowCheck: org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws(":",
+      col("doc_id"), col("seq_id"), col("doc_from"), col("doc_to"),
+      col("seq_off"))), 1, 8), 16, 10).cast("decimal(38,0)")
+
+  /** Assign shard ids and within-shard order keys to a packed-sequence
+    * table ((doc_id, seq_id, doc_from, doc_to, seq_off) rows —
+    * [[Packing.packSequences]] output). Pure per-row arithmetic, no
+    * shuffle: `shard_id = md5_60bit('s:' || seq_id) mod shards`,
+    * `order_key = md5('o:' || seq_id || ':' || doc_id || ':' || doc_from)`.
+    */
+  def assign(packed: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    packed
+      .withColumn("shard_id",
+        pmod(PortableHash.md5Prefix15(concat(lit("s:"), col("seq_id"))),
+          lit(shards.toLong)).cast("int"))
+      .withColumn("order_key",
+        md5(concat_ws(":", lit("o"), col("seq_id"), col("doc_id"),
+          col("doc_from"))))
+  }
+
+  /** Export `packed` as `shards` shard files under `dst/shard_id=N/` and
+    * publish the manifest at `dst/_manifest`. Returns the manifest:
+    * one row per NON-EMPTY shard — (shard_id, n_rows, checksum,
+    * min_key, max_key). Each shard lands as one file whose row order is
+    * `order_key` ascending (ties impossible: the key embeds the unique
+    * (seq_id, doc_id, doc_from) grain).
+    */
+  def export(spark: SparkSession, packed: DataFrame, shards: Int,
+      dst: String): DataFrame = {
+    val a = assign(packed, shards)
+      .localCheckpoint(eager = true) // data write + manifest share one execution
+    // each output task owns whole shards (hash partition ON shard_id into
+    // `shards` tasks), sorted so the partitionBy write emits one
+    // deterministically-ordered file per shard directory
+    a.repartition(shards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("order_key"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dst)
+    val m = manifestOf(a)
+      .localCheckpoint(eager = true) // materialize before the write below
+    m.coalesce(1).write.mode("overwrite").parquet(s"$dst/_manifest")
+    m
+  }
+
+  /** The manifest rows of an assigned frame (shared by [[export]] and
+    * the verification replay): per shard the row count, the exact
+    * decimal checksum, and the order-key extrema (a loader can range-
+    * check a shard's physical order without re-sorting).
+    */
+  def manifestOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowCheck).cast("string").as("checksum"),
+        min(col("order_key")).as("min_key"),
+        max(col("order_key")).as("max_key"))
+
+  /** Reconcile an exported shard set against its own manifest — the
+    * load-time integrity check a training job runs: recompute each
+    * shard's count/checksum/extrema FROM THE SHARD FILES and diff
+    * against the published manifest. Returns one row per shard with
+    * both sides and `consistent`; any false row means the export was
+    * torn or tampered. One column-pruned scan of the shard table.
+    */
+  def verify(spark: SparkSession, dst: String): DataFrame = {
+    val data = spark.read.parquet(dst)
+    val recomputed = manifestOf(data)
+      .withColumnRenamed("n_rows", "actual_rows")
+      .withColumnRenamed("checksum", "actual_checksum")
+      .withColumnRenamed("min_key", "actual_min")
+      .withColumnRenamed("max_key", "actual_max")
+    spark.read.parquet(s"$dst/_manifest")
+      .join(recomputed, Seq("shard_id"), "full")
+      .withColumn("consistent",
+        col("n_rows") === col("actual_rows") &&
+          col("checksum") === col("actual_checksum") &&
+          col("min_key") === col("actual_min") &&
+          col("max_key") === col("actual_max"))
+  }
+}

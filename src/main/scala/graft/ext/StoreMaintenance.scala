@@ -72,9 +72,10 @@ object StoreMaintenance {
         case "opqivfpq" => s"${ref.dir}/ivfpq"
         case _ => ref.dir
       }
-      val table =
-        if (AnnIndex.readLayout(spark, dir) == "ivf") s"$dir/vectors"
-        else s"$dir/codes"
+      val table = AnnIndex.readLayout(spark, dir) match {
+        case "ivf" | "graph" => s"$dir/vectors"
+        case _               => s"$dir/codes"
+      }
       AnnIndex.liveOnly(spark, dir, spark.read.parquet(table))
         .select(col("__id").cast("long").as("__id")).distinct()
     case "text" =>

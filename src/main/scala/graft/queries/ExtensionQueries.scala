@@ -57,7 +57,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v13_opqivf")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v14_graph")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -181,6 +181,11 @@ object ExtensionQueries {
       // replays the whole query path over it in DuckDB)
       "bq" -> (() => AnnIndex.buildBq(emb, "vec_id", "embedding",
         s"$tmp/bq", dim = 64)),
+      // graph (NSW-lite): exact top-8 neighbor graph + medoid entry —
+      // x_knn_graph replays the fixed-depth beam search from the stored
+      // tables; the recall report carries its measured row
+      "graph" -> (() => graft.ext.GraphAnn.build(emb, "vec_id", "embedding",
+        s"$tmp/graph", degree = 8)),
       // MaxSim token-vector fixture: per-doc token BAGS over the first
       // 48 documents (first 8 token positions), each token's vector a
       // deterministic embedding-table lookup (hash(token) mod 64), ids
@@ -292,7 +297,7 @@ object ExtensionQueries {
     */
   def stageTextIndex(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_textindex/${Staging.tag(dir)}"
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v1_parts8")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v2_asof_refs")
     if (done.exists()) return tmp
     val tmpDir = new java.io.File(tmp)
     if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
@@ -309,6 +314,21 @@ object ExtensionQueries {
       graft.ext.TextIndex.updateDocs(s, s"$tmp/inv_maint",
         docs.filter(col("doc_id") === 7), "doc_id", "text")
     }
+    // x_text_asof's two FROM-SCRATCH BM25 references, staged beside the
+    // index (deterministic functions of the corpus + the maintenance
+    // history above — the x_stream_recall discipline): the gate reads
+    // and compares instead of paying two full batch scorers per rep
+    import s.implicits._
+    val asofQueries = Seq((0L, "window merge scan"),
+      (1L, "fast customer join"), (2L, "stream batch value"))
+      .toDF("qid", "qtext")
+    TextSearch.bm25TopK(docs.filter(col("doc_id") % 20 =!= 0),
+        "doc_id", "text", asofQueries, "qid", "qtext", 10)
+      .write.mode("overwrite").parquet(s"$tmp/asof_ref0")
+    TextSearch.bm25TopK(
+        docs.filter(col("doc_id") % 20 =!= 0 && col("doc_id") =!= 7),
+        "doc_id", "text", asofQueries, "qid", "qtext", 10)
+      .write.mode("overwrite").parquet(s"$tmp/asof_ref1")
     done.createNewFile()
     tmp
   }
@@ -613,7 +633,7 @@ object ExtensionQueries {
   /** The portable affine family (a_k, b_k) as a CTE — regenerated
     * inline by every minhash oracle, never pasted constants.
     */
-  private val minhashFamSql =
+  private[queries] val minhashFamSql =
     """fam AS (
       |  SELECT k,
       |         CAST((CAST('0x'||substring(md5('a:'||k),1,15) AS UBIGINT) % 2305843009213693950) + 1 AS HUGEINT) AS a,
@@ -628,7 +648,7 @@ object ExtensionQueries {
     * fixture parameters of both queries; change them together with the
     * Scala calls or not at all.
     */
-  private def minhashCteSql(p: String, corpus: String): String =
+  private[queries] def minhashCteSql(p: String, corpus: String): String =
     s"""${p}_toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '') AS t
        |  FROM $corpus),
@@ -3812,26 +3832,25 @@ object ExtensionQueries {
     val idx = stageTextIndex(s, dir)
     val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
       (2L, "stream batch value")).toDF("qid", "qtext")
-    def matches(asOf: Long, corpus: org.apache.spark.sql.DataFrame,
-        okCol: String) = {
+    // both from-scratch references are STAGED with the index (each epoch
+    // is a deterministic function of the corpus + maintenance history —
+    // N and avgdl cut at the same horizon); the gate pays two indexed
+    // serves + two joins, the references once per staging
+    def matches(asOf: Long, refPath: String, okCol: String) = {
       val served = graft.ext.TextIndex.bm25TopKIndexed(s, s"$idx/inv_maint",
         queries, "qid", "qtext", 10, asOf = Some(asOf))
-      val ref = TextSearch.bm25TopK(corpus, "doc_id", "text", queries,
-          "qid", "qtext", 10)
-        .withColumnRenamed("score", "__s2")
+      val ref = s.read.parquet(refPath).withColumnRenamed("score", "__s2")
       served.join(ref, Seq("query_id", "rank", "doc_id"), "full")
         .agg((count(lit(1)) === count(col("score")) &&
           count(lit(1)) === count(col("__s2")) &&
           max(abs(col("score") - col("__s2"))) <= 1e-9).as(okCol))
     }
-    val docs = Tables.documents(s, dir)
     // epoch 0: post-%20-delete, doc 7's original generation live
-    val ok0 = matches(0L, docs.filter(col("doc_id") % 20 =!= 0), "__ok0")
+    val ok0 = matches(0L, s"$idx/asof_ref0", "__ok0")
     // epoch 1: mid-update — doc 7 tombstoned, its re-append not yet in
     // (the horizon-past-newest-equals-live leg lives in AnnAsOfSpec's
     // text test)
-    val ok1 = matches(1L, docs.filter(col("doc_id") % 20 =!= 0 &&
-      col("doc_id") =!= 7), "__ok1")
+    val ok1 = matches(1L, s"$idx/asof_ref1", "__ok1")
     ok0.crossJoin(ok1)
       .select((col("__ok0") && col("__ok1")).as("text_asof_ok"))
   }
@@ -4765,17 +4784,78 @@ object ExtensionQueries {
         where = pmod(col("__id"), lit(2)) === 0)
   }
 
+  /** The graph layout's fixed-depth beam search as unrolled SQL CTEs
+    * over the STORED tables (vectors/adjacency/entry) — namespaced by
+    * `p` so the recall report embeds a second copy beside x_knn_graph's.
+    * Each hop: expand beam ∪ neighbors(beam) (DISTINCT per query),
+    * score against the stored vectors (rounded 4dp — the ranking
+    * discipline), keep the `beamWidth` best per query. The final beam
+    * CTE is `<p>b<hops>`.
+    */
+  private def graphBeamCtesSql(p: String, qFilter: String, hops: Int,
+      beamWidth: Int): String = {
+    val hopCtes = (1 to hops).map { t =>
+      val prev = s"${p}b${t - 1}"
+      s"""${p}c$t AS (
+         |  SELECT DISTINCT qid, nid FROM (
+         |    SELECT b.qid, unnest(a.__nbrs) AS nid
+         |    FROM $prev b JOIN ${p}adj a ON a.__id = b.nid
+         |    UNION ALL SELECT qid, nid FROM $prev)),
+         |${p}s$t AS (
+         |  SELECT c.qid, c.nid, round(list_cosine_similarity(q.qv, v.v), 4) AS s
+         |  FROM ${p}c$t c JOIN ${p}q q ON q.qid = c.qid JOIN ${p}v v ON v.__id = c.nid),
+         |${p}b$t AS (
+         |  SELECT qid, nid, s FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+         |    FROM ${p}s$t) WHERE rn <= $beamWidth)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}v AS (SELECT __id, list_transform(__vec, x -> CAST(x AS DOUBLE)) AS v
+       |       FROM read_parquet('__GRAFT_ANNIDX__/graph/vectors/*.parquet')),
+       |${p}adj AS (SELECT __id, __nbrs FROM read_parquet('__GRAFT_ANNIDX__/graph/adjacency/*.parquet')),
+       |${p}e AS (SELECT entry FROM read_parquet('__GRAFT_ANNIDX__/graph/entry/*.parquet')),
+       |${p}q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |       FROM embeddings WHERE $qFilter),
+       |${p}b0 AS (SELECT qid, entry AS nid FROM ${p}q, ${p}e),
+       |$hopCtes""".stripMargin
+  }
+
+  /** Graph-ANN serving ([[graft.ext.GraphAnn]]): fixed-depth beam search
+    * over the persisted NSW-lite neighbor graph — the eleventh layout,
+    * the build half of the r14 build-or-justify decision. The oracle
+    * replays the ENTIRE beam trajectory (entry, every hop's expansion,
+    * rounded scoring, beam cuts, the self-excluded final ranking) from
+    * the stored tables — a wrong edge list, a beam cut off by one, or a
+    * drifted entry point all break the hash. SURVEY §17 records the
+    * measured recall/cost trade vs the IVF family (the recall report
+    * carries the graph row).
+    */
+  val knnGraph = q("x_knn_graph",
+    s"""WITH ${graphBeamCtesSql("g", "vec_id < 8", 6, 16)}
+       |SELECT qid AS query_id, rn AS rank, nid AS neighbor_id, s AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+       |      FROM gb6 WHERE qid <> nid) WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    // operating point beam 16 × 6 hops: the measured knee of the
+    // recall/hops curve at this geometry (GraphCurve, SURVEY §17) —
+    // recall@5 0.96 vs 0.11 at the naive 8×3
+    graft.ext.GraphAnn.topK(s, s"$idx/graph",
+      Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 5, beamWidth = 16, hops = 6)
+  }
+
   /** Measured recall@k dashboard over EVERY persisted served layout at
-    * its operating parameters (nprobe = 4, BQ shortlist = 50) vs brute
-    * force — the serving-quality number a production vector store
-    * tracks per index build. The mechanics gates prove full-probe ==
-    * brute; this measures what the approximation actually costs where
-    * users run it. Deterministic given the stored indexes (integer
-    * hits/footrule + one division), so the WHOLE report hash-matches a
-    * DuckDB replay composed from the per-layout oracles.
+    * its operating parameters (nprobe = 4, BQ shortlist = 50, graph
+    * beam 16 × 6 hops) vs brute force — the serving-quality number a
+    * production vector store tracks per index build. The mechanics
+    * gates prove full-probe == brute; this measures what the
+    * approximation actually costs where users run it. Deterministic
+    * given the stored indexes (integer hits/footrule + one division),
+    * so the WHOLE report hash-matches a DuckDB replay composed from the
+    * per-layout oracles.
     */
   val knnRecallReport = q("x_knn_recall_report",
-    """WITH qv AS (
+    s"""WITH qv AS (
       |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings WHERE vec_id < 5),
       |nq AS (
@@ -4980,7 +5060,14 @@ object ExtensionQueries {
       |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
       |  FROM op_scored QUALIFY rank <= 5),
       |m_op AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
-      |         FROM op_top s JOIN brute b USING (query_id, neighbor_id))
+      |         FROM op_top s JOIN brute b USING (query_id, neighbor_id)),
+      |${graphBeamCtesSql("gr", "vec_id < 5", 6, 16)},
+      |gr_top AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM grb6 WHERE qid <> nid QUALIFY rank <= 5),
+      |m_gr AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
+      |         FROM gr_top s JOIN brute b USING (query_id, neighbor_id))
       |SELECT 'ivf' AS layout, 5 AS k, CAST(tot.nqy AS BIGINT) AS n_queries,
       |       CAST(tot.possible AS BIGINT) AS possible, CAST(m.hits AS BIGINT) AS hits,
       |       CAST(m.hits AS DOUBLE) / tot.possible AS recall_at_k,
@@ -5015,7 +5102,12 @@ object ExtensionQueries {
       |SELECT 'opq', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
       |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
       |       CAST(m.fr AS BIGINT)
-      |FROM m_op m, tot""".stripMargin) { (s, dir) =>
+      |FROM m_op m, tot
+      |UNION ALL
+      |SELECT 'graph', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
+      |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
+      |       CAST(m.fr AS BIGINT)
+      |FROM m_gr m, tot""".stripMargin) { (s, dir) =>
     val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -5034,6 +5126,8 @@ object ExtensionQueries {
         "vec_id", "embedding", 5),
       "opq" -> AnnIndex.opqTopK(s, s"$idx/opq", queries,
         "vec_id", "embedding", 5),
+      "graph" -> graft.ext.GraphAnn.topK(s, s"$idx/graph", queries,
+        "vec_id", "embedding", 5, beamWidth = 16, hops = 6),
     ), brute, 5)
   }
 
@@ -5197,7 +5291,7 @@ object ExtensionQueries {
     * the TRAINED WEIGHTS replay exactly. Order of terms and association
     * of divisions must match the SQL strings verbatim.
     */
-  private def lrFeatures(): Seq[org.apache.spark.sql.Column] = {
+  private[queries] def lrFeatures(): Seq[org.apache.spark.sql.Column] = {
     val t = TextAnalysis.tokens(col("text"))
     val nc = length(col("text")).cast("double")
     val gt = greatest(size(t), lit(1)).cast("double")
@@ -5224,9 +5318,19 @@ object ExtensionQueries {
     * because both sides use only IEEE-exact ops and the fixed-point
     * BIGINT gradient reduction — see the Scaladoc there.
     */
-  private def lrOracleSql(iters: Int, lr: Double = 8.0): String = {
+  /** The word tokenizer as DuckDB SQL over a `text` column — the shared
+    * spelling every text-shaped oracle uses.
+    */
+  private[queries] val tokenizeSql: String =
+    "list_filter(string_split_regex(lower(trim(text)), '" + "\\" +
+      "W+'), x -> x <> '')"
+
+  /** The LR feature expressions as SQL over (text, __toks) — the exact
+    * twins of [[lrFeatures]]; both sides must change together.
+    */
+  private[queries] val lrFeatSqls: Seq[String] = {
     val stop = "['the','a','and','of','to','in','is','it','that','for']"
-    val feats = Seq(
+    Seq(
       "(CAST(length(text) AS DOUBLE)/1000.0 - 0.3)*4.0",
       "(CAST(len(__toks) AS DOUBLE)/100.0 - 0.55)*4.0",
       "(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +
@@ -5235,46 +5339,63 @@ object ExtensionQueries {
         "/CAST(greatest(len(__toks),1) AS DOUBLE) - 0.0625)*8.0",
       "(CAST(length(text) AS DOUBLE)/CAST(greatest(len(__toks),1) AS DOUBLE)/10.0 - 0.55)*4.0",
     )
-    val k = feats.length
+  }
+
+  /** `x1, .., xk AS <feature>` select list over (text, __toks). */
+  private[queries] def lrFeatSelSql: String =
+    lrFeatSqls.zipWithIndex.map { case (f, i) => s"$f AS x${i + 1}" }
+      .mkString(",\n         ")
+
+  /** z = w0 + Σ wj·xj, left-associated — the summation order BOTH the
+    * plan and every oracle use (weights from a CTE aliased `w`).
+    */
+  private[queries] def lrZSql: String =
+    ("w.w0" +: (1 to lrFeatSqls.length).map(j => s"w.w$j*x$j")).mkString(" + ")
+
+  /** The full LR TRAINING trajectory as a CTE chain (no leading WITH, no
+    * trailing comma): base/f/tr/nn/wi0 … wi`iters` over the `documents`
+    * table — the composable form both [[lrOracleSql]] (x_classify_lr)
+    * and the composed pipeline oracle embed. The final weights CTE is
+    * `wi<iters>`.
+    */
+  private[queries] def lrTrainCtesSql(iters: Int, lr: Double = 8.0): String = {
+    val k = lrFeatSqls.length
     val xs = (1 to k).map(j => s"x$j").mkString(", ")
-    val zExpr = ("w.w0" +: (1 to k).map(j => s"w.w$j*x$j")).mkString(" + ")
     def gsel(j: Int) = {
       val v = if (j == 0) "e" else s"e*x$j"
       s"sum(CAST(sign($v)*floor(abs($v)*1000000.0) AS BIGINT)) AS g$j"
     }
-    val featSel = feats.zipWithIndex.map { case (f, i) => s"$f AS x${i + 1}" }
-      .mkString(",\n         ")
     val iterCtes = (0 until iters).map { i =>
       s"""gr$i AS MATERIALIZED (
          |  SELECT ${(0 to k).map(gsel).mkString(",\n         ")}
          |  FROM (SELECT 0.5 + z/(2.0*(1.0+abs(z))) - y AS e, $xs
-         |        FROM (SELECT y, $xs, $zExpr AS z FROM tr, wi$i w))),
+         |        FROM (SELECT y, $xs, $lrZSql AS z FROM tr, wi$i w))),
          |wi${i + 1} AS MATERIALIZED (
          |  SELECT ${(0 to k).map(j =>
                s"w.w$j - $lr*((CAST(g.g$j AS DOUBLE)/1000000.0)/nn.n) AS w$j")
                .mkString(",\n         ")}
          |  FROM wi$i w, gr$i g, nn)""".stripMargin
     }.mkString(",\n")
-    val tokenize =
-      "list_filter(string_split_regex(lower(trim(text)), '" + "\\" +
-        "W+'), x -> x <> '')"
-    s"""WITH base AS MATERIALIZED (
-       |  SELECT doc_id, lang, text, $tokenize AS __toks
+    s"""base AS MATERIALIZED (
+       |  SELECT doc_id, lang, text, $tokenizeSql AS __toks
        |  FROM documents),
        |f AS MATERIALIZED (
        |  SELECT doc_id,
        |         CASE WHEN len(__toks) >= 55 THEN 1.0 ELSE 0.0 END AS y,
-       |         $featSel
+       |         $lrFeatSelSql
        |  FROM base),
        |tr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 0),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
        |wi0 AS (SELECT ${(0 to k).map(j => s"0.0 AS w$j").mkString(", ")}),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private def lrOracleSql(iters: Int, lr: Double = 8.0): String =
+    s"""WITH ${lrTrainCtesSql(iters, lr)}
        |SELECT doc_id,
        |       CAST(floor((0.5 + z/(2.0*(1.0+abs(z))))*1000000.0) AS BIGINT) AS prob_q,
        |       CASE WHEN z >= 0 THEN 1 ELSE 0 END AS predicted
-       |FROM (SELECT doc_id, $zExpr AS z FROM f, wi$iters w WHERE doc_id % 5 = 0)""".stripMargin
-  }
+       |FROM (SELECT doc_id, $lrZSql AS z FROM f, wi$iters w WHERE doc_id % 5 = 0)""".stripMargin
 
   /** Deterministic distributed logistic regression — the TRAINED quality/
     * routing filter (fastText/CCNet-class), with the TRAINING ITSELF under
@@ -5982,7 +6103,7 @@ object ExtensionQueries {
     */
   def stageCascadeFixtures(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_cascade/${Staging.tag(dir)}"
-    val done = new java.io.File(s"$tmp/_CASCADE_DONE_v3_streamed_takedown")
+    val done = new java.io.File(s"$tmp/_CASCADE_DONE_v4_staged_refs")
     if (done.exists()) return tmp
     val tmpDir = new java.io.File(tmp)
     if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
@@ -6024,6 +6145,54 @@ object ExtensionQueries {
         annIndexes = Seq(s"$tmp/ann_pq"),
         textIndexes = Seq(s"$tmp/text_inv", s"$tmp/text_pos"),
         dedupStores = Seq(s"$tmp/dedup_store")))
+    // ---- the five FROM-SCRATCH survivor references, staged with the
+    // fixtures (each is a deterministic function of the corpus + the
+    // takedown history above — the x_stream_recall discipline): the
+    // gate reads + compares served views against these, never
+    // recomputing a reference per rep. Reference semantics unchanged
+    // from the r14 inline forms.
+    import s.implicits._
+    val survivors = docs.filter(!(col("doc_id") % 8 === 2))
+      .localCheckpoint(eager = true)
+    val refDir = s"$tmp/ref"
+    val queries4 = Tables.embeddings(s, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"))
+    val pristine = AnnIndex.readPq(s, s"$tmp/ann_pq_pristine")
+    Similarity.pqTopKWithModel(queries4, "vec_id", "embedding",
+        pristine.copy(codes = pristine.codes.filter(!(col("__id") % 8 === 2))), 5)
+      .write.mode("overwrite").parquet(s"$refDir/ann")
+    val qdf = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+      (2L, "stream batch value")).toDF("qid", "qtext")
+    TextSearch.bm25TopK(survivors, "doc_id", "text", qdf,
+        "qid", "qtext", 10)
+      .write.mode("overwrite").parquet(s"$refDir/bm25")
+    val phrase = Seq("window", "merge")
+    val posts = survivors.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("__pos", "__term")))
+    val anchor = posts.filter(col("__term") === phrase.head)
+      .select(col("doc_id"), col("__pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, k)) =>
+      acc.join(posts.filter(col("__term") === t)
+        .select(col("doc_id"), (col("__pos") - k).as("__pos")),
+        Seq("doc_id", "__pos"))
+    }.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ref"))
+      .write.mode("overwrite").parquet(s"$refDir/phrase")
+    val refPairs = Dedup.minhashCandidates(survivors, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5,
+        maxBucketSize = 1000000)
+      .localCheckpoint(eager = true) // pairs ref + label ref share it
+    refPairs.write.mode("overwrite").parquet(s"$refDir/pairs")
+    // label reference: bounded driver union-find over the (tiny) pair
+    // set, padded to one row per survivor; CascadeDeleteSpec pins the
+    // rebuild against the full distributed connectedComponents
+    val refLabels = graft.ext.IncrementalComponents.unionFind(
+        refPairs.select(col("id_a"), col("id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      .toSeq.toDF("id", "__rc")
+    survivors.select(col("doc_id").as("id"))
+      .join(broadcast(refLabels), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__rc"), col("id")).as("component"))
+      .write.mode("overwrite").parquet(s"$refDir/comps")
     done.createNewFile()
     tmp
   }
@@ -6056,7 +6225,10 @@ object ExtensionQueries {
     val f = stageCascadeFixtures(s, dir)
     val docs = cascadeDocs(s, dir)
     val deleted = col("doc_id") % 8 === 2
-    val survivors = docs.filter(!deleted).localCheckpoint(eager = true)
+    val survivors = docs.filter(!deleted)
+    // all five from-scratch references are STAGED with the fixtures
+    // (deterministic functions of corpus + takedown history); the gate
+    // pays the five SERVED reads + compares only
     // 1. ANN: maintained (tombstoned) index vs pristine copy filtered
     val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 4)
       .select(col("vec_id"), col("embedding"))
@@ -6064,9 +6236,7 @@ object ExtensionQueries {
         "vec_id", "embedding", 5)
       .withColumnRenamed("cosine_pq", "__s1")
       .withColumnRenamed("neighbor_id", "__id1")
-    val pristine = AnnIndex.readPq(s, s"$f/ann_pq_pristine")
-    val expected = Similarity.pqTopKWithModel(queries, "vec_id", "embedding",
-      pristine.copy(codes = pristine.codes.filter(!(col("__id") % 8 === 2))), 5)
+    val expected = s.read.parquet(s"$f/ref/ann")
     val okAnn = served.join(expected, Seq("query_id", "rank"), "full")
       .agg((count(lit(1)) === count(col("__s1")) &&
         count(lit(1)) === count(col("cosine_pq")) &&
@@ -6080,59 +6250,38 @@ object ExtensionQueries {
     val servedBm = graft.ext.TextIndex.bm25TopKIndexed(s, s"$f/text_inv",
         qdf, "qid", "qtext", 10)
       .withColumnRenamed("score", "__s2")
-    val refBm = TextSearch.bm25TopK(survivors, "doc_id", "text", qdf,
-      "qid", "qtext", 10)
+    val refBm = s.read.parquet(s"$f/ref/bm25")
     val okBm = servedBm.join(refBm, Seq("query_id", "rank", "doc_id"), "full")
       .agg((count(lit(1)) === count(col("__s2")) &&
         count(lit(1)) === count(col("score")) &&
         coalesce(max(abs(col("__s2") - col("score"))) <= 1e-9, lit(true)))
         .as("ok_bm25"))
-    // 3. phrase counts from the maintained positional index vs an inline
-    // positional replay over survivor raw text (integer-exact)
+    // 3. phrase counts from the maintained positional index vs the
+    // staged positional replay over survivor raw text (integer-exact)
     val phrase = Seq("window", "merge")
     val servedPh = graft.ext.TextIndex.phraseOccurrences(s, s"$f/text_pos", phrase)
       .withColumnRenamed("n_occurrences", "__n1")
-    val posts = survivors.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("__pos", "__term")))
-    val anchor = posts.filter(col("__term") === phrase.head)
-      .select(col("doc_id"), col("__pos"))
-    val refPh = phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, k)) =>
-      acc.join(posts.filter(col("__term") === t)
-        .select(col("doc_id"), (col("__pos") - k).as("__pos")), Seq("doc_id", "__pos"))
-    }.groupBy(col("doc_id")).agg(count(lit(1)).as("__n2"))
+    val refPh = s.read.parquet(s"$f/ref/phrase")
     val okPh = servedPh.join(refPh, Seq("doc_id"), "full")
-      .agg(coalesce(max(when(col("__n1").isNull || col("__n2").isNull ||
-          col("__n1") =!= col("__n2"), 1).otherwise(0)) === 0, lit(true))
+      .agg(coalesce(max(when(col("__n1").isNull || col("n_ref").isNull ||
+          col("__n1") =!= col("n_ref"), 1).otherwise(0)) === 0, lit(true))
         .as("ok_phrase"))
-    // 4. dedup candidate pairs vs one-shot batch over survivors
+    // 4. dedup candidate pairs vs one-shot batch over survivors (staged)
     val servedPairs = graft.streaming.DocStreams.readPairs(s, s"$f/dedup_store")
       .withColumnRenamed("est_jaccard", "__e1")
-    // checkpointed: the pair gate and the label reference both read it
-    val refPairs = Dedup.minhashCandidates(survivors, "doc_id", "text",
-      numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5,
-      maxBucketSize = 1000000).localCheckpoint(eager = true)
+    val refPairs = s.read.parquet(s"$f/ref/pairs")
     val okPairs = servedPairs.join(refPairs, Seq("id_a", "id_b"), "full")
       .agg((count(lit(1)) === count(col("__e1")) &&
         count(lit(1)) === count(col("est_jaccard")) &&
         coalesce(max(abs(col("__e1") - col("est_jaccard"))) <= 1e-9, lit(true)))
         .as("ok_pairs"))
-    // 5. cluster labels: rebuilt components store vs labels over the
-    // survivor pair set — a bounded driver union-find on the (tiny,
-    // just-checkpointed) reference pairs, padded to one row per
-    // survivor; CascadeDeleteSpec pins the rebuild against the full
-    // distributed connectedComponents separately, so the gate buys the
-    // pipeline cross-check (tombstones → live pairs → labels) without
-    // the iterative reference's round cost
+    // 5. cluster labels: rebuilt components store vs the staged
+    // survivor-pair labels; CascadeDeleteSpec pins the rebuild against
+    // the full distributed connectedComponents separately
     val servedComps = graft.ext.IncrementalComponents.readWithNodes(s,
         s"$f/dedup_store/comps", survivors, "doc_id")
       .withColumnRenamed("component", "__c1")
-    val refLabels = graft.ext.IncrementalComponents.unionFind(
-        refPairs.select(col("id_a"), col("id_b"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))))
-      .toSeq.toDF("id", "__rc")
-    val refComps = survivors.select(col("doc_id").as("id"))
-      .join(broadcast(refLabels), Seq("id"), "left")
-      .select(col("id"), coalesce(col("__rc"), col("id")).as("component"))
+    val refComps = s.read.parquet(s"$f/ref/comps")
     val okComps = servedComps.join(refComps, Seq("id"), "full")
       .agg(coalesce(max(when(col("__c1").isNull || col("component").isNull ||
           col("__c1") =!= col("component"), 1).otherwise(0)) === 0, lit(true))
@@ -6173,7 +6322,8 @@ object ExtensionQueries {
     multimodalDecode, multimodalFrames, multimodalAviFrames,
     multimodalImageMeta, multimodalAudioMeta,
     multimodalPhash, dedupPhash, dedupCrossmodal,
-    cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, knnOpqIvfPq, textUnigramCount,
+    cascadeDelete, knnMaxSim, knnMaxSimFiltered, knnOpq, knnOpqIvfPq, knnGraph,
+    textUnigramCount,
     textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
     classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval, textAsOf,
     corpusCleanAudit, knnAutotune, streamRecall, qualityCalibrate,

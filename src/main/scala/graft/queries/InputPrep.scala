@@ -67,7 +67,12 @@ object InputPrep {
       // the monitored IVF×PQ append run + its per-prefix expected
       // counters (x_stream_recall reads both; staged once like the
       // sweep fixtures, replay mechanics spec-driven)
-      "streamRecallRun" -> (() => { ExtensionQueries.stageStreamRecall(spark, sfDir); () }))
+      "streamRecallRun" -> (() => { ExtensionQueries.stageStreamRecall(spark, sfDir); () }),
+      // the composed pretraining funnel + shard export (x_pipeline_pretrain
+      // and x_shard_export read its staged artifacts)
+      "pretrainRun" -> (() => { PipelineQueries.stagePretrain(spark, sfDir); () }),
+      // the streamed admission run (x_stream_corpus_admit reads its store)
+      "corpusAdmitRun" -> (() => { PipelineQueries.stageCorpusAdmit(spark, sfDir); () }))
     runs.foreach { case (name, run) =>
       try run()
       catch { case e: Throwable =>

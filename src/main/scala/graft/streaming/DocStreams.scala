@@ -101,6 +101,97 @@ object DocStreams {
       withComponents = withComponents, alsoPerBatch = alsoPerBatch)
   }
 
+  /** Streaming corpus ADMISSION — the pretraining flagship's clean +
+    * near-dup prefix run incrementally: document batches arrive on the
+    * spool, each batch passes the per-document clean gates (quality +
+    * language id, [[graft.ext.CorpusClean.qualityPredicate]]) and the
+    * gated survivors feed the SAME banded signature store + incremental
+    * components machinery as [[runMinhashDedupOnce]] — with the
+    * PORTABLE hash family, so the admitted set replays bit-for-bit in
+    * a second engine's SQL.
+    *
+    * The admission decision is the batch flagship's: a gated document
+    * is admitted iff it is not a non-canonical member of a duplicate
+    * cluster ([[readAdmitted]] — gated minus `component != id` labels).
+    * Because [[graft.ext.IncrementalComponents]] maintains labels equal
+    * to the batch clustering after every batch (its own gate), the
+    * FINAL admitted view equals batch clean → near-dup-resolve on the
+    * union — including the revocation case: a later bridge arrival can
+    * merge two clusters and demote a previously-canonical doc, exactly
+    * as the batch run would have. Exact duplicates need no separate
+    * stage here: identical texts share identical signatures, so the
+    * est=1.0 pairs subsume the batch side's exact-dedup (and a copy can
+    * never disconnect a cluster the batch side would keep connected —
+    * its signature is its original's). One caveat travels with the cap:
+    * at-arrival bucket sizing counts copies the batch side removed
+    * first, so keep `maxBucketSize` comfortably above the largest
+    * duplicate-cluster size (the default 1000 is ample at gate scale).
+    *
+    * `storeDir` is deleted first (the run IS the store's history);
+    * the per-batch `gated/` decision log is at-least-once and the
+    * admitted view dedups on read, so micro-batch replays are safe —
+    * the crash-replay spec pins it.
+    */
+  def runCorpusAdmitOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      storeDir: String,
+      cleanCfg: graft.ext.CorpusClean.Config = graft.ext.CorpusClean.Config(),
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000,
+      storeParts: Int = 8,
+  ): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    runSigStoreDedupOnce(spark, spoolDir, storeDir,
+      sketch = { batch =>
+        val gated0 = batch.filter(
+          graft.ext.CorpusClean.qualityPredicate(col("text"), cleanCfg))
+        val gated =
+          if (cleanCfg.languages.isEmpty) gated0
+          else graft.ext.TextAnalysis
+            .withLangId(gated0, "doc_id", "text", "__lang")
+            .filter(col("__lang").isin(cleanCfg.languages.toSeq: _*))
+            .drop("__lang")
+        // one gate execution feeds both the decision log and the sketch
+        val g = gated.localCheckpoint(eager = true)
+        g.select(col("doc_id")).coalesce(1)
+          .write.mode("append").parquet(s"$storeDir/gated")
+        Dedup.minhashBanded(
+          Dedup.minhashSignatures(g, "doc_id", "text", numHashes,
+            shingleSize, portable = true),
+          numHashes, bands, portable = true)
+      },
+      score = (sa, sb) => Dedup.estJaccard(sa, sb, numHashes),
+      scoreCol = "est_jaccard",
+      keep = _ >= minEstJaccard,
+      // portable family: estimates are exact binary rationals k/numHashes
+      // and replay copies carry identical values — first is deterministic
+      aggScore = c => first(c),
+      maxBucketSize = maxBucketSize, storeParts = storeParts,
+      withComponents = true, alsoPerBatch = (_, _) => ())
+    ()
+  }
+
+  /** The admission store's FINAL admitted view: gate-passed documents
+    * that are not a non-canonical duplicate-cluster member. Replay-safe
+    * (the gate log dedups on read); equals batch clean → near-dup
+    * resolve on everything the stream has seen.
+    */
+  def readAdmitted(spark: SparkSession, storeDir: String): DataFrame = {
+    val gated = spark.read.parquet(s"$storeDir/gated")
+      .select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val compsPath = s"$storeDir/comps"
+    if (!graft.util.Hfs.exists(spark, compsPath)) gated
+    else gated.join(
+      graft.ext.IncrementalComponents.read(spark, compsPath)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Incremental SimHash near-duplicate detection over a document stream
     * — the hamming-radius sibling of [[runMinhashDedupOnce]], closing the
     * last streaming leg of the batch dedup family. Identical store

@@ -39,7 +39,8 @@ object QueryProbe {
       val dst = new java.io.File(annIdx)
       org.apache.commons.io.FileUtils.deleteDirectory(dst)
       Seq("ivf", "pq", "ivfpq", "ivfsq", "bq", "pcapq",
-          "pq_del16", "bq_maint16", "ivfpq_del16").foreach { layout =>
+          "pq_del16", "bq_maint16", "ivfpq_del16", "maxsim", "maxsim_q",
+          "opq", "opqivf", "graph").foreach { layout =>
         val from = new java.io.File(s"$annSrc/$layout")
         if (from.isDirectory)
           org.apache.commons.io.FileUtils.copyDirectory(from,
