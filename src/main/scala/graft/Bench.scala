@@ -186,16 +186,16 @@ object Bench {
     // builder rep (sf0.1, local[32], 2026-08-15); re-pin deliberately
     // when the canary queries themselves change.
     val canaryRef: Map[String, Double] = Map(
-      "s1_csv_roundtrip" -> 0.482,
-      "j1_relation_eqi" -> 0.240,
-      "ep1_engine_import" -> 1.218,
-      "x_salted_join" -> 0.879,
-      "x_dedup_exact" -> 0.427,
-      "x_knn_brute" -> 0.643,
-      "x_text_bm25" -> 0.715,
-      "x_pack_sequences" -> 0.336,
-      "x_pagerank" -> 3.428,
-      "x_freq_cms" -> 0.452,
+      "s1_csv_roundtrip" -> 0.831,
+      "j1_relation_eqi" -> 0.810,
+      "ep1_engine_import" -> 1.261,
+      "x_salted_join" -> 0.459,
+      "x_dedup_exact" -> 0.324,
+      "x_knn_brute" -> 0.400,
+      "x_text_bm25" -> 1.571,
+      "x_pack_sequences" -> 1.007,
+      "x_pagerank" -> 4.246,
+      "x_freq_cms" -> 2.046,
     )
     val ratios = results
       .collect { case (n, s, _) if canaryRef.contains(n) => s / canaryRef(n) }

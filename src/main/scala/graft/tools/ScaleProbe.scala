@@ -293,6 +293,56 @@ object ScaleProbe {
               .as("score")),
           col("score"), "doc_id", 0.25).filter(col("kept")).count()
       }
+      // the composed pretraining funnel END-TO-END (clean → near-dup
+      // resolve → decontaminate → LR calibrate → mix → pack). NOTE the
+      // fan's copies share text, so the fanned corpus is a 100%-duplicate
+      // stress: the EARLY stages (clean, candidates, components) see m×
+      // volume, the post-dedup stages see ~1× — the cost concentration a
+      // real recrawl-heavy corpus shows
+      var probePacked: DataFrame = null
+      time(s"pretrain_pipeline_x$m") {
+        val src = d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(20))))
+        val t = graft.ext.TextAnalysis.tokens(col("text"))
+        val feats = Seq(
+          (length(col("text")).cast("double") / lit(1000.0) - lit(0.3)) * lit(4.0),
+          (size(t).cast("double") / lit(100.0) - lit(0.55)) * lit(4.0))
+        // eval set and LR training split are REFERENCE inputs (benchmark
+        // + labeled data) — they stay at 1× while the corpus fans, or
+        // the probe measures a growing benchmark, not a growing corpus
+        val res = graft.ext.Curation.pretrain(src, "doc_id", "text", "source",
+          evalDocs = docs.filter(col("doc_id") % 17 === 0), "text",
+          lrTrain = docs.filter(col("doc_id") % 5 =!= 0),
+          features = feats,
+          teacher = when(size(t) >= 55, lit(1.0)).otherwise(lit(0.0)),
+          cfg = graft.ext.Curation.PretrainConfig(lrIters = 2))
+        probePacked = res.packed.localCheckpoint(eager = true)
+        probePacked.count()
+      }
+      // deterministic shard export over the flagship's packed output
+      time(s"shard_export_x$m") {
+        val dst = s"/tmp/graft_scaleprobe_shards_x$m"
+        graft.util.Hfs.delete(spark, dst)
+        graft.ext.ShardExport.export(spark, probePacked, 8, dst).count()
+      }
+    }
+
+    // ---- ×100 fan of the RESOLVE stage alone (pairs → components →
+    // anti-join): star edges per text group (the x_dedup_resolve shape),
+    // so edge volume scales with the duplicate count, not its square —
+    // candidate GENERATION at clique-duplication is pair-quadratic in
+    // cluster size by LSH construction and is probed at ×10 above
+    if (only.isEmpty || only.exists("dedup_resolve_x100".contains)) {
+      val d100 = fan(docs, Seq("doc_id"), 100).localCheckpoint(eager = true)
+      time("dedup_resolve_x100") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("text"))
+        val pairs = d100.filter(col("text").isNotNull)
+          .withColumn("__m", min(col("doc_id")).over(w))
+          .filter(col("doc_id") =!= col("__m"))
+          .select(col("__m").as("id_a"), col("doc_id").as("id_b"))
+        Dedup.dropNearDuplicates(d100, "doc_id", pairs).count()
+      }
     }
 
     // ---- portable vs XXH64 family A/B (1× corpus, gate shapes) ----
