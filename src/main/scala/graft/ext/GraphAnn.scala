@@ -102,9 +102,15 @@ object GraphAnn {
     val q = queries.select(qcol(idCol).cast("long").as("query_id"),
         qcol(vecCol).as("__qv"))
       .localCheckpoint(eager = true) // re-joined every hop
+    // BOTH per-hop joins broadcast the beam/candidate side (queries ×
+    // beamWidth × degree rows — always tiny) into the corpus-sized
+    // stored tables: the vectors and adjacency tables never shuffle,
+    // hop cost is pointwise lookups — the property that makes the
+    // serve cost corpus-size-independent (plan-asserted)
     def scoreTop(cands: DataFrame, width: Int,
         excludeSelf: Boolean = false): DataFrame = {
-      val scored = cands.join(v, cands("__nid") === v("__id")).drop("__id")
+      val scored = v.join(broadcast(cands), cands("__nid") === v("__id"))
+        .drop("__id")
         .join(broadcast(q), Seq("query_id"))
         .select(col("query_id"), col("__nid"),
           Similarity.cosine(col("__qv"), col("__vec")).as("cosine"))
@@ -115,8 +121,8 @@ object GraphAnn {
     }
     var beam = q.select(col("query_id"), lit(entry).as("__nid"))
     for (_ <- 1 to hops) {
-      val expanded = beam
-        .join(adj, beam("__nid") === adj("__id"))
+      val expanded = adj
+        .join(broadcast(beam), beam("__nid") === adj("__id"))
         .select(col("query_id"), explode(col("__nbrs")).as("__nid"))
         .unionByName(beam.select(col("query_id"), col("__nid")))
         .distinct()

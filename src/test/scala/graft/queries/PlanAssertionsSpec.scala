@@ -538,6 +538,31 @@ class PlanAssertionsSpec extends SparkSpec {
     (plan should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("graph-ANN serving: the beam broadcasts into the stored tables — they never shuffle") {
+    val base = java.nio.file.Files.createTempDirectory("graft_graph_plan").toString
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (0.1f * ((i * 3 + j) % 7)) + 0.1f)))
+      .toDF("vec_id", "embedding")
+    graft.ext.GraphAnn.build(corpus, "vec_id", "embedding", s"$base/g", degree = 4)
+    val out = graft.ext.GraphAnn.topK(spark, s"$base/g",
+      corpus.filter($"vec_id" < 3), "vec_id", "embedding",
+      k = 3, beamWidth = 4, hops = 2)
+    out.collect()
+    val plan = finalPlan(out).toString
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("shard export assignment: pure per-row arithmetic, no exchange before the explicit shuffle") {
+    val packed = (0 until 200).map(i =>
+      (i.toLong, (i / 3).toLong, 0L, 5L, 0L))
+      .toDF("doc_id", "seq_id", "doc_from", "doc_to", "seq_off")
+    val out = graft.ext.ShardExport.assign(packed, 8)
+    out.collect()
+    (finalPlan(out).toString should not).include("Exchange")
+  }
+
   test("fsck: the store side is id-projected before the audit join — no payload columns move") {
     val base = java.nio.file.Files.createTempDirectory("graft_fsck_plan").toString
     val docs = (1 to 60).map(i => (i.toLong, s"text about topic ${i % 7}"))
