@@ -176,26 +176,31 @@ object Bench {
       (name, sec, cpuSec)
     }
     // ---- pinned canary normalization: ten stable queries spanning the
-    // suite's cost classes (scan, broadcast join, engine pipeline,
-    // salted shuffle, hash agg, brute vector math, batch text scoring,
-    // distributed prefix sum, iterative graph, sketch) whose CODE
-    // changes rarely. host_factor = median(current / reference) over
-    // them — a uniform band across unrelated queries is host drift, not
+    // suite's cost classes (iterative graph, batch text scoring, graph
+    // join, sketch pipelines, dedup+components, pruned index serve,
+    // store maintenance scans, LSH sketch, embedding blocking, as-of
+    // join) whose CODE changes rarely. Members are deliberately ≥~1.3 s
+    // batch queries: a first cut that included sub-second queries saw
+    // 0.44–1.27× SAME-HOST per-member jitter (the ~120 ms job-latency
+    // floor dominates short queries); this set's two-rep same-host
+    // ratios sit in 0.90–1.05. host_factor = median(current/reference)
+    // — a uniform band across unrelated members is host drift, not
     // code; readers divide wall totals by it instead of re-litigating
-    // rep-to-rep drift by hand. Reference values pinned from the r15
-    // builder rep (sf0.1, local[32], 2026-08-15); re-pin deliberately
-    // when the canary queries themselves change.
+    // rep-to-rep drift by hand. Treat factors within ~±10 % of 1.0 as
+    // unity (the measured same-host noise floor). References are the
+    // AVERAGE of the two r15 builder reps (sf0.1, local[32],
+    // 2026-08-15); re-pin deliberately when canary members change.
     val canaryRef: Map[String, Double] = Map(
-      "s1_csv_roundtrip" -> 0.831,
-      "j1_relation_eqi" -> 0.810,
-      "ep1_engine_import" -> 1.261,
-      "x_salted_join" -> 0.459,
-      "x_dedup_exact" -> 0.324,
-      "x_knn_brute" -> 0.400,
-      "x_text_bm25" -> 1.571,
-      "x_pack_sequences" -> 1.007,
-      "x_pagerank" -> 4.246,
-      "x_freq_cms" -> 2.046,
+      "x_pagerank" -> 4.042,
+      "x_text_bm25" -> 1.547,
+      "x_triangle_count" -> 1.804,
+      "x_dedup_crossmodal" -> 5.270,
+      "x_corpus_effective_near" -> 4.253,
+      "x_knn_ivf" -> 0.722,
+      "x_index_health" -> 4.156,
+      "x_dedup_minhash" -> 1.966,
+      "x_dedup_semantic" -> 3.107,
+      "x_asof_join" -> 1.365,
     )
     val ratios = results
       .collect { case (n, s, _) if canaryRef.contains(n) => s / canaryRef(n) }
