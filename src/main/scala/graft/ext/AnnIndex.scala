@@ -1401,6 +1401,7 @@ object AnnIndex {
         case "pcapq" => compactPcaPq(spark, dir)
         case "opq"   => compactPq(spark, s"$dir/pq")
         case "opqivfpq" => compactIvfPq(spark, s"$dir/ivfpq")
+        case "graph" => GraphAnn.compact(spark, dir)
         case other => throw new IllegalStateException(
           s"$dir has unknown index layout '$other'")
       }

@@ -98,6 +98,12 @@ object GraphAnn {
       s"$dir is not a graph index — each layout has its own reader")
     val entry = spark.read.parquet(s"$dir/entry").head().getLong(0)
     val v = spark.read.parquet(s"$dir/vectors")
+    // DiskANN-style lazy deletes: tombstoned nodes may still ROUTE (the
+    // beam traverses them — removing routers before consolidation
+    // punches navigation holes), but the FINAL ranking serves live ids
+    // only ([[AnnIndex.liveOnly]] — the same per-id tombstone broadcast
+    // every layout uses). [[compact]] is the consolidation.
+    val vLive = AnnIndex.liveOnly(spark, dir, v)
     val adj = spark.read.parquet(s"$dir/adjacency")
     val q = queries.select(qcol(idCol).cast("long").as("query_id"),
         qcol(vecCol).as("__qv"))
@@ -107,9 +113,10 @@ object GraphAnn {
     // stored tables: the vectors and adjacency tables never shuffle,
     // hop cost is pointwise lookups — the property that makes the
     // serve cost corpus-size-independent (plan-asserted)
-    def scoreTop(cands: DataFrame, width: Int,
+    def scoreTop(table: DataFrame, cands: DataFrame, width: Int,
         excludeSelf: Boolean = false): DataFrame = {
-      val scored = v.join(broadcast(cands), cands("__nid") === v("__id"))
+      val scored = table
+        .join(broadcast(cands), cands("__nid") === table("__id"))
         .drop("__id")
         .join(broadcast(q), Seq("query_id"))
         .select(col("query_id"), col("__nid"),
@@ -127,12 +134,100 @@ object GraphAnn {
         .unionByName(beam.select(col("query_id"), col("__nid")))
         .distinct()
       // checkpoint per hop: the iterative-join discipline (x_pagerank
-      // class) — lineage stays hop-sized, not hops-deep
-      beam = scoreTop(expanded, beamWidth)
+      // class) — lineage stays hop-sized, not hops-deep. Hops score
+      // against the FULL vector table (dead nodes route).
+      beam = scoreTop(v, expanded, beamWidth)
         .select(col("query_id"), col("__nid"))
         .localCheckpoint(eager = true)
     }
-    scoreTop(beam, k, excludeSelf = true)
+    scoreTop(vLive, beam, k, excludeSelf = true)
       .withColumnRenamed("__nid", "neighbor_id")
+  }
+
+  /** Consolidate lazy deletes ([[AnnIndex.deleteIds]] tombstones) into a
+    * physical rewrite — the Vamana/DiskANN "consolidate" operation: dead
+    * rows leave the vectors AND adjacency tables, edges through dead
+    * nodes are REPAIRED (a dead neighbor is replaced by the dead node's
+    * own neighbors — the in-neighbor→out-neighbor splice — then each
+    * node's candidate set is re-scored against its vector and cut back
+    * to `degree`), the tombstone log resets with the new generation
+    * (the two-move swap every layout's compaction uses), and if the
+    * ENTRY died the medoid is recomputed over the survivors. The splice
+    * keeps the graph navigable through dead ROUTERS (the common case:
+    * a deleted node whose in-edges carried traffic). What it cannot
+    * save — by construction, not by omission — is a region whose ONLY
+    * connector had no in-edges at all (e.g. the sole bridge that was
+    * also the entry): no surviving list references it, so there is
+    * nothing to splice. That state is a REBUILD, exactly the
+    * reclaim-vs-reset trade every quantized layout documents for its
+    * own compaction (codebooks frozen vs retrained); the recall
+    * monitor/report is the detector. One exploded self-join over edge
+    * rows (n × degree), one scoring join, one key-partitioned window —
+    * linear in the graph. Fully-tombstoned refuses loudly
+    * ([[AnnIndex.requireLive]] — rebuild-or-drop). Routed from
+    * [[AnnIndex.compactIfNeeded]] so the maintenance sweep prices
+    * graph stores like every other family.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    require(AnnIndex.readLayout(spark, dir) == "graph",
+      s"$dir is not a graph index — each layout has its own compaction")
+    val live = AnnIndex.requireLive(
+      AnnIndex.liveOnly(spark, dir, spark.read.parquet(s"$dir/vectors"))
+        .select(col("__id"), col("__vec"))
+        .localCheckpoint(eager = true), dir) // rewrite + repair + entry share it
+    val tmp = dir + ".compact-" + System.nanoTime()
+    AnnIndex.writeMeta(spark, tmp, m = 0, sub = 0, nlist = -1,
+      layout = "graph")
+    live.write.mode("overwrite").parquet(s"$tmp/vectors")
+    val liveIds = live.select(col("__id"))
+    val adj0 = spark.read.parquet(s"$dir/adjacency")
+      .localCheckpoint(eager = true) // edge explode + splice lookup share it
+    val edges = adj0.join(liveIds, Seq("__id"), "left_semi")
+      .select(col("__id").as("__src"), explode(col("__nbrs")).as("__dst"))
+      .localCheckpoint(eager = true) // direct edges + dead-edge probe share it
+    // edges whose target died: splice in the dead target's own neighbors
+    val viaDead = edges
+      .join(liveIds.withColumnRenamed("__id", "__dst"), Seq("__dst"), "left_anti")
+      .join(adj0.select(col("__id").as("__dst"), col("__nbrs").as("__dn")),
+        Seq("__dst"))
+      .select(col("__src"), explode(col("__dn")).as("__dst"))
+    val cands = edges.unionByName(viaDead)
+      .join(liveIds.withColumnRenamed("__id", "__dst"), Seq("__dst"), "left_semi")
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+    // re-rank each node's candidates by cosine (the build's own rule)
+    // and cut back to the stored degree — one key-partitioned window
+    val degree0 = spark.read.parquet(s"$dir/entry").head().getInt(1)
+    val sv = live.select(col("__id").as("__src"), col("__vec").as("__sv"))
+    val dv = live.select(col("__id").as("__dst"), col("__vec").as("__dv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"))
+      .orderBy(round(Similarity.cosine(col("__sv"), col("__dv")), 4).desc,
+        col("__dst"))
+    cands.join(sv, Seq("__src")).join(dv, Seq("__dst"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= degree0)
+      .groupBy(col("__src").as("__id"))
+      .agg(array_sort(collect_set(col("__dst"))).as("__nbrs"))
+      .write.mode("overwrite").parquet(s"$tmp/adjacency")
+    val entry = spark.read.parquet(s"$dir/entry").head().getLong(0)
+    val liveEntry =
+      if (!live.filter(col("__id") === entry).isEmpty) entry
+      else {
+        // the medoid died: recompute over survivors (same rule as build)
+        val dim = live.select(size(col("__vec"))).head().getInt(0)
+        val meanRow = live.select((0 until dim).map(i =>
+          avg(element_at(col("__vec"), i + 1).cast("double")).as(s"_m$i")): _*)
+          .head()
+        val mean = array((0 until dim).map(i => lit(meanRow.getDouble(i))): _*)
+        live.select(col("__id"),
+            Similarity.cosine(col("__vec"), mean).as("__c"))
+          .orderBy(round(col("__c"), 4).desc, col("__id")).limit(1)
+          .select(col("__id")).head().getLong(0)
+      }
+    import spark.implicits._
+    Seq((liveEntry, degree0)).toDF("entry", "degree")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/entry")
+    graft.operators.Upsert.swapDirs(tmp, dir)
   }
 }

@@ -55,6 +55,70 @@ class GraphAnnSpec extends SparkSpec {
     served shouldBe brute
   }
 
+  test("deletes: tombstoned ids route but never serve; compact splices edges through the dead") {
+    val dir = tmpDir("graft_graphann_del")
+    GraphAnn.build(corpus, "vec_id", "embedding", dir, degree = 6)
+    val queries = corpus.filter($"vec_id".isin(0L, 15L))
+    def served() = GraphAnn.topK(spark, dir, queries, "vec_id", "embedding",
+        k = 3, beamWidth = 8, hops = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // delete two cluster members (the entry/bridge stays — losing the
+    // sole zero-in-degree connector is a documented REBUILD case)
+    AnnIndex.deleteIds(spark, dir, Seq(1L, 11L).toDF("vec_id"), "vec_id")
+    val afterDelete = served()
+    afterDelete.map(_._2) should contain noneOf (1L, 11L)
+    // the lazily-deleted view equals brute force over the survivors
+    // (dead nodes still route, so navigation holds through tombstones)
+    val brute = Similarity.bruteForceTopK(queries,
+        corpus.filter(!$"vec_id".isin(1L, 11L)),
+        "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    afterDelete shouldBe brute
+    // health sees the debt; the sweep-facing debt routes compaction
+    val h = AnnIndex.healthReport(spark, Seq("g" -> dir)).head()
+    h.getAs[Long]("total_rows") shouldBe 21L
+    h.getAs[Long]("live_rows") shouldBe 19L
+    AnnIndex.compactIfNeeded(spark, dir, threshold = 0.05) shouldBe true
+    graft.util.Hfs.exists(spark, s"$dir/tombstones") shouldBe false
+    spark.read.parquet(s"$dir/vectors").count() shouldBe 19L
+    // edges through the dead nodes were spliced: no list references
+    // them, every list is back at the stored degree bound
+    val adj = spark.read.parquet(s"$dir/adjacency")
+      .as[(Long, Seq[Long])].collect()
+    adj.flatMap(_._2).toSet should contain noneOf (1L, 11L)
+    adj.foreach(_._2.size should be <= 6)
+    // serving unchanged across the consolidation
+    served() shouldBe afterDelete
+  }
+
+  test("compact re-seats a dead entry on the live medoid; fully-tombstoned refuses") {
+    // one well-connected blob, so connectivity survives any single loss
+    val blob = (0 until 12).map(i => (i.toLong,
+        Array(1f + 0.01f * (i % 5), 0.5f + 0.01f * ((i * 3) % 7),
+          0.2f + 0.01f * ((i * 5) % 3), 0.1f)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("graft_graphann_entry")
+    GraphAnn.build(blob, "vec_id", "embedding", dir, degree = 5)
+    val entry0 = spark.read.parquet(s"$dir/entry").head().getLong(0)
+    AnnIndex.deleteIds(spark, dir, Seq(entry0).toDF("vec_id"), "vec_id")
+    GraphAnn.compact(spark, dir)
+    val entry1 = spark.read.parquet(s"$dir/entry").head().getLong(0)
+    entry1 should not be entry0
+    // post-consolidation serving equals brute force over survivors
+    val queries = blob.filter($"vec_id" === (entry0 + 1) % 12)
+    GraphAnn.topK(spark, dir, queries, "vec_id", "embedding",
+        k = 3, beamWidth = 8, hops = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet shouldBe
+      Similarity.bruteForceTopK(queries, blob.filter($"vec_id" =!= entry0),
+          "vec_id", "embedding", 3)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // fully-tombstoned refuses loudly
+    AnnIndex.deleteIds(spark, dir, blob.select($"vec_id"), "vec_id")
+    intercept[IllegalArgumentException] {
+      GraphAnn.compact(spark, dir)
+    }
+  }
+
   test("guards: wrong layout, beam narrower than k, bad hops all refuse") {
     val dir = tmpDir("graft_graphann3")
     GraphAnn.build(corpus, "vec_id", "embedding", dir, degree = 4)
