@@ -5182,6 +5182,9 @@ object ExtensionQueries {
       |SELECT 'pcapq', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
       |FROM read_parquet('__GRAFT_ANNIDX__/pcapq/pq/codes/*.parquet')
       |UNION ALL
+      |SELECT 'graph', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
+      |FROM read_parquet('__GRAFT_ANNIDX__/graph/vectors/*.parquet')
+      |UNION ALL
       |SELECT 'pq_del16', total, live, total - live,
       |       CASE WHEN total = 0 THEN 0.0 ELSE CAST(total - live AS DOUBLE) / total END
       |FROM m_pqd
@@ -5197,7 +5200,7 @@ object ExtensionQueries {
     AnnIndex.healthReport(s, Seq(
       "ivf" -> s"$idx/ivf", "pq" -> s"$idx/pq", "ivfpq" -> s"$idx/ivfpq",
       "ivfsq" -> s"$idx/ivfsq", "bq" -> s"$idx/bq",
-      "pcapq" -> s"$idx/pcapq/pq",
+      "pcapq" -> s"$idx/pcapq/pq", "graph" -> s"$idx/graph",
       "pq_del16" -> s"$idx/pq_del16", "bq_maint16" -> s"$idx/bq_maint16",
       "ivfpq_del16" -> s"$idx/ivfpq_del16"))
   }
