@@ -112,6 +112,17 @@ class GraphAnnSpec extends SparkSpec {
       Similarity.bruteForceTopK(queries, blob.filter($"vec_id" =!= entry0),
           "vec_id", "embedding", 3)
         .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // fsck audits the graph store like any ANN layout: post-compaction
+    // the survivor set is consistent against the survivor base, and the
+    // full base flags exactly the one missing id
+    StoreMaintenance.fsck(spark, blob.filter($"vec_id" =!= entry0)
+        .select($"vec_id"), "vec_id",
+        Seq(StoreRef("g", "ann", dir)))
+      .head().getAs[Boolean]("consistent") shouldBe true
+    val audit = StoreMaintenance.fsck(spark, blob.select($"vec_id"),
+      "vec_id", Seq(StoreRef("g", "ann", dir))).head()
+    audit.getAs[Long]("missing_ids") shouldBe 1L
+    audit.getAs[Long]("orphan_ids") shouldBe 0L
     // fully-tombstoned refuses loudly
     AnnIndex.deleteIds(spark, dir, blob.select($"vec_id"), "vec_id")
     intercept[IllegalArgumentException] {
