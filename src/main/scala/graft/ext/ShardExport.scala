@@ -104,12 +104,18 @@ object ShardExport {
       .withColumnRenamed("checksum", "actual_checksum")
       .withColumnRenamed("min_key", "actual_min")
       .withColumnRenamed("max_key", "actual_max")
+    // coalesce to FALSE: a one-sided row (a shard directory missing
+    // entirely, or an extra shard no manifest row names) is the WORST
+    // tear, and a NULL comparison would let it escape both
+    // filter(consistent) and filter(!consistent)
     spark.read.parquet(s"$dst/_manifest")
       .join(recomputed, Seq("shard_id"), "full")
       .withColumn("consistent",
-        col("n_rows") === col("actual_rows") &&
-          col("checksum") === col("actual_checksum") &&
-          col("min_key") === col("actual_min") &&
-          col("max_key") === col("actual_max"))
+        coalesce(
+          col("n_rows") === col("actual_rows") &&
+            col("checksum") === col("actual_checksum") &&
+            col("min_key") === col("actual_min") &&
+            col("max_key") === col("actual_max"),
+          lit(false)))
   }
 }

@@ -498,17 +498,32 @@ object DocStreams {
           // file backing this batch, drop the already-forgotten ones,
           // and re-read the fresh set from disk (ids come from exactly
           // the files the markers will name)
+          // marker key = path RELATIVE to spoolDir (sanitized), falling
+          // back to a full-path hash outside it: a bare basename would
+          // silently skip a same-named file in another subdirectory or a
+          // re-staged file reusing a processed name with new ids — an
+          // unforgotten-takedown compliance hole
+          val spoolPrefix = {
+            val p = new org.apache.hadoop.fs.Path(spoolDir)
+            p.toUri.getPath.stripSuffix("/") + "/"
+          }
+          def markerOf(f: String): String = {
+            val p = new org.apache.hadoop.fs.Path(f).toUri.getPath
+            val key =
+              if (p.startsWith(spoolPrefix))
+                p.stripPrefix(spoolPrefix).replaceAll("[^A-Za-z0-9._-]", "_")
+              else org.apache.commons.codec.digest.DigestUtils.md5Hex(p)
+            s"$markerDir/_file_$key"
+          }
           val files = batch.select(input_file_name().as("__f"))
             .distinct().collect().map(_.getString(0)).sorted
-          val fresh = files.filterNot(f =>
-            Hfs.exists(spark, s"$markerDir/_file_${new java.io.File(f).getName}"))
+          val fresh = files.filterNot(f => Hfs.exists(spark, markerOf(f)))
           if (fresh.nonEmpty) {
             val ids = spark.read.schema(s"$idCol long").parquet(fresh: _*)
             graft.ext.CascadeDelete.forget(spark, ids, idCol,
               targets, compactThreshold)
             Hfs.mkdirs(spark, markerDir)
-            fresh.foreach(f =>
-              Hfs.touch(spark, s"$markerDir/_file_${new java.io.File(f).getName}"))
+            fresh.foreach(f => Hfs.touch(spark, markerOf(f)))
           }
           ()
         }

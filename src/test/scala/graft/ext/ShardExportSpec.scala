@@ -78,6 +78,24 @@ class ShardExportSpec extends SparkSpec {
     bad shouldBe Seq(0)
   }
 
+  test("a wholly missing shard reads as inconsistent, not NULL") {
+    val dst = tmpDir("graft_shards5")
+    ShardExport.export(spark, packed, 4, dst)
+    // delete an ENTIRE shard directory: the recomputed side has no row,
+    // so the comparison is one-sided — the worst tear must still land in
+    // filter(!consistent), not escape as NULL
+    val s1 = new java.io.File(dst, "shard_id=1")
+    s1.listFiles().foreach(_.delete())
+    s1.delete() shouldBe true
+    val v = ShardExport.verify(spark, dst).localCheckpoint(eager = true)
+    v.filter($"consistent".isNull).count() shouldBe 0L
+    v.filter(!$"consistent").select($"shard_id").as[Int].collect()
+      .toSeq shouldBe Seq(1)
+    // and the loader-side contract check catches it either way round:
+    // filter(consistent).count == manifest rows fails for the torn set
+    v.filter($"consistent").count() shouldBe 3L
+  }
+
   test("empty and degenerate inputs fail or pass loudly") {
     intercept[IllegalArgumentException] {
       ShardExport.assign(packed, 0)
