@@ -36,16 +36,17 @@ import graft.functions.Cols.qcol
   * the production high-recall family. The graph tables join by id, so a
   * deployment buckets both by __id and the lookups co-locate.
   *
-  * BUILD here is the exact top-`degree` neighbor graph by brute force —
-  * deterministic and oracle-able, the right gate-scale choice; at
-  * 100 TB the edge lists come from the IVF machinery instead
-  * (candidates = ivfTopK of the corpus against itself, then the same
-  * persist) — the serving path reads only the LAYOUT and does not care
-  * how edges were produced. What this build deliberately omits from
-  * full Vamana: the hierarchy (HNSW's upper layers — replaced by the
-  * medoid entry) and alpha-pruned long edges (diversity pruning) —
-  * the recall-report row measures what that costs at this geometry;
-  * SURVEY §17 records the resulting trade against the IVF family.
+  * Two builds, one layout: [[build]] is the exact top-`degree` neighbor
+  * graph by brute force — deterministic and oracle-able, the right
+  * gate-scale choice — and [[buildFromIvf]] is the 100 TB path
+  * (candidate edges from an IVF blocked self-join, one entry point per
+  * coarse centroid). The serving path reads only the LAYOUT and does
+  * not care how edges were produced. What the exact build deliberately
+  * omits from full Vamana: the hierarchy (HNSW's upper layers —
+  * replaced by the medoid entry; buildFromIvf's centroid multi-entry is
+  * the cheap substitute) and alpha-pruned long edges (diversity
+  * pruning) — the recall-report rows measure what that costs at this
+  * geometry; SURVEY §17 records the resulting trade vs the IVF family.
   */
 object GraphAnn {
 
@@ -82,6 +83,100 @@ object GraphAnn {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
   }
 
+  /** The 100 TB build path the exact [[build]] documents: candidate
+    * edges come from the IVF machinery instead of the all-pairs brute
+    * force. Each node probes its `nprobe` nearest coarse clusters
+    * (broadcast centroids — never the corpus) and scores only against
+    * the members of those clusters — one shuffle hash join on the
+    * cluster id, so the pair volume is ~n·nprobe·(n/nlist) instead of
+    * n²; with the standard nlist ≈ √n sizing that is O(n^1.5·nprobe).
+    * The persisted LAYOUT is identical (vectors/adjacency/entry, meta
+    * layout = "graph") and the serving path explicitly does not care
+    * how edges were produced — [[topK]] replays unchanged, so the
+    * x_knn_graph_scale gate hash-pins the whole beam trajectory over an
+    * IVF-built graph with no new oracle machinery.
+    *
+    * Two deliberate differences from the exact build:
+    *   - edges are the top-`degree` of the PROBED candidates (a true
+    *     top-degree edge outside every probed cluster is missed — the
+    *     standard IVF-candidate approximation; the recall-report row
+    *     measures what it costs);
+    *   - the entry table carries ONE ENTRY PER COARSE CLUSTER (the
+    *     member nearest its centroid) instead of the single global
+    *     medoid — multi-seeding every region is the cheapest hierarchy
+    *     substitute and is what cuts the recall knee from 6 hops to ≤3
+    *     at this geometry (GraphCurve, SURVEY §17).
+    */
+  def buildFromIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, degree: Int = 8, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 2, maxTrainRows: Int = 0,
+      /** Already-trained coarse centroids — the [[AnnIndex.buildIvf]]
+        * `coarseIn` discipline (one training fanned into every layout
+        * that shares it). */
+      coarseIn: Option[DataFrame] = None): Unit = {
+    require(degree > 0, s"degree must be positive: $degree")
+    require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
+      s"need 0 < nprobe ($nprobe) <= nlist ($nlist)")
+    val spark = corpus.sparkSession
+    val c = corpus.select(qcol(idCol).cast("long").as("__id"),
+        qcol(vecCol).as("__vec"))
+      .localCheckpoint(eager = true) // vectors + probes + members share it
+    AnnIndex.writeMeta(spark, dir, m = 0, sub = 0, nlist = -1,
+      layout = "graph")
+    c.write.mode("overwrite").parquet(s"$dir/vectors")
+    val coarse = coarseIn.getOrElse(
+      Similarity.trainCentroids(c, "__id", "__vec", nlist, iters,
+        maxTrainRows))
+    // each node as a QUERY: its nprobe nearest centroids (broadcast
+    // centroids into the corpus — nlist rows, never the other way)
+    val probes = Similarity.probeClusters(
+      c.select(col("__id").as("query_id"), col("__vec").as("__qv")),
+      coarse, nprobe)
+    // each node as a MEMBER: its own (single) cluster assignment —
+    // the one build-time corpus shuffle, exactly like buildIvfPq
+    val members = Similarity.assign(c, ("__id", "__vec"), coarse)
+      .select(col("__cluster"), col("__id").as("__nid"),
+        col("__vec").as("__nv"))
+      .localCheckpoint(eager = true) // edge candidates + entries share it
+    // blocked self-join ON THE CLUSTER ID: candidate volume is
+    // probers(cluster) × members(cluster), summed — never all-pairs.
+    // distinct: a pair co-occurring in several probed clusters scores
+    // identically (deterministic cosine), so the duplicate rows collapse
+    // instead of double-filling ranks.
+    val scored = probes.join(members, Seq("__cluster"))
+      .filter(col("query_id") =!= col("__nid"))
+      .select(col("query_id"), col("__nid"),
+        Similarity.cosine(col("__qv"), col("__nv")).as("__s"))
+    // SYMMETRIZE before the degree cut — the NSW/Vamana bidirectional-
+    // insertion step: cosine is symmetric, so the swapped pair is a free
+    // candidate for the OTHER endpoint. A true neighbor q's own probes
+    // missed still reaches q's list whenever the neighbor probed q's
+    // cluster — measured on the gate corpus this lifts the 16-beam
+    // 3-hop recall@5 ceiling from 0.83 to the exact-build band.
+    val symScored = scored
+      .unionByName(scored.select(col("__nid").as("query_id"),
+        col("query_id").as("__nid"), col("__s")))
+      .distinct()
+    Similarity.topKPerQuery(symScored, "__s", "__nid", degree)
+      .groupBy(col("query_id").as("__id"))
+      .agg(array_sort(collect_set(col("__nid"))).as("__nbrs"))
+      .write.mode("overwrite").parquet(s"$dir/adjacency")
+    // one entry per coarse cluster: the member nearest its own centroid
+    // (rounded-cosine DESC, min id — the family's ranking discipline);
+    // ≤ nlist rows by construction
+    val entryW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cluster"))
+      .orderBy(round(col("__ec"), 4).desc, col("__nid"))
+    members
+      .join(broadcast(coarse), col("__cluster") === col("__cid"))
+      .select(col("__cluster"), col("__nid"),
+        Similarity.cosine(col("__nv"), col("centroid")).as("__ec"))
+      .withColumn("__rk", row_number().over(entryW))
+      .filter(col("__rk") === 1)
+      .select(col("__nid").as("entry"), lit(degree).as("degree"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
+  }
+
   /** Beam-search top-k over a persisted graph index. Output:
     * (query_id, rank, neighbor_id, cosine) — the family contract,
     * self-matches excluded from the FINAL ranking (every serving path
@@ -91,12 +186,23 @@ object GraphAnn {
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       beamWidth: Int = 8, hops: Int = 3): DataFrame = {
-    require(k > 0 && beamWidth >= k,
-      s"beamWidth ($beamWidth) must be >= k ($k)")
+    // strictly greater: the final ranking filters self-matches and
+    // tombstoned beam members AFTER the beam was cut to beamWidth, so
+    // beamWidth == k could under-fill the result even when >= k live
+    // neighbors exist (the slack absorbs the filtered rows)
+    require(k > 0 && beamWidth > k,
+      s"beamWidth ($beamWidth) must be > k ($k)")
     require(hops > 0, s"hops must be positive: $hops")
     require(AnnIndex.readLayout(spark, dir) == "graph",
       s"$dir is not a graph index — each layout has its own reader")
-    val entry = spark.read.parquet(s"$dir/entry").head().getLong(0)
+    // ALL stored entry points seed the beam: the exact build writes the
+    // single medoid (classic Vamana start), [[buildFromIvf]] writes one
+    // per coarse centroid — the cheapest hierarchy substitute (the
+    // medoid-only start is why fringe regions sat 6 hops out; seeding
+    // every cluster cuts the knee to ≤3 hops, GraphCurve). Bounded
+    // collect: ≤ nlist rows by construction.
+    val entries = spark.read.parquet(s"$dir/entry")
+      .select(col("entry")).collect().map(_.getLong(0)).sorted
     val v = spark.read.parquet(s"$dir/vectors")
     // DiskANN-style lazy deletes: tombstoned nodes may still ROUTE (the
     // beam traverses them — removing routers before consolidation
@@ -126,7 +232,8 @@ object GraphAnn {
         else scored,
         "cosine", "__nid", width)
     }
-    var beam = q.select(col("query_id"), lit(entry).as("__nid"))
+    var beam = q.select(col("query_id"),
+      explode(array(entries.map(lit(_)): _*)).as("__nid"))
     for (_ <- 1 to hops) {
       val expanded = adj
         .join(broadcast(beam), beam("__nid") === adj("__id"))
@@ -168,7 +275,12 @@ object GraphAnn {
     * [[AnnIndex.compactIfNeeded]] so the maintenance sweep prices
     * graph stores like every other family.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String,
+      /** How many levels of a dead chain the edge splice follows; ≥2
+        * closes the two-deep-chain disconnection gap, deeper chains
+        * remain the documented rebuild-detector territory. */
+      spliceDepth: Int = 2): Unit = {
+    require(spliceDepth > 0, s"spliceDepth must be positive: $spliceDepth")
     require(AnnIndex.readLayout(spark, dir) == "graph",
       s"$dir is not a graph index — each layout has its own compaction")
     val live = AnnIndex.requireLive(
@@ -185,14 +297,27 @@ object GraphAnn {
     val edges = adj0.join(liveIds, Seq("__id"), "left_semi")
       .select(col("__id").as("__src"), explode(col("__nbrs")).as("__dst"))
       .localCheckpoint(eager = true) // direct edges + dead-edge probe share it
-    // edges whose target died: splice in the dead target's own neighbors
-    val viaDead = edges
-      .join(liveIds.withColumnRenamed("__id", "__dst"), Seq("__dst"), "left_anti")
-      .join(adj0.select(col("__id").as("__dst"), col("__nbrs").as("__dn")),
-        Seq("__dst"))
-      .select(col("__src"), explode(col("__dn")).as("__dst"))
-    val cands = edges.unionByName(viaDead)
-      .join(liveIds.withColumnRenamed("__id", "__dst"), Seq("__dst"), "left_semi")
+    // edges whose target died: splice in the dead target's own neighbors,
+    // following a dead CHAIN up to `spliceDepth` levels (the single-level
+    // form dropped an edge whose dead target's neighbors were ALSO dead —
+    // a two-deep dead chain could disconnect more than the documented
+    // zero-in-edge case). Each level's frontier is only the still-dead
+    // targets of the previous one, so the loop cost shrinks per level.
+    val liveDst = liveIds.withColumnRenamed("__id", "__dst")
+    val adjDst = adj0.select(col("__id").as("__dst"), col("__nbrs").as("__dn"))
+    var cands = edges
+    var frontier = edges
+    for (_ <- 1 to spliceDepth) {
+      frontier = frontier
+        .join(liveDst, Seq("__dst"), "left_anti")
+        .join(adjDst, Seq("__dst"))
+        .select(col("__src"), explode(col("__dn")).as("__dst"))
+        .distinct()
+        .localCheckpoint(eager = true) // next level re-probes this one
+      cands = cands.unionByName(frontier)
+    }
+    cands = cands
+      .join(liveDst, Seq("__dst"), "left_semi")
       .filter(col("__src") =!= col("__dst"))
       .distinct()
     // re-rank each node's candidates by cosine (the build's own rule)
@@ -210,23 +335,31 @@ object GraphAnn {
       .groupBy(col("__src").as("__id"))
       .agg(array_sort(collect_set(col("__dst"))).as("__nbrs"))
       .write.mode("overwrite").parquet(s"$tmp/adjacency")
-    val entry = spark.read.parquet(s"$dir/entry").head().getLong(0)
-    val liveEntry =
-      if (!live.filter(col("__id") === entry).isEmpty) entry
+    // entry survival: keep the LIVE entry points (a multi-entry table —
+    // [[buildFromIvf]] — loses only the seeds that died); if every entry
+    // died, recompute the medoid over survivors (same rule as build).
+    // Both collects are bounded by the entry-point count (≤ nlist).
+    val entriesAll = spark.read.parquet(s"$dir/entry")
+      .select(col("entry")).collect().map(_.getLong(0)).sorted
+    val liveEntrySet = live
+      .filter(col("__id").isin(entriesAll.map(Long.box): _*))
+      .select(col("__id")).collect().map(_.getLong(0)).toSet
+    val keptEntries = entriesAll.filter(liveEntrySet)
+    val finalEntries: Seq[Long] =
+      if (keptEntries.nonEmpty) keptEntries.toSeq
       else {
-        // the medoid died: recompute over survivors (same rule as build)
         val dim = live.select(size(col("__vec"))).head().getInt(0)
         val meanRow = live.select((0 until dim).map(i =>
           avg(element_at(col("__vec"), i + 1).cast("double")).as(s"_m$i")): _*)
           .head()
         val mean = array((0 until dim).map(i => lit(meanRow.getDouble(i))): _*)
-        live.select(col("__id"),
+        Seq(live.select(col("__id"),
             Similarity.cosine(col("__vec"), mean).as("__c"))
           .orderBy(round(col("__c"), 4).desc, col("__id")).limit(1)
-          .select(col("__id")).head().getLong(0)
+          .select(col("__id")).head().getLong(0))
       }
     import spark.implicits._
-    Seq((liveEntry, degree0)).toDF("entry", "degree")
+    finalEntries.map(e => (e, degree0)).toDF("entry", "degree")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/entry")
     graft.operators.Upsert.swapDirs(tmp, dir)
   }

@@ -57,7 +57,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v14_graph")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v16_graphivf_sym")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -186,6 +186,13 @@ object ExtensionQueries {
       // tables; the recall report carries its measured row
       "graph" -> (() => graft.ext.GraphAnn.build(emb, "vec_id", "embedding",
         s"$tmp/graph", degree = 8)),
+      // graph, the 100 TB build path: IVF-candidate edges (blocked
+      // self-join on the shared coarse clusters — never all-pairs) +
+      // one entry point per centroid; x_knn_graph_scale replays the
+      // beam trajectory over it at the shallow 3-hop operating point
+      "graphivf" -> (() => graft.ext.GraphAnn.buildFromIvf(emb, "vec_id",
+        "embedding", s"$tmp/graphivf", degree = 10, nlist = 16, nprobe = 6,
+        coarseIn = Some(coarse))),
       // MaxSim token-vector fixture: per-doc token BAGS over the first
       // 48 documents (first 8 token positions), each token's vector a
       // deterministic embedding-table lookup (hash(token) mod 64), ids
@@ -4793,7 +4800,7 @@ object ExtensionQueries {
     * CTE is `<p>b<hops>`.
     */
   private def graphBeamCtesSql(p: String, qFilter: String, hops: Int,
-      beamWidth: Int): String = {
+      beamWidth: Int, layout: String = "graph"): String = {
     val hopCtes = (1 to hops).map { t =>
       val prev = s"${p}b${t - 1}"
       s"""${p}c$t AS (
@@ -4810,9 +4817,9 @@ object ExtensionQueries {
          |    FROM ${p}s$t) WHERE rn <= $beamWidth)""".stripMargin
     }.mkString(",\n")
     s"""${p}v AS (SELECT __id, list_transform(__vec, x -> CAST(x AS DOUBLE)) AS v
-       |       FROM read_parquet('__GRAFT_ANNIDX__/graph/vectors/*.parquet')),
-       |${p}adj AS (SELECT __id, __nbrs FROM read_parquet('__GRAFT_ANNIDX__/graph/adjacency/*.parquet')),
-       |${p}e AS (SELECT entry FROM read_parquet('__GRAFT_ANNIDX__/graph/entry/*.parquet')),
+       |       FROM read_parquet('__GRAFT_ANNIDX__/$layout/vectors/*.parquet')),
+       |${p}adj AS (SELECT __id, __nbrs FROM read_parquet('__GRAFT_ANNIDX__/$layout/adjacency/*.parquet')),
+       |${p}e AS (SELECT entry FROM read_parquet('__GRAFT_ANNIDX__/$layout/entry/*.parquet')),
        |${p}q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
        |       FROM embeddings WHERE $qFilter),
        |${p}b0 AS (SELECT qid, entry AS nid FROM ${p}q, ${p}e),
@@ -4842,6 +4849,29 @@ object ExtensionQueries {
       Tables.embeddings(s, dir).filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", 5, beamWidth = 16, hops = 6)
+  }
+
+  /** The SCALABLE graph build served by the unchanged beam search
+    * ([[graft.ext.GraphAnn.buildFromIvf]]): candidate edges from an IVF
+    * blocked self-join instead of the O(n²) brute force, one entry
+    * point per coarse centroid instead of the single medoid. The oracle
+    * replays the identical beam trajectory from the stored tables — the
+    * layout contract means the scalable build needed NO new oracle
+    * machinery, only the layout path. Operating point beam 16 × 3 hops:
+    * the multi-entry seeding moves the recall knee from 6 hops to ≤3
+    * (GraphCurve, SURVEY §17) — half the sequential join rounds per
+    * query batch, which on a cluster is half the network round trips.
+    */
+  val knnGraphScale = q("x_knn_graph_scale",
+    s"""WITH ${graphBeamCtesSql("gi", "vec_id < 8", 3, 16, "graphivf")}
+       |SELECT qid AS query_id, rn AS rank, nid AS neighbor_id, s AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+       |      FROM gib3 WHERE qid <> nid) WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    graft.ext.GraphAnn.topK(s, s"$idx/graphivf",
+      Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 5, beamWidth = 16, hops = 3)
   }
 
   /** Measured recall@k dashboard over EVERY persisted served layout at
@@ -5067,7 +5097,14 @@ object ExtensionQueries {
       |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
       |  FROM grb6 WHERE qid <> nid QUALIFY rank <= 5),
       |m_gr AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
-      |         FROM gr_top s JOIN brute b USING (query_id, neighbor_id))
+      |         FROM gr_top s JOIN brute b USING (query_id, neighbor_id)),
+      |${graphBeamCtesSql("gs", "vec_id < 5", 3, 16, "graphivf")},
+      |gs_top AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM gsb3 WHERE qid <> nid QUALIFY rank <= 5),
+      |m_gs AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
+      |         FROM gs_top s JOIN brute b USING (query_id, neighbor_id))
       |SELECT 'ivf' AS layout, 5 AS k, CAST(tot.nqy AS BIGINT) AS n_queries,
       |       CAST(tot.possible AS BIGINT) AS possible, CAST(m.hits AS BIGINT) AS hits,
       |       CAST(m.hits AS DOUBLE) / tot.possible AS recall_at_k,
@@ -5107,7 +5144,12 @@ object ExtensionQueries {
       |SELECT 'graph', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
       |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
       |       CAST(m.fr AS BIGINT)
-      |FROM m_gr m, tot""".stripMargin) { (s, dir) =>
+      |FROM m_gr m, tot
+      |UNION ALL
+      |SELECT 'graph_ivf', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
+      |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
+      |       CAST(m.fr AS BIGINT)
+      |FROM m_gs m, tot""".stripMargin) { (s, dir) =>
     val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -5128,6 +5170,10 @@ object ExtensionQueries {
         "vec_id", "embedding", 5),
       "graph" -> graft.ext.GraphAnn.topK(s, s"$idx/graph", queries,
         "vec_id", "embedding", 5, beamWidth = 16, hops = 6),
+      // the exact-edge vs IVF-edge comparison the scalable build is
+      // priced by: same geometry, half the hop depth (centroid seeds)
+      "graph_ivf" -> graft.ext.GraphAnn.topK(s, s"$idx/graphivf", queries,
+        "vec_id", "embedding", 5, beamWidth = 16, hops = 3),
     ), brute, 5)
   }
 
@@ -6330,6 +6376,6 @@ object ExtensionQueries {
     textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
     classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval, textAsOf,
     corpusCleanAudit, knnAutotune, streamRecall, qualityCalibrate,
-    textWordpieceCount,
+    textWordpieceCount, knnGraphScale,
   )
 }

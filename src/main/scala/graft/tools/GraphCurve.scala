@@ -41,6 +41,14 @@ object GraphCurve {
         (32, 4), (32, 8)))
       report(s"graph_beam${l}_hops$h")(GraphAnn.topK(spark, s"$idx/graph",
         queries, "vec_id", "embedding", 5, beamWidth = l, hops = h))
+    // the IVF-built graph (centroid multi-entry): the scalable-build
+    // curve beside the exact-build one — same serving code, shallower
+    // knee expected from the per-cluster seeds
+    for ((l, h) <- Seq((8, 1), (8, 2), (8, 3), (16, 1), (16, 2), (16, 3),
+        (16, 6)))
+      report(s"graphivf_beam${l}_hops$h")(GraphAnn.topK(spark,
+        s"$idx/graphivf", queries, "vec_id", "embedding", 5,
+        beamWidth = l, hops = h))
     report("ivf_nprobe4")(AnnIndex.ivfTopK(spark,
       AnnIndex.readIvf(spark, s"$idx/ivf"),
       queries, "vec_id", "embedding", 5, nprobe = 4))

@@ -327,6 +327,37 @@ object ScaleProbe {
       }
     }
 
+    // ---- graph-ANN build: exact O(n²) vs IVF-candidate O(n^1.5·nprobe)
+    // (r16). nlist scales ∝ √n — the standard IVF sizing, and the knob
+    // that makes the blocked self-join subquadratic: candidate volume is
+    // n·nprobe·(n/nlist) = n^1.5·nprobe at nlist = √n. The fanned copies
+    // are exact duplicates (cost probe, not recall — GraphCurve measures
+    // recall on the real corpus).
+    {
+      val embAll = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(eager = true)
+      for (m <- Seq(1, mult)) {
+        val em = (if (m == 1) embAll else fan(embAll, Seq("vec_id"), m))
+          .localCheckpoint(eager = true)
+        val nlist = math.max(4,
+          math.round(math.sqrt(em.count().toDouble)).toInt)
+        time(s"graph_build_brute_x$m") {
+          val dir = s"/tmp/graft_scaleprobe_graph/brute_x$m"
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+          graft.ext.GraphAnn.build(em, "vec_id", "embedding", dir,
+            degree = 10)
+          spark.read.parquet(s"$dir/adjacency").count()
+        }
+        time(s"graph_build_ivf_x$m") {
+          val dir = s"/tmp/graft_scaleprobe_graph/ivf_x$m"
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+          graft.ext.GraphAnn.buildFromIvf(em, "vec_id", "embedding", dir,
+            degree = 10, nlist = nlist, nprobe = 6)
+          spark.read.parquet(s"$dir/adjacency").count()
+        }
+      }
+    }
+
     // ---- ×100 fan of the RESOLVE stage alone (pairs → components →
     // anti-join): star edges per text group (the x_dedup_resolve shape),
     // so edge volume scales with the duplicate count, not its square —

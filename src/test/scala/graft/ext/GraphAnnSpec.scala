@@ -130,6 +130,87 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("buildFromIvf: scalable candidates, one live entry per cluster, same serving path") {
+    val dir = tmpDir("graft_graphann_ivf")
+    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", dir,
+      degree = 6, nlist = 4, nprobe = 2, iters = 2)
+    // the LAYOUT is the graph layout: unchanged topK serves it
+    AnnIndex.readLayout(spark, dir) shouldBe "graph"
+    val adj = spark.read.parquet(s"$dir/adjacency")
+      .as[(Long, Seq[Long])].collect().toMap
+    adj.size shouldBe 21
+    adj.values.foreach(_.size should be <= 6)
+    // entries: one per non-empty coarse cluster, all distinct corpus ids
+    val entries = spark.read.parquet(s"$dir/entry")
+      .as[(Long, Int)].collect()
+    entries.length should be >= 2 // two real clusters exist by construction
+    entries.length should be <= 4 // ≤ nlist
+    entries.map(_._1).distinct.length shouldBe entries.length
+    entries.foreach(_._2 shouldBe 6)
+    // multi-entry seeding: SHALLOW hops already match brute force on
+    // this geometry (the medoid-only exact build needs ~4 hops here)
+    val queries = corpus.filter($"vec_id".isin(0L, 15L, 20L))
+    val served = GraphAnn.topK(spark, dir, queries, "vec_id", "embedding",
+        k = 3, beamWidth = 8, hops = 2)
+      .select($"query_id", $"rank", $"neighbor_id").collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "embedding", 3)
+      .select($"query_id", $"rank", $"neighbor_id").collect().toSet
+    served shouldBe brute
+    // maintenance parity: deleting one ENTRY keeps the other seeds (no
+    // medoid recompute while any entry survives), and serving follows
+    // the survivors
+    val deadEntry = entries.map(_._1).min
+    AnnIndex.deleteIds(spark, dir, Seq(deadEntry).toDF("vec_id"), "vec_id")
+    GraphAnn.compact(spark, dir)
+    val after = spark.read.parquet(s"$dir/entry")
+      .as[(Long, Int)].collect().map(_._1).toSet
+    after shouldBe entries.map(_._1).toSet - deadEntry
+  }
+
+  test("compact follows a two-deep dead chain when splicing edges") {
+    // hand-laid path graph 0-1-2-3-4 (the serving path reads only the
+    // layout, so a synthetic adjacency is a legal graph store): nodes 1
+    // AND 2 die — node 0's only edge points at dead 1, whose neighbors
+    // are {0, dead 2}; a single-level splice drops everything and
+    // disconnects 0, the depth-2 splice reaches live 3 through the chain
+    val dir = tmpDir("graft_graphann_chain")
+    val vecs = (0 until 5).map(i =>
+        (i.toLong, Array(1f, 0.1f * i, 0f, 0f)))
+      .toDF("__id", "__vec")
+    AnnIndex.writeMeta(spark, dir, m = 0, sub = 0, nlist = -1,
+      layout = "graph")
+    vecs.write.parquet(s"$dir/vectors")
+    Seq(0L -> Seq(1L), 1L -> Seq(0L, 2L), 2L -> Seq(1L, 3L),
+        3L -> Seq(2L, 4L), 4L -> Seq(3L))
+      .toDF("__id", "__nbrs").write.parquet(s"$dir/adjacency")
+    Seq((4L, 2)).toDF("entry", "degree")
+      .coalesce(1).write.parquet(s"$dir/entry")
+    AnnIndex.deleteIds(spark, dir, Seq(1L, 2L).toDF("__id"), "__id")
+    GraphAnn.compact(spark, dir) // default spliceDepth = 2
+    val adj = spark.read.parquet(s"$dir/adjacency")
+      .as[(Long, Seq[Long])].collect().toMap
+    adj.flatMap(_._2).toSet should contain noneOf (1L, 2L)
+    // the chain was followed: 0 reconnected to 3 (1 → 2 → 3)
+    adj(0L) should contain(3L)
+    // and the single-level form is pinned as the weaker behavior: a
+    // fresh copy compacted at spliceDepth = 1 drops 0's edges entirely
+    val dir1 = tmpDir("graft_graphann_chain1")
+    AnnIndex.writeMeta(spark, dir1, m = 0, sub = 0, nlist = -1,
+      layout = "graph")
+    vecs.write.parquet(s"$dir1/vectors")
+    Seq(0L -> Seq(1L), 1L -> Seq(0L, 2L), 2L -> Seq(1L, 3L),
+        3L -> Seq(2L, 4L), 4L -> Seq(3L))
+      .toDF("__id", "__nbrs").write.parquet(s"$dir1/adjacency")
+    Seq((4L, 2)).toDF("entry", "degree")
+      .coalesce(1).write.parquet(s"$dir1/entry")
+    AnnIndex.deleteIds(spark, dir1, Seq(1L, 2L).toDF("__id"), "__id")
+    GraphAnn.compact(spark, dir1, spliceDepth = 1)
+    spark.read.parquet(s"$dir1/adjacency")
+      .as[(Long, Seq[Long])].collect().toMap
+      .get(0L) shouldBe None
+  }
+
   test("guards: wrong layout, beam narrower than k, bad hops all refuse") {
     val dir = tmpDir("graft_graphann3")
     GraphAnn.build(corpus, "vec_id", "embedding", dir, degree = 4)
