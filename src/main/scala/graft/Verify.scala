@@ -134,12 +134,29 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] unigram copy failed: ${e.getMessage}")
     }
+    // same contract for the staged pretraining artifacts (the packed
+    // table + exported shard set behind x_store_fsck's shard-store row)
+    val ptSrc = "/tmp/graft_pretrain/" + graft.queries.Staging.tag(sfDir)
+    val ptIdx = s"$outDir/.pretrain"
+    try {
+      val dst = new java.io.File(ptIdx)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      Seq("packed", "shards").foreach { d =>
+        val from = new java.io.File(s"$ptSrc/$d")
+        if (from.isDirectory)
+          org.apache.commons.io.FileUtils.copyDirectory(from,
+            new java.io.File(dst, d))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] pretrain copy failed: ${e.getMessage}")
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_ANNIDX__", annIdx)
         .replace("__GRAFT_BPE__", bpeIdx)
         .replace("__GRAFT_UNI__", uniIdx)
         .replace("__GRAFT_TEXTIDX__", tiIdx)
-        .replace("__GRAFT_CASCADE__", cIdx))}" }
+        .replace("__GRAFT_CASCADE__", cIdx)
+        .replace("__GRAFT_PRETRAIN__", ptIdx))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

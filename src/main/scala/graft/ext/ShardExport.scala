@@ -90,6 +90,66 @@ object ShardExport {
         min(col("order_key")).as("min_key"),
         max(col("order_key")).as("max_key"))
 
+  /** Changed-shard-only re-export — the incremental composition the r15
+    * verdict asked for: given a NEW generation of the packed table and
+    * an existing export at `dst` (same `shards` count — the count is
+    * the layout), recompute the would-be manifest by the same pure
+    * per-row arithmetic, diff it against the PUBLISHED manifest
+    * (null-safe: a one-sided row is a change by definition), rewrite
+    * only the shards whose manifest row changed, delete shards whose
+    * membership emptied, and publish the new manifest. Untouched shard
+    * files are never opened, never rewritten — byte-identical across
+    * the re-export (spec), which is what lets a training job resume
+    * from cached shards after a revocation. Determinism makes each
+    * REWRITTEN shard byte-identical to what a full [[export]] would
+    * produce (same rows, same content-keyed order, same writer), so the
+    * x_shard_export_incr gate hash-pins the incremental manifest with
+    * the FULL re-export's oracle.
+    *
+    * Returns the change report: (shard_id, change ∈ new|rewritten|
+    * deleted) — one row per touched shard, ≤ `shards` rows (the bounded
+    * driver collect that drives the per-shard rewrites).
+    */
+  def exportIncremental(spark: SparkSession, packed: DataFrame, shards: Int,
+      dst: String): DataFrame = {
+    import spark.implicits._
+    require(graft.util.Hfs.exists(spark, s"$dst/_manifest"),
+      s"$dst has no published manifest — incremental re-export needs a " +
+        "prior export (run export first)")
+    val a = assign(packed, shards)
+      .localCheckpoint(eager = true) // manifest + per-shard rewrites share it
+    val m = manifestOf(a)
+      .localCheckpoint(eager = true) // diff + publish share it
+    val old = spark.read.parquet(s"$dst/_manifest")
+      .select(col("shard_id"), col("n_rows").as("__o_rows"),
+        col("checksum").as("__o_ck"), col("min_key").as("__o_min"),
+        col("max_key").as("__o_max"))
+    val changed = old.join(m, Seq("shard_id"), "full")
+      .filter(!coalesce(
+        col("n_rows") === col("__o_rows") &&
+          col("checksum") === col("__o_ck") &&
+          col("min_key") === col("__o_min") &&
+          col("max_key") === col("__o_max"),
+        lit(false)))
+      .select(col("shard_id"),
+        when(col("n_rows").isNull, lit("deleted"))
+          .when(col("__o_rows").isNull, lit("new"))
+          .otherwise(lit("rewritten")).as("change"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    changed.foreach { case (sid, change) =>
+      if (change == "deleted")
+        graft.util.Hfs.delete(spark, s"$dst/shard_id=$sid")
+      else
+        // one sorted writer task per touched shard — identical file
+        // content to the full export's partitionBy write of this shard
+        a.filter(col("shard_id") === sid).drop("shard_id")
+          .coalesce(1).sortWithinPartitions(col("order_key"))
+          .write.mode("overwrite").parquet(s"$dst/shard_id=$sid")
+    }
+    m.coalesce(1).write.mode("overwrite").parquet(s"$dst/_manifest")
+    changed.toSeq.toDF("shard_id", "change")
+  }
+
   /** Reconcile an exported shard set against its own manifest — the
     * load-time integrity check a training job runs: recompute each
     * shard's count/checksum/extrema FROM THE SHARD FILES and diff

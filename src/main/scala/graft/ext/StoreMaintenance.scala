@@ -28,6 +28,13 @@ final case class StoreRef(name: String, kind: String, dir: String)
 object StoreMaintenance {
 
   private val kinds = Set("ann", "text", "dedup")
+  /** fsck additionally audits exported training-shard sets ("shards" —
+    * [[ShardExport]] directories): membership by doc_id plus the
+    * manifest reconcile (torn-shard count). They never route to sweep:
+    * a shard set has no tombstones to compact — its maintenance verb is
+    * [[ShardExport.exportIncremental]].
+    */
+  private val fsckKinds = kinds + "shards"
 
   /** (total rows, live rows, debt) via the store family's own
     * health-report measurement — the same numbers the dashboards serve.
@@ -86,6 +93,10 @@ object StoreMaintenance {
         .select(col("__id").cast("long").as("__id")).distinct()
     case "dedup" =>
       graft.streaming.DocStreams.dedupLiveIds(spark, ref.dir)
+    case "shards" =>
+      // column-pruned scan of the shard data files: doc membership only
+      spark.read.parquet(ref.dir)
+        .select(col("doc_id").cast("long").as("__id")).distinct()
   }
 
   /** Cross-store referential-consistency audit — the fsck beside the
@@ -106,7 +117,7 @@ object StoreMaintenance {
   def fsck(spark: SparkSession, base: DataFrame, idCol: String,
       stores: Seq[StoreRef]): DataFrame = {
     require(stores.nonEmpty, "no stores to audit")
-    val bad = stores.filterNot(s => kinds(s.kind))
+    val bad = stores.filterNot(s => fsckKinds(s.kind))
     require(bad.isEmpty,
       s"unknown store kind(s): ${bad.map(s => s"${s.name}=${s.kind}").mkString(", ")}")
     val b = base.select(graft.functions.Cols.qcol(idCol).cast("long").as("__id"))
@@ -121,11 +132,22 @@ object StoreMaintenance {
         .head()
       val (nb, nl, miss, orph) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // shard sets carry a second integrity axis beside membership: the
+      // per-shard manifest reconcile — a torn shard (count/checksum/
+      // extrema drift, a missing directory, an unmanifested extra) is
+      // inconsistent even when the surviving doc ids happen to match
+      val torn = ref.kind match {
+        case "shards" =>
+          ShardExport.verify(spark, ref.dir)
+            .filter(!col("consistent")).count()
+        case _ => 0L
+      }
       spark.range(1).select(
         lit(ref.name).as("store"), lit(ref.kind).as("kind"),
         lit(nb).as("base_ids"), lit(nl).as("live_ids"),
         lit(miss).as("missing_ids"), lit(orph).as("orphan_ids"),
-        lit(miss == 0L && orph == 0L).as("consistent"))
+        lit(torn).as("torn_shards"),
+        lit(miss == 0L && orph == 0L && torn == 0L).as("consistent"))
     }.reduce(_ unionByName _)
   }
 

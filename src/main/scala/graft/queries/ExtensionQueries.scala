@@ -5923,7 +5923,26 @@ object ExtensionQueries {
       |  SELECT DISTINCT c.__id FROM read_parquet('__GRAFT_CASCADE__/ann_pq/codes/*.parquet') c
       |  LEFT JOIN ann_t d ON c.__id = d.__id
       |  WHERE d.tseq IS NULL OR coalesce(c.__seq, 0) > d.tseq),
-      |annbase AS (SELECT vec_id FROM embeddings WHERE vec_id < 64 AND vec_id % 8 <> 2)
+      |annbase AS (SELECT vec_id FROM embeddings WHERE vec_id < 64 AND vec_id % 8 <> 2),
+      |shard_rows AS (
+      |  SELECT shard_id, doc_id, seq_id, doc_from, doc_to, seq_off, order_key
+      |  FROM read_parquet('__GRAFT_PRETRAIN__/shards/shard_id=*/*.parquet', hive_partitioning=1)),
+      |shard_man AS (SELECT * FROM read_parquet('__GRAFT_PRETRAIN__/shards/_manifest/*.parquet')),
+      |shard_rec AS (
+      |  SELECT shard_id, count(*) AS n_rows,
+      |         CAST(sum(CAST('0x' || substring(md5(
+      |           CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) || ':' ||
+      |           CAST(doc_from AS VARCHAR) || ':' || CAST(doc_to AS VARCHAR) || ':' ||
+      |           CAST(seq_off AS VARCHAR)), 1, 8) AS UBIGINT)) AS VARCHAR) AS checksum,
+      |         min(order_key) AS min_key, max(order_key) AS max_key
+      |  FROM shard_rows GROUP BY 1),
+      |shard_torn AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS torn
+      |  FROM shard_man m FULL JOIN shard_rec r USING (shard_id)
+      |  WHERE NOT coalesce(m.n_rows = r.n_rows AND m.checksum = r.checksum
+      |    AND m.min_key = r.min_key AND m.max_key = r.max_key, false)),
+      |packed_docs AS (SELECT DISTINCT doc_id FROM read_parquet('__GRAFT_PRETRAIN__/packed/*.parquet')),
+      |shard_docs AS (SELECT DISTINCT doc_id FROM shard_rows)
       |SELECT 'text_inv' AS store, 'text' AS kind, 'survivors' AS scope,
       |       (SELECT CAST(count(*) AS BIGINT) FROM survivors) AS base_ids,
       |       (SELECT CAST(count(*) AS BIGINT) FROM inv_live) AS live_ids,
@@ -5931,6 +5950,7 @@ object ExtensionQueries {
       |        WHERE NOT EXISTS (SELECT 1 FROM inv_live v WHERE v.__id = s.doc_id)) AS missing_ids,
       |       (SELECT CAST(count(*) AS BIGINT) FROM inv_live v
       |        WHERE NOT EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = v.__id)) AS orphan_ids,
+      |       CAST(0 AS BIGINT) AS torn_shards,
       |       (SELECT count(*) FROM survivors s
       |        WHERE NOT EXISTS (SELECT 1 FROM inv_live v WHERE v.__id = s.doc_id)) = 0
       |       AND (SELECT count(*) FROM inv_live v
@@ -5943,6 +5963,7 @@ object ExtensionQueries {
       |        WHERE NOT EXISTS (SELECT 1 FROM pos_live v WHERE v.__id = s.doc_id)),
       |       (SELECT CAST(count(*) AS BIGINT) FROM pos_live v
       |        WHERE NOT EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = v.__id)),
+      |       CAST(0 AS BIGINT),
       |       (SELECT count(*) FROM survivors s
       |        WHERE NOT EXISTS (SELECT 1 FROM pos_live v WHERE v.__id = s.doc_id)) = 0
       |       AND (SELECT count(*) FROM pos_live v
@@ -5955,6 +5976,7 @@ object ExtensionQueries {
       |        WHERE NOT EXISTS (SELECT 1 FROM ded_live v WHERE v.__id = s.doc_id)),
       |       (SELECT CAST(count(*) AS BIGINT) FROM ded_live v
       |        WHERE NOT EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = v.__id)),
+      |       CAST(0 AS BIGINT),
       |       (SELECT count(*) FROM survivors s
       |        WHERE NOT EXISTS (SELECT 1 FROM ded_live v WHERE v.__id = s.doc_id)) = 0
       |       AND (SELECT count(*) FROM ded_live v
@@ -5967,6 +5989,7 @@ object ExtensionQueries {
       |        WHERE NOT EXISTS (SELECT 1 FROM inv_live v WHERE v.__id = c.doc_id)),
       |       (SELECT CAST(count(*) AS BIGINT) FROM inv_live v
       |        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.doc_id = v.__id)),
+      |       CAST(0 AS BIGINT),
       |       (SELECT count(*) FROM corpus c
       |        WHERE NOT EXISTS (SELECT 1 FROM inv_live v WHERE v.__id = c.doc_id)) = 0
       |       AND (SELECT count(*) FROM inv_live v
@@ -5979,6 +6002,7 @@ object ExtensionQueries {
       |        WHERE NOT EXISTS (SELECT 1 FROM ded_live v WHERE v.__id = r.doc_id)),
       |       (SELECT CAST(count(*) AS BIGINT) FROM ded_live v
       |        WHERE NOT EXISTS (SELECT 1 FROM retention r WHERE r.doc_id = v.__id)),
+      |       CAST(0 AS BIGINT),
       |       (SELECT count(*) FROM retention r
       |        WHERE NOT EXISTS (SELECT 1 FROM ded_live v WHERE v.__id = r.doc_id)) = 0
       |       AND (SELECT count(*) FROM ded_live v
@@ -5991,10 +6015,25 @@ object ExtensionQueries {
       |        WHERE NOT EXISTS (SELECT 1 FROM ann_live v WHERE v.__id = b.vec_id)),
       |       (SELECT CAST(count(*) AS BIGINT) FROM ann_live v
       |        WHERE NOT EXISTS (SELECT 1 FROM annbase b WHERE b.vec_id = v.__id)),
+      |       CAST(0 AS BIGINT),
       |       (SELECT count(*) FROM annbase b
       |        WHERE NOT EXISTS (SELECT 1 FROM ann_live v WHERE v.__id = b.vec_id)) = 0
       |       AND (SELECT count(*) FROM ann_live v
-      |        WHERE NOT EXISTS (SELECT 1 FROM annbase b WHERE b.vec_id = v.__id)) = 0""".stripMargin) {
+      |        WHERE NOT EXISTS (SELECT 1 FROM annbase b WHERE b.vec_id = v.__id)) = 0
+      |UNION ALL
+      |SELECT 'flagship_shards', 'shards', 'flagship',
+      |       (SELECT CAST(count(*) AS BIGINT) FROM packed_docs),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM shard_docs),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM packed_docs p
+      |        WHERE NOT EXISTS (SELECT 1 FROM shard_docs v WHERE v.doc_id = p.doc_id)),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM shard_docs v
+      |        WHERE NOT EXISTS (SELECT 1 FROM packed_docs p WHERE p.doc_id = v.doc_id)),
+      |       (SELECT torn FROM shard_torn),
+      |       (SELECT count(*) FROM packed_docs p
+      |        WHERE NOT EXISTS (SELECT 1 FROM shard_docs v WHERE v.doc_id = p.doc_id)) = 0
+      |       AND (SELECT count(*) FROM shard_docs v
+      |        WHERE NOT EXISTS (SELECT 1 FROM packed_docs p WHERE p.doc_id = v.doc_id)) = 0
+      |       AND (SELECT torn FROM shard_torn) = 0""".stripMargin) {
     (s, dir) =>
     val cf = stageCascadeFixtures(s, dir)
     val corpus = cascadeDocs(s, dir).select(col("doc_id"))
@@ -6020,6 +6059,18 @@ object ExtensionQueries {
             .select(col("vec_id")),
           "vec_id", Seq(StoreRef("ann_pq", "ann", s"$cf/ann_pq")))
         .withColumn("scope", lit("survivors")))
+      // the exported shard set joins the compliance dashboard: doc
+      // membership vs the packed table it was exported from, plus the
+      // manifest reconcile (torn shards) — the one persisted artifact
+      // family that was outside the fsck until r16
+      .unionByName({
+        val pt = PipelineQueries.stagePretrain(s, dir)
+        StoreMaintenance.fsck(s,
+            s.read.parquet(s"$pt/packed").select(col("doc_id")),
+            "doc_id",
+            Seq(StoreRef("flagship_shards", "shards", s"$pt/shards")))
+          .withColumn("scope", lit("flagship"))
+      })
   }
 
   /** Scratch copies of four maintenance-history fixture stores plus one

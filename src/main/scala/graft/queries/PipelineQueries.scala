@@ -64,7 +64,7 @@ object PipelineQueries {
     */
   def stagePretrain(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_pretrain/${Staging.tag(dir)}"
-    val done = new java.io.File(s"$tmp/_DONE_v15")
+    val done = new java.io.File(s"$tmp/_DONE_v16_incr")
     if (!done.exists()) {
       val docs = Tables.documents(s, dir)
       val res = graft.ext.Curation.pretrain(
@@ -82,6 +82,18 @@ object PipelineQueries {
       res.packed.write.mode("overwrite").parquet(s"$tmp/packed")
       graft.ext.ShardExport.export(s, s.read.parquet(s"$tmp/packed"),
         Shards, s"$tmp/shards")
+      // incremental re-export fixture: a PRIOR generation (every
+      // doc_id % 7 == 3 doc absent — a revocation-shaped delta) is
+      // exported first, then the current packed generation applied
+      // incrementally: only shards whose membership changed rewrite,
+      // and x_shard_export_incr pins the resulting manifest against
+      // the FULL re-export's oracle
+      val packedFull = s.read.parquet(s"$tmp/packed")
+      graft.ext.ShardExport.export(s,
+        packedFull.filter(col("doc_id") % 7 =!= 3), Shards,
+        s"$tmp/shards_incr")
+      graft.ext.ShardExport.exportIncremental(s, packedFull, Shards,
+        s"$tmp/shards_incr")
       done.createNewFile()
     }
     tmp
@@ -254,20 +266,37 @@ object PipelineQueries {
     */
   def stageCorpusAdmit(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_corpusadmit/${Staging.tag(dir)}"
-    val done = new java.io.File(s"$tmp/_DONE_v15")
+    val done = new java.io.File(s"$tmp/_DONE_v16_incr_funnel")
     if (!done.exists()) {
       val tmpDir = new java.io.File(tmp)
       if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
       val spool = s"$tmp/spool"
       new java.io.File(spool).mkdirs()
       val corpus = pretrainCorpus(s, dir)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint(eager = true) // four slices, one corpus build
       (0 until 4).foreach { i =>
         ExtensionQueries.stageSpoolFile(
           corpus.filter(pmod(col("doc_id"), lit(4)) === i), spool, i)
       }
-      graft.streaming.DocStreams.runCorpusAdmitOnce(s, spool, s"$tmp/store")
+      // the FULL incremental funnel: weights trained once (frozen) before
+      // the stream — identical trajectory to the batch flagship's —
+      // then per-batch state logging and the text-free finalize
+      val docs = Tables.documents(s, dir)
+      val w = graft.ext.Classify.trainLogistic(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        ExtensionQueries.lrFeatures(),
+        when(size(TextAnalysis.tokens(col("text"))) >= 55, lit(1.0))
+          .otherwise(lit(0.0)),
+        LrIters, 8.0)
+      graft.streaming.DocStreams.runPretrainAdmitOnce(s, spool, s"$tmp/store",
+        evalDocs = docs.filter(col("doc_id") % 17 === 0), evalTextCol = "text",
+        features = ExtensionQueries.lrFeatures(), weights = w)
+      val res = graft.streaming.DocStreams.finalizePretrain(s, s"$tmp/store",
+        keepFraction = KeepFraction, mixTargetFraction = MixTarget,
+        seqLen = SeqLen)
+      res.admitted.write.mode("overwrite").parquet(s"$tmp/admitted")
+      res.packed.write.mode("overwrite").parquet(s"$tmp/packed")
       done.createNewFile()
     }
     tmp
@@ -288,5 +317,57 @@ object PipelineQueries {
     graft.streaming.DocStreams.readAdmitted(s, s"$t/store")
   }
 
-  val all: Seq[QueryDef] = Seq(pipelinePretrain, shardExportQ, streamCorpusAdmit)
+  /** Changed-shard-only re-export gate: the manifest AFTER
+    * [[graft.ext.ShardExport.exportIncremental]] brought a stale prior
+    * generation (a revocation-shaped delta) up to the current packed
+    * table must equal the manifest of a FULL export of that table — so
+    * the oracle is x_shard_export's own full-funnel replay, verbatim. A
+    * shard the diff failed to rewrite, a stale row left in the
+    * manifest, or a deleted shard that survived all break the hash; the
+    * untouched-files-not-rewritten mechanics live in ShardExportSpec.
+    */
+  val shardExportIncr = q("x_shard_export_incr",
+    s"""WITH RECURSIVE
+       |$pretrainCtesSql,
+       |sa AS (
+       |  SELECT *,
+       |         CAST(CAST('0x' || substring(md5('s:' || CAST(seq_id AS VARCHAR)), 1, 15) AS UBIGINT) % $Shards AS INT) AS shard_id,
+       |         md5('o:' || CAST(seq_id AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || ':' || CAST(doc_from AS VARCHAR)) AS order_key
+       |  FROM packed)
+       |SELECT shard_id, count(*) AS n_rows,
+       |       CAST(sum(CAST('0x' || substring(md5(
+       |         CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) || ':' ||
+       |         CAST(doc_from AS VARCHAR) || ':' || CAST(doc_to AS VARCHAR) || ':' ||
+       |         CAST(seq_off AS VARCHAR)), 1, 8) AS UBIGINT)) AS VARCHAR) AS checksum,
+       |       min(order_key) AS min_key, max(order_key) AS max_key
+       |FROM sa GROUP BY 1""".stripMargin) { (s, dir) =>
+    val t = stagePretrain(s, dir)
+    s.read.parquet(s"$t/shards_incr/_manifest")
+      .select(col("shard_id"), col("n_rows"), col("checksum"),
+        col("min_key"), col("max_key"))
+  }
+
+  /** Streaming pretraining gate — the stream-equals-batch discipline on
+    * the WHOLE funnel: the streamed store's text-free finalize
+    * ([[graft.streaming.DocStreams.finalizePretrain]] over the logged
+    * per-document state) must reproduce the batch flagship's packed
+    * table bit-for-bit, so the oracle is the SAME full-funnel replay
+    * x_pipeline_pretrain uses. A drifted frozen weight, a missed
+    * revocation, one wrong logged token count, or a quantile cut over
+    * the wrong survivor set shifts the packed offsets and breaks the
+    * hash.
+    */
+  val streamPretrain = q("x_stream_pretrain",
+    s"""WITH RECURSIVE
+       |$pretrainCtesSql
+       |SELECT doc_id, seq_id, doc_from, doc_to, seq_off FROM packed""".stripMargin) {
+    (s, dir) =>
+      val t = stageCorpusAdmit(s, dir)
+      s.read.parquet(s"$t/packed")
+        .select(col("doc_id"), col("seq_id"), col("doc_from"),
+          col("doc_to"), col("seq_off"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelinePretrain, shardExportQ,
+    streamCorpusAdmit, streamPretrain, shardExportIncr)
 }

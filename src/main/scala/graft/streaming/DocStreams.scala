@@ -192,6 +192,140 @@ object DocStreams {
       Seq("doc_id"), "left_anti")
   }
 
+  /** Streaming PRETRAINING admission — [[runCorpusAdmitOnce]] extended
+    * past the clean + near-dup prefix to the WHOLE
+    * [[graft.ext.Curation.pretrain]] funnel. The insight that makes the
+    * funnel incremental: every post-dedup stage decision decomposes into
+    * a PER-DOCUMENT scalar (computable the batch a document arrives,
+    * against frozen side inputs) plus a CORPUS-WIDE decision over those
+    * scalars (a quantile cut, stratum rates, a prefix sum — all
+    * counters-sized). So each micro-batch logs, per gated document, the
+    * four scalars the later stages need — the decontamination verdict
+    * (broadcast eval shingles, benchmark-sized), the fixed-point quality
+    * score under the FROZEN trained weights, the token count, and the
+    * source stratum — into `storeDir/state`, and [[finalizePretrain]]
+    * rebuilds the batch flagship's admitted + packed views from that
+    * state WITHOUT re-reading any document text. Document text is
+    * touched exactly once, in its arrival batch; the full-batch rerun
+    * the r15 verdict named is gone.
+    *
+    * The state log is at-least-once like the gate log: replayed batches
+    * append byte-identical rows (every scalar is a deterministic
+    * function of the document and the frozen side inputs), and the
+    * finalizer dedups on read. Revocation composes with the prefix: a
+    * late near-dup merge demotes a doc in the components store, and the
+    * next finalize simply no longer selects its state row — the
+    * already-exported shard set is re-reconciled by the incremental
+    * shard export ([[graft.ext.ShardExport.exportIncremental]]).
+    *
+    * @param weights  FROZEN logistic weights ([[graft.ext.Classify
+    *                 .trainLogistic]] output) — training happens once,
+    *                 before the stream; admitting under drifting weights
+    *                 would make admission order-dependent.
+    */
+  def runPretrainAdmitOnce(
+      spark: SparkSession,
+      spoolDir: String,
+      storeDir: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      features: Seq[org.apache.spark.sql.Column],
+      weights: Array[Double],
+      cleanCfg: graft.ext.CorpusClean.Config = graft.ext.CorpusClean.Config(),
+      decontamN: Int = 13,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000,
+      storeParts: Int = 8,
+  ): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // benchmark-sized side input, materialized once for the whole run
+    val evalFrozen = evalDocs
+      .select(col(evalTextCol).as("__eval_text"))
+      .localCheckpoint(eager = true)
+    runSigStoreDedupOnce(spark, spoolDir, storeDir,
+      sketch = { batch =>
+        val gated0 = batch.filter(
+          graft.ext.CorpusClean.qualityPredicate(col("text"), cleanCfg))
+        val gated =
+          if (cleanCfg.languages.isEmpty) gated0
+          else graft.ext.TextAnalysis
+            .withLangId(gated0, "doc_id", "text", "__lang")
+            .filter(col("__lang").isin(cleanCfg.languages.toSeq: _*))
+            .drop("__lang")
+        // one gate execution feeds the decision log, the state log and
+        // the sketch
+        val g = gated.localCheckpoint(eager = true)
+        g.select(col("doc_id")).coalesce(1)
+          .write.mode("append").parquet(s"$storeDir/gated")
+        // per-document downstream state — each scalar corpus-independent
+        val deconPass = graft.ext.CorpusClean.decontaminate(g, "doc_id",
+            "text", evalFrozen, "__eval_text", decontamN)
+          .select(col("doc_id"), lit(true).as("decon_pass"))
+        val scored = graft.ext.Classify.scoreLogistic(g, "doc_id",
+            features, weights)
+          .select(col("doc_id"), col("prob_q"))
+        g.select(col("doc_id"), col("source"),
+            size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+              .as("n_tokens"))
+          .join(deconPass, Seq("doc_id"), "left")
+          .withColumn("decon_pass", coalesce(col("decon_pass"), lit(false)))
+          .join(scored, Seq("doc_id"))
+          .coalesce(1).write.mode("append").parquet(s"$storeDir/state")
+        Dedup.minhashBanded(
+          Dedup.minhashSignatures(g, "doc_id", "text", numHashes,
+            shingleSize, portable = true),
+          numHashes, bands, portable = true)
+      },
+      score = (sa, sb) => Dedup.estJaccard(sa, sb, numHashes),
+      scoreCol = "est_jaccard",
+      keep = _ >= minEstJaccard,
+      aggScore = c => first(c),
+      maxBucketSize = maxBucketSize, storeParts = storeParts,
+      withComponents = true, alsoPerBatch = (_, _) => (),
+      spoolSchema = "doc_id long, source string, text string")
+    ()
+  }
+
+  /** Rebuild the batch flagship's (admitted, packed) views from a
+    * [[runPretrainAdmitOnce]] store: the corpus-wide decisions —
+    * quantile cut, temperature rates, packing prefix sums — recomputed
+    * over the per-document STATE scalars only. No document text is
+    * read; the heaviest frame here is one row per gated document.
+    * Equals [[graft.ext.Curation.pretrain]] over everything the stream
+    * has seen (the x_stream_pretrain gate and CorpusAdmitSpec pin it,
+    * revocation included).
+    */
+  def finalizePretrain(
+      spark: SparkSession,
+      storeDir: String,
+      keepFraction: Double = 0.5,
+      mixAlpha: Double = 0.5,
+      mixTargetFraction: Double = 0.7,
+      seqLen: Int = 128,
+  ): graft.ext.Curation.PretrainResult = {
+    import graft.ext.{Packing, Sampling}
+    // at-least-once log: replayed rows are byte-identical — dedup on read
+    val state = spark.read.parquet(s"$storeDir/state").distinct()
+    val survivors = state
+      .join(readAdmitted(spark, storeDir), Seq("doc_id"), "left_semi")
+      .filter(col("decon_pass"))
+      .localCheckpoint(eager = true) // cut + mix + pack share it
+    val kept = Sampling.keepTopFraction(
+        survivors.select(col("doc_id"), col("prob_q")),
+        col("prob_q"), "doc_id", keepFraction)
+      .filter(col("kept")).select(col("doc_id"))
+    val calibrated = survivors.join(kept, Seq("doc_id"), "left_semi")
+    val mixed = Sampling.temperatureMix(calibrated, col("source"),
+        col("doc_id"), mixAlpha, mixTargetFraction)
+      .localCheckpoint(eager = true) // admitted view + packing share it
+    graft.ext.Curation.PretrainResult(
+      mixed.select(col("doc_id"), col("source")),
+      Packing.packSequencesByCount(mixed, "doc_id", col("n_tokens"), seqLen))
+  }
+
   /** Incremental SimHash near-duplicate detection over a document stream
     * — the hamming-radius sibling of [[runMinhashDedupOnce]], closing the
     * last streaming leg of the batch dedup family. Identical store
@@ -251,13 +385,17 @@ object DocStreams {
       storeParts: Int,
       withComponents: Boolean,
       alsoPerBatch: (DataFrame, Long) => Unit,
+      /** Spool schema — overridable so a richer spool (e.g. the
+        * pretraining funnel's `source` stratum column) flows into the
+        * sketch closure; the store machinery reads only doc_id/text. */
+      spoolSchema: String = "doc_id long, text string",
   ): DataFrame = {
     graft.util.Hfs.delete(spark, storeDir)
     val sigsPath = s"$storeDir/sigs"
     val pairsPath = s"$storeDir/pairs"
     StreamConf.withWidth(spark) {
       val stream = spark.readStream
-        .schema("doc_id long, text string")
+        .schema(spoolSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(spoolDir)
       val q = stream.writeStream

@@ -97,12 +97,27 @@ object QueryProbe {
     } catch { case e: Throwable =>
       System.err.println(s"[probe] unigram copy failed: ${e.getMessage}")
     }
+    val ptSrc = "/tmp/graft_pretrain/" + graft.queries.Staging.tag(sfDir)
+    val ptIdx = s"$outDir/.pretrain"
+    try {
+      val dst = new java.io.File(ptIdx)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      Seq("packed", "shards").foreach { d =>
+        val from = new java.io.File(s"$ptSrc/$d")
+        if (from.isDirectory)
+          org.apache.commons.io.FileUtils.copyDirectory(from,
+            new java.io.File(dst, d))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] pretrain copy failed: ${e.getMessage}")
+    }
     val oracles = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => (k, v.replace("__GRAFT_ANNIDX__", annIdx)
         .replace("__GRAFT_BPE__", bpeIdx)
         .replace("__GRAFT_UNI__", uniIdx)
         .replace("__GRAFT_TEXTIDX__", tiIdx)
-        .replace("__GRAFT_CASCADE__", cIdx)) }
+        .replace("__GRAFT_CASCADE__", cIdx)
+        .replace("__GRAFT_PRETRAIN__", ptIdx)) }
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

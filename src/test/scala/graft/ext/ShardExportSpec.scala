@@ -96,6 +96,87 @@ class ShardExportSpec extends SparkSpec {
     v.filter($"consistent").count() shouldBe 3L
   }
 
+  test("incremental re-export: only changed shards rewrite; untouched files are byte- and mtime-identical") {
+    val p = packed
+    val gen1 = p.filter($"doc_id" % 7 =!= 3).localCheckpoint(eager = true)
+    val dst = tmpDir("graft_shards_incr")
+    ShardExport.export(spark, gen1, 8, dst)
+    val before = (0 until 8).flatMap { sid =>
+      val d = new java.io.File(dst, s"shard_id=$sid")
+      if (!d.isDirectory) None
+      else {
+        val f = dataFileOf(d)
+        Some(sid -> ((f.lastModified(),
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq)))
+      }
+    }.toMap
+    val report = ShardExport.exportIncremental(spark, p, 8, dst)
+      .as[(Int, String)].collect().toMap
+    report should not be empty
+    report.values.toSet should contain oneOf ("rewritten", "new")
+    // the brought-up-to-date export equals a FULL export of the new
+    // generation: manifests equal, every rewritten shard byte-identical
+    val ref = tmpDir("graft_shards_incr_ref")
+    ShardExport.export(spark, p, 8, ref)
+    def manifest(d: String) = spark.read.parquet(s"$d/_manifest")
+      .as[(Int, Long, String, String, String)].collect().toSet
+    manifest(dst) shouldBe manifest(ref)
+    (0 until 8).foreach { sid =>
+      val f = dataFileOf(new java.io.File(dst, s"shard_id=$sid"))
+      if (report.contains(sid)) {
+        java.util.Arrays.equals(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.file.Files.readAllBytes(
+            dataFileOf(new java.io.File(ref, s"shard_id=$sid")).toPath)
+        ) shouldBe true
+      } else {
+        // untouched: not even reopened — same mtime, same bytes
+        f.lastModified() shouldBe before(sid)._1
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq shouldBe before(sid)._2
+      }
+    }
+    ShardExport.verify(spark, dst).filter(!$"consistent").count() shouldBe 0L
+    // shrink to a single shard's sequences: every other shard DELETES
+    val a = ShardExport.assign(p, 8)
+    val keepSeqs = a.filter($"shard_id" === 0).select($"seq_id").distinct()
+    val gen3 = p.join(keepSeqs, Seq("seq_id"), "left_semi")
+    val report3 = ShardExport.exportIncremental(spark, gen3, 8, dst)
+      .as[(Int, String)].collect().toMap
+    (1 until 8).foreach { sid =>
+      report3.get(sid) shouldBe Some("deleted")
+      new java.io.File(dst, s"shard_id=$sid").exists() shouldBe false
+    }
+    report3.get(0) shouldBe None // shard 0's content did not change
+    spark.read.parquet(s"$dst/_manifest").select($"shard_id")
+      .as[Int].collect().toSeq shouldBe Seq(0)
+    ShardExport.verify(spark, dst).filter(!$"consistent").count() shouldBe 0L
+  }
+
+  test("fsck audits shard sets: membership plus torn-shard reconcile") {
+    import graft.ext.{StoreMaintenance, StoreRef}
+    val p = packed
+    val dst = tmpDir("graft_shards_fsck")
+    ShardExport.export(spark, p, 4, dst)
+    val base = p.select($"doc_id").distinct()
+    val ok = StoreMaintenance.fsck(spark, base, "doc_id",
+      Seq(StoreRef("sh", "shards", dst))).head()
+    ok.getAs[Long]("missing_ids") shouldBe 0L
+    ok.getAs[Long]("orphan_ids") shouldBe 0L
+    ok.getAs[Long]("torn_shards") shouldBe 0L
+    ok.getAs[Boolean]("consistent") shouldBe true
+    // plant a torn shard (drop all but one row and rewrite): membership
+    // now ALSO drifts, but the torn count is the loader-grade signal
+    val s0 = new java.io.File(dst, "shard_id=0").getAbsolutePath
+    val torn = spark.read.parquet(s0).limit(1).localCheckpoint(eager = true)
+    torn.write.mode("overwrite").parquet(s0)
+    val bad = StoreMaintenance.fsck(spark, base, "doc_id",
+      Seq(StoreRef("sh", "shards", dst))).head()
+    bad.getAs[Long]("torn_shards") shouldBe 1L
+    bad.getAs[Boolean]("consistent") shouldBe false
+    // a non-shard store still reports torn_shards = 0 (schema-stable)
+    ok.schema.fieldNames should contain("torn_shards")
+  }
+
   test("empty and degenerate inputs fail or pass loudly") {
     intercept[IllegalArgumentException] {
       ShardExport.assign(packed, 0)

@@ -84,6 +84,74 @@ class CorpusAdmitSpec extends SparkSpec {
     a shouldBe batchExpected
   }
 
+  test("incremental funnel: finalize equals batch pretrain; a late bridge revokes an already-packed doc") {
+    import graft.ext.{Classify, Curation, TextAnalysis}
+    // sources for the mix stage; eval set shares doc 4's text, so the
+    // decontamination stage has a real casualty
+    val d = docs.toDF("doc_id", "text")
+      .withColumn("source", concat(lit("s"), pmod($"doc_id", lit(2))))
+      .localCheckpoint(eager = true)
+    val evalDocs = d.filter($"doc_id" === 4L).select($"text")
+    val features = Seq(
+      (org.apache.spark.sql.functions.size(TextAnalysis.tokens(col("text")))
+        .cast("double") / lit(10.0) - lit(1.0)))
+    val teacher = when(org.apache.spark.sql.functions.size(TextAnalysis.tokens(col("text"))) >= 25,
+      lit(1.0)).otherwise(lit(0.0))
+    val pcfg = Curation.PretrainConfig(clean = cfg, minEstJaccard = thr,
+      lrIters = 2, lrRate = 1.0, keepFraction = 1.0,
+      mixTargetFraction = 1.0, seqLen = 16)
+    // FROZEN weights: trained once, identically to the batch flagship
+    val w = Classify.trainLogistic(d, features, teacher,
+      pcfg.lrIters, pcfg.lrRate)
+    def runStream(slices: Seq[Seq[Long]], tag: String) = {
+      val spoolDir = s"${tmp(s"graft_funnel$tag")}"
+      new java.io.File(spoolDir).mkdirs()
+      def put(ids: Seq[Long], i: Int): Unit = {
+        val stage = s"$spoolDir/.stage_$i"
+        d.filter($"doc_id".isin(ids: _*))
+          .select($"doc_id", $"source", $"text").coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(spoolDir, f"spool_$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        tgt.setLastModified(1600000000000L + i * 60000L)
+      }
+      slices.zipWithIndex.foreach { case (ids, i) => put(ids, i) }
+      val store = s"${tmp(s"graft_funnel${tag}s")}/store"
+      DocStreams.runPretrainAdmitOnce(spark, spoolDir, store,
+        evalDocs = evalDocs, evalTextCol = "text",
+        features = features, weights = w,
+        cleanCfg = cfg, minEstJaccard = thr)
+      DocStreams.finalizePretrain(spark, store,
+        keepFraction = pcfg.keepFraction,
+        mixTargetFraction = pcfg.mixTargetFraction, seqLen = pcfg.seqLen)
+    }
+    def packedSet(p: org.apache.spark.sql.DataFrame) =
+      p.select($"doc_id", $"seq_id", $"doc_from", $"doc_to", $"seq_off")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // partial feed (no copy, no bridge): doc 3 is canonical — admitted,
+    // calibrated, mixed, PACKED
+    val partial = runStream(Seq(Seq(1L, 6L), Seq(3L, 4L, 7L)), "p")
+    partial.admitted.select($"doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L) // 4 decon-dropped, 6/7 gate-dropped
+    packedSet(partial.packed).map(_._1) should contain(3L)
+    // full feed: the late bridge (5) merges {1,2,5} with {3}, demoting
+    // the ALREADY-PACKED doc 3 — the next finalize revokes it
+    val full = runStream(
+      Seq(Seq(1L, 6L), Seq(3L, 4L, 7L), Seq(2L, 5L)), "f")
+    val fullPacked = packedSet(full.packed)
+    fullPacked.map(_._1) should not contain 3L
+    // and the finalized views equal the BATCH flagship over the union —
+    // the stream-equals-batch discipline on the whole funnel
+    val batch = Curation.pretrain(d, "doc_id", "text", "source",
+      evalDocs = evalDocs, evalTextCol = "text",
+      lrTrain = d, features = features, teacher = teacher, cfg = pcfg)
+    fullPacked shouldBe packedSet(batch.packed)
+    full.admitted.select($"doc_id").as[Long].collect().toSet shouldBe
+      batch.admitted.select($"doc_id").as[Long].collect().toSet
+  }
+
   test("a redelivered micro-batch leaves the admitted set unchanged") {
     val s = spool(tmp("graft_admit3"),
       Seq(Seq(1L, 6L), Seq(3L, 4L, 7L), Seq(2L, 5L)),
