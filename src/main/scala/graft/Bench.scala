@@ -188,19 +188,25 @@ object Bench {
     // code; readers divide wall totals by it instead of re-litigating
     // rep-to-rep drift by hand. Treat factors within ~±10 % of 1.0 as
     // unity (the measured same-host noise floor). References are the
-    // AVERAGE of the two r15 builder reps (sf0.1, local[32],
+    // AVERAGE of the two r16 builder reps (sf0.1, local[32],
     // 2026-08-15); re-pin deliberately when canary members change.
+    // r16 re-pin: x_knn_ivf (0.72 s reference) was the one sub-second
+    // member — exactly the jitter class the ≥1.3 s rule excludes — so
+    // the pruned-index-serve slot moved to x_knn_ivfpq_refine (staged
+    // index + brute recall reference + refined ADC serve, ~2.4 s, code
+    // untouched since r13); x_index_health re-pinned after gaining the
+    // graphivf row.
     val canaryRef: Map[String, Double] = Map(
-      "x_pagerank" -> 4.042,
-      "x_text_bm25" -> 1.547,
-      "x_triangle_count" -> 1.804,
-      "x_dedup_crossmodal" -> 5.270,
-      "x_corpus_effective_near" -> 4.253,
-      "x_knn_ivf" -> 0.722,
-      "x_index_health" -> 4.156,
-      "x_dedup_minhash" -> 1.966,
-      "x_dedup_semantic" -> 3.107,
-      "x_asof_join" -> 1.365,
+      "x_pagerank" -> 3.316,
+      "x_text_bm25" -> 1.156,
+      "x_triangle_count" -> 1.301,
+      "x_dedup_crossmodal" -> 5.127,
+      "x_corpus_effective_near" -> 4.096,
+      "x_knn_ivfpq_refine" -> 1.960,
+      "x_index_health" -> 3.950,
+      "x_dedup_minhash" -> 1.990,
+      "x_dedup_semantic" -> 3.766,
+      "x_asof_join" -> 1.251,
     )
     val ratios = results
       .collect { case (n, s, _) if canaryRef.contains(n) => s / canaryRef(n) }
@@ -230,7 +236,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""cpu_total":$totalCpu%.3f,"cpu":$cpuQs,"staging_sec":$stagingSec%.3f,""" +
       f""""shared_runs_sec":$sharedSec%.3f,""" +
-      f""""canary":$canaryJson,"canary_ref_rep":"r15_builder_sf01_20260815",""" +
+      f""""canary":$canaryJson,"canary_ref_rep":"r16_builder_sf01_20260815",""" +
       f""""host_factor":$hostFactor%.3f,""" +
       f""""wall_per_query":${total / n}%.3f,""" +
       f""""wall_per_query_normalized":${total / n / hostFactor}%.3f,""" +
