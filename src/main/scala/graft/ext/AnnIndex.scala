@@ -1313,7 +1313,15 @@ object AnnIndex {
       case "ivf" | "graph" => s"$owner/vectors"
       case _               => s"$owner/codes"
     }
-    tableCounts(spark, owner, table)
+    val (t, l) = tableCounts(spark, owner, table)
+    // a graph store's fresh region ([[GraphAnn.append]]) is part of the
+    // served set — debt/health that ignored it would under-price the
+    // store the sweep maintains
+    if (readLayout(spark, owner) == "graph" &&
+        graft.util.Hfs.exists(spark, s"$owner/delta")) {
+      val (td, ld) = tableCounts(spark, owner, s"$owner/delta")
+      (t + td, l + ld)
+    } else (t, l)
   }
 
   /** [[storeCounts]] with the main table named explicitly — shared with

@@ -177,11 +177,41 @@ object GraphAnn {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
   }
 
+  /** Append rows into the graph store's FRESH REGION (`delta/`) — the
+    * production incremental-insert shape for graph indexes (the
+    * FreshDiskANN split): new vectors land in a small append-only delta
+    * that [[topK]] scores EXACTLY (brute force — the delta is bounded
+    * by the compaction cadence, the knob a deployment already operates),
+    * while the navigable graph itself stays immutable between
+    * consolidations. In-place edge insertion would need reverse-edge
+    * updates to existing adjacency rows — an upsert semantics the
+    * layout's oracle-replayable append-only tables deliberately don't
+    * carry; the fold happens at [[compact]], where the whole survivor
+    * set gets fresh subquadratic edges ([[buildFromIvf]]).
+    *
+    * CDC contract matches every other layout: appends are new ids, an
+    * update is deleteIds + append (the tombstone kills the graph row at
+    * its lower seq; the delta row outlives it).
+    */
+  def append(spark: SparkSession, dir: String, rows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    require(AnnIndex.readLayout(spark, dir) == "graph",
+      s"$dir is not a graph index — each layout has its own append")
+    val seq = AnnIndex.nextSeq(spark, dir)
+    rows.select(qcol(idCol).cast("long").as("__id"),
+        qcol(vecCol).as("__vec"))
+      .withColumn("__seq", lit(seq))
+      .coalesce(1) // batch-sized fresh region: one file per append
+      .write.mode("append").parquet(s"$dir/delta")
+  }
+
   /** Beam-search top-k over a persisted graph index. Output:
     * (query_id, rank, neighbor_id, cosine) — the family contract,
     * self-matches excluded from the FINAL ranking (every serving path
     * in the family does); the beam itself may pass through the query's
-    * own node (navigation).
+    * own node (navigation). A non-empty fresh region ([[append]]) is
+    * scored exactly beside the beam's candidates — new rows are
+    * servable the moment they land, at brute-force quality.
     */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -247,7 +277,27 @@ object GraphAnn {
         .select(col("query_id"), col("__nid"))
         .localCheckpoint(eager = true)
     }
-    scoreTop(vLive, beam, k, excludeSelf = true)
+    // fresh region: every LIVE delta row is a final candidate for every
+    // query (exact — the delta is compaction-cadence-bounded), scored
+    // beside the beam's survivors against the combined live vector set.
+    // distinct: an id can reach the final set through both paths only
+    // via a contract-violating bare re-append; the dedup keeps that
+    // merely redundant instead of double-slotted.
+    val deltaPath = s"$dir/delta"
+    val (finalCands, finalVecs) =
+      if (!graft.util.Hfs.exists(spark, deltaPath)) (beam, vLive)
+      else {
+        val dLive = AnnIndex.liveOnly(spark, dir,
+            spark.read.parquet(deltaPath))
+          .select(col("__id"), col("__vec"))
+          .localCheckpoint(eager = true) // candidate ids + scoring share it
+        val cands = beam.unionByName(
+            q.select(col("query_id"))
+              .crossJoin(broadcast(dLive.select(col("__id").as("__nid")))))
+          .distinct()
+        (cands, vLive.select(col("__id"), col("__vec")).unionByName(dLive))
+      }
+    scoreTop(finalVecs, finalCands, k, excludeSelf = true)
       .withColumnRenamed("__nid", "neighbor_id")
   }
 
@@ -279,10 +329,34 @@ object GraphAnn {
       /** How many levels of a dead chain the edge splice follows; ≥2
         * closes the two-deep-chain disconnection gap, deeper chains
         * remain the documented rebuild-detector territory. */
-      spliceDepth: Int = 2): Unit = {
+      spliceDepth: Int = 2,
+      /** Fold geometry when a fresh region exists: the [[buildFromIvf]]
+        * candidate-blocking knobs (nlist ∝ √n in a real deployment). */
+      foldNlist: Int = 16, foldNprobe: Int = 6): Unit = {
     require(spliceDepth > 0, s"spliceDepth must be positive: $spliceDepth")
     require(AnnIndex.readLayout(spark, dir) == "graph",
       s"$dir is not a graph index — each layout has its own compaction")
+    // a non-empty fresh region makes this a FOLD, not a splice: the
+    // delta rows need edges AND in-edges (without in-edges a new node
+    // is unreachable by navigation), so the whole survivor set gets
+    // fresh subquadratic candidate edges + centroid entries — the
+    // FreshDiskANN merge, Spark-native. The tombstone log and the delta
+    // reset with the new generation like every layout's compaction.
+    if (graft.util.Hfs.exists(spark, s"$dir/delta")) {
+      val live = AnnIndex.requireLive(
+        AnnIndex.liveOnly(spark, dir, spark.read.parquet(s"$dir/vectors"))
+          .select(col("__id"), col("__vec"))
+          .unionByName(
+            AnnIndex.liveOnly(spark, dir, spark.read.parquet(s"$dir/delta"))
+              .select(col("__id"), col("__vec")))
+          .localCheckpoint(eager = true), dir)
+      val degree0 = spark.read.parquet(s"$dir/entry").head().getInt(1)
+      val tmp = dir + ".compact-" + System.nanoTime()
+      buildFromIvf(live, "__id", "__vec", tmp, degree = degree0,
+        nlist = foldNlist, nprobe = foldNprobe)
+      graft.operators.Upsert.swapDirs(tmp, dir)
+      return
+    }
     val live = AnnIndex.requireLive(
       AnnIndex.liveOnly(spark, dir, spark.read.parquet(s"$dir/vectors"))
         .select(col("__id"), col("__vec"))

@@ -83,8 +83,17 @@ object StoreMaintenance {
         case "ivf" | "graph" => s"$dir/vectors"
         case _               => s"$dir/codes"
       }
-      AnnIndex.liveOnly(spark, dir, spark.read.parquet(table))
-        .select(col("__id").cast("long").as("__id")).distinct()
+      val main = AnnIndex.liveOnly(spark, dir, spark.read.parquet(table))
+        .select(col("__id").cast("long").as("__id"))
+      // a graph store's fresh region serves — its live ids are members
+      val withDelta =
+        if (AnnIndex.readLayout(spark, dir) == "graph" &&
+            graft.util.Hfs.exists(spark, s"$dir/delta"))
+          main.unionByName(
+            AnnIndex.liveOnly(spark, dir, spark.read.parquet(s"$dir/delta"))
+              .select(col("__id").cast("long").as("__id")))
+        else main
+      withDelta.distinct()
     case "text" =>
       val table =
         if (graft.util.Hfs.exists(spark, s"${ref.dir}/lens")) s"${ref.dir}/lens"

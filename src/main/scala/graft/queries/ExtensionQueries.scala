@@ -57,7 +57,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v16b_recall_brute")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v16c_graphdelta")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -193,6 +193,18 @@ object ExtensionQueries {
       "graphivf" -> (() => graft.ext.GraphAnn.buildFromIvf(emb, "vec_id",
         "embedding", s"$tmp/graphivf", degree = 10, nlist = 16, nprobe = 6,
         coarseIn = Some(coarse))),
+      // graph with a FRESH REGION: built on 15/16ths of the corpus,
+      // the held-out slice appended as the delta — x_knn_graph_delta
+      // replays beam + exact delta scoring from the stored tables
+      "graphdelta" -> (() => {
+        graft.ext.GraphAnn.buildFromIvf(
+          emb.filter(pmod(col("vec_id"), lit(16)) =!= 7), "vec_id",
+          "embedding", s"$tmp/graphdelta", degree = 10, nlist = 16,
+          nprobe = 6, coarseIn = Some(coarse))
+        graft.ext.GraphAnn.append(s, s"$tmp/graphdelta",
+          emb.filter(pmod(col("vec_id"), lit(16)) === 7),
+          "vec_id", "embedding")
+      }),
       // the recall report's brute-force ceiling: a deterministic
       // function of the staged embeddings (the r15 staged-reference
       // pattern) — recomputing it per timed run re-priced the whole
@@ -4885,6 +4897,37 @@ object ExtensionQueries {
       "vec_id", "embedding", 5, beamWidth = 16, hops = 3)
   }
 
+  /** Incremental insert on the graph layout
+    * ([[graft.ext.GraphAnn.append]] — the FreshDiskANN fresh-region
+    * split): rows appended after the build serve IMMEDIATELY, scored
+    * exactly beside the beam's candidates. The oracle replays the beam
+    * trajectory over the stored graph AND the brute scoring of the
+    * stored delta, unioned into one final ranking — a delta row the
+    * serve path missed, a dead row served, or a double-slotted
+    * candidate all break the hash. The staged fixture holds out every
+    * 16th vector from the build and appends it; the query slice
+    * (vec_id < 8) includes delta member 7, so the self-exclusion
+    * crosses regions. Consolidation (the buildFromIvf fold) and the
+    * update-via-CDC flow are spec'd in GraphAnnSpec.
+    */
+  val knnGraphDelta = q("x_knn_graph_delta",
+    s"""WITH ${graphBeamCtesSql("gd", "vec_id < 8", 3, 16, "graphdelta")},
+       |gdd AS (SELECT __id, list_transform(__vec, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM read_parquet('__GRAFT_ANNIDX__/graphdelta/delta/*.parquet')),
+       |gdc AS (SELECT qid, nid, s FROM gdb3
+       |        UNION
+       |        SELECT q.qid, d.__id, round(list_cosine_similarity(q.qv, d.v), 4)
+       |        FROM gdq q, gdd d)
+       |SELECT qid AS query_id, rn AS rank, nid AS neighbor_id, s AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+       |      FROM gdc WHERE qid <> nid) WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    graft.ext.GraphAnn.topK(s, s"$idx/graphdelta",
+      Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 5, beamWidth = 16, hops = 3)
+  }
+
   /** Measured recall@k dashboard over EVERY persisted served layout at
     * its operating parameters (nprobe = 4, BQ shortlist = 50, graph
     * beam 16 × 6 hops) vs brute force — the serving-quality number a
@@ -5265,6 +5308,13 @@ object ExtensionQueries {
       |SELECT 'graphivf', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
       |FROM read_parquet('__GRAFT_ANNIDX__/graphivf/vectors/*.parquet')
       |UNION ALL
+      |SELECT 'graphdelta',
+      |       (SELECT CAST(count(*) AS BIGINT) FROM read_parquet('__GRAFT_ANNIDX__/graphdelta/vectors/*.parquet'))
+      |         + (SELECT CAST(count(*) AS BIGINT) FROM read_parquet('__GRAFT_ANNIDX__/graphdelta/delta/*.parquet')),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM read_parquet('__GRAFT_ANNIDX__/graphdelta/vectors/*.parquet'))
+      |         + (SELECT CAST(count(*) AS BIGINT) FROM read_parquet('__GRAFT_ANNIDX__/graphdelta/delta/*.parquet')),
+      |       0, 0.0
+      |UNION ALL
       |SELECT 'pq_del16', total, live, total - live,
       |       CASE WHEN total = 0 THEN 0.0 ELSE CAST(total - live AS DOUBLE) / total END
       |FROM m_pqd
@@ -5282,6 +5332,8 @@ object ExtensionQueries {
       "ivfsq" -> s"$idx/ivfsq", "bq" -> s"$idx/bq",
       "pcapq" -> s"$idx/pcapq/pq", "graph" -> s"$idx/graph",
       "graphivf" -> s"$idx/graphivf",
+      // fresh-region store: health prices vectors + delta together
+      "graphdelta" -> s"$idx/graphdelta",
       "pq_del16" -> s"$idx/pq_del16", "bq_maint16" -> s"$idx/bq_maint16",
       "ivfpq_del16" -> s"$idx/ivfpq_del16"))
   }
@@ -6462,6 +6514,6 @@ object ExtensionQueries {
     textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
     classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval, textAsOf,
     corpusCleanAudit, knnAutotune, streamRecall, qualityCalibrate,
-    textWordpieceCount, knnGraphScale,
+    textWordpieceCount, knnGraphScale, knnGraphDelta,
   )
 }

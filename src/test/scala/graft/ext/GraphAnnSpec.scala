@@ -211,6 +211,64 @@ class GraphAnnSpec extends SparkSpec {
       .get(0L) shouldBe None
   }
 
+  test("append: fresh-region rows serve exactly; update = delete + append; compact folds") {
+    val dir = tmpDir("graft_graphann_delta")
+    // build on everything except three docs, append those as the delta
+    val base = corpus.filter(!$"vec_id".isin(4L, 14L, 20L))
+    val late = corpus.filter($"vec_id".isin(4L, 14L, 20L))
+    GraphAnn.buildFromIvf(base, "vec_id", "embedding", dir,
+      degree = 6, nlist = 4, nprobe = 2)
+    GraphAnn.append(spark, dir, late, "vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".isin(0L, 15L, 20L))
+    def served() = GraphAnn.topK(spark, dir, queries, "vec_id", "embedding",
+        k = 3, beamWidth = 8, hops = 3)
+      .select($"query_id", $"rank", $"neighbor_id").collect().toSet
+    // appended rows are servable immediately, at exact quality: the
+    // whole union corpus answers like brute force (20 is BOTH a query
+    // and a delta member — the self-exclusion crosses regions)
+    val brute = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "embedding", 3)
+      .select($"query_id", $"rank", $"neighbor_id").collect().toSet
+    served() shouldBe brute
+    // health prices the fresh region: 18 graph rows + 3 delta rows
+    val h = AnnIndex.healthReport(spark, Seq("g" -> dir)).head()
+    h.getAs[Long]("total_rows") shouldBe 21L
+    h.getAs[Long]("live_rows") shouldBe 21L
+    // fsck membership includes delta ids
+    StoreMaintenance.fsck(spark, corpus.select($"vec_id"), "vec_id",
+      Seq(StoreRef("g", "ann", dir))).head()
+      .getAs[Boolean]("consistent") shouldBe true
+    // UPDATE through the family CDC contract: node 3's vector becomes
+    // node 15's — after delete + re-append, query 15 must rank 3 first
+    // (cosine 1.0 beats every in-cluster neighbor)
+    AnnIndex.deleteIds(spark, dir, Seq(3L).toDF("vec_id"), "vec_id")
+    GraphAnn.append(spark, dir,
+      corpus.filter($"vec_id" === 15L)
+        .select(lit(3L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding")
+    val q15 = GraphAnn.topK(spark, dir,
+        corpus.filter($"vec_id" === 15L), "vec_id", "embedding",
+        k = 3, beamWidth = 8, hops = 3)
+      .filter($"rank" === 1).select($"neighbor_id").as[Long].head()
+    q15 shouldBe 3L
+    // consolidate: the fold gives every survivor fresh edges and
+    // centroid entries; the delta and the tombstone log reset
+    GraphAnn.compact(spark, dir, foldNlist = 4, foldNprobe = 2)
+    graft.util.Hfs.exists(spark, s"$dir/delta") shouldBe false
+    graft.util.Hfs.exists(spark, s"$dir/tombstones") shouldBe false
+    spark.read.parquet(s"$dir/vectors").count() shouldBe 21L
+    spark.read.parquet(s"$dir/adjacency").count() shouldBe 21L
+    // post-fold serving: still brute-exact over the updated corpus
+    val updated = corpus.filter($"vec_id" =!= 3L)
+      .unionByName(corpus.filter($"vec_id" === 15L)
+        .select(lit(3L).as("vec_id"), $"embedding"))
+    GraphAnn.topK(spark, dir, queries, "vec_id", "embedding",
+        k = 3, beamWidth = 8, hops = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet shouldBe
+      Similarity.bruteForceTopK(queries, updated, "vec_id", "embedding", 3)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+  }
+
   test("guards: wrong layout, beam narrower than k, bad hops all refuse") {
     val dir = tmpDir("graft_graphann3")
     GraphAnn.build(corpus, "vec_id", "embedding", dir, degree = 4)
