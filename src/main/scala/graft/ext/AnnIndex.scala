@@ -1368,14 +1368,30 @@ object AnnIndex {
     */
   def healthReport(spark: SparkSession, layouts: Seq[(String, String)]): DataFrame = {
     require(layouts.nonEmpty, "no layouts to report")
-    layouts.map { case (name, dir) =>
-      val (total, live) = storeCounts(spark, dir)
-      val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
-      spark.range(1).select(lit(name).as("layout"),
-        lit(total).as("total_rows"), lit(live).as("live_rows"),
-        lit(total - live).as("dead_rows"),
-        lit(debt).as("tombstone_debt"))
-    }.reduce(_ unionByName _)
+    // per-store measurement runs CONCURRENTLY: each store costs a
+    // couple of driver-blocking counter jobs (~the local job-latency
+    // floor each), and a fleet dashboard over a dozen stores serialized
+    // them into seconds of pure scheduling — the pool collapses the
+    // wall to the slowest store (results identical: independent
+    // deterministic counters; Spark's scheduler is thread-safe)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, layouts.size))
+    implicit val ec =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(layouts.map { case (name, dir) =>
+          scala.concurrent.Future {
+            val (total, live) = storeCounts(spark, dir)
+            val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
+            spark.range(1).select(lit(name).as("layout"),
+              lit(total).as("total_rows"), lit(live).as("live_rows"),
+              lit(total - live).as("dead_rows"),
+              lit(debt).as("tombstone_debt"))
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    rows.reduce(_ unionByName _)
   }
 
   /** The compaction POLICY: measure [[tombstoneDebt]] and, at or above

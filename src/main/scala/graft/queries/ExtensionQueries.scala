@@ -3875,12 +3875,26 @@ object ExtensionQueries {
           count(lit(1)) === count(col("__s2")) &&
           max(abs(col("score") - col("__s2"))) <= 1e-9).as(okCol))
     }
-    // epoch 0: post-%20-delete, doc 7's original generation live
-    val ok0 = matches(0L, s"$idx/asof_ref0", "__ok0")
+    // epoch 0: post-%20-delete, doc 7's original generation live;
     // epoch 1: mid-update — doc 7 tombstoned, its re-append not yet in
     // (the horizon-past-newest-equals-live leg lives in AnnAsOfSpec's
-    // text test)
-    val ok1 = matches(1L, s"$idx/asof_ref1", "__ok1")
+    // text test). Constructed CONCURRENTLY: each indexed serve runs a
+    // driver-blocking term-bucket pruning job at build time, so serial
+    // construction would pay the two epochs' job chains back to back
+    // (the recall report's pool discipline).
+    val legs = Seq(
+      ("__ok0", 0L, s"$idx/asof_ref0"),
+      ("__ok1", 1L, s"$idx/asof_ref1"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val Seq(ok0, ok1) =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(legs.map { case (okCol, asOf, ref) =>
+          scala.concurrent.Future(
+            matches(asOf, ref, okCol).localCheckpoint(eager = true))
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     ok0.crossJoin(ok1)
       .select((col("__ok0") && col("__ok1")).as("text_asof_ok"))
   }
@@ -6413,67 +6427,87 @@ object ExtensionQueries {
     val docs = cascadeDocs(s, dir)
     val deleted = col("doc_id") % 8 === 2
     val survivors = docs.filter(!deleted)
+    import s.implicits._
     // all five from-scratch references are STAGED with the fixtures
     // (deterministic functions of corpus + takedown history); the gate
-    // pays the five SERVED reads + compares only
-    // 1. ANN: maintained (tombstoned) index vs pristine copy filtered
-    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 4)
-      .select(col("vec_id"), col("embedding"))
-    val served = AnnIndex.pqTopK(s, s"$f/ann_pq", queries,
-        "vec_id", "embedding", 5)
-      .withColumnRenamed("cosine_pq", "__s1")
-      .withColumnRenamed("neighbor_id", "__id1")
-    val expected = s.read.parquet(s"$f/ref/ann")
-    val okAnn = served.join(expected, Seq("query_id", "rank"), "full")
-      .agg((count(lit(1)) === count(col("__s1")) &&
-        count(lit(1)) === count(col("cosine_pq")) &&
-        coalesce(max(when(col("__id1") =!= col("neighbor_id") ||
-            abs(col("__s1") - col("cosine_pq")) > 1e-9, 1).otherwise(0)) === 0,
-          lit(true))).as("ok_ann"))
-    // 2. BM25 from the maintained inverted index vs batch over survivors
-    import s.implicits._
-    val qdf = Seq((0L, "window merge scan"), (1L, "fast customer join"),
-      (2L, "stream batch value")).toDF("qid", "qtext")
-    val servedBm = graft.ext.TextIndex.bm25TopKIndexed(s, s"$f/text_inv",
-        qdf, "qid", "qtext", 10)
-      .withColumnRenamed("score", "__s2")
-    val refBm = s.read.parquet(s"$f/ref/bm25")
-    val okBm = servedBm.join(refBm, Seq("query_id", "rank", "doc_id"), "full")
-      .agg((count(lit(1)) === count(col("__s2")) &&
-        count(lit(1)) === count(col("score")) &&
-        coalesce(max(abs(col("__s2") - col("score"))) <= 1e-9, lit(true)))
-        .as("ok_bm25"))
-    // 3. phrase counts from the maintained positional index vs the
-    // staged positional replay over survivor raw text (integer-exact)
-    val phrase = Seq("window", "merge")
-    val servedPh = graft.ext.TextIndex.phraseOccurrences(s, s"$f/text_pos", phrase)
-      .withColumnRenamed("n_occurrences", "__n1")
-    val refPh = s.read.parquet(s"$f/ref/phrase")
-    val okPh = servedPh.join(refPh, Seq("doc_id"), "full")
-      .agg(coalesce(max(when(col("__n1").isNull || col("n_ref").isNull ||
-          col("__n1") =!= col("n_ref"), 1).otherwise(0)) === 0, lit(true))
-        .as("ok_phrase"))
-    // 4. dedup candidate pairs vs one-shot batch over survivors (staged)
-    val servedPairs = graft.streaming.DocStreams.readPairs(s, s"$f/dedup_store")
-      .withColumnRenamed("est_jaccard", "__e1")
-    val refPairs = s.read.parquet(s"$f/ref/pairs")
-    val okPairs = servedPairs.join(refPairs, Seq("id_a", "id_b"), "full")
-      .agg((count(lit(1)) === count(col("__e1")) &&
-        count(lit(1)) === count(col("est_jaccard")) &&
-        coalesce(max(abs(col("__e1") - col("est_jaccard"))) <= 1e-9, lit(true)))
-        .as("ok_pairs"))
-    // 5. cluster labels: rebuilt components store vs the staged
-    // survivor-pair labels; CascadeDeleteSpec pins the rebuild against
-    // the full distributed connectedComponents separately
-    val servedComps = graft.ext.IncrementalComponents.readWithNodes(s,
-        s"$f/dedup_store/comps", survivors, "doc_id")
-      .withColumnRenamed("component", "__c1")
-    val refComps = s.read.parquet(s"$f/ref/comps")
-    val okComps = servedComps.join(refComps, Seq("id"), "full")
-      .agg(coalesce(max(when(col("__c1").isNull || col("component").isNull ||
-          col("__c1") =!= col("component"), 1).otherwise(0)) === 0, lit(true))
-        .as("ok_comps"))
-    okAnn.crossJoin(okBm).crossJoin(okPh).crossJoin(okPairs).crossJoin(okComps)
+    // pays the five SERVED reads + compares only — and those run
+    // CONCURRENTLY (the recall report's pool discipline), because each
+    // surface's CONSTRUCTION runs its own driver-blocking pruning jobs
+    // (nprobe collect, term-bucket listing): thunked legs let the gate's
+    // wall track the slowest surface instead of the sum of five chains
+    val legs: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      // 1. ANN: maintained (tombstoned) index vs pristine copy filtered
+      () => {
+        val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 4)
+          .select(col("vec_id"), col("embedding"))
+        val served = AnnIndex.pqTopK(s, s"$f/ann_pq", queries,
+            "vec_id", "embedding", 5)
+          .withColumnRenamed("cosine_pq", "__s1")
+          .withColumnRenamed("neighbor_id", "__id1")
+        served.join(s.read.parquet(s"$f/ref/ann"), Seq("query_id", "rank"), "full")
+          .agg((count(lit(1)) === count(col("__s1")) &&
+            count(lit(1)) === count(col("cosine_pq")) &&
+            coalesce(max(when(col("__id1") =!= col("neighbor_id") ||
+                abs(col("__s1") - col("cosine_pq")) > 1e-9, 1).otherwise(0)) === 0,
+              lit(true))).as("ok_ann"))
+      },
+      // 2. BM25 from the maintained inverted index vs batch over survivors
+      () => {
+        val qdf = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+          (2L, "stream batch value")).toDF("qid", "qtext")
+        val servedBm = graft.ext.TextIndex.bm25TopKIndexed(s, s"$f/text_inv",
+            qdf, "qid", "qtext", 10)
+          .withColumnRenamed("score", "__s2")
+        servedBm.join(s.read.parquet(s"$f/ref/bm25"),
+            Seq("query_id", "rank", "doc_id"), "full")
+          .agg((count(lit(1)) === count(col("__s2")) &&
+            count(lit(1)) === count(col("score")) &&
+            coalesce(max(abs(col("__s2") - col("score"))) <= 1e-9, lit(true)))
+            .as("ok_bm25"))
+      },
+      // 3. phrase counts from the maintained positional index vs the
+      // staged positional replay over survivor raw text (integer-exact)
+      () => {
+        val servedPh = graft.ext.TextIndex.phraseOccurrences(s,
+            s"$f/text_pos", Seq("window", "merge"))
+          .withColumnRenamed("n_occurrences", "__n1")
+        servedPh.join(s.read.parquet(s"$f/ref/phrase"), Seq("doc_id"), "full")
+          .agg(coalesce(max(when(col("__n1").isNull || col("n_ref").isNull ||
+              col("__n1") =!= col("n_ref"), 1).otherwise(0)) === 0, lit(true))
+            .as("ok_phrase"))
+      },
+      // 4. dedup candidate pairs vs one-shot batch over survivors (staged)
+      () => {
+        val servedPairs = graft.streaming.DocStreams.readPairs(s, s"$f/dedup_store")
+          .withColumnRenamed("est_jaccard", "__e1")
+        servedPairs.join(s.read.parquet(s"$f/ref/pairs"), Seq("id_a", "id_b"), "full")
+          .agg((count(lit(1)) === count(col("__e1")) &&
+            count(lit(1)) === count(col("est_jaccard")) &&
+            coalesce(max(abs(col("__e1") - col("est_jaccard"))) <= 1e-9, lit(true)))
+            .as("ok_pairs"))
+      },
+      // 5. cluster labels: rebuilt components store vs the staged
+      // survivor-pair labels; CascadeDeleteSpec pins the rebuild against
+      // the full distributed connectedComponents separately
+      () => {
+        val servedComps = graft.ext.IncrementalComponents.readWithNodes(s,
+            s"$f/dedup_store/comps", survivors, "doc_id")
+          .withColumnRenamed("component", "__c1")
+        servedComps.join(s.read.parquet(s"$f/ref/comps"), Seq("id"), "full")
+          .agg(coalesce(max(when(col("__c1").isNull || col("component").isNull ||
+              col("__c1") =!= col("component"), 1).otherwise(0)) === 0, lit(true))
+            .as("ok_comps"))
+      })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val oks =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(legs.map(leg =>
+          scala.concurrent.Future(leg().localCheckpoint(eager = true)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    oks.reduce(_ crossJoin _)
       .select((col("ok_ann") && col("ok_bm25") && col("ok_phrase") &&
         col("ok_pairs") && col("ok_comps")).as("cascade_ok"))
   }
