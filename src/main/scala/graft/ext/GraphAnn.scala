@@ -127,37 +127,14 @@ object GraphAnn {
     val coarse = coarseIn.getOrElse(
       Similarity.trainCentroids(c, "__id", "__vec", nlist, iters,
         maxTrainRows))
-    // each node as a QUERY: its nprobe nearest centroids (broadcast
-    // centroids into the corpus — nlist rows, never the other way)
-    val probes = Similarity.probeClusters(
-      c.select(col("__id").as("query_id"), col("__vec").as("__qv")),
-      coarse, nprobe)
     // each node as a MEMBER: its own (single) cluster assignment —
     // the one build-time corpus shuffle, exactly like buildIvfPq
     val members = Similarity.assign(c, ("__id", "__vec"), coarse)
       .select(col("__cluster"), col("__id").as("__nid"),
         col("__vec").as("__nv"))
       .localCheckpoint(eager = true) // edge candidates + entries share it
-    // blocked self-join ON THE CLUSTER ID: candidate volume is
-    // probers(cluster) × members(cluster), summed — never all-pairs.
-    // distinct: a pair co-occurring in several probed clusters scores
-    // identically (deterministic cosine), so the duplicate rows collapse
-    // instead of double-filling ranks.
-    val scored = probes.join(members, Seq("__cluster"))
-      .filter(col("query_id") =!= col("__nid"))
-      .select(col("query_id"), col("__nid"),
-        Similarity.cosine(col("__qv"), col("__nv")).as("__s"))
-    // SYMMETRIZE before the degree cut — the NSW/Vamana bidirectional-
-    // insertion step: cosine is symmetric, so the swapped pair is a free
-    // candidate for the OTHER endpoint. A true neighbor q's own probes
-    // missed still reaches q's list whenever the neighbor probed q's
-    // cluster — measured on the gate corpus this lifts the 16-beam
-    // 3-hop recall@5 ceiling from 0.83 to the exact-build band.
-    val symScored = scored
-      .unionByName(scored.select(col("__nid").as("query_id"),
-        col("query_id").as("__nid"), col("__s")))
-      .distinct()
-    Similarity.topKPerQuery(symScored, "__s", "__nid", degree)
+    Similarity.topKPerQuery(
+      ivfCandidateEdges(c, members, coarse, nprobe), "__s", "__nid", degree)
       .groupBy(col("query_id").as("__id"))
       .agg(array_sort(collect_set(col("__nid"))).as("__nbrs"))
       .write.mode("overwrite").parquet(s"$dir/adjacency")
@@ -175,6 +152,37 @@ object GraphAnn {
       .filter(col("__rk") === 1)
       .select(col("__nid").as("entry"), lit(degree).as("degree"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
+  }
+
+  /** [[buildFromIvf]]'s candidate-edge stage, exposed for the plan
+    * assertion: each node probes its nprobe nearest centroids
+    * (broadcast centroids into the corpus — nlist rows, never the other
+    * way), then scores only against the members of those clusters — a
+    * blocked self-join ON THE CLUSTER ID whose candidate volume is
+    * probers(cluster) × members(cluster), summed: never all-pairs, no
+    * cartesian anywhere (plan-asserted). SYMMETRIZED before the degree
+    * cut — the NSW/Vamana bidirectional-insertion step: cosine is
+    * symmetric, so the swapped pair is a free candidate for the OTHER
+    * endpoint; a true neighbor q's own probes missed still reaches q's
+    * list whenever the neighbor probed q's cluster (measured: lifts the
+    * 16-beam 3-hop recall@5 ceiling from 0.83 to the exact-build band).
+    * distinct: a pair co-occurring in several probed clusters scores
+    * identically (deterministic cosine), so duplicates collapse instead
+    * of double-filling ranks.
+    */
+  private[graft] def ivfCandidateEdges(c: DataFrame, members: DataFrame,
+      coarse: DataFrame, nprobe: Int): DataFrame = {
+    val probes = Similarity.probeClusters(
+      c.select(col("__id").as("query_id"), col("__vec").as("__qv")),
+      coarse, nprobe)
+    val scored = probes.join(members, Seq("__cluster"))
+      .filter(col("query_id") =!= col("__nid"))
+      .select(col("query_id"), col("__nid"),
+        Similarity.cosine(col("__qv"), col("__nv")).as("__s"))
+    scored
+      .unionByName(scored.select(col("__nid").as("query_id"),
+        col("query_id").as("__nid"), col("__s")))
+      .distinct()
   }
 
   /** Append rows into the graph store's FRESH REGION (`delta/`) — the

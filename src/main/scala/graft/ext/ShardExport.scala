@@ -72,6 +72,10 @@ object ShardExport {
     a.repartition(shards, col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("order_key"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(dst)
+    // the shard COUNT is the layout (the mod divisor): record it so an
+    // incremental re-export under a different count fails loudly
+    // instead of producing a silently-wrong diff
+    graft.util.Hfs.writeString(spark, s"$dst/_shards", shards.toString)
     val m = manifestOf(a)
       .localCheckpoint(eager = true) // materialize before the write below
     m.coalesce(1).write.mode("overwrite").parquet(s"$dst/_manifest")
@@ -116,6 +120,18 @@ object ShardExport {
     require(graft.util.Hfs.exists(spark, s"$dst/_manifest"),
       s"$dst has no published manifest — incremental re-export needs a " +
         "prior export (run export first)")
+    // shard-count drift guard: the count is the hash-assignment layout,
+    // so diffing a manifest produced under a different `shards` would
+    // rewrite everything while CLAIMING a small delta. Sidecar absent =
+    // a pre-guard export; accepted as-is (the manifest diff is then the
+    // only protection, and any count drift rewrites every shard anyway).
+    if (graft.util.Hfs.exists(spark, s"$dst/_shards")) {
+      val recorded = graft.util.Hfs.readString(spark, s"$dst/_shards").trim.toInt
+      require(recorded == shards,
+        s"$dst was exported with $recorded shards; incremental re-export " +
+          s"with $shards would silently re-key every sequence — re-export " +
+          "fully to change the shard count")
+    }
     val a = assign(packed, shards)
       .localCheckpoint(eager = true) // manifest + per-shard rewrites share it
     val m = manifestOf(a)
@@ -147,6 +163,7 @@ object ShardExport {
           .write.mode("overwrite").parquet(s"$dst/shard_id=$sid")
     }
     m.coalesce(1).write.mode("overwrite").parquet(s"$dst/_manifest")
+    graft.util.Hfs.writeString(spark, s"$dst/_shards", shards.toString)
     changed.toSeq.toDF("shard_id", "change")
   }
 

@@ -588,7 +588,7 @@ object Similarity {
     * the (cosine, -cid, cid) struct max picks highest similarity, smallest
     * cid on ties.
     */
-  private[ext] def assign(df: DataFrame, cols: (String, String), centroids: DataFrame): DataFrame = {
+  private[graft] def assign(df: DataFrame, cols: (String, String), centroids: DataFrame): DataFrame = {
     val (idCol, vecCol) = cols
     val scored = df.crossJoin(broadcast(centroids))
       .select(qcol(idCol).as("__aid"), qcol(vecCol).as("__av"),

@@ -181,6 +181,18 @@ class ShardExportSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ShardExport.assign(packed, 0)
     }
+    // incremental under a DIFFERENT shard count refuses: the count is
+    // the hash-assignment layout, and a mismatched diff would re-key
+    // every sequence while claiming a small delta
+    val dg = tmpDir("graft_shards_guard")
+    ShardExport.export(spark, packed, 8, dg)
+    intercept[IllegalArgumentException] {
+      ShardExport.exportIncremental(spark, packed, 4, dg)
+    }
+    // and with no prior export at all it refuses before touching disk
+    intercept[IllegalArgumentException] {
+      ShardExport.exportIncremental(spark, packed, 8, tmpDir("graft_shards_none"))
+    }
     // single shard still works and carries the whole table
     val dst = tmpDir("graft_shards4")
     val m = ShardExport.export(spark, packed, 1, dst).collect()

@@ -554,6 +554,48 @@ class PlanAssertionsSpec extends SparkSpec {
     (plan should not).include("CartesianProduct")
   }
 
+  test("graph-ANN IVF build: candidate edges come from a cluster equi-join — never all-pairs") {
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (0.1f * ((i * 3 + j) % 7)) + 0.1f)))
+      .toDF("vec_id", "embedding")
+    val c = corpus.select($"vec_id".cast("long").as("__id"),
+      $"embedding".as("__vec"))
+    val coarse = graft.ext.Similarity.trainCentroids(c, "__id", "__vec",
+      nlist = 4, iters = 1)
+    val members = graft.ext.Similarity.assign(c, ("__id", "__vec"), coarse)
+      .select(col("__cluster"), col("__id").as("__nid"),
+        col("__vec").as("__nv"))
+    val out = graft.ext.GraphAnn.ivfCandidateEdges(c, members, coarse, 2)
+    out.collect()
+    val plan = finalPlan(out).toString
+    // the centroid probe is the only nested-loop-shaped step and it
+    // broadcasts the NLIST-ROW side; the corpus-sized self-join is the
+    // __cluster equi-join — no cartesian anywhere
+    (plan should not).include("CartesianProduct")
+    plan should include("__cluster")
+  }
+
+  test("graph-ANN fresh region: delta serving broadcasts the delta — stored tables never shuffle") {
+    val base = java.nio.file.Files.createTempDirectory("graft_graphd_plan").toString
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (0.1f * ((i * 3 + j) % 7)) + 0.1f)))
+      .toDF("vec_id", "embedding")
+    graft.ext.GraphAnn.build(corpus.filter($"vec_id" < 36), "vec_id",
+      "embedding", s"$base/g", degree = 4)
+    graft.ext.GraphAnn.append(spark, s"$base/g",
+      corpus.filter($"vec_id" >= 36), "vec_id", "embedding")
+    val out = graft.ext.GraphAnn.topK(spark, s"$base/g",
+      corpus.filter($"vec_id" < 3), "vec_id", "embedding",
+      k = 3, beamWidth = 4, hops = 2)
+    out.collect()
+    val plan = finalPlan(out).toString
+    // the delta candidates ride a broadcast nested loop of the TINY
+    // delta-id frame; everything corpus-sized stays on equi-joins
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("CartesianProduct")
+    plan should include("BroadcastHashJoin")
+  }
+
   test("shard export assignment: pure per-row arithmetic, no exchange before the explicit shuffle") {
     val packed = (0 until 200).map(i =>
       (i.toLong, (i / 3).toLong, 0L, 5L, 0L))
