@@ -1308,7 +1308,8 @@ object AnnIndex {
       case "opqivfpq"      => s"$dir/ivfpq"
       case _               => dir
     }
-    val table = readLayout(spark, owner) match {
+    val ownerLayout = readLayout(spark, owner) // one meta read, reused
+    val table = ownerLayout match {
       // vector-table layouts (IVF-flat, graph) have no codes table
       case "ivf" | "graph" => s"$owner/vectors"
       case _               => s"$owner/codes"
@@ -1317,7 +1318,7 @@ object AnnIndex {
     // a graph store's fresh region ([[GraphAnn.append]]) is part of the
     // served set — debt/health that ignored it would under-price the
     // store the sweep maintains
-    if (readLayout(spark, owner) == "graph" &&
+    if (ownerLayout == "graph" &&
         graft.util.Hfs.exists(spark, s"$owner/delta")) {
       val (td, ld) = tableCounts(spark, owner, s"$owner/delta")
       (t + td, l + ld)
@@ -1374,24 +1375,14 @@ object AnnIndex {
     // them into seconds of pure scheduling — the pool collapses the
     // wall to the slowest store (results identical: independent
     // deterministic counters; Spark's scheduler is thread-safe)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, layouts.size))
-    implicit val ec =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val rows =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(layouts.map { case (name, dir) =>
-          scala.concurrent.Future {
-            val (total, live) = storeCounts(spark, dir)
-            val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
-            spark.range(1).select(lit(name).as("layout"),
-              lit(total).as("total_rows"), lit(live).as("live_rows"),
-              lit(total - live).as("dead_rows"),
-              lit(debt).as("tombstone_debt"))
-          }
-        }), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
-    rows.reduce(_ unionByName _)
+    graft.util.Par.all(8)(layouts.map { case (name, dir) => () =>
+      val (total, live) = storeCounts(spark, dir)
+      val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
+      spark.range(1).select(lit(name).as("layout"),
+        lit(total).as("total_rows"), lit(live).as("live_rows"),
+        lit(total - live).as("dead_rows"),
+        lit(debt).as("tombstone_debt"))
+    }).reduce(_ unionByName _)
   }
 
   /** The compaction POLICY: measure [[tombstoneDebt]] and, at or above
@@ -1409,7 +1400,22 @@ object AnnIndex {
       threshold: Double = 0.25): Boolean = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
-    if (tombstoneDebt(spark, dir) < threshold) false
+    // a graph store's FRESH REGION is a second debt axis: every query
+    // brute-scores the whole delta, so the policy folds it once its
+    // share of the store crosses the same threshold — without this, a
+    // pure-append workload (zero tombstones, debt 0) would grow the
+    // delta unboundedly, and live delta rows in the denominator would
+    // even DILUTE tombstone debt away from the trigger. One row count
+    // of the (append-batch-file-sized) delta when present.
+    val deltaDebt =
+      if (readLayout(spark, dir) == "graph" &&
+          graft.util.Hfs.exists(spark, s"$dir/delta")) {
+        val d = spark.read.parquet(s"$dir/delta").count()
+        val (total, _) = storeCounts(spark, dir)
+        if (total == 0L) 0.0 else d.toDouble / total
+      } else 0.0
+    if (tombstoneDebt(spark, dir) < threshold && deltaDebt < threshold)
+      false
     else {
       readLayout(spark, dir) match {
         case "pq"    => compactPq(spark, dir)

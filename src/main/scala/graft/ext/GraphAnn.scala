@@ -286,11 +286,14 @@ object GraphAnn {
         .localCheckpoint(eager = true)
     }
     // fresh region: every LIVE delta row is a final candidate for every
-    // query (exact — the delta is compaction-cadence-bounded), scored
-    // beside the beam's survivors against the combined live vector set.
-    // distinct: an id can reach the final set through both paths only
-    // via a contract-violating bare re-append; the dedup keeps that
-    // merely redundant instead of double-slotted.
+    // query (exact — the delta's share of the store is priced by
+    // [[AnnIndex.compactIfNeeded]]'s delta-debt trigger, so appends
+    // cannot grow it past the fold threshold), scored beside the beam's
+    // survivors against the combined live vector set. distinct dedups
+    // candidate IDS from the two paths; a bare re-append WITHOUT the
+    // CDC delete still leaves two live vector rows for one id and they
+    // both rank — the same two-generations-both-survive contract
+    // [[AnnIndex.liveOnly]] documents for every layout's append.
     val deltaPath = s"$dir/delta"
     val (finalCands, finalVecs) =
       if (!graft.util.Hfs.exists(spark, deltaPath)) (beam, vLive)
@@ -389,14 +392,21 @@ object GraphAnn {
     val adjDst = adj0.select(col("__id").as("__dst"), col("__nbrs").as("__dn"))
     var cands = edges
     var frontier = edges
-    for (_ <- 1 to spliceDepth) {
+    var level = 0
+    var drained = false
+    while (level < spliceDepth && !drained) {
       frontier = frontier
         .join(liveDst, Seq("__dst"), "left_anti")
         .join(adjDst, Seq("__dst"))
         .select(col("__src"), explode(col("__dn")).as("__dst"))
         .distinct()
         .localCheckpoint(eager = true) // next level re-probes this one
-      cands = cands.unionByName(frontier)
+      // empty frontier = no dead chain this deep: skip the remaining
+      // levels' join rounds (isEmpty on the just-checkpointed frame is
+      // a first-partition read, far below a full level's job chain)
+      drained = frontier.isEmpty
+      if (!drained) cands = cands.unionByName(frontier)
+      level += 1
     }
     cands = cands
       .join(liveDst, Seq("__dst"), "left_semi")

@@ -152,7 +152,12 @@ object ShardExport {
           .when(col("__o_rows").isNull, lit("new"))
           .otherwise(lit("rewritten")).as("change"))
       .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
-    changed.foreach { case (sid, change) =>
+    // per-shard rewrites run on the shared pool (graft.util.Par): each
+    // is one sorted single-task write job, and at a production shard
+    // count a sequential loop would serialize hundreds of job-latency
+    // floors; the legs touch disjoint directories, so concurrency is
+    // safe and the result is identical
+    graft.util.Par.all(8)(changed.toSeq.map { case (sid, change) => () =>
       if (change == "deleted")
         graft.util.Hfs.delete(spark, s"$dst/shard_id=$sid")
       else
@@ -161,7 +166,7 @@ object ShardExport {
         a.filter(col("shard_id") === sid).drop("shard_id")
           .coalesce(1).sortWithinPartitions(col("order_key"))
           .write.mode("overwrite").parquet(s"$dst/shard_id=$sid")
-    }
+    })
     m.coalesce(1).write.mode("overwrite").parquet(s"$dst/_manifest")
     graft.util.Hfs.writeString(spark, s"$dst/_shards", shards.toString)
     changed.toSeq.toDF("shard_id", "change")

@@ -79,28 +79,18 @@ object ExtensionQueries {
     // jobs from many threads, and overlapping the chains collapses their
     // idle gaps (the measured staging dominator). Every chain writes its
     // own directory; shared inputs are read-only checkpointed frames.
+    // [[graft.util.Par.all]] carries the settle-all discipline (every
+    // task completes before the first failure propagates — an orphaned
+    // build's late parquet commit must never land inside a fresh
+    // rebuild); this wrapper adds the per-fixture name + timing
     def inParallel(tasks: (String, () => Unit)*): Unit = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-      implicit val ec =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try {
-        // settle EVERY task before propagating the first failure: a
-        // fail-fast rethrow would leave orphaned builds still writing
-        // under tmp while the caller's retry deletes and rebuilds it —
-        // an orphan's late parquet commit could land inside the fresh
-        // build and be sealed by the done marker
-        val settled = scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(
-            tasks.map { case (n, f) =>
-              scala.concurrent.Future(timed(n)(f())).transform(t =>
-                scala.util.Success(n -> t))
-            }),
-          scala.concurrent.duration.Duration.Inf)
-        settled.collectFirst { case (n, scala.util.Failure(e)) =>
+      graft.util.Par.all(4)(tasks.map { case (n, f) => () =>
+        try timed(n)(f())
+        catch { case e: Throwable =>
           throw new RuntimeException(s"fixture build '$n' failed", e)
         }
-        ()
-      } finally pool.shutdown()
+      })
+      ()
     }
     val emb = Tables.embeddings(s, dir)
     val emb16 = emb.filter(col("vec_id") < 16)
@@ -3885,16 +3875,10 @@ object ExtensionQueries {
     val legs = Seq(
       ("__ok0", 0L, s"$idx/asof_ref0"),
       ("__ok1", 1L, s"$idx/asof_ref1"))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val Seq(ok0, ok1) =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(legs.map { case (okCol, asOf, ref) =>
-          scala.concurrent.Future(
-            matches(asOf, ref, okCol).localCheckpoint(eager = true))
-        }), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+    val Seq(ok0, ok1) = graft.util.Par.all(2)(
+      legs.map { case (okCol, asOf, ref) =>
+        () => matches(asOf, ref, okCol).localCheckpoint(eager = true)
+      })
     ok0.crossJoin(ok1)
       .select((col("__ok0") && col("__ok1")).as("text_asof_ok"))
   }
@@ -5253,15 +5237,9 @@ object ExtensionQueries {
       "graph_ivf" -> (() => graft.ext.GraphAnn.topK(s, s"$idx/graphivf", queries,
         "vec_id", "embedding", 5, beamWidth = 16, hops = 3)),
     )
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val served =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(layouts.map { case (n, f) =>
-          scala.concurrent.Future(n -> f().localCheckpoint(eager = true))
-        }), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+    val served = graft.util.Par.all(4)(layouts.map { case (n, f) =>
+      () => n -> f().localCheckpoint(eager = true)
+    })
     AnnIndex.recallReport(served, brute, 5)
   }
 
@@ -6498,15 +6476,8 @@ object ExtensionQueries {
               col("__c1") =!= col("component"), 1).otherwise(0)) === 0, lit(true))
             .as("ok_comps"))
       })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
-    implicit val ec =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val oks =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(legs.map(leg =>
-          scala.concurrent.Future(leg().localCheckpoint(eager = true)))),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+    val oks = graft.util.Par.all(5)(legs.map(leg =>
+      () => leg().localCheckpoint(eager = true)))
     oks.reduce(_ crossJoin _)
       .select((col("ok_ann") && col("ok_bm25") && col("ok_phrase") &&
         col("ok_pairs") && col("ok_comps")).as("cascade_ok"))

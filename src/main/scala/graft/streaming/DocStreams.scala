@@ -636,21 +636,25 @@ object DocStreams {
           // file backing this batch, drop the already-forgotten ones,
           // and re-read the fresh set from disk (ids come from exactly
           // the files the markers will name)
-          // marker key = path RELATIVE to spoolDir (sanitized), falling
-          // back to a full-path hash outside it: a bare basename would
-          // silently skip a same-named file in another subdirectory or a
-          // re-staged file reusing a processed name with new ids — an
-          // unforgotten-takedown compliance hole
+          // marker key = sanitized path RELATIVE to spoolDir PLUS an
+          // md5 prefix of the raw relative path: a bare basename would
+          // silently skip a same-named file in another subdirectory,
+          // and sanitizing alone could collapse two distinct paths
+          // ('batch/1.parquet' vs 'batch_1.parquet') onto one marker —
+          // either way an unforgotten takedown. The hash disambiguates
+          // exactly; the sanitized prefix keeps markers readable.
           val spoolPrefix = {
             val p = new org.apache.hadoop.fs.Path(spoolDir)
             p.toUri.getPath.stripSuffix("/") + "/"
           }
           def markerOf(f: String): String = {
             val p = new org.apache.hadoop.fs.Path(f).toUri.getPath
-            val key =
-              if (p.startsWith(spoolPrefix))
-                p.stripPrefix(spoolPrefix).replaceAll("[^A-Za-z0-9._-]", "_")
-              else org.apache.commons.codec.digest.DigestUtils.md5Hex(p)
+            val rel =
+              if (p.startsWith(spoolPrefix)) p.stripPrefix(spoolPrefix)
+              else p
+            val key = rel.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(rel)
+                .substring(0, 8)
             s"$markerDir/_file_$key"
           }
           val files = batch.select(input_file_name().as("__f"))

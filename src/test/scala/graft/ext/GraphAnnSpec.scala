@@ -269,6 +269,29 @@ class GraphAnnSpec extends SparkSpec {
         .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
   }
 
+  test("a pure-append fresh region triggers the fold through the sweep policy") {
+    // zero tombstones, so tombstone debt is 0 forever — the DELTA share
+    // is the axis that must route this store to consolidation, or an
+    // append-only workload would grow the brute-scored region unboundedly
+    val dir = tmpDir("graft_graphann_deltadebt")
+    val base = corpus.filter($"vec_id" < 11)
+    GraphAnn.buildFromIvf(base, "vec_id", "embedding", dir,
+      degree = 4, nlist = 4, nprobe = 2)
+    GraphAnn.append(spark, dir, corpus.filter($"vec_id" >= 11),
+      "vec_id", "embedding")
+    // delta share 10/21 ≈ 0.48 ≥ 0.25: the policy folds
+    AnnIndex.compactIfNeeded(spark, dir, threshold = 0.25) shouldBe true
+    graft.util.Hfs.exists(spark, s"$dir/delta") shouldBe false
+    spark.read.parquet(s"$dir/vectors").count() shouldBe 21L
+    // a small fresh region stays below the trigger (1/22 < 0.25)
+    GraphAnn.append(spark, dir,
+      corpus.filter($"vec_id" === 0L)
+        .select(($"vec_id" + 100L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding")
+    AnnIndex.compactIfNeeded(spark, dir, threshold = 0.25) shouldBe false
+    graft.util.Hfs.exists(spark, s"$dir/delta") shouldBe true
+  }
+
   test("guards: wrong layout, beam narrower than k, bad hops all refuse") {
     val dir = tmpDir("graft_graphann3")
     GraphAnn.build(corpus, "vec_id", "embedding", dir, degree = 4)
