@@ -224,13 +224,17 @@ object GraphAnn {
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       beamWidth: Int = 8, hops: Int = 3): DataFrame = {
-    // strictly greater: the final ranking filters self-matches and
-    // tombstoned beam members AFTER the beam was cut to beamWidth, so
-    // beamWidth == k could under-fill the result even when >= k live
-    // neighbors exist (the slack absorbs the filtered rows)
-    require(k > 0 && beamWidth > k,
-      s"beamWidth ($beamWidth) must be > k ($k)")
+    require(k > 0, s"k must be positive: $k")
+    require(beamWidth > 0, s"beamWidth must be positive: $beamWidth")
     require(hops > 0, s"hops must be positive: $hops")
+    // the beam needs strictly more slack than k: the final ranking
+    // filters self-matches and tombstoned beam members AFTER the beam
+    // was cut, so beamWidth == k could under-fill the result even when
+    // >= k live neighbors exist. Widened INTERNALLY rather than
+    // rejected — beamWidth == k was a legal call before the r16
+    // tightening, and throwing on it broke callers at runtime for a
+    // condition the search can absorb itself (ADVICE r16).
+    val beam0 = math.max(beamWidth, k + 1)
     require(AnnIndex.readLayout(spark, dir) == "graph",
       s"$dir is not a graph index — each layout has its own reader")
     // ALL stored entry points seed the beam: the exact build writes the
@@ -281,7 +285,7 @@ object GraphAnn {
       // checkpoint per hop: the iterative-join discipline (x_pagerank
       // class) — lineage stays hop-sized, not hops-deep. Hops score
       // against the FULL vector table (dead nodes route).
-      beam = scoreTop(v, expanded, beamWidth)
+      beam = scoreTop(v, expanded, beam0)
         .select(col("query_id"), col("__nid"))
         .localCheckpoint(eager = true)
     }
@@ -310,6 +314,24 @@ object GraphAnn {
       }
     scoreTop(finalVecs, finalCands, k, excludeSelf = true)
       .withColumnRenamed("__nid", "neighbor_id")
+  }
+
+  /** The fold's knob derivation: explicit positive values pass through;
+    * 0 = auto — nlist = max(16, round(√n)) (the standard IVF sizing the
+    * [[buildFromIvf]] doc names) and nprobe = ⌈3/8·nlist⌉ capped at
+    * nlist (the 16/6 gate ratio). Keeps a sweep-triggered fold
+    * subquadratic at ANY store size instead of pinning nlist=16
+    * (ADVICE r16: candidate volume would degrade to ~n²/16).
+    */
+  private[graft] def autoFoldGeometry(n: Long, foldNlist: Int,
+      foldNprobe: Int): (Int, Int) = {
+    val nlist =
+      if (foldNlist > 0) foldNlist
+      else math.max(16L, math.round(math.sqrt(n.toDouble))).toInt
+    val nprobe =
+      if (foldNprobe > 0) foldNprobe
+      else math.min(nlist, (nlist * 3 + 7) / 8)
+    (nlist, nprobe)
   }
 
   /** Consolidate lazy deletes ([[AnnIndex.deleteIds]] tombstones) into a
@@ -342,9 +364,18 @@ object GraphAnn {
         * remain the documented rebuild-detector territory. */
       spliceDepth: Int = 2,
       /** Fold geometry when a fresh region exists: the [[buildFromIvf]]
-        * candidate-blocking knobs (nlist ∝ √n in a real deployment). */
-      foldNlist: Int = 16, foldNprobe: Int = 6): Unit = {
+        * candidate-blocking knobs. 0 (the default) = AUTO — nlist is
+        * derived from the LIVE row count as max(16, round(√n)) and
+        * nprobe as ⌈3/8·nlist⌉ (the 16/6 ratio the gate geometry uses),
+        * so a sweep-triggered fold ([[AnnIndex.compactIfNeeded]] passes
+        * no knobs) keeps the blocked self-join's candidate volume at
+        * O(n^1.5·nprobe) at ANY store size instead of degrading to
+        * ~n²/16 under a fixed small nlist (ADVICE r16). Explicit
+        * positive values override — the spec/gate fixtures pin theirs. */
+      foldNlist: Int = 0, foldNprobe: Int = 0): Unit = {
     require(spliceDepth > 0, s"spliceDepth must be positive: $spliceDepth")
+    require(foldNlist >= 0 && foldNprobe >= 0,
+      s"fold knobs must be 0 (auto) or positive: $foldNlist/$foldNprobe")
     require(AnnIndex.readLayout(spark, dir) == "graph",
       s"$dir is not a graph index — each layout has its own compaction")
     // a non-empty fresh region makes this a FOLD, not a splice: the
@@ -362,9 +393,15 @@ object GraphAnn {
               .select(col("__id"), col("__vec")))
           .localCheckpoint(eager = true), dir)
       val degree0 = spark.read.parquet(s"$dir/entry").head().getInt(1)
+      // auto geometry: the fold is the one call site that cannot know
+      // the store's size up front (the sweep routes here with defaults),
+      // so it derives nlist from the live count it already materialized.
+      // One count over the checkpointed survivor frame — counter-sized.
+      val (nlist, nprobe) =
+        autoFoldGeometry(live.count(), foldNlist, foldNprobe)
       val tmp = dir + ".compact-" + System.nanoTime()
       buildFromIvf(live, "__id", "__vec", tmp, degree = degree0,
-        nlist = foldNlist, nprobe = foldNprobe)
+        nlist = nlist, nprobe = nprobe)
       graft.operators.Upsert.swapDirs(tmp, dir)
       return
     }

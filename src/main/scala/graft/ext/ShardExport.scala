@@ -113,6 +113,15 @@ object ShardExport {
     * Returns the change report: (shard_id, change ∈ new|rewritten|
     * deleted) — one row per touched shard, ≤ `shards` rows (the bounded
     * driver collect that drives the per-shard rewrites).
+    *
+    * Crash safety: rewritten shards are STAGED under a hidden sibling
+    * and swapped in only after every staged write finished, so the
+    * published view can only tear during the (metadata-speed) swap
+    * phase, not the write phase. A crash anywhere before the final
+    * manifest publish is healed by re-running exportIncremental with
+    * the same inputs: the published manifest is still the OLD one, so
+    * the diff re-selects exactly the touched shards and determinism
+    * re-produces identical bytes for any that already swapped.
     */
   def exportIncremental(spark: SparkSession, packed: DataFrame, shards: Int,
       dst: String): DataFrame = {
@@ -152,21 +161,41 @@ object ShardExport {
           .when(col("__o_rows").isNull, lit("new"))
           .otherwise(lit("rewritten")).as("change"))
       .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
-    // per-shard rewrites run on the shared pool (graft.util.Par): each
-    // is one sorted single-task write job, and at a production shard
-    // count a sequential loop would serialize hundreds of job-latency
-    // floors; the legs touch disjoint directories, so concurrency is
-    // safe and the result is identical
-    graft.util.Par.all(8)(changed.toSeq.map { case (sid, change) => () =>
-      if (change == "deleted")
-        graft.util.Hfs.delete(spark, s"$dst/shard_id=$sid")
-      else
+    // per-shard rewrites are STAGED under a dot-prefixed sibling (hidden
+    // from every parquet listing) and swapped in only after ALL of them
+    // landed: the in-place form rewrote live shard directories for the
+    // whole (minutes-long at production shard counts) write phase while
+    // the OLD manifest stayed published, so a crash mid-run left a
+    // mixed-generation shard set that verify() flagged torn and a
+    // manifest-trusting reader saw as a stale view with some shards
+    // already advanced (ADVICE r16). Staging shrinks the inconsistency
+    // window from the write phase to the metadata swaps below. The legs
+    // run on the shared pool (each is one sorted single-task write job;
+    // at a production shard count a sequential loop would serialize
+    // hundreds of job-latency floors) and touch disjoint directories,
+    // so concurrency is safe and the result is identical.
+    val stage = s"$dst/.incr-stage-${System.nanoTime()}"
+    graft.util.Par.all(8)(changed.toSeq.collect {
+      case (sid, change) if change != "deleted" => () =>
         // one sorted writer task per touched shard — identical file
         // content to the full export's partitionBy write of this shard
         a.filter(col("shard_id") === sid).drop("shard_id")
           .coalesce(1).sortWithinPartitions(col("order_key"))
-          .write.mode("overwrite").parquet(s"$dst/shard_id=$sid")
+          .write.mode("overwrite").parquet(s"$stage/shard_id=$sid")
     })
+    // the swap phase: per-shard delete + rename pairs, then the manifest
+    // publish. NOT atomic across shards — a crash HERE still tears, but
+    // the tear is healed by RE-RUNNING exportIncremental with the same
+    // inputs: the old manifest is still the published one, so the diff
+    // re-selects every touched shard (determinism re-produces identical
+    // bytes for the ones that already swapped).
+    changed.foreach { case (sid, change) =>
+      graft.util.Hfs.delete(spark, s"$dst/shard_id=$sid")
+      if (change != "deleted")
+        graft.util.Hfs.rename(spark, s"$stage/shard_id=$sid",
+          s"$dst/shard_id=$sid")
+    }
+    graft.util.Hfs.delete(spark, stage)
     m.coalesce(1).write.mode("overwrite").parquet(s"$dst/_manifest")
     graft.util.Hfs.writeString(spark, s"$dst/_shards", shards.toString)
     changed.toSeq.toDF("shard_id", "change")

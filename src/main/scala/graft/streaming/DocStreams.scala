@@ -657,9 +657,33 @@ object DocStreams {
                 .substring(0, 8)
             s"$markerDir/_file_$key"
           }
+          // the two PRIOR marker-key generations still count as
+          // "already forgotten" on a pre-existing store: forget is
+          // idempotent, but re-running it for every historical spool
+          // file appends redundant tombstone generations and can
+          // re-trigger compactions (ADVICE r16). New markers land in
+          // the current format only — legacy keys are read, never
+          // written, so a store converges as its spool turns over.
+          def legacyMarkersOf(f: String): Seq[String] = {
+            val p = new org.apache.hadoop.fs.Path(f).toUri.getPath
+            val rel =
+              if (p.startsWith(spoolPrefix)) p.stripPrefix(spoolPrefix)
+              else null
+            Seq(
+              // gen 1: bare basename, unsanitized
+              s"$markerDir/_file_${new org.apache.hadoop.fs.Path(f).getName}",
+              // gen 2: sanitized relative path without the hash suffix
+              // (full-path md5 when the file sat outside the spool)
+              if (rel != null)
+                s"$markerDir/_file_${rel.replaceAll("[^A-Za-z0-9._-]", "_")}"
+              else
+                s"$markerDir/_file_" +
+                  org.apache.commons.codec.digest.DigestUtils.md5Hex(p))
+          }
           val files = batch.select(input_file_name().as("__f"))
             .distinct().collect().map(_.getString(0)).sorted
-          val fresh = files.filterNot(f => Hfs.exists(spark, markerOf(f)))
+          val fresh = files.filterNot(f => Hfs.exists(spark, markerOf(f)) ||
+            legacyMarkersOf(f).exists(Hfs.exists(spark, _)))
           if (fresh.nonEmpty) {
             val ids = spark.read.schema(s"$idCol long").parquet(fresh: _*)
             graft.ext.CascadeDelete.forget(spark, ids, idCol,

@@ -181,6 +181,25 @@ class CascadeDeleteSpec extends SparkSpec {
       .as[Long].collect().toSet should not contain 1L
     new java.io.File(markers).listFiles()
       .count(_.getName.startsWith("_file_")) shouldBe 3
+    // markers written under the PRIOR key formats still count as
+    // processed: a pre-existing store must not re-forget (and
+    // re-compact) its whole spool after the key-format upgrade — the
+    // gen-1 bare-basename marker below makes this file look already
+    // handled, so id 3 stays live and no new-format marker appears
+    val stageLegacy = s"$spool/.stage_legacy"
+    Seq(3L).toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(stageLegacy)
+    val partLegacy = new java.io.File(stageLegacy).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val tgtLegacy = new java.io.File(spool, "spool_legacy.parquet")
+    java.nio.file.Files.move(partLegacy.toPath, tgtLegacy.toPath)
+    tgtLegacy.setLastModified(1600000000000L + 120000L)
+    graft.util.Hfs.touch(spark, s"$markers/_file_spool_legacy.parquet")
+    DocStreams.runForgetOnce(spark, spool, markers,
+      CascadeTargets(dedupStores = Seq(store)))
+    DocStreams.dedupLiveIds(spark, store)
+      .as[Long].collect().toSet should contain(3L)
+    new java.io.File(markers).listFiles()
+      .count(_.getName.startsWith("_file_spool_legacy.parquet_")) shouldBe 0
   }
 
   test("forgetting absent ids is a no-op on every store") {

@@ -292,13 +292,32 @@ class GraphAnnSpec extends SparkSpec {
     graft.util.Hfs.exists(spark, s"$dir/delta") shouldBe true
   }
 
-  test("guards: wrong layout, beam narrower than k, bad hops all refuse") {
+  test("sweep-triggered folds derive nlist from the live store size") {
+    // the sweep (AnnIndex.compactIfNeeded) calls compact with no knobs:
+    // auto geometry must scale nlist with √n so the fold's blocked
+    // self-join stays subquadratic at any store size, instead of
+    // pinning nlist=16 and degrading to ~n²/16 (ADVICE r16)
+    GraphAnn.autoFoldGeometry(21L, 0, 0) shouldBe ((16, 6))
+    GraphAnn.autoFoldGeometry(250L, 0, 0) shouldBe ((16, 6))
+    GraphAnn.autoFoldGeometry(1000000L, 0, 0) shouldBe ((1000, 375))
+    GraphAnn.autoFoldGeometry(100000000L, 0, 0) shouldBe ((10000, 3750))
+    // explicit knobs pass through untouched (the gate fixtures pin theirs)
+    GraphAnn.autoFoldGeometry(1000000L, 4, 2) shouldBe ((4, 2))
+    // explicit nlist with auto nprobe derives from the GIVEN nlist
+    GraphAnn.autoFoldGeometry(1000000L, 8, 0) shouldBe ((8, 3))
+  }
+
+  test("guards: wrong layout and bad hops refuse; a narrow beam widens internally") {
     val dir = tmpDir("graft_graphann3")
     GraphAnn.build(corpus, "vec_id", "embedding", dir, degree = 4)
-    intercept[IllegalArgumentException] {
-      GraphAnn.topK(spark, dir, corpus, "vec_id", "embedding",
-        k = 5, beamWidth = 3)
-    }
+    // beamWidth <= k is ABSORBED, not rejected (the r16 tightening to
+    // beamWidth > k broke legal beamWidth == k callers at runtime —
+    // ADVICE r16): the search widens the beam to k+1 itself, so the
+    // self-match filtered after the beam cut cannot under-fill the
+    // result. k live neighbors exist here, so exactly k ranks serve.
+    GraphAnn.topK(spark, dir, corpus.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 3, beamWidth = 3, hops = 4)
+      .count() shouldBe 3L
     intercept[IllegalArgumentException] {
       GraphAnn.topK(spark, dir, corpus, "vec_id", "embedding",
         k = 2, beamWidth = 4, hops = 0)

@@ -152,6 +152,52 @@ class ShardExportSpec extends SparkSpec {
     ShardExport.verify(spark, dst).filter(!$"consistent").count() shouldBe 0L
   }
 
+  test("a crash-torn incremental swap heals by re-running; staging leaves no residue") {
+    val p = packed
+    val gen1 = p.filter($"doc_id" % 7 =!= 3).localCheckpoint(eager = true)
+    val dst = tmpDir("graft_shards_heal")
+    ShardExport.export(spark, gen1, 8, dst)
+    val ref = tmpDir("graft_shards_heal_ref")
+    ShardExport.export(spark, p, 8, ref)
+    // find a shard whose content changes between generations and plant
+    // the crash state: that shard's files already advanced to the new
+    // generation while the PUBLISHED manifest is still the old one —
+    // exactly what a crash inside the swap phase leaves behind
+    def mrows(d: String) = spark.read.parquet(s"$d/_manifest")
+      .as[(Int, Long, String, String, String)].collect().map(r => r._1 -> r).toMap
+    val changedSid = (0 until 8).find(s =>
+      mrows(dst).get(s) != mrows(ref).get(s)).get
+    val dstShard = new java.io.File(dst, s"shard_id=$changedSid")
+    dstShard.listFiles().foreach(_.delete())
+    new java.io.File(ref, s"shard_id=$changedSid").listFiles()
+      .filter(_.isFile).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dstShard, f.getName).toPath)
+      }
+    // the tear is visible: the advanced shard fails the manifest reconcile
+    ShardExport.verify(spark, dst)
+      .filter(!$"consistent").select($"shard_id").as[Int]
+      .collect().toSet should contain(changedSid)
+    // healing = re-running with the same inputs: the old manifest is
+    // still published, so the diff re-selects every touched shard
+    // (including the one that already advanced — determinism re-produces
+    // its bytes) and the final state equals a clean full export
+    ShardExport.exportIncremental(spark, p, 8, dst)
+    ShardExport.verify(spark, dst).filter(!$"consistent").count() shouldBe 0L
+    mrows(dst) shouldBe mrows(ref)
+    (0 until 8).foreach { sid =>
+      java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(
+          dataFileOf(new java.io.File(dst, s"shard_id=$sid")).toPath),
+        java.nio.file.Files.readAllBytes(
+          dataFileOf(new java.io.File(ref, s"shard_id=$sid")).toPath)
+      ) shouldBe true
+    }
+    // staged rewrites cleaned up after themselves
+    new java.io.File(dst).listFiles()
+      .count(_.getName.startsWith(".incr-stage")) shouldBe 0
+  }
+
   test("fsck audits shard sets: membership plus torn-shard reconcile") {
     import graft.ext.{StoreMaintenance, StoreRef}
     val p = packed
