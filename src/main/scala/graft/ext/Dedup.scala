@@ -964,4 +964,49 @@ object Dedup {
   ): DataFrame =
     dropNearDuplicates(df, idCol,
       semanticDupPairs(df, idCol, vecCol, centroids, threshold, maxClusterSize))
+
+  /** The LSH banding PLANNER — the design-time trade study behind every
+    * (numHashes, bands) choice above (the x_knn_autotune discipline
+    * applied to the dedup family): for each factorization numHashes =
+    * bands × rows, the S-curve P(candidate | jaccard = s) =
+    * 1 − (1 − s^rows)^bands is evaluated on a fixed similarity grid and
+    * split at the operating threshold into a FALSE-POSITIVE mass (the
+    * curve's area below the threshold — pairs the banding surfaces that
+    * the verifier then discards, the wasted candidate volume) and a
+    * FALSE-NEGATIVE mass (the area above it that the banding misses —
+    * true duplicates that never become candidates). `chosen` marks the
+    * minimum-total-error geometry (ties to fewer bands — fewer bucket
+    * shuffles). All masses are integers on the ×10⁶ grid (each curve
+    * point quantized before the order-free integer sum), so the report
+    * hash-matches a closed-form replay; the whole computation is a few
+    * hundred rows of per-row arithmetic — nothing corpus-sized.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int = 64,
+      jaccardThresholdQ: Long = 500000L, gridSteps: Int = 20): DataFrame = {
+    require(numHashes > 0, s"numHashes must be positive: $numHashes")
+    require(gridSteps > 1 && 1000000 % gridSteps == 0,
+      s"gridSteps must divide the 1e6 quantization grid: $gridSteps")
+    require(jaccardThresholdQ > 0 && jaccardThresholdQ < 1000000,
+      s"threshold must be inside (0, 1) on the 1e6 grid: $jaccardThresholdQ")
+    import spark.implicits._
+    val cands = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b)).toDF("bands", "rows_per_band")
+    val grid = spark.range(1, gridSteps)
+      .select(col("id"), (col("id").cast("double") / gridSteps).as("__s"),
+        (col("id") * (1000000L / gridSteps)).as("__sq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("err_q"), col("bands"))
+    cands.crossJoin(broadcast(grid)) // divisors × grid — dozens of rows
+      .withColumn("__pq", round(
+        (lit(1.0) - pow(lit(1.0) - pow(col("__s"), col("rows_per_band")),
+          col("bands"))) * 1000000, 0).cast("long"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        sum(when(col("__sq") < jaccardThresholdQ, col("__pq"))
+          .otherwise(lit(0L))).as("fp_q"),
+        sum(when(col("__sq") >= jaccardThresholdQ, lit(1000000L) - col("__pq"))
+          .otherwise(lit(0L))).as("fn_q"))
+      .withColumn("err_q", col("fp_q") + col("fn_q"))
+      .withColumn("chosen", row_number().over(w) === 1)
+  }
 }

@@ -352,4 +352,70 @@ object TextAnalysis {
       .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("ppl"))
   }
+
+  /** Per-source perplexity-percentile pruning — the CCNet head/middle
+    * cut operationalized: each source keeps its ⌊keepFraction·n⌋
+    * LOWEST-perplexity documents (ties by doc_id; unscorable docs —
+    * fewer than two tokens, perplexity NULL — sort last and prune
+    * first), so a noisy source cannot crowd out a clean one through a
+    * single global threshold. Perplexity is the corpus-trained add-1
+    * bigram LM ([[bigramPerplexity]]) quantized to the ×10⁴ integer
+    * grid, which makes the cut — and the returned `ppl_q` — replayable
+    * in a second engine.
+    *
+    * Scale shape: the per-source quantile cut runs over the (source,
+    * ppl_q) HISTOGRAM (groupBy + a histogram-sized cumulative window),
+    * never a per-source sort of the corpus — the
+    * [[Sampling.keepTopFraction]] discipline with the prefix sum
+    * partitioned by source; only the boundary tie-group gets a
+    * row_number, and that window is tie-group-sized. Returns the input
+    * grain: (doc_id, source, ppl_q, kept).
+    */
+  def perplexityPrune(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, keepFraction: Double,
+      alpha: Double = 1.0): DataFrame = {
+    require(keepFraction >= 0.0 && keepFraction <= 1.0,
+      s"keepFraction out of [0,1]: $keepFraction")
+    import org.apache.spark.sql.expressions.Window
+    val ppl = bigramPerplexity(docs, idCol, textCol, alpha)
+      .select(col("doc_id"), round(col("ppl") * 10000, 0).cast("long")
+        .as("ppl_q"))
+    val scored = docs
+      .select(qcol(idCol).cast("long").as("doc_id"),
+        qcol(sourceCol).as("source"))
+      .join(ppl, Seq("doc_id"))
+      // NULL perplexity sorts after every real value (the
+      // keepTopFraction null discipline, flipped for an ascending cut)
+      .withColumn("__s", coalesce(col("ppl_q"), lit(Long.MaxValue)))
+      .localCheckpoint(eager = true) // histogram + final scan share it
+    // per-source histogram + cumulative: histogram-sized, never a
+    // per-source sort of the corpus rows
+    val wsrc = Window.partitionBy(col("source"))
+    val hist = scored.groupBy(col("source"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__pre",
+        coalesce(sum(col("__c")).over(
+          wsrc.orderBy(col("__s"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wsrc))
+      .withColumn("__k", floor(lit(keepFraction) * col("__n")).cast("long"))
+    // threshold per source: the smallest score whose cumulative count
+    // reaches k, and how many of its ties still fit (the remainder)
+    val thr = hist.filter(col("__pre") + col("__c") >= col("__k"))
+      .withColumn("__r", row_number().over(wsrc.orderBy(col("__s"))))
+      .filter(col("__r") === 1)
+      .select(col("source"), col("__s").as("__t"),
+        (col("__k") - col("__pre")).as("__rem"))
+    // only the boundary tie-group needs a row_number; its window is
+    // tie-group-sized by construction
+    val wtie = Window.partitionBy(col("source"), col("__s"))
+      .orderBy(col("doc_id"))
+    scored.join(thr, Seq("source"), "left")
+      .withColumn("__tierk", row_number().over(wtie))
+      .withColumn("kept",
+        col("__t").isNotNull &&
+          (col("__s") < col("__t") ||
+            (col("__s") === col("__t") && col("__tierk") <= col("__rem"))))
+      .select(col("doc_id"), col("source"), col("ppl_q"), col("kept"))
+  }
 }

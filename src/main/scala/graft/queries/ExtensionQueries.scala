@@ -5573,6 +5573,187 @@ object ExtensionQueries {
         "vec_id", "embedding", "label", k = 5)
   }
 
+  /** Tokenizer fertility dashboard — the fairness audit a multilingual
+    * tokenizer ships with: per DETECTED language, document/word/byte
+    * volume, REAL subword token counts under the persisted learned
+    * vocab (greedy WordPiece segmentation, the x_text_wordpiece_count
+    * machinery), and the two ratios the audit reads — tokens-per-word
+    * (fertility) and bytes-per-token — as exact integer divisions on
+    * the ×10⁶ grid. A language the tokenizer under-serves shows up as
+    * an outlying fertility row.
+    */
+  val tokenizerFertility = q("x_tokenizer_fertility",
+    """WITH RECURSIVE
+      |vm AS (SELECT map(list(piece), list(lp)) AS mp
+      |       FROM read_parquet('__GRAFT_UNI__/vocab/*.parquet')),
+      |t AS (SELECT doc_id, text,
+      |             list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS toks
+      |      FROM documents),
+      |ls AS (
+      |  SELECT doc_id,
+      |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf'], x))) AS s_de,
+      |    len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS s_en,
+      |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una','para','por','que'], x))) AS s_es,
+      |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que'], x))) AS s_fr
+      |  FROM t),
+      |lk AS (SELECT doc_id, greatest(s_de*4+3, s_en*4+2, s_es*4+1, s_fr*4+0) AS key FROM ls),
+      |lang AS (SELECT doc_id,
+      |                CASE WHEN key // 4 < 1 THEN 'und'
+      |                     ELSE CASE key % 4 WHEN 3 THEN 'de' WHEN 2 THEN 'en'
+      |                                       WHEN 1 THEN 'es' ELSE 'fr' END END AS lang_pred
+      |         FROM lk),
+      |dw AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      |uw AS (SELECT DISTINCT w FROM dw),
+      |gp AS (
+      |  SELECT w, 0 AS pos, 0 AS n FROM uw
+      |  UNION ALL
+      |  SELECT w, pos + l, n + 1 FROM (
+      |    SELECT w, pos, n,
+      |           coalesce(list_max(list_filter(
+      |             generate_series(1, least(4, length(w) - pos)),
+      |             l -> map_extract(vm.mp, substr(w, pos + 1, l))[1] IS NOT NULL)),
+      |             1) AS l
+      |    FROM gp, vm WHERE pos < length(w))),
+      |done AS (SELECT w, n FROM gp WHERE pos = length(w)),
+      |wp AS (SELECT doc_id, sum(n) AS n_wp FROM dw JOIN done USING (w) GROUP BY doc_id),
+      |per AS (SELECT lang.lang_pred, len(t.toks) AS words,
+      |               octet_length(encode(t.text)) AS bytes,
+      |               coalesce(wp.n_wp, 0) AS toks
+      |        FROM t JOIN lang USING (doc_id) LEFT JOIN wp USING (doc_id)),
+      |g AS (SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(words) AS BIGINT) AS n_words,
+      |             CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |             CAST(sum(bytes) AS BIGINT) AS n_bytes
+      |      FROM per GROUP BY 1)
+      |SELECT lang_pred, n_docs, n_words, n_tokens, n_bytes,
+      |       CASE WHEN n_words > 0 THEN CAST((n_tokens * 1000000) // n_words AS BIGINT) END AS fertility_q,
+      |       CASE WHEN n_tokens > 0 THEN CAST((n_bytes * 1000000) // n_tokens AS BIGINT) END AS bytes_per_token_q
+      |FROM g""".stripMargin) { (s, dir) =>
+    val uni = stageUnigramModel(s, dir)
+    val model = graft.ext.Unigram.load(s, s"$uni/vocab")
+    TextAnalysis.withLangId(Tables.documents(s, dir), "doc_id", "text",
+        "lang_pred")
+      .select(col("lang_pred"),
+        coalesce(size(TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("__w"),
+        graft.ext.Unigram.greedyTokenCount(col("text"), model)
+          .cast("long").as("__t"),
+        octet_length(col("text")).cast("long").as("__b"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"), sum(col("__b")).as("n_bytes"))
+      .selectExpr("lang_pred", "n_docs", "n_words", "n_tokens", "n_bytes",
+        "CASE WHEN n_words > 0 THEN CAST((n_tokens * 1000000) div n_words AS LONG) END AS fertility_q",
+        "CASE WHEN n_tokens > 0 THEN CAST((n_bytes * 1000000) div n_tokens AS LONG) END AS bytes_per_token_q")
+  }
+
+  /** Per-source perplexity-percentile pruning (the CCNet head/middle
+    * cut): each source keeps its 75% lowest-perplexity docs under the
+    * corpus-trained bigram LM — quantile cut by exact rank on the ×10⁴
+    * integer perplexity grid, so membership hash-matches.
+    */
+  val pplPrune = q("x_ppl_prune",
+    """WITH d AS (SELECT doc_id, source, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS t
+      |           FROM documents),
+      |bg AS (SELECT doc_id, t[i] AS prev, t[i + 1] AS w
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d WHERE len(t) >= 2)),
+      |c2 AS (SELECT prev, w, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY 1, 2),
+      |cp AS (SELECT prev, CAST(count(*) AS DOUBLE) AS cp FROM bg GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT te) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(t) AS te FROM d)),
+      |sc AS (SELECT b.doc_id,
+      |              exp(-avg(ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(cp.cp, 0) + v.v)))) AS ppl
+      |       FROM bg b LEFT JOIN c2 ON b.prev = c2.prev AND b.w = c2.w
+      |       LEFT JOIN cp ON b.prev = cp.prev CROSS JOIN v
+      |       GROUP BY 1),
+      |pq AS (SELECT d.doc_id, d.source,
+      |              CAST(round(sc.ppl * 10000, 0) AS BIGINT) AS ppl_q
+      |       FROM d LEFT JOIN sc USING (doc_id)),
+      |r AS (SELECT *,
+      |             row_number() OVER (PARTITION BY source ORDER BY ppl_q ASC NULLS LAST, doc_id) AS rk,
+      |             count(*) OVER (PARTITION BY source) AS n
+      |      FROM pq)
+      |SELECT doc_id, source, ppl_q,
+      |       rk <= CAST(floor(0.75 * n) AS BIGINT) AS kept
+      |FROM r""".stripMargin) { (s, dir) =>
+    TextAnalysis.perplexityPrune(Tables.documents(s, dir),
+      "doc_id", "text", "source", keepFraction = 0.75)
+  }
+
+  /** The LSH banding planner at the dedup family's own geometry (64
+    * hashes, 0.5 operating threshold): per factorization the S-curve's
+    * quantized false-positive / false-negative masses and the chosen
+    * minimum-error banding — the design-time justification for the
+    * 16×4 production setting, hash-matched against the closed form.
+    */
+  val dedupLshPlan = q("x_dedup_lsh_plan",
+    """WITH cand AS (SELECT b AS bands, 64 // b AS rows_per_band
+      |              FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS b)),
+      |grid AS (SELECT CAST(i AS DOUBLE) / 20 AS s, i * 50000 AS sq
+      |         FROM (SELECT unnest(generate_series(1, 19)) AS i)),
+      |p AS (SELECT bands, rows_per_band, sq,
+      |             CAST(round((1 - power(1 - power(s, rows_per_band), bands)) * 1000000, 0) AS BIGINT) AS pq
+      |      FROM cand, grid),
+      |m AS (SELECT bands, rows_per_band,
+      |             CAST(sum(CASE WHEN sq < 500000 THEN pq ELSE 0 END) AS BIGINT) AS fp_q,
+      |             CAST(sum(CASE WHEN sq >= 500000 THEN 1000000 - pq ELSE 0 END) AS BIGINT) AS fn_q
+      |      FROM p GROUP BY 1, 2)
+      |SELECT bands, rows_per_band, fp_q, fn_q, fp_q + fn_q AS err_q,
+      |       (row_number() OVER (ORDER BY fp_q + fn_q, bands) = 1) AS chosen
+      |FROM m""".stripMargin) { (s, _) =>
+    graft.ext.Dedup.lshPlan(s, numHashes = 64,
+      jaccardThresholdQ = 500000L, gridSteps = 20)
+  }
+
+  /** Margin-based parallel-pair mining (the Artetxe & Schwenk ratio
+    * margin, the LASER/CCMatrix bitext recipe): forward/backward kNN
+    * over the two sides, each pair's cosine normalized by its
+    * neighborhoods' mean, mutual margin-argmax mined. Fully integer
+    * (4dp cosine grid, exact sums, one integer division) so the mined
+    * set AND the margins hash-match the replay.
+    */
+  val mineBitext = q("x_mine_bitext",
+    """WITH xs AS (SELECT vec_id AS xid, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      |            FROM embeddings WHERE vec_id % 2 = 0),
+      |ys AS (SELECT vec_id AS yid, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      |       FROM embeddings WHERE vec_id % 2 = 1),
+      |cs AS MATERIALIZED (
+      |  SELECT xid, yid, round(list_cosine_similarity(xs.v, ys.v), 4) AS c4
+      |  FROM xs, ys),
+      |fk AS MATERIALIZED (
+      |  SELECT xid, yid, CAST(round(c4 * 10000, 0) AS BIGINT) AS cq
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY xid ORDER BY c4 DESC, yid) AS rk FROM cs)
+      |  WHERE rk <= 4),
+      |bk AS MATERIALIZED (
+      |  SELECT xid, yid, CAST(round(c4 * 10000, 0) AS BIGINT) AS cq
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY yid ORDER BY c4 DESC, xid) AS rk FROM cs)
+      |  WHERE rk <= 4),
+      |fa AS (SELECT xid, sum(cq) AS axq, count(*) AS axn FROM fk GROUP BY 1),
+      |ba AS (SELECT yid, sum(cq) AS ayq, count(*) AS ayn FROM bk GROUP BY 1),
+      |fm AS (SELECT fk.xid, fk.yid,
+      |              CAST((cq * 2 * axn * ayn * 1000000) // (axq * ayn + ayq * axn) AS BIGINT) AS margin_q
+      |       FROM fk JOIN fa USING (xid) JOIN ba USING (yid)
+      |       WHERE cq > 0 AND axq * ayn + ayq * axn > 0),
+      |bm AS (SELECT bk.xid, bk.yid,
+      |              CAST((cq * 2 * axn * ayn * 1000000) // (axq * ayn + ayq * axn) AS BIGINT) AS margin_q
+      |       FROM bk JOIN fa USING (xid) JOIN ba USING (yid)
+      |       WHERE cq > 0 AND axq * ayn + ayq * axn > 0),
+      |fb AS (SELECT xid, yid, margin_q
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY xid ORDER BY margin_q DESC, yid) AS r FROM fm)
+      |       WHERE r = 1),
+      |bb AS (SELECT xid, yid
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY yid ORDER BY margin_q DESC, xid) AS r FROM bm)
+      |       WHERE r = 1)
+      |SELECT fb.xid AS x_id, fb.yid AS y_id, fb.margin_q
+      |FROM fb JOIN bb USING (xid, yid)
+      |WHERE fb.margin_q >= 1000000""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    graft.ext.Mining.mineParallelPairs(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, marginThresholdQ = 1000000L)
+  }
+
   /** Corpus-trained bigram-LM perplexity per document (CCNet-style
     * perplexity filtering, one rung above x_text_surprisal's unigram
     * form): add-1 smoothed P(w|prev), ppl = exp(−mean ln P). Counting
@@ -6519,6 +6700,7 @@ object ExtensionQueries {
     textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
     classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval, textAsOf,
     corpusCleanAudit, knnAutotune, streamRecall, qualityCalibrate,
-    textWordpieceCount, knnGraphScale, knnGraphDelta,
+    textWordpieceCount, knnGraphScale, knnGraphDelta, mineBitext,
+    dedupLshPlan, pplPrune, tokenizerFertility,
   )
 }

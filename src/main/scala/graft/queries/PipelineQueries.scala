@@ -266,7 +266,7 @@ object PipelineQueries {
     */
   def stageCorpusAdmit(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_corpusadmit/${Staging.tag(dir)}"
-    val done = new java.io.File(s"$tmp/_DONE_v16_incr_funnel")
+    val done = new java.io.File(s"$tmp/_DONE_v17_stream_shards")
     if (!done.exists()) {
       val tmpDir = new java.io.File(tmp)
       if (tmpDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
@@ -297,6 +297,17 @@ object PipelineQueries {
         seqLen = SeqLen)
       res.admitted.write.mode("overwrite").parquet(s"$tmp/admitted")
       res.packed.write.mode("overwrite").parquet(s"$tmp/packed")
+      // the continuous-delivery last mile: the STREAMED funnel's packed
+      // table lands in the shard set through the changed-shard-only
+      // path — a stale prior generation (the same revocation-shaped
+      // delta the batch fixture uses) brought up to date incrementally,
+      // so x_stream_shard_export pins stream → delta-export end to end
+      val packedStream = s.read.parquet(s"$tmp/packed")
+      graft.ext.ShardExport.export(s,
+        packedStream.filter(col("doc_id") % 7 =!= 3), Shards,
+        s"$tmp/shards_stream")
+      graft.ext.ShardExport.exportIncremental(s, packedStream, Shards,
+        s"$tmp/shards_stream")
       done.createNewFile()
     }
     tmp
@@ -368,6 +379,37 @@ object PipelineQueries {
           col("doc_to"), col("seq_off"))
   }
 
+  /** The continuous-delivery capstone: training shards maintained FROM
+    * THE STREAM — the streamed funnel's packed table (x_stream_pretrain
+    * pins it equal to the batch flagship's) drives the changed-shard-
+    * only re-export over a stale prior generation, and the published
+    * manifest must equal a full export of the batch funnel — so the
+    * oracle is the same full-funnel shard replay x_shard_export uses.
+    * Closes the loop the r15/r16 rounds built piecewise: documents
+    * arrive as micro-batches, training shards update incrementally,
+    * nothing downstream can tell.
+    */
+  val streamShardExport = q("x_stream_shard_export",
+    s"""WITH RECURSIVE
+       |$pretrainCtesSql,
+       |sa AS (
+       |  SELECT *,
+       |         CAST(CAST('0x' || substring(md5('s:' || CAST(seq_id AS VARCHAR)), 1, 15) AS UBIGINT) % $Shards AS INT) AS shard_id,
+       |         md5('o:' || CAST(seq_id AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || ':' || CAST(doc_from AS VARCHAR)) AS order_key
+       |  FROM packed)
+       |SELECT shard_id, count(*) AS n_rows,
+       |       CAST(sum(CAST('0x' || substring(md5(
+       |         CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) || ':' ||
+       |         CAST(doc_from AS VARCHAR) || ':' || CAST(doc_to AS VARCHAR) || ':' ||
+       |         CAST(seq_off AS VARCHAR)), 1, 8) AS UBIGINT)) AS VARCHAR) AS checksum,
+       |       min(order_key) AS min_key, max(order_key) AS max_key
+       |FROM sa GROUP BY 1""".stripMargin) { (s, dir) =>
+    val t = stageCorpusAdmit(s, dir)
+    s.read.parquet(s"$t/shards_stream/_manifest")
+      .select(col("shard_id"), col("n_rows"), col("checksum"),
+        col("min_key"), col("max_key"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelinePretrain, shardExportQ,
-    streamCorpusAdmit, streamPretrain, shardExportIncr)
+    streamCorpusAdmit, streamPretrain, shardExportIncr, streamShardExport)
 }

@@ -204,4 +204,31 @@ class DedupSpec extends SparkSpec {
     rep("b").getAs[Long]("n_docs_effective") shouldBe 1L
     rep("b").getAs[Long]("n_tokens_effective") shouldBe 1L
   }
+
+  test("lshPlan: S-curve masses behave, the chosen banding minimizes total error") {
+    val plan = Dedup.lshPlan(spark, numHashes = 64,
+        jaccardThresholdQ = 500000L, gridSteps = 20)
+      .collect().map(r => r.getAs[Int]("bands") ->
+        ((r.getAs[Long]("fp_q"), r.getAs[Long]("fn_q"),
+          r.getAs[Long]("err_q"), r.getAs[Boolean]("chosen")))).toMap
+    plan.keySet shouldBe Set(1, 2, 4, 8, 16, 32, 64)
+    // monotone extremes: one band of 64 rows is the strictest AND
+    // (lowest FP mass, highest FN); 64 bands of 1 row the loosest OR
+    plan(1)._1 shouldBe plan.values.map(_._1).min
+    plan(1)._2 shouldBe plan.values.map(_._2).max
+    plan(64)._1 shouldBe plan.values.map(_._1).max
+    plan(64)._2 shouldBe plan.values.map(_._2).min
+    // exactly one chosen row, and it carries the minimum total error
+    plan.values.count(_._4) shouldBe 1
+    val chosen = plan.values.find(_._4).get
+    chosen._3 shouldBe plan.values.map(_._3).min
+    // the production 16x4 geometry is the planner's own answer at the
+    // family operating point (the trade study behind the default)
+    plan(16)._4 shouldBe true
+    // guards
+    intercept[IllegalArgumentException] { Dedup.lshPlan(spark, gridSteps = 7) }
+    intercept[IllegalArgumentException] {
+      Dedup.lshPlan(spark, jaccardThresholdQ = 1000000L)
+    }
+  }
 }

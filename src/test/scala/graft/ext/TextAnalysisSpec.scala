@@ -88,4 +88,34 @@ class TextAnalysisSpec extends SparkSpec {
     // frame extraction is a REAL GIF decode now: text bytes drop
     Multimodal.gifFrames(media).collect() shouldBe empty
   }
+
+  test("perplexityPrune: per-source rank cut, ties by id, unscorable docs prune first") {
+    // source A: four docs with sharply different bigram perplexities
+    // (a repeated bigram is cheap, unseen transitions are expensive);
+    // source B: two docs, one unscorable (single token)
+    val docs = Seq(
+      (1L, "A", "x y x y x y x y"),   // all (x,y)/(y,x) bigrams: cheap
+      (2L, "A", "x y x y x y q q"),   // mostly cheap
+      (3L, "A", "p q r s t u v w"),   // every bigram near-unique
+      (4L, "A", "x y x y x y x y"),   // identical to doc 1: tie on ppl
+      (5L, "B", "x y x y"),
+      (6L, "B", "solo")               // < 2 tokens: NULL ppl, prunes first
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.perplexityPrune(docs, "doc_id", "text", "source",
+        keepFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // A keeps floor(0.5*4) = 2: the tied cheap docs 1 and 4 (tie by id)
+    got(1L) shouldBe true
+    got(4L) shouldBe true
+    got(2L) shouldBe false
+    got(3L) shouldBe false
+    // B keeps floor(0.5*2) = 1: the scorable doc; the unscorable prunes
+    got(5L) shouldBe true
+    got(6L) shouldBe false
+    // keepFraction 0 keeps nothing; 1.0 keeps everything
+    TextAnalysis.perplexityPrune(docs, "doc_id", "text", "source", 0.0)
+      .filter(org.apache.spark.sql.functions.col("kept")).count() shouldBe 0L
+    TextAnalysis.perplexityPrune(docs, "doc_id", "text", "source", 1.0)
+      .filter(!org.apache.spark.sql.functions.col("kept")).count() shouldBe 0L
+  }
 }
