@@ -121,6 +121,32 @@ object ScaleProbe {
         Dedup.minhashJoin(d, incoming, "doc_id", "text",
           portable = true).count()
       }
+      // margin-based bitext mining through the persisted IVF legs —
+      // EVERY corpus vector is a query, so the brute cross is n²; the
+      // indexed path with nlist ∝ √n holds the candidate volume at
+      // ~n^1.5·nprobe. Build + serve both inside the timer (the honest
+      // mining cost: the indexes exist only for this operation).
+      time(s"mine_bitext_x$m") {
+        val emb0 = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val emb = (if (m == 1) emb0 else fan(emb0, Seq("vec_id"), m))
+          .localCheckpoint(eager = true)
+        val xs = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .localCheckpoint(eager = true)
+        val ys = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .localCheckpoint(eager = true)
+        val nlist = math.max(16L,
+          math.round(math.sqrt(xs.count().toDouble))).toInt
+        val bd = s"/tmp/graft_scaleprobe_mine/x$m"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bd))
+        graft.ext.AnnIndex.buildIvf(xs, "vec_id", "embedding", s"$bd/x",
+          nlist = nlist, iters = 2)
+        graft.ext.AnnIndex.buildIvf(ys, "vec_id", "embedding", s"$bd/y",
+          nlist = nlist, iters = 2)
+        graft.ext.Mining.mineParallelPairsIvf(spark, s"$bd/x", s"$bd/y",
+          xs, ys, "vec_id", "embedding", k = 4, nprobe = 4,
+          marginThresholdQ = 1000000L).count()
+      }
       // exact triangles over the event projection (compact-forward
       // orientation; v stays a 150-value hub set as volume grows, so
       // this also stresses the orientation's hub defense)

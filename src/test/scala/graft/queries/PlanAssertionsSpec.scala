@@ -619,4 +619,27 @@ class PlanAssertionsSpec extends SparkSpec {
     r.getAs[Boolean]("consistent") shouldBe true
     r.getAs[Long]("base_ids") shouldBe 60L
   }
+
+  test("indexed bitext mining: both kNN legs partition-prune, no cartesian anywhere") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mine_plan").toString
+    def side(off: Long) = (0 until 64).map(i =>
+      (i * 2L + off, Array.tabulate(8)(d => ((i * 7 + d * 3 + off) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (x, y) = (side(0L), side(1L))
+    graft.ext.AnnIndex.buildIvf(x, "vec_id", "embedding", s"$base/x",
+      nlist = 4, iters = 1)
+    graft.ext.AnnIndex.buildIvf(y, "vec_id", "embedding", s"$base/y",
+      nlist = 4, iters = 1)
+    val out = graft.ext.Mining.mineParallelPairsIvf(spark, s"$base/x",
+      s"$base/y", x.filter($"vec_id" < 16), y.filter($"vec_id" < 17),
+      "vec_id", "embedding", k = 3, nprobe = 1, marginThresholdQ = 0L)
+    out.collect()
+    val plan = finalPlan(out).toString
+    // the corpus-sized stored tables are reached ONLY through the
+    // nprobe-pruned scans (the ivfTopK legs); the margin epilogue is
+    // broadcast/equi-join arithmetic over (queries x k) rows
+    (plan should include).regex("PartitionFilters: \\[[^\\]]*__cluster")
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
 }
