@@ -323,8 +323,10 @@ object GraphAnn {
     * subquadratic at ANY store size instead of pinning nlist=16
     * (ADVICE r16: candidate volume would degrade to ~n²/16).
     */
-  private[graft] def autoFoldGeometry(n: Long, foldNlist: Int,
+  private[graft] def autoFoldGeometry(n: => Long, foldNlist: Int,
       foldNprobe: Int): (Int, Int) = {
+    // n is by-name: the live count is a real Spark job, and a caller
+    // pinning BOTH knobs (the gate/spec fixtures) must not pay it
     val nlist =
       if (foldNlist > 0) foldNlist
       else math.max(16L, math.round(math.sqrt(n.toDouble))).toInt

@@ -44,6 +44,16 @@ object Mining {
     */
   private def cosQ(c: Column): Column = round(c * 10000, 0).cast("long")
 
+  /** The kNN legs' `query_id =!= neighbor_id` rule is a SINGLE-corpus
+    * self-match exclusion — across two DISTINCT corpora it would
+    * silently drop exactly the pairs bitext mining exists to find
+    * (aligned corpora are typically both indexed 0..n−1, so the true
+    * pair IS (i, i)). Query-side ids are therefore offset into a
+    * disjoint namespace before every leg and mapped back after; ids
+    * must stay below 2⁶¹ (they share the family's long id contract).
+    */
+  private val IdOffset = 1L << 61
+
   /** The margin + mutual-best epilogue over pre-computed top-k frames
     * (both in the family's (query_id, rank, neighbor_id, cosine)
     * contract; `fwd` ranks X against Y, `bwd` ranks Y against X).
@@ -52,10 +62,15 @@ object Mining {
     */
   private[ext] def minedFromTopK(fwd: DataFrame, bwd: DataFrame,
       marginThresholdQ: Long): DataFrame = {
+    // each leg feeds three consumers (its neighborhood aggregate and
+    // both margin joins) and Spark does not dedupe common subplans —
+    // materialize once so the expensive kNN scans never re-run
     val f = fwd.select(col("query_id").as("x_id"),
       col("neighbor_id").as("y_id"), cosQ(col("cosine")).as("__cq"))
+      .localCheckpoint(eager = true)
     val b = bwd.select(col("query_id").as("y_id"),
       col("neighbor_id").as("x_id"), cosQ(col("cosine")).as("__cq"))
+      .localCheckpoint(eager = true)
     // per-side neighborhood mass: Σ of the side's top-k quantized
     // cosines + the actual neighbor count (≤ k on small corpora) —
     // integer sums, so reduction order cannot move the result
@@ -106,12 +121,33 @@ object Mining {
   def mineParallelPairs(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, k: Int = 4,
       marginThresholdQ: Long = 1050000L): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
+    requireK(k)
     minedFromTopK(
-      Similarity.bruteForceTopK(xs, ys, idCol, vecCol, k),
-      Similarity.bruteForceTopK(ys, xs, idCol, vecCol, k),
+      unshift(Similarity.bruteForceTopK(shift(xs, idCol, vecCol), ys,
+        idCol, vecCol, k)),
+      unshift(Similarity.bruteForceTopK(shift(ys, idCol, vecCol), xs,
+        idCol, vecCol, k)),
       marginThresholdQ)
   }
+
+  /** margin_q's exact integer numerator is cq·2·k²·10⁶ ≤ 2·10¹⁰·k² —
+    * k above ~2·10⁴ would wrap Long silently; no real mining operates
+    * anywhere near that (the literature uses 4–16), so refuse loudly.
+    */
+  private def requireK(k: Int): Unit =
+    require(k > 0 && k <= 10000,
+      s"k must be in [1, 10000] (margin arithmetic is exact there): $k")
+
+  /** Move the query side's ids into the disjoint [[IdOffset]] namespace
+    * so the legs' single-corpus self-match rule cannot fire across the
+    * two corpora; [[unshift]] restores them on the leg's output.
+    */
+  private def shift(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select((qcol(idCol).cast("long") + lit(IdOffset)).as(idCol),
+      qcol(vecCol).as(vecCol))
+
+  private def unshift(topk: DataFrame): DataFrame =
+    topk.withColumn("query_id", col("query_id") - lit(IdOffset))
 
   /** The 100 TB path: each side's kNN leg is the PERSISTED IVF index's
     * nprobe-pruned serving ([[AnnIndex.ivfTopK]] — partition pruning
@@ -126,12 +162,12 @@ object Mining {
       yIndexDir: String, xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, nprobe: Int = 4,
       marginThresholdQ: Long = 1050000L): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
+    requireK(k)
     minedFromTopK(
-      AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, yIndexDir),
-        xs.select(qcol(idCol), qcol(vecCol)), idCol, vecCol, k, nprobe),
-      AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, xIndexDir),
-        ys.select(qcol(idCol), qcol(vecCol)), idCol, vecCol, k, nprobe),
+      unshift(AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, yIndexDir),
+        shift(xs, idCol, vecCol), idCol, vecCol, k, nprobe)),
+      unshift(AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, xIndexDir),
+        shift(ys, idCol, vecCol), idCol, vecCol, k, nprobe)),
       marginThresholdQ)
   }
 }

@@ -174,6 +174,12 @@ object ShardExport {
     // at a production shard count a sequential loop would serialize
     // hundreds of job-latency floors) and touch disjoint directories,
     // so concurrency is safe and the result is identical.
+    // sweep stale stage dirs first: a crash during a PRIOR run's write
+    // phase leaks its nanoTime-suffixed stage (the heal path makes any
+    // earlier stage garbage by construction — the re-run re-stages
+    // everything it needs), and retries must not accumulate copies
+    graft.util.Hfs.list(spark, dst).filter(_.startsWith(".incr-stage-"))
+      .foreach(n => graft.util.Hfs.delete(spark, s"$dst/$n"))
     val stage = s"$dst/.incr-stage-${System.nanoTime()}"
     graft.util.Par.all(8)(changed.toSeq.collect {
       case (sid, change) if change != "deleted" => () =>
@@ -191,9 +197,18 @@ object ShardExport {
     // bytes for the ones that already swapped).
     changed.foreach { case (sid, change) =>
       graft.util.Hfs.delete(spark, s"$dst/shard_id=$sid")
-      if (change != "deleted")
-        graft.util.Hfs.rename(spark, s"$stage/shard_id=$sid",
-          s"$dst/shard_id=$sid")
+      if (change != "deleted") {
+        // a FALSE rename (FileSystem.rename reports, it doesn't throw)
+        // must abort BEFORE the manifest publish: publishing the new
+        // manifest over a lost shard is the one tear the re-run heal
+        // cannot repair (the re-run would diff against the NEW manifest,
+        // find no change, and never rewrite the missing shard)
+        if (!graft.util.Hfs.rename(spark, s"$stage/shard_id=$sid",
+            s"$dst/shard_id=$sid"))
+          throw new IllegalStateException(
+            s"rename of staged shard $sid into $dst failed — aborting " +
+              "before the manifest publish; re-run exportIncremental to heal")
+      }
     }
     graft.util.Hfs.delete(spark, stage)
     m.coalesce(1).write.mode("overwrite").parquet(s"$dst/_manifest")

@@ -664,6 +664,16 @@ object DocStreams {
           // re-trigger compactions (ADVICE r16). New markers land in
           // the current format only — legacy keys are read, never
           // written, so a store converges as its spool turns over.
+          // SCOPE GUARD: legacy keys collide by construction (bare
+          // basenames, lossy sanitization — the holes the hashed format
+          // fixed), so they are honored ONLY for spool files that can
+          // actually date from the legacy era: files no newer than the
+          // newest legacy marker. A file written after the upgrade can
+          // never match a legacy marker legitimately — without the
+          // cutoff, a new b/batch.parquet colliding with the historical
+          // _file_batch.parquet would be PERMANENTLY skipped, the exact
+          // compliance hole the hash closed. Legacy markers are the
+          // ones without the current format's _<md5-8> suffix.
           def legacyMarkersOf(f: String): Seq[String] = {
             val p = new org.apache.hadoop.fs.Path(f).toUri.getPath
             val rel =
@@ -680,10 +690,16 @@ object DocStreams {
                 s"$markerDir/_file_" +
                   org.apache.commons.codec.digest.DigestUtils.md5Hex(p))
           }
+          val legacyCutoff: Long = Hfs.list(spark, markerDir)
+            .filter(_.startsWith("_file_"))
+            .filterNot(_.matches(".*_[0-9a-f]{8}"))
+            .map(n => Hfs.mtime(spark, s"$markerDir/$n"))
+            .foldLeft(Long.MinValue)(math.max)
           val files = batch.select(input_file_name().as("__f"))
             .distinct().collect().map(_.getString(0)).sorted
           val fresh = files.filterNot(f => Hfs.exists(spark, markerOf(f)) ||
-            legacyMarkersOf(f).exists(Hfs.exists(spark, _)))
+            (Hfs.mtime(spark, f) <= legacyCutoff &&
+              legacyMarkersOf(f).exists(Hfs.exists(spark, _))))
           if (fresh.nonEmpty) {
             val ids = spark.read.schema(s"$idCol long").parquet(fresh: _*)
             graft.ext.CascadeDelete.forget(spark, ids, idCol,

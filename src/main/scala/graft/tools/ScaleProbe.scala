@@ -135,8 +135,8 @@ object ScaleProbe {
           .localCheckpoint(eager = true)
         val ys = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
           .localCheckpoint(eager = true)
-        val nlist = math.max(16L,
-          math.round(math.sqrt(xs.count().toDouble))).toInt
+        // the fold's own derivation — one formula, no drift
+        val nlist = graft.ext.GraphAnn.autoFoldGeometry(xs.count(), 0, 0)._1
         val bd = s"/tmp/graft_scaleprobe_mine/x$m"
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bd))
         graft.ext.AnnIndex.buildIvf(xs, "vec_id", "embedding", s"$bd/x",

@@ -55,6 +55,14 @@ object Hfs {
     else f.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Modification time (epoch millis) of a path; Long.MinValue when
+    * absent — callers compare, never arithmetic.
+    */
+  def mtime(spark: SparkSession, path: String): Long = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) Long.MinValue else f.getFileStatus(p).getModificationTime
+  }
+
   /** Recursively list DATA file paths under a table directory, skipping
     * hidden and underscore-prefixed names at every level (the parquet
     * reader's own convention — `_manifest`, `_SUCCESS`, `.staging`

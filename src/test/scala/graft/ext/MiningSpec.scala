@@ -83,9 +83,29 @@ class MiningSpec extends SparkSpec {
     indexed shouldBe brute
   }
 
-  test("guards: non-positive k refuses") {
+  test("overlapping id spaces: the aligned pair (i, i) mines") {
+    // aligned corpora are typically BOTH indexed 0..n-1, so the true
+    // pair IS (i, i) — the kNN legs' single-corpus self-match rule must
+    // not fire across the two corpora (query ids are shifted into a
+    // disjoint namespace internally)
+    val x2 = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val y2 = Seq(
+      (0L, Array(1f, 0.05f, 0f)),
+      (1L, Array(0.05f, 1f, 0f))).toDF("vec_id", "embedding")
+    val mined = Mining.mineParallelPairs(x2, y2, "vec_id", "embedding",
+        k = 2, marginThresholdQ = 0L)
+      .select($"x_id", $"y_id").as[(Long, Long)].collect().toSet
+    mined shouldBe Set((0L, 0L), (1L, 1L))
+  }
+
+  test("guards: out-of-range k refuses") {
     intercept[IllegalArgumentException] {
       Mining.mineParallelPairs(xs, ys, "vec_id", "embedding", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Mining.mineParallelPairs(xs, ys, "vec_id", "embedding", k = 10001)
     }
   }
 }
