@@ -26,5 +26,5 @@ object SparkEntry {
     ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all ++
       EngineQueries.all ++ CoverageQueries.all ++ graft.queries.ScaleQueries.all ++
       graft.queries.AnalyticsQueries.all ++ graft.queries.QualityQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++ graft.queries.RankingQueries.all
 }

@@ -16,19 +16,29 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // fixture staging up front (idempotent) — a staging failure then names
-    // itself instead of surfacing as N cryptic per-query failures
-    try graft.queries.InputPrep.all(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] input prep failed: ${e.getMessage}")
+    // itself instead of surfacing as N cryptic per-query failures.
+    // SPARK_GRAFT_SKIP_PREP=1 skips it for dev runs of fixture-free
+    // queries (unset at the driver)
+    if (!sys.env.get("SPARK_GRAFT_SKIP_PREP").contains("1")) {
+      try graft.queries.InputPrep.all(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] input prep failed: ${e.getMessage}")
+      }
+      // shared ingestion runs up front (idempotent, memoized): a failure
+      // names itself here instead of surfacing in whichever gate reads
+      // the store first
+      try graft.queries.InputPrep.sharedRuns(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] shared runs failed: ${e.getMessage}")
+      }
     }
-    // shared ingestion runs up front (idempotent, memoized): a failure
-    // names itself here instead of surfacing in whichever gate reads
-    // the store first
-    try graft.queries.InputPrep.sharedRuns(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] shared runs failed: ${e.getMessage}")
-    }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump AND the oracle
+    // json to the named queries (unset at the driver — full battery)
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def pick[T](m: Map[String, T]): Map[String, T] =
+      only.fold(m)(f => m.filter { case (k, _) => f(k) })
+    pick(SparkEntry.queries).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -150,7 +160,7 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] pretrain copy failed: ${e.getMessage}")
     }
-    val json = SparkEntry.oracleSql
+    val json = pick(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_ANNIDX__", annIdx)
         .replace("__GRAFT_BPE__", bpeIdx)
         .replace("__GRAFT_UNI__", uniIdx)

@@ -95,6 +95,51 @@ object Eval {
     ): _*)
   }
 
+  /** Exact tie-corrected ROC-AUC per group — the classifier-quality
+    * dashboard row a model-based curation stack watches (is the quality
+    * scorer still separating the classes it gates on?). AUC is the
+    * Mann-Whitney statistic
+    *
+    *   AUC = [ #(pos > neg) + ½·#(pos = neg) ] / (n_pos·n_neg),
+    *
+    * computed integer-exact over the per-group SCORE HISTOGRAM: collapse
+    * to (group, score, n_pos, n_neg) first, then one window over score
+    * levels accumulates the strictly-below negative mass — the doubled
+    * numerator 2·#(>) + #(=) stays an int64 and the final value is ONE
+    * floor division onto the 10⁶ grid. Never ranks corpus rows: the
+    * window runs over distinct score levels (counter-sized), so a 100 TB
+    * score column costs one groupBy, and a group with a single giant
+    * score domain is a histogram problem, not a sort problem.
+    *
+    * Input: (groupCol, scoreCol BIGINT-comparable, labelCol boolean).
+    * Output per group: (group, n_pos, n_neg, auc_q) — auc_q NULL when
+    * the group has no positives or no negatives (AUC undefined; a NULL
+    * row beats a silently dropped group on a monitoring dashboard).
+    */
+  def groupedAuc(scored: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = scored.groupBy(col(groupCol), col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val num = h
+      .withColumn("__below", coalesce(sum(col("__nn")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__below") + col("__nn"))).as("__num2"))
+    // the ×10⁶ shift runs in decimal(38,0): __num2 can reach n_pos·n_neg
+    // (≈ group_rows²/4), so the int64 ceiling would bind at ~4M rows per
+    // group — decimal headroom keeps the same arithmetic exact at corpus
+    // scale; `div` floors back to a BIGINT on the 10⁶ grid
+    num.select(col(groupCol), col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        expr("cast(__num2 as decimal(38,0)) * 1000000 div " +
+          "(2 * cast(n_pos as decimal(38,0)) * n_neg)"))
+        .cast("long").as("auc_q"))
+  }
+
   /** The CASE/arithmetic SQL fragments a generated oracle needs to
     * replay [[rankedEval]]'s metric epilogue bit-for-bit: (dcgExpr over
     * m1..mk columns, idcgExpr over a `rels` column) — the same literal

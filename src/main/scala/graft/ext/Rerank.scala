@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** Greedy diversity selection — the two canonical instances of the
+  * "pick the next item maximizing a submodular-ish objective" pattern a
+  * retrieval/curation stack needs:
+  *
+  *   - [[mmrRerank]]: Maximal Marginal Relevance (Carbonell & Goldstein
+  *     1998) re-ranking of a per-query ANN shortlist — relevance to the
+  *     query traded against redundancy with already-picked results.
+  *     Per-query work is shortlist-bounded, so the operator distributes
+  *     as "every query independently", whatever kNN backend produced the
+  *     shortlist.
+  *   - [[kCenterSelect]]: greedy k-center / farthest-point traversal
+  *     (Gonzalez 1985) over an embedding corpus — the coreset /
+  *     diversity-pruning selection used by data-selection pipelines.
+  *     Inherently k sequential rounds; each round is one embarrassingly
+  *     parallel scan, so at 100 TB the cost is k passes, not k sorts.
+  *
+  * Engine portability: both run entirely on the family's quantized-cosine
+  * integer grid (`round(cos, 4)·10⁴` as BIGINT — [[Mining]]'s grid), the
+  * greedy objectives are small integer linear forms over those grid
+  * values, and every argmax tie-breaks on the id — so the selection
+  * trajectory AND its scores replay bit-for-bit in a second engine
+  * (the x_knn_mmr / x_sample_kcenter gates hash-pin them).
+  */
+object Rerank {
+
+  /** round(c,4)·10⁴ as an exact BIGINT (multiply-then-round — see
+    * [[Mining]] for why rounding the product avoids the rounded-double
+    * representation error).
+    */
+  private def cosQ(c: Column): Column = round(c * 10000, 0).cast("long")
+
+  /** MMR re-rank a kNN shortlist: from each query's top-`shortlist`
+    * candidates (the family's (query_id, rank, neighbor_id, cosine)
+    * contract — brute, IVF, graph, any backend), greedily select `k`
+    * results maximizing
+    *
+    *   mmr = λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * with λ = `lambdaNum`/`lambdaDen` kept as integers, so
+    * mmr_q = lambdaNum·cq(q,d) − (lambdaDen−lambdaNum)·max cq(d,s) is an
+    * exact integer (step 1 has no redundancy term: mmr_q = lambdaNum·cq).
+    * Ties break on the candidate id ascending.
+    *
+    * `corpus` supplies candidate vectors for the pairwise redundancy
+    * sims. Scale shape: the candidate-pair frame is |queries|·L² rows
+    * (L = shortlist depth, a constant), built by one broadcast-friendly
+    * id join into the corpus — per-query bounded, never corpus².
+    * The selection loop is k−1 fixed iterations over counter-sized
+    * frames; the shortlist and pair frames are materialized once
+    * (localCheckpoint) because each feeds every iteration.
+    *
+    * Output: (query_id, step ∈ 1..k, doc_id, mmr_q).
+    */
+  def mmrRerank(
+      shortTopK: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambdaNum: Int = 7,
+      lambdaDen: Int = 10,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"need 0 <= lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
+    val short = shortTopK.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), cosQ(col("cosine")).as("__cq"))
+      .localCheckpoint(eager = true)
+    val vecs = corpus.select(qcol(idCol).cast("long").as("__vid"),
+      qcol(vecCol).as("__v"))
+    // pairwise candidate sims within each query's shortlist: two id joins
+    // pull vectors, one self-join per query group builds the L² pairs
+    val a = short.select(col("query_id"), col("doc_id").as("__aid"))
+      .join(vecs, col("__aid") === col("__vid"))
+      .select(col("query_id"), col("__aid"), col("__v").as("__av"))
+    val b = short.select(col("query_id"), col("doc_id").as("__bid"))
+      .join(vecs, col("__bid") === col("__vid"))
+      .select(col("query_id"), col("__bid"), col("__v").as("__bv"))
+    val pair = a.join(b, Seq("query_id"))
+      .filter(col("__aid") =!= col("__bid"))
+      .select(col("query_id"), col("__aid"), col("__bid"),
+        cosQ(round(Similarity.cosine(col("__av"), col("__bv")), 4)).as("__pq"))
+      .localCheckpoint(eager = true)
+    val rel = lit(lambdaNum.toLong)
+    val red = lit((lambdaDen - lambdaNum).toLong)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr_q").desc, col("doc_id"))
+    // step 1: pure relevance argmax
+    var selected = short
+      .withColumn("mmr_q", rel * col("__cq"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("query_id"), lit(1).as("step"), col("doc_id"), col("mmr_q"))
+    for (step <- 2 to k) {
+      val rem = short.join(
+        selected.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      val mx = pair.join(
+        selected.select(col("query_id"), col("doc_id").as("__bid")),
+        Seq("query_id", "__bid"))
+        .groupBy(col("query_id"), col("__aid"))
+        .agg(max(col("__pq")).as("__maxsel"))
+        .withColumnRenamed("__aid", "doc_id")
+      val pick = rem.join(mx, Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          (rel * col("__cq") - red * col("__maxsel")).as("mmr_q"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("query_id"), lit(step).as("step"), col("doc_id"),
+          col("mmr_q"))
+      // selected stays queries·k rows; checkpoint keeps each iteration's
+      // plan flat instead of k-deep
+      selected = selected.unionByName(pick).localCheckpoint(eager = true)
+    }
+    selected
+  }
+
+  /** Greedy k-center (farthest-point) selection over an embedding corpus:
+    * seed with the minimum id, then k−1 times pick the point FARTHEST
+    * from its nearest already-chosen center, distance being quantized
+    * cosine distance 10⁴ − cq(p, c). The selected ids plus each pick's
+    * selection radius are the coreset and its coverage curve (the radius
+    * is non-increasing; where it plateaus tells you the corpus' intrinsic
+    * diversity — the data-pruning diagnostic).
+    *
+    * Distributed shape: the working frame carries (id, vec, running
+    * min-dist); each round updates the min-dist against ONE new center
+    * (a plan-literal vector — no join, no shuffle), takes the global
+    * argmax with a TakeOrdered (never a single-partition window), and
+    * re-materializes the slim working frame so round i+1 starts from
+    * stored state instead of an i-deep recompute. Driver traffic is
+    * exactly k rows (each pick's id + vector) — bounded by construction.
+    * Ties break on id ascending; already-chosen centers sit at distance
+    * 0 and cannot win while any point is farther.
+    *
+    * Output: (step ∈ 1..k, center_id, sel_dist_q) — sel_dist_q NULL for
+    * the seed (no prior centers to be far from).
+    */
+  def kCenterSelect(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points.select(qcol(idCol).cast("long").as("__pid"),
+      qcol(vecCol).as("__pv"))
+    // the seed: minimum id (deterministic, engine-agnostic)
+    val seed = pts.orderBy(col("__pid")).limit(1)
+      .select(col("__pid"), col("__pv").cast("array<double>")).collect()(0)
+    var centers = List[(Int, Long, Option[Long])]((1, seed.getLong(0), None))
+    def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+    var work = pts.withColumn("__dist",
+      lit(10000L) - cosQ(round(Similarity.cosine(col("__pv"),
+        vecLit(seed.getSeq[Double](1))), 4)))
+      .localCheckpoint(eager = true)
+    for (step <- 2 to k) {
+      val top = work.orderBy(col("__dist").desc, col("__pid"))
+        .limit(1).select(col("__pid"), col("__dist"),
+          col("__pv").cast("array<double>")).collect()(0)
+      centers ::= ((step, top.getLong(0), Some(top.getLong(1))))
+      if (step < k)
+        work = work.withColumn("__dist",
+          least(col("__dist"), lit(10000L) - cosQ(round(Similarity.cosine(
+            col("__pv"), vecLit(top.getSeq[Double](2))), 4))))
+          .localCheckpoint(eager = true)
+    }
+    centers.reverse.toDF("step", "center_id", "sel_dist_q")
+      .select(col("step"), col("center_id"),
+        col("sel_dist_q").cast("long").as("sel_dist_q"))
+  }
+}

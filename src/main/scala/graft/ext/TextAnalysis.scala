@@ -74,6 +74,19 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
+  /** English stopword-density score on the 10⁶ integer grid:
+    * round(stop_hits·10⁶ / n_tokens) as BIGINT, NULL for token-less
+    * documents — the quantized ranking score the grouped-AUC gate
+    * (x_eval_auc) grades for class separation. One tokenize pass,
+    * no shuffle.
+    */
+  def stopwordScoreQ(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      round(hits(t, stopwords("en")).cast("double") * 1000000 / size(t), 0)
+        .cast("long"))
+  }
+
   /** Language-ID: stopword-hit argmax over `stopwords`, alphabetical
     * language-code tie-break, "und" when no list scores ≥ 1 hit.
     *

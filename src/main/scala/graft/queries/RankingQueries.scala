@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Eval, Preference, Rerank, Similarity}
+import graft.streaming.EventStreams
+
+/** Ranking / selection / evaluation wave (round 17): greedy diversity
+  * selection (MMR re-ranking, k-center coresets), pairwise-preference
+  * ranking (Bradley-Terry), exact grouped ROC-AUC, and the stream-stream
+  * interval join. Every gate hash-matches a full DuckDB replay — the
+  * greedy trajectories and MM iterations run on integer grids and are
+  * unrolled step-by-step in the oracle SQL (the x_pagerank precedent).
+  */
+object RankingQueries {
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  private def stageOnce(df: => DataFrame, tmp: String): String = {
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists())
+      df.write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  /** The quantized-cosine fragment both greedy oracles share: DuckDB's
+    * double cosine, rounded onto the family's 4dp grid, shifted to an
+    * exact BIGINT — the replay of `Rerank`'s cosQ(round(cos, 4)).
+    */
+  private def cqSql(a: String, b: String): String =
+    s"CAST(round(round(list_cosine_similarity($a, $b), 4) * 10000, 0) AS BIGINT)"
+
+  /** MMR-diversified top-5 from each query's brute top-12 shortlist
+    * (λ = 7/10 on the integer grid). The oracle replays the shortlist,
+    * the pairwise redundancy sims, and all five greedy steps unrolled —
+    * a wrong argmax at ANY step shifts every later pick and breaks the
+    * hash.
+    */
+  val knnMmr = q("x_knn_mmr", {
+    val steps = (2 to 5).map { i =>
+      val p = i - 1
+      s"""m$i AS (SELECT p.qid, p.aid AS did, max(p.pq) AS mx
+         |      FROM pr p JOIN sel$p s ON s.qid = p.qid AND s.did = p.bid
+         |      GROUP BY 1, 2),
+         |c$i AS (SELECT m.qid, m.did, 7 * sl.cq - 3 * m.mx AS mmr_q
+         |      FROM m$i m JOIN sl ON sl.qid = m.qid AND sl.did = m.did
+         |      LEFT JOIN sel$p x ON x.qid = m.qid AND x.did = m.did
+         |      WHERE x.did IS NULL),
+         |s$i AS (SELECT qid, did, mmr_q
+         |      FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr_q DESC, did) AS rn FROM c$i)
+         |      WHERE rn = 1),
+         |sel$i AS (SELECT qid, did FROM sel$p UNION ALL SELECT qid, did FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to 5).map(i =>
+      s"UNION ALL SELECT qid, $i, did, mmr_q FROM s$i").mkString("\n")
+    s"""WITH pts AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |             FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v FROM pts WHERE vec_id < 4),
+       |cs AS MATERIALIZED (
+       |  SELECT qid, p.vec_id AS did, ${cqSql("q.v", "p.v")} AS cq
+       |  FROM q, pts p WHERE p.vec_id <> q.qid),
+       |sl AS MATERIALIZED (
+       |  SELECT qid, did, cq
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cq DESC, did) AS rk FROM cs)
+       |  WHERE rk <= 12),
+       |pr AS MATERIALIZED (
+       |  SELECT a.qid, a.did AS aid, b.did AS bid, ${cqSql("pa.v", "pb.v")} AS pq
+       |  FROM sl a JOIN sl b ON a.qid = b.qid AND a.did <> b.did
+       |  JOIN pts pa ON pa.vec_id = a.did
+       |  JOIN pts pb ON pb.vec_id = b.did),
+       |s1 AS (SELECT qid, did, 7 * cq AS mmr_q
+       |      FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY 7 * cq DESC, did) AS rn FROM sl)
+       |      WHERE rn = 1),
+       |sel1 AS (SELECT qid, did FROM s1),
+       |$steps
+       |SELECT qid AS query_id, 1 AS step, did AS doc_id, mmr_q FROM s1
+       |$out""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val short = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 4), emb, "vec_id", "embedding", k = 12)
+    Rerank.mmrRerank(short, emb, "vec_id", "embedding", k = 5,
+      lambdaNum = 7, lambdaDen = 10)
+  }
+
+  /** Greedy k-center (farthest-point) coreset of 6 over the embedding
+    * corpus — seed at the minimum id, then five farthest-point picks on
+    * the quantized cosine-distance grid, each pick's selection radius
+    * reported (the coverage curve). All six steps unrolled in the
+    * oracle.
+    */
+  val sampleKcenter = q("x_sample_kcenter", {
+    val steps = (2 to 6).map { i =>
+      val p = i - 1
+      val d = if (i < 6)
+        s""",
+           |d$i AS MATERIALIZED (
+           |  SELECT d.pid, d.v, least(d.dist, 10000 - ${cqSql("d.v", s"c$i.v")}) AS dist
+           |  FROM d$p d, c$i)""".stripMargin
+      else ""
+      s"""c$i AS (SELECT pid, v, dist FROM d$p ORDER BY dist DESC, pid LIMIT 1)$d""" +
+        ""
+    }.mkString(",\n")
+    val out = (2 to 6).map(i =>
+      s"UNION ALL SELECT $i, pid, dist FROM c$i").mkString("\n")
+    s"""WITH pts AS (SELECT vec_id AS pid, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |             FROM embeddings),
+       |c1 AS (SELECT pid, v FROM pts ORDER BY pid LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT p.pid, p.v, 10000 - ${cqSql("p.v", "c1.v")} AS dist
+       |  FROM pts p, c1),
+       |$steps
+       |SELECT 1 AS step, pid AS center_id, CAST(NULL AS BIGINT) AS sel_dist_q FROM c1
+       |$out""".stripMargin
+  }) { (s, dir) =>
+    Rerank.kCenterSelect(Tables.embeddings(s, dir), "vec_id", "embedding", k = 6)
+  }
+
+  /** Exact tie-corrected ROC-AUC per source of the stopword-density
+    * score predicting English — the "is the quality scorer still
+    * separating" dashboard. Integer Mann-Whitney over the per-source
+    * score histogram; groups lacking a class report NULL rather than
+    * dropping.
+    */
+  val evalAuc = q("x_eval_auc",
+    """WITH t AS (SELECT doc_id, source, lang,
+      |             list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS toks
+      |           FROM documents),
+      |sc AS (SELECT source, lang = 'en' AS pos,
+      |         CAST(round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) * 1000000.0 / len(toks), 0) AS BIGINT) AS score_q
+      |       FROM t WHERE len(toks) > 0),
+      |h AS (SELECT source, score_q,
+      |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      |      FROM sc GROUP BY 1, 2),
+      |wnd AS (SELECT *,
+      |          CAST(coalesce(sum(nn) OVER (PARTITION BY source ORDER BY score_q
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+      |        FROM h),
+      |agg AS (SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+      |               CAST(sum(nn) AS BIGINT) AS n_neg,
+      |               CAST(sum(np * (2 * below + nn)) AS BIGINT) AS num2
+      |        FROM wnd GROUP BY 1)
+      |SELECT source, n_pos, n_neg,
+      |       CASE WHEN n_pos > 0 AND n_neg > 0
+      |            THEN CAST((CAST(num2 AS HUGEINT) * 1000000)
+      |                      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+      |       END AS auc_q
+      |FROM agg""".stripMargin) { (s, dir) =>
+    val scored = Tables.documents(s, dir)
+      .withColumn("score_q", graft.ext.TextAnalysis.stopwordScoreQ(col("text")))
+      .filter(col("score_q").isNotNull)
+      .select(col("source"), col("score_q"), (col("lang") === "en").as("pos"))
+    Eval.groupedAuc(scored, "source", "score_q", "pos")
+  }
+
+  /** Bradley-Terry strengths over a deterministic preference-pair log
+    * (consecutive-id doc pairs across sources, longer text wins): the
+    * win matrix is the corpus-sized pass, then three MM iterations on
+    * the 10⁶ weight grid — unrolled in the oracle, floor-for-floor.
+    */
+  val rankBt = q("x_rank_bt", {
+    val iters = (1 to 3).map { t =>
+      val p = if (t == 1) "w0" else s"w${t - 1}"
+      s"""d$t AS (SELECT m.item,
+         |       CAST(sum(m.n_games * 1000000000000 // greatest(wi.w + wj.w, 1)) AS BIGINT) AS dd
+         |     FROM m JOIN $p wi ON wi.item = m.item JOIN $p wj ON wj.item = m.opp
+         |     GROUP BY 1),
+         |r$t AS (SELECT i.item,
+         |       CAST(i.n_wins * 1000000000000 // greatest(d$t.dd, 1) AS BIGINT) AS raw
+         |     FROM items i JOIN d$t ON d$t.item = i.item),
+         |t$t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM r$t),
+         |w$t AS (SELECT item, CAST(raw * 1000000 // greatest(tot, 1) AS BIGINT) AS w
+         |      FROM r$t, t$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       |pr AS (SELECT a.doc_id AS aid, a.source AS asrc, a.n_chars AS ac,
+       |              b.doc_id AS bid, b.source AS bsrc, b.n_chars AS bc
+       |       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |       WHERE a.doc_id % 2 = 0 AND a.source <> b.source),
+       |g AS (SELECT CASE WHEN ac > bc OR (ac = bc AND aid > bid) THEN asrc ELSE bsrc END AS winner,
+       |             CASE WHEN ac > bc OR (ac = bc AND aid > bid) THEN bsrc ELSE asrc END AS loser
+       |      FROM pr),
+       |m AS (SELECT item, opp, CAST(count(*) AS BIGINT) AS n_games,
+       |             CAST(sum(w) AS BIGINT) AS n_wins_vs_opp
+       |      FROM (SELECT winner AS item, loser AS opp, 1 AS w FROM g
+       |            UNION ALL SELECT loser, winner, 0 FROM g)
+       |      GROUP BY 1, 2),
+       |items AS (SELECT item, CAST(sum(n_wins_vs_opp) AS BIGINT) AS n_wins,
+       |                 CAST(sum(n_games) AS BIGINT) AS n_games
+       |          FROM m GROUP BY 1),
+       |ni AS (SELECT count(*) AS n FROM items),
+       |w0 AS (SELECT item, CAST(1000000 // n AS BIGINT) AS w FROM items, ni),
+       |$iters
+       |SELECT i.item, i.n_wins, i.n_games, w3.w AS w_q,
+       |       CAST(row_number() OVER (ORDER BY w3.w DESC, i.item) AS INT) AS rk
+       |FROM items i JOIN w3 ON w3.item = i.item""".stripMargin
+  }) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val a = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("aid"), col("source").as("asrc"),
+        col("n_chars").as("ac"))
+    val b = d.select(col("doc_id").as("bid"), col("source").as("bsrc"),
+      col("n_chars").as("bc"))
+    val pr = a.join(b, col("bid") === col("aid") + 1)
+      .filter(col("asrc") =!= col("bsrc"))
+    val awins = col("ac") > col("bc") ||
+      (col("ac") === col("bc") && col("aid") > col("bid"))
+    val pairs = pr.select(
+      when(awins, col("asrc")).otherwise(col("bsrc")).as("winner"),
+      when(awins, col("bsrc")).otherwise(col("asrc")).as("loser"))
+    Preference.bradleyTerry(pairs, "winner", "loser", iters = 3,
+      gridQ = 1000000L)
+  }
+
+  /** Stream-stream interval join run as a REAL two-stream job (both
+    * sides watermarked file-source streams, range-bounded state): every
+    * click attributed to each same-user view it followed within one
+    * hour. The drained stream must equal the batch join exactly.
+    */
+  val streamStreamJoin = q("x_stream_stream_join",
+    """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+      |       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
+    val tmp = stageOnce(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value")),
+      s"/tmp/graft_stream/${Staging.tag(dir)}")
+    EventStreams.runStreamStreamJoinOnce(s, tmp, "graft_stream_ssjoin")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(knnMmr, sampleKcenter, evalAuc, rankBt, streamStreamJoin)
+}

@@ -115,6 +115,50 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join — the attribution shape ("which click
+    * followed which view, within the window") run as a REAL two-stream
+    * join: both sides are independent file-source streams, each
+    * watermarked, joined on the user key plus the event-time range
+    * constraint `vts < cts <= vts + within`. The range bound plus the
+    * watermarks are what let Spark EVICT join state — without them a
+    * stream-stream join buffers both streams forever, which is the
+    * classic unbounded-state bug this entry point exists to pin down.
+    * Inner join: matches emit as soon as both rows have arrived (no
+    * watermark passage needed to EMIT, only to clean state), so draining
+    * the spool yields exactly the batch join of the same condition —
+    * the x_stream_stream_join gate compares against DuckDB's.
+    *
+    * Output: (view_id, click_id, user_id, gap_us) with the gap in exact
+    * integer microseconds (`unix_micros`, no float truncation seam).
+    */
+  def runStreamStreamJoinOnce(spark: SparkSession, dir: String,
+      queryName: String, within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    StreamConf.withWidth(spark) {
+      def src() = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .parquet(dir)
+      val views = src().filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("vts"),
+          col("user_id"))
+        .withWatermark("vts", watermark)
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("cts"),
+          col("user_id").as("__cuser"))
+        .withWatermark("cts", watermark)
+      val joined = views.join(clicks,
+          col("user_id") === col("__cuser") &&
+            col("cts") > col("vts") &&
+            col("cts") <= col("vts") + expr(s"INTERVAL $within"))
+        .select(col("view_id"), col("click_id"), col("user_id"),
+          (unix_micros(col("cts")) - unix_micros(col("vts"))).as("gap_us"))
+      val q = joined.writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Retrieval-eval harness: metrics match hand computation, zero-relevant
@@ -79,5 +80,44 @@ class EvalSpec extends SparkSpec {
       .toDF("query_id", "doc_id")
     Eval.rankedEval(ranked, qrels, k = 2).head()
       .getAs[Long]("ndcg_q") shouldBe 1000000L
+  }
+
+  private def aucOf(rows: Seq[(String, Long, Boolean)]): Map[String, Row] = {
+    val df = rows.toDF("g", "score_q", "pos")
+    Eval.groupedAuc(df, "g", "score_q", "pos").collect()
+      .map(r => r.getString(0) -> r).toMap
+  }
+
+  test("groupedAuc: separation extremes and the all-ties midpoint") {
+    val out = aucOf(Seq(
+      // g1: perfect separation (every pos above every neg)
+      ("g1", 10L, true), ("g1", 9L, true), ("g1", 2L, false), ("g1", 1L, false),
+      // g2: perfectly reversed
+      ("g2", 1L, true), ("g2", 2L, true), ("g2", 9L, false), ("g2", 10L, false),
+      // g3: one shared score — pure ties
+      ("g3", 5L, true), ("g3", 5L, true), ("g3", 5L, false),
+    ))
+    out("g1").getAs[Long]("auc_q") shouldBe 1000000L
+    out("g2").getAs[Long]("auc_q") shouldBe 0L
+    out("g3").getAs[Long]("auc_q") shouldBe 500000L
+  }
+
+  test("groupedAuc: tie correction is exact (hand-computed case)") {
+    // pos scores {3, 2}, neg scores {2, 1}:
+    // (3>2)+(3>1)+(2>1)=3 strict, (2=2)=1 tie → AUC = (3 + 0.5)/4 = 0.875
+    val out = aucOf(Seq(
+      ("g", 3L, true), ("g", 2L, true), ("g", 2L, false), ("g", 1L, false)))
+    out("g").getAs[Long]("n_pos") shouldBe 2L
+    out("g").getAs[Long]("n_neg") shouldBe 2L
+    out("g").getAs[Long]("auc_q") shouldBe 875000L
+  }
+
+  test("groupedAuc: a one-class group reports NULL, not a dropped row") {
+    val out = aucOf(Seq(
+      ("only_pos", 5L, true), ("only_pos", 6L, true),
+      ("both", 5L, true), ("both", 4L, false)))
+    out.keySet shouldBe Set("only_pos", "both")
+    out("only_pos").isNullAt(out("only_pos").fieldIndex("auc_q")) shouldBe true
+    out("both").getAs[Long]("auc_q") shouldBe 1000000L
   }
 }

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Greedy diversity selection: MMR re-ranking and k-center coresets.
+  * Small geometric fixtures where the right greedy trajectory is
+  * hand-checkable: MMR must demote a near-duplicate of an already-picked
+  * result; k-center must land one center per cluster.
+  */
+class RerankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Query 0 along e1; candidates fan out symmetrically around it:
+    * 10/11 a near-duplicate pair tilted +e2, 12/13 a near-duplicate
+    * pair tilted −e2 (all four ~equally relevant), 14 orthogonal. A
+    * pure relevance top-3 is three of {10, 11, 12, 13}; MMR must take
+    * one from each tilt side, then the orthogonal 14 — a second member
+    * of an already-picked near-dup pair (redundancy ≈ 1, relevance ≈
+    * query's) can never beat it.
+    */
+  private def fixture = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (10L, Array(1.0f, 0.2f, 0.0f, 0.0f)),
+    (11L, Array(1.0f, 0.21f, 0.0f, 0.0f)),
+    (12L, Array(1.0f, -0.2f, 0.0f, 0.0f)),
+    (13L, Array(1.0f, -0.21f, 0.0f, 0.0f)),
+    (14L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+  ).toDF("vec_id", "embedding")
+
+  test("MMR demotes near-duplicates of earlier picks") {
+    val emb = fixture
+    val short = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" === 0L), emb, "vec_id", "embedding", k = 5)
+    val out = Rerank.mmrRerank(short, emb, "vec_id", "embedding", k = 3,
+      lambdaNum = 5, lambdaDen = 10).orderBy("step").collect()
+    out.length shouldBe 3
+    val picks = out.map(_.getAs[Long]("doc_id"))
+    picks(0) shouldBe 10L // relevance tie 10/12 broken by id
+    // step 2: the OTHER tilt side, never 10's near-duplicate
+    Set(12L, 13L) should contain(picks(1))
+    // step 3: both remaining near-duplicates are dominated; the
+    // orthogonal direction wins despite zero relevance
+    picks(2) shouldBe 14L
+    picks should not contain 11L
+  }
+
+  test("λ = 1 reduces MMR to the shortlist order") {
+    val emb = fixture
+    val short = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" === 0L), emb, "vec_id", "embedding", k = 5)
+    val pure = Rerank.mmrRerank(short, emb, "vec_id", "embedding", k = 4,
+      lambdaNum = 10, lambdaDen = 10)
+      .orderBy("step").collect().map(_.getAs[Long]("doc_id"))
+    val ranked = short.orderBy("rank").collect()
+      .map(_.getAs[Long]("neighbor_id")).take(4)
+    pure.toSeq shouldBe ranked.toSeq
+  }
+
+  test("MMR handles several queries independently") {
+    val emb = fixture
+    val short = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" <= 10L), emb, "vec_id", "embedding", k = 4)
+    val out = Rerank.mmrRerank(short, emb, "vec_id", "embedding", k = 2)
+    out.groupBy("query_id").count().collect()
+      .foreach(_.getAs[Long]("count") shouldBe 2L)
+    out.count() shouldBe 4L
+  }
+
+  /** Three tight clusters along the axes; k = 3 must pick one point per
+    * cluster whatever the within-cluster choice.
+    */
+  test("k-center lands one center per cluster, radius non-increasing") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)), (1L, Array(1.0f, 0.02f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.01f)), (3L, Array(0.0f, 1.0f, 0.02f)),
+      (4L, Array(0.01f, 0.0f, 1.0f)), (5L, Array(0.02f, 0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Rerank.kCenterSelect(pts, "vec_id", "embedding", k = 3)
+      .orderBy("step").collect()
+    out.length shouldBe 3
+    out(0).getAs[Long]("center_id") shouldBe 0L // seed = min id
+    out(0).isNullAt(out(0).fieldIndex("sel_dist_q")) shouldBe true
+    val clusters = out.map(r => r.getAs[Long]("center_id") / 2).toSet
+    clusters shouldBe Set(0L, 1L, 2L) // one per cluster
+    val radii = out.drop(1).map(_.getAs[Long]("sel_dist_q"))
+    radii.sliding(2).foreach { case Array(a, b) => b should be <= a }
+  }
+
+  test("k-center is deterministic and never re-picks a center") {
+    val pts = fixture
+    val a = Rerank.kCenterSelect(pts, "vec_id", "embedding", k = 4)
+      .orderBy("step").collect().map(r =>
+        (r.getAs[Int]("step"), r.getAs[Long]("center_id")))
+    val b = Rerank.kCenterSelect(pts, "vec_id", "embedding", k = 4)
+      .orderBy("step").collect().map(r =>
+        (r.getAs[Int]("step"), r.getAs[Long]("center_id")))
+    a.toSeq shouldBe b.toSeq
+    a.map(_._2).distinct.length shouldBe 4
+  }
+}

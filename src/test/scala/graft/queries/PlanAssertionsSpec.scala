@@ -635,11 +635,49 @@ class PlanAssertionsSpec extends SparkSpec {
       "vec_id", "embedding", k = 3, nprobe = 1, marginThresholdQ = 0L)
     out.collect()
     val plan = finalPlan(out).toString
-    // the corpus-sized stored tables are reached ONLY through the
-    // nprobe-pruned scans (the ivfTopK legs); the margin epilogue is
-    // broadcast/equi-join arithmetic over (queries x k) rows
-    (plan should include).regex("PartitionFilters: \\[[^\\]]*__cluster")
+    // the miner materializes each leg once (localCheckpoint — three
+    // consumers), so the mined plan starts at the checkpoint barrier:
+    // the nprobe partition pruning is asserted on the LEG plan (the
+    // identical ivfTopK call the miner issues), the epilogue on the
+    // mined plan
+    val leg = graft.ext.AnnIndex.ivfTopK(spark,
+      graft.ext.AnnIndex.readIvf(spark, s"$base/y"),
+      x.filter($"vec_id" < 16), "vec_id", "embedding", k = 3, nprobe = 1)
+    leg.collect()
+    (finalPlan(leg).toString should include).regex(
+      "PartitionFilters: \\[[^\\]]*__cluster")
     (plan should not).include("CartesianProduct")
     (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("MMR epilogue: per-query windows only, equi-joins only — nothing corpus-shaped") {
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(6)(d => ((i * 5 + d) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val short = graft.ext.Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 3), emb, "vec_id", "embedding", k = 8)
+    val out = graft.ext.Rerank.mmrRerank(short, emb, "vec_id", "embedding", k = 3)
+    out.collect()
+    val plan = finalPlan(out).toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    // every greedy argmax is a per-query window, never a global sort
+    allNodes(finalPlan(out)).collect { case w: WindowExec => w }
+      .foreach(w => w.partitionSpec should not be empty)
+  }
+
+  test("groupedAuc: the ranking window runs over the score HISTOGRAM, key-partitioned") {
+    val df = (1 to 400).map(i =>
+      (s"g${i % 4}", (i % 23).toLong, i % 3 == 0)).toDF("g", "score_q", "pos")
+    val out = graft.ext.Eval.groupedAuc(df, "g", "score_q", "pos")
+    out.collect()
+    val windows = allNodes(finalPlan(out)).collect { case w: WindowExec => w }
+    windows should have size 1
+    // key-partitioned by the group column — no single-partition sort
+    windows.head.partitionSpec should not be empty
+    // the window's input is the aggregated (group, score) histogram,
+    // never corpus rows: an aggregation must sit below it
+    val below = allNodes(windows.head.child).map(_.nodeName)
+    below.exists(_.contains("HashAggregate")) shouldBe true
   }
 }

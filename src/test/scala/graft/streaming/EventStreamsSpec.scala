@@ -322,4 +322,39 @@ class EventStreamsSpec extends SparkSpec {
       out.head.getAs[Long]("n_events") shouldBe 2L
     } finally q.stop()
   }
+
+  test("stream-stream interval join buffers across micro-batches and equals the batch join") {
+    // user 7: view in file 1, its in-window click arrives in file 2 (the
+    // cross-batch buffering case) plus an out-of-window click; user 8:
+    // click BEFORE its view (excluded — strictly-after); user 9: two
+    // views share one click (both pairs emit)
+    val f1 = Seq(
+      EventStreams.Event(1L, ts("2024-01-01 00:00:00.000123"), 7L, "view", 0.0),
+      EventStreams.Event(10L, ts("2024-01-01 01:00:00"), 8L, "click", 0.0),
+      EventStreams.Event(20L, ts("2024-01-01 02:00:00"), 9L, "view", 0.0))
+    val f2 = Seq(
+      EventStreams.Event(2L, ts("2024-01-01 00:40:00"), 7L, "click", 0.0), // in window
+      EventStreams.Event(3L, ts("2024-01-01 01:30:00"), 7L, "click", 0.0), // past 1h: out
+      EventStreams.Event(11L, ts("2024-01-01 01:10:00"), 8L, "view", 0.0), // click precedes
+      EventStreams.Event(21L, ts("2024-01-01 02:20:00"), 9L, "view", 0.0),
+      EventStreams.Event(22L, ts("2024-01-01 02:30:00"), 9L, "click", 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_spool").toString
+    Seq(f1, f2).zipWithIndex.foreach { case (evs, i) =>
+      val stage = s"$dir/.stage_$i"
+      evs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(dir, f"spool_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      tgt.setLastModified(1600000000000L + i * 60000L)
+    }
+    val got = EventStreams.runStreamStreamJoinOnce(spark, dir, "ssj_spec")
+      .orderBy("view_id", "click_id").collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("gap_us"))).toSeq
+    got shouldBe Seq(
+      (1L, 2L, 7L, 2399999877L), // cross-batch pair, micros exact
+      (20L, 22L, 9L, 1800000000L),
+      (21L, 22L, 9L, 600000000L))
+  }
 }
