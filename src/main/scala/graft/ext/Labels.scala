@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.qcol
+
+/** Label aggregation over redundant annotations — the step between raw
+  * crowd/model judgments and a training label: several annotators label
+  * each item; the pipeline must resolve disagreements AND discount
+  * unreliable annotators. [[weightedMajority]] is the standard one-round
+  * reliability reweight (the first EM step of Dawid & Skene 1979):
+  *
+  *   1. majority vote per item (ties: label ascending);
+  *   2. each annotator's reliability = agreement rate with the majority,
+  *      on the 10⁶ integer grid (floor);
+  *   3. re-vote with each ballot weighted by its annotator's
+  *      reliability (ties: label ascending again).
+  *
+  * Everything is counting, integer floors and deterministic argmaxes,
+  * so both rounds replay exactly in a second engine (the x_label_wmv
+  * gate hash-pins items, votes, both winning labels and the winning
+  * weight mass).
+  *
+  * Scale shape: three groupBys over the annotation log (item-label
+  * counts, annotator agreement, weighted item-label mass) and two
+  * item-keyed windows — per-item and per-annotator state is
+  * counter-sized; nothing is ever collected or globally sorted.
+  */
+object Labels {
+
+  def weightedMajority(
+      annotations: DataFrame,
+      itemCol: String,
+      annotatorCol: String,
+      labelCol: String,
+  ): DataFrame = {
+    val ann = annotations.select(qcol(itemCol).as("item"),
+      qcol(annotatorCol).as("annotator"), qcol(labelCol).as("label"))
+    // round 1: plain majority (count desc, label asc)
+    val byLabel = Window.partitionBy(col("item"))
+      .orderBy(col("n").desc, col("label"))
+    val mv = ann.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__r", row_number().over(byLabel)).filter(col("__r") === 1)
+      .select(col("item"), col("label").as("mv_label"), col("n").as("mv_votes"))
+    // annotator reliability: floor(agree·10⁶ / ballots)
+    val agree = ann.join(mv.select(col("item"), col("mv_label")), Seq("item"))
+      .groupBy(col("annotator"))
+      .agg(sum(when(col("label") === col("mv_label"), 1L).otherwise(0L))
+        .as("__agree"), count(lit(1)).as("__n"))
+      .select(col("annotator"),
+        expr("__agree * 1000000 div __n").as("__acc_q"))
+    // round 2: reliability-weighted vote (weight desc, label asc)
+    val byWeight = Window.partitionBy(col("item"))
+      .orderBy(col("w").desc, col("label"))
+    val wmv = ann.join(agree, Seq("annotator"))
+      .groupBy(col("item"), col("label"))
+      .agg(sum(col("__acc_q")).as("w"))
+      .withColumn("__r", row_number().over(byWeight)).filter(col("__r") === 1)
+      .select(col("item"), col("label").as("wmv_label"),
+        col("w").as("wmv_weight_q"))
+    val votes = ann.groupBy(col("item")).agg(count(lit(1)).as("n_votes"))
+    votes.join(mv, Seq("item")).join(wmv, Seq("item"))
+      .select(col("item"), col("n_votes"), col("mv_label"), col("mv_votes"),
+        col("wmv_label"), col("wmv_weight_q"),
+        (col("wmv_label") =!= col("mv_label")).as("flipped"))
+  }
+}

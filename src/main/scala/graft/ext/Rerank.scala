@@ -176,4 +176,45 @@ object Rerank {
       .select(col("step"), col("center_id"),
         col("sel_dist_q").cast("long").as("sel_dist_q"))
   }
+
+  /** The coreset's coverage report: run [[kCenterSelect]], then assign
+    * EVERY point to its nearest center — tie-break (dist, center_id)
+    * lexicographic — and report per center its population, worst-case
+    * radius and summed distance (the inertia-style diagnostic a
+    * diversity-pruning pipeline sizes its strata with).
+    *
+    * Scale shape: the assignment is ONE narrow pass — the k center
+    * vectors are plan literals (k·dim doubles, driver-bounded by
+    * construction) and the per-point argmin is a `least` over k
+    * (dist, id) structs, so no explode, no per-point window, no n·k
+    * shuffle; the only exchange is the final k-row groupBy.
+    */
+  def kCenterAssign(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+  ): DataFrame = {
+    val sel = kCenterSelect(points, idCol, vecCol, k)
+    val pts = points.select(qcol(idCol).cast("long").as("__pid"),
+      qcol(vecCol).as("__pv"))
+    // k center vectors back from their ids — a k-row collect
+    val centers = sel.select(col("center_id"))
+      .join(pts, col("center_id") === col("__pid"))
+      .select(col("center_id"), col("__pv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+    val best = least(centers.map { case (cid, v) =>
+      struct(
+        (lit(10000L) - cosQ(round(Similarity.cosine(col("__pv"), vecLit(v)), 4)))
+          .as("d"),
+        lit(cid).as("c"))
+    }: _*)
+    pts.select(best.getField("d").as("__d"), best.getField("c").as("__c"))
+      .groupBy(col("__c").as("center_id"))
+      .agg(count(lit(1)).as("n_points"), max(col("__d")).as("max_dist_q"),
+        sum(col("__d")).as("sum_dist_q"))
+  }
 }

@@ -117,6 +117,80 @@ object RankingQueries {
     Rerank.kCenterSelect(Tables.embeddings(s, dir), "vec_id", "embedding", k = 6)
   }
 
+  /** The coreset's coverage report: every embedding assigned to its
+    * nearest of the 6 k-center picks ((dist, center_id) tie-break),
+    * per-center population / worst radius / summed distance. The oracle
+    * re-derives the full selection chain, then replays the assignment
+    * as an explicit argmin — the engine's single-pass `least`-of-structs
+    * must agree point for point.
+    */
+  val sampleKcenterAssign = q("x_sample_kcenter_assign", {
+    val steps = (2 to 6).map { i =>
+      val p = i - 1
+      val d = if (i < 6)
+        s""",
+           |d$i AS MATERIALIZED (
+           |  SELECT d.pid, d.v, least(d.dist, 10000 - ${cqSql("d.v", s"c$i.v")}) AS dist
+           |  FROM d$p d, c$i)""".stripMargin
+      else ""
+      s"""c$i AS (SELECT pid, v, dist FROM d$p ORDER BY dist DESC, pid LIMIT 1)$d"""
+    }.mkString(",\n")
+    val cents = (1 to 6).map(i => s"SELECT pid AS cid, v FROM c$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pts AS (SELECT vec_id AS pid, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |             FROM embeddings),
+       |c1 AS (SELECT pid, v FROM pts ORDER BY pid LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT p.pid, p.v, 10000 - ${cqSql("p.v", "c1.v")} AS dist
+       |  FROM pts p, c1),
+       |$steps,
+       |cents AS ($cents),
+       |asg AS (SELECT p.pid, c.cid, 10000 - ${cqSql("p.v", "c.v")} AS dist
+       |        FROM pts p, cents c),
+       |best AS (SELECT pid, cid, dist
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY dist, cid) AS rn FROM asg)
+       |         WHERE rn = 1)
+       |SELECT cid AS center_id, CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(max(dist) AS BIGINT) AS max_dist_q,
+       |       CAST(sum(dist) AS BIGINT) AS sum_dist_q
+       |FROM best GROUP BY 1""".stripMargin
+  }) { (s, dir) =>
+    Rerank.kCenterAssign(Tables.embeddings(s, dir), "vec_id", "embedding", k = 6)
+  }
+
+  /** Reliability-weighted majority vote (the one-round Dawid-Skene
+    * reweight) over a deterministic annotation log derived from events:
+    * majority → annotator agreement rate on the 10⁶ grid → weighted
+    * re-vote, both winners tie-broken on the label. The `flipped` column
+    * marks items the reweight overturned.
+    */
+  val labelWmv = q("x_label_wmv",
+    """WITH ann AS (SELECT event_id % 300 AS item, user_id AS annotator,
+      |                    event_type AS label
+      |             FROM events),
+      |mv AS (SELECT item, label AS mv_label, n AS mv_votes FROM (
+      |         SELECT item, label, CAST(count(*) AS BIGINT) AS n,
+      |                row_number() OVER (PARTITION BY item ORDER BY count(*) DESC, label) AS r
+      |         FROM ann GROUP BY item, label) WHERE r = 1),
+      |acc AS (SELECT annotator,
+      |               CAST(sum(CASE WHEN label = mv_label THEN 1 ELSE 0 END) * 1000000
+      |                    // count(*) AS BIGINT) AS acc_q
+      |        FROM ann JOIN mv USING (item) GROUP BY 1),
+      |wmv AS (SELECT item, label AS wmv_label, w AS wmv_weight_q FROM (
+      |          SELECT item, label, CAST(sum(acc_q) AS BIGINT) AS w,
+      |                 row_number() OVER (PARTITION BY item ORDER BY sum(acc_q) DESC, label) AS r
+      |          FROM ann JOIN acc USING (annotator) GROUP BY item, label) WHERE r = 1),
+      |v AS (SELECT item, CAST(count(*) AS BIGINT) AS n_votes FROM ann GROUP BY 1)
+      |SELECT v.item, v.n_votes, mv.mv_label, mv.mv_votes,
+      |       wmv.wmv_label, wmv.wmv_weight_q,
+      |       wmv.wmv_label <> mv.mv_label AS flipped
+      |FROM v JOIN mv USING (item) JOIN wmv USING (item)""".stripMargin) { (s, dir) =>
+    val ann = Tables.events(s, dir).select(
+      (col("event_id") % 300).as("item"), col("user_id").as("annotator"),
+      col("event_type").as("label"))
+    graft.ext.Labels.weightedMajority(ann, "item", "annotator", "label")
+  }
+
   /** Exact tie-corrected ROC-AUC per source of the stopword-density
     * score predicting English — the "is the quality scorer still
     * separating" dashboard. Integer Mann-Whitney over the per-source
@@ -235,5 +309,6 @@ object RankingQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(knnMmr, sampleKcenter, evalAuc, rankBt, streamStreamJoin)
+    Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
+      labelWmv, streamStreamJoin)
 }

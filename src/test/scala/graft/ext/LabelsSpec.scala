@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Reliability-weighted majority vote: the reweight must overturn a raw
+  * majority exactly when the dissenters are the reliable annotators, and
+  * every quantity must be the hand-computable integer.
+  */
+class LabelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the reweight overturns a majority of unreliable annotators") {
+    // on items 1-4 annotators a/b form the majority ("good" wins 2:1:1:1
+    // — c/d/e scatter across three labels); on item 9 c/d/e converge and
+    // outvote a/b 3:2. Reliabilities after round 1: a/b agree on 4 of 5
+    // items (800000), c/d/e on 1 of 5 (200000) — so the weighted revote
+    // flips item 9 back: 2·800000 > 3·200000.
+    val votes = (1L to 4L).flatMap { i =>
+      Seq((i, "a", "good"), (i, "b", "good"), (i, "c", "bad1"),
+        (i, "d", "bad2"), (i, "e", "bad3"))
+    } ++ Seq((9L, "a", "good"), (9L, "b", "good"), (9L, "c", "bad"),
+      (9L, "d", "bad"), (9L, "e", "bad"))
+    val out = Labels.weightedMajority(votes.toDF("item", "annotator", "label"),
+      "item", "annotator", "label")
+      .collect().map(r => r.getAs[Long]("item") -> r).toMap
+    // items 1-4: majority and weighted majority agree
+    (1L to 4L).foreach { i =>
+      out(i).getAs[String]("mv_label") shouldBe "good"
+      out(i).getAs[String]("wmv_label") shouldBe "good"
+      out(i).getAs[Boolean]("flipped") shouldBe false
+    }
+    // item 9: raw majority is the unreliable trio's "bad"...
+    out(9L).getAs[String]("mv_label") shouldBe "bad"
+    out(9L).getAs[Long]("mv_votes") shouldBe 3L
+    // ...but a/b carry reliability 10⁶ each (5/5 agreement incl. item 9?
+    // no: a/b DISAGREE with item 9's majority → 4/5 = 800000 each =
+    // 1600000) vs c/d/e at 1/5 = 200000 each = 600000 → flips to "good"
+    out(9L).getAs[String]("wmv_label") shouldBe "good"
+    out(9L).getAs[Long]("wmv_weight_q") shouldBe 1600000L
+    out(9L).getAs[Boolean]("flipped") shouldBe true
+  }
+
+  test("majority ties break on the label, both rounds") {
+    val votes = Seq((1L, "a", "x"), (1L, "b", "y"))
+      .toDF("item", "annotator", "label")
+    val r = Labels.weightedMajority(votes, "item", "annotator", "label").head()
+    r.getAs[String]("mv_label") shouldBe "x"
+    // both annotators grade 1/1 against a tie-broken majority they split
+    // on: a agrees (10⁶), b disagrees (0) → weighted revote keeps x
+    r.getAs[String]("wmv_label") shouldBe "x"
+    r.getAs[Long]("n_votes") shouldBe 2L
+  }
+}

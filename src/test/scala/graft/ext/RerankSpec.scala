@@ -87,6 +87,45 @@ class RerankSpec extends SparkSpec {
     radii.sliding(2).foreach { case Array(a, b) => b should be <= a }
   }
 
+  test("MMR over the IVF-served shortlist equals MMR over brute at full probe") {
+    val emb = (0 until 48).map { i =>
+      (i.toLong, Array.tabulate(6)(j =>
+        (math.sin(i * 7 + j * 3).toFloat + (if (j == i % 6) 2f else 0f))))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr_ivf").toFile
+    dir.delete()
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dir.getAbsolutePath,
+      nlist = 4, iters = 2)
+    val qs = emb.filter($"vec_id" < 3)
+    val brute = Rerank.mmrRerank(
+      Similarity.bruteForceTopK(qs, emb, "vec_id", "embedding", k = 8),
+      emb, "vec_id", "embedding", k = 4).collect().toSet
+    val served = Rerank.mmrRerank(
+      AnnIndex.ivfTopK(spark, AnnIndex.readIvf(spark, dir.getAbsolutePath),
+        qs, "vec_id", "embedding", k = 8, nprobe = 4),
+      emb, "vec_id", "embedding", k = 4).collect().toSet
+    brute should not be empty
+    served shouldBe brute
+  }
+
+  test("kCenterAssign covers the corpus and keeps clusters tight") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)), (1L, Array(1.0f, 0.02f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.01f)), (3L, Array(0.0f, 1.0f, 0.02f)),
+      (4L, Array(0.01f, 0.0f, 1.0f)), (5L, Array(0.02f, 0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Rerank.kCenterAssign(pts, "vec_id", "embedding", k = 3)
+      .collect()
+    out.length shouldBe 3 // every center claims at least itself
+    out.map(_.getAs[Long]("n_points")).sum shouldBe 6L // full coverage
+    // cluster mates sit within quantization distance of their center;
+    // cross-cluster distance is ~10000 — a wrong assignment explodes max
+    out.foreach(_.getAs[Long]("max_dist_q") should be <= 100L)
+    out.foreach(r =>
+      r.getAs[Long]("sum_dist_q") should be <= r.getAs[Long]("max_dist_q") *
+        r.getAs[Long]("n_points"))
+  }
+
   test("k-center is deterministic and never re-picks a center") {
     val pts = fixture
     val a = Rerank.kCenterSelect(pts, "vec_id", "embedding", k = 4)
