@@ -113,10 +113,24 @@ object GraphAnn {
       /** Already-trained coarse centroids — the [[AnnIndex.buildIvf]]
         * `coarseIn` discipline (one training fanned into every layout
         * that shares it). */
-      coarseIn: Option[DataFrame] = None): Unit = {
+      coarseIn: Option[DataFrame] = None,
+      /** Vamana's diversity prune (RobustPrune), on a ×1000 integer
+        * grid: 0 = off (plain top-`degree` edges); e.g. 1200 = α 1.2.
+        * When on, each node's edges are the greedy α-diverse subset of
+        * its top-3·degree candidates — a candidate is dominated when an
+        * already-kept neighbor s sits much closer to it than the node
+        * does (α·d(s,c) ≤ d(node,c)), so near-collinear short edges
+        * collapse into one and the freed slots hold LONG edges toward
+        * other regions. Long edges are what cut beam hops at fixed
+        * recall (the DiskANN result); [[topK]] is unchanged — diversity
+        * is a property of the stored adjacency.
+        */
+      alphaQ: Int = 0): Unit = {
     require(degree > 0, s"degree must be positive: $degree")
     require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
       s"need 0 < nprobe ($nprobe) <= nlist ($nlist)")
+    require(alphaQ == 0 || alphaQ >= 1000,
+      s"alphaQ is ×1000 (α ≥ 1; 0 = off): $alphaQ")
     val spark = corpus.sparkSession
     val c = corpus.select(qcol(idCol).cast("long").as("__id"),
         qcol(vecCol).as("__vec"))
@@ -133,11 +147,29 @@ object GraphAnn {
       .select(col("__cluster"), col("__id").as("__nid"),
         col("__vec").as("__nv"))
       .localCheckpoint(eager = true) // edge candidates + entries share it
-    Similarity.topKPerQuery(
-      ivfCandidateEdges(c, members, coarse, nprobe), "__s", "__nid", degree)
-      .groupBy(col("query_id").as("__id"))
-      .agg(array_sort(collect_set(col("__nid"))).as("__nbrs"))
-      .write.mode("overwrite").parquet(s"$dir/adjacency")
+    val adjacency =
+      if (alphaQ == 0)
+        Similarity.topKPerQuery(
+          ivfCandidateEdges(c, members, coarse, nprobe), "__s", "__nid", degree)
+          .groupBy(col("query_id").as("__id"))
+          .agg(array_sort(collect_set(col("__nid"))).as("__nbrs"))
+      else {
+        // α prune wants CHOICE: pool 3·degree candidates, keep ≤ degree
+        // diverse ones. Per-node work is pool²·dim (bounded constants);
+        // the shuffle is the same degree-cut groupBy, just 3× the rows
+        val pool = Similarity.topKPerQuery(
+          ivfCandidateEdges(c, members, coarse, nprobe), "__s", "__nid",
+          degree * 3)
+        pool
+          .join(members.select(col("__nid"), col("__nv")), Seq("__nid"))
+          .groupBy(col("query_id").as("__id"))
+          .agg(collect_list(struct(col("rank"), col("__nid"),
+            col("__s").as("__cq"), col("__nv"))).as("__cands"))
+          .select(col("__id"),
+            robustPruneUdf(lit(degree), lit(alphaQ), col("__cands"))
+              .as("__nbrs"))
+      }
+    adjacency.write.mode("overwrite").parquet(s"$dir/adjacency")
     // one entry per coarse cluster: the member nearest its own centroid
     // (rounded-cosine DESC, min id — the family's ranking discipline);
     // ≤ nlist rows by construction
@@ -153,6 +185,69 @@ object GraphAnn {
       .select(col("__nid").as("entry"), lit(degree).as("degree"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
   }
+
+  /** One node's greedy RobustPrune (Vamana/DiskANN): walk the candidate
+    * pool in serving-rank order (cosine DESC, id — already deterministic
+    * from topKPerQuery); keep a candidate unless an already-kept
+    * neighbor DOMINATES it — α·d(kept, cand) ≤ d(node, cand) on the
+    * quantized cosine-distance grid (d = 10⁴ − round(cos,4)·10⁴) — and
+    * stop at `degree`. Near-collinear short edges collapse into their
+    * first representative; the freed slots fall to farther, diverse
+    * candidates (the long edges that cut beam hops). Driver-free and
+    * bounded: the pool is ≤ 3·degree rows, pairwise work ≤ pool²·dim
+    * per node, inside one UDF call per adjacency row. Build-side only —
+    * the gate oracles replay the SERVE from the stored adjacency, so
+    * the prune needs determinism, not SQL expressibility.
+    */
+  private[ext] def robustPrune(degree: Int, alphaQ: Int,
+      cands: Seq[(Int, Long, Double, Seq[Double])]): Array[Long] = {
+    val ordered = cands.sortBy(_._1)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    val it = ordered.iterator
+    while (kept.size < degree && it.hasNext) {
+      val (_, nid, cq, v) = it.next()
+      val dPC = 10000L - math.round(cq * 10000)
+      val dominated = kept.exists { case (_, kv) =>
+        val dSC = 10000L - quant4(cosD(kv, v))
+        alphaQ * dSC <= 1000L * dPC
+      }
+      if (!dominated) kept += ((nid, v))
+    }
+    kept.map(_._1).sorted.toArray
+  }
+
+  /** round(cos, 4)·10⁴ as a long — the family grid, HALF_UP like the
+    * Column-side `round`.
+    */
+  private def quant4(c: Double): Long =
+    BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.movePointRight(4).longValue
+
+  /** Single-pass double cosine — the same fold [[graft.plans.CosineSimilarity]]
+    * runs, for the build-side pairwise prune tests.
+    */
+  private def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  private def toDoubles(v: Seq[Any]): Seq[Double] = v.map {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case x: Number => x.doubleValue()
+  }
+
+  private val robustPruneUdf = udf(
+    (degree: Int, alphaQ: Int, cands: Seq[org.apache.spark.sql.Row]) =>
+      robustPrune(degree, alphaQ, cands.map(r => (
+        r.getAs[Int]("rank"), r.getAs[Long]("__nid"),
+        r.getAs[Double]("__cq"), toDoubles(r.getSeq[Any](r.fieldIndex("__nv")))))))
 
   /** [[buildFromIvf]]'s candidate-edge stage, exposed for the plan
     * assertion: each node probes its nprobe nearest centroids

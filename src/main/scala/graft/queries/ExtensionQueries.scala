@@ -57,7 +57,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v16c_graphdelta")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v17a_graphalpha")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -183,6 +183,14 @@ object ExtensionQueries {
       "graphivf" -> (() => graft.ext.GraphAnn.buildFromIvf(emb, "vec_id",
         "embedding", s"$tmp/graphivf", degree = 10, nlist = 16, nprobe = 6,
         coarseIn = Some(coarse))),
+      // graph with α-pruned (RobustPrune) edges: same IVF candidate
+      // machinery, but each node keeps the greedy α-diverse subset of a
+      // 3·degree pool — short collinear edges collapse, long edges
+      // appear; x_knn_graph_alpha replays the beam over it at the same
+      // shallow 3-hop point
+      "graphalpha" -> (() => graft.ext.GraphAnn.buildFromIvf(emb, "vec_id",
+        "embedding", s"$tmp/graphalpha", degree = 10, nlist = 16,
+        nprobe = 6, coarseIn = Some(coarse), alphaQ = 1200)),
       // graph with a FRESH REGION: built on 15/16ths of the corpus,
       // the held-out slice appended as the delta — x_knn_graph_delta
       // replays beam + exact delta scoring from the stored tables
@@ -4895,6 +4903,31 @@ object ExtensionQueries {
       "vec_id", "embedding", 5, beamWidth = 16, hops = 3)
   }
 
+  /** The graph layout with Vamana α-pruned (RobustPrune) edges
+    * ([[graft.ext.GraphAnn.buildFromIvf]] alphaQ = 1200): each node's
+    * adjacency is the greedy α-diverse subset of a 3·degree candidate
+    * pool, so near-collinear short edges collapse into one and the
+    * freed slots hold LONG edges toward other regions — DiskANN's
+    * hop-cutting mechanism, the piece the exact build's decision record
+    * deliberately omitted and priced. The layout contract again means
+    * no new oracle machinery: the same beam replay over the stored
+    * (differently-wired) tables hash-pins the trajectory at the shallow
+    * 3-hop operating point. GraphAnnSpec pins the wiring semantics
+    * (domination, long-edge promotion, α=∞ degeneration to top-degree);
+    * SURVEY §20 records the measured recall-per-hop effect.
+    */
+  val knnGraphAlpha = q("x_knn_graph_alpha",
+    s"""WITH ${graphBeamCtesSql("ga", "vec_id < 8", 3, 16, "graphalpha")}
+       |SELECT qid AS query_id, rn AS rank, nid AS neighbor_id, s AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+       |      FROM gab3 WHERE qid <> nid) WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    graft.ext.GraphAnn.topK(s, s"$idx/graphalpha",
+      Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 5, beamWidth = 16, hops = 3)
+  }
+
   /** Incremental insert on the graph layout
     * ([[graft.ext.GraphAnn.append]] — the FreshDiskANN fresh-region
     * split): rows appended after the build serve IMMEDIATELY, scored
@@ -6700,7 +6733,8 @@ object ExtensionQueries {
     textChunksUnigram, packSequencesUnigram, storeHealth, maintenanceSweep,
     classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval, textAsOf,
     corpusCleanAudit, knnAutotune, streamRecall, qualityCalibrate,
-    textWordpieceCount, knnGraphScale, knnGraphDelta, mineBitext,
+    textWordpieceCount, knnGraphScale, knnGraphDelta, knnGraphAlpha,
+    mineBitext,
     dedupLshPlan, pplPrune, tokenizerFertility,
   )
 }

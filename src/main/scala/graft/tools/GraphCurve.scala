@@ -49,6 +49,13 @@ object GraphCurve {
       report(s"graphivf_beam${l}_hops$h")(GraphAnn.topK(spark,
         s"$idx/graphivf", queries, "vec_id", "embedding", 5,
         beamWidth = l, hops = h))
+    // the α-pruned wiring (RobustPrune 1.2 over a 3·degree pool): long
+    // edges should buy recall-per-hop over the plain IVF-built graph
+    for ((l, h) <- Seq((8, 1), (8, 2), (8, 3), (16, 1), (16, 2), (16, 3),
+        (16, 6)))
+      report(s"graphalpha_beam${l}_hops$h")(GraphAnn.topK(spark,
+        s"$idx/graphalpha", queries, "vec_id", "embedding", 5,
+        beamWidth = l, hops = h))
     report("ivf_nprobe4")(AnnIndex.ivfTopK(spark,
       AnnIndex.readIvf(spark, s"$idx/ivf"),
       queries, "vec_id", "embedding", 5, nprobe = 4))

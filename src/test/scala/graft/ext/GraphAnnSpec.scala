@@ -168,6 +168,55 @@ class GraphAnnSpec extends SparkSpec {
     after shouldBe entries.map(_._1).toSet - deadEntry
   }
 
+  test("robustPrune: α-domination collapses collinear edges, promotes the long one") {
+    // node ≈ e1. A (rank 1) near e1; B nearly collinear with A —
+    // dominated at any α ≥ 1; C the 45° long edge — d(A,C) ≈ 2618 vs
+    // d(node,C) = 2929, so α = 1.2 keeps it (3141 > 2929) while α = 1.0
+    // prunes it (2618 ≤ 2929): the knob's whole point in one triple
+    val a = Seq(1.0, 0.045, 0.0)
+    val b = Seq(1.0, 0.06, 0.0)
+    val cc = Seq(1.0, 1.0, 0.0)
+    val cands = Seq((1, 10L, 0.9990, a), (2, 11L, 0.9980, b),
+      (3, 12L, 0.7071, cc))
+    GraphAnn.robustPrune(2, 1200, cands).toSeq shouldBe Seq(10L, 12L)
+    GraphAnn.robustPrune(2, 1000, cands).toSeq shouldBe Seq(10L)
+    // a huge α never dominates: plain top-degree prefix
+    GraphAnn.robustPrune(2, 1000000, cands).toSeq shouldBe Seq(10L, 11L)
+    // degree cap binds in rank order
+    GraphAnn.robustPrune(1, 1200, cands).toSeq shouldBe Seq(10L)
+  }
+
+  test("buildFromIvf with alphaQ: pruned wiring, bounded degree, unchanged serving contract") {
+    val plainDir = tmpDir("graft_graph_plain")
+    val alphaDir = tmpDir("graft_graph_alpha")
+    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", plainDir,
+      degree = 4, nlist = 4, nprobe = 4)
+    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", alphaDir,
+      degree = 4, nlist = 4, nprobe = 4, alphaQ = 1200)
+    val plain = spark.read.parquet(s"$plainDir/adjacency")
+      .as[(Long, Seq[Long])].collect().toMap
+    val alpha = spark.read.parquet(s"$alphaDir/adjacency")
+      .as[(Long, Seq[Long])].collect().toMap
+    alpha.keySet shouldBe plain.keySet
+    alpha.values.foreach(_.size should be <= 4)
+    // the clusters are stacks of near-collinear points: the prune MUST
+    // collapse some of them (strictly fewer total edges than top-degree)
+    alpha.values.map(_.size).sum should be < plain.values.map(_.size).sum
+    // ...and promote at least one long edge the plain top-degree list
+    // didn't carry (in this fixture the 45° bridge point is the natural
+    // promotion — far enough from every kept cluster mate to survive α)
+    val promoted = alpha.exists { case (id, nbrs) =>
+      nbrs.exists(n => !plain(id).contains(n))
+    }
+    promoted shouldBe true
+    // serving reads the layout, not the build: full contract ranks
+    val served = GraphAnn.topK(spark, alphaDir,
+      corpus.filter($"vec_id" < 3), "vec_id", "embedding", 3,
+      beamWidth = 8, hops = 3)
+    served.groupBy("query_id").count().collect()
+      .foreach(_.getAs[Long]("count") shouldBe 3L)
+  }
+
   test("compact follows a two-deep dead chain when splicing edges") {
     // hand-laid path graph 0-1-2-3-4 (the serving path reads only the
     // layout, so a synthetic adjacency is a legal graph store): nodes 1
