@@ -140,6 +140,58 @@ object Eval {
         .cast("long").as("auc_q"))
   }
 
+  /** Deterministic bootstrap confidence interval for the mean of an
+    * integer-grid metric — the error bar a data-quality or eval
+    * dashboard needs before anyone acts on a moved number. `b`
+    * resamples draw n rows WITH REPLACEMENT using engine-portable
+    * md5-derived indices (`md5("b:i") mod n` — [[PortableHash]]'s
+    * family, so a second engine replays the exact draw, noise
+    * included); each resample's mean floors onto the metric's own grid,
+    * and the interval is the [2nd, b−1th] order statistic of the b
+    * means (≈90% for b = 32).
+    *
+    * Scale shape: rows get a global index through the two-phase
+    * [[graft.operators.Ids.globalRowNumber]] (never a single-partition
+    * window over the corpus), the draw table is b·n rows joined back by
+    * one equi-join, and everything after the per-resample groupBy is
+    * b-row arithmetic. The b means are exact long sums — metric grid
+    * 10⁶ bounds n at ~9·10¹² rows before the sum would wrap.
+    *
+    * Output, one row: (n_rows, n_resamples, point_q, lo_q, hi_q).
+    */
+  def bootstrapMeanQ(df: DataFrame, orderCol: String, metricCol: String,
+      b: Int = 32): DataFrame = {
+    require(b >= 4, s"need at least 4 resamples for an interval: $b")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val indexed = graft.operators.Ids.globalRowNumber(
+      df.select(col(orderCol), col(metricCol).cast("long").as("__m")),
+      Seq(col(orderCol)), "__rn")
+      .select(col("__rn"), col("__m"))
+      .localCheckpoint(eager = true) // the draw join + the point estimate
+    val n = indexed.count() // counter-sized driver value (row count)
+    require(n > 0, "bootstrapMeanQ over an empty frame")
+    val draws = spark.range(b.toLong * n)
+      .select(expr(s"id div ${n}L").as("__b"), expr(s"id % ${n}L").as("__i"))
+      .select(col("__b"),
+        pmod(PortableHash.md5Prefix15(
+          concat(col("__b").cast("string"), lit(":"),
+            col("__i").cast("string"))), lit(n)).as("__idx"))
+    val means = draws.join(indexed, col("__idx") + 1 === col("__rn"))
+      .groupBy(col("__b")).agg(sum(col("__m")).as("__s"))
+      .select(expr(s"__s div ${n}L").as("__mean"))
+    val ranked = means
+      .withColumn("__rk", row_number().over(Window.orderBy(col("__mean"))))
+    val point = indexed.agg(expr(s"sum(__m) div ${n}L").as("point_q"),
+      count(lit(1)).as("n_rows"))
+    point.crossJoin(broadcast(
+        ranked.filter(col("__rk") === 2).select(col("__mean").as("lo_q"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("__rk") === b - 1).select(col("__mean").as("hi_q"))))
+      .select(col("n_rows"), lit(b).as("n_resamples"), col("point_q"),
+        col("lo_q"), col("hi_q"))
+  }
+
   /** The CASE/arithmetic SQL fragments a generated oracle needs to
     * replay [[rankedEval]]'s metric epilogue bit-for-bit: (dcgExpr over
     * m1..mk columns, idcgExpr over a `rels` column) — the same literal

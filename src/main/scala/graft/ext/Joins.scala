@@ -347,4 +347,49 @@ object Joins {
       .filter(jac >= minJaccard)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
+
+  /** Bloom semi-join reduction — the 100 TB shuffle-join preamble: build
+    * a Bloom filter over the DIMENSION side's join keys and drop fact
+    * rows that cannot match BEFORE the exchange, so the shuffle carries
+    * the ~selectivity fraction instead of the whole fact table. The
+    * filter is engine-portable (`k` md5-derived bit positions per key,
+    * [[PortableHash]]'s family) and plan-literal: the `mBits/64` words
+    * broadcast as an array literal, each probe is k codegen'd
+    * element_at + bit tests — no join, no shuffle added. No false
+    * negatives by construction, so `filtered ⨝ dim == fact ⨝ dim`
+    * EXACTLY (the x_bloom_semijoin gate's oracle is the plain join);
+    * false positives only cost shuffle bytes, bounded by the standard
+    * (1 − e^(−kn/m))^k.
+    *
+    * Driver state is the bit array itself — `mBits/8` bytes, a CONSTANT
+    * chosen for the dimension cardinality, never corpus-sized (the
+    * distinct-position collect is capped by mBits).
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: Column,
+      dim: DataFrame, dimKey: Column,
+      mBits: Int = 1 << 14, k: Int = 3): DataFrame = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0 && mBits >= 64,
+      s"mBits must be a power of two >= 64: $mBits")
+    require(k >= 1 && k <= 8, s"k out of range: $k")
+    def pos(j: Int, key: Column): Column =
+      pmod(PortableHash.md5Prefix15(
+        concat(lit(s"bl$j:"), key.cast("string"))), lit(mBits.toLong))
+    // distinct set positions: ≤ mBits values (the collect bound is the
+    // filter SIZE, not the dimension row count)
+    val setBits = dim.select(explode(array(
+        (0 until k).map(j => pos(j, dimKey)): _*)).as("__p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    setBits.foreach(p => words(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+    val wordArr = array(words.map(lit): _*)
+    // single-bit masks as a literal lookup (shiftleft needs a literal
+    // shift; a 64-entry element_at stays inside codegen)
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    val hit = (0 until k).map { j =>
+      val p = pos(j, factKey)
+      (element_at(wordArr, (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(masks, pmod(p, lit(64L)).cast("int") + 1))) =!= 0
+    }.reduce(_ && _)
+    fact.filter(hit)
+  }
 }

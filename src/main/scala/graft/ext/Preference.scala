@@ -57,9 +57,25 @@ object Preference {
       loserCol: String,
       iters: Int = 3,
       gridQ: Long = 1000000L,
+  ): DataFrame =
+    bradleyTerryFromMatrix(winMatrix(pairs, winnerCol, loserCol), iters, gridQ)
+
+  /** Fit from an already-aggregated game matrix — the entry point the
+    * STREAMING maintenance path uses (win-matrix cells are associative
+    * counters, so a delta store's sum feeds the identical fit the batch
+    * pair log would). `matrix`: (item, opp, n_games, n_wins_vs_opp),
+    * one row per ordered pair that ever played.
+    */
+  def bradleyTerryFromMatrix(
+      matrix: DataFrame,
+      iters: Int = 3,
+      gridQ: Long = 1000000L,
   ): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val m = winMatrix(pairs, winnerCol, loserCol).localCheckpoint(eager = true)
+    val m = matrix.select(col("item"), col("opp"),
+        col("n_games").cast("long").as("n_games"),
+        col("n_wins_vs_opp").cast("long").as("n_wins_vs_opp"))
+      .localCheckpoint(eager = true)
     val items = m.groupBy(col("item"))
       .agg(sum(col("n_wins_vs_opp")).as("n_wins"), sum(col("n_games")).as("n_games"))
       .localCheckpoint(eager = true)

@@ -157,6 +157,55 @@ object TextAnalysis {
   def redact(text: Column): Column =
     redactPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
+  /** Canonical URL form — the normalization web-corpus dedup keys on
+    * (the same page arrives under case-shuffled hosts, default ports,
+    * tracking params and fragments): lowercase scheme+host, strip the
+    * scheme's default port, drop the fragment, drop `utm_`-prefixed
+    * query params, sort the survivors, empty path → "/". Pure columnar
+    * regex/array built-ins — no UDF, no shuffle; the x_url_canonical
+    * gate replays every rule in DuckDB.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url, "^[^:]+://([^/:?#]+)", 1))
+    val port = regexp_extract(url, "^[^:]+://[^/:?#]+:([0-9]+)", 1)
+    val path = regexp_extract(url, "^[^:]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val defPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portPart = when(port === "" || defPort, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && substring(p, 1, 4) =!= "utm_"))
+    val queryPart = when(size(params) > 0,
+      concat(lit("?"), concat_ws("&", params))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, portPart,
+      when(path === "", lit("/")).otherwise(path), queryPart)
+  }
+
+  /** Character-level Shannon entropy on the 4dp grid — the cheap
+    * gibberish/boilerplate signal (natural text sits ~3.5–4.5 bits/char;
+    * key-mash and repeated filler fall out of band). One columnar pass:
+    * chars as an array, the summation over the SORTED distinct-char list
+    * so both engines fold the same doubles in the same order — no
+    * shuffle, no UDF. NULL for empty text.
+    */
+  def charEntropyQ(text: Column): Column = {
+    val chars = regexp_extract_all(text, lit("[\\s\\S]"), lit(0))
+    val n = size(chars)
+    val uniq = array_sort(array_distinct(chars))
+    // ln-form with a SHARED ln(2) literal (Eval.literal discipline):
+    // H = −(Σ p·ln p)/ln 2 — one libm call per term on both engines,
+    // no cross-engine log2 seam
+    val h = aggregate(
+      transform(uniq, c => {
+        val p = size(filter(chars, x => x === c)).cast("double") / n
+        p * log(p)
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    when(n > 0, round(-h / lit(0.6931471805599453), 4))
+  }
+
   /** Per-document quality metrics (length/punct/stopword ratios). */
   def qualityMetrics(text: Column): Seq[(String, Column)] = {
     val t = tokens(text)

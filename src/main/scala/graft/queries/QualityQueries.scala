@@ -727,9 +727,78 @@ object QualityQueries {
     tmp
   }
 
+  /** URL canonicalization dedup (the web-corpus key): three planted
+    * per-doc variants — case-shuffled host, explicit default port,
+    * reordered params, tracking params, a fragment — must collapse to
+    * ONE canonical form per doc. The oracle replays every rule
+    * (lowercase scheme/host, default-port strip, fragment drop, utm_
+    * filter, param sort, empty path → "/"); a missed rule leaves a
+    * group of < 3 and breaks the hash.
+    */
+  val urlCanonical = q("x_url_canonical",
+    """WITH raw AS (
+      |  SELECT doc_id, unnest([
+      |    'HTTPS://Example.COM:443/p/' || CAST(doc_id AS VARCHAR) || '?b=2&utm_source=feed&a=1#top',
+      |    'https://example.com/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2',
+      |    'https://EXAMPLE.com:443/p/' || CAST(doc_id AS VARCHAR) || '?utm_campaign=x&b=2&a=1']) AS u
+      |  FROM documents),
+      |parts AS (SELECT u,
+      |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(u, '^[^:]+://([^/:?#]+)', 1)) AS host,
+      |    regexp_extract(u, '^[^:]+://[^/:?#]+:([0-9]+)', 1) AS port,
+      |    regexp_extract(u, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path,
+      |    regexp_extract(u, '\?([^#]*)', 1) AS query
+      |  FROM raw),
+      |canon AS (SELECT u,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |              OR (scheme = 'https' AND port = '443') THEN ''
+      |         ELSE ':' || port END ||
+      |    CASE WHEN path = '' THEN '/' ELSE path END ||
+      |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS cu
+      |  FROM (SELECT *, list_sort(list_filter(string_split(query, '&'),
+      |                    p -> p <> '' AND substring(p, 1, 4) <> 'utm_')) AS ps
+      |        FROM parts))
+      |SELECT cu AS canon_url, CAST(count(*) AS BIGINT) AS n_raw,
+      |       CAST(count(DISTINCT u) AS BIGINT) AS n_distinct_raw
+      |FROM canon GROUP BY 1""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val raw = Tables.documents(s, dir).select(explode(array(
+      concat(lit("HTTPS://Example.COM:443/p/"), id,
+        lit("?b=2&utm_source=feed&a=1#top")),
+      concat(lit("https://example.com/p/"), id, lit("?a=1&b=2")),
+      concat(lit("https://EXAMPLE.com:443/p/"), id,
+        lit("?utm_campaign=x&b=2&a=1")))).as("u"))
+    raw.groupBy(graft.ext.TextAnalysis.canonicalUrl(col("u")).as("canon_url"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("u")).as("n_distinct_raw"))
+  }
+
+  /** Character-level Shannon entropy per document (the gibberish /
+    * boilerplate band check), 4dp grid, summed over the SORTED distinct
+    * character list with the ln-based form and a shared ln(2) literal so
+    * both engines fold identical doubles in the same order.
+    */
+  val textEntropy = q("x_text_entropy",
+    """WITH c AS (SELECT doc_id, regexp_extract_all(text, '[\s\S]') AS chars FROM documents),
+      |u AS (SELECT doc_id, chars, list_sort(list_distinct(chars)) AS uq,
+      |             CAST(len(chars) AS DOUBLE) AS n
+      |      FROM c)
+      |SELECT doc_id,
+      |       CASE WHEN n > 0 THEN round(
+      |         -list_sum(list_transform(uq, ch ->
+      |            (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n)
+      |            * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n)))
+      |          / 0.6931471805599453, 4)
+      |       END AS entropy
+      |FROM u""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.ext.TextAnalysis.charEntropyQ(col("text")).as("entropy"))
+  }
+
   val all: Seq[QueryDef] = Seq(distinctKmv, driftPsi, driftKs, dqExpectations,
     knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash, streamScd2,
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
     streamFunnel, streamDriftPsi, streamDriftKs, textPhrase, textProximity,
-    streamPhraseAppend)
+    streamPhraseAppend, urlCanonical, textEntropy)
 }

@@ -234,7 +234,13 @@ object RankingQueries {
     * win matrix is the corpus-sized pass, then three MM iterations on
     * the 10⁶ weight grid — unrolled in the oracle, floor-for-floor.
     */
-  val rankBt = q("x_rank_bt", {
+  /** The 3-round MM-iteration CTE chain both Bradley-Terry oracles share
+    * (x_rank_bt over the doc pair log, x_stream_rank_bt over the
+    * event-derived games): expects CTEs `g(winner, loser)` upstream,
+    * produces `m`, `items` and `w3` plus the final leaderboard SELECT —
+    * floor-for-floor the engine's [[graft.ext.Preference]] arithmetic.
+    */
+  private def btSql(gamesCte: String): String = {
     val iters = (1 to 3).map { t =>
       val p = if (t == 1) "w0" else s"w${t - 1}"
       s"""d$t AS (SELECT m.item,
@@ -248,14 +254,7 @@ object RankingQueries {
          |w$t AS (SELECT item, CAST(raw * 1000000 // greatest(tot, 1) AS BIGINT) AS w
          |      FROM r$t, t$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
-       |pr AS (SELECT a.doc_id AS aid, a.source AS asrc, a.n_chars AS ac,
-       |              b.doc_id AS bid, b.source AS bsrc, b.n_chars AS bc
-       |       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
-       |       WHERE a.doc_id % 2 = 0 AND a.source <> b.source),
-       |g AS (SELECT CASE WHEN ac > bc OR (ac = bc AND aid > bid) THEN asrc ELSE bsrc END AS winner,
-       |             CASE WHEN ac > bc OR (ac = bc AND aid > bid) THEN bsrc ELSE asrc END AS loser
-       |      FROM pr),
+    s"""$gamesCte,
        |m AS (SELECT item, opp, CAST(count(*) AS BIGINT) AS n_games,
        |             CAST(sum(w) AS BIGINT) AS n_wins_vs_opp
        |      FROM (SELECT winner AS item, loser AS opp, 1 AS w FROM g
@@ -270,7 +269,17 @@ object RankingQueries {
        |SELECT i.item, i.n_wins, i.n_games, w3.w AS w_q,
        |       CAST(row_number() OVER (ORDER BY w3.w DESC, i.item) AS INT) AS rk
        |FROM items i JOIN w3 ON w3.item = i.item""".stripMargin
-  }) { (s, dir) =>
+  }
+
+  val rankBt = q("x_rank_bt", btSql(
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       |pr AS (SELECT a.doc_id AS aid, a.source AS asrc, a.n_chars AS ac,
+       |              b.doc_id AS bid, b.source AS bsrc, b.n_chars AS bc
+       |       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |       WHERE a.doc_id % 2 = 0 AND a.source <> b.source),
+       |g AS (SELECT CASE WHEN ac > bc OR (ac = bc AND aid > bid) THEN asrc ELSE bsrc END AS winner,
+       |             CASE WHEN ac > bc OR (ac = bc AND aid > bid) THEN bsrc ELSE asrc END AS loser
+       |      FROM pr)""".stripMargin)) { (s, dir) =>
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     val a = d.filter(col("doc_id") % 2 === 0)
@@ -287,6 +296,69 @@ object RankingQueries {
       when(awins, col("bsrc")).otherwise(col("asrc")).as("loser"))
     Preference.bradleyTerry(pairs, "winner", "loser", iters = 3,
       gridQ = 1000000L)
+  }
+
+  /** The Bradley-Terry leaderboard maintained FROM THE STREAM: each
+    * micro-batch's events resolve to complete games and publish
+    * win-matrix deltas exactly once; the fit runs over the summed store.
+    * Matrix cells are associative counters, so the streamed fit must
+    * equal the batch fit over the same event log EXACTLY — the oracle is
+    * the batch replay (games straight off the events table through the
+    * same MM chain), so a lost batch, double publish, or a game split
+    * across a batch boundary all break the hash.
+    */
+  val streamRankBt = q("x_stream_rank_bt", btSql(
+    """WITH g AS (
+      |  SELECT CASE WHEN value > 50 THEN event_type
+      |              ELSE 't' || CAST(user_id % 5 AS VARCHAR) END AS winner,
+      |         CASE WHEN value > 50 THEN 't' || CAST(user_id % 5 AS VARCHAR)
+      |              ELSE event_type END AS loser
+      |  FROM events WHERE value IS NOT NULL)""".stripMargin)) { (s, dir) =>
+    val tmp = stageOnce(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value")),
+      s"/tmp/graft_stream/${Staging.tag(dir)}")
+    val store = s"/tmp/graft_btstore/${Staging.tag(dir)}"
+    val alt = concat(lit("t"), (col("user_id") % 5).cast("string"))
+    EventStreams.runWinMatrixOnce(s, tmp, store,
+      winner = when(col("value") > 50, col("event_type")).otherwise(alt),
+      loser = when(col("value") > 50, alt).otherwise(col("event_type")),
+      rowFilter = col("value").isNotNull)
+    Preference.bradleyTerryFromMatrix(EventStreams.readWinMatrix(s, store))
+  }
+
+  /** Deterministic bootstrap CI on the corpus-mean stopword score (the
+    * error bar under a data-quality dashboard number): 32 md5-seeded
+    * resamples with replacement, each mean floored onto the 10⁶ grid,
+    * interval = the [2nd, 31st] order statistic. The oracle replays the
+    * EXACT draw (same md5 indices), so the interval — noise included —
+    * hash-matches.
+    */
+  val statsBootstrap = q("x_stats_bootstrap",
+    """WITH t AS (SELECT doc_id,
+      |             CAST(round(len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> ''), x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) * 1000000.0
+      |                  / len(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')), 0) AS BIGINT) AS m
+      |           FROM documents
+      |           WHERE len(list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) > 0),
+      |ix AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn, m FROM t),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ix),
+      |d AS (SELECT bs.b,
+      |             CAST(CAST('0x' || substring(md5(CAST(bs.b AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)), 1, 15) AS UBIGINT) % nn.n AS BIGINT) + 1 AS idx
+      |      FROM (SELECT unnest(generate_series(0, 31)) AS b) bs,
+      |           (SELECT unnest(generate_series(0, (SELECT CAST(n AS INTEGER) FROM nn) - 1)) AS i) ii,
+      |           nn),
+      |bm AS (SELECT d.b, CAST(sum(ix.m) // max(nn.n) AS BIGINT) AS mean_q
+      |       FROM d JOIN ix ON ix.rn = d.idx, nn GROUP BY d.b),
+      |rk AS (SELECT mean_q, row_number() OVER (ORDER BY mean_q) AS r FROM bm)
+      |SELECT (SELECT n FROM nn) AS n_rows, 32 AS n_resamples,
+      |       (SELECT CAST(sum(m) // count(*) AS BIGINT) FROM ix) AS point_q,
+      |       (SELECT mean_q FROM rk WHERE r = 2) AS lo_q,
+      |       (SELECT mean_q FROM rk WHERE r = 31) AS hi_q""".stripMargin) { (s, dir) =>
+    val scored = Tables.documents(s, dir)
+      .withColumn("m", graft.ext.TextAnalysis.stopwordScoreQ(col("text")))
+      .filter(col("m").isNotNull)
+    Eval.bootstrapMeanQ(scored, "doc_id", "m", b = 32)
   }
 
   /** Stream-stream interval join run as a REAL two-stream job (both
@@ -310,5 +382,5 @@ object RankingQueries {
 
   val all: Seq[QueryDef] =
     Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
-      labelWmv, streamStreamJoin)
+      labelWmv, streamStreamJoin, streamRankBt, statsBootstrap)
 }

@@ -345,8 +345,34 @@ object ScaleQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** Bloom semi-join reduction ([[graft.ext.Joins.bloomSemiJoin]]): the
+    * fact side is pre-filtered by an engine-portable Bloom of the
+    * dimension slice's keys BEFORE the join — at 100 TB that filter sits
+    * under the exchange and the shuffle carries the ~5% that can match.
+    * No false negatives by construction, so the gate's oracle is the
+    * PLAIN join: any dropped true row breaks the hash, and the spec pins
+    * that the filter actually prunes.
+    */
+  val bloomSemijoin = q("x_bloom_semijoin",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderkey % 19 = 0
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 19 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val filtered = graft.ext.Joins.bloomSemiJoin(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
+      col("l_orderkey"), dim, col("o_orderkey"))
+    filtered.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(saltedJoin, saltedAgg, bucketedJoin, partitionedScan, jsonlRoundtrip,
       orcRoundtrip, reconcileChecksum, zorderCluster, layoutCompact,
-      zonePrunedScan, zonePointLookup)
+      zonePrunedScan, zonePointLookup, bloomSemijoin)
 }

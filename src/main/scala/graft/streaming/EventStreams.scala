@@ -821,6 +821,53 @@ object EventStreams {
     }
   }
 
+  /** Streaming preference-matrix maintenance: each micro-batch's events
+    * resolve to complete (winner, loser) games (both sides derived from
+    * the SAME row — a game never straddles batches), aggregate to
+    * win-matrix deltas, and publish exactly once into the shared delta
+    * store. Matrix cells are associative counters, so the summed store
+    * equals the one-shot batch matrix cell for cell and
+    * [[graft.ext.Preference.bradleyTerryFromMatrix]] fits identical
+    * strengths from it — the preference leaderboard becomes a store
+    * read plus a counter-sized MM fit instead of a pair-log rescan
+    * (x_stream_rank_bt pins streamed == batch through the full fit).
+    * Store deleted at run start (a run owns its history).
+    */
+  def runWinMatrixOnce(spark: SparkSession, spoolDir: String,
+      storeDir: String, winner: org.apache.spark.sql.Column,
+      loser: org.apache.spark.sql.Column,
+      rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
+    graft.util.Hfs.delete(spark, storeDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$batchId")) {
+            val games = batch.toDF().filter(rowFilter)
+              .select(winner.as("winner"), loser.as("loser"))
+              .filter(col("winner") =!= col("loser"))
+            val delta = graft.ext.Preference.winMatrix(games, "winner", "loser")
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  /** The summed win matrix of a [[runWinMatrixOnce]] store — the frame
+    * [[graft.ext.Preference.bradleyTerryFromMatrix]] consumes.
+    */
+  def readWinMatrix(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/deltas")
+      .groupBy(col("item"), col("opp"))
+      .agg(sum(col("n_games")).as("n_games"),
+        sum(col("n_wins_vs_opp")).as("n_wins_vs_opp"))
+
   /** PSI of the streamed bin-count store (CURRENT side) against a
     * frozen REFERENCE frame, via the shared
     * [[graft.ext.Stats.psiFromBinCounts]] arithmetic. Output matches

@@ -384,6 +384,63 @@ object ScaleProbe {
       }
     }
 
+    // ---- ranking/selection wave (r17): k-center is k embarrassingly
+    // parallel passes (expect ~linear·k in corpus); the MMR epilogue is
+    // queries·L²-bounded (expect ~linear in QUERY count, corpus-free
+    // given the legs); BT's win matrix is one corpus-linear equi-join +
+    // groupBy with counter-sized MM rounds; grouped AUC is one groupBy
+    // into a histogram window
+    {
+      val embAll = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(eager = true)
+      for (m <- Seq(1, mult)) {
+        val em = (if (m == 1) embAll else fan(embAll, Seq("vec_id"), m))
+          .localCheckpoint(eager = true)
+        time(s"kcenter_select_x$m") {
+          graft.ext.Rerank.kCenterSelect(em, "vec_id", "embedding", 6).count()
+        }
+      }
+      // MMR: corpus fixed, query volume ×10 — the epilogue's own axis
+      for (nq <- Seq(16, 16 * mult)) {
+        val qs = embAll.filter(col("vec_id") < nq)
+        val short = Similarity.bruteForceTopK(qs, embAll,
+          "vec_id", "embedding", 12).localCheckpoint(eager = true)
+        time(s"mmr_epilogue_q$nq") {
+          graft.ext.Rerank.mmrRerank(short, embAll, "vec_id", "embedding",
+            k = 5).count()
+        }
+      }
+    }
+    for (m <- Seq(1, mult)) {
+      val dm = (if (m == 1) Tables.documents(spark, sfDir)
+                else fan(Tables.documents(spark, sfDir), Seq("doc_id"), m))
+        .localCheckpoint(eager = true)
+      time(s"rank_bt_x$m") {
+        val a = dm.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("aid"), col("source").as("asrc"),
+            col("n_chars").as("ac"))
+        val b = dm.select(col("doc_id").as("bid"), col("source").as("bsrc"),
+          col("n_chars").as("bc"))
+        val pr = a.join(b, col("bid") === col("aid") + 1)
+          .filter(col("asrc") =!= col("bsrc"))
+        val awins = col("ac") > col("bc") ||
+          (col("ac") === col("bc") && col("aid") > col("bid"))
+        graft.ext.Preference.bradleyTerry(
+          pr.select(when(awins, col("asrc")).otherwise(col("bsrc")).as("w"),
+            when(awins, col("bsrc")).otherwise(col("asrc")).as("l")),
+          "w", "l").count()
+      }
+      time(s"eval_auc_x$m") {
+        graft.ext.Eval.groupedAuc(
+          dm.withColumn("score_q",
+            graft.ext.TextAnalysis.stopwordScoreQ(col("text")))
+            .filter(col("score_q").isNotNull)
+            .select(col("source"), col("score_q"),
+              (col("lang") === "en").as("pos")),
+          "source", "score_q", "pos").count()
+      }
+    }
+
     // ---- ×100 fan of the RESOLVE stage alone (pairs → components →
     // anti-join): star edges per text group (the x_dedup_resolve shape),
     // so edge volume scales with the duplicate count, not its square —

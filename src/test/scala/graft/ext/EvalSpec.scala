@@ -112,6 +112,24 @@ class EvalSpec extends SparkSpec {
     out("g").getAs[Long]("auc_q") shouldBe 875000L
   }
 
+  test("bootstrapMeanQ: constant metric collapses the interval; draws are deterministic") {
+    val df = (1L to 50L).map(i => (i, 7000L)).toDF("id", "m")
+    val r = Eval.bootstrapMeanQ(df, "id", "m", b = 32).head()
+    r.getAs[Long]("n_rows") shouldBe 50L
+    r.getAs[Int]("n_resamples") shouldBe 32
+    r.getAs[Long]("point_q") shouldBe 7000L
+    r.getAs[Long]("lo_q") shouldBe 7000L
+    r.getAs[Long]("hi_q") shouldBe 7000L
+    // varying metric: interval ordered, runs reproduce exactly
+    val df2 = (1L to 50L).map(i => (i, i * 100L)).toDF("id", "m")
+    val a = Eval.bootstrapMeanQ(df2, "id", "m", b = 32).head()
+    val b2 = Eval.bootstrapMeanQ(df2, "id", "m", b = 32).head()
+    a.getAs[Long]("lo_q") should be <= a.getAs[Long]("hi_q")
+    a.getAs[Long]("lo_q") shouldBe b2.getAs[Long]("lo_q")
+    a.getAs[Long]("hi_q") shouldBe b2.getAs[Long]("hi_q")
+    a.getAs[Long]("point_q") shouldBe (1L to 50L).map(_ * 100L).sum / 50
+  }
+
   test("groupedAuc: a one-class group reports NULL, not a dropped row") {
     val out = aucOf(Seq(
       ("only_pos", 5L, true), ("only_pos", 6L, true),

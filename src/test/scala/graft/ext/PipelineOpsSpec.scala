@@ -413,4 +413,23 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     kept shouldBe Seq(2L, 3L)
   }
+
+  test("bloomSemiJoin: zero false negatives, real pruning, guards") {
+    import org.apache.spark.sql.functions.col
+    val fact = (1L to 2000L).map(i => (i, i % 997)).toDF("fk", "payload")
+    val dim = (1L to 2000L).filter(_ % 50 == 0).map(i => (i, s"d$i"))
+      .toDF("dk", "name") // 40 of 2000 keys
+    val filtered = Joins.bloomSemiJoin(fact, col("fk"), dim, col("dk"))
+      .select("fk").as[Long].collect().toSet
+    // every true match survives — the exactness the gate's oracle pins
+    (1L to 2000L).filter(_ % 50 == 0).foreach(k => filtered should contain(k))
+    // ...and the filter actually prunes: with m = 16384, k = 3, n = 40
+    // the FP rate is ~4e-7 — anything near the full fact table means the
+    // bit tests are broken
+    filtered.size should be < 100
+    an[IllegalArgumentException] should be thrownBy
+      Joins.bloomSemiJoin(fact, col("fk"), dim, col("dk"), mBits = 100)
+    an[IllegalArgumentException] should be thrownBy
+      Joins.bloomSemiJoin(fact, col("fk"), dim, col("dk"), k = 0)
+  }
 }

@@ -118,4 +118,41 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.perplexityPrune(docs, "doc_id", "text", "source", 1.0)
       .filter(!org.apache.spark.sql.functions.col("kept")).count() shouldBe 0L
   }
+
+  test("canonicalUrl applies every rule; non-defaults survive") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://Example.COM:443/p/1?b=2&utm_source=x&a=1#frag",
+      "https://example.com/p/1?a=1&b=2",
+      "HTTP://Host.org:80/a",
+      "http://host.org:8080/a", // non-default port SURVIVES
+      "https://h.io", // empty path -> "/"
+      "https://h.io/q?utm_a=1&utm_b=2", // all params tracking -> no "?"
+    ).toDF("u")
+    val got = urls.select(col("u"),
+      TextAnalysis.canonicalUrl(col("u")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    got("HTTPS://Example.COM:443/p/1?b=2&utm_source=x&a=1#frag") shouldBe
+      "https://example.com/p/1?a=1&b=2"
+    got("https://example.com/p/1?a=1&b=2") shouldBe
+      "https://example.com/p/1?a=1&b=2"
+    got("HTTP://Host.org:80/a") shouldBe "http://host.org/a"
+    got("http://host.org:8080/a") shouldBe "http://host.org:8080/a"
+    got("https://h.io") shouldBe "https://h.io/"
+    got("https://h.io/q?utm_a=1&utm_b=2") shouldBe "https://h.io/q"
+  }
+
+  test("charEntropyQ: hand-computed bands, empty text is NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val got = Seq("aaaa", "aabb", "abcd", "").toDF("t")
+      .select(col("t"), TextAnalysis.charEntropyQ(col("t")).as("h")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    got("aaaa") shouldBe Some(0.0)
+    got("aabb") shouldBe Some(1.0) // two equiprobable symbols = 1 bit/char
+    got("abcd") shouldBe Some(2.0)
+    got("") shouldBe None
+  }
 }

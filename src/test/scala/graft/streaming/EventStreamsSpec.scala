@@ -357,4 +357,43 @@ class EventStreamsSpec extends SparkSpec {
       (20L, 22L, 9L, 1800000000L),
       (21L, 22L, 9L, 600000000L))
   }
+
+  test("streamed win matrix equals the batch matrix; a replayed batch publish is idempotent") {
+    val f1 = Seq(
+      EventStreams.Event(1L, ts("2024-01-01 00:00:00"), 0L, "click", 90.0),
+      EventStreams.Event(2L, ts("2024-01-01 00:01:00"), 1L, "view", 10.0),
+      EventStreams.Event(3L, ts("2024-01-01 00:02:00"), 2L, "click", 80.0))
+    val f2 = Seq(
+      EventStreams.Event(4L, ts("2024-01-01 00:03:00"), 0L, "view", 70.0),
+      EventStreams.Event(5L, ts("2024-01-01 00:04:00"), 1L, "click", 20.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_btm_spool").toString
+    Seq(f1, f2).zipWithIndex.foreach { case (evs, i) =>
+      val stage = s"$dir/.stage_$i"
+      evs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, f"spool_$i%03d.parquet").toPath)
+    }
+    val store = java.nio.file.Files.createTempDirectory("graft_btm_store").toString
+    val alt = concat(lit("t"), (col("user_id") % 5).cast("string"))
+    val winner = when(col("value") > 50, col("event_type")).otherwise(alt)
+    val loser = when(col("value") > 50, alt).otherwise(col("event_type"))
+    EventStreams.runWinMatrixOnce(spark, dir, store, winner, loser)
+    def summed() = EventStreams.readWinMatrix(spark, store)
+      .orderBy("item", "opp").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val streamed = summed()
+    val batch = graft.ext.Preference.winMatrix(
+        spark.read.parquet(dir).select(winner.as("w"), loser.as("l")), "w", "l")
+      .orderBy("item", "opp").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    streamed shouldBe batch
+    // a replayed publish under an existing batch key REPLACES its delta
+    // files — sums unchanged (the crash-replay story)
+    graft.streaming.DocStreams.publishDeltaExactlyOnce(spark, store,
+      graft.ext.Preference.winMatrix(
+        f1.toDS().toDF().select(winner.as("w"), loser.as("l")), "w", "l"), 0L)
+    summed() shouldBe streamed
+  }
 }
