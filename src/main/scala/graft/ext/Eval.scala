@@ -117,11 +117,20 @@ object Eval {
     * row beats a silently dropped group on a monitoring dashboard).
     */
   def groupedAuc(scored: DataFrame, groupCol: String, scoreCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String): DataFrame =
+    groupedAucFromHistogram(
+      scored.groupBy(col(groupCol), col(scoreCol).as("__s"))
+        .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+          sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn")),
+      groupCol)
+
+  /** [[groupedAuc]] from an already-aggregated score histogram
+    * (`groupCol`, __s, __np, __nn) — the entry point the STREAMING
+    * monitor uses: histogram cells are associative counters, so a delta
+    * store's sum feeds the identical AUC the batch scan would.
+    */
+  def groupedAucFromHistogram(h: DataFrame, groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = scored.groupBy(col(groupCol), col(scoreCol).as("__s"))
-      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
-        sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val num = h
@@ -180,14 +189,15 @@ object Eval {
     val means = draws.join(indexed, col("__idx") + 1 === col("__rn"))
       .groupBy(col("__b")).agg(sum(col("__m")).as("__s"))
       .select(expr(s"__s div ${n}L").as("__mean"))
-    val ranked = means
+    // both bounds in ONE pass over the b-row ranked frame (two filtered
+    // branches would re-run the draw join once per bound)
+    val bounds = means
       .withColumn("__rk", row_number().over(Window.orderBy(col("__mean"))))
+      .agg(max(when(col("__rk") === 2, col("__mean"))).as("lo_q"),
+        max(when(col("__rk") === b - 1, col("__mean"))).as("hi_q"))
     val point = indexed.agg(expr(s"sum(__m) div ${n}L").as("point_q"),
       count(lit(1)).as("n_rows"))
-    point.crossJoin(broadcast(
-        ranked.filter(col("__rk") === 2).select(col("__mean").as("lo_q"))))
-      .crossJoin(broadcast(
-        ranked.filter(col("__rk") === b - 1).select(col("__mean").as("hi_q"))))
+    point.crossJoin(broadcast(bounds))
       .select(col("n_rows"), lit(b).as("n_resamples"), col("point_q"),
         col("lo_q"), col("hi_q"))
   }

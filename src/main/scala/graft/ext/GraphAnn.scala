@@ -79,7 +79,7 @@ object GraphAnn {
       .orderBy(round(col("__c"), 4).desc, col("__id")).limit(1)
       .select(col("__id")).head().getLong(0)
     import spark.implicits._
-    Seq((entry, degree)).toDF("entry", "degree")
+    Seq((entry, degree, 0)).toDF("entry", "degree", "alpha_q")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
   }
 
@@ -182,9 +182,17 @@ object GraphAnn {
         Similarity.cosine(col("__nv"), col("centroid")).as("__ec"))
       .withColumn("__rk", row_number().over(entryW))
       .filter(col("__rk") === 1)
-      .select(col("__nid").as("entry"), lit(degree).as("degree"))
+      .select(col("__nid").as("entry"), lit(degree).as("degree"),
+        lit(alphaQ).as("alpha_q"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entry")
   }
+
+  /** The persisted α knob of a graph store's entry table — 0 (off) for
+    * stores written before the column existed, exactly their semantics.
+    */
+  private def readAlphaQ(entry: DataFrame): Int =
+    if (entry.columns.contains("alpha_q")) entry.head().getAs[Int]("alpha_q")
+    else 0
 
   /** One node's greedy RobustPrune (Vamana/DiskANN): walk the candidate
     * pool in serving-rank order (cosine DESC, id — already deterministic
@@ -489,7 +497,12 @@ object GraphAnn {
             AnnIndex.liveOnly(spark, dir, spark.read.parquet(s"$dir/delta"))
               .select(col("__id"), col("__vec")))
           .localCheckpoint(eager = true), dir)
-      val degree0 = spark.read.parquet(s"$dir/entry").head().getInt(1)
+      val entry0 = spark.read.parquet(s"$dir/entry")
+      val degree0 = entry0.head().getInt(1)
+      // the fold rebuilds with the STORE'S OWN wiring: an α-pruned
+      // store stays α-pruned through every sweep-triggered fold (the
+      // knob is persisted beside degree; pre-α stores read as 0 = off)
+      val alpha0 = readAlphaQ(entry0)
       // auto geometry: the fold is the one call site that cannot know
       // the store's size up front (the sweep routes here with defaults),
       // so it derives nlist from the live count it already materialized.
@@ -498,7 +511,7 @@ object GraphAnn {
         autoFoldGeometry(live.count(), foldNlist, foldNprobe)
       val tmp = dir + ".compact-" + System.nanoTime()
       buildFromIvf(live, "__id", "__vec", tmp, degree = degree0,
-        nlist = nlist, nprobe = nprobe)
+        nlist = nlist, nprobe = nprobe, alphaQ = alpha0)
       graft.operators.Upsert.swapDirs(tmp, dir)
       return
     }
@@ -548,7 +561,9 @@ object GraphAnn {
       .distinct()
     // re-rank each node's candidates by cosine (the build's own rule)
     // and cut back to the stored degree — one key-partitioned window
-    val degree0 = spark.read.parquet(s"$dir/entry").head().getInt(1)
+    val entry0 = spark.read.parquet(s"$dir/entry")
+    val degree0 = entry0.head().getInt(1)
+    val alpha0 = readAlphaQ(entry0)
     val sv = live.select(col("__id").as("__src"), col("__vec").as("__sv"))
     val dv = live.select(col("__id").as("__dst"), col("__vec").as("__dv"))
     val w = org.apache.spark.sql.expressions.Window
@@ -585,7 +600,8 @@ object GraphAnn {
           .select(col("__id")).head().getLong(0))
       }
     import spark.implicits._
-    finalEntries.map(e => (e, degree0)).toDF("entry", "degree")
+    finalEntries.map(e => (e, degree0, alpha0))
+      .toDF("entry", "degree", "alpha_q")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/entry")
     graft.operators.Upsert.swapDirs(tmp, dir)
   }

@@ -191,19 +191,43 @@ object TextAnalysis {
     * shuffle, no UDF. NULL for empty text.
     */
   def charEntropyQ(text: Column): Column = {
-    val chars = regexp_extract_all(text, lit("[\\s\\S]"), lit(0))
-    val n = size(chars)
-    val uniq = array_sort(array_distinct(chars))
-    // ln-form with a SHARED ln(2) literal (Eval.literal discipline):
-    // H = −(Σ p·ln p)/ln 2 — one libm call per term on both engines,
-    // no cross-engine log2 seam
-    val h = aggregate(
-      transform(uniq, c => {
-        val p = size(filter(chars, x => x === c)).cast("double") / n
-        p * log(p)
-      }),
-      lit(0.0), (acc, x) => acc + x)
-    when(n > 0, round(-h / lit(0.6931471805599453), 4))
+    // Each intermediate is BOUND as a single-element-transform lambda
+    // variable so it evaluates ONCE per row — a bare subexpression
+    // referenced inside a higher-order-function lambda re-evaluates per
+    // ELEMENT (no CSE across lambda boundaries), which turned the sort
+    // form quadratic: array_sort re-ran for every position the filter
+    // probed. The binding trick is `transform(array(x), v -> body)[1]`.
+    def bind(x: Column)(body: Column => Column): Column =
+      element_at(transform(array(x), body), 1)
+    bind(regexp_extract_all(text, lit("[\\s\\S]"), lit(0))) { chars =>
+      val n = size(chars)
+      // the n > 0 guard sits OUTSIDE the inner binds: CaseWhen skips the
+      // untaken branch, so the empty-text row never evaluates the
+      // sequence/element_at machinery (sequence(1, 0) runs DESCENDING
+      // and the i−1 probe would hit index 0)
+      when(n > 0,
+        // counts via SORT + RUN LENGTHS — O(L log L) per row, not the
+        // O(distinct·L) of a per-distinct-char rescan. Run starts
+        // (1-based) in the sorted array, run lengths from the gap to the
+        // next start; order = sorted distinct chars, exactly the order
+        // the oracle's list_sort(list_distinct(...)) walks.
+        bind(array_sort(chars)) { s =>
+          bind(filter(sequence(lit(1), n), i =>
+            (i === 1) || (element_at(s, i) =!= element_at(s, i - 1)))) { starts =>
+            val counts = zip_with(
+              concat(slice(starts, lit(2), size(starts)), array(n + 1)), starts,
+              (b, a) => b - a)
+            // ln-form with a SHARED ln(2) literal (Eval.literal
+            // discipline): H = −(Σ p·ln p)/ln 2 — one libm call per term
+            // on both engines, no cross-engine log2 seam
+            val h = aggregate(counts, lit(0.0), (acc, cnt) => {
+              val p = cnt.cast("double") / n
+              acc + p * log(p)
+            })
+            round(-h / lit(0.6931471805599453), 4)
+          }
+        })
+    }
   }
 
   /** Per-document quality metrics (length/punct/stopword ratios). */

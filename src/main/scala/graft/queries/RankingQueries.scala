@@ -328,6 +328,53 @@ object RankingQueries {
     Preference.bradleyTerryFromMatrix(EventStreams.readWinMatrix(s, store))
   }
 
+  /** The grouped-AUC dashboard maintained FROM THE STREAM: per
+    * micro-batch the events' (group, score, label) rows collapse to
+    * score-histogram deltas published exactly once; the Mann-Whitney
+    * arithmetic runs over the summed store and must equal the batch AUC
+    * over the same log exactly (histogram cells are associative
+    * counters). Score = the event value on a ×100 grid, label = a
+    * deterministic user-keyed class — "is value still separating this
+    * class per event type", monitored without rescanning the log.
+    */
+  val streamEvalAuc = q("x_stream_eval_auc",
+    """WITH sc AS (SELECT event_type,
+      |                   CAST(round(value * 100, 0) AS BIGINT) AS score_q,
+      |                   user_id % 3 = 0 AS pos
+      |            FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT event_type, score_q,
+      |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      |      FROM sc GROUP BY 1, 2),
+      |wnd AS (SELECT *,
+      |          CAST(coalesce(sum(nn) OVER (PARTITION BY event_type ORDER BY score_q
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+      |        FROM h),
+      |agg AS (SELECT event_type, CAST(sum(np) AS BIGINT) AS n_pos,
+      |               CAST(sum(nn) AS BIGINT) AS n_neg,
+      |               CAST(sum(np * (2 * below + nn)) AS BIGINT) AS num2
+      |        FROM wnd GROUP BY 1)
+      |SELECT event_type, n_pos, n_neg,
+      |       CASE WHEN n_pos > 0 AND n_neg > 0
+      |            THEN CAST((CAST(num2 AS HUGEINT) * 1000000)
+      |                      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+      |       END AS auc_q
+      |FROM agg""".stripMargin) { (s, dir) =>
+    val tmp = stageOnce(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value")),
+      s"/tmp/graft_stream/${Staging.tag(dir)}")
+    val store = s"/tmp/graft_aucstore/${Staging.tag(dir)}"
+    EventStreams.runScoreHistogramOnce(s, tmp, store,
+      group = col("event_type"),
+      score = round(col("value") * 100, 0).cast("long"),
+      label = col("user_id") % 3 === 0,
+      rowFilter = col("value").isNotNull)
+    Eval.groupedAucFromHistogram(
+      EventStreams.readScoreHistogram(s, store, "event_type"), "event_type")
+  }
+
   /** Deterministic bootstrap CI on the corpus-mean stopword score (the
     * error bar under a data-quality dashboard number): 32 md5-seeded
     * resamples with replacement, each mean floored onto the 10⁶ grid,
@@ -382,5 +429,5 @@ object RankingQueries {
 
   val all: Seq[QueryDef] =
     Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
-      labelWmv, streamStreamJoin, streamRankBt, statsBootstrap)
+      labelWmv, streamStreamJoin, streamRankBt, streamEvalAuc, statsBootstrap)
 }

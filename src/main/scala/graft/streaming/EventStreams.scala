@@ -868,6 +868,53 @@ object EventStreams {
       .agg(sum(col("n_games")).as("n_games"),
         sum(col("n_wins_vs_opp")).as("n_wins_vs_opp"))
 
+  /** Streaming classifier-separability monitoring: per micro-batch the
+    * arriving rows' (group, score, label) collapse to score-HISTOGRAM
+    * deltas published exactly once; histogram cells are associative
+    * counters, so [[graft.ext.Eval.groupedAucFromHistogram]] over the
+    * summed store equals the batch AUC over the same log EXACTLY — the
+    * "is the quality scorer still separating" dashboard becomes a store
+    * read instead of a corpus scan (x_stream_eval_auc pins streamed ==
+    * batch through the full Mann-Whitney arithmetic). Store deleted at
+    * run start (a run owns its history).
+    */
+  def runScoreHistogramOnce(spark: SparkSession, spoolDir: String,
+      storeDir: String, group: org.apache.spark.sql.Column,
+      score: org.apache.spark.sql.Column, label: org.apache.spark.sql.Column,
+      rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
+    graft.util.Hfs.delete(spark, storeDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$batchId")) {
+            val delta = batch.toDF().filter(rowFilter)
+              .select(group.as("__g"), score.as("__s"), label.as("__pos"))
+              .groupBy(col("__g"), col("__s"))
+              .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__np"),
+                sum(when(col("__pos"), 0L).otherwise(1L)).as("__nn"))
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  /** The summed score histogram of a [[runScoreHistogramOnce]] store,
+    * keyed back to `groupCol` — the frame
+    * [[graft.ext.Eval.groupedAucFromHistogram]] consumes.
+    */
+  def readScoreHistogram(spark: SparkSession, storeDir: String,
+      groupCol: String): DataFrame =
+    spark.read.parquet(s"$storeDir/deltas")
+      .groupBy(col("__g").as(groupCol), col("__s"))
+      .agg(sum(col("__np")).as("__np"), sum(col("__nn")).as("__nn"))
+
   /** PSI of the streamed bin-count store (CURRENT side) against a
     * frozen REFERENCE frame, via the shared
     * [[graft.ext.Stats.psiFromBinCounts]] arithmetic. Output matches

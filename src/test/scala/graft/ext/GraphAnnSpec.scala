@@ -142,7 +142,7 @@ class GraphAnnSpec extends SparkSpec {
     adj.values.foreach(_.size should be <= 6)
     // entries: one per non-empty coarse cluster, all distinct corpus ids
     val entries = spark.read.parquet(s"$dir/entry")
-      .as[(Long, Int)].collect()
+      .select("entry", "degree").as[(Long, Int)].collect()
     entries.length should be >= 2 // two real clusters exist by construction
     entries.length should be <= 4 // ≤ nlist
     entries.map(_._1).distinct.length shouldBe entries.length
@@ -164,7 +164,7 @@ class GraphAnnSpec extends SparkSpec {
     AnnIndex.deleteIds(spark, dir, Seq(deadEntry).toDF("vec_id"), "vec_id")
     GraphAnn.compact(spark, dir)
     val after = spark.read.parquet(s"$dir/entry")
-      .as[(Long, Int)].collect().map(_._1).toSet
+      .select("entry", "degree").as[(Long, Int)].collect().map(_._1).toSet
     after shouldBe entries.map(_._1).toSet - deadEntry
   }
 
@@ -215,6 +215,30 @@ class GraphAnnSpec extends SparkSpec {
       beamWidth = 8, hops = 3)
     served.groupBy("query_id").count().collect()
       .foreach(_.getAs[Long]("count") shouldBe 3L)
+  }
+
+  test("a sweep fold preserves the store's α wiring") {
+    val dir = tmpDir("graft_graph_alpha_fold")
+    GraphAnn.buildFromIvf(corpus.filter($"vec_id" < 18), "vec_id",
+      "embedding", dir, degree = 4, nlist = 4, nprobe = 4, alphaQ = 1200)
+    spark.read.parquet(s"$dir/entry").head()
+      .getAs[Int]("alpha_q") shouldBe 1200
+    // fresh region + no-knob compact = the sweep's fold path
+    GraphAnn.append(spark, dir, corpus.filter($"vec_id" >= 18),
+      "vec_id", "embedding")
+    GraphAnn.compact(spark, dir)
+    // the folded store is still α-wired: knob persisted, and the
+    // rebuilt adjacency is strictly sparser than a plain fold's
+    spark.read.parquet(s"$dir/entry").head()
+      .getAs[Int]("alpha_q") shouldBe 1200
+    val plainDir = tmpDir("graft_graph_plain_fold")
+    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", plainDir,
+      degree = 4, nlist = 4, nprobe = 4)
+    val aEdges = spark.read.parquet(s"$dir/adjacency")
+      .select(explode($"__nbrs")).count()
+    val pEdges = spark.read.parquet(s"$plainDir/adjacency")
+      .select(explode($"__nbrs")).count()
+    aEdges should be < pEdges
   }
 
   test("compact follows a two-deep dead chain when splicing edges") {
