@@ -96,6 +96,47 @@ object Graph {
     *
     * Output: one row, (`n_triangles`).
     */
+  /** Fixed-iteration label propagation (Raghavan et al. 2007) — the
+    * near-linear community detector: every node starts as its own
+    * community, then `iters` SYNCHRONOUS rounds of "adopt the MODE of
+    * your neighbors' labels" (ties: smallest label — the deterministic
+    * variant, so the trajectory replays in a second engine; classic LPA
+    * breaks ties randomly). Edges are treated as undirected (both
+    * orientations unioned, duplicates collapsed); isolated nodes cannot
+    * occur (the node set IS the edge endpoints). Fixed iteration count
+    * for the same reason as [[pageRank]]: a convergence test would make
+    * the output depend on comparison order; the x_communities_lp oracle
+    * unrolls every round.
+    *
+    * Scale shape per round: one (edges ⋈ labels) shuffle join, one
+    * (node, label) count aggregate, one node-keyed window — linear in
+    * |E|, the Pregel-lite discipline, labels lineage-cut per round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val e0 = edges.select(qcol(srcCol).cast("long").as("a"),
+      qcol(dstCol).cast("long").as("b"))
+    val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(eager = true) // every round re-reads the edges
+    var labels = e.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint(eager = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("__c").desc, col("community"))
+    for (_ <- 1 to iters) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("community"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col("node"), col("community"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val raw = edges.select(qcol(srcCol).cast("long").as("__u"),
         qcol(dstCol).cast("long").as("__v"))

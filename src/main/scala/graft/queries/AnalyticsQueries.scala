@@ -261,7 +261,44 @@ object AnalyticsQueries {
       .select(col("node"), round(col("rank"), 8).as("rank"))
   }
 
+  /** Deterministic label-propagation communities over a slice of the
+    * supplier↔customer graph (undirected; suppliers offset): three
+    * synchronous mode-adoption rounds, ties to the smallest label —
+    * the near-linear community detector beside PageRank's ranking and
+    * the components family's exact closure. The oracle unrolls every
+    * round; a wrong mode or tie anywhere relabels downstream nodes and
+    * breaks the hash.
+    */
+  val communitiesLp = q("x_communities_lp",
+    """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS a, o_custkey AS b
+      |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |            WHERE o_orderkey % 4 = 0),
+      |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      |l0 AS (SELECT DISTINCT a AS node, a AS community FROM e),
+      |c1 AS (SELECT e.a AS node, l.community, count(*) AS c
+      |       FROM e JOIN l0 l ON l.node = e.b GROUP BY 1, 2),
+      |l1 AS (SELECT node, community FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY node ORDER BY c DESC, community) AS r
+      |         FROM c1) WHERE r = 1),
+      |c2 AS (SELECT e.a AS node, l.community, count(*) AS c
+      |       FROM e JOIN l1 l ON l.node = e.b GROUP BY 1, 2),
+      |l2 AS (SELECT node, community FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY node ORDER BY c DESC, community) AS r
+      |         FROM c2) WHERE r = 1),
+      |c3 AS (SELECT e.a AS node, l.community, count(*) AS c
+      |       FROM e JOIN l2 l ON l.node = e.b GROUP BY 1, 2),
+      |l3 AS (SELECT node, community FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY node ORDER BY c DESC, community) AS r
+      |         FROM c3) WHERE r = 1)
+      |SELECT node, community FROM l3""".stripMargin) { (s, dir) =>
+    val e = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+    graft.ext.Graph.labelPropagation(e, "src", "dst", iters = 3)
+  }
+
   val all: Seq[QueryDef] = Seq(percentiles, rollup, pivot, approxDistinctGate,
     approxQuantileGate, profileTable, topkPerGroup, slidingWindow, ntileBinning,
-    rollingFeatures, pagerank)
+    rollingFeatures, pagerank, communitiesLp)
 }

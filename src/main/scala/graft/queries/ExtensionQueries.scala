@@ -5189,7 +5189,14 @@ object ExtensionQueries {
       |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
       |  FROM gsb3 WHERE qid <> nid QUALIFY rank <= 5),
       |m_gs AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
-      |         FROM gs_top s JOIN brute b USING (query_id, neighbor_id))
+      |         FROM gs_top s JOIN brute b USING (query_id, neighbor_id)),
+      |${graphBeamCtesSql("gx", "vec_id < 5", 3, 16, "graphalpha")},
+      |gx_top AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      |  FROM gxb3 WHERE qid <> nid QUALIFY rank <= 5),
+      |m_gx AS (SELECT count(*) AS hits, coalesce(sum(abs(s.rank - b.rank)), 0) AS fr
+      |         FROM gx_top s JOIN brute b USING (query_id, neighbor_id))
       |SELECT 'ivf' AS layout, 5 AS k, CAST(tot.nqy AS BIGINT) AS n_queries,
       |       CAST(tot.possible AS BIGINT) AS possible, CAST(m.hits AS BIGINT) AS hits,
       |       CAST(m.hits AS DOUBLE) / tot.possible AS recall_at_k,
@@ -5234,7 +5241,12 @@ object ExtensionQueries {
       |SELECT 'graph_ivf', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
       |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
       |       CAST(m.fr AS BIGINT)
-      |FROM m_gs m, tot""".stripMargin) { (s, dir) =>
+      |FROM m_gs m, tot
+      |UNION ALL
+      |SELECT 'graph_alpha', 5, CAST(tot.nqy AS BIGINT), CAST(tot.possible AS BIGINT),
+      |       CAST(m.hits AS BIGINT), CAST(m.hits AS DOUBLE) / tot.possible,
+      |       CAST(m.fr AS BIGINT)
+      |FROM m_gx m, tot""".stripMargin) { (s, dir) =>
     val idx = stageAnnIndexes(s, dir)
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -5268,6 +5280,10 @@ object ExtensionQueries {
       // the exact-edge vs IVF-edge comparison the scalable build is
       // priced by: same geometry, half the hop depth (centroid seeds)
       "graph_ivf" -> (() => graft.ext.GraphAnn.topK(s, s"$idx/graphivf", queries,
+        "vec_id", "embedding", 5, beamWidth = 16, hops = 3)),
+      // the alpha-pruned wiring at the same shallow operating point —
+      // the dashboard row that would move if long edges started paying
+      "graph_alpha" -> (() => graft.ext.GraphAnn.topK(s, s"$idx/graphalpha", queries,
         "vec_id", "embedding", 5, beamWidth = 16, hops = 3)),
     )
     val served = graft.util.Par.all(4)(layouts.map { case (n, f) =>
@@ -5333,6 +5349,9 @@ object ExtensionQueries {
       |SELECT 'graphivf', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
       |FROM read_parquet('__GRAFT_ANNIDX__/graphivf/vectors/*.parquet')
       |UNION ALL
+      |SELECT 'graphalpha', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
+      |FROM read_parquet('__GRAFT_ANNIDX__/graphalpha/vectors/*.parquet')
+      |UNION ALL
       |SELECT 'graphdelta',
       |       (SELECT CAST(count(*) AS BIGINT) FROM read_parquet('__GRAFT_ANNIDX__/graphdelta/vectors/*.parquet'))
       |         + (SELECT CAST(count(*) AS BIGINT) FROM read_parquet('__GRAFT_ANNIDX__/graphdelta/delta/*.parquet')),
@@ -5357,6 +5376,7 @@ object ExtensionQueries {
       "ivfsq" -> s"$idx/ivfsq", "bq" -> s"$idx/bq",
       "pcapq" -> s"$idx/pcapq/pq", "graph" -> s"$idx/graph",
       "graphivf" -> s"$idx/graphivf",
+      "graphalpha" -> s"$idx/graphalpha",
       // fresh-region store: health prices vectors + delta together
       "graphdelta" -> s"$idx/graphdelta",
       "pq_del16" -> s"$idx/pq_del16", "bq_maint16" -> s"$idx/bq_maint16",

@@ -78,4 +78,25 @@ class ProfileStatsSpec extends SparkSpec {
       .collect().map(r => r.getTimestamp(0).toString).sorted
     out shouldBe Array("2024-01-01 04:00:00.0", "2024-01-01 05:00:00.0")
   }
+
+  test("labelPropagation: two cliques joined by one bridge split into two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val cliques = for {
+      g <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L, 12L))
+      a <- g; b <- g if a < b
+    } yield (a, b)
+    val e = (cliques :+ ((3L, 10L))).toDF("s", "d")
+    val got = Graph.labelPropagation(e, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges onto its own minimum label; the bridge ends
+    // with its clique (two same-clique neighbors outvote the one bridge)
+    Seq(1L, 2L, 3L).map(got).toSet.size shouldBe 1
+    Seq(10L, 11L, 12L).map(got).toSet.size shouldBe 1
+    got(1L) should not be got(11L)
+    // directions don't matter: reversed edges give the identical result
+    val rev = Graph.labelPropagation(e.select($"d".as("s"), $"s".as("d")),
+        "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rev shouldBe got
+  }
 }
