@@ -568,14 +568,30 @@ object GraphAnn {
     val dv = live.select(col("__id").as("__dst"), col("__vec").as("__dv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__src"))
-      .orderBy(round(Similarity.cosine(col("__sv"), col("__dv")), 4).desc,
-        col("__dst"))
-    cands.join(sv, Seq("__src")).join(dv, Seq("__dst"))
+      .orderBy(col("__cq").desc, col("__dst"))
+    val scored = cands.join(sv, Seq("__src")).join(dv, Seq("__dst"))
+      .withColumn("__cq", round(Similarity.cosine(col("__sv"), col("__dv")), 4))
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= degree0)
-      .groupBy(col("__src").as("__id"))
-      .agg(array_sort(collect_set(col("__dst"))).as("__nbrs"))
-      .write.mode("overwrite").parquet(s"$tmp/adjacency")
+    // an α-wired store keeps its diversity discipline through the splice:
+    // re-cut with the SAME RobustPrune the build ran (3·degree pool,
+    // α-domination, ≤ degree kept) instead of a plain top-degree cut —
+    // otherwise spliced nodes silently lose their long edges while the
+    // entry metadata still claims the α (r17 ADVICE)
+    val recut =
+      if (alpha0 == 0)
+        scored.filter(col("__rk") <= degree0)
+          .groupBy(col("__src").as("__id"))
+          .agg(array_sort(collect_set(col("__dst"))).as("__nbrs"))
+      else
+        scored.filter(col("__rk") <= degree0 * 3)
+          .groupBy(col("__src").as("__id"))
+          .agg(collect_list(struct(col("__rk").as("rank"),
+            col("__dst").as("__nid"), col("__cq"),
+            col("__dv").as("__nv"))).as("__cands"))
+          .select(col("__id"),
+            robustPruneUdf(lit(degree0), lit(alpha0), col("__cands"))
+              .as("__nbrs"))
+    recut.write.mode("overwrite").parquet(s"$tmp/adjacency")
     // entry survival: keep the LIVE entry points (a multi-entry table —
     // [[buildFromIvf]] — loses only the seeds that died); if every entry
     // died, recompute the medoid over survivors (same rule as build).

@@ -370,6 +370,13 @@ object Joins {
       mBits: Int = 1 << 14, k: Int = 3): DataFrame = {
     require(mBits > 0 && (mBits & (mBits - 1)) == 0 && mBits >= 64,
       s"mBits must be a power of two >= 64: $mBits")
+    // the bit array rides the PLAN as an array literal and its distinct
+    // set positions ride the driver — both scale with mBits, so cap it
+    // (4 MiB of plan literal / ≤4M driver rows) before a caller turns
+    // "never corpus-sized" into a 1<<26 plan blow-up
+    require(mBits <= (1 << 22),
+      s"mBits above 1<<22 would embed a ${mBits / 64}-word plan literal " +
+        s"and collect up to $mBits driver rows: $mBits")
     require(k >= 1 && k <= 8, s"k out of range: $k")
     def pos(j: Int, key: Column): Column =
       pmod(PortableHash.md5Prefix15(

@@ -70,11 +70,20 @@ object Rerank {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       s"need 0 <= lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
-    val short = shortTopK.select(col("query_id"),
-      col("neighbor_id").as("doc_id"), cosQ(col("cosine")).as("__cq"))
-      .localCheckpoint(eager = true)
     val vecs = corpus.select(qcol(idCol).cast("long").as("__vid"),
       qcol(vecCol).as("__v"))
+    // shortlist/corpus contract: a candidate with no corpus vector has
+    // no redundancy sims, so steps >= 2 would drop it through the inner
+    // joins while step 1 could still hand it a pure-relevance win —
+    // exclude unresolved candidates UP FRONT so every step sees the
+    // same candidate set (uniform semantics; a no-op when the shortlist
+    // came from ANN over the same corpus, the family contract)
+    val short = shortTopK.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), cosQ(col("cosine")).as("__cq"))
+      .join(vecs.select(col("__vid").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("query_id"), col("doc_id"), col("__cq"))
+      .localCheckpoint(eager = true)
     // pairwise candidate sims within each query's shortlist: two id joins
     // pull vectors, one self-join per query group builds the L² pairs
     val a = short.select(col("query_id"), col("doc_id").as("__aid"))

@@ -308,12 +308,13 @@ object RankingQueries {
     * across a batch boundary all break the hash.
     */
   val streamRankBt = q("x_stream_rank_bt", btSql(
-    """WITH g AS (
+    """WITH g0 AS (
       |  SELECT CASE WHEN value > 50 THEN event_type
       |              ELSE 't' || CAST(user_id % 5 AS VARCHAR) END AS winner,
       |         CASE WHEN value > 50 THEN 't' || CAST(user_id % 5 AS VARCHAR)
       |              ELSE event_type END AS loser
-      |  FROM events WHERE value IS NOT NULL)""".stripMargin)) { (s, dir) =>
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT winner, loser FROM g0 WHERE winner <> loser)""".stripMargin)) { (s, dir) =>
     val tmp = stageOnce(
       Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),

@@ -241,6 +241,37 @@ class GraphAnnSpec extends SparkSpec {
     aEdges should be < pEdges
   }
 
+  test("a delete-splice compact keeps the store's α wiring in the re-cut") {
+    // no fresh region → compact takes the SPLICE path, whose re-cut
+    // must honor the persisted α (r17 ADVICE: it used to fall back to
+    // plain top-degree until the next fold while the metadata still
+    // claimed α)
+    val plainDir = tmpDir("graft_graph_plain_splice")
+    val alphaDir = tmpDir("graft_graph_alpha_splice")
+    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", plainDir,
+      degree = 4, nlist = 4, nprobe = 4)
+    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", alphaDir,
+      degree = 4, nlist = 4, nprobe = 4, alphaQ = 1200)
+    for (dir <- Seq(plainDir, alphaDir)) {
+      AnnIndex.deleteIds(spark, dir, Seq(1L, 11L).toDF("vec_id"), "vec_id")
+      GraphAnn.compact(spark, dir)
+    }
+    val plain = spark.read.parquet(s"$plainDir/adjacency")
+      .as[(Long, Seq[Long])].collect().toMap
+    val alpha = spark.read.parquet(s"$alphaDir/adjacency")
+      .as[(Long, Seq[Long])].collect().toMap
+    // both respect the degree bound and reference no dead ids
+    (plain.values ++ alpha.values).foreach(_.size should be <= 4)
+    (plain.values ++ alpha.values).flatten.toSet should
+      contain noneOf (1L, 11L)
+    // the α re-cut still collapses the collinear stacks: strictly
+    // fewer total edges than the plain splice of the same deletes
+    alpha.values.map(_.size).sum should be < plain.values.map(_.size).sum
+    // and the knob survives the splice generation
+    spark.read.parquet(s"$alphaDir/entry").head()
+      .getAs[Int]("alpha_q") shouldBe 1200
+  }
+
   test("compact follows a two-deep dead chain when splicing edges") {
     // hand-laid path graph 0-1-2-3-4 (the serving path reads only the
     // layout, so a synthetic adjacency is a legal graph store): nodes 1
