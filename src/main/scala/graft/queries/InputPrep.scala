@@ -72,7 +72,14 @@ object InputPrep {
       // and x_shard_export read its staged artifacts)
       "pretrainRun" -> (() => { PipelineQueries.stagePretrain(spark, sfDir); () }),
       // the streamed admission run (x_stream_corpus_admit reads its store)
-      "corpusAdmitRun" -> (() => { PipelineQueries.stageCorpusAdmit(spark, sfDir); () }))
+      "corpusAdmitRun" -> (() => { PipelineQueries.stageCorpusAdmit(spark, sfDir); () }),
+      // the win-matrix / score-histogram / stream-stream-join /
+      // SCD2 / IVF×PQ-append maintenance streams (r17 VERDICT items
+      // 1-2: their gates read the stores, the runs bill here)
+      "btWinMatrixRun" -> (() => { RankingQueries.btWinMatrixStore(spark, sfDir); () }),
+      "aucHistogramRun" -> (() => { RankingQueries.aucHistogramStore(spark, sfDir); () }),
+      "scd2Run" -> (() => { QualityQueries.scd2Store(spark, sfDir); () }),
+      "knnAppendRun" -> (() => { ExtensionQueries.knnAppendIndex(spark, sfDir); () }))
     runs.foreach { case (name, run) =>
       try run()
       catch { case e: Throwable =>
