@@ -5645,11 +5645,16 @@ object ExtensionQueries {
   /** Tokenizer fertility dashboard — the fairness audit a multilingual
     * tokenizer ships with: per DETECTED language, document/word/byte
     * volume, REAL subword token counts under the persisted learned
-    * vocab (greedy WordPiece segmentation, the x_text_wordpiece_count
-    * machinery), and the two ratios the audit reads — tokens-per-word
-    * (fertility) and bytes-per-token — as exact integer divisions on
-    * the ×10⁶ grid. A language the tokenizer under-serves shows up as
-    * an outlying fertility row.
+    * vocab under BOTH inference rules — greedy WordPiece segmentation
+    * (the x_text_wordpiece_count machinery, the serving shape) and
+    * Viterbi unigram-ML (the x_text_unigram_count machinery, the
+    * training segmentation) — and the ratios the audit reads —
+    * tokens-per-word (fertility, one per rule) and bytes-per-token —
+    * as exact integer divisions on the ×10⁶ grid. A language the
+    * tokenizer under-serves shows up as an outlying fertility row;
+    * a gap between the greedy and ML fertility flags a vocab whose
+    * serving segmentation diverges from its training one (r17 VERDICT
+    * item 8).
     */
   val tokenizerFertility = q("x_tokenizer_fertility",
     """WITH RECURSIVE
@@ -5684,18 +5689,43 @@ object ExtensionQueries {
       |             1) AS l
       |    FROM gp, vm WHERE pos < length(w))),
       |done AS (SELECT w, n FROM gp WHERE pos = length(w)),
+      |dpv AS (
+      |  SELECT w, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS sc, [0] AS nt FROM uw
+      |  UNION ALL
+      |  SELECT w, pos + 1,
+      |         list_append(sc, CASE WHEN m IS NULL THEN sc[pos + 1] + (-100.0) ELSE m END),
+      |         list_append(nt, CASE WHEN m IS NULL THEN nt[pos + 1] + 1 ELSE nt[bj] + 1 END)
+      |  FROM (
+      |    SELECT w, pos, sc, nt,
+      |           list_max(list_transform(cands, c -> c.s)) AS m,
+      |           list_min(list_transform(
+      |             list_filter(cands, c -> c.s = list_max(list_transform(cands, c -> c.s))),
+      |             c -> c.j)) AS bj
+      |    FROM (
+      |      SELECT w, pos, sc, nt,
+      |             list_filter(list_transform(generate_series(1, pos + 1), j ->
+      |                 {'s': sc[j] + map_extract(vm.mp, substr(w, j, pos + 2 - j))[1],
+      |                  'j': j}),
+      |               c -> c.s IS NOT NULL) AS cands
+      |      FROM dpv, vm WHERE pos < length(w)))),
+      |donev AS (SELECT w, nt[length(w) + 1] AS n FROM dpv WHERE pos = length(w)),
       |wp AS (SELECT doc_id, sum(n) AS n_wp FROM dw JOIN done USING (w) GROUP BY doc_id),
+      |wv AS (SELECT doc_id, sum(n) AS n_uv FROM dw JOIN donev USING (w) GROUP BY doc_id),
       |per AS (SELECT lang.lang_pred, len(t.toks) AS words,
       |               octet_length(encode(t.text)) AS bytes,
-      |               coalesce(wp.n_wp, 0) AS toks
-      |        FROM t JOIN lang USING (doc_id) LEFT JOIN wp USING (doc_id)),
+      |               coalesce(wp.n_wp, 0) AS toks,
+      |               coalesce(wv.n_uv, 0) AS toks_ml
+      |        FROM t JOIN lang USING (doc_id) LEFT JOIN wp USING (doc_id)
+      |                 LEFT JOIN wv USING (doc_id)),
       |g AS (SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
       |             CAST(sum(words) AS BIGINT) AS n_words,
       |             CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |             CAST(sum(toks_ml) AS BIGINT) AS n_tokens_ml,
       |             CAST(sum(bytes) AS BIGINT) AS n_bytes
       |      FROM per GROUP BY 1)
-      |SELECT lang_pred, n_docs, n_words, n_tokens, n_bytes,
+      |SELECT lang_pred, n_docs, n_words, n_tokens, n_tokens_ml, n_bytes,
       |       CASE WHEN n_words > 0 THEN CAST((n_tokens * 1000000) // n_words AS BIGINT) END AS fertility_q,
+      |       CASE WHEN n_words > 0 THEN CAST((n_tokens_ml * 1000000) // n_words AS BIGINT) END AS fertility_ml_q,
       |       CASE WHEN n_tokens > 0 THEN CAST((n_bytes * 1000000) // n_tokens AS BIGINT) END AS bytes_per_token_q
       |FROM g""".stripMargin) { (s, dir) =>
     val uni = stageUnigramModel(s, dir)
@@ -5707,12 +5737,17 @@ object ExtensionQueries {
           .cast("long").as("__w"),
         graft.ext.Unigram.greedyTokenCount(col("text"), model)
           .cast("long").as("__t"),
+        graft.ext.Unigram.tokenCount(col("text"), model)
+          .cast("long").as("__tv"),
         octet_length(col("text")).cast("long").as("__b"))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
-        sum(col("__t")).as("n_tokens"), sum(col("__b")).as("n_bytes"))
-      .selectExpr("lang_pred", "n_docs", "n_words", "n_tokens", "n_bytes",
+        sum(col("__t")).as("n_tokens"), sum(col("__tv")).as("n_tokens_ml"),
+        sum(col("__b")).as("n_bytes"))
+      .selectExpr("lang_pred", "n_docs", "n_words", "n_tokens",
+        "n_tokens_ml", "n_bytes",
         "CASE WHEN n_words > 0 THEN CAST((n_tokens * 1000000) div n_words AS LONG) END AS fertility_q",
+        "CASE WHEN n_words > 0 THEN CAST((n_tokens_ml * 1000000) div n_words AS LONG) END AS fertility_ml_q",
         "CASE WHEN n_tokens > 0 THEN CAST((n_bytes * 1000000) div n_tokens AS LONG) END AS bytes_per_token_q")
   }
 
