@@ -83,7 +83,7 @@ object Verify {
       Seq("ivf", "pq", "ivfpq", "ivfsq", "bq", "pcapq",
           "pq_del16", "bq_maint16", "ivfpq_del16", "maxsim", "maxsim_q",
           "opq", "opqivf", "graph", "graphivf", "graphdelta",
-          "graphalpha").foreach { layout =>
+          "graphalpha", "ivf_bx", "ivf_by").foreach { layout =>
         val from = new java.io.File(s"$annSrc/$layout")
         if (from.isDirectory)
           org.apache.commons.io.FileUtils.copyDirectory(from,

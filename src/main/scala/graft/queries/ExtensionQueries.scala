@@ -57,7 +57,7 @@ object ExtensionQueries {
     // change to the staging recipe below (index layout, geometry, the
     // append/delete fixture splits) must bump it, or an old staged /tmp
     // index would silently gate the new code against the old layout
-    val done = new java.io.File(s"$tmp/_INDEX_DONE_v17b_alphameta")
+    val done = new java.io.File(s"$tmp/_INDEX_DONE_v18a_bitextivf")
     if (done.exists()) return tmp
     // a stale generation (older marker or half-built) must not leak files
     // (e.g. append-mode tombstones) into the fresh build
@@ -131,6 +131,16 @@ object ExtensionQueries {
         m = 8, ksub = 16, iters = 2, modelIn = Some(pqm))),
       "ivf" -> (() => AnnIndex.buildIvf(emb, "vec_id", "embedding", s"$tmp/ivf",
         nlist = 16, iters = 2, coarseIn = Some(coarse))),
+      // per-side IVF indexes over the bitext mining split (X = even
+      // ids, Y = odd): the pruned-probe mining gate
+      // (x_mine_bitext_ivf) serves each kNN leg from the OTHER side's
+      // persisted index at nprobe < nlist — the 100 TB mining path,
+      // with the probe selection + pruned scan + margin arithmetic
+      // all replayed from these stored tables
+      "ivf_bx" -> (() => AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", s"$tmp/ivf_bx", nlist = 8, iters = 1)),
+      "ivf_by" -> (() => AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", s"$tmp/ivf_by", nlist = 8, iters = 1)),
       // keepVectors: the refine gate re-ranks against the exact vectors
       "ivfpq" -> (() => AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$tmp/ivfpq",
         nlist = 16, m = 8, ksub = 16, iters = 2, keepVectors = true,
@@ -5858,6 +5868,83 @@ object ExtensionQueries {
       "vec_id", "embedding", k = 4, marginThresholdQ = 1000000L)
   }
 
+  /** The PRUNED-PROBE mining path under hash ([[Mining.mineParallelPairsIvf]],
+    * r17 VERDICT item 4): each kNN leg is the other side's persisted
+    * IVF index served at nprobe 3 of nlist 8 — partition pruning bounds
+    * the scanned corpus share — and the margin/mutual epilogue runs the
+    * same exact-integer arithmetic as x_mine_bitext. The oracle replays
+    * the WHOLE production path from the stored tables (the x_knn_ivf
+    * technique): probe selection against each side's stored coarse
+    * centroids, the pruned cluster scan, 4dp top-k, then margins — a
+    * drifted probe choice, a cluster that escaped pruning, or one
+    * misrounded margin breaks the hash.
+    */
+  val mineBitextIvf = q("x_mine_bitext_ivf", {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> x*x)))" +
+        s" * sqrt(list_sum(list_transform($b, x -> x*x))))"
+    s"""WITH xq AS (SELECT vec_id AS qid, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |            FROM embeddings WHERE vec_id % 2 = 0),
+       |yq AS (SELECT vec_id AS qid, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |       FROM embeddings WHERE vec_id % 2 = 1),
+       |xc AS (SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivf_bx/coarse/*.parquet')),
+       |yc AS (SELECT __cid, centroid FROM read_parquet('__GRAFT_ANNIDX__/ivf_by/coarse/*.parquet')),
+       |xv AS (SELECT __id AS nid, CAST(__cluster AS INTEGER) AS cl,
+       |              list_transform(__vec, x -> CAST(x AS DOUBLE)) AS w
+       |       FROM read_parquet('__GRAFT_ANNIDX__/ivf_bx/vectors/*/*.parquet', hive_partitioning=1)),
+       |yv AS (SELECT __id AS nid, CAST(__cluster AS INTEGER) AS cl,
+       |              list_transform(__vec, x -> CAST(x AS DOUBLE)) AS w
+       |       FROM read_parquet('__GRAFT_ANNIDX__/ivf_by/vectors/*/*.parquet', hive_partitioning=1)),
+       |fp AS (SELECT qid, __cid FROM (
+       |         SELECT qid, __cid,
+       |                row_number() OVER (PARTITION BY qid ORDER BY ${cos("v", "centroid")} DESC, __cid) AS pr
+       |         FROM xq, yc) WHERE pr <= 3),
+       |bp AS (SELECT qid, __cid FROM (
+       |         SELECT qid, __cid,
+       |                row_number() OVER (PARTITION BY qid ORDER BY ${cos("v", "centroid")} DESC, __cid) AS pr
+       |         FROM yq, xc) WHERE pr <= 3),
+       |fk AS MATERIALIZED (
+       |  SELECT qid AS xid, nid AS yid, CAST(round(s * 10000, 0) AS BIGINT) AS cq FROM (
+       |    SELECT p.qid, v.nid, round(${cos("q.v", "v.w")}, 4) AS s,
+       |           row_number() OVER (PARTITION BY p.qid ORDER BY round(${cos("q.v", "v.w")}, 4) DESC, v.nid) AS rk
+       |    FROM fp p JOIN yv v ON v.cl = p.__cid JOIN xq q ON q.qid = p.qid)
+       |  WHERE rk <= 4),
+       |bk AS MATERIALIZED (
+       |  SELECT qid AS yid, nid AS xid, CAST(round(s * 10000, 0) AS BIGINT) AS cq FROM (
+       |    SELECT p.qid, v.nid, round(${cos("q.v", "v.w")}, 4) AS s,
+       |           row_number() OVER (PARTITION BY p.qid ORDER BY round(${cos("q.v", "v.w")}, 4) DESC, v.nid) AS rk
+       |    FROM bp p JOIN xv v ON v.cl = p.__cid JOIN yq q ON q.qid = p.qid)
+       |  WHERE rk <= 4),
+       |fa AS (SELECT xid, sum(cq) AS axq, count(*) AS axn FROM fk GROUP BY 1),
+       |ba AS (SELECT yid, sum(cq) AS ayq, count(*) AS ayn FROM bk GROUP BY 1),
+       |fm AS (SELECT fk.xid, fk.yid,
+       |              CAST((cq * 2 * axn * ayn * 1000000) // (axq * ayn + ayq * axn) AS BIGINT) AS margin_q
+       |       FROM fk JOIN fa USING (xid) JOIN ba USING (yid)
+       |       WHERE cq > 0 AND axq * ayn + ayq * axn > 0),
+       |bm AS (SELECT bk.xid, bk.yid,
+       |              CAST((cq * 2 * axn * ayn * 1000000) // (axq * ayn + ayq * axn) AS BIGINT) AS margin_q
+       |       FROM bk JOIN fa USING (xid) JOIN ba USING (yid)
+       |       WHERE cq > 0 AND axq * ayn + ayq * axn > 0),
+       |fb AS (SELECT xid, yid, margin_q
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY xid ORDER BY margin_q DESC, yid) AS r FROM fm)
+       |       WHERE r = 1),
+       |bb AS (SELECT xid, yid
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY yid ORDER BY margin_q DESC, xid) AS r FROM bm)
+       |       WHERE r = 1)
+       |SELECT fb.xid AS x_id, fb.yid AS y_id, fb.margin_q
+       |FROM fb JOIN bb USING (xid, yid)
+       |WHERE fb.margin_q >= 1000000""".stripMargin
+  }) { (s, dir) =>
+    val idx = stageAnnIndexes(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    graft.ext.Mining.mineParallelPairsIvf(s, s"$idx/ivf_bx", s"$idx/ivf_by",
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, nprobe = 3,
+      marginThresholdQ = 1000000L)
+  }
+
   /** Corpus-trained bigram-LM perplexity per document (CCNet-style
     * perplexity filtering, one rung above x_text_surprisal's unigram
     * form): add-1 smoothed P(w|prev), ppl = exp(−mean ln P). Counting
@@ -6805,7 +6892,7 @@ object ExtensionQueries {
     classifyLr, knnAsOf, storeFsck, streamManifest, retrievalEval, textAsOf,
     corpusCleanAudit, knnAutotune, streamRecall, qualityCalibrate,
     textWordpieceCount, knnGraphScale, knnGraphDelta, knnGraphAlpha,
-    mineBitext,
+    mineBitext, mineBitextIvf,
     dedupLshPlan, pplPrune, tokenizerFertility,
   )
 }
