@@ -101,6 +101,117 @@ object Sketch {
         count(lit(1)).as("n"))
   }
 
+  // ------------------------------------------------- quantile summary
+  /** Mergeable quantile summary — a KLL-style level structure (Karnin,
+    * Lang & Liberty 2016) whose "compaction coin" is the engine-portable
+    * md5 instead of randomness: each row's LEVEL is the trailing-zero
+    * count of its key's 60-bit md5 prefix (a geometric ladder — half the
+    * keys sit at level ≥ 1, a quarter at ≥ 2, …), and the summary at
+    * capacity `k` keeps exactly the rows whose level clears the SMALLEST
+    * cut `L` with |{level ≥ L}| ≤ k, each kept row standing for 2^L
+    * originals. Rank estimates are the classic weighted count —
+    * est_rank(q) = 2^L·|{kept v ≤ q}| — with the standard sampling
+    * error n·O(1/√k).
+    *
+    * Deterministic levels buy the two properties the family is built
+    * on: (a) ENGINE PORTABILITY — a second engine replays the exact
+    * kept set and every estimate from the same tables (the CMS/KMV
+    * discipline; the x_quantile_sketch gate hash-pins the whole path),
+    * and (b) EXACT MERGEABILITY — the level cut depends only on the
+    * union multiset, so summaries merge by union + re-cut: each part's
+    * cut L_p never exceeds the union's cut L* (a subset's level counts
+    * are ≤ the union's), hence every row the union cut keeps survived
+    * its part's trim, and the merged summary equals the ONE-SHOT
+    * summary bit-for-bit — associative, order-free (spec-pinned; the
+    * streamed store rides [[graft.streaming.DocStreams]]'
+    * exactly-once delta protocol like CMS/KMV and the
+    * x_stream_quantile_sketch gate pins summed deltas == one-shot).
+    *
+    * Scale shape: one narrow pass computes levels (two md5-free integer
+    * ops per candidate level over one md5), the cut selection is ONE
+    * counter-sized aggregate (≤ maxLevel+1 longs to the driver), and
+    * the kept set is ≤ k rows — never corpus-sized driver state.
+    */
+  case class QuantileSummary(level: Int, items: DataFrame)
+
+  /** Trailing-zero level of the 60-bit md5 prefix of "qs:"+key, capped
+    * at `maxLevel` — the md5-driven compaction coin. Replay:
+    * `CASE WHEN h % 2^maxLevel = 0 THEN maxLevel WHEN … ELSE 0 END`
+    * over `CAST('0x'||substring(md5('qs:'||key),1,15) AS UBIGINT)`
+    * ([[quantileLevelSql]] emits exactly that chain).
+    */
+  private def tzLevel(h: Column, maxLevel: Int): Column = {
+    var c = when(h % lit(1L << maxLevel) === 0, maxLevel)
+    var l = maxLevel - 1
+    while (l >= 1) { c = c.when(h % lit(1L << l) === 0, l); l -= 1 }
+    c.otherwise(0)
+  }
+
+  /** The oracle-side twin of [[tzLevel]] as DuckDB SQL over an UBIGINT
+    * expression — generated here so the gate SQL and the engine can
+    * never drift on the chain.
+    */
+  def quantileLevelSql(h: String, maxLevel: Int): String =
+    (maxLevel to 1 by -1)
+      .map(l => s"WHEN $h % ${1L << l} = 0 THEN $l")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** The per-row (level, value) frame a summary is cut from — shared by
+    * the one-shot build and the streaming delta publisher. Null keys or
+    * values carry no rank mass and are dropped.
+    */
+  def quantileLevelItems(df: DataFrame, keyCol: Column, valueCol: Column,
+      maxLevel: Int = 20): DataFrame = {
+    require(maxLevel >= 1 && maxLevel <= 40, s"bad maxLevel: $maxLevel")
+    df.filter(keyCol.isNotNull && valueCol.isNotNull)
+      .select(
+        tzLevel(PortableHash.md5Prefix15(
+          concat(lit("qs:"), keyCol.cast("string"))), maxLevel).as("__lvl"),
+        valueCol.as("__v"))
+  }
+
+  /** Cut a summary out of (level, value) items: the smallest level
+    * `L ≥ minLevel` whose survivor count fits `k`. `minLevel` is the
+    * merge floor — when the items are a union of already-trimmed parts
+    * (the streamed delta store), levels below the deepest part trim are
+    * incomplete and must not be offered the cut (pass the max of the
+    * parts' levels). The selection aggregate ships ≤ maxLevel+1 longs
+    * to the driver; the kept frame is ≤ k rows.
+    */
+  def quantileSelect(items: DataFrame, k: Int, minLevel: Int = 0,
+      maxLevel: Int = 20): QuantileSummary = {
+    require(k >= 1, s"capacity must be positive: $k")
+    require(minLevel >= 0 && minLevel <= maxLevel,
+      s"bad level window: [$minLevel, $maxLevel]")
+    val it = items.localCheckpoint(eager = true) // counts + cut share it
+    val aggs = (minLevel to maxLevel).map(l =>
+      coalesce(sum(when(col("__lvl") >= l, 1L).otherwise(0L)), lit(0L))
+        .as(s"c$l"))
+    val counts = it.agg(aggs.head, aggs.tail: _*).head()
+    val level = (minLevel to maxLevel)
+      .find(l => counts.getLong(l - minLevel) <= k)
+      .getOrElse(throw new IllegalStateException(
+        s"no level in [$minLevel, $maxLevel] fits k=$k " +
+          s"(count at $maxLevel = ${counts.getLong(maxLevel - minLevel)}) " +
+          "— raise maxLevel for this corpus size"))
+    QuantileSummary(level, it.filter(col("__lvl") >= level))
+  }
+
+  /** One-shot summary over a frame — levels + cut in one call. */
+  def quantileSketch(df: DataFrame, keyCol: Column, valueCol: Column,
+      k: Int, maxLevel: Int = 20): QuantileSummary =
+    quantileSelect(quantileLevelItems(df, keyCol, valueCol, maxLevel),
+      k, 0, maxLevel)
+
+  /** Merge two summaries: union + re-cut floored at the deeper part
+    * trim. Equals the one-shot summary over the concatenated inputs
+    * exactly, in any merge order (spec-pinned associativity).
+    */
+  def quantileMerge(a: QuantileSummary, b: QuantileSummary, k: Int,
+      maxLevel: Int = 20): QuantileSummary =
+    quantileSelect(a.items.unionByName(b.items), k,
+      math.max(a.level, b.level), maxLevel)
+
   /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) per
     * group: hash each value with the engine-portable 60-bit md5 prefix,
     * keep the k smallest DISTINCT hashes per group, estimate

@@ -79,6 +79,9 @@ object InputPrep {
       "btWinMatrixRun" -> (() => { RankingQueries.btWinMatrixStore(spark, sfDir); () }),
       "aucHistogramRun" -> (() => { RankingQueries.aucHistogramStore(spark, sfDir); () }),
       "scd2Run" -> (() => { QualityQueries.scd2Store(spark, sfDir); () }),
+      // the streamed quantile-summary maintenance (x_stream_quantile_sketch
+      // reads its store)
+      "qsketchRun" -> (() => { QualityQueries.qsketchStore(spark, sfDir); () }),
       "knnAppendRun" -> (() => { ExtensionQueries.knnAppendIndex(spark, sfDir); () }))
     runs.foreach { case (name, run) =>
       try run()

@@ -35,6 +35,143 @@ object QualityQueries {
     Sketch.kmvDistinct(Tables.events(s, dir), "event_type", col("user_id"), 64)
   }
 
+  /** Mergeable quantile summary under full hash
+    * ([[Sketch.quantileSketch]], r17 VERDICT item 3): the KLL-style
+    * level sample over the documents' n_chars at capacity 256 —
+    * md5-driven levels, smallest fitting cut, 2^L weights — probed at
+    * seven percentiles. The oracle replays the ENTIRE path from the
+    * same table: the level chain ([[Sketch.quantileLevelSql]] emits the
+    * identical CASE), the cut selection, the kept set's weighted ranks,
+    * the exact order-statistic probes — plus the rank-error invariant
+    * (|est − true| ≤ 15%·n, ~5σ at this capacity) as a hashed boolean
+    * column, so the summary is both bit-pinned AND provably useful.
+    * Scale shape: one md5 pass, one counter-sized cut aggregate, a
+    * ≤ 256-row broadcast for estimates; the probe machinery
+    * (distinct-value cumulative histogram) is value-domain-bounded.
+    */
+  val statsQuantileSketch = q("x_quantile_sketch", {
+    val lvl = Sketch.quantileLevelSql("h", 20)
+    s"""WITH src AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+       |             FROM documents WHERE n_chars IS NOT NULL),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM src),
+       |lv AS (SELECT v, $lvl AS lvl FROM (
+       |        SELECT v, CAST('0x' || substring(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS h
+       |        FROM src)),
+       |lc AS (SELECT lvl, count(*) AS c FROM lv GROUP BY 1),
+       |lev AS (SELECT l, coalesce((SELECT sum(c) FROM lc WHERE lvl >= l), 0) AS cnt
+       |        FROM (SELECT unnest(generate_series(0, 20)) AS l)),
+       |lsel AS (SELECT CAST(min(l) AS INTEGER) AS lvl_sel FROM lev WHERE cnt <= 256),
+       |kept AS (SELECT v FROM lv, lsel WHERE lvl >= lvl_sel),
+       |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_kept FROM kept),
+       |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+       |        FROM (SELECT v, count(*) AS c FROM src GROUP BY 1)),
+       |probes AS (SELECT pct, greatest(1, (pct * n_total) // 100) AS idx
+       |           FROM (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS pct), n),
+       |pv AS (SELECT pct, min(v) AS probe_v
+       |       FROM probes JOIN cum ON cum.cum >= probes.idx GROUP BY 1),
+       |tr AS (SELECT pct, probe_v,
+       |              (SELECT CAST(count(*) AS BIGINT) FROM src WHERE src.v <= pv.probe_v) AS true_rank
+       |       FROM pv),
+       |er AS (SELECT pct, probe_v,
+       |              CAST((SELECT count(*) FROM kept WHERE kept.v <= pv.probe_v)
+       |                   * (CAST(1 AS BIGINT) << lsel.lvl_sel) AS BIGINT) AS est_rank
+       |       FROM pv, lsel)
+       |SELECT er.pct, er.probe_v, (SELECT lvl_sel FROM lsel) AS level,
+       |       (SELECT n_kept FROM nk) AS n_kept,
+       |       (SELECT n_total FROM n) AS n_total,
+       |       er.est_rank, tr.true_rank,
+       |       abs(er.est_rank - tr.true_rank) * 20 <= (SELECT n_total FROM n) * 3 AS rank_ok
+       |FROM er JOIN tr USING (pct, probe_v)""".stripMargin
+  }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(eager = true) // sketch + histogram + count share it
+    val summary = Sketch.quantileSketch(src, col("doc_id"), col("__v"),
+      k = 256, maxLevel = 20)
+    val kept = summary.items.localCheckpoint(eager = true) // est + size
+    val nTotal = src.count()
+    val nKept = kept.count()
+    // distinct-VALUE cumulative histogram: the probe order statistics
+    // without a corpus-wide row_number (the window runs over the value
+    // domain, not the rows)
+    val hist = src.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = true)
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val probes = s.range(1).select(explode(array(
+        Seq(1, 5, 25, 50, 75, 95, 99).map(p => struct(
+          lit(p).as("pct"),
+          lit(math.max(1L, p.toLong * nTotal / 100L)).as("__idx"))): _*))
+        .as("__s"))
+      .select(col("__s.pct").as("pct"), col("__s.__idx").as("__idx"))
+    val pv = probes.join(broadcast(cum), col("__cum") >= col("__idx"))
+      .groupBy(col("pct")).agg(min(col("__v")).as("probe_v"))
+      .localCheckpoint(eager = true) // both rank legs read it
+    val tr = pv.join(broadcast(hist), col("__v") <= col("probe_v"), "left")
+      .groupBy(col("pct"), col("probe_v"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("true_rank"))
+    val er = pv.join(broadcast(kept.select(col("__v").as("__kv"))),
+        col("__kv") <= col("probe_v"), "left")
+      .groupBy(col("pct"), col("probe_v"))
+      .agg((count(col("__kv")) * lit(1L << summary.level)).as("est_rank"))
+    er.join(tr, Seq("pct", "probe_v"))
+      .select(col("pct"), col("probe_v"), lit(summary.level).as("level"),
+        lit(nKept).as("n_kept"), lit(nTotal).as("n_total"),
+        col("est_rank"), col("true_rank"),
+        (abs(col("est_rank") - col("true_rank")) * 20 <=
+          lit(nTotal) * 3).as("rank_ok"))
+  }
+
+  /** One memoized quantile-sketch stream run per fixture (the
+    * [[InputPrep.sharedRuns]] discipline): the micro-batch maintenance
+    * publishes each batch's trimmed level items exactly once; the gate
+    * reads the store.
+    */
+  private val qsketchRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def qsketchStore(s: SparkSession, dir: String): String =
+    qsketchRuns.computeIfAbsent(Staging.tag(dir), tag => {
+      val store = s"/tmp/graft_stream_qsketch/${tag}_store"
+      graft.streaming.EventStreams.runQuantileSketchOnce(s,
+        stageEventSpool2(s, dir), store,
+        key = col("event_id"),
+        value = round(col("value") * 100, 0).cast("long"),
+        k = 128, rowFilter = col("value").isNotNull)
+      store
+    })
+
+  /** The quantile summary maintained FROM THE STREAM: per micro-batch
+    * the trimmed (level, value) items publish exactly once with the
+    * batch's cut as merge floor; the re-cut union must equal the
+    * one-shot summary over the same event log EXACTLY — same cut level,
+    * same kept multiset (level cuts only deepen under union, so no
+    * batch trim can lose a row the union cut keeps). A lost batch, a
+    * double publish, or a floor-less re-cut (offering the union a level
+    * some batch already trimmed away) all break the equality.
+    */
+  val streamQuantileSketch = q("x_stream_quantile_sketch",
+    "SELECT true AS stream_qsketch_ok") { (s, dir) =>
+    val streamed = graft.streaming.EventStreams.readQuantileSketch(s,
+      qsketchStore(s, dir), k = 128)
+    val batch = Sketch.quantileSketch(
+      Tables.events(s, dir).filter(col("value").isNotNull),
+      col("event_id"), round(col("value") * 100, 0).cast("long"),
+      k = 128)
+    val a = streamed.items.groupBy(col("__lvl"), col("__v"))
+      .agg(count(lit(1)).as("__na"))
+    val b = batch.items.groupBy(col("__lvl"), col("__v"))
+      .agg(count(lit(1)).as("__nb"))
+    a.join(b, Seq("__lvl", "__v"), "full")
+      .agg((lit(streamed.level == batch.level) &&
+        count(lit(1)) === count(col("__na")) &&
+        count(lit(1)) === count(col("__nb")) &&
+        coalesce(max(when(col("__na") =!= col("__nb"), 1).otherwise(0)) === 0,
+          lit(true))).as("stream_qsketch_ok"))
+  }
+
   /** PSI drift between the even/odd event_id halves of the event stream,
     * per event_type, over 20 unit-width value bins on [0, 20) (values
     * past the domain clamp into the edge bin) — the scheduled
@@ -816,5 +953,6 @@ object QualityQueries {
     knnFiltered, knnMrl, triangleCount, scd2AsOf, funnel, featureHash, streamScd2,
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
     streamFunnel, streamDriftPsi, streamDriftKs, textPhrase, textProximity,
-    streamPhraseAppend, urlCanonical, textEntropy)
+    streamPhraseAppend, urlCanonical, textEntropy,
+    statsQuantileSketch, streamQuantileSketch)
 }

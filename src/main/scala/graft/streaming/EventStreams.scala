@@ -821,6 +821,58 @@ object EventStreams {
     }
   }
 
+  /** Streaming quantile-summary maintenance
+    * ([[graft.ext.Sketch.QuantileSummary]]): each micro-batch's rows map
+    * to (level, value) items, the batch takes its OWN capacity cut, and
+    * the trimmed items publish exactly once with the batch's cut level
+    * as the merge floor (`min_lvl`). Level cuts only deepen under
+    * union, so the re-cut union of the trimmed deltas equals the
+    * one-shot summary over the whole log BIT FOR BIT (the KMV
+    * "per-batch-trimmed deltas re-minimized" argument, on the level
+    * ladder — x_stream_quantile_sketch pins it; merge associativity is
+    * spec-pinned). Store deleted at run start (a run owns its history).
+    */
+  def runQuantileSketchOnce(spark: SparkSession, spoolDir: String,
+      storeDir: String, key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, k: Int,
+      rowFilter: org.apache.spark.sql.Column = lit(true),
+      maxLevel: Int = 20): Unit = {
+    graft.util.Hfs.delete(spark, storeDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$batchId")) {
+            val items = graft.ext.Sketch.quantileLevelItems(
+              batch.toDF().filter(rowFilter), key, value, maxLevel)
+            val s = graft.ext.Sketch.quantileSelect(items, k, 0, maxLevel)
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir,
+              s.items.withColumn("min_lvl", lit(s.level)), batchId)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  /** The re-cut summary of a [[runQuantileSketchOnce]] store: union the
+    * trimmed deltas, floor the cut at the deepest batch trim, re-select
+    * at the same capacity. Equals the one-shot summary over the full
+    * log exactly.
+    */
+  def readQuantileSketch(spark: SparkSession, storeDir: String, k: Int,
+      maxLevel: Int = 20): graft.ext.Sketch.QuantileSummary = {
+    val d = spark.read.parquet(s"$storeDir/deltas")
+      .localCheckpoint(eager = true) // floor read + re-cut share it
+    val minLevel = d.agg(max(col("min_lvl"))).head().getInt(0)
+    graft.ext.Sketch.quantileSelect(d.select(col("__lvl"), col("__v")),
+      k, minLevel, maxLevel)
+  }
+
   /** Streaming preference-matrix maintenance: each micro-batch's events
     * resolve to complete (winner, loser) games (both sides derived from
     * the SAME row — a game never straddles batches), aggregate to
