@@ -12,6 +12,69 @@ import graft.ext.{AnnIndex, GraphAnn, Similarity}
   * runMain graft.tools.GraphCurve <sfDir> [nQueries]
   */
 object GraphCurve {
+
+  /** The planted topology RobustPrune exists for (r17 VERDICT item 6):
+    * `stacks` ray directions in `dim` dims, each a near-collinear STACK
+    * of `perStack` points at graded radii with deterministic md5 jitter.
+    * Geometry chosen so the effect is mechanically forced: perStack
+    * (12) < the 3·degree candidate pool (18), so every node's pool is
+    * ~11 same-stack collinear candidates plus a cross-stack tail —
+    * plain top-degree wiring spends all 6 slots inside the stack,
+    * α = 1.2 collapses the collinear run into a representative or two
+    * and promotes the pool's LONG edges; with only 8 entry clusters
+    * over 64 stacks, reaching a far stack at small beam×hops needs
+    * exactly those edges.
+    */
+  private def plantedCorpus(spark: SparkSession, dim: Int = 16,
+      stacks: Int = 64, perStack: Int = 12): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def u(seed: String): Double = // deterministic uniform in [0, 1)
+      (graft.ext.PortableHash.md5Prefix15(seed) % 1000000L) / 1000000.0
+    val rows = for {
+      s <- 0 until stacks
+      j <- 0 until perStack
+    } yield {
+      val dir = Array.tabulate(dim)(d => u(s"dir:$s:$d") - 0.5)
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      val radius = 1.0 + 0.25 * j // graded radii along the ray
+      val v = Array.tabulate(dim) { d =>
+        val jitter = (u(s"jit:$s:$j:$d") - 0.5) * 0.02
+        ((dir(d) / n) * radius + jitter).toFloat
+      }
+      ((s * perStack + j).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** `runMain graft.tools.GraphCurve planted` — the α-vs-plain curve on
+    * the planted topology, matched beam/hops, recall@5 against brute.
+    */
+  private def plantedCurve(spark: SparkSession): Unit = {
+    val corpus = plantedCorpus(spark).localCheckpoint(true)
+    val plainDir = "/tmp/graft_curve_planted_plain"
+    val alphaDir = "/tmp/graft_curve_planted_alpha"
+    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", plainDir,
+      degree = 6, nlist = 8, nprobe = 3)
+    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", alphaDir,
+      degree = 6, nlist = 8, nprobe = 3, alphaQ = 1200)
+    // queries: one member of every fourth stack — nearest neighbors sit
+    // in the query's own stack, entries mostly don't
+    val queries = corpus.filter(col("vec_id") % (12 * 4) === 5)
+      .localCheckpoint(true)
+    val brute = Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "embedding", 5).localCheckpoint(true)
+    for {
+      (l, h) <- Seq((4, 2), (4, 4), (8, 2), (8, 3), (8, 6), (16, 3), (16, 6),
+        (16, 12), (32, 8), (32, 16))
+      (name, dir) <- Seq("plain" -> plainDir, "alpha" -> alphaDir)
+    } {
+      val served = GraphAnn.topK(spark, dir, queries, "vec_id", "embedding",
+        5, beamWidth = l, hops = h)
+      val r = AnnIndex.recallReport(Seq(s"$name" -> served), brute, 5).head()
+      println(f"""{"layout":"planted_${name}_beam${l}_hops$h","recall_at_5":${r.getAs[Double]("recall_at_k")}%.3f,"footrule":${r.getAs[Long]("rank_footrule")}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val nq = if (args.length > 1) args(1).toInt else 32
@@ -22,6 +85,10 @@ object GraphCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sfDir == "planted") {
+      try plantedCurve(spark) finally spark.stop()
+      return
+    }
     val idx = graft.queries.ExtensionQueries.stageAnnIndexes(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < nq)
