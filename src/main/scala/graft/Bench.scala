@@ -196,21 +196,24 @@ object Bench {
     // index + brute recall reference + refined ADC serve, ~2.4 s, code
     // untouched since r13); x_index_health re-pinned after gaining the
     // graphivf row.
+    // r18 re-pin (r17 VERDICT item 5): references are now the DRIVER's
+    // own r17 rep (BENCH_r17, sf0.1, local[32], 2026-08-16) instead of
+    // builder-box reps, so host_factor measures drift FROM THE GRADING
+    // CONDITION — a driver-host rep of unchanged code reads ~1.0, and
+    // the raw-vs-normalized gap stops absorbing the builder/driver box
+    // difference. Member set unchanged (all ≥ 1.3 s at the driver
+    // condition; the same-host jitter rationale above still holds).
     val canaryRef: Map[String, Double] = Map(
-      "x_pagerank" -> 3.316,
-      "x_text_bm25" -> 1.156,
-      "x_triangle_count" -> 1.301,
-      "x_dedup_crossmodal" -> 5.127,
-      "x_corpus_effective_near" -> 4.096,
-      "x_knn_ivfpq_refine" -> 1.960,
-      // re-pinned twice in r16: the member gained two dashboard rows
-      // AND healthReport's pooled per-store measurement (6.6 → 1.7 s);
-      // reference = the average of the two post-pool reps, whose own
-      // readings agreed within 1.5 % even across a dirty suite rep
-      "x_index_health" -> 1.674,
-      "x_dedup_minhash" -> 1.990,
-      "x_dedup_semantic" -> 3.766,
-      "x_asof_join" -> 1.251,
+      "x_pagerank" -> 4.774,
+      "x_text_bm25" -> 1.327,
+      "x_triangle_count" -> 1.679,
+      "x_dedup_crossmodal" -> 5.891,
+      "x_corpus_effective_near" -> 5.792,
+      "x_knn_ivfpq_refine" -> 2.840,
+      "x_index_health" -> 1.706,
+      "x_dedup_minhash" -> 2.435,
+      "x_dedup_semantic" -> 4.190,
+      "x_asof_join" -> 1.706,
     )
     val ratios = results
       .collect { case (n, s, _) if canaryRef.contains(n) => s / canaryRef(n) }
@@ -240,7 +243,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""cpu_total":$totalCpu%.3f,"cpu":$cpuQs,"staging_sec":$stagingSec%.3f,""" +
       f""""shared_runs_sec":$sharedSec%.3f,""" +
-      f""""canary":$canaryJson,"canary_ref_rep":"r16_builder_sf01_20260815",""" +
+      f""""canary":$canaryJson,"canary_ref_rep":"r17_driver_sf01_20260816",""" +
       f""""host_factor":$hostFactor%.3f,""" +
       f""""wall_per_query":${total / n}%.3f,""" +
       f""""wall_per_query_normalized":${total / n / hostFactor}%.3f,""" +
