@@ -233,6 +233,63 @@ object RankingQueries {
     graft.ext.Labels.weightedMajority(ann, "item", "annotator", "label")
   }
 
+  /** Isotonic calibration of the event-value scorer by
+    * Pool-Adjacent-Violators ([[graft.ext.Calibrate.isotonicFit]]): the
+    * best non-decreasing map from the ×100-quantized score to the
+    * empirical positive rate of the same user-keyed class the AUC gate
+    * monitors — the post-hoc calibrator a production scorer ships with.
+    * The corpus reduces to grid-bounded (score, n, n_pos) blocks and
+    * the PAV sweep is exact integer arithmetic (cross-multiplied mean
+    * comparisons, ×10⁶ floors), so the oracle replays the ENTIRE fit:
+    * the same merge machine runs as a recursive CTE — one small step
+    * per iteration, push-or-merge-top-two, list-typed stack state (the
+    * Viterbi-DP technique) — and a single drifted pool boundary or
+    * misrounded rate breaks the hash. Fitted rates are non-decreasing
+    * by construction on BOTH sides.
+    */
+  val calibrateIsotonic = q("x_calibrate_isotonic", {
+    val viol = "len(stk) >= 2 AND stk[len(stk)-1].p * stk[len(stk)].n > " +
+      "stk[len(stk)].p * stk[len(stk)-1].n"
+    s"""WITH RECURSIVE
+       |sc AS (SELECT CAST(round(value, 0) AS BIGINT) AS score_q,
+       |              user_id % 3 = 0 AS pos
+       |       FROM events WHERE value IS NOT NULL),
+       |b AS (SELECT score_q, n, np,
+       |             CAST(row_number() OVER (ORDER BY score_q) AS BIGINT) AS i
+       |      FROM (SELECT score_q, CAST(count(*) AS BIGINT) AS n,
+       |                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |            FROM sc GROUP BY 1)),
+       |mx AS (SELECT max(i) AS mx FROM b),
+       |pav AS (
+       |  SELECT CAST(2 AS BIGINT) AS nxt, [{'st': i, 'n': n, 'p': np}] AS stk
+       |  FROM b WHERE i = 1
+       |  UNION ALL
+       |  SELECT CASE WHEN $viol THEN nxt ELSE nxt + 1 END,
+       |         CASE WHEN $viol THEN
+       |           list_append(stk[1:len(stk)-2],
+       |             {'st': stk[len(stk)-1].st,
+       |              'n': stk[len(stk)-1].n + stk[len(stk)].n,
+       |              'p': stk[len(stk)-1].p + stk[len(stk)].p})
+       |         ELSE list_append(stk,
+       |           (SELECT {'st': b.i, 'n': b.n, 'p': b.np} FROM b WHERE b.i = nxt))
+       |         END
+       |  FROM pav, mx
+       |  WHERE ($viol) OR nxt <= mx.mx
+       |),
+       |fin AS (SELECT stk FROM pav, mx WHERE NOT ($viol) AND nxt > mx.mx),
+       |runs AS (SELECT e.st AS st, e.n AS fn, e.p AS fp,
+       |                lead(e.st) OVER (ORDER BY e.st) - 1 AS en
+       |         FROM (SELECT unnest(stk) AS e FROM fin))
+       |SELECT b.score_q, b.n, b.np AS n_pos, r.fp AS fit_pos, r.fn AS fit_n,
+       |       CAST(r.fp * 1000000 // r.fn AS BIGINT) AS fit_q
+       |FROM b JOIN runs r ON b.i >= r.st AND b.i <= coalesce(r.en, (SELECT mx FROM mx))""".stripMargin
+  }) { (s, dir) =>
+    graft.ext.Calibrate.isotonicFit(
+      Tables.events(s, dir).filter(col("value").isNotNull),
+      round(col("value"), 0).cast("long"),
+      col("user_id") % 3 === 0)
+  }
+
   /** Exact tie-corrected ROC-AUC per source of the stopword-density
     * score predicting English — the "is the quality scorer still
     * separating" dashboard. Integer Mann-Whitney over the per-source
@@ -454,5 +511,6 @@ object RankingQueries {
 
   val all: Seq[QueryDef] =
     Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
-      labelWmv, streamStreamJoin, streamRankBt, streamEvalAuc, statsBootstrap)
+      labelWmv, streamStreamJoin, streamRankBt, streamEvalAuc,
+      statsBootstrap, calibrateIsotonic)
 }
