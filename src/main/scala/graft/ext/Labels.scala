@@ -37,18 +37,46 @@ object Labels {
   ): DataFrame = {
     val ann = annotations.select(qcol(itemCol).as("item"),
       qcol(annotatorCol).as("annotator"), qcol(labelCol).as("label"))
+    weightedMajorityImpl(ann.withColumn("__w", lit(1L)))
+  }
+
+  /** The count-compressed form: rows are (item, annotator, label, n) —
+    * the associative reduction of the annotation log a streamed delta
+    * store maintains ([[graft.streaming.EventStreams.runLabelCountsOnce]]).
+    * Counting, agreement and the weighted masses all distribute over
+    * the counts, so this equals [[weightedMajority]] over the expanded
+    * log EXACTLY (x_stream_label_wmv pins streamed == batch through
+    * both vote rounds; LabelsSpec pins the algebra on ties).
+    */
+  def weightedMajorityFromCounts(
+      counts: DataFrame,
+      itemCol: String,
+      annotatorCol: String,
+      labelCol: String,
+      nCol: String,
+  ): DataFrame =
+    weightedMajorityImpl(counts.select(qcol(itemCol).as("item"),
+      qcol(annotatorCol).as("annotator"), qcol(labelCol).as("label"),
+      qcol(nCol).cast("long").as("__w")))
+
+  /** Both entry points on one spine: every count/ballot is weighted by
+    * the row's multiplicity `__w` (1 for the raw log), so the two-round
+    * arithmetic is literally shared instead of mirrored.
+    */
+  private def weightedMajorityImpl(annW: DataFrame): DataFrame = {
+    val ann = annW
     // round 1: plain majority (count desc, label asc)
     val byLabel = Window.partitionBy(col("item"))
       .orderBy(col("n").desc, col("label"))
     val mv = ann.groupBy(col("item"), col("label"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("__w")).as("n"))
       .withColumn("__r", row_number().over(byLabel)).filter(col("__r") === 1)
       .select(col("item"), col("label").as("mv_label"), col("n").as("mv_votes"))
     // annotator reliability: floor(agree·10⁶ / ballots)
     val agree = ann.join(mv.select(col("item"), col("mv_label")), Seq("item"))
       .groupBy(col("annotator"))
-      .agg(sum(when(col("label") === col("mv_label"), 1L).otherwise(0L))
-        .as("__agree"), count(lit(1)).as("__n"))
+      .agg(sum(when(col("label") === col("mv_label"), col("__w"))
+        .otherwise(0L)).as("__agree"), sum(col("__w")).as("__n"))
       .select(col("annotator"),
         expr("__agree * 1000000 div __n").as("__acc_q"))
     // round 2: reliability-weighted vote (weight desc, label asc)
@@ -56,11 +84,11 @@ object Labels {
       .orderBy(col("w").desc, col("label"))
     val wmv = ann.join(agree, Seq("annotator"))
       .groupBy(col("item"), col("label"))
-      .agg(sum(col("__acc_q")).as("w"))
+      .agg(sum(col("__acc_q") * col("__w")).as("w"))
       .withColumn("__r", row_number().over(byWeight)).filter(col("__r") === 1)
       .select(col("item"), col("label").as("wmv_label"),
         col("w").as("wmv_weight_q"))
-    val votes = ann.groupBy(col("item")).agg(count(lit(1)).as("n_votes"))
+    val votes = ann.groupBy(col("item")).agg(sum(col("__w")).as("n_votes"))
     votes.join(mv, Seq("item")).join(wmv, Seq("item"))
       .select(col("item"), col("n_votes"), col("mv_label"), col("mv_votes"),
         col("wmv_label"), col("wmv_weight_q"),

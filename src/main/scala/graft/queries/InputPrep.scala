@@ -77,6 +77,7 @@ object InputPrep {
       // SCD2 / IVF×PQ-append maintenance streams (r17 VERDICT items
       // 1-2: their gates read the stores, the runs bill here)
       "btWinMatrixRun" -> (() => { RankingQueries.btWinMatrixStore(spark, sfDir); () }),
+      "labelCountsRun" -> (() => { RankingQueries.labelCountsStore(spark, sfDir); () }),
       "aucHistogramRun" -> (() => { RankingQueries.aucHistogramStore(spark, sfDir); () }),
       "scd2Run" -> (() => { QualityQueries.scd2Store(spark, sfDir); () }),
       // the streamed quantile-summary maintenance (x_stream_quantile_sketch

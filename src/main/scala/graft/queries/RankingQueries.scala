@@ -55,6 +55,16 @@ object RankingQueries {
       store
     })
 
+  private[queries] def labelCountsStore(s: SparkSession, dir: String): String =
+    streamStoreRuns.computeIfAbsent("lbl:" + Staging.tag(dir), _ => {
+      val store = s"/tmp/graft_lblstore/${Staging.tag(dir)}"
+      EventStreams.runLabelCountsOnce(s, eventSpool(s, dir), store,
+        item = col("event_id") % 300,
+        annotator = col("user_id"),
+        label = col("event_type"))
+      store
+    })
+
   private[queries] def aucHistogramStore(s: SparkSession, dir: String): String =
     streamStoreRuns.computeIfAbsent("auc:" + Staging.tag(dir), _ => {
       val store = s"/tmp/graft_aucstore/${Staging.tag(dir)}"
@@ -231,6 +241,43 @@ object RankingQueries {
       (col("event_id") % 300).as("item"), col("user_id").as("annotator"),
       col("event_type").as("label"))
     graft.ext.Labels.weightedMajority(ann, "item", "annotator", "label")
+  }
+
+  /** The weighted-majority label table maintained FROM THE STREAM: each
+    * micro-batch's ballots collapse to (item, annotator, label) count
+    * deltas published exactly once; both vote rounds run over the
+    * summed count-compressed log
+    * ([[graft.ext.Labels.weightedMajorityFromCounts]]) and must equal
+    * the batch [[graft.ext.Labels.weightedMajority]] over the raw log
+    * EXACTLY — counting, agreement rates and the weighted masses all
+    * distribute over the counts, so a lost batch, a double publish, or
+    * a count/ballot algebra drift breaks the equality on some item or
+    * annotator.
+    */
+  val streamLabelWmv = q("x_stream_label_wmv",
+    "SELECT true AS stream_wmv_ok") { (s, dir) =>
+    val streamed = graft.ext.Labels.weightedMajorityFromCounts(
+        EventStreams.readLabelCounts(s, labelCountsStore(s, dir)),
+        "item", "annotator", "label", "n")
+      .withColumnRenamed("n_votes", "__sv")
+      .withColumnRenamed("mv_label", "__sm").withColumnRenamed("mv_votes", "__smv")
+      .withColumnRenamed("wmv_label", "__sw")
+      .withColumnRenamed("wmv_weight_q", "__swq")
+      .withColumnRenamed("flipped", "__sf")
+    val batch = graft.ext.Labels.weightedMajority(
+      Tables.events(s, dir).select((col("event_id") % 300).as("item"),
+        col("user_id").as("annotator"), col("event_type").as("label")),
+      "item", "annotator", "label")
+    streamed.join(batch, Seq("item"), "full")
+      .agg((count(lit(1)) === count(col("__sv")) &&
+        count(lit(1)) === count(col("n_votes")) &&
+        coalesce(max(when(col("__sv") =!= col("n_votes") ||
+            col("__sm") =!= col("mv_label") ||
+            col("__smv") =!= col("mv_votes") ||
+            col("__sw") =!= col("wmv_label") ||
+            col("__swq") =!= col("wmv_weight_q") ||
+            col("__sf") =!= col("flipped"), 1).otherwise(0)) === 0,
+          lit(true))).as("stream_wmv_ok"))
   }
 
   /** Isotonic calibration of the event-value scorer by
@@ -512,5 +559,5 @@ object RankingQueries {
   val all: Seq[QueryDef] =
     Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
       labelWmv, streamStreamJoin, streamRankBt, streamEvalAuc,
-      statsBootstrap, calibrateIsotonic)
+      statsBootstrap, calibrateIsotonic, streamLabelWmv)
 }

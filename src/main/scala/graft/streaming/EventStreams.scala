@@ -821,6 +821,53 @@ object EventStreams {
     }
   }
 
+  /** Streaming annotation-log maintenance for label aggregation: each
+    * micro-batch's (item, annotator, label) ballots reduce to count
+    * deltas published exactly once — the count-compressed log is a
+    * table of ASSOCIATIVE counters, so
+    * [[graft.ext.Labels.weightedMajorityFromCounts]] over the summed
+    * store fits the identical two-round weighted majority as the batch
+    * [[graft.ext.Labels.weightedMajority]] over the raw log
+    * (x_stream_label_wmv pins streamed == batch through both vote
+    * rounds). Store deleted at run start (a run owns its history).
+    */
+  def runLabelCountsOnce(spark: SparkSession, spoolDir: String,
+      storeDir: String, item: org.apache.spark.sql.Column,
+      annotator: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column,
+      rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
+    graft.util.Hfs.delete(spark, storeDir)
+    StreamConf.withWidth(spark) {
+      val q = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$batchId")) {
+            val delta = batch.toDF().filter(rowFilter)
+              .select(item.as("item"), annotator.as("annotator"),
+                label.as("label"))
+              .groupBy(col("item"), col("annotator"), col("label"))
+              .agg(count(lit(1)).as("n"))
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  /** The summed count-compressed annotation log of a
+    * [[runLabelCountsOnce]] store — the frame
+    * [[graft.ext.Labels.weightedMajorityFromCounts]] consumes.
+    */
+  def readLabelCounts(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/deltas")
+      .groupBy(col("item"), col("annotator"), col("label"))
+      .agg(sum(col("n")).as("n"))
+
   /** Streaming quantile-summary maintenance
     * ([[graft.ext.Sketch.QuantileSummary]]): each micro-batch's rows map
     * to (level, value) items, the batch takes its OWN capacity cut, and

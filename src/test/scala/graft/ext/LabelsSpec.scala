@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Reliability-weighted majority vote: the reweight must overturn a raw
   * majority exactly when the dissenters are the reliable annotators, and
@@ -49,5 +50,23 @@ class LabelsSpec extends SparkSpec {
     // on: a agrees (10⁶), b disagrees (0) → weighted revote keeps x
     r.getAs[String]("wmv_label") shouldBe "x"
     r.getAs[Long]("n_votes") shouldBe 2L
+  }
+
+  test("the count-compressed form equals the raw log, ties included") {
+    // duplicated ballots (an annotator voting the same label repeatedly)
+    // exercise the multiplicity algebra; a two-way tie exercises the
+    // label tie-break under summed counts
+    val votes = Seq(
+      (1L, "a", "x"), (1L, "a", "x"), (1L, "b", "y"), (1L, "c", "x"),
+      (2L, "a", "y"), (2L, "b", "y"), (2L, "c", "x"), (2L, "c", "x"),
+      (3L, "a", "x"), (3L, "b", "y")) // tie on item 3
+      .toDF("item", "annotator", "label")
+    val fromLog = Labels.weightedMajority(votes, "item", "annotator",
+      "label").orderBy("item").collect().toSeq
+    val counts = votes.groupBy("item", "annotator", "label")
+      .agg(count(lit(1)).as("n"))
+    val fromCounts = Labels.weightedMajorityFromCounts(counts, "item",
+      "annotator", "label", "n").orderBy("item").collect().toSeq
+    fromCounts shouldBe fromLog
   }
 }
