@@ -129,6 +129,41 @@ object Rerank {
     selected
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: each leg contributes
+    * 1/(k0 + rank) per (query, doc), summed across legs; k0 = 60 is the
+    * literature constant. On the ×10⁶ integer grid the contribution is
+    * `10⁶ // (k0 + rank)` — exact, associative, engine-replayable — so
+    * the fused ranking hash-matches (x_search_hybrid_rrf fuses the BM25
+    * lexical leg with the embedding ANN leg over the shared id space).
+    *
+    * Input legs in the family's (query_id, rank, neighbor_id) contract
+    * (any backend — BM25, brute, IVF, graph); only ranks are read, so
+    * incomparable scores never mix. Scale shape: one union of
+    * (queries × k)-bounded frames, one groupBy, one query-keyed window
+    * — never corpus-sized.
+    *
+    * Output: (query_id, rank, doc_id, rrf_q, n_legs), top `k` per query
+    * by (rrf_q DESC, doc_id).
+    */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    require(k >= 1 && k0 >= 1, s"bad fusion knobs: k=$k k0=$k0")
+    val u = legs.map(_.select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+    u.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr(s"1000000 div (${k0.toLong} + __r)")).as("rrf_q"),
+        count(lit(1)).cast("int").as("n_legs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_q"), col("n_legs"))
+  }
+
   /** Greedy k-center (farthest-point) selection over an embedding corpus:
     * seed with the minimum id, then k−1 times pick the point FARTHEST
     * from its nearest already-chosen center, distance being quantized

@@ -243,6 +243,75 @@ object RankingQueries {
     graft.ext.Labels.weightedMajority(ann, "item", "annotator", "label")
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion ([[Rerank.rrfFuse]],
+    * k0 = 60): the BM25 lexical leg (the x_text_bm25 scoring pipeline,
+    * three fixed keyword queries, top-10 by rounded score) fused with
+    * the embedding ANN leg (brute cosine top-10, the query DOCUMENT's
+    * own vector as the example — documents and embeddings share the id
+    * space) — the standard two-tower search composition. Contributions
+    * are `10⁶ // (60 + rank)` exact integers, so the fused ranking
+    * hash-matches a replay of BOTH legs plus the fusion: a drifted
+    * BM25 tf, a wrong ANN rank, or one misfloored contribution moves
+    * some fused rank and breaks the hash.
+    */
+  val searchHybridRrf = q("x_search_hybrid_rrf",
+    """WITH q(qid, qtext) AS (VALUES (0, 'window merge scan'),
+      |                             (1, 'fast customer join'),
+      |                             (2, 'stream batch value')),
+      |toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') t
+      |         FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(CAST(len(t) AS DOUBLE)) avg_len FROM toks),
+      |qterms AS (SELECT DISTINCT qid, unnest(list_filter(string_split_regex(lower(trim(qtext)), '\W+'), x -> x <> '')) term
+      |           FROM q),
+      |posts AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf, CAST(any_value(len) AS DOUBLE) len
+      |          FROM (SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks)
+      |          WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM posts GROUP BY 1),
+      |lex AS (SELECT qt.qid AS query_id, p.doc_id,
+      |               round(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * p.tf * 2.2 /
+      |                         (p.tf + 1.2 * (0.25 + 0.75 * p.len / s.avg_len))), 4) AS score
+      |        FROM posts p JOIN qterms qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
+      |        GROUP BY 1, 2),
+      |lexr AS (SELECT query_id, doc_id, rank FROM (
+      |           SELECT query_id, doc_id,
+      |                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      |           FROM lex) WHERE rank <= 10),
+      |sq AS (SELECT vec_id AS qid, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      |       FROM embeddings WHERE vec_id < 3),
+      |sem AS (SELECT sq.qid AS query_id, e.vec_id AS doc_id,
+      |               round(list_cosine_similarity(sq.v, list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS c
+      |        FROM sq, embeddings e WHERE e.vec_id <> sq.qid),
+      |semr AS (SELECT query_id, doc_id, rank FROM (
+      |           SELECT query_id, doc_id,
+      |                  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id) AS rank
+      |           FROM sem) WHERE rank <= 10),
+      |f AS (SELECT * FROM lexr UNION ALL SELECT * FROM semr),
+      |g AS (SELECT query_id, doc_id,
+      |             CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_q,
+      |             CAST(count(*) AS INTEGER) AS n_legs
+      |      FROM f GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_q DESC, doc_id) AS rank
+      |      FROM g)
+      |SELECT query_id, rank, doc_id, rrf_q, n_legs FROM r WHERE rank <= 10""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val queries = Seq((0L, "window merge scan"), (1L, "fast customer join"),
+      (2L, "stream batch value")).toDF("qid", "qtext")
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 4).desc, col("doc_id"))
+    val lex = graft.ext.TextSearch.bm25Scores(Tables.documents(s, dir),
+        "doc_id", "text", queries, "qid", "qtext")
+      .withColumn("rank", row_number().over(lexW))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"))
+    val emb = Tables.embeddings(s, dir)
+    val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb,
+        "vec_id", "embedding", 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    Rerank.rrfFuse(Seq(lex, sem), k = 10)
+  }
+
   /** The weighted-majority label table maintained FROM THE STREAM: each
     * micro-batch's ballots collapse to (item, annotator, label) count
     * deltas published exactly once; both vote rounds run over the
@@ -559,5 +628,5 @@ object RankingQueries {
   val all: Seq[QueryDef] =
     Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
       labelWmv, streamStreamJoin, streamRankBt, streamEvalAuc,
-      statsBootstrap, calibrateIsotonic, streamLabelWmv)
+      statsBootstrap, calibrateIsotonic, streamLabelWmv, searchHybridRrf)
 }
