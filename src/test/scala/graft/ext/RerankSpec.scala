@@ -137,4 +137,25 @@ class RerankSpec extends SparkSpec {
     a.toSeq shouldBe b.toSeq
     a.map(_._2).distinct.length shouldBe 4
   }
+
+  test("rrfFuse: exact contributions, both-legs beats one, doc tie-break") {
+    import spark.implicits._
+    // leg A ranks docs 10,11,12; leg B ranks 11,10,13 — doc 11 and 10
+    // appear in both (rank sums differ), 12 and 13 are single-leg
+    val legA = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val legB = Seq((1L, 1, 11L), (1L, 2, 10L), (1L, 3, 13L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val out = Rerank.rrfFuse(Seq(legA, legB), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_q"), r.getAs[Int]("n_legs")))
+    // 10 and 11 both score 1e6//61 + 1e6//62 = 16393 + 16129 = 32522:
+    // a genuine cross-leg tie — doc id ascending breaks it
+    out(0) shouldBe ((1, 10L, 32522L, 2))
+    out(1) shouldBe ((2, 11L, 32522L, 2))
+    // single-leg docs at rank 3: 1e6//63 = 15873; doc id breaks the tie
+    out(2) shouldBe ((3, 12L, 15873L, 1))
+    out(3) shouldBe ((4, 13L, 15873L, 1))
+  }
 }
