@@ -53,6 +53,36 @@ object Calibrate {
     fitted.toSeq.toDF("score_q", "n", "n_pos", "fit_pos", "fit_n", "fit_q")
   }
 
+  /** Serve a fitted calibrator: each row's calibrated rate is the
+    * fitted value of the LAST block at or below its score (the step
+    * function a monotone fit defines); scores below the first block
+    * clamp to it, scores above the last ride its plateau — the standard
+    * isotonic serving rule. The fit is grid-bounded, so it broadcasts
+    * and the lookup is one interval join ([score_q, next block) ranges
+    * from one lead window over the fit), never a shuffle of the scored
+    * corpus.
+    *
+    * Output: the scored frame's columns plus `cal_q` (the ×10⁶ fitted
+    * rate). Null scores calibrate to null.
+    */
+  def isotonicApply(fit: DataFrame, scored: DataFrame,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__lo")) // fit is grid-bounded
+    val iv = fit.select(col("score_q").as("__lo"), col("fit_q"))
+      .withColumn("__hi", lead(col("__lo"), 1).over(w))
+    val first = fit.select(col("score_q").as("__f0"), col("fit_q").as("__c0"))
+      .orderBy(col("__f0")).limit(1)
+    scored.withColumn("__s", scoreCol.cast("long"))
+      .join(broadcast(iv),
+        col("__s") >= col("__lo") &&
+          (col("__hi").isNull || col("__s") < col("__hi")), "left")
+      .crossJoin(broadcast(first))
+      .withColumn("cal_q", when(col("__s").isNull, lit(null).cast("long"))
+        .otherwise(coalesce(col("fit_q"), col("__c0"))))
+      .drop("__s", "__lo", "__hi", "fit_q", "__f0", "__c0")
+  }
+
   /** The exact-integer PAV sweep over score-ascending blocks
     * (score_q, n, n_pos): push each block, then merge the top two stack
     * runs while the left mean strictly exceeds the right

@@ -363,13 +363,18 @@ object RankingQueries {
     * misrounded rate breaks the hash. Fitted rates are non-decreasing
     * by construction on BOTH sides.
     */
-  val calibrateIsotonic = q("x_calibrate_isotonic", {
+  /** The recursive-CTE PAV merge machine over the events' score blocks
+    * — shared by the fit gate and the held-out apply gate (`scWhere`
+    * restricts the fitting half). Yields CTEs `b` (score blocks with
+    * index), `mx`, `pav`, `fin`, `runs`, and `fitb` (one fitted row per
+    * input block).
+    */
+  private def pavCtes(scWhere: String): String = {
     val viol = "len(stk) >= 2 AND stk[len(stk)-1].p * stk[len(stk)].n > " +
       "stk[len(stk)].p * stk[len(stk)-1].n"
-    s"""WITH RECURSIVE
-       |sc AS (SELECT CAST(round(value, 0) AS BIGINT) AS score_q,
+    s"""sc AS (SELECT CAST(round(value, 0) AS BIGINT) AS score_q,
        |              user_id % 3 = 0 AS pos
-       |       FROM events WHERE value IS NOT NULL),
+       |       FROM events WHERE value IS NOT NULL$scWhere),
        |b AS (SELECT score_q, n, np,
        |             CAST(row_number() OVER (ORDER BY score_q) AS BIGINT) AS i
        |      FROM (SELECT score_q, CAST(count(*) AS BIGINT) AS n,
@@ -395,15 +400,56 @@ object RankingQueries {
        |fin AS (SELECT stk FROM pav, mx WHERE NOT ($viol) AND nxt > mx.mx),
        |runs AS (SELECT e.st AS st, e.n AS fn, e.p AS fp,
        |                lead(e.st) OVER (ORDER BY e.st) - 1 AS en
-       |         FROM (SELECT unnest(stk) AS e FROM fin))
-       |SELECT b.score_q, b.n, b.np AS n_pos, r.fp AS fit_pos, r.fn AS fit_n,
-       |       CAST(r.fp * 1000000 // r.fn AS BIGINT) AS fit_q
-       |FROM b JOIN runs r ON b.i >= r.st AND b.i <= coalesce(r.en, (SELECT mx FROM mx))""".stripMargin
-  }) { (s, dir) =>
+       |         FROM (SELECT unnest(stk) AS e FROM fin)),
+       |fitb AS (SELECT b.score_q, b.n, b.np, r.fp, r.fn,
+       |                CAST(r.fp * 1000000 // r.fn AS BIGINT) AS fit_q
+       |         FROM b JOIN runs r
+       |           ON b.i >= r.st AND b.i <= coalesce(r.en, (SELECT mx FROM mx)))""".stripMargin
+  }
+
+  val calibrateIsotonic = q("x_calibrate_isotonic",
+    s"""WITH RECURSIVE
+       |${pavCtes("")}
+       |SELECT score_q, n, np AS n_pos, fp AS fit_pos, fn AS fit_n, fit_q
+       |FROM fitb""".stripMargin) { (s, dir) =>
     graft.ext.Calibrate.isotonicFit(
       Tables.events(s, dir).filter(col("value").isNotNull),
       round(col("value"), 0).cast("long"),
       col("user_id") % 3 === 0)
+  }
+
+  /** The calibrator SERVED on held-out traffic: fit on the even
+    * event_id half, calibrate every odd-half score through the step
+    * function — the last fitted block at or below the score, clamped to
+    * the first block below the fit's domain ([[graft.ext.Calibrate
+    * .isotonicApply]]; the fit broadcasts, the lookup is one interval
+    * join). The oracle re-runs the PAV machine on the even half and
+    * replays the same interval lookup + clamp — a drifted pool on the
+    * fit side or a misplaced step boundary on the serve side breaks
+    * the hash.
+    */
+  val calibrateApply = q("x_calibrate_apply",
+    s"""WITH RECURSIVE
+       |${pavCtes(" AND event_id % 2 = 0")},
+       |iv AS (SELECT score_q AS lo, fit_q,
+       |              lead(score_q) OVER (ORDER BY score_q) AS hi
+       |       FROM fitb),
+       |f0 AS (SELECT fit_q AS c0 FROM fitb ORDER BY score_q LIMIT 1),
+       |held AS (SELECT event_id, CAST(round(value, 0) AS BIGINT) AS score_q
+       |         FROM events WHERE value IS NOT NULL AND event_id % 2 = 1)
+       |SELECT h.event_id, h.score_q, coalesce(iv.fit_q, f0.c0) AS cal_q
+       |FROM held h
+       |LEFT JOIN iv ON h.score_q >= iv.lo AND (iv.hi IS NULL OR h.score_q < iv.hi)
+       |CROSS JOIN f0""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val fit = graft.ext.Calibrate.isotonicFit(
+      ev.filter(col("event_id") % 2 === 0),
+      round(col("value"), 0).cast("long"), col("user_id") % 3 === 0)
+    val held = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), round(col("value"), 0).cast("long")
+        .as("score_q"))
+    graft.ext.Calibrate.isotonicApply(fit, held, col("score_q"))
+      .select(col("event_id"), col("score_q"), col("cal_q"))
   }
 
   /** Exact tie-corrected ROC-AUC per source of the stopword-density
@@ -628,5 +674,6 @@ object RankingQueries {
   val all: Seq[QueryDef] =
     Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
       labelWmv, streamStreamJoin, streamRankBt, streamEvalAuc,
-      statsBootstrap, calibrateIsotonic, streamLabelWmv, searchHybridRrf)
+      statsBootstrap, calibrateIsotonic, calibrateApply, streamLabelWmv,
+      searchHybridRrf)
 }

@@ -56,6 +56,24 @@ class CalibrateSpec extends SparkSpec {
     out.map(_._2).sum shouldBe blocks.map(_._2).sum
   }
 
+  test("isotonicApply serves the step function with clamps") {
+    val fit = Seq((10L, 2L, 1L, 1L, 2L, 500000L), (20L, 2L, 2L, 2L, 2L, 1000000L))
+      .toDF("score_q", "n", "n_pos", "fit_pos", "fit_n", "fit_q")
+    val scored = Seq((1L, Some(5L)), (2L, Some(10L)), (3L, Some(15L)),
+      (4L, Some(20L)), (5L, Some(99L)), (6L, None))
+      .toDF("id", "s")
+    val out = Calibrate.isotonicApply(fit, scored, col("s"))
+      .select(col("id"), col("cal_q"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    out(1L) shouldBe Some(500000L) // below domain: clamp to first block
+    out(2L) shouldBe Some(500000L) // on the first step
+    out(3L) shouldBe Some(500000L) // inside [10, 20)
+    out(4L) shouldBe Some(1000000L) // on the second step
+    out(5L) shouldBe Some(1000000L) // above domain: last plateau
+    out(6L) shouldBe None // null score calibrates to null
+  }
+
   test("isotonicFit reduces the frame to the same sweep") {
     val df = Seq((1L, false), (1L, true), (2L, true), (2L, true),
       (3L, false), (3L, false), (3L, true), (5L, true))
