@@ -439,6 +439,35 @@ object ScaleProbe {
               (col("lang") === "en").as("pos")),
           "source", "score_q", "pos").count()
       }
+      // r18 wave: the quantile summary is one md5 pass + a counter-
+      // sized cut aggregate (expect ~linear scan, constant epilogue);
+      // the PAV fit is one grid-bounded histogram shuffle + a grid-
+      // sized driver sweep (expect ~linear scan, constant sweep — the
+      // grid does not grow with volume)
+      time(s"quantile_sketch_x$m") {
+        graft.ext.Sketch.quantileSketch(dm, col("doc_id"),
+          col("n_chars").cast("long"), k = 256).items.count()
+      }
+      time(s"calibrate_isotonic_x$m") {
+        graft.ext.Calibrate.isotonicFit(
+          dm.filter(col("n_chars").isNotNull),
+          pmod(col("n_chars"), lit(500L)),
+          col("doc_id") % 3 === 0).count()
+      }
+    }
+    // the WMV counts spine: two groupBys + two item windows over the
+    // (fanned) ballot log (expect ~linear)
+    for (m <- Seq(1, mult)) {
+      val e = (if (m == 1) Tables.events(spark, sfDir)
+               else fan(Tables.events(spark, sfDir),
+                 Seq("event_id", "user_id"), m))
+        .localCheckpoint(eager = true)
+      time(s"label_wmv_x$m") {
+        graft.ext.Labels.weightedMajority(
+          e.select((col("event_id") % 300).as("item"),
+            col("user_id").as("annotator"), col("event_type").as("label")),
+          "item", "annotator", "label").count()
+      }
     }
 
     // ---- ×100 fan of the RESOLVE stage alone (pairs → components →
