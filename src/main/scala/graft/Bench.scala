@@ -203,6 +203,20 @@ object Bench {
     // the raw-vs-normalized gap stops absorbing the builder/driver box
     // difference. Member set unchanged (all ≥ 1.3 s at the driver
     // condition; the same-host jitter rationale above still holds).
+    // r19 (r18 ADVICE 5, multi-rep averaging): the pin STAYS the r17
+    // single rep, deliberately — the only other driver rep (r18) agrees
+    // with r17 on NO member within the r16 1.5% band even after
+    // normalizing by r18's own host_factor 0.939 (member ratios 0.80 to
+    // 3.57; the r18 window carried the host-I/O drag BENCH_NOTES r18
+    // documents plus the unexplained x_text_bm25 move attributed in
+    // BENCH_NOTES r19). Averaging reps that DISAGREE bakes the
+    // disagreement into every future host_factor instead of averaging
+    // jitter away. Re-pin criterion, recorded for the next round: when
+    // two driver reps agree member-wise within the same-host band
+    // (±10% — the measured floor; 1.5% was a builder-box figure the
+    // driver condition has never achieved), pin each member to their
+    // mean; members outside the band keep the older pin and are named
+    // here.
     val canaryRef: Map[String, Double] = Map(
       "x_pagerank" -> 4.774,
       "x_text_bm25" -> 1.327,

@@ -15,20 +15,32 @@ import org.apache.spark.sql.functions._
   * one shuffle, output bounded by the score GRID, never the row count
   * — and the sequential PAV sweep runs over the collected blocks,
   * driver state ≤ grid size by construction (the same bounded-collect
-  * contract as the Bloom filter's bit array and k-center's k picks).
-  * At 100 TB the histogram is still grid-sized; the sweep cost is the
-  * grid, not the data.
+  * contract as the Bloom filter's bit array and k-center's k picks),
+  * enforced by a loud [[MaxGridBlocks]] refusal rather than caller
+  * discipline. At 100 TB the histogram is still grid-sized; the sweep
+  * cost is the grid, not the data.
   *
   * Exactness: block means are compared by CROSS-MULTIPLICATION of
-  * exact integer (sum_pos, n) pairs — no float ever decides a merge —
-  * and the fitted rate publishes as floor(pos·10⁶ / n) on the family
-  * grid, so a second engine replays the whole fit bit-for-bit (the
-  * x_calibrate_isotonic oracle drives the identical merge machine as a
-  * recursive CTE). PAV pools adjacent blocks while the left mean
-  * EXCEEDS the right (strict violation; equal means need no pool and
-  * pooling them anyway would not change any fitted value).
+  * exact integer (sum_pos, n) pairs in BigInt — no float and no Long
+  * wrap ever decides a merge (pooled counters are corpus-sized, so at
+  * ~1e12 rows the products overflow Long) — and the fitted rate
+  * publishes as floor(pos·10⁶ / n) on the family grid, so a second
+  * engine replays the whole fit bit-for-bit (the x_calibrate_isotonic
+  * oracle drives an equivalent merge machine in SQL). PAV pools
+  * adjacent blocks while the left mean EXCEEDS the right (strict
+  * violation; equal means need no pool and pooling them anyway would
+  * not change any fitted value).
   */
 object Calibrate {
+
+  /** Hard cap on the distinct-score count a fit will collect: the
+    * driver-side sweep is grid-bounded BY CONTRACT (the caller
+    * quantizes the score), and an unquantized score column would
+    * otherwise turn the bounded collect corpus-cardinality-sized and
+    * OOM the driver with no message. The same loud-refusal precedent
+    * as `bloomSemiJoin`'s mBits cap.
+    */
+  val MaxGridBlocks: Int = 100000
 
   /** Fit over (scoreCol, labelCol): one histogram shuffle, then the PAV
     * sweep. Output one row per distinct score: (score_q, n, n_pos,
@@ -37,17 +49,41 @@ object Calibrate {
     * in score_q by construction. Null scores/labels are dropped.
     */
   def isotonicFit(df: DataFrame, scoreCol: Column,
-      labelCol: Column): DataFrame = {
-    val spark = df.sparkSession
-    val blocks = df
+      labelCol: Column): DataFrame =
+    isotonicFromHistogram(df
       .filter(scoreCol.isNotNull && labelCol.isNotNull)
       .select(scoreCol.cast("long").as("score_q"),
         when(labelCol, 1L).otherwise(0L).as("__p"))
       .groupBy(col("score_q"))
-      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"))
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos")))
+
+  /** Fit from an already-reduced histogram (`score_q`, `n`, `n_pos`) —
+    * the streaming entry point: per-batch histogram deltas are
+    * ASSOCIATIVE counters, so the summed delta store of a score-
+    * histogram stream fed here fits the IDENTICAL calibrator as the
+    * batch [[isotonicFit]] over the raw log (x_stream_calibrate pins
+    * streamed == batch through the full merge machine). Rows with a
+    * null score are dropped; the collect is grid-bounded and refuses
+    * loudly past [[MaxGridBlocks]].
+    */
+  def isotonicFromHistogram(hist: DataFrame): DataFrame = {
+    val spark = hist.sparkSession
+    val blocks = hist
+      .filter(col("score_q").isNotNull)
+      .select(col("score_q").cast("long"), col("n").cast("long"),
+        col("n_pos").cast("long"))
       .orderBy(col("score_q"))
-      .collect() // ≤ |score grid| rows — the documented bounded collect
+      // one TakeOrdered job: the +1 row is the overflow detector, so a
+      // contract-violating caller costs MaxGridBlocks rows of driver
+      // memory, not the corpus
+      .limit(MaxGridBlocks + 1)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(blocks.length <= MaxGridBlocks,
+      s"isotonicFit: more than $MaxGridBlocks distinct quantized scores — " +
+        "the driver-side PAV sweep is bounded by the score GRID by " +
+        "contract; quantize the score column onto a coarser grid first " +
+        "(an unquantized double cast to long is corpus-cardinality-sized)")
     val fitted = pav(blocks)
     import spark.implicits._
     fitted.toSeq.toDF("score_q", "n", "n_pos", "fit_pos", "fit_n", "fit_q")
@@ -60,7 +96,9 @@ object Calibrate {
     * isotonic serving rule. The fit is grid-bounded, so it broadcasts
     * and the lookup is one interval join ([score_q, next block) ranges
     * from one lead window over the fit), never a shuffle of the scored
-    * corpus.
+    * corpus. An EMPTY fit refuses loudly — a left join against it
+    * would silently calibrate everything to the below-domain clamp,
+    * and there is nothing to clamp to.
     *
     * Output: the scored frame's columns plus `cal_q` (the ×10⁶ fitted
     * rate). Null scores calibrate to null.
@@ -68,27 +106,38 @@ object Calibrate {
   def isotonicApply(fit: DataFrame, scored: DataFrame,
       scoreCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the below-domain clamp, as a driver literal: the fit is
+    // grid-bounded so this is a ≤1-row TakeOrdered, and an empty fit
+    // (the fitting slice matched no rows) fails HERE with a message
+    // instead of silently dropping every scored row downstream
+    val first = fit.select(col("score_q"), col("fit_q"))
+      .orderBy(col("score_q")).limit(1).collect()
+    require(first.nonEmpty,
+      "isotonicApply: empty fit — the fitting slice matched no rows; " +
+        "nothing to calibrate against")
+    val c0 = first(0).getLong(1)
     val w = Window.orderBy(col("__lo")) // fit is grid-bounded
     val iv = fit.select(col("score_q").as("__lo"), col("fit_q"))
       .withColumn("__hi", lead(col("__lo"), 1).over(w))
-    val first = fit.select(col("score_q").as("__f0"), col("fit_q").as("__c0"))
-      .orderBy(col("__f0")).limit(1)
     scored.withColumn("__s", scoreCol.cast("long"))
       .join(broadcast(iv),
         col("__s") >= col("__lo") &&
           (col("__hi").isNull || col("__s") < col("__hi")), "left")
-      .crossJoin(broadcast(first))
       .withColumn("cal_q", when(col("__s").isNull, lit(null).cast("long"))
-        .otherwise(coalesce(col("fit_q"), col("__c0"))))
-      .drop("__s", "__lo", "__hi", "fit_q", "__f0", "__c0")
+        .otherwise(coalesce(col("fit_q"), lit(c0))))
+      .drop("__s", "__lo", "__hi", "fit_q")
   }
 
   /** The exact-integer PAV sweep over score-ascending blocks
     * (score_q, n, n_pos): push each block, then merge the top two stack
     * runs while the left mean strictly exceeds the right
-    * (lPos·rN > rPos·lN). Returns one row per INPUT block with its
-    * pooled run's rational and ×10⁶ floor — block granularity is
-    * preserved so the output is pooling-boundary-independent.
+    * (lPos·rN > rPos·lN, compared in BigInt — pooled counters are
+    * corpus-sized, so the Long product wraps near ~3e9 pooled rows and
+    * a wrapped compare would silently corrupt merges; the sweep is a
+    * grid-sized driver loop, so exact arithmetic is free). Returns one
+    * row per INPUT block with its pooled run's rational and ×10⁶ floor
+    * — block granularity is preserved so the output is
+    * pooling-boundary-independent.
     */
   private[ext] def pav(blocks: Seq[(Long, Long, Long)])
       : Seq[(Long, Long, Long, Long, Long, Long)] = {
@@ -100,8 +149,8 @@ object Calibrate {
       while (merging && stk.size >= 2) {
         val (_, rn, rp) = stk(stk.size - 1)
         val (ls, ln, lp) = stk(stk.size - 2)
-        // left mean > right mean — exact cross-multiplication
-        if (lp * rn > rp * ln) {
+        // left mean > right mean — exact cross-multiplication, no wrap
+        if (BigInt(lp) * rn > BigInt(rp) * ln) {
           stk.remove(stk.size - 1)
           stk(stk.size - 1) = (ls, ln + rn, lp + rp)
         } else merging = false
@@ -114,7 +163,8 @@ object Calibrate {
     }
     blocks.zipWithIndex.map { case ((s, n, p), i) =>
       val (fp, fn) = runOf(i)
-      (s, n, p, fp, fn, fp * 1000000L / fn)
+      // fp·10⁶ wraps Long past ~9e12 positives — same BigInt discipline
+      (s, n, p, fp, fn, (BigInt(fp) * 1000000 / fn).toLong)
     }
   }
 }

@@ -13,7 +13,27 @@ import graft.functions.Cols.qcol
 final case class CascadeTargets(
     annIndexes: Seq[String] = Nil,
     textIndexes: Seq[String] = Nil,
-    dedupStores: Seq[String] = Nil)
+    dedupStores: Seq[String] = Nil,
+    quantileStores: Seq[QuantileStoreTarget] = Nil)
+
+/** A quantile-summary delta store a forget must reach
+  * ([[graft.streaming.EventStreams.runQuantileSketchOnce]]). Order
+  * statistics cannot subtract, so the deletion contract is
+  * rebuild-on-cadence from the live rows
+  * ([[graft.streaming.EventStreams.rebuildQuantileStore]]) — the
+  * forget anti-joins the delete set out of `rows` on `keyCol` and
+  * swap-publishes the survivors' one-shot summary. `rows` is the
+  * store's FULL source frame (the same one the append stream reads);
+  * `value` the sketched expression; (`k`, `maxLevel`) the store's
+  * capacity contract.
+  */
+final case class QuantileStoreTarget(
+    storeDir: String,
+    rows: DataFrame,
+    keyCol: String,
+    value: org.apache.spark.sql.Column,
+    k: Int,
+    maxLevel: Int = 20)
 
 /** Cross-store cascading delete — the takedown/opt-out operation a
   * production corpus runs on a cadence: one id set driven through EVERY
@@ -36,7 +56,12 @@ final case class CascadeTargets(
   *   - dedup stores: [[graft.streaming.DocStreams.deleteFromDedupStore]]
   *     (id-tombstone log + immediate components rebuild from live pairs
   *     — a node removal can SPLIT a cluster, which no tombstone can
-  *     express).
+  *     express);
+  *   - quantile-summary stores:
+  *     [[graft.streaming.EventStreams.rebuildQuantileStore]] over the
+  *     survivors (order statistics cannot subtract, so the KMV
+  *     rebuild-on-cadence contract — this one is O(live), priced by the
+  *     rebuild cadence rather than per-request).
   *
   * Every store's tombstone debt is then priced by its own compaction
   * policy ([[AnnIndex.compactIfNeeded]] / [[TextIndex.compactIfNeeded]] /
@@ -57,7 +82,8 @@ object CascadeDelete {
   def forget(spark: SparkSession, ids: DataFrame, idCol: String,
       targets: CascadeTargets, compactThreshold: Double = 0.25): DataFrame = {
     require(targets.annIndexes.nonEmpty || targets.textIndexes.nonEmpty ||
-      targets.dedupStores.nonEmpty, "no stores to cascade into")
+      targets.dedupStores.nonEmpty || targets.quantileStores.nonEmpty,
+      "no stores to cascade into")
     require(compactThreshold > 0.0 && compactThreshold <= 1.0,
       s"compactThreshold must be in (0, 1]: $compactThreshold")
     // one materialization of the delete set, reused across every store
@@ -78,6 +104,15 @@ object CascadeDelete {
         graft.streaming.DocStreams.dedupStoreDebt(spark, dir) >= compactThreshold
       if (compacted) graft.streaming.DocStreams.compactDedupStore(spark, dir)
       report += ((dir, "dedup", compacted))
+    }
+    targets.quantileStores.foreach { t =>
+      // order statistics cannot subtract: rebuild from the survivors
+      // (a rebuild IS a full compaction — no tombstone debt remains)
+      val live = t.rows.join(del,
+        qcol(t.keyCol).cast("long") === col("__id"), "left_anti")
+      graft.streaming.EventStreams.rebuildQuantileStore(spark, t.storeDir,
+        live, qcol(t.keyCol), t.value, t.k, t.maxLevel)
+      report += ((t.storeDir, "qsketch", true))
     }
     import spark.implicits._
     report.toSeq.toDF("target", "kind", "compacted")

@@ -151,7 +151,12 @@ object Rerank {
     require(k >= 1 && k0 >= 1, s"bad fusion knobs: k=$k k0=$k0")
     val u = legs.map(_.select(col("query_id").cast("long"),
         col("neighbor_id").cast("long").as("doc_id"),
-        col("rank").cast("long").as("__r")))
+        col("rank").cast("long").as("__r"))
+        // a leg violating the top-k contract (duplicate doc within one
+        // query) would otherwise double-count its contribution AND
+        // inflate n_legs past the true leg count; keep its best rank
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(min(col("__r")).as("__r")))
       .reduce(_ unionByName _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_q").desc, col("doc_id"))

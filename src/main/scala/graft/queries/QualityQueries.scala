@@ -172,6 +172,56 @@ object QualityQueries {
           lit(true))).as("stream_qsketch_ok"))
   }
 
+  /** The quantile store's TAKEDOWN leg (the KMV deletion precedent,
+    * r18 VERDICT scope gap 1): order statistics cannot subtract, so a
+    * forget reaching a quantile-summary store is rebuild-on-cadence
+    * from the survivors — wired through the real takedown cascade
+    * ([[graft.ext.CascadeDelete.forget]] with a
+    * [[graft.ext.QuantileStoreTarget]]), not a bespoke call. The store
+    * starts as a full-corpus generation (so the crash-safe swap
+    * exercises the replace path), every event_id ≡ 3 (mod 7) is
+    * forgotten, and the post-forget store must equal the one-shot
+    * summary of the survivors EXACTLY — the oracle replays that
+    * summary from the base table (md5 level chain, smallest fitting
+    * cut, kept multiset), so a stale item that out-lived its takedown
+    * breaks the hash.
+    */
+  val streamQsketchForget = q("x_stream_qsketch_forget", {
+    val lvl = Sketch.quantileLevelSql("h", 20)
+    s"""WITH src AS (SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS v
+       |             FROM events
+       |             WHERE value IS NOT NULL AND event_id % 7 <> 3),
+       |lv AS (SELECT v, $lvl AS lvl FROM (
+       |        SELECT v, CAST('0x' || substring(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 15) AS UBIGINT) AS h
+       |        FROM src)),
+       |lc AS (SELECT lvl, count(*) AS c FROM lv GROUP BY 1),
+       |lev AS (SELECT l, coalesce((SELECT sum(c) FROM lc WHERE lvl >= l), 0) AS cnt
+       |        FROM (SELECT unnest(generate_series(0, 20)) AS l)),
+       |lsel AS (SELECT CAST(min(l) AS INTEGER) AS lvl_sel FROM lev WHERE cnt <= 128)
+       |SELECT (SELECT lvl_sel FROM lsel) AS level, lvl, v,
+       |       CAST(count(*) AS BIGINT) AS cnt
+       |FROM lv, lsel WHERE lvl >= lvl_sel GROUP BY 2, 3""".stripMargin
+  }) { (s, dir) =>
+    val store = s"/tmp/graft_stream_qsketch/${Staging.tag(dir)}_forget"
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val v = round(col("value") * 100, 0).cast("long")
+    // the prior generation a production takedown would find
+    graft.streaming.EventStreams.rebuildQuantileStore(s, store, ev,
+      col("event_id"), v, k = 128)
+    graft.ext.CascadeDelete.forget(s,
+      Tables.events(s, dir).filter(col("event_id") % 7 === 3)
+        .select(col("event_id")),
+      "event_id",
+      graft.ext.CascadeTargets(quantileStores = Seq(
+        graft.ext.QuantileStoreTarget(store, ev, "event_id", v, k = 128))))
+    val summary = graft.streaming.EventStreams.readQuantileSketch(s, store,
+      k = 128)
+    summary.items.groupBy(col("__lvl").as("lvl"), col("__v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(summary.level).as("level"), col("lvl"), col("v"),
+        col("cnt"))
+  }
+
   /** PSI drift between the even/odd event_id halves of the event stream,
     * per event_type, over 20 unit-width value bins on [0, 20) (values
     * past the domain clamp into the edge bin) — the scheduled
@@ -954,5 +1004,5 @@ object QualityQueries {
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
     streamFunnel, streamDriftPsi, streamDriftKs, textPhrase, textProximity,
     streamPhraseAppend, urlCanonical, textEntropy,
-    statsQuantileSketch, streamQuantileSketch)
+    statsQuantileSketch, streamQuantileSketch, streamQsketchForget)
 }

@@ -356,23 +356,32 @@ object RankingQueries {
     * monitors — the post-hoc calibrator a production scorer ships with.
     * The corpus reduces to grid-bounded (score, n, n_pos) blocks and
     * the PAV sweep is exact integer arithmetic (cross-multiplied mean
-    * comparisons, ×10⁶ floors), so the oracle replays the ENTIRE fit:
-    * the same merge machine runs as a recursive CTE — one small step
-    * per iteration, push-or-merge-top-two, list-typed stack state (the
-    * Viterbi-DP technique) — and a single drifted pool boundary or
-    * misrounded rate breaks the hash. Fitted rates are non-decreasing
-    * by construction on BOTH sides.
+    * comparisons, ×10⁶ floors), so the oracle replays the ENTIRE fit
+    * and a single drifted pool boundary or misrounded rate breaks the
+    * hash. Fitted rates are non-decreasing by construction on BOTH
+    * sides.
     */
-  /** The recursive-CTE PAV merge machine over the events' score blocks
-    * — shared by the fit gate and the held-out apply gate (`scWhere`
-    * restricts the fitting half). Yields CTEs `b` (score blocks with
-    * index), `mx`, `pav`, `fin`, `runs`, and `fitb` (one fitted row per
-    * input block).
+  /** The CHAIN-POOLING PAV merge machine over the events' score blocks
+    * — shared by the fit gate, the held-out apply gate (`scWhere`
+    * restricts the fitting half), and the streamed-histogram gate.
+    * Each recursive-CTE round pools every maximal violating chain
+    * (consecutive boundaries whose adjacent means strictly DESCEND —
+    * such a chain always pools into one run under sequential PAV, in
+    * any merge order, so round-based chain pooling reaches the same
+    * unique fixpoint); one round is plain windows + a GROUP BY over the
+    * previous round's run table, so the machine is O(runs) per round
+    * with NO list-typed state — unlike the r18 push-or-merge stack
+    * machine (O(steps·stack) list copies, priced out past ~1k blocks,
+    * SURVEY §21), it replays the production ×100 grid (~18k blocks at
+    * sf0.1) in under a second. Mean comparisons cross-multiply in
+    * HUGEINT; the sequential and chain-pooling machines are
+    * cross-checked against each other and a brute minimax fit in
+    * CalibrateSpec. Yields CTEs `b` (score blocks with index), `pav`
+    * (one run table per round), `fin` (the fixpoint), `runs`, and
+    * `fitb` (one fitted row per input block).
     */
   private def pavCtes(scWhere: String): String = {
-    val viol = "len(stk) >= 2 AND stk[len(stk)-1].p * stk[len(stk)].n > " +
-      "stk[len(stk)].p * stk[len(stk)-1].n"
-    s"""sc AS (SELECT CAST(round(value, 0) AS BIGINT) AS score_q,
+    s"""sc AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS score_q,
        |              user_id % 3 = 0 AS pos
        |       FROM events WHERE value IS NOT NULL$scWhere),
        |b AS (SELECT score_q, n, np,
@@ -380,31 +389,31 @@ object RankingQueries {
        |      FROM (SELECT score_q, CAST(count(*) AS BIGINT) AS n,
        |                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
        |            FROM sc GROUP BY 1)),
-       |mx AS (SELECT max(i) AS mx FROM b),
        |pav AS (
-       |  SELECT CAST(2 AS BIGINT) AS nxt, [{'st': i, 'n': n, 'p': np}] AS stk
-       |  FROM b WHERE i = 1
+       |  SELECT 0 AS it, i AS st, n AS rn, np AS rp FROM b
        |  UNION ALL
-       |  SELECT CASE WHEN $viol THEN nxt ELSE nxt + 1 END,
-       |         CASE WHEN $viol THEN
-       |           list_append(stk[1:len(stk)-2],
-       |             {'st': stk[len(stk)-1].st,
-       |              'n': stk[len(stk)-1].n + stk[len(stk)].n,
-       |              'p': stk[len(stk)-1].p + stk[len(stk)].p})
-       |         ELSE list_append(stk,
-       |           (SELECT {'st': b.i, 'n': b.n, 'p': b.np} FROM b WHERE b.i = nxt))
-       |         END
-       |  FROM pav, mx
-       |  WHERE ($viol) OR nxt <= mx.mx
+       |  SELECT it + 1, min(st), CAST(sum(rn) AS BIGINT), CAST(sum(rp) AS BIGINT)
+       |  FROM (SELECT it, st, rn, rp,
+       |               CAST(sum(CASE WHEN viol_prev THEN 0 ELSE 1 END)
+       |                    OVER (ORDER BY st) AS BIGINT) AS grp,
+       |               max(CASE WHEN viol_prev OR viol_next THEN 1 ELSE 0 END)
+       |                   OVER () AS any_viol
+       |        FROM (SELECT it, st, rn, rp,
+       |                     coalesce(CAST(lag(rp) OVER w AS HUGEINT) * rn >
+       |                              CAST(rp AS HUGEINT) * lag(rn) OVER w, FALSE) AS viol_prev,
+       |                     coalesce(CAST(rp AS HUGEINT) * lead(rn) OVER w >
+       |                              CAST(lead(rp) OVER w AS HUGEINT) * rn, FALSE) AS viol_next
+       |              FROM pav WINDOW w AS (ORDER BY st)))
+       |  WHERE any_viol = 1
+       |  GROUP BY it, grp
        |),
-       |fin AS (SELECT stk FROM pav, mx WHERE NOT ($viol) AND nxt > mx.mx),
-       |runs AS (SELECT e.st AS st, e.n AS fn, e.p AS fp,
-       |                lead(e.st) OVER (ORDER BY e.st) - 1 AS en
-       |         FROM (SELECT unnest(stk) AS e FROM fin)),
+       |fin AS (SELECT st, rn AS fn, rp AS fp FROM pav
+       |        WHERE it = (SELECT max(it) FROM pav)),
+       |runs AS (SELECT st, fn, fp, lead(st) OVER (ORDER BY st) - 1 AS en FROM fin),
        |fitb AS (SELECT b.score_q, b.n, b.np, r.fp, r.fn,
-       |                CAST(r.fp * 1000000 // r.fn AS BIGINT) AS fit_q
+       |                CAST(CAST(r.fp AS HUGEINT) * 1000000 // r.fn AS BIGINT) AS fit_q
        |         FROM b JOIN runs r
-       |           ON b.i >= r.st AND b.i <= coalesce(r.en, (SELECT mx FROM mx)))""".stripMargin
+       |           ON b.i >= r.st AND b.i <= coalesce(r.en, (SELECT max(i) FROM b)))""".stripMargin
   }
 
   val calibrateIsotonic = q("x_calibrate_isotonic",
@@ -414,8 +423,30 @@ object RankingQueries {
        |FROM fitb""".stripMargin) { (s, dir) =>
     graft.ext.Calibrate.isotonicFit(
       Tables.events(s, dir).filter(col("value").isNotNull),
-      round(col("value"), 0).cast("long"),
+      round(col("value") * 100, 0).cast("long"),
       col("user_id") % 3 === 0)
+  }
+
+  /** The calibrator maintained FROM THE STREAM: (score_q, n, n_pos)
+    * histogram blocks are associative counters — exactly the delta
+    * shape the AUC monitor already publishes exactly-once
+    * ([[aucHistogramStore]]) — so the production calibrator refits from
+    * the summed store ([[graft.ext.Calibrate.isotonicFromHistogram]])
+    * without ever rescanning the corpus. The oracle is the SAME batch
+    * PAV replay as x_calibrate_isotonic, so a green hash pins streamed
+    * fit == batch fit exactly, through the full merge machine.
+    */
+  val streamCalibrate = q("x_stream_calibrate",
+    s"""WITH RECURSIVE
+       |${pavCtes("")}
+       |SELECT score_q, n, np AS n_pos, fp AS fit_pos, fn AS fit_n, fit_q
+       |FROM fitb""".stripMargin) { (s, dir) =>
+    graft.ext.Calibrate.isotonicFromHistogram(
+      EventStreams.readScoreHistogram(s, aucHistogramStore(s, dir),
+          "event_type")
+        .groupBy(col("__s").as("score_q"))
+        .agg(sum(col("__np") + col("__nn")).as("n"),
+          sum(col("__np")).as("n_pos")))
   }
 
   /** The calibrator SERVED on held-out traffic: fit on the even
@@ -435,7 +466,7 @@ object RankingQueries {
        |              lead(score_q) OVER (ORDER BY score_q) AS hi
        |       FROM fitb),
        |f0 AS (SELECT fit_q AS c0 FROM fitb ORDER BY score_q LIMIT 1),
-       |held AS (SELECT event_id, CAST(round(value, 0) AS BIGINT) AS score_q
+       |held AS (SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS score_q
        |         FROM events WHERE value IS NOT NULL AND event_id % 2 = 1)
        |SELECT h.event_id, h.score_q, coalesce(iv.fit_q, f0.c0) AS cal_q
        |FROM held h
@@ -444,9 +475,9 @@ object RankingQueries {
     val ev = Tables.events(s, dir).filter(col("value").isNotNull)
     val fit = graft.ext.Calibrate.isotonicFit(
       ev.filter(col("event_id") % 2 === 0),
-      round(col("value"), 0).cast("long"), col("user_id") % 3 === 0)
+      round(col("value") * 100, 0).cast("long"), col("user_id") % 3 === 0)
     val held = ev.filter(col("event_id") % 2 === 1)
-      .select(col("event_id"), round(col("value"), 0).cast("long")
+      .select(col("event_id"), round(col("value") * 100, 0).cast("long")
         .as("score_q"))
     graft.ext.Calibrate.isotonicApply(fit, held, col("score_q"))
       .select(col("event_id"), col("score_q"), col("cal_q"))
@@ -655,25 +686,27 @@ object RankingQueries {
     * click attributed to each same-user view it followed within one
     * hour. The drained stream must equal the batch join exactly.
     */
-  val streamStreamJoin = q("x_stream_stream_join",
-    """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
-      |       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
-      |FROM events v JOIN events c
-      |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
-      | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
-    val store = streamStoreRuns.computeIfAbsent("ssj:" + Staging.tag(dir), _ => {
+  private[queries] def ssjStore(s: SparkSession, dir: String): String =
+    streamStoreRuns.computeIfAbsent("ssj:" + Staging.tag(dir), _ => {
       val out = s"/tmp/graft_ssjoin/${Staging.tag(dir)}"
       EventStreams.runStreamStreamJoinOnce(s, eventSpool(s, dir),
           s"graft_stream_ssjoin_${Staging.tag(dir)}")
         .write.mode("overwrite").parquet(out)
       out
     })
-    s.read.parquet(store)
+
+  val streamStreamJoin = q("x_stream_stream_join",
+    """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+      |       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
+    s.read.parquet(ssjStore(s, dir))
   }
 
   val all: Seq[QueryDef] =
     Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
       labelWmv, streamStreamJoin, streamRankBt, streamEvalAuc,
-      statsBootstrap, calibrateIsotonic, calibrateApply, streamLabelWmv,
-      searchHybridRrf)
+      statsBootstrap, calibrateIsotonic, calibrateApply, streamCalibrate,
+      streamLabelWmv, searchHybridRrf)
 }

@@ -913,11 +913,54 @@ object EventStreams {
     */
   def readQuantileSketch(spark: SparkSession, storeDir: String, k: Int,
       maxLevel: Int = 20): graft.ext.Sketch.QuantileSummary = {
+    // a store with zero published batches has no deltas/ path, and one
+    // whose rowFilter excluded every row has deltas but a NULL max —
+    // both are legitimately-empty summaries (level 0, no items), not
+    // read crashes
+    if (!graft.util.Hfs.exists(spark, s"$storeDir/deltas"))
+      return graft.ext.Sketch.QuantileSummary(0,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__lvl",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("__v",
+              org.apache.spark.sql.types.DoubleType)))))
     val d = spark.read.parquet(s"$storeDir/deltas")
       .localCheckpoint(eager = true) // floor read + re-cut share it
-    val minLevel = d.agg(max(col("min_lvl"))).head().getInt(0)
+    val minLevel = d.agg(coalesce(max(col("min_lvl")), lit(0)))
+      .head().getInt(0)
     graft.ext.Sketch.quantileSelect(d.select(col("__lvl"), col("__v")),
       k, minLevel, maxLevel)
+  }
+
+  /** Deletion semantics for the quantile-summary store: like KMV's
+    * k-min ([[rebuildKmvStore]]), ORDER STATISTICS CANNOT SUBTRACT — a
+    * deleted row's level item cannot be un-seen by any delta — so the
+    * takedown contract is rebuild-on-cadence: one-shot summary over the
+    * LIVE set, swap-published as the store's single generation-0 delta
+    * with its cut level as the merge floor. Between a delete and the
+    * next rebuild the summary's rank estimates are STALE by exactly the
+    * deleted rows still counted; the staleness bound is the rebuild
+    * cadence, and monitoring consumers read it as such. The swap is
+    * crash-safe ([[graft.operators.Upsert.swapDirs]]). Like every
+    * maintenance op, serialize against a running append stream of the
+    * same store: the swap resets the batch markers with the generation,
+    * so a replayed pre-rebuild batch would re-publish deleted items
+    * into the fresh store. Reachable from
+    * [[graft.ext.CascadeDelete.forget]] via a
+    * [[graft.ext.QuantileStoreTarget]] (x_stream_qsketch_forget pins
+    * post-forget store == one-shot summary of the survivors).
+    */
+  def rebuildQuantileStore(spark: SparkSession, storeDir: String,
+      live: DataFrame, key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, k: Int,
+      maxLevel: Int = 20): Unit = {
+    val s = graft.ext.Sketch.quantileSketch(live, key, value, k, maxLevel)
+    val tmp = storeDir + ".rebuild-" + System.nanoTime()
+    s.items.withColumn("min_lvl", lit(s.level))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/deltas")
+    graft.util.Hfs.touch(spark, s"$tmp/_batch_r0")
+    graft.operators.Upsert.swapDirs(tmp, storeDir)
   }
 
   /** Streaming preference-matrix maintenance: each micro-batch's events

@@ -46,32 +46,41 @@ object GraphCurve {
     rows.toDF("vec_id", "embedding")
   }
 
-  /** `runMain graft.tools.GraphCurve planted` — the α-vs-plain curve on
-    * the planted topology, matched beam/hops, recall@5 against brute.
+  /** `runMain graft.tools.GraphCurve planted [degrees]` — the α-vs-plain
+    * curve on the planted topology, matched beam/hops, recall@5 against
+    * brute. With a comma list of degrees (r18 VERDICT item 8: the α
+    * ceiling at degree 6 was pinned to the intra-stack enumeration
+    * limit, with "more degree" the standard answer — measure it), each
+    * degree builds BOTH wirings and serves the same operating points,
+    * so the table answers whether raw degree recovers the same-stack
+    * neighbors α spends slots on, and whether α still buys reach on top.
     */
-  private def plantedCurve(spark: SparkSession): Unit = {
+  private def plantedCurve(spark: SparkSession,
+      degrees: Seq[Int] = Seq(6)): Unit = {
     val corpus = plantedCorpus(spark).localCheckpoint(true)
-    val plainDir = "/tmp/graft_curve_planted_plain"
-    val alphaDir = "/tmp/graft_curve_planted_alpha"
-    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", plainDir,
-      degree = 6, nlist = 8, nprobe = 3)
-    GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", alphaDir,
-      degree = 6, nlist = 8, nprobe = 3, alphaQ = 1200)
     // queries: one member of every fourth stack — nearest neighbors sit
     // in the query's own stack, entries mostly don't
     val queries = corpus.filter(col("vec_id") % (12 * 4) === 5)
       .localCheckpoint(true)
     val brute = Similarity.bruteForceTopK(queries, corpus,
       "vec_id", "embedding", 5).localCheckpoint(true)
-    for {
-      (l, h) <- Seq((4, 2), (4, 4), (8, 2), (8, 3), (8, 6), (16, 3), (16, 6),
-        (16, 12), (32, 8), (32, 16))
-      (name, dir) <- Seq("plain" -> plainDir, "alpha" -> alphaDir)
-    } {
-      val served = GraphAnn.topK(spark, dir, queries, "vec_id", "embedding",
-        5, beamWidth = l, hops = h)
-      val r = AnnIndex.recallReport(Seq(s"$name" -> served), brute, 5).head()
-      println(f"""{"layout":"planted_${name}_beam${l}_hops$h","recall_at_5":${r.getAs[Double]("recall_at_k")}%.3f,"footrule":${r.getAs[Long]("rank_footrule")}}""")
+    for (deg <- degrees) {
+      val plainDir = s"/tmp/graft_curve_planted_plain_d$deg"
+      val alphaDir = s"/tmp/graft_curve_planted_alpha_d$deg"
+      GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", plainDir,
+        degree = deg, nlist = 8, nprobe = 3)
+      GraphAnn.buildFromIvf(corpus, "vec_id", "embedding", alphaDir,
+        degree = deg, nlist = 8, nprobe = 3, alphaQ = 1200)
+      for {
+        (l, h) <- Seq((4, 2), (4, 4), (8, 2), (8, 3), (8, 6), (16, 3), (16, 6),
+          (16, 12), (32, 8), (32, 16))
+        (name, dir) <- Seq("plain" -> plainDir, "alpha" -> alphaDir)
+      } {
+        val served = GraphAnn.topK(spark, dir, queries, "vec_id", "embedding",
+          5, beamWidth = l, hops = h)
+        val r = AnnIndex.recallReport(Seq(s"$name" -> served), brute, 5).head()
+        println(f"""{"layout":"planted_${name}_d${deg}_beam${l}_hops$h","recall_at_5":${r.getAs[Double]("recall_at_k")}%.3f,"footrule":${r.getAs[Long]("rank_footrule")}}""")
+      }
     }
   }
 
@@ -86,7 +95,10 @@ object GraphCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (sfDir == "planted") {
-      try plantedCurve(spark) finally spark.stop()
+      val degrees =
+        if (args.length > 1) args(1).split(",").toSeq.map(_.trim.toInt)
+        else Seq(6)
+      try plantedCurve(spark, degrees) finally spark.stop()
       return
     }
     val idx = graft.queries.ExtensionQueries.stageAnnIndexes(spark, sfDir)

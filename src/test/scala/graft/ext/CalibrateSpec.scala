@@ -74,6 +74,115 @@ class CalibrateSpec extends SparkSpec {
     out(6L) shouldBe None // null score calibrates to null
   }
 
+  test("merge decisions survive corpus-scale counters (Long would wrap)") {
+    // pooled products ~1.4e19 exceed Long.MaxValue: a cross-multiplied
+    // Long compare wraps negative and silently skips the pool; the
+    // BigInt compare must still see rate .9 > .8 and merge
+    val blocks = Seq((1L, 4000000000L, 3600000000L),
+      (2L, 4000000000L, 3200000000L))
+    Calibrate.pav(blocks).map(r => (r._4, r._5)).distinct shouldBe
+      Seq((6800000000L, 8000000000L))
+  }
+
+  /** Brute-force minimax isotonic fit (Robertson & Wright):
+    * fit(i) = min over k ≥ i of max over j ≤ i of mean(blocks j..k),
+    * compared as exact rationals. O(n³) — the ground truth the sweep
+    * and the oracle's chain-pooling machine are both checked against.
+    */
+  private def bruteMinimax(blocks: Seq[(Long, Long, Long)])
+      : Seq[(BigInt, BigInt)] = {
+    val n = blocks.size
+    def mean(j: Int, k: Int): (BigInt, BigInt) =
+      (BigInt(blocks.slice(j, k + 1).map(_._3).sum),
+        BigInt(blocks.slice(j, k + 1).map(_._2).sum))
+    def lt(a: (BigInt, BigInt), b: (BigInt, BigInt)) = a._1 * b._2 < b._1 * a._2
+    (0 until n).map { i =>
+      (i until n).map { k =>
+        (0 to i).map(j => mean(j, k)).reduce((a, b) => if (lt(a, b)) b else a)
+      }.reduce((a, b) => if (lt(a, b)) a else b)
+    }
+  }
+
+  /** A Scala replica of the ORACLE's chain-pooling machine (the
+    * x_calibrate_* recursive CTE): each round pools every maximal
+    * strictly-descending violating chain at once, to fixpoint. Pinned
+    * here against the sequential sweep so the SQL's algorithm can never
+    * drift from the engine's.
+    */
+  private def chainPool(blocks: Seq[(Long, Long, Long)]): Seq[(Long, Long)] = {
+    var runs = blocks.map(b => (b._2, b._3)) // (n, pos) per run
+    var looping = true
+    while (looping) {
+      val viol = runs.sliding(2).map {
+        case Seq((ln, lp), (rn, rp)) => BigInt(lp) * rn > BigInt(rp) * ln
+        case _ => false
+      }.toVector
+      if (!viol.contains(true)) looping = false
+      else {
+        val grp = runs.indices.map(i =>
+          (0 until i).count(b => !viol(b))) // prefix count of non-viol edges
+        runs = runs.zip(grp).groupBy(_._2).toSeq.sortBy(_._1).map { case (_, g) =>
+          (g.map(_._1._1).sum, g.map(_._1._2).sum)
+        }
+      }
+    }
+    runs
+  }
+
+  test("sweep == chain-pooling machine == brute minimax on random blocks") {
+    val rnd = new scala.util.Random(1906)
+    (0 until 40).foreach { _ =>
+      val blocks = (0 until (1 + rnd.nextInt(60))).map(i =>
+        (i.toLong, 1L + rnd.nextInt(9), rnd.nextInt(10).toLong))
+        .map(b => (b._1, b._2, math.min(b._3, b._2)))
+      val swept = Calibrate.pav(blocks)
+      val pooled = chainPool(blocks)
+      // re-expand chain-pooled runs to block granularity by walking
+      // block ns, then compare block-level fitted rationals
+      var bi = 0
+      val chainFit = pooled.flatMap { case (n, p) =>
+        var left = n
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        while (left > 0) { out += ((p, n)); left -= blocks(bi)._2; bi += 1 }
+        out
+      }
+      swept.map(r => (r._4, r._5)) shouldBe chainFit.map(f => (f._1, f._2))
+      // and both equal the brute minimax VALUE as exact rationals
+      swept.zip(bruteMinimax(blocks)).foreach { case (r, (bp, bn)) =>
+        BigInt(r._4) * bn shouldBe bp * BigInt(r._5)
+      }
+    }
+  }
+
+  test("isotonicFit refuses an unquantized (over-grid) score loudly") {
+    val big = spark.range(Calibrate.MaxGridBlocks + 1)
+      .select(col("id").as("s"), (col("id") % 2 === 0).as("y"))
+    val e = intercept[IllegalArgumentException] {
+      Calibrate.isotonicFit(big, col("s"), col("y"))
+    }
+    e.getMessage should include("distinct quantized scores")
+  }
+
+  test("isotonicApply refuses an empty fit loudly") {
+    val fit = Seq.empty[(Long, Long, Long, Long, Long, Long)]
+      .toDF("score_q", "n", "n_pos", "fit_pos", "fit_n", "fit_q")
+    val scored = Seq((1L, 5L)).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Calibrate.isotonicApply(fit, scored, col("s"))
+    }
+    e.getMessage should include("empty fit")
+  }
+
+  test("isotonicFromHistogram fits the same calibrator as the raw frame") {
+    val df = Seq((1L, false), (1L, true), (2L, true), (3L, false),
+      (3L, true), (7L, false)).toDF("s", "y")
+    val hist = df.groupBy(col("s").as("score_q"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+    Calibrate.isotonicFromHistogram(hist).orderBy("score_q").collect() shouldBe
+      Calibrate.isotonicFit(df, col("s"), col("y")).orderBy("score_q").collect()
+  }
+
   test("isotonicFit reduces the frame to the same sweep") {
     val df = Seq((1L, false), (1L, true), (2L, true), (2L, true),
       (3L, false), (3L, false), (3L, true), (5L, true))

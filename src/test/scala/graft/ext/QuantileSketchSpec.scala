@@ -75,6 +75,54 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("reading a missing or all-filtered store is an empty summary, not a crash") {
+    import graft.streaming.EventStreams
+    // a store with zero published batches has no deltas/ path at all
+    val missing = java.nio.file.Files
+      .createTempDirectory("graft_qs_missing").toString + "/never_published"
+    val s0 = EventStreams.readQuantileSketch(spark, missing, K)
+    s0.level shouldBe 0
+    s0.items.count() shouldBe 0L
+    // and a store whose rowFilter excluded every row has deltas but a
+    // NULL max(min_lvl) — an empty level-0 summary, not a getInt crash
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_qs_empty").toString
+    Seq.empty[(Int, Long, Int)].toDF("__lvl", "__v", "min_lvl")
+      .write.parquet(s"$empty/deltas")
+    val s1 = EventStreams.readQuantileSketch(spark, empty, K)
+    s1.level shouldBe 0
+    s1.items.count() shouldBe 0L
+  }
+
+  test("deletion = rebuild from survivors; idempotent; crash-replay heals") {
+    import graft.streaming.EventStreams
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_qs_forget").toString + "/store"
+    val df = corpus(900).localCheckpoint(true)
+    // generation 0: the full corpus
+    EventStreams.rebuildQuantileStore(spark, store, df, col("id"), col("v"), K)
+    // forget a third of the keys: rebuild from the survivors
+    val live = df.filter(col("id") % 3 =!= 0).localCheckpoint(true)
+    EventStreams.rebuildQuantileStore(spark, store, live, col("id"), col("v"), K)
+    val expect = Sketch.quantileSketch(live, col("id"), col("v"), K)
+    val got = EventStreams.readQuantileSketch(spark, store, K)
+    got.level shouldBe expect.level
+    keptSet(got) shouldBe keptSet(expect)
+    // idempotent: re-running the same rebuild changes nothing
+    EventStreams.rebuildQuantileStore(spark, store, live, col("id"), col("v"), K)
+    keptSet(EventStreams.readQuantileSketch(spark, store, K)) shouldBe keptSet(expect)
+    // crash replay: a swap that died between move(dir→bak) and
+    // move(tmp→dir) leaves only .bak; the next rebuild must restore it
+    // first (not read the missing dir as empty) and then swap cleanly
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".bak"))
+    EventStreams.rebuildQuantileStore(spark, store, live, col("id"), col("v"), K)
+    keptSet(EventStreams.readQuantileSketch(spark, store, K)) shouldBe keptSet(expect)
+    fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")) shouldBe false
+  }
+
   test("weighted rank estimates stay inside the sampling band") {
     val n = 4000
     val df = corpus(n).localCheckpoint(true)

@@ -158,4 +158,21 @@ class RerankSpec extends SparkSpec {
     out(2) shouldBe ((3, 12L, 15873L, 1))
     out(3) shouldBe ((4, 13L, 15873L, 1))
   }
+
+  test("rrfFuse: a contract-violating leg with a duplicate doc counts once") {
+    import spark.implicits._
+    // doc 10 appears twice in leg A (ranks 1 and 3 — a top-k contract
+    // violation); only its best rank may contribute, and n_legs must
+    // stay 2, not 3
+    val legA = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 10L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val legB = Seq((1L, 1, 10L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val out = Rerank.rrfFuse(Seq(legA, legB), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_q"),
+        r.getAs[Int]("n_legs")))
+    out(0) shouldBe ((10L, 2L * (1000000L / 61L), 2))
+    out(1) shouldBe ((11L, 1000000L / 62L, 1))
+  }
 }
