@@ -93,12 +93,20 @@ object Calibrate {
     * fitted value of the LAST block at or below its score (the step
     * function a monotone fit defines); scores below the first block
     * clamp to it, scores above the last ride its plateau — the standard
-    * isotonic serving rule. The fit is grid-bounded, so it broadcasts
-    * and the lookup is one interval join ([score_q, next block) ranges
-    * from one lead window over the fit), never a shuffle of the scored
-    * corpus. An EMPTY fit refuses loudly — a left join against it
-    * would silently calibrate everything to the below-domain clamp,
-    * and there is nothing to clamp to.
+    * isotonic serving rule. An EMPTY fit refuses loudly — a left join
+    * against it would silently calibrate everything to the
+    * below-domain clamp, and there is nothing to clamp to.
+    *
+    * Serve plan (the r19 fix — a broadcast INTERVAL join here is a
+    * nested loop, O(rows·blocks) comparisons, and at the ×100 grid it
+    * billed 5 cpu-s on 50k rows): the step lookup materializes as a
+    * VALUE TABLE first — distinct scored scores union fit starts, one
+    * window over that ≤ 2·grid-row frame propagating the last fit_q at
+    * or below each score — and the corpus then joins it by broadcast
+    * HASH EQUALITY on the quantized score. The window and the
+    * broadcast are grid-bounded (the caller quantizes the score — the
+    * same [[MaxGridBlocks]] contract the fit enforces); the only
+    * corpus-sized work is one codegen'd hash probe per row.
     *
     * Output: the scored frame's columns plus `cal_q` (the ×10⁶ fitted
     * rate). Null scores calibrate to null.
@@ -116,16 +124,25 @@ object Calibrate {
       "isotonicApply: empty fit — the fitting slice matched no rows; " +
         "nothing to calibrate against")
     val c0 = first(0).getLong(1)
-    val w = Window.orderBy(col("__lo")) // fit is grid-bounded
-    val iv = fit.select(col("score_q").as("__lo"), col("fit_q"))
-      .withColumn("__hi", lead(col("__lo"), 1).over(w))
-    scored.withColumn("__s", scoreCol.cast("long"))
-      .join(broadcast(iv),
-        col("__s") >= col("__lo") &&
-          (col("__hi").isNull || col("__s") < col("__hi")), "left")
+    val held = scored.withColumn("__s", scoreCol.cast("long"))
+    // merged grid: fit starts carry their fit_q, scored scores carry
+    // null; at an equal score the fit row sorts first, so the running
+    // last(fit_q) hands a boundary score its own block
+    val merged = held.select(col("__s")).filter(col("__s").isNotNull)
+      .distinct().withColumn("__fq", lit(null).cast("long"))
+      .unionByName(fit.select(col("score_q").as("__s"),
+        col("fit_q").as("__fq")))
+    val w = Window.orderBy(col("__s"), col("__fq").isNull)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lut = merged
+      .withColumn("__cal", coalesce(
+        last(col("__fq"), ignoreNulls = true).over(w), lit(c0)))
+      .filter(col("__fq").isNull) // keep one lookup row per scored score
+      .select(col("__s"), col("__cal"))
+    held.join(broadcast(lut), Seq("__s"), "left")
       .withColumn("cal_q", when(col("__s").isNull, lit(null).cast("long"))
-        .otherwise(coalesce(col("fit_q"), lit(c0))))
-      .drop("__s", "__lo", "__hi", "fit_q")
+        .otherwise(col("__cal")))
+      .drop("__s", "__cal")
   }
 
   /** The exact-integer PAV sweep over score-ascending blocks

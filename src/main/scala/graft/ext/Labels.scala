@@ -59,6 +59,62 @@ object Labels {
       qcol(annotatorCol).as("annotator"), qcol(labelCol).as("label"),
       qcol(nCol).cast("long").as("__w")))
 
+  /** Inter-annotator agreement — Fleiss' κ (Fleiss 1971), generalized
+    * to varying raters per item: the "is the labeling task well-posed"
+    * dashboard number beside the WMV resolution (κ near 0 means the
+    * majority label is mostly noise no reweight can rescue).
+    *
+    *   Po = Σ_items Σ_labels c_il·(c_il−1) / Σ_items n_i·(n_i−1)
+    *        (observed pairwise agreement; single-ballot items
+    *        contribute zero pairs to both sums — the varying-n
+    *        convention)
+    *   Pe = Σ_labels (n_l / N)²   (chance agreement from global label
+    *        shares)
+    *   κ  = (Po − Pe) / (1 − Pe)
+    *
+    * Exactness: Po and Pe publish as ×10⁶ integer floors computed in
+    * decimal(38,0) (pair counts reach Σ n_i² and N² — int64 would wrap
+    * near ~3e9 ballots; the `div` floor is the [[graft.ext.Eval]] AUC
+    * discipline), and κ is ONE deterministic IEEE divide of those two
+    * exact integers — so the whole report hash-matches a second
+    * engine's replay (x_label_kappa). κ is NULL when no item has two
+    * ballots (Po undefined) or pe_q = 10⁶ (single-label log, chance
+    * agreement saturates).
+    *
+    * Scale shape: two groupBys over the log (item-label, label) plus
+    * counter-sized epilogues — nothing is collected or globally sorted.
+    * Output, one row: (n_items, n_ballots, po_q, pe_q, kappa).
+    */
+  def agreementKappa(annotations: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val ann = annotations
+      .select(qcol(itemCol).as("item"), qcol(labelCol).as("label"))
+      .filter(col("item").isNotNull && col("label").isNotNull)
+    val il = ann.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("__c"))
+    val agg = il.groupBy(col("item"))
+      .agg(sum(col("__c")).as("__ni"),
+        sum(expr("cast(__c as decimal(38,0)) * (__c - 1)")).as("__pn"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("n_ballots"),
+        sum(col("__pn")).as("__num"),
+        sum(expr("cast(__ni as decimal(38,0)) * (__ni - 1)")).as("__den"))
+    val lbl = il.groupBy(col("label")).agg(sum(col("__c")).as("__nl"))
+      .agg(sum(expr("cast(__nl as decimal(38,0)) * __nl")).as("__sq"),
+        sum(col("__nl")).as("__nn"))
+    agg.crossJoin(lbl)
+      .select(col("n_items"), col("n_ballots"),
+        when(col("__den") > 0,
+          expr("cast(__num * 1000000 div __den as long)")).as("po_q"),
+        when(col("__nn") > 0, expr(
+          "cast(__sq * 1000000 div (cast(__nn as decimal(38,0)) * __nn) as long)"))
+          .as("pe_q"))
+      .withColumn("kappa",
+        when(col("po_q").isNotNull && col("pe_q").isNotNull &&
+            col("pe_q") =!= 1000000L,
+          (col("po_q") - col("pe_q")).cast("double") /
+            (lit(1000000L) - col("pe_q"))))
+  }
+
   /** Both entry points on one spine: every count/ballot is weighted by
     * the row's multiplicity `__w` (1 for the raw log), so the two-round
     * arithmetic is literally shared instead of mirrored.

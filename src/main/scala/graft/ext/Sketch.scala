@@ -273,4 +273,58 @@ object Sketch {
           .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk"))
           .as("est_distinct"))
   }
+
+  /** KMV set-operation algebra (Beyer et al. 2007, §5): estimate the
+    * UNION size, JACCARD similarity, and INTERSECTION size of two value
+    * sets from their k-minimum-value sketches alone — the "how much
+    * does the new crawl overlap the existing corpus" monitor, priced at
+    * two k-row sketches instead of a cross-corpus join. The k smallest
+    * hashes of A∪B form a valid KMV sketch of the union (k-min is
+    * associative), and any union-k-min hash belonging to A∩B is
+    * necessarily inside BOTH side sketches (its rank within each side
+    * is ≤ its union rank ≤ k), so the fraction of union-k-min hashes
+    * flagged in both sides is the classic Jaccard estimator;
+    * intersection = jaccard · union. Degenerate exactness: when the
+    * union keeps fewer than k distinct hashes the sketch IS the union —
+    * union and intersection publish as exact counts.
+    *
+    * Engine-portable like [[kmvDistinct]]: md5-prefix hashes, integer
+    * counts, and the published doubles are single deterministic IEEE
+    * expressions ((k−1)·2^60/h_(k); n_both/n_kept; their product), so a
+    * second engine hash-matches the ESTIMATES (x_distinct_overlap).
+    *
+    * Scale shape: each side is one distinct + one global k-smallest cut
+    * (TakeOrdered — k rows to the driver-side of the join, never the
+    * corpus); the union re-cut and flags run over ≤ 2k rows. Null
+    * values carry no identity and are dropped.
+    *
+    * Output: one row — (n_kept, n_both, est_union, jaccard_est,
+    * est_intersect).
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2: $k")
+    def kmin(df: DataFrame): DataFrame = df
+      .select(PortableHash.md5Prefix15(valueCol).as("__h"))
+      .filter(col("__h").isNotNull)
+      .distinct()
+      .orderBy(col("__h")).limit(k)
+    val ha = kmin(a).withColumn("__ina", lit(1L))
+    val hb = kmin(b).withColumn("__inb", lit(1L))
+    val estUnion = lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk")
+    val jac = col("n_both").cast("double") / col("n_kept")
+    ha.join(hb, Seq("__h"), "full")
+      .select(col("__h"), coalesce(col("__ina"), lit(0L)).as("__ina"),
+        coalesce(col("__inb"), lit(0L)).as("__inb"))
+      .orderBy(col("__h")).limit(k)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hk"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("n_kept"), col("n_both"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(estUnion).as("est_union"),
+        when(col("n_kept") === 0, lit(0.0)).otherwise(jac).as("jaccard_est"),
+        when(col("n_kept") < k, col("n_both").cast("double"))
+          .otherwise(jac * estUnion).as("est_intersect"))
+  }
 }

@@ -5375,6 +5375,12 @@ object ExtensionQueries {
       |SELECT 'graphivf', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
       |FROM read_parquet('__GRAFT_ANNIDX__/graphivf/vectors/*.parquet')
       |UNION ALL
+      |SELECT 'ivf_bx', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
+      |FROM read_parquet('__GRAFT_ANNIDX__/ivf_bx/vectors/*/*.parquet', hive_partitioning=1)
+      |UNION ALL
+      |SELECT 'ivf_by', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
+      |FROM read_parquet('__GRAFT_ANNIDX__/ivf_by/vectors/*/*.parquet', hive_partitioning=1)
+      |UNION ALL
       |SELECT 'graphalpha', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), 0, 0.0
       |FROM read_parquet('__GRAFT_ANNIDX__/graphalpha/vectors/*.parquet')
       |UNION ALL
@@ -5403,6 +5409,10 @@ object ExtensionQueries {
       "pcapq" -> s"$idx/pcapq/pq", "graph" -> s"$idx/graph",
       "graphivf" -> s"$idx/graphivf",
       "graphalpha" -> s"$idx/graphalpha",
+      // the bitext-mining serving fleet (x_mine_bitext_ivf's per-side
+      // indexes): the health dashboard covers every store the round
+      // stages, not just the document-corpus ones
+      "ivf_bx" -> s"$idx/ivf_bx", "ivf_by" -> s"$idx/ivf_by",
       // fresh-region store: health prices vectors + delta together
       "graphdelta" -> s"$idx/graphdelta",
       "pq_del16" -> s"$idx/pq_del16", "bq_maint16" -> s"$idx/bq_maint16",

@@ -35,6 +35,53 @@ object QualityQueries {
     Sketch.kmvDistinct(Tables.events(s, dir), "event_type", col("user_id"), 64)
   }
 
+  /** KMV set-operation algebra ([[Sketch.kmvOverlap]], Beyer et al.
+    * 2007): union / Jaccard / intersection of two document corpora
+    * estimated from their text k-min sketches alone — the "how much
+    * does the new crawl overlap the existing corpus" monitor, never a
+    * cross-corpus join. Corpus A = sources src0-src9, corpus B =
+    * src5-src14 (a genuine planted overlap: the five shared sources);
+    * the oracle replays both side sketches, the union re-cut, the
+    * membership flags, and the exact one-divide estimator arithmetic —
+    * a drifted k-th order statistic or one misflagged membership
+    * breaks the hash.
+    */
+  val distinctOverlap = q("x_distinct_overlap",
+    """WITH d AS (SELECT text, CAST(substring(source, 4) AS INT) AS sid
+      |           FROM documents WHERE text IS NOT NULL),
+      |a AS (SELECT DISTINCT CAST(CAST('0x' || substring(md5(text), 1, 15) AS UBIGINT) AS BIGINT) AS h
+      |      FROM d WHERE sid BETWEEN 0 AND 9),
+      |b AS (SELECT DISTINCT CAST(CAST('0x' || substring(md5(text), 1, 15) AS UBIGINT) AS BIGINT) AS h
+      |      FROM d WHERE sid BETWEEN 5 AND 14),
+      |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM a) WHERE rn <= 128),
+      |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM b) WHERE rn <= 128),
+      |u AS (SELECT coalesce(ka.h, kb.h) AS h,
+      |             CASE WHEN ka.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+      |             CASE WHEN kb.h IS NOT NULL THEN 1 ELSE 0 END AS inb
+      |      FROM ka FULL JOIN kb ON ka.h = kb.h),
+      |s AS (SELECT * FROM (SELECT *, row_number() OVER (ORDER BY h) rn FROM u) WHERE rn <= 128),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk,
+      |             CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      |      FROM s)
+      |SELECT n_kept, n_both,
+      |       CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+      |            ELSE 127.0 * 1152921504606846976 / hk END AS est_union,
+      |       CASE WHEN n_kept = 0 THEN 0.0
+      |            ELSE CAST(n_both AS DOUBLE) / n_kept END AS jaccard_est,
+      |       CASE WHEN n_kept < 128 THEN CAST(n_both AS DOUBLE)
+      |            ELSE (CAST(n_both AS DOUBLE) / n_kept)
+      |                 * (127.0 * 1152921504606846976 / hk) END AS est_intersect
+      |FROM g""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("text"),
+        substring(col("source"), 4, 10).cast("int").as("sid"))
+    Sketch.kmvOverlap(
+      d.filter(col("sid").between(0, 9)),
+      d.filter(col("sid").between(5, 14)),
+      col("text"), k = 128)
+  }
+
   /** Mergeable quantile summary under full hash
     * ([[Sketch.quantileSketch]], r17 VERDICT item 3): the KLL-style
     * level sample over the documents' n_chars at capacity 256 —
@@ -1004,5 +1051,6 @@ object QualityQueries {
     decontaminateSemantic, tokenBudgetMix, dedupMatrix, streamDistinctKmv,
     streamFunnel, streamDriftPsi, streamDriftKs, textPhrase, textProximity,
     streamPhraseAppend, urlCanonical, textEntropy,
-    statsQuantileSketch, streamQuantileSketch, streamQsketchForget)
+    statsQuantileSketch, streamQuantileSketch, streamQsketchForget,
+    distinctOverlap)
 }

@@ -243,6 +243,44 @@ object RankingQueries {
     graft.ext.Labels.weightedMajority(ann, "item", "annotator", "label")
   }
 
+  /** Inter-annotator agreement — Fleiss' κ over the same annotation log
+    * the WMV gates resolve ([[graft.ext.Labels.agreementKappa]]): the
+    * "is the labeling task well-posed" dashboard row. Po/Pe publish as
+    * ×10⁶ integer floors (pair counts in wide decimal — the AUC
+    * discipline) and κ is one IEEE divide of the two exact integers,
+    * so the whole report hash-matches the DuckDB replay of the same
+    * pair/share arithmetic.
+    */
+  val labelKappa = q("x_label_kappa",
+    """WITH ann AS (SELECT event_id % 300 AS item, event_type AS label
+      |             FROM events WHERE event_type IS NOT NULL),
+      |il AS (SELECT item, label, CAST(count(*) AS BIGINT) AS c
+      |       FROM ann GROUP BY 1, 2),
+      |it AS (SELECT item, CAST(sum(c) AS BIGINT) AS ni,
+      |              CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS pn
+      |       FROM il GROUP BY 1),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |             CAST(sum(ni) AS BIGINT) AS n_ballots,
+      |             CAST(sum(pn) AS HUGEINT) AS num,
+      |             CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)) AS HUGEINT) AS den
+      |      FROM it),
+      |l AS (SELECT CAST(sum(CAST(nl AS HUGEINT) * nl) AS HUGEINT) AS sq,
+      |             CAST(sum(nl) AS BIGINT) AS nn
+      |      FROM (SELECT label, CAST(sum(c) AS BIGINT) AS nl FROM il GROUP BY 1)),
+      |f AS (SELECT n_items, n_ballots,
+      |             CASE WHEN den > 0 THEN CAST(num * 1000000 // den AS BIGINT) END AS po_q,
+      |             CASE WHEN nn > 0 THEN CAST(sq * 1000000 // (CAST(nn AS HUGEINT) * nn) AS BIGINT) END AS pe_q
+      |      FROM a, l)
+      |SELECT n_items, n_ballots, po_q, pe_q,
+      |       CASE WHEN po_q IS NOT NULL AND pe_q IS NOT NULL AND pe_q <> 1000000
+      |            THEN CAST(po_q - pe_q AS DOUBLE) / (1000000 - pe_q) END AS kappa
+      |FROM f""".stripMargin) { (s, dir) =>
+    graft.ext.Labels.agreementKappa(
+      Tables.events(s, dir).select((col("event_id") % 300).as("item"),
+        col("event_type").as("label")),
+      "item", "label")
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion ([[Rerank.rrfFuse]],
     * k0 = 60): the BM25 lexical leg (the x_text_bm25 scoring pipeline,
     * three fixed keyword queries, top-10 by rounded score) fused with
@@ -708,5 +746,5 @@ object RankingQueries {
     Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
       labelWmv, streamStreamJoin, streamRankBt, streamEvalAuc,
       statsBootstrap, calibrateIsotonic, calibrateApply, streamCalibrate,
-      streamLabelWmv, searchHybridRrf)
+      streamLabelWmv, searchHybridRrf, labelKappa)
 }

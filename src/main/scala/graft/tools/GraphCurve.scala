@@ -86,7 +86,8 @@ object GraphCurve {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val nq = if (args.length > 1) args(1).toInt else 32
+    // parsed lazily: in `planted` mode args(1) is a degree list, not nq
+    lazy val nq = if (args.length > 1) args(1).toInt else 32
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -69,4 +69,36 @@ class LabelsSpec extends SparkSpec {
       "annotator", "label", "n").orderBy("item").collect().toSeq
     fromCounts shouldBe fromLog
   }
+test("agreementKappa: perfect, chance-level, and hand-computed mixed logs") {
+    import spark.implicits._
+    // perfect agreement on 3 items, 2 labels across items -> kappa = 1
+    val perfect = Seq((1, "x"), (1, "x"), (2, "y"), (2, "y"), (3, "x"),
+      (3, "x")).toDF("item", "label")
+    val p = Labels.agreementKappa(perfect, "item", "label").head()
+    p.getAs[Long]("po_q") shouldBe 1000000L
+    p.getAs[Double]("kappa") shouldBe 1.0
+    // hand-computed mixed log: item 1 = (x,x,y), item 2 = (y,y),
+    // item 3 = (x) single ballot (zero pairs both sums)
+    // Po = (2*1 + 0 + 2*1 + 0) / (3*2 + 2*1 + 0) = 4/8 -> 500000
+    // shares: x=3/6, y=3/6 -> Pe = 1/4 + 1/4 -> 500000
+    // kappa = 0 exactly
+    val mixed = Seq((1, "x"), (1, "x"), (1, "y"), (2, "y"), (2, "y"),
+      (3, "x")).toDF("item", "label")
+    val m = Labels.agreementKappa(mixed, "item", "label").head()
+    m.getAs[Long]("n_items") shouldBe 3L
+    m.getAs[Long]("n_ballots") shouldBe 6L
+    m.getAs[Long]("po_q") shouldBe 500000L
+    m.getAs[Long]("pe_q") shouldBe 500000L
+    m.getAs[Double]("kappa") shouldBe 0.0
+    // a single-label log saturates chance agreement -> kappa NULL
+    val single = Seq((1, "x"), (1, "x"), (2, "x")).toDF("item", "label")
+    val s = Labels.agreementKappa(single, "item", "label").head()
+    s.getAs[Long]("pe_q") shouldBe 1000000L
+    s.isNullAt(s.fieldIndex("kappa")) shouldBe true
+    // all-singleton log: Po undefined -> po_q and kappa NULL
+    val lonely = Seq((1, "x"), (2, "y")).toDF("item", "label")
+    val l = Labels.agreementKappa(lonely, "item", "label").head()
+    l.isNullAt(l.fieldIndex("po_q")) shouldBe true
+    l.isNullAt(l.fieldIndex("kappa")) shouldBe true
+  }
 }

@@ -23,6 +23,30 @@ class QualityOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe est
   }
 
+  test("kmvOverlap: degenerate case exact, trimmed case tracks true Jaccard") {
+    // degenerate: union smaller than k → exact counts, exact Jaccard
+    val a = (0 until 6).map(i => s"v$i").toDF("v")
+    val b = (3 until 9).map(i => s"v$i").toDF("v")
+    val r = Sketch.kmvOverlap(a, b, col("v"), k = 64).head()
+    r.getAs[Long]("n_kept") shouldBe 9L
+    r.getAs[Long]("n_both") shouldBe 3L
+    r.getAs[Double]("est_union") shouldBe 9.0
+    r.getAs[Double]("jaccard_est") shouldBe 3.0 / 9.0
+    r.getAs[Double]("est_intersect") shouldBe 3.0
+    // trimmed: 3000-value sets sharing 1000 (true J = 1/5, union 5000)
+    val big = (0 until 3000).map(i => s"x$i").toDF("v")
+    val shifted = (2000 until 5000).map(i => s"x$i").toDF("v")
+    val e = Sketch.kmvOverlap(big, shifted, col("v"), k = 256).head()
+    e.getAs[Long]("n_kept") shouldBe 256L
+    e.getAs[Double]("jaccard_est") shouldBe 0.2 +- 3 * 0.03 // ~3σ of J(1-J)/√k
+    e.getAs[Double]("est_union") shouldBe 5000.0 +- 5000 * 3.0 / math.sqrt(256)
+    // duplicates and nulls move nothing (set semantics)
+    val noisy = Sketch.kmvOverlap(
+      big.unionByName(big).unionByName(Seq(null.asInstanceOf[String]).toDF("v")),
+      shifted, col("v"), k = 256).head()
+    noisy.getAs[Double]("est_intersect") shouldBe e.getAs[Double]("est_intersect")
+  }
+
   test("psi: identical snapshots score exactly zero, a shifted one scores high") {
     val ref = (0 until 1000).map(i => ("t", (i % 10).toDouble)).toDF("g", "v")
     val same = Stats.psi(ref, ref, "g", col("v"), bins = 10, lo = 0, hi = 10)

@@ -680,4 +680,20 @@ class PlanAssertionsSpec extends SparkSpec {
     val below = allNodes(windows.head.child).map(_.nodeName)
     below.exists(_.contains("HashAggregate")) shouldBe true
   }
+test("calibrator serving: hash-equality lookup against a broadcast grid, never a nested-loop interval join") {
+    // the r19 regression class: a range predicate against a broadcast
+    // side is a BroadcastNestedLoopJoin — O(rows x blocks) the moment
+    // the fit runs at the production x100 grid. The serve must probe a
+    // broadcast HASH relation on the quantized score instead.
+    val scored = (1 to 400).map(i => (i.toLong, (i % 37).toLong)).toDF("id", "s")
+    val fit = graft.ext.Calibrate.isotonicFit(
+      (1 to 300).map(i => ((i % 23).toLong, i % 3 == 0)).toDF("s", "y"),
+      col("s"), col("y"))
+    val out = graft.ext.Calibrate.isotonicApply(fit, scored, col("s"))
+    out.collect()
+    val plan = finalPlan(out).toString
+    (plan should not).include("BroadcastNestedLoopJoin")
+    (plan should not).include("CartesianProduct")
+    plan should include("BroadcastHashJoin")
+  }
 }
