@@ -84,6 +84,11 @@ object InputPrep {
       // reads its parquet dump; r18 VERDICT item 1 — the one maintenance
       // stream the r17 restructure memoized but forgot to prewarm)
       "ssjRun" -> (() => { RankingQueries.ssjStore(spark, sfDir); () }),
+      // the SimHash-dedup signature-store maintenance (the r17/r18
+      // restructure's missed sibling — x_stream_dedup_simhash reads
+      // the store's pairs)
+      "simhashStreamStore" -> (() => {
+        ExtensionQueries.simhashStreamStore(spark, sfDir); () }),
       // the streamed quantile-summary maintenance (x_stream_quantile_sketch
       // reads its store)
       "qsketchRun" -> (() => { QualityQueries.qsketchStore(spark, sfDir); () }),

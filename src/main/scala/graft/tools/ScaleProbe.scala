@@ -454,6 +454,24 @@ object ScaleProbe {
           pmod(col("n_chars"), lit(500L)),
           col("doc_id") % 3 === 0).count()
       }
+      // r19 wave: the serve is one grid-bounded window + a broadcast
+      // hash probe per row (expect ~linear in the scored corpus, grid
+      // epilogue constant); the overlap estimator is two distinct +
+      // TakeOrdered(k) cuts (expect ~linear scan, ≤2k epilogue)
+      time(s"calibrate_apply_x$m") {
+        val fit = graft.ext.Calibrate.isotonicFit(
+          dm.filter(col("n_chars").isNotNull && col("doc_id") % 2 === 0),
+          pmod(col("n_chars"), lit(500L)), col("doc_id") % 3 === 0)
+        graft.ext.Calibrate.isotonicApply(fit,
+          dm.filter(col("doc_id") % 2 === 1),
+          pmod(col("n_chars"), lit(500L))).count()
+      }
+      time(s"kmv_overlap_x$m") {
+        graft.ext.Sketch.kmvOverlap(
+          dm.filter(col("doc_id") % 3 =!= 0),
+          dm.filter(col("doc_id") % 3 =!= 1),
+          col("text"), k = 128).count()
+      }
     }
     // the WMV counts spine: two groupBys + two item windows over the
     // (fanned) ballot log (expect ~linear)
@@ -467,6 +485,13 @@ object ScaleProbe {
           e.select((col("event_id") % 300).as("item"),
             col("user_id").as("annotator"), col("event_type").as("label")),
           "item", "annotator", "label").count()
+      }
+      // r19: two groupBys + counter-sized epilogues (expect ~linear)
+      time(s"label_kappa_x$m") {
+        graft.ext.Labels.agreementKappa(
+          e.select((col("event_id") % 300).as("item"),
+            col("event_type").as("label")),
+          "item", "label").count()
       }
     }
 
