@@ -86,12 +86,30 @@ object Labels {
     * Output, one row: (n_items, n_ballots, po_q, pe_q, kappa).
     */
   def agreementKappa(annotations: DataFrame, itemCol: String,
-      labelCol: String): DataFrame = {
-    val ann = annotations
+      labelCol: String): DataFrame =
+    kappaImpl(annotations
       .select(qcol(itemCol).as("item"), qcol(labelCol).as("label"))
       .filter(col("item").isNotNull && col("label").isNotNull)
-    val il = ann.groupBy(col("item"), col("label"))
-      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("__c")))
+
+  /** κ from the count-compressed log (item, label, n) — the associative
+    * reduction a streamed delta store maintains (sum the
+    * [[graft.streaming.EventStreams.runLabelCountsOnce]] store over
+    * annotators). Pair counting distributes over counts, so this equals
+    * [[agreementKappa]] over the expanded log EXACTLY
+    * (x_stream_label_kappa pins streamed == batch).
+    */
+  def agreementKappaFromCounts(counts: DataFrame, itemCol: String,
+      labelCol: String, nCol: String): DataFrame =
+    kappaImpl(counts
+      .select(qcol(itemCol).as("item"), qcol(labelCol).as("label"),
+        qcol(nCol).cast("long").as("__n"))
+      .filter(col("item").isNotNull && col("label").isNotNull)
+      .groupBy(col("item"), col("label"))
+      .agg(sum(col("__n")).as("__c")))
+
+  private def kappaImpl(il: DataFrame): DataFrame = {
     val agg = il.groupBy(col("item"))
       .agg(sum(col("__c")).as("__ni"),
         sum(expr("cast(__c as decimal(38,0)) * (__c - 1)")).as("__pn"))

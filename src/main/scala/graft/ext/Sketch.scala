@@ -311,8 +311,6 @@ object Sketch {
       .orderBy(col("__h")).limit(k)
     val ha = kmin(a).withColumn("__ina", lit(1L))
     val hb = kmin(b).withColumn("__inb", lit(1L))
-    val estUnion = lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk")
-    val jac = col("n_both").cast("double") / col("n_kept")
     ha.join(hb, Seq("__h"), "full")
       .select(col("__h"), coalesce(col("__ina"), lit(0L)).as("__ina"),
         coalesce(col("__inb"), lit(0L)).as("__inb"))
@@ -320,11 +318,71 @@ object Sketch {
       .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hk"),
         sum(when(col("__ina") === 1 && col("__inb") === 1, 1L)
           .otherwise(0L)).as("n_both"))
-      .select(col("n_kept"), col("n_both"),
-        when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(estUnion).as("est_union"),
-        when(col("n_kept") === 0, lit(0.0)).otherwise(jac).as("jaccard_est"),
-        when(col("n_kept") < k, col("n_both").cast("double"))
-          .otherwise(jac * estUnion).as("est_intersect"))
+      .select(overlapEstimates(k): _*)
+  }
+
+  /** The estimator epilogue shared by [[kmvOverlap]] and
+    * [[kmvOverlapMatrix]], over (n_kept, __hk, n_both) plus any leading
+    * key columns already on the frame.
+    */
+  private def overlapEstimates(k: Int)
+      : Seq[Column] = {
+    val estUnion = lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk")
+    val jac = col("n_both").cast("double") / col("n_kept")
+    Seq(col("n_kept"), col("n_both"),
+      when(col("n_kept") < k, col("n_kept").cast("double"))
+        .otherwise(estUnion).as("est_union"),
+      when(col("n_kept") === 0, lit(0.0)).otherwise(jac).as("jaccard_est"),
+      when(col("n_kept") < k, col("n_both").cast("double"))
+        .otherwise(jac * estUnion).as("est_intersect"))
+  }
+
+  /** The ALL-PAIRS form of [[kmvOverlap]]: one k-min sketch per group,
+    * then every group pair's union/Jaccard/intersection estimates from
+    * the sketches alone — the corpus-overlap MATRIX a multi-source
+    * training pipeline reviews before mixing, priced at one sketch
+    * pass + a (groups²·k)-bounded epilogue instead of the quadratic
+    * cross-source joins the exact form needs (`x_dedup_matrix` stays
+    * the exact companion; this is the one that still runs when every
+    * source is 100 TB). Same estimator algebra and degenerate-exactness
+    * rule as the pairwise form, per pair.
+    *
+    * Output: (group_a, group_b, n_kept, n_both, est_union, jaccard_est,
+    * est_intersect), one row per unordered pair (a < b by group value).
+    */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
+    // one sketch pass: per-group k smallest distinct hashes
+    val s = df.select(col(groupCol).as("__g"),
+        PortableHash.md5Prefix15(valueCol).as("__h"))
+      .filter(col("__h").isNotNull)
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+      .localCheckpoint(eager = true) // pair list + per-pair items share it
+    // the pair frame is groups² — broadcast both (groups ≪ corpus)
+    val gs = s.select(col("__g")).distinct()
+    val pairs = gs.select(col("__g").as("group_a"))
+      .join(gs.select(col("__g").as("group_b")),
+        col("group_a") < col("group_b"))
+    // per-pair union items: each pair pulls its two sketches; a hash in
+    // both sketches arrives twice and folds into one flagged row
+    val items = pairs.join(broadcast(s),
+        col("__g") === col("group_a") || col("__g") === col("group_b"))
+      .groupBy(col("group_a"), col("group_b"), col("__h"))
+      .agg(max(when(col("__g") === col("group_a"), 1L).otherwise(0L)).as("__ina"),
+        max(when(col("__g") === col("group_b"), 1L).otherwise(0L)).as("__inb"))
+    val wp = Window.partitionBy(col("group_a"), col("group_b"))
+      .orderBy(col("__h"))
+    items.withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= k)
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hk"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("group_a") +: col("group_b") +: overlapEstimates(k): _*)
   }
 }

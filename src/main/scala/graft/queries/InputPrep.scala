@@ -89,6 +89,9 @@ object InputPrep {
       // the store's pairs)
       "simhashStreamStore" -> (() => {
         ExtensionQueries.simhashStreamStore(spark, sfDir); () }),
+      // the KMV-append maintenance (x_stream_distinct_kmv's append leg
+      // reads the store; its deletion leg rebuilds a separate copy)
+      "kmvAppendRun" -> (() => { QualityQueries.kmvAppendStore(spark, sfDir); () }),
       // the streamed quantile-summary maintenance (x_stream_quantile_sketch
       // reads its store)
       "qsketchRun" -> (() => { QualityQueries.qsketchStore(spark, sfDir); () }),

@@ -82,6 +82,58 @@ object QualityQueries {
       col("text"), k = 128)
   }
 
+  /** The all-pairs corpus-overlap MATRIX from per-source k-min sketches
+    * ([[Sketch.kmvOverlapMatrix]]): every source pair's
+    * union/Jaccard/intersection estimates in one sketch pass + a
+    * (groups²·k)-bounded epilogue — the sketch companion of the exact
+    * `x_dedup_matrix` (which joins; this one still runs when every
+    * source is 100 TB). Same mirrored slice planted, so the mirror row
+    * overlaps every source it sampled. The oracle replays the
+    * per-group sketches, every pair's union re-cut and membership
+    * flags, and the estimator arithmetic pair by pair; under-k pairs
+    * degenerate to exact counts (the whole matrix at sf0.01, the
+    * trimmed regime at sf0.1 — both gated).
+    */
+  val overlapMatrix = q("x_overlap_matrix",
+    """WITH corpus AS (
+      |  SELECT text, source FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT text, 'mirror' FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+      |h AS (SELECT DISTINCT source AS g,
+      |             CAST(CAST('0x' || substring(md5(text), 1, 15) AS UBIGINT) AS BIGINT) AS h
+      |      FROM corpus),
+      |s AS (SELECT g, h FROM (
+      |        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) rn FROM h)
+      |      WHERE rn <= 64),
+      |p AS (SELECT a.g AS ga, b.g AS gb
+      |      FROM (SELECT DISTINCT g FROM s) a JOIN (SELECT DISTINCT g FROM s) b ON a.g < b.g),
+      |it AS (SELECT p.ga, p.gb, s.h,
+      |              max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS ina,
+      |              max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS inb
+      |       FROM p JOIN s ON s.g = p.ga OR s.g = p.gb
+      |       GROUP BY 1, 2, 3),
+      |kk AS (SELECT * FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) rn FROM it)
+      |       WHERE rn <= 64),
+      |g AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk,
+      |             CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      |      FROM kk GROUP BY 1, 2)
+      |SELECT ga AS group_a, gb AS group_b, n_kept, n_both,
+      |       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+      |            ELSE 63.0 * 1152921504606846976 / hk END AS est_union,
+      |       CASE WHEN n_kept = 0 THEN 0.0
+      |            ELSE CAST(n_both AS DOUBLE) / n_kept END AS jaccard_est,
+      |       CASE WHEN n_kept < 64 THEN CAST(n_both AS DOUBLE)
+      |            ELSE (CAST(n_both AS DOUBLE) / n_kept)
+      |                 * (63.0 * 1152921504606846976 / hk) END AS est_intersect
+      |FROM g""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val corpus = docs.select(col("text"), col("source"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("text"), lit("mirror").as("source")))
+    Sketch.kmvOverlapMatrix(corpus, "source", col("text"), k = 64)
+  }
+
   /** Mergeable quantile summary under full hash
     * ([[Sketch.quantileSketch]], r17 VERDICT item 3): the KLL-style
     * level sample over the documents' n_chars at capacity 256 —
@@ -672,18 +724,29 @@ object QualityQueries {
     * one-shot batch sketch EXACTLY — estimate-for-estimate, the same
     * integer-free determinism as the CMS gate.
     */
+  /** One memoized KMV-append stream run per fixture (the
+    * [[InputPrep.sharedRuns]] discipline — this gate ran its stream
+    * in-timer through r19's first rep, 4.8 s): the micro-batch
+    * maintenance publishes per-batch k-min deltas exactly once; the
+    * gate reads the store. The DELETION leg rebuilds a SEPARATE
+    * gate-owned store copy, so the shared append store survives
+    * repeated gate invocations in one JVM.
+    */
+  private val kmvRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def kmvAppendStore(s: SparkSession, dir: String): String =
+    kmvRuns.computeIfAbsent(Staging.tag(dir), tag => {
+      val store = s"/tmp/graft_stream_kmv/${tag}_store"
+      graft.streaming.EventStreams.runKmvAppendOnce(s,
+        stageEventSpool2(s, dir), store, "event_type", "user_id", k = 64)
+      store
+    })
+
   val streamDistinctKmv = q("x_stream_distinct_kmv",
     "SELECT true AS stream_kmv_ok") { (s, dir) =>
-    val spool = stageEventSpool2(s, dir)
-    val store = s"/tmp/graft_stream_kmv/${Staging.tag(dir)}_store"
-    graft.streaming.EventStreams.runKmvAppendOnce(s, spool, store,
-      "event_type", "user_id", k = 64)
-    // materialized NOW: the rebuild below swaps the store out from
-    // under a lazy read — the append-leg view must be pinned first
-    val streamed = graft.streaming.EventStreams.readKmvEstimates(s, store,
-        "event_type", k = 64)
+    val streamed = graft.streaming.EventStreams.readKmvEstimates(s,
+        kmvAppendStore(s, dir), "event_type", k = 64)
       .withColumnRenamed("est_distinct", "__se")
-      .localCheckpoint(eager = true)
     val batch = Sketch.kmvDistinct(Tables.events(s, dir), "event_type",
       col("user_id"), 64)
     val okAppend = streamed.join(batch, Seq("event_type"), "full")
@@ -695,11 +758,15 @@ object QualityQueries {
     // users is rebuild-on-cadence from the live set (stale-high until
     // the rebuild; the cadence IS the staleness bound). After rebuilding
     // from the survivor events, the store's estimates must equal the
-    // one-shot batch sketch over the same survivors exactly.
+    // one-shot batch sketch over the same survivors exactly. The
+    // rebuild targets its own store path: a rebuild never reads prior
+    // store content, and swapping the SHARED append store out from
+    // under the memoized run would poison the next invocation.
     val live = Tables.events(s, dir).filter(col("user_id") % 10 =!= 3)
-    graft.streaming.EventStreams.rebuildKmvStore(s, store, live,
+    val forgetStore = s"/tmp/graft_stream_kmv/${Staging.tag(dir)}_forget"
+    graft.streaming.EventStreams.rebuildKmvStore(s, forgetStore, live,
       "event_type", "user_id", k = 64)
-    val rebuilt = graft.streaming.EventStreams.readKmvEstimates(s, store,
+    val rebuilt = graft.streaming.EventStreams.readKmvEstimates(s, forgetStore,
         "event_type", k = 64)
       .withColumnRenamed("est_distinct", "__re")
     val batchLive = Sketch.kmvDistinct(live, "event_type", col("user_id"), 64)
@@ -1052,5 +1119,5 @@ object QualityQueries {
     streamFunnel, streamDriftPsi, streamDriftKs, textPhrase, textProximity,
     streamPhraseAppend, urlCanonical, textEntropy,
     statsQuantileSketch, streamQuantileSketch, streamQsketchForget,
-    distinctOverlap)
+    distinctOverlap, overlapMatrix)
 }

@@ -281,6 +281,43 @@ object RankingQueries {
       "item", "label")
   }
 
+  /** κ maintained FROM THE STREAM: pair counting distributes over the
+    * (item, annotator, label, n) count deltas the WMV monitor already
+    * publishes exactly-once ([[labelCountsStore]], on the shared-runs
+    * line), so the agreement dashboard refits from the summed store
+    * ([[graft.ext.Labels.agreementKappaFromCounts]]) with zero log
+    * rescan. Oracle = the same batch replay as x_label_kappa, so a
+    * green hash pins streamed κ == batch κ exactly.
+    */
+  val streamLabelKappa = q("x_stream_label_kappa",
+    """WITH ann AS (SELECT event_id % 300 AS item, event_type AS label
+      |             FROM events WHERE event_type IS NOT NULL),
+      |il AS (SELECT item, label, CAST(count(*) AS BIGINT) AS c
+      |       FROM ann GROUP BY 1, 2),
+      |it AS (SELECT item, CAST(sum(c) AS BIGINT) AS ni,
+      |              CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS pn
+      |       FROM il GROUP BY 1),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |             CAST(sum(ni) AS BIGINT) AS n_ballots,
+      |             CAST(sum(pn) AS HUGEINT) AS num,
+      |             CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)) AS HUGEINT) AS den
+      |      FROM it),
+      |l AS (SELECT CAST(sum(CAST(nl AS HUGEINT) * nl) AS HUGEINT) AS sq,
+      |             CAST(sum(nl) AS BIGINT) AS nn
+      |      FROM (SELECT label, CAST(sum(c) AS BIGINT) AS nl FROM il GROUP BY 1)),
+      |f AS (SELECT n_items, n_ballots,
+      |             CASE WHEN den > 0 THEN CAST(num * 1000000 // den AS BIGINT) END AS po_q,
+      |             CASE WHEN nn > 0 THEN CAST(sq * 1000000 // (CAST(nn AS HUGEINT) * nn) AS BIGINT) END AS pe_q
+      |      FROM a, l)
+      |SELECT n_items, n_ballots, po_q, pe_q,
+      |       CASE WHEN po_q IS NOT NULL AND pe_q IS NOT NULL AND pe_q <> 1000000
+      |            THEN CAST(po_q - pe_q AS DOUBLE) / (1000000 - pe_q) END AS kappa
+      |FROM f""".stripMargin) { (s, dir) =>
+    graft.ext.Labels.agreementKappaFromCounts(
+      EventStreams.readLabelCounts(s, labelCountsStore(s, dir)),
+      "item", "label", "n")
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion ([[Rerank.rrfFuse]],
     * k0 = 60): the BM25 lexical leg (the x_text_bm25 scoring pipeline,
     * three fixed keyword queries, top-10 by rounded score) fused with
@@ -746,5 +783,5 @@ object RankingQueries {
     Seq(knnMmr, sampleKcenter, sampleKcenterAssign, evalAuc, rankBt,
       labelWmv, streamStreamJoin, streamRankBt, streamEvalAuc,
       statsBootstrap, calibrateIsotonic, calibrateApply, streamCalibrate,
-      streamLabelWmv, searchHybridRrf, labelKappa)
+      streamLabelWmv, searchHybridRrf, labelKappa, streamLabelKappa)
 }

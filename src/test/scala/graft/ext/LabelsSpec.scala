@@ -100,5 +100,9 @@ test("agreementKappa: perfect, chance-level, and hand-computed mixed logs") {
     val l = Labels.agreementKappa(lonely, "item", "label").head()
     l.isNullAt(l.fieldIndex("po_q")) shouldBe true
     l.isNullAt(l.fieldIndex("kappa")) shouldBe true
+    // the count-compressed form equals the raw log exactly
+    val counts = mixed.groupBy("item", "label").agg(count(lit(1)).as("n"))
+    Labels.agreementKappaFromCounts(counts, "item", "label", "n")
+      .collect() shouldBe Labels.agreementKappa(mixed, "item", "label").collect()
   }
 }

@@ -47,6 +47,31 @@ class QualityOpsSpec extends SparkSpec {
     noisy.getAs[Double]("est_intersect") shouldBe e.getAs[Double]("est_intersect")
   }
 
+  test("kmvOverlapMatrix: every pair equals the pairwise estimator") {
+    // three groups with planted overlaps: A∩B = 500..999, B∩C = empty,
+    // A∩C = 0..99; matrix rows must equal kmvOverlap run pair by pair
+    val df = ((0 until 1000).map(i => ("A", s"v$i")) ++
+      (500 until 1600).map(i => ("B", s"v$i")) ++
+      (0 until 100).map(i => ("C", s"v$i")) ++
+      (5000 until 5400).map(i => ("C", s"v$i"))).toDF("g", "v")
+    val m = Sketch.kmvOverlapMatrix(df, "g", col("v"), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_both"),
+          r.getAs[Double]("est_union"), r.getAs[Double]("jaccard_est"),
+          r.getAs[Double]("est_intersect"))).toMap
+    m.keySet shouldBe Set(("A", "B"), ("A", "C"), ("B", "C"))
+    for ((ga, gb) <- m.keySet) {
+      val pw = Sketch.kmvOverlap(df.filter(col("g") === ga),
+        df.filter(col("g") === gb), col("v"), k = 64).head()
+      m((ga, gb)) shouldBe ((pw.getAs[Long]("n_kept"),
+        pw.getAs[Long]("n_both"), pw.getAs[Double]("est_union"),
+        pw.getAs[Double]("jaccard_est"), pw.getAs[Double]("est_intersect")))
+    }
+    // sanity on the planted structure: A-B overlaps, B-C does not
+    m(("A", "B"))._2 should be > 0L
+    m(("B", "C"))._2 shouldBe 0L
+  }
+
   test("psi: identical snapshots score exactly zero, a shifted one scores high") {
     val ref = (0 until 1000).map(i => ("t", (i % 10).toDouble)).toDF("g", "v")
     val same = Stats.psi(ref, ref, "g", col("v"), bins = 10, lo = 0, hi = 10)
