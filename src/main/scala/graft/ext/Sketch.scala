@@ -302,10 +302,22 @@ object Sketch {
     * est_intersect).
     */
   def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: Column,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    kmvOverlapFromHashes(
+      a.select(PortableHash.md5Prefix15(valueCol).as("__h")),
+      b.select(PortableHash.md5Prefix15(valueCol).as("__h")), k)
+
+  /** The estimator over already-hashed sides (`__h` rows — e.g. the
+    * per-batch-trimmed deltas of two streamed KMV stores: k-min is
+    * associative, so re-minimizing each side's union of batch trims
+    * yields the side's exact one-shot sketch, and the overlap
+    * estimates from the summed stores equal the batch estimates
+    * bit-for-bit — x_stream_distinct_overlap pins it).
+    */
+  def kmvOverlapFromHashes(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2: $k")
     def kmin(df: DataFrame): DataFrame = df
-      .select(PortableHash.md5Prefix15(valueCol).as("__h"))
+      .select(col("__h"))
       .filter(col("__h").isNotNull)
       .distinct()
       .orderBy(col("__h")).limit(k)
@@ -368,13 +380,21 @@ object Sketch {
     val pairs = gs.select(col("__g").as("group_a"))
       .join(gs.select(col("__g").as("group_b")),
         col("group_a") < col("group_b"))
-    // per-pair union items: each pair pulls its two sketches; a hash in
-    // both sketches arrives twice and folds into one flagged row
-    val items = pairs.join(broadcast(s),
-        col("__g") === col("group_a") || col("__g") === col("group_b"))
+    // per-pair union items: each pair pulls its two sketches through
+    // two broadcast HASH equi-joins (an OR condition here would be a
+    // nested loop — groups³·k comparisons; this shape is groups²·k
+    // rows); a hash in both sketches arrives twice and folds into one
+    // flagged row
+    val items = pairs
+      .join(broadcast(s), col("__g") === col("group_a"))
+      .select(col("group_a"), col("group_b"), col("__h"),
+        lit(1L).as("__a0"), lit(0L).as("__b0"))
+      .unionByName(pairs
+        .join(broadcast(s), col("__g") === col("group_b"))
+        .select(col("group_a"), col("group_b"), col("__h"),
+          lit(0L).as("__a0"), lit(1L).as("__b0")))
       .groupBy(col("group_a"), col("group_b"), col("__h"))
-      .agg(max(when(col("__g") === col("group_a"), 1L).otherwise(0L)).as("__ina"),
-        max(when(col("__g") === col("group_b"), 1L).otherwise(0L)).as("__inb"))
+      .agg(max(col("__a0")).as("__ina"), max(col("__b0")).as("__inb"))
     val wp = Window.partitionBy(col("group_a"), col("group_b"))
       .orderBy(col("__h"))
     items.withColumn("__rn", row_number().over(wp))

@@ -779,6 +779,46 @@ object QualityQueries {
       .select((col("__ok_append") && col("__ok_rebuild")).as("stream_kmv_ok"))
   }
 
+  /** Cross-segment audience overlap FROM THE STREAM: the two sides'
+    * k-min sketches are re-minimized straight out of the
+    * [[kmvAppendStore]] delta store's per-group rows (k-min is
+    * associative, so each side's union of batch trims IS its one-shot
+    * sketch), and the overlap estimator runs over them —
+    * "how many users do the view and click segments share" becomes a
+    * store read, never an event-log rescan. The oracle replays both
+    * side sketches from the raw events plus the full estimator
+    * arithmetic, so streamed == batch bit-for-bit.
+    */
+  val streamDistinctOverlap = q("x_stream_distinct_overlap",
+    """WITH h AS (SELECT DISTINCT event_type,
+      |             CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS h
+      |           FROM events WHERE user_id IS NOT NULL),
+      |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn
+      |                      FROM h WHERE event_type = 'view') WHERE rn <= 64),
+      |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn
+      |                      FROM h WHERE event_type = 'click') WHERE rn <= 64),
+      |u AS (SELECT coalesce(ka.h, kb.h) AS h,
+      |             CASE WHEN ka.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+      |             CASE WHEN kb.h IS NOT NULL THEN 1 ELSE 0 END AS inb
+      |      FROM ka FULL JOIN kb ON ka.h = kb.h),
+      |s AS (SELECT * FROM (SELECT *, row_number() OVER (ORDER BY h) rn FROM u) WHERE rn <= 64),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk,
+      |             CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      |      FROM s)
+      |SELECT n_kept, n_both,
+      |       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+      |            ELSE 63.0 * 1152921504606846976 / hk END AS est_union,
+      |       CASE WHEN n_kept = 0 THEN 0.0
+      |            ELSE CAST(n_both AS DOUBLE) / n_kept END AS jaccard_est,
+      |       CASE WHEN n_kept < 64 THEN CAST(n_both AS DOUBLE)
+      |            ELSE (CAST(n_both AS DOUBLE) / n_kept)
+      |                 * (63.0 * 1152921504606846976 / hk) END AS est_intersect
+      |FROM g""".stripMargin) { (s, dir) =>
+    val d = s.read.parquet(s"${kmvAppendStore(s, dir)}/deltas")
+    def side(t: String) = d.filter(col("__g") === t).select(col("__h"))
+    Sketch.kmvOverlapFromHashes(side("view"), side("click"), k = 64)
+  }
+
   /** Streaming funnel through the real streaming path (Spark 4
     * `transformWithState`, RocksDB state store): per-user stage keys
     * accumulate across micro-batches over the SAME 2-slice event spool
@@ -1119,5 +1159,5 @@ object QualityQueries {
     streamFunnel, streamDriftPsi, streamDriftKs, textPhrase, textProximity,
     streamPhraseAppend, urlCanonical, textEntropy,
     statsQuantileSketch, streamQuantileSketch, streamQsketchForget,
-    distinctOverlap, overlapMatrix)
+    distinctOverlap, overlapMatrix, streamDistinctOverlap)
 }
