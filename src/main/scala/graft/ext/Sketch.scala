@@ -363,13 +363,23 @@ object Sketch {
     * est_intersect), one row per unordered pair (a < b by group value).
     */
   def kmvOverlapMatrix(df: DataFrame, groupCol: String, valueCol: Column,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    kmvOverlapMatrixFromHashes(
+      df.select(col(groupCol).as("__g"),
+        PortableHash.md5Prefix15(valueCol).as("__h")), k)
+
+  /** The matrix over already-hashed (`__g`, `__h`) rows — e.g. the
+    * per-group deltas of a streamed KMV store (k-min associativity
+    * again: each group's union of batch trims re-minimizes to its
+    * exact one-shot sketch, so the streamed matrix equals the batch
+    * matrix bit-for-bit — x_stream_overlap_matrix pins it).
+    */
+  def kmvOverlapMatrixFromHashes(hashed: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2: $k")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
     // one sketch pass: per-group k smallest distinct hashes
-    val s = df.select(col(groupCol).as("__g"),
-        PortableHash.md5Prefix15(valueCol).as("__h"))
+    val s = hashed.select(col("__g"), col("__h"))
       .filter(col("__h").isNotNull)
       .distinct()
       .withColumn("__rn", row_number().over(w))

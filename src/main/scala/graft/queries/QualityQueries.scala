@@ -819,6 +819,49 @@ object QualityQueries {
     Sketch.kmvOverlapFromHashes(side("view"), side("click"), k = 64)
   }
 
+  /** The cross-segment overlap MATRIX from the stream: every
+    * event_type pair's audience union/Jaccard/intersection, with both
+    * sketch sides re-minimized from the SAME shared KMV delta store
+    * the pairwise gate reads ([[Sketch.kmvOverlapMatrixFromHashes]]) —
+    * the full segment-overlap dashboard as one store read + a
+    * (groups²·k)-bounded epilogue. Oracle replays every pair from the
+    * raw events; streamed matrix == batch matrix bit-for-bit.
+    */
+  val streamOverlapMatrix = q("x_stream_overlap_matrix",
+    """WITH h AS (SELECT DISTINCT event_type AS g,
+      |             CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS h
+      |           FROM events WHERE user_id IS NOT NULL),
+      |s AS (SELECT g, h FROM (
+      |        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) rn FROM h)
+      |      WHERE rn <= 64),
+      |p AS (SELECT a.g AS ga, b.g AS gb
+      |      FROM (SELECT DISTINCT g FROM s) a JOIN (SELECT DISTINCT g FROM s) b ON a.g < b.g),
+      |it AS (SELECT p.ga, p.gb, s.h,
+      |              max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS ina,
+      |              max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS inb
+      |       FROM p JOIN s ON s.g = p.ga OR s.g = p.gb
+      |       GROUP BY 1, 2, 3),
+      |kk AS (SELECT * FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) rn FROM it)
+      |       WHERE rn <= 64),
+      |g AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk,
+      |             CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      |      FROM kk GROUP BY 1, 2)
+      |SELECT ga AS group_a, gb AS group_b, n_kept, n_both,
+      |       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+      |            ELSE 63.0 * 1152921504606846976 / hk END AS est_union,
+      |       CASE WHEN n_kept = 0 THEN 0.0
+      |            ELSE CAST(n_both AS DOUBLE) / n_kept END AS jaccard_est,
+      |       CASE WHEN n_kept < 64 THEN CAST(n_both AS DOUBLE)
+      |            ELSE (CAST(n_both AS DOUBLE) / n_kept)
+      |                 * (63.0 * 1152921504606846976 / hk) END AS est_intersect
+      |FROM g""".stripMargin) { (s, dir) =>
+    Sketch.kmvOverlapMatrixFromHashes(
+      s.read.parquet(s"${kmvAppendStore(s, dir)}/deltas")
+        .select(col("__g"), col("__h")),
+      k = 64)
+  }
+
   /** Streaming funnel through the real streaming path (Spark 4
     * `transformWithState`, RocksDB state store): per-user stage keys
     * accumulate across micro-batches over the SAME 2-slice event spool
@@ -1159,5 +1202,6 @@ object QualityQueries {
     streamFunnel, streamDriftPsi, streamDriftKs, textPhrase, textProximity,
     streamPhraseAppend, urlCanonical, textEntropy,
     statsQuantileSketch, streamQuantileSketch, streamQsketchForget,
-    distinctOverlap, overlapMatrix, streamDistinctOverlap)
+    distinctOverlap, overlapMatrix, streamDistinctOverlap,
+    streamOverlapMatrix)
 }
