@@ -72,6 +72,14 @@ object Calibrate {
       .filter(col("score_q").isNotNull)
       .select(col("score_q").cast("long"), col("n").cast("long"),
         col("n_pos").cast("long"))
+      // defensive re-reduction: an un-grouped store read (duplicate
+      // score_q rows) would otherwise become duplicate PAV blocks, and
+      // two fit rows with equal score have no deterministic order under
+      // the serve window — re-group so the fit is well-defined on ANY
+      // input shape. On an already-reduced histogram the child is hash-
+      // partitioned on score_q, so this adds no shuffle.
+      .groupBy(col("score_q"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
       .orderBy(col("score_q"))
       // one TakeOrdered job: the +1 row is the overflow detector, so a
       // contract-violating caller costs MaxGridBlocks rows of driver
@@ -104,8 +112,10 @@ object Calibrate {
     * window over that ≤ 2·grid-row frame propagating the last fit_q at
     * or below each score — and the corpus then joins it by broadcast
     * HASH EQUALITY on the quantized score. The window and the
-    * broadcast are grid-bounded (the caller quantizes the score — the
-    * same [[MaxGridBlocks]] contract the fit enforces); the only
+    * broadcast are grid-bounded, enforced by the same loud
+    * [[MaxGridBlocks]] refusal the fit carries (an unquantized score
+    * must not silently become a corpus-sized single-task window sort
+    * and a driver-OOM broadcast); the only
     * corpus-sized work is one codegen'd hash probe per row.
     *
     * Output: the scored frame's columns plus `cal_q` (the ×10⁶ fitted
@@ -125,11 +135,26 @@ object Calibrate {
         "nothing to calibrate against")
     val c0 = first(0).getLong(1)
     val held = scored.withColumn("__s", scoreCol.cast("long"))
+    // loud serve-side grid guard, mirroring the fit's: the merged-grid
+    // window below is UNPARTITIONED and the lookup table broadcasts —
+    // both grid-bounded only by the quantize contract, so an
+    // unquantized score column would silently become a corpus-sized
+    // single-task sort + a driver-OOM broadcast. The +1 row is the
+    // overflow detector; the checkpoint materializes the distinct once
+    // (≤ cap+1 rows) so the probe and the merge share one corpus pass.
+    val scoredScores = held.select(col("__s")).filter(col("__s").isNotNull)
+      .distinct().limit(MaxGridBlocks + 1)
+      .localCheckpoint(eager = true)
+    require(scoredScores.count() <= MaxGridBlocks,
+      s"isotonicApply: more than $MaxGridBlocks distinct quantized " +
+        "scores on the serve side — the step-propagation window and the " +
+        "broadcast lookup are bounded by the score GRID by contract; " +
+        "quantize the score column onto a coarser grid first")
     // merged grid: fit starts carry their fit_q, scored scores carry
     // null; at an equal score the fit row sorts first, so the running
     // last(fit_q) hands a boundary score its own block
-    val merged = held.select(col("__s")).filter(col("__s").isNotNull)
-      .distinct().withColumn("__fq", lit(null).cast("long"))
+    val merged = scoredScores
+      .withColumn("__fq", lit(null).cast("long"))
       .unionByName(fit.select(col("score_q").as("__s"),
         col("fit_q").as("__fq")))
     val w = Window.orderBy(col("__s"), col("__fq").isNull)

@@ -86,8 +86,13 @@ object CascadeDelete {
       "no stores to cascade into")
     require(compactThreshold > 0.0 && compactThreshold <= 1.0,
       s"compactThreshold must be in (0, 1]: $compactThreshold")
-    // one materialization of the delete set, reused across every store
-    val del = ids.select(qcol(idCol).cast("long").as("__id")).distinct()
+    // one materialization of the delete set, reused across every
+    // LONG-keyed store family (ANN/text/dedup ids are long by
+    // contract; ANSI makes a malformed id a loud cast error). LAZY:
+    // a quantile-only cascade must not force the long cast — quantile
+    // keys are arbitrary expressions and compare on their NATIVE type
+    // below.
+    lazy val del = ids.select(qcol(idCol).cast("long").as("__id")).distinct()
       .localCheckpoint(eager = true)
     val report = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)]
     targets.annIndexes.foreach { dir =>
@@ -107,9 +112,26 @@ object CascadeDelete {
     }
     targets.quantileStores.foreach { t =>
       // order statistics cannot subtract: rebuild from the survivors
-      // (a rebuild IS a full compaction — no tombstone debt remains)
-      val live = t.rows.join(del,
-        qcol(t.keyCol).cast("long") === col("__id"), "left_anti")
+      // (a rebuild IS a full compaction — no tombstone debt remains).
+      // The delete set casts to the STORE key's native type, verified
+      // faithful: quantile keys are arbitrary expressions, and casting
+      // the CORPUS side to long turns a non-numeric key into null — an
+      // anti-join condition that is never true, so the "rebuild" would
+      // silently republish the full summary while reporting success.
+      val keyType = t.rows.select(qcol(t.keyCol)).schema.head.dataType
+      val delKeys = ids.select(qcol(idCol).as("__src"))
+        .filter(col("__src").isNotNull)
+        // try_cast: under ANSI an unrepresentable id must surface as a
+        // null we can refuse on, not an executor NumberFormatException
+        .select(col("__src"), col("__src").try_cast(keyType).as("__key"))
+        .localCheckpoint(eager = true)
+      val lost = delKeys.filter(col("__key").isNull).count()
+      require(lost == 0,
+        s"forget: $lost delete ids not representable in the quantile " +
+          s"store's key type $keyType (${t.storeDir}) — the anti-join " +
+          "would silently keep every row")
+      val live = t.rows.join(delKeys.select(col("__key")).distinct(),
+        qcol(t.keyCol) === col("__key"), "left_anti")
       graft.streaming.EventStreams.rebuildQuantileStore(spark, t.storeDir,
         live, qcol(t.keyCol), t.value, t.k, t.maxLevel)
       report += ((t.storeDir, "qsketch", true))

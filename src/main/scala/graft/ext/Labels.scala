@@ -59,18 +59,28 @@ object Labels {
       qcol(annotatorCol).as("annotator"), qcol(labelCol).as("label"),
       qcol(nCol).cast("long").as("__w")))
 
-  /** Inter-annotator agreement — Fleiss' κ (Fleiss 1971), generalized
-    * to varying raters per item: the "is the labeling task well-posed"
-    * dashboard number beside the WMV resolution (κ near 0 means the
-    * majority label is mostly noise no reweight can rescue).
+  /** Inter-annotator agreement — Fleiss-style κ, in BOTH published
+    * conventions (the "is the labeling task well-posed" dashboard
+    * number beside the WMV resolution; κ near 0 means the majority
+    * label is mostly noise no reweight can rescue):
     *
     *   Po = Σ_items Σ_labels c_il·(c_il−1) / Σ_items n_i·(n_i−1)
-    *        (observed pairwise agreement; single-ballot items
-    *        contribute zero pairs to both sums — the varying-n
-    *        convention)
+    *        — the POOLED-PAIRS convention: one ratio of global pair
+    *        sums. NOTE this is the varying-raters generalization, NOT
+    *        Fleiss 1971 verbatim: Fleiss defines Po as the per-item
+    *        MEAN of P_i = Σ_l c_il(c_il−1)/(n_i(n_i−1)), and the two
+    *        coincide only when every item has the same rater count.
+    *        Pooled pairs weight each item by its pair count (an
+    *        item with 10 ballots carries 45× the weight of one with
+    *        2), which is the convention a takedown/consensus pipeline
+    *        usually wants; single-ballot items contribute zero pairs
+    *        to both sums.
+    *   Po_item = mean over items with n_i ≥ 2 of P_i — the classical
+    *        Fleiss 1971 form, published alongside for comparability
+    *        (`po_item_q`, `kappa_fleiss`).
     *   Pe = Σ_labels (n_l / N)²   (chance agreement from global label
     *        shares)
-    *   κ  = (Po − Pe) / (1 − Pe)
+    *   κ  = (Po − Pe) / (1 − Pe)   (per convention)
     *
     * Exactness: Po and Pe publish as ×10⁶ integer floors computed in
     * decimal(38,0) (pair counts reach Σ n_i² and N² — int64 would wrap
@@ -83,7 +93,11 @@ object Labels {
     *
     * Scale shape: two groupBys over the log (item-label, label) plus
     * counter-sized epilogues — nothing is collected or globally sorted.
-    * Output, one row: (n_items, n_ballots, po_q, pe_q, kappa).
+    * Output, one row: (n_items, n_ballots, po_q, po_item_q, pe_q,
+    * kappa, kappa_fleiss) — `po_q`/`kappa` the pooled-pairs
+    * convention, `po_item_q`/`kappa_fleiss` the classical per-item
+    * mean (per-item floors then one integer mean — deterministic and
+    * engine-replayable like every ×10⁶ figure here).
     */
   def agreementKappa(annotations: DataFrame, itemCol: String,
       labelCol: String): DataFrame =
@@ -115,7 +129,14 @@ object Labels {
         sum(expr("cast(__c as decimal(38,0)) * (__c - 1)")).as("__pn"))
       .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("n_ballots"),
         sum(col("__pn")).as("__num"),
-        sum(expr("cast(__ni as decimal(38,0)) * (__ni - 1)")).as("__den"))
+        sum(expr("cast(__ni as decimal(38,0)) * (__ni - 1)")).as("__den"),
+        // classical Fleiss: per-item P_i on the 10⁶ grid (integer
+        // floor — ≤ 10⁶ each, so the sum fits long far past any
+        // ballot count), mean over items with ≥ 2 ballots
+        sum(when(col("__ni") >= 2, expr(
+          "cast(__pn * 1000000 div (cast(__ni as decimal(38,0)) * (__ni - 1)) as long)")))
+          .as("__pisum"),
+        sum(when(col("__ni") >= 2, 1L).otherwise(0L)).as("__m2"))
     val lbl = il.groupBy(col("label")).agg(sum(col("__c")).as("__nl"))
       .agg(sum(expr("cast(__nl as decimal(38,0)) * __nl")).as("__sq"),
         sum(col("__nl")).as("__nn"))
@@ -123,6 +144,7 @@ object Labels {
       .select(col("n_items"), col("n_ballots"),
         when(col("__den") > 0,
           expr("cast(__num * 1000000 div __den as long)")).as("po_q"),
+        when(col("__m2") > 0, expr("__pisum div __m2")).as("po_item_q"),
         when(col("__nn") > 0, expr(
           "cast(__sq * 1000000 div (cast(__nn as decimal(38,0)) * __nn) as long)"))
           .as("pe_q"))
@@ -130,6 +152,11 @@ object Labels {
         when(col("po_q").isNotNull && col("pe_q").isNotNull &&
             col("pe_q") =!= 1000000L,
           (col("po_q") - col("pe_q")).cast("double") /
+            (lit(1000000L) - col("pe_q"))))
+      .withColumn("kappa_fleiss",
+        when(col("po_item_q").isNotNull && col("pe_q").isNotNull &&
+            col("pe_q") =!= 1000000L,
+          (col("po_item_q") - col("pe_q")).cast("double") /
             (lit(1000000L) - col("pe_q"))))
   }
 

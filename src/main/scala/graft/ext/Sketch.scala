@@ -225,13 +225,14 @@ object Sketch {
     * — replays bit-for-bit in a second engine's SQL, so reconciliation
     * can hash-match the ESTIMATES, not trust an error band.
     *
-    * Scale shape: the distinct() pre-cut is one hash-keyed shuffle that
-    * map-side combines; the per-group k-cut is a window over the
-    * surviving DISTINCT hashes (per-group data ≤ |distinct values|,
-    * never row count. For billions of distinct values per group raise
-    * no machinery here — k-th-smallest stays a per-group sort of the
-    * group's distinct hashes; pre-thin with a WHERE h < threshold scan
-    * filter if that ever dominates).
+    * Scale shape: ONE bounded aggregate ([[graft.plans.KMinSetAgg]] —
+    * each partition folds its rows into a ≤ k-entry k-min set
+    * map-side, so the exchange carries at most groups·k·partitions
+    * rows and nothing per-group ever sorts corpus-scale data; the old
+    * distinct + per-group row_number window shuffled every near-unique
+    * md5 prefix before cutting, a full corpus-wide shuffle at 100 TB).
+    * k-min-of-distinct is associative and duplicate-insensitive, so
+    * the result is the old cut's, bit for bit (gate-pinned).
     *
     * Output: (`groupCol`, `est_distinct` double, unrounded — it
     * reproduces bit-for-bit from the integer k-th order statistic).
@@ -252,16 +253,48 @@ object Sketch {
     * batch's k smallest, so per-batch-trimmed deltas re-minimized here
     * equal the one-shot sketch EXACTLY).
     */
+  /** The bounded k-min-set aggregate as a Column
+    * ([[graft.plans.KMinSetAgg]]): the whole KMV family's sketch pass.
+    * The old `distinct() → row_number window ≤ k` form shuffled EVERY
+    * distinct hash (md5 prefixes are near-unique, so map-side partial
+    * aggregation removed almost nothing — at 100 TB the k-row sketch
+    * cost a corpus-wide shuffle plus a per-group sort); this one keeps
+    * the k-min set bounded map-side, so the exchange carries at most
+    * groups·k·partitions rows to the cut. Same k-min result by
+    * construction (k-min-of-distinct is associative and
+    * duplicate-insensitive) — the KMV gates' hashes pin the replan.
+    */
+  private def kminSet(h: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.KMinSetAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(h), k)
+        .toAggregateExpression())
+
+  /** Per-group k-min trim as ROWS (`__g`, `__h`) — the sketch pass
+    * shared by the overlap matrix, the streaming KMV per-batch delta
+    * trim and the KMV store rebuild
+    * ([[graft.streaming.EventStreams.runKmvAppendOnce]] /
+    * `rebuildKmvStore`). Null hashes carry no identity and are
+    * dropped.
+    */
+  private[graft] def kminTrim(hashed: DataFrame, k: Int): DataFrame =
+    hashed.select(col("__g"), col("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col("__g"))
+      .agg(kminSet(col("__h"), k).as("__ks"))
+      .select(col("__g"), explode(col("__ks")).as("__h"))
+
   private[graft] def kmvFromHashes(hashed: DataFrame, groupCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2: $k")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
-    hashed.distinct()
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    hashed.filter(col("__h").isNotNull)
       .groupBy(col(groupCol))
-      .agg(max(col("__h")).as("__hk"), max(col("__rn")).as("__n"))
+      .agg(kminSet(col("__h"), k).as("__ks"))
+      // __hk = the k-th (largest kept) order statistic, __n = kept
+      // count — the same two figures the old window cut aggregated
+      .select(col(groupCol),
+        element_at(col("__ks"), size(col("__ks"))).as("__hk"),
+        size(col("__ks")).as("__n"))
       // UNROUNDED: (k−1)·2^60 is exactly representable (k−1 fits the
       // significand), the int64 h_(k) converts to double by one
       // round-to-nearest, and the single IEEE divide is deterministic —
@@ -293,10 +326,11 @@ object Sketch {
     * expressions ((k−1)·2^60/h_(k); n_both/n_kept; their product), so a
     * second engine hash-matches the ESTIMATES (x_distinct_overlap).
     *
-    * Scale shape: each side is one distinct + one global k-smallest cut
-    * (TakeOrdered — k rows to the driver-side of the join, never the
-    * corpus); the union re-cut and flags run over ≤ 2k rows. Null
-    * values carry no identity and are dropped.
+    * Scale shape: each side is ONE bounded map-side k-min aggregate
+    * ([[graft.plans.KMinSetAgg]] — ≤ k longs per partition reach the
+    * single merge; never a corpus-wide distinct shuffle); the union
+    * re-cut and flags run over ≤ 2k rows. Null values carry no
+    * identity and are dropped.
     *
     * Output: one row — (n_kept, n_both, est_union, jaccard_est,
     * est_intersect).
@@ -316,11 +350,14 @@ object Sketch {
     */
   def kmvOverlapFromHashes(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2: $k")
+    // one bounded map-side aggregate per side (≤ k longs per partition
+    // reach the single merge — [[kminSet]]), exploded back to ≤ k rows;
+    // replaces a corpus-wide distinct + global TakeOrdered per side
     def kmin(df: DataFrame): DataFrame = df
       .select(col("__h"))
       .filter(col("__h").isNotNull)
-      .distinct()
-      .orderBy(col("__h")).limit(k)
+      .agg(kminSet(col("__h"), k).as("__ks"))
+      .select(explode(col("__ks")).as("__h"))
     val ha = kmin(a).withColumn("__ina", lit(1L))
     val hb = kmin(b).withColumn("__inb", lit(1L))
     ha.join(hb, Seq("__h"), "full")
@@ -377,13 +414,11 @@ object Sketch {
   def kmvOverlapMatrixFromHashes(hashed: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2: $k")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
-    // one sketch pass: per-group k smallest distinct hashes
-    val s = hashed.select(col("__g"), col("__h"))
-      .filter(col("__h").isNotNull)
-      .distinct()
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
+    // one sketch pass: per-group k smallest distinct hashes via the
+    // bounded map-side aggregate ([[kminSet]] — the exchange carries
+    // ≤ groups·k·partitions rows; the old distinct + per-group
+    // row_number sorted the corpus's near-unique hashes)
+    val s = kminTrim(hashed, k)
       .localCheckpoint(eager = true) // pair list + per-pair items share it
     // the pair frame is groups² — broadcast both (groups ≪ corpus)
     val gs = s.select(col("__g")).distinct()

@@ -46,6 +46,12 @@ object GraftFunctions {
         require(args.length == 2, "minhash_sig expects 2 arguments")
         MinHashAgg(args(0), intLiteral(args(1), "minhash_sig k")).toAggregateExpression()
       }),
+    ("kmin_set",
+      info("kmin_set", "kmin_set(hashes, k) - aggregate: k smallest distinct int64 values, ascending"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmin_set expects 2 arguments")
+        KMinSetAgg(args(0), intLiteral(args(1), "kmin_set k")).toAggregateExpression()
+      }),
     ("simhash_sig",
       info("simhash_sig", "simhash_sig(hashes) - aggregate: 64-bit simhash of token hashes"),
       (args: Seq[Expression]) => {

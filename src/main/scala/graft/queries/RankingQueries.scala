@@ -262,18 +262,23 @@ object RankingQueries {
       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
       |             CAST(sum(ni) AS BIGINT) AS n_ballots,
       |             CAST(sum(pn) AS HUGEINT) AS num,
-      |             CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)) AS HUGEINT) AS den
+      |             CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)) AS HUGEINT) AS den,
+      |             CAST(sum(CASE WHEN ni >= 2 THEN CAST(pn * 1000000 // (CAST(ni AS HUGEINT) * (ni - 1)) AS BIGINT) END) AS BIGINT) AS pisum,
+      |             CAST(sum(CASE WHEN ni >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2
       |      FROM it),
       |l AS (SELECT CAST(sum(CAST(nl AS HUGEINT) * nl) AS HUGEINT) AS sq,
       |             CAST(sum(nl) AS BIGINT) AS nn
       |      FROM (SELECT label, CAST(sum(c) AS BIGINT) AS nl FROM il GROUP BY 1)),
       |f AS (SELECT n_items, n_ballots,
       |             CASE WHEN den > 0 THEN CAST(num * 1000000 // den AS BIGINT) END AS po_q,
+      |             CASE WHEN m2 > 0 THEN pisum // m2 END AS po_item_q,
       |             CASE WHEN nn > 0 THEN CAST(sq * 1000000 // (CAST(nn AS HUGEINT) * nn) AS BIGINT) END AS pe_q
       |      FROM a, l)
-      |SELECT n_items, n_ballots, po_q, pe_q,
+      |SELECT n_items, n_ballots, po_q, po_item_q, pe_q,
       |       CASE WHEN po_q IS NOT NULL AND pe_q IS NOT NULL AND pe_q <> 1000000
-      |            THEN CAST(po_q - pe_q AS DOUBLE) / (1000000 - pe_q) END AS kappa
+      |            THEN CAST(po_q - pe_q AS DOUBLE) / (1000000 - pe_q) END AS kappa,
+      |       CASE WHEN po_item_q IS NOT NULL AND pe_q IS NOT NULL AND pe_q <> 1000000
+      |            THEN CAST(po_item_q - pe_q AS DOUBLE) / (1000000 - pe_q) END AS kappa_fleiss
       |FROM f""".stripMargin) { (s, dir) =>
     graft.ext.Labels.agreementKappa(
       Tables.events(s, dir).select((col("event_id") % 300).as("item"),
@@ -300,18 +305,23 @@ object RankingQueries {
       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
       |             CAST(sum(ni) AS BIGINT) AS n_ballots,
       |             CAST(sum(pn) AS HUGEINT) AS num,
-      |             CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)) AS HUGEINT) AS den
+      |             CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)) AS HUGEINT) AS den,
+      |             CAST(sum(CASE WHEN ni >= 2 THEN CAST(pn * 1000000 // (CAST(ni AS HUGEINT) * (ni - 1)) AS BIGINT) END) AS BIGINT) AS pisum,
+      |             CAST(sum(CASE WHEN ni >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2
       |      FROM it),
       |l AS (SELECT CAST(sum(CAST(nl AS HUGEINT) * nl) AS HUGEINT) AS sq,
       |             CAST(sum(nl) AS BIGINT) AS nn
       |      FROM (SELECT label, CAST(sum(c) AS BIGINT) AS nl FROM il GROUP BY 1)),
       |f AS (SELECT n_items, n_ballots,
       |             CASE WHEN den > 0 THEN CAST(num * 1000000 // den AS BIGINT) END AS po_q,
+      |             CASE WHEN m2 > 0 THEN pisum // m2 END AS po_item_q,
       |             CASE WHEN nn > 0 THEN CAST(sq * 1000000 // (CAST(nn AS HUGEINT) * nn) AS BIGINT) END AS pe_q
       |      FROM a, l)
-      |SELECT n_items, n_ballots, po_q, pe_q,
+      |SELECT n_items, n_ballots, po_q, po_item_q, pe_q,
       |       CASE WHEN po_q IS NOT NULL AND pe_q IS NOT NULL AND pe_q <> 1000000
-      |            THEN CAST(po_q - pe_q AS DOUBLE) / (1000000 - pe_q) END AS kappa
+      |            THEN CAST(po_q - pe_q AS DOUBLE) / (1000000 - pe_q) END AS kappa,
+      |       CASE WHEN po_item_q IS NOT NULL AND pe_q IS NOT NULL AND pe_q <> 1000000
+      |            THEN CAST(po_item_q - pe_q AS DOUBLE) / (1000000 - pe_q) END AS kappa_fleiss
       |FROM f""".stripMargin) { (s, dir) =>
     graft.ext.Labels.agreementKappaFromCounts(
       EventStreams.readLabelCounts(s, labelCountsStore(s, dir)),

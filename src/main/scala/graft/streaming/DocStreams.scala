@@ -1418,6 +1418,9 @@ object DocStreams {
   ): Unit = {
     import graft.util.Hfs
     Hfs.delete(spark, storeDir)
+    // run-start generation: a mid-run rebuild bumps the stamp and the
+    // next publish refuses ([[storeGeneration]])
+    val gen0 = storeGeneration(spark, storeDir)
     StreamConf.withWidth(spark) {
       val q = spark.readStream
         .schema(s"$idCol long, $textCol string")
@@ -1427,7 +1430,7 @@ object DocStreams {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!Hfs.exists(spark, s"$storeDir/_batch_$batchId"))
             appendCmsBatchExactlyOnce(spark, storeDir, batch.toDF(), batchId,
-              depth, width, textCol)
+              depth, width, textCol, gen0)
           ()
         }
         .start()
@@ -1443,32 +1446,64 @@ object DocStreams {
     * the hook contract requires.
     */
   def cmsPerBatchHook(spark: SparkSession, storeDir: String,
-      depth: Int, width: Int, textCol: String = "text"): (DataFrame, Long) => Unit =
+      depth: Int, width: Int, textCol: String = "text"): (DataFrame, Long) => Unit = {
+    // generation captured at hook creation — the owning run starts
+    // right after, so a rebuild landing mid-run refuses the publish
+    val gen0 = storeGeneration(spark, storeDir)
     (batch, batchId) => {
       if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$batchId"))
         appendCmsBatchExactlyOnce(spark, storeDir, batch, batchId,
-          depth, width, textCol)
+          depth, width, textCol, gen0)
     }
+  }
 
   private[streaming] def appendCmsBatchExactlyOnce(spark: SparkSession,
       storeDir: String, batch: DataFrame, batchId: Long,
-      depth: Int, width: Int, textCol: String): Unit =
+      depth: Int, width: Int, textCol: String,
+      expectedGen: Long = -1L): Unit =
     publishDeltaExactlyOnce(spark, storeDir,
       graft.ext.Sketch.cmsCounters(
         batch.select(explode(graft.ext.TextAnalysis.tokens(col(textCol)))
           .as("__t")),
         col("__t"), depth, width),
-      batchId)
+      batchId, expectedGen)
+
+  /** A delta store's rebuild GENERATION: 0 for a store that has never
+    * been swap-rebuilt, bumped by every rebuild
+    * ([[graft.streaming.EventStreams.rebuildKmvStore]] /
+    * `rebuildQuantileStore` write `_generation` = old + 1 into the
+    * fresh dir before the swap). The stamp is what lets a publish
+    * detect that the store it is about to append to is NOT the store
+    * its run started against.
+    */
+  private[graft] def storeGeneration(spark: SparkSession,
+      storeDir: String): Long = {
+    val p = s"$storeDir/_generation"
+    if (graft.util.Hfs.exists(spark, p))
+      graft.util.Hfs.readString(spark, p).trim.toLong
+    else 0L
+  }
 
   /** The sketch-delta exactly-once publish, shared by every associative
     * delta store (CMS counters, KMV k-min trims): stage → replay-sweep
     * this batch id's partial publish → deterministic renames into
     * `deltas/b<id>-<i>.parquet` → marker. Idempotent per (store,
     * batchId): any crash point replays to the same store.
+    *
+    * `expectedGen` (≥ 0) is the generation the publishing RUN captured
+    * at its start: a rebuild (takedown) swapping the store mid-run
+    * bumps the stamp, and the next publish REFUSES loudly instead of
+    * re-publishing pre-rebuild items — deleted data — into the fresh
+    * store under the reset batch markers. This closes the documented
+    * rebuild/append race structurally (the caller-serialization
+    * contract stays, but violating it is now a crash, not silent
+    * corruption). −1 skips the check (single-shot test publishes with
+    * no owning run).
     */
   private[streaming] def publishDeltaExactlyOnce(spark: SparkSession,
-      storeDir: String, delta: DataFrame, batchId: Long): Unit =
-    publishDeltaKeyed(spark, storeDir, delta, batchId.toString)
+      storeDir: String, delta: DataFrame, batchId: Long,
+      expectedGen: Long = -1L): Unit =
+    publishDeltaKeyed(spark, storeDir, delta, batchId.toString, expectedGen)
 
   /** The string-keyed form of the delta publish: micro-batches key by
     * their batch id; OUT-OF-BAND deltas (a delete batch's negative CMS
@@ -1476,8 +1511,19 @@ object DocStreams {
     * collide with a stream's numbering.
     */
   private[streaming] def publishDeltaKeyed(spark: SparkSession,
-      storeDir: String, delta: DataFrame, key: String): Unit = {
+      storeDir: String, delta: DataFrame, key: String,
+      expectedGen: Long = -1L): Unit = {
     import graft.util.Hfs
+    if (expectedGen >= 0L) {
+      val cur = storeGeneration(spark, storeDir)
+      if (cur > expectedGen)
+        throw new IllegalStateException(
+          s"stale-generation publish refused: $storeDir is at rebuild " +
+            s"generation $cur but this run started against generation " +
+            s"$expectedGen — the store was swap-rebuilt (takedown) while " +
+            "this append run was live; restart the append run against " +
+            "the fresh store instead of re-publishing pre-rebuild items")
+    }
     val stage = s"$storeDir/_stage_$key"
     delta.coalesce(1).write.mode("overwrite").parquet(stage)
     val live = s"$storeDir/deltas"
@@ -1521,7 +1567,10 @@ object DocStreams {
             .as("__t")),
           col("__t"), depth, width)
           .select(col("d"), col("b"), (-col("n")).as("n")),
-        key)
+        key,
+        // a delete delta is valid for the generation it was computed
+        // against — a rebuild racing this publish refuses it
+        storeGeneration(spark, storeDir))
   }
 
   /** The live counter table of a [[runCmsAppendOnce]] store: deltas

@@ -707,6 +707,9 @@ object EventStreams {
   def runKmvAppendOnce(spark: SparkSession, spoolDir: String,
       storeDir: String, groupCol: String, valueCol: String, k: Int): Unit = {
     graft.util.Hfs.delete(spark, storeDir)
+    // run-start generation: a mid-run rebuild bumps the stamp and the
+    // next publish refuses (DocStreams.storeGeneration)
+    val gen0 = DocStreams.storeGeneration(spark, storeDir)
     StreamConf.withWidth(spark) {
       val q = spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
@@ -715,17 +718,14 @@ object EventStreams {
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$batchId")) {
-            import org.apache.spark.sql.expressions.Window
-            val hashed = batch.toDF()
-              .select(col(groupCol).as("__g"),
-                graft.ext.PortableHash.md5Prefix15(col(valueCol)).as("__h"))
-              .filter(col("__h").isNotNull)
-              .distinct()
-            val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
-            val trimmed = hashed
-              .withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") <= k).drop("__rn")
-            DocStreams.publishDeltaExactlyOnce(spark, storeDir, trimmed, batchId)
+            // bounded map-side k-min trim (graft.plans.KMinSetAgg via
+            // Sketch.kminTrim): identical rows to the old distinct +
+            // window cut, without shuffling the batch's distinct hashes
+            val trimmed = graft.ext.Sketch.kminTrim(
+              batch.toDF().select(col(groupCol).as("__g"),
+                graft.ext.PortableHash.md5Prefix15(col(valueCol)).as("__h")),
+              k)
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, trimmed, batchId, gen0)
           }
           ()
         }
@@ -764,19 +764,18 @@ object EventStreams {
     */
   def rebuildKmvStore(spark: SparkSession, storeDir: String,
       live: DataFrame, groupCol: String, valueCol: String, k: Int): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val hashed = live
-      .select(col(groupCol).as("__g"),
-        graft.ext.PortableHash.md5Prefix15(col(valueCol)).as("__h"))
-      .filter(col("__h").isNotNull)
-      .distinct()
-    val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
-    val trimmed = hashed
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
+    val trimmed = graft.ext.Sketch.kminTrim(
+      live.select(col(groupCol).as("__g"),
+        graft.ext.PortableHash.md5Prefix15(col(valueCol)).as("__h")),
+      k)
     val tmp = storeDir + ".rebuild-" + System.nanoTime()
     trimmed.coalesce(1).write.mode("overwrite").parquet(s"$tmp/deltas")
     graft.util.Hfs.touch(spark, s"$tmp/_batch_r0")
+    // generation stamp: a publish from a run that started before this
+    // swap now refuses instead of re-appending deleted minima
+    // ([[DocStreams.storeGeneration]])
+    graft.util.Hfs.writeString(spark, s"$tmp/_generation",
+      (DocStreams.storeGeneration(spark, storeDir) + 1).toString)
     graft.operators.Upsert.swapDirs(tmp, storeDir)
   }
 
@@ -797,6 +796,9 @@ object EventStreams {
     require(bins > 0, s"bins must be positive: $bins")
     require(hi > lo, s"empty bin domain: [$lo, $hi)")
     graft.util.Hfs.delete(spark, storeDir)
+    // run-start generation: a mid-run rebuild bumps the stamp and the
+    // next publish refuses (DocStreams.storeGeneration)
+    val gen0 = DocStreams.storeGeneration(spark, storeDir)
     StreamConf.withWidth(spark) {
       val q = spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
@@ -812,7 +814,7 @@ object EventStreams {
                 graft.ext.Stats.binExpr(col(valueCol), bins, lo, hi).as("__b"))
               .groupBy(col("__g"), col("__b"))
               .agg(count(lit(1)).as("__n"))
-            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId)
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId, gen0)
           }
           ()
         }
@@ -837,6 +839,9 @@ object EventStreams {
       label: org.apache.spark.sql.Column,
       rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
     graft.util.Hfs.delete(spark, storeDir)
+    // run-start generation: a mid-run rebuild bumps the stamp and the
+    // next publish refuses (DocStreams.storeGeneration)
+    val gen0 = DocStreams.storeGeneration(spark, storeDir)
     StreamConf.withWidth(spark) {
       val q = spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
@@ -850,7 +855,7 @@ object EventStreams {
                 label.as("label"))
               .groupBy(col("item"), col("annotator"), col("label"))
               .agg(count(lit(1)).as("n"))
-            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId)
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId, gen0)
           }
           ()
         }
@@ -885,6 +890,9 @@ object EventStreams {
       rowFilter: org.apache.spark.sql.Column = lit(true),
       maxLevel: Int = 20): Unit = {
     graft.util.Hfs.delete(spark, storeDir)
+    // run-start generation: a mid-run rebuild bumps the stamp and the
+    // next publish refuses (DocStreams.storeGeneration)
+    val gen0 = DocStreams.storeGeneration(spark, storeDir)
     StreamConf.withWidth(spark) {
       val q = spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
@@ -897,7 +905,7 @@ object EventStreams {
               batch.toDF().filter(rowFilter), key, value, maxLevel)
             val s = graft.ext.Sketch.quantileSelect(items, k, 0, maxLevel)
             DocStreams.publishDeltaExactlyOnce(spark, storeDir,
-              s.items.withColumn("min_lvl", lit(s.level)), batchId)
+              s.items.withColumn("min_lvl", lit(s.level)), batchId, gen0)
           }
           ()
         }
@@ -912,19 +920,25 @@ object EventStreams {
     * log exactly.
     */
   def readQuantileSketch(spark: SparkSession, storeDir: String, k: Int,
-      maxLevel: Int = 20): graft.ext.Sketch.QuantileSummary = {
+      maxLevel: Int = 20,
+      valueType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType)
+      : graft.ext.Sketch.QuantileSummary = {
     // a store with zero published batches has no deltas/ path, and one
     // whose rowFilter excluded every row has deltas but a NULL max —
     // both are legitimately-empty summaries (level 0, no items), not
-    // read crashes
+    // read crashes. The empty summary's `__v` takes `valueType` (the
+    // caller's value-expression type; every gate sketches a long) so
+    // its schema unions/merges cleanly against a NON-empty store of the
+    // same family — a hardcoded double here made quantileMerge against
+    // an empty store a schema mismatch.
     if (!graft.util.Hfs.exists(spark, s"$storeDir/deltas"))
       return graft.ext.Sketch.QuantileSummary(0,
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("__lvl",
               org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("__v",
-              org.apache.spark.sql.types.DoubleType)))))
+            org.apache.spark.sql.types.StructField("__v", valueType)))))
     val d = spark.read.parquet(s"$storeDir/deltas")
       .localCheckpoint(eager = true) // floor read + re-cut share it
     val minLevel = d.agg(coalesce(max(col("min_lvl")), lit(0)))
@@ -960,6 +974,11 @@ object EventStreams {
     s.items.withColumn("min_lvl", lit(s.level))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/deltas")
     graft.util.Hfs.touch(spark, s"$tmp/_batch_r0")
+    // generation stamp: a publish from a run that started before this
+    // swap now refuses instead of re-appending deleted items
+    // ([[DocStreams.storeGeneration]])
+    graft.util.Hfs.writeString(spark, s"$tmp/_generation",
+      (DocStreams.storeGeneration(spark, storeDir) + 1).toString)
     graft.operators.Upsert.swapDirs(tmp, storeDir)
   }
 
@@ -980,6 +999,9 @@ object EventStreams {
       loser: org.apache.spark.sql.Column,
       rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
     graft.util.Hfs.delete(spark, storeDir)
+    // run-start generation: a mid-run rebuild bumps the stamp and the
+    // next publish refuses (DocStreams.storeGeneration)
+    val gen0 = DocStreams.storeGeneration(spark, storeDir)
     StreamConf.withWidth(spark) {
       val q = spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
@@ -992,7 +1014,7 @@ object EventStreams {
               .select(winner.as("winner"), loser.as("loser"))
               .filter(col("winner") =!= col("loser"))
             val delta = graft.ext.Preference.winMatrix(games, "winner", "loser")
-            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId)
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId, gen0)
           }
           ()
         }
@@ -1025,6 +1047,9 @@ object EventStreams {
       score: org.apache.spark.sql.Column, label: org.apache.spark.sql.Column,
       rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
     graft.util.Hfs.delete(spark, storeDir)
+    // run-start generation: a mid-run rebuild bumps the stamp and the
+    // next publish refuses (DocStreams.storeGeneration)
+    val gen0 = DocStreams.storeGeneration(spark, storeDir)
     StreamConf.withWidth(spark) {
       val q = spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
@@ -1038,7 +1063,7 @@ object EventStreams {
               .groupBy(col("__g"), col("__s"))
               .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__np"),
                 sum(when(col("__pos"), 0L).otherwise(1L)).as("__nn"))
-            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId)
+            DocStreams.publishDeltaExactlyOnce(spark, storeDir, delta, batchId, gen0)
           }
           ()
         }

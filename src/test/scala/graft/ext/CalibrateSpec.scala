@@ -163,6 +163,34 @@ class CalibrateSpec extends SparkSpec {
     e.getMessage should include("distinct quantized scores")
   }
 
+  test("isotonicApply refuses an unquantized (over-grid) scored column loudly") {
+    // the serve-side twin of the fit guard: the merged-grid window is
+    // UNPARTITIONED and the lookup broadcasts — an unquantized score
+    // column must refuse, not silently become a corpus-sized
+    // single-task sort + driver broadcast
+    val fit = Calibrate.isotonicFit(
+      Seq((1L, true), (2L, false), (2L, true)).toDF("s", "y"),
+      col("s"), col("y"))
+    val scored = spark.range(Calibrate.MaxGridBlocks + 1)
+      .select(col("id"), col("id").as("s"))
+    val e = intercept[IllegalArgumentException] {
+      Calibrate.isotonicApply(fit, scored, col("s"))
+    }
+    e.getMessage should include("serve side")
+  }
+
+  test("isotonicFromHistogram re-reduces duplicate score_q rows (un-grouped store read)") {
+    // duplicate blocks from an un-grouped read must fold into one
+    // block, not become duplicate PAV blocks with nondeterministic
+    // serve order
+    val clean = Seq((1L, 4L, 1L), (2L, 4L, 3L))
+      .toDF("score_q", "n", "n_pos")
+    val dup = Seq((1L, 2L, 1L), (1L, 2L, 0L), (2L, 4L, 3L))
+      .toDF("score_q", "n", "n_pos")
+    Calibrate.isotonicFromHistogram(dup).orderBy("score_q").collect() shouldBe
+      Calibrate.isotonicFromHistogram(clean).orderBy("score_q").collect()
+  }
+
   test("isotonicApply refuses an empty fit loudly") {
     val fit = Seq.empty[(Long, Long, Long, Long, Long, Long)]
       .toDF("score_q", "n", "n_pos", "fit_pos", "fit_n", "fit_q")

@@ -202,6 +202,39 @@ class CascadeDeleteSpec extends SparkSpec {
       .count(_.getName.startsWith("_file_spool_legacy.parquet_")) shouldBe 0
   }
 
+  test("quantile-store forget compares on the key's NATIVE type; unrepresentable ids refuse loudly") {
+    import graft.streaming.EventStreams
+    // a STRING-keyed quantile store: the old long-cast compare turned
+    // the corpus key into null — the anti-join never matched, every row
+    // survived, and forget() reported success while deleting nothing
+    val rows = (1 to 40).map(i => (s"$i", i.toLong)).toDF("k", "v")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q_forget_nat").toString + "/qs"
+    EventStreams.rebuildQuantileStore(spark, store, rows, col("k"), col("v"), 8)
+    val target = QuantileStoreTarget(store, rows, "k", col("v"), 8)
+    CascadeDelete.forget(spark, (1 to 20).map(_.toLong).toDF("doc_id"),
+      "doc_id", CascadeTargets(quantileStores = Seq(target)))
+    val survivors = rows.filter(col("v") > 20)
+    val expect = Sketch.quantileSketch(survivors, col("k"), col("v"), 8)
+    val got = EventStreams.readQuantileSketch(spark, store, 8)
+    got.level shouldBe expect.level
+    got.items.orderBy("__v").collect().map(_.getLong(1)).toSeq shouldBe
+      expect.items.orderBy("__v").collect().map(_.getLong(1)).toSeq
+    // and ids that cannot be represented in a LONG-keyed store's key
+    // type refuse loudly instead of silently keeping every row
+    val numRows = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+    val numStore = java.nio.file.Files
+      .createTempDirectory("graft_q_forget_bad").toString + "/qs"
+    EventStreams.rebuildQuantileStore(spark, numStore, numRows,
+      col("k"), col("v"), 8)
+    val e = intercept[IllegalArgumentException] {
+      CascadeDelete.forget(spark, Seq("abc").toDF("doc_id"), "doc_id",
+        CascadeTargets(quantileStores =
+          Seq(QuantileStoreTarget(numStore, numRows, "k", col("v"), 8))))
+    }
+    e.getMessage should include("not representable")
+  }
+
   test("forgetting absent ids is a no-op on every store") {
     val (root, store, _) = buildFixture()
     val before = DocStreams.readPairs(spark, store).collect().toSet

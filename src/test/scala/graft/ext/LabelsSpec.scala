@@ -77,6 +77,8 @@ test("agreementKappa: perfect, chance-level, and hand-computed mixed logs") {
     val p = Labels.agreementKappa(perfect, "item", "label").head()
     p.getAs[Long]("po_q") shouldBe 1000000L
     p.getAs[Double]("kappa") shouldBe 1.0
+    p.getAs[Long]("po_item_q") shouldBe 1000000L
+    p.getAs[Double]("kappa_fleiss") shouldBe 1.0
     // hand-computed mixed log: item 1 = (x,x,y), item 2 = (y,y),
     // item 3 = (x) single ballot (zero pairs both sums)
     // Po = (2*1 + 0 + 2*1 + 0) / (3*2 + 2*1 + 0) = 4/8 -> 500000
@@ -90,6 +92,14 @@ test("agreementKappa: perfect, chance-level, and hand-computed mixed logs") {
     m.getAs[Long]("po_q") shouldBe 500000L
     m.getAs[Long]("pe_q") shouldBe 500000L
     m.getAs[Double]("kappa") shouldBe 0.0
+    // classical per-item mean: P_1 = 2/6 -> 333333, P_2 = 2/2 ->
+    // 1000000, item 3 single ballot excluded; mean of the two floors
+    // = 1333333 div 2 = 666666 — the pooled and per-item conventions
+    // VISIBLY diverge on this log (500000 vs 666666), which is the
+    // point of publishing both
+    m.getAs[Long]("po_item_q") shouldBe 666666L
+    m.getAs[Double]("kappa_fleiss") shouldBe
+      ((666666L - 500000L).toDouble / 500000L)
     // a single-label log saturates chance agreement -> kappa NULL
     val single = Seq((1, "x"), (1, "x"), (2, "x")).toDF("item", "label")
     val s = Labels.agreementKappa(single, "item", "label").head()
@@ -100,6 +110,8 @@ test("agreementKappa: perfect, chance-level, and hand-computed mixed logs") {
     val l = Labels.agreementKappa(lonely, "item", "label").head()
     l.isNullAt(l.fieldIndex("po_q")) shouldBe true
     l.isNullAt(l.fieldIndex("kappa")) shouldBe true
+    l.isNullAt(l.fieldIndex("po_item_q")) shouldBe true
+    l.isNullAt(l.fieldIndex("kappa_fleiss")) shouldBe true
     // the count-compressed form equals the raw log exactly
     val counts = mixed.groupBy("item", "label").agg(count(lit(1)).as("n"))
     Labels.agreementKappaFromCounts(counts, "item", "label", "n")

@@ -50,6 +50,38 @@ class NativeExpressionsSpec extends SparkSpec {
     sigsMerged shouldBe sigs
   }
 
+  test("KMinSetAgg equals the declarative distinct + window k-cut; merges are order-free") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 16
+    // near-unique hashes with planted duplicates across partitions
+    val rows = (1 to 5000).map(i => (s"g${i % 3}", ((i * 2654435761L) % 1200)))
+    val df = rows.toDF("g", "h")
+    val aggExpr = org.apache.spark.sql.GraftSqlBridge.column(
+      KMinSetAgg(org.apache.spark.sql.GraftSqlBridge.expression(col("h")), k)
+        .toAggregateExpression())
+    val native = df.groupBy($"g").agg(aggExpr.as("ks")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val w = Window.partitionBy($"g").orderBy($"h")
+    val declarative = df.distinct()
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      .groupBy($"g").agg(sort_array(collect_list($"h")).as("ks")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    native shouldBe declarative
+    native.values.foreach { ks =>
+      ks.size shouldBe k
+      ks shouldBe ks.sorted          // ascending
+      ks.toSet.size shouldBe ks.size // distinct
+    }
+    // repartitioned input forces partial-buffer MERGES; result must not change
+    df.repartition(11).groupBy($"g").agg(aggExpr.as("ks")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap shouldBe native
+    // under-full group: fewer distinct values than k degenerates to the
+    // exact sorted distinct set
+    val small = Seq(("a", 5L), ("a", 3L), ("a", 5L), ("a", 9L)).toDF("g", "h")
+    small.groupBy($"g").agg(aggExpr.as("ks")).head().getSeq[Long](1) shouldBe
+      Seq(3L, 5L, 9L)
+  }
+
   test("SimHashAgg equals the declarative fold-form simhash signature") {
     val native = graft.ext.Dedup.simhashSignatures(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

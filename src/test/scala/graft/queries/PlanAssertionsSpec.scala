@@ -680,7 +680,31 @@ class PlanAssertionsSpec extends SparkSpec {
     val below = allNodes(windows.head.child).map(_.nodeName)
     below.exists(_.contains("HashAggregate")) shouldBe true
   }
-test("calibrator serving: hash-equality lookup against a broadcast grid, never a nested-loop interval join") {
+test("KMV sketch pass: bounded map-side k-min aggregate, never a corpus distinct + window sort") {
+    // the r19 verdict item: distinct() + per-group row_number shuffled
+    // EVERY near-unique hash before the k-cut — a corpus-wide shuffle
+    // at 100 TB. The replan folds each partition into a <= k-entry
+    // k-min set BEFORE the exchange (ObjectHashAggregate partial), so
+    // the shuffle carries at most groups·k·partitions rows.
+    val df = (1 to 4000).map(i => (s"g${i % 3}", s"v${i % 997}"))
+      .toDF("g", "v")
+    val out = graft.ext.Sketch.kmvDistinct(df, "g", col("v"), 64)
+    out.collect()
+    val nodes = allNodes(finalPlan(out))
+    // no per-group sort of distinct hashes anywhere
+    nodes.collect { case w: WindowExec => w } shouldBe empty
+    // the k-min fold is an ObjectHashAggregate (TypedImperativeAggregate)
+    val objAggs = nodes.filter(_.nodeName.contains("ObjectHashAggregate"))
+    objAggs should not be empty
+    // and it partial-aggregates BELOW the exchange: some ObjectHashAggregate
+    // has no Exchange anywhere under it (map-side fold of raw rows)
+    val planStr = finalPlan(out).toString
+    planStr should include("kmin_set")
+    objAggs.exists(a =>
+      !allNodes(a).tail.exists(_.nodeName.contains("Exchange"))) shouldBe true
+  }
+
+  test("calibrator serving: hash-equality lookup against a broadcast grid, never a nested-loop interval join") {
     // the r19 regression class: a range predicate against a broadcast
     // side is a BroadcastNestedLoopJoin — O(rows x blocks) the moment
     // the fit runs at the production x100 grid. The serve must probe a

@@ -396,4 +396,33 @@ class EventStreamsSpec extends SparkSpec {
         f1.toDS().toDF().select(winner.as("w"), loser.as("l")), "w", "l"), 0L)
     summed() shouldBe streamed
   }
+
+  test("stale-generation publish refuses: an append replay across a rebuild cannot resurrect deleted items") {
+    // the documented takedown race, now closed structurally: a rebuild
+    // swap resets the batch markers, so a still-running append run
+    // replaying a pre-rebuild batch would re-publish deleted items into
+    // the fresh store — unless the publish carries its run-start
+    // generation and the store's stamp has moved past it
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_gen_store").toString + "/kmv"
+    val d0 = Seq(("a", 1L), ("a", 2L)).toDF("__g", "__h")
+    val gen0 = DocStreams.storeGeneration(spark, store)
+    gen0 shouldBe 0L
+    DocStreams.publishDeltaExactlyOnce(spark, store, d0, 0L, gen0)
+    // a takedown rebuild swaps the store and bumps the stamp...
+    EventStreams.rebuildKmvStore(spark, store,
+      Seq(("a", "v1")).toDF("g", "v"), "g", "v", 4)
+    DocStreams.storeGeneration(spark, store) shouldBe 1L
+    // ...so the gen-0 run's replayed batch refuses loudly
+    val e = intercept[IllegalStateException] {
+      DocStreams.publishDeltaExactlyOnce(spark, store, d0, 0L, gen0)
+    }
+    e.getMessage should include("stale-generation")
+    // the fresh store is untouched: exactly the rebuild's single trim
+    spark.read.parquet(s"$store/deltas").count() shouldBe 1L
+    // a run that starts against the POST-rebuild store publishes fine
+    DocStreams.publishDeltaExactlyOnce(spark, store, d0, 7L,
+      DocStreams.storeGeneration(spark, store))
+    spark.read.parquet(s"$store/deltas").count() shouldBe 3L
+  }
 }
