@@ -23,8 +23,14 @@ object SparkEntry {
     allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   private def allDefs =
-    ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all ++
+    (ParityQueries.all ++ ComponentQueries.all ++ ExtensionQueries.all ++
       EngineQueries.all ++ CoverageQueries.all ++ graft.queries.ScaleQueries.all ++
       graft.queries.AnalyticsQueries.all ++ graft.queries.QualityQueries.all ++
-      graft.queries.PipelineQueries.all ++ graft.queries.RankingQueries.all
+      graft.queries.PipelineQueries.all ++ graft.queries.RankingQueries.all)
+      // report gates in the curated pooled set serve from the pooled
+      // parquet (built once, in parallel, on the pooled_reports bench
+      // line); every other gate — serving paths, plan-shape gates,
+      // streams, parity, canary — is untouched. Content is identical
+      // either way (graft.queries.PooledReports).
+      .map(graft.queries.PooledReports.wrap)
 }

@@ -31,6 +31,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] shared runs failed: ${e.getMessage}")
       }
+      // pooled report builds (parallel, memoized): same failure-naming
+      // rationale; a failed build falls back to the gate's inline path
+      try graft.queries.PooledReports.ensureAll(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] pooled reports failed: ${e.getMessage}")
+      }
     }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump AND the oracle
     // json to the named queries (unset at the driver — full battery)
