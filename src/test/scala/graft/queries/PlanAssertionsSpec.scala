@@ -704,6 +704,42 @@ test("KMV sketch pass: bounded map-side k-min aggregate, never a corpus distinct
       !allNodes(a).tail.exists(_.nodeName.contains("Exchange"))) shouldBe true
   }
 
+  test("KMV sketch pass: the exchange carries at most groups·k·partitions rows, measured") {
+    // the row-count form of the bound above, MEASURED from task shuffle
+    // metrics instead of inferred from plan shape: 200k near-unique
+    // values on 8 partitions must shuffle sketch-sized record counts,
+    // not the corpus's distinct count (the old distinct()+window form
+    // shuffled ~200k records here)
+    val groups = 3; val k = 64; val partitions = 8
+    val df = (1 to 200000).map(i => (s"g${i % groups}", s"v$i"))
+      .toDF("g", "v").repartition(partitions)
+    df.cache(); df.count() // materialize: the input repartition must not
+                           // bill its own shuffle into the measurement
+    val recs = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = graft.ext.Sketch.kmvDistinct(df, "g", col("v"), k)
+      out.collect()
+      org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      df.unpersist()
+    }
+    // the partial fold emits ONE record per (group, partition) — the
+    // k-set rides inside it — so the measured count sits far below even
+    // the stated groups·k·partitions bound, and five orders below the
+    // corpus distinct count the old plan shuffled
+    recs.get() should be <= (groups.toLong * k * partitions)
+    recs.get() should be < 200000L / 100
+  }
+
   test("calibrator serving: hash-equality lookup against a broadcast grid, never a nested-loop interval join") {
     // the r19 regression class: a range predicate against a broadcast
     // side is a BroadcastNestedLoopJoin — O(rows x blocks) the moment
