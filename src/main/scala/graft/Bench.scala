@@ -122,13 +122,25 @@ object Bench {
     // one tiny scan each. Billed on its own line, wall AND cpu, so the
     // work stays visible instead of vanishing from the record
     // (graft.queries.PooledReports has the selection rule).
+    // cold-pool BY CONSTRUCTION (r20 VERDICT item 1): the pool is
+    // deleted before the build line, so the once-per-round build cost
+    // is always inside this rep's accounting — a Verify pass (or an
+    // earlier bench) can no longer pre-stage it and leave the headline
+    // excluding ~35-47 cpu-s of build work (the r20 driver rep read
+    // pooled cpu 0.000 for exactly that reason).
+    try graft.queries.PooledReports.clearPool(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] pool clear failed: ${e.getMessage}")
+    }
     org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
     val poolCpu0 = listener.get("cpu_ms")
     val pool0 = System.nanoTime()
-    try graft.queries.PooledReports.ensureAll(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] pooled reports failed: ${e.getMessage}")
-    }
+    val pooledFailed =
+      try graft.queries.PooledReports.ensureAll(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pooled reports failed: ${e.getMessage}")
+        Seq("__ensureAll__")
+      }
     val pooledSec = (System.nanoTime() - pool0) / 1e9
     org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
     val pooledCpu = (listener.get("cpu_ms") - poolCpu0) / 1000.0
@@ -275,6 +287,11 @@ object Bench {
       f""""cpu_total":$totalCpu%.3f,"cpu":$cpuQs,"staging_sec":$stagingSec%.3f,""" +
       f""""shared_runs_sec":$sharedSec%.3f,""" +
       f""""pooled_reports_sec":$pooledSec%.3f,"pooled_reports_cpu":$pooledCpu%.3f,""" +
+      // names whose pooled build FAILED this rep (r20 VERDICT item 3):
+      // each rebuilds inline at query time, so ITS timer carries the
+      // whole build — the field makes that inflation attributable
+      pooledFailed.map("\"" + _ + "\"")
+        .mkString("\"pooled_failed\":[", ",", "],") +
       f""""canary":$canaryJson,"canary_ref_rep":"r17_driver_sf01_20260816",""" +
       f""""host_factor":$hostFactor%.3f,""" +
       f""""wall_per_query":${total / n}%.3f,""" +

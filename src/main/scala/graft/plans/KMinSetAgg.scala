@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -43,6 +44,18 @@ case class KMinSetAgg(
 ) extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
   require(k >= 1)
+
+  // analysis-time input contract (r20 ADVICE): update() casts the child
+  // value straight to Long, so a non-long child registered through the
+  // public SQL surface previously failed at EXECUTOR time with a
+  // ClassCastException; checking the type here turns that into a clean
+  // analysis error at plan time
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kmin_set requires a BIGINT hash column, got ${other.simpleString}")
+    }
 
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(

@@ -3480,9 +3480,13 @@ object ExtensionQueries {
     // the batch counters over the SURVIVORS, cell for cell. Cells whose
     // live count cancels to zero stay in the store sum as 0 rows while
     // the batch side never emits them, hence the coalesce-to-0 compare.
+    // capture the store generation BEFORE fixing the delete set: the
+    // delta is valid for the generation its inputs were decided against
+    // (r20 ADVICE — publish-time capture made the rebuild guard vacuous)
+    val gen0 = graft.streaming.DocStreams.storeGeneration(s, s"$store/cms")
     graft.streaming.DocStreams.publishCmsDelete(s, s"$store/cms",
       docsWithVariants(s, dir).filter(col("doc_id") >= 100000),
-      key = "d0", depth = 4, width = 64)
+      key = "d0", depth = 4, width = 64, expectedGen = gen0)
     val streamed = graft.streaming.DocStreams.readCmsCounters(s, s"$store/cms")
     val batch = graft.ext.Sketch.cmsCounters(
       Tables.documents(s, dir)

@@ -80,7 +80,56 @@ object PooledReports {
   def wrap(d: QueryDef): QueryDef =
     if (PooledGateNames(d.name)) d.copy(fn = pooled(d.name)(d.fn)) else d
 
-  private def root(sfDir: String) = s"/tmp/graft_pool/${Staging.tag(sfDir)}"
+  /** Digest of the compiled code the pool was built by: name:len:mtime of
+    * every file under the class-source location (the classes dir when run
+    * from sbt, the jar entry otherwise). Folded into [[root]] so an edited
+    * pooled-gate implementation ABANDONS the stale pool instead of serving
+    * it (r20 VERDICT item 2 / ADVICE: a warm /tmp pool otherwise serves
+    * the OLD frame after a code change — a loud-but-confusing oracle
+    * failure for an output-changing edit, silent staleness for an
+    * output-preserving one).
+    */
+  private[queries] def codeTag: String = codeTagMemo
+  private lazy val codeTagMemo: String = {
+    val src = Option(getClass.getProtectionDomain.getCodeSource)
+      .flatMap(cs => Option(cs.getLocation)).map(u => new java.io.File(u.toURI))
+    src match {
+      case Some(f) if f.isDirectory => digestTree(f)
+      case Some(f) => digest(s"${f.getName}:${f.length}:${f.lastModified}")
+      case None => "nosrc"
+    }
+  }
+
+  /** Stable digest of a directory tree's (relative path, length, mtime)
+    * listing — the same fingerprint idea as [[Staging.tag]], over code
+    * instead of data. Extracted for the spec: two trees that differ in
+    * any file's content-length or mtime must tag differently.
+    */
+  private[queries] def digestTree(dir: java.io.File): String = {
+    val base = dir.toPath
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(s"${base.relativize(f.toPath)}:${f.length}:${f.lastModified}")
+    digest(walk(dir).mkString("|"))
+  }
+
+  private def digest(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  private def root(sfDir: String) =
+    s"/tmp/graft_pool/${Staging.tag(sfDir)}_$codeTag"
+
+  /** Delete the pool root for `sfDir` — the bench calls this before its
+    * timed run so the rep of record is cold-pool BY CONSTRUCTION (r20
+    * VERDICT item 1: the r20 driver rep read pooled cpu 0.000 because
+    * Verify had pre-staged the pool, leaving the once-per-round build
+    * cost outside the bench entirely).
+    */
+  def clearPool(spark: SparkSession, sfDir: String): Unit =
+    graft.util.Hfs.delete(spark, root(sfDir))
 
   private def pooled(name: String)(fn: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame = {
@@ -99,10 +148,20 @@ object PooledReports {
     // report frames are small by construction; one file keeps the
     // gate-side read a single tiny task
     fn(s, dir).coalesce(1).write.mode("overwrite").parquet(stage)
-    graft.util.Hfs.delete(s, p)
+    graft.util.Hfs.touch(s, s"$stage/_POOLED")
+    // rename-over swap (r20 VERDICT item 4): the old `delete(p)` +
+    // `rename(stage, p)` left a window in which a concurrent reader that
+    // had already passed the _POOLED check saw NO pool dir at all. Move
+    // the old entry ASIDE first, swap the fully-built stage in, then
+    // drop the aside copy — a reader now always sees either the old or
+    // the new complete entry, never a hole. The marker is written into
+    // the stage BEFORE the swap for the same reason.
+    val aside = p + ".old"
+    graft.util.Hfs.delete(s, aside)
+    if (graft.util.Hfs.exists(s, p)) graft.util.Hfs.rename(s, p, aside)
     if (!graft.util.Hfs.rename(s, stage, p))
       throw new IllegalStateException(s"pooled stage rename failed: $name")
-    graft.util.Hfs.touch(s, s"$p/_POOLED")
+    graft.util.Hfs.delete(s, aside)
   }
 
   /** Build every registered-and-unstaged pooled report, submitting the
@@ -110,17 +169,31 @@ object PooledReports {
     * (the scheduler is thread-safe; this is the standard multi-job
     * submission pattern). A single build failure costs exactly its own
     * gate — that gate rebuilds inline at query time and fails with its
-    * own context if the failure is real.
+    * own context if the failure is real. Returns the names whose builds
+    * FAILED (r20 VERDICT item 3): the bench carries them in its record
+    * so a gate whose timer absorbed an inline rebuild is attributable
+    * at a glance instead of reading as a silent regression.
     */
   def ensureAll(spark: SparkSession, sfDir: String,
-      parallelism: Int = 8): Unit = {
+      parallelism: Int = 8): Seq[String] = {
     // force gate registration: the registry fills as the query objects
     // initialize, which SparkEntry.queries assembly triggers
     val _ = graft.SparkEntry.queries
     import scala.jdk.CollectionConverters._
-    val todo = registry.asScala.toSeq.sortBy(_._1).filterNot { case (n, _) =>
+    ensureEntries(spark, sfDir, registry.asScala.toSeq.sortBy(_._1),
+      parallelism)
+  }
+
+  /** The worker behind [[ensureAll]], parameterized on the entry list so
+    * the failure-surfacing contract is directly testable.
+    */
+  private[queries] def ensureEntries(spark: SparkSession, sfDir: String,
+      entries: Seq[(String, (SparkSession, String) => DataFrame)],
+      parallelism: Int = 8): Seq[String] = {
+    val todo = entries.filterNot { case (n, _) =>
       graft.util.Hfs.exists(spark, s"${root(sfDir)}/$n/_POOLED") }
-    if (todo.isEmpty) return
+    if (todo.isEmpty) return Nil
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     try {
       todo.map { case (n, fn) =>
@@ -128,10 +201,13 @@ object PooledReports {
           override def run(): Unit =
             try build(spark, sfDir, n, fn)
             catch { case e: Throwable =>
+              failed.add(n)
               System.err.println(s"[pooled] $n build failed: ${e.getMessage}")
             }
         })
       }.foreach(_.get())
     } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    failed.asScala.toSeq.sorted
   }
 }

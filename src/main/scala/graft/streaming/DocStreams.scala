@@ -1559,7 +1559,15 @@ object DocStreams {
     */
   def publishCmsDelete(spark: SparkSession, storeDir: String,
       docs: DataFrame, key: String, depth: Int, width: Int,
-      textCol: String = "text"): Unit = {
+      textCol: String = "text", expectedGen: Long = -1L): Unit = {
+    // a delete delta is valid for the generation its INPUTS were decided
+    // against — the caller passes the generation it read when it fixed
+    // the delete set (r20 ADVICE: capturing it here, microseconds before
+    // publishDeltaKeyed re-reads it, made the guard near-vacuous). The
+    // -1 default keeps single-process callers working but covers only
+    // the window from this call onward.
+    val gen = if (expectedGen >= 0L) expectedGen
+      else storeGeneration(spark, storeDir)
     if (!graft.util.Hfs.exists(spark, s"$storeDir/_batch_$key"))
       publishDeltaKeyed(spark, storeDir,
         graft.ext.Sketch.cmsCounters(
@@ -1567,10 +1575,7 @@ object DocStreams {
             .as("__t")),
           col("__t"), depth, width)
           .select(col("d"), col("b"), (-col("n")).as("n")),
-        key,
-        // a delete delta is valid for the generation it was computed
-        // against — a rebuild racing this publish refuses it
-        storeGeneration(spark, storeDir))
+        key, gen)
   }
 
   /** The live counter table of a [[runCmsAppendOnce]] store: deltas

@@ -82,6 +82,25 @@ class NativeExpressionsSpec extends SparkSpec {
       Seq(3L, 5L, 9L)
   }
 
+  test("KMinSetAgg rejects a non-long child at analysis time, not executor time") {
+    // r20 ADVICE: the public SQL surface (kmin_set) could previously be
+    // applied to an int/string column and fail mid-task with a
+    // ClassCastException; the input check must fire during analysis
+    val df = Seq(("a", 1), ("a", 2)).toDF("g", "h") // h is INT
+    val aggExpr = org.apache.spark.sql.GraftSqlBridge.column(
+      KMinSetAgg(org.apache.spark.sql.GraftSqlBridge.expression(col("h")), 4)
+        .toAggregateExpression())
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy($"g").agg(aggExpr.as("ks")).collect()
+    }
+    e.getMessage should include("BIGINT")
+    // an explicitly cast (long) child still analyzes and runs
+    val ok = org.apache.spark.sql.GraftSqlBridge.column(
+      KMinSetAgg(org.apache.spark.sql.GraftSqlBridge.expression(
+        col("h").cast("long")), 4).toAggregateExpression())
+    df.groupBy($"g").agg(ok.as("ks")).head().getSeq[Long](1) shouldBe Seq(1L, 2L)
+  }
+
   test("SimHashAgg equals the declarative fold-form simhash signature") {
     val native = graft.ext.Dedup.simhashSignatures(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

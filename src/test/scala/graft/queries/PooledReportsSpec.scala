@@ -14,7 +14,7 @@ class PooledReportsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private def poolPath(name: String) =
-    s"/tmp/graft_pool/${Staging.tag(dir)}/$name"
+    s"/tmp/graft_pool/${Staging.tag(dir)}_${PooledReports.codeTag}/$name"
 
   test("wrap is the identity for non-pooled gates") {
     val d = ParityQueries.all.head
@@ -52,5 +52,43 @@ class PooledReportsSpec extends SparkSpec {
 
     val second = wrapped.fn(spark, dir).orderBy("doc_id").collect()
     second shouldBe expected
+  }
+
+  test("the pool root is code-fingerprinted: a changed build abandons the stale pool") {
+    // r20 VERDICT item 2: the root must move when the COMPILED CODE
+    // changes, not only when the data changes — digestTree is the
+    // fingerprint over the class tree, so two trees differing in one
+    // file's length or mtime must tag differently (a recompile always
+    // changes at least one class file's mtime)
+    val t = java.nio.file.Files.createTempDirectory("graft_codetag").toFile
+    val f = new java.io.File(t, "A.class")
+    java.nio.file.Files.write(f.toPath, "one".getBytes)
+    f.setLastModified(1000000L)
+    val tag1 = PooledReports.digestTree(t)
+    java.nio.file.Files.write(f.toPath, "four".getBytes) // length changes
+    f.setLastModified(1000000L)
+    val tag2 = PooledReports.digestTree(t)
+    tag2 should not be tag1
+    f.setLastModified(2000000L) // mtime-only change (same length)
+    val tag3 = PooledReports.digestTree(t)
+    tag3 should not be tag2
+    // and the live root embeds the live code tag
+    PooledReports.codeTag should fullyMatch regex "[0-9a-f]{12}|nosrc"
+    poolPath("x").contains(PooledReports.codeTag) shouldBe true
+  }
+
+  test("ensureAll surfaces a failed build by name; the others still stage") {
+    // r20 VERDICT item 3: a failed pooled build must be attributable in
+    // the bench record — ensureEntries returns the failing names
+    val good = ExtensionQueries.textLangId
+    graft.util.Hfs.delete(spark, poolPath(good.name))
+    graft.util.Hfs.delete(spark, poolPath("__boom__"))
+    val failed = PooledReports.ensureEntries(spark, dir, Seq(
+      good.name -> good.fn,
+      "__boom__" -> ((_, _) => throw new RuntimeException("forced"))),
+      parallelism = 2)
+    failed shouldBe Seq("__boom__")
+    graft.util.Hfs.exists(spark, s"${poolPath(good.name)}/_POOLED") shouldBe true
+    graft.util.Hfs.exists(spark, s"${poolPath("__boom__")}/_POOLED") shouldBe false
   }
 }
