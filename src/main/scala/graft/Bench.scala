@@ -128,15 +128,24 @@ object Bench {
     // earlier bench) can no longer pre-stage it and leave the headline
     // excluding ~35-47 cpu-s of build work (the r20 driver rep read
     // pooled cpu 0.000 for exactly that reason).
-    try graft.queries.PooledReports.clearPool(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] pool clear failed: ${e.getMessage}")
-    }
+    // SPARK_GRAFT_BENCH_SKIP_POOL=1 (dev-only, unset at the driver):
+    // skip the pool clear+build when micro-benching NON-pooled gates
+    // with a name filter — the once-per-rep pooled build otherwise
+    // dominates every filtered A/B iteration. A pooled gate benched
+    // this way builds inline and its timer carries the build (the
+    // standalone-correctness path), so don't use it for pooled names.
+    val skipPool = sys.env.get("SPARK_GRAFT_BENCH_SKIP_POOL").contains("1")
+    if (!skipPool)
+      try graft.queries.PooledReports.clearPool(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pool clear failed: ${e.getMessage}")
+      }
     org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
     val poolCpu0 = listener.get("cpu_ms")
     val pool0 = System.nanoTime()
     val pooledFailed =
-      try graft.queries.PooledReports.ensureAll(spark, sfDir)
+      if (skipPool) Seq.empty[String]
+      else try graft.queries.PooledReports.ensureAll(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] pooled reports failed: ${e.getMessage}")
         Seq("__ensureAll__")

@@ -1299,6 +1299,19 @@ object AnnIndex {
     * debt policy prices.
     */
   private def storeCounts(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = storeCountsDf(spark, dir).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[storeCounts]] as a LAZY one-row (`__total`, `__live`) frame — the
+    * building block that lets fleet dashboards ([[healthReport]], the
+    * sweep/fsck callers) assemble ONE plan over every store instead of
+    * serializing a blocking counter job per store: a fleet over a dozen
+    * tiny stores was paying seconds of pure per-job scheduling floor
+    * (r21 baseline: x_index_health 118 stages / 3.1 s wall at 1.3 cpu-s).
+    * The eager tuple form above keeps the policy callers' contract.
+    */
+  private def storeCountsDf(spark: SparkSession, dir: String): DataFrame = {
     // composed layouts keep their tables AND tombstones in the nested
     // index (deletes delegate) — route to the table-owning level the
     // same way liveIds/compactIfNeeded do, so healthReport/sweep/fsck
@@ -1314,15 +1327,18 @@ object AnnIndex {
       case "ivf" | "graph" => s"$owner/vectors"
       case _               => s"$owner/codes"
     }
-    val (t, l) = tableCounts(spark, owner, table)
+    val main = tableCountsDf(spark, owner, table)
     // a graph store's fresh region ([[GraphAnn.append]]) is part of the
     // served set — debt/health that ignored it would under-price the
     // store the sweep maintains
     if (ownerLayout == "graph" &&
         graft.util.Hfs.exists(spark, s"$owner/delta")) {
-      val (td, ld) = tableCounts(spark, owner, s"$owner/delta")
-      (t + td, l + ld)
-    } else (t, l)
+      val d = tableCountsDf(spark, owner, s"$owner/delta")
+        .select(col("__total").as("__dt"), col("__live").as("__dl"))
+      main.crossJoin(d) // 1×1: counter rows, never data
+        .select((col("__total") + col("__dt")).as("__total"),
+          (col("__live") + col("__dl")).as("__live"))
+    } else main
   }
 
   /** [[storeCounts]] with the main table named explicitly — shared with
@@ -1332,10 +1348,19 @@ object AnnIndex {
     */
   private[ext] def tableCounts(spark: SparkSession, dir: String,
       table: String): (Long, Long) = {
+    val r = tableCountsDf(spark, dir, table).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[tableCounts]] as a lazy one-row (`__total`, `__live`) frame — see
+    * [[storeCountsDf]] for why the lazy form exists.
+    */
+  private[ext] def tableCountsDf(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
     readTombstones(spark, dir) match {
       case None =>
-        val total = spark.read.parquet(table).count()
-        (total, total)
+        spark.read.parquet(table).agg(count(lit(1)).as("__total"))
+          .select(col("__total"), col("__total").as("__live"))
       case Some(t) =>
         // total and live counted in ONE pass over the (id, seq)-pruned
         // table: the same per-id-max tombstone broadcast as liveOnly,
@@ -1347,13 +1372,11 @@ object AnnIndex {
         val stored = spark.read.parquet(table)
         val seqCol =
           if (stored.columns.contains("__seq")) col("__seq") else lit(0L)
-        val r = stored.select(col("__id"), seqCol.as("__seq"))
+        stored.select(col("__id"), seqCol.as("__seq"))
           .join(broadcast(dead), Seq("__id"), "left")
           .agg(count(lit(1)).as("__total"),
             count(when(col("__tseq").isNull ||
               coalesce(col("__seq"), lit(0L)) > col("__tseq"), 1)).as("__live"))
-          .head()
-        (r.getLong(0), r.getLong(1))
     }
   }
 
@@ -1369,19 +1392,24 @@ object AnnIndex {
     */
   def healthReport(spark: SparkSession, layouts: Seq[(String, String)]): DataFrame = {
     require(layouts.nonEmpty, "no layouts to report")
-    // per-store measurement runs CONCURRENTLY: each store costs a
-    // couple of driver-blocking counter jobs (~the local job-latency
-    // floor each), and a fleet dashboard over a dozen stores serialized
-    // them into seconds of pure scheduling — the pool collapses the
-    // wall to the slowest store (results identical: independent
-    // deterministic counters; Spark's scheduler is thread-safe)
+    // per-store measurement runs CONCURRENTLY (thread-pooled submission,
+    // jobs interleave; results identical — independent deterministic
+    // counters), each store now ONE job over its lazy counter frame:
+    // [[storeCountsDf]] folds what used to be up to two blocking counts
+    // (main + graph delta) into a single aggregate. A single giant lazy
+    // union was A/B-measured 2.8× SLOWER here (r21): AQE materializes
+    // every branch's exchange as its own sequential scheduling round, so
+    // the union pays the same per-store round trips PLUS a 15-branch
+    // optimizer problem — concurrency must come from submission threads.
     graft.util.Par.all(8)(layouts.map { case (name, dir) => () =>
-      val (total, live) = storeCounts(spark, dir)
-      val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
-      spark.range(1).select(lit(name).as("layout"),
-        lit(total).as("total_rows"), lit(live).as("live_rows"),
-        lit(total - live).as("dead_rows"),
-        lit(debt).as("tombstone_debt"))
+      storeCountsDf(spark, dir).select(lit(name).as("layout"),
+        col("__total").as("total_rows"), col("__live").as("live_rows"),
+        (col("__total") - col("__live")).as("dead_rows"),
+        when(col("__total") === 0L, lit(0.0))
+          .otherwise((col("__total") - col("__live")).cast("double") /
+            col("__total"))
+          .as("tombstone_debt"))
+        .localCheckpoint(eager = true)
     }).reduce(_ unionByName _)
   }
 
@@ -1741,7 +1769,11 @@ object AnnIndex {
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(eager = true)
     val possible = ref.count()
-    val rows = candidates.map { np =>
+    // the per-candidate serve+count probes are independent deterministic
+    // plans — run them CONCURRENTLY (the Par fleet discipline) instead
+    // of serializing one blocking count job per candidate; the sweep's
+    // wall tracks the slowest candidate, results are identical
+    val rows = graft.util.Par.all(candidates.size)(candidates.map { np => () =>
       val served = ivfTopK(spark, index, q, idCol, vecCol, k, np)
       val hits = served.select(col("query_id"), col("neighbor_id"))
         .join(ref, Seq("query_id", "neighbor_id"), "left_semi").count()
@@ -1749,7 +1781,7 @@ object AnnIndex {
         if (possible == 0L) 0L
         else math.floor(hits.toDouble / possible * 1e6).toLong
       (np, hits, recallQ, recallQ >= targetRecallQ)
-    }
+    })
     val chosen = rows.find(_._4).map(_._1).getOrElse(candidates.max)
     rows.map { case (np, hits, recallQ, meets) =>
       spark.range(1).select(lit(np).as("nprobe"), lit(hits).as("hits"),

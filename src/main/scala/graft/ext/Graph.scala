@@ -53,14 +53,25 @@ object Graph {
       .distinct()
       .localCheckpoint(eager = true)
     val n = nodes.count().toDouble
-    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    // out-degree attached to the edge list ONCE, outside the loop: the
+    // old shape joined (ranks ⋈ outdeg) and then (⋈ e) EVERY iteration —
+    // one whole shuffle join per round re-deriving a static property of
+    // the graph. rank/deg arithmetic is unchanged (same divisor per
+    // (src, dst) row), so every contribution — and the 8dp-rounded
+    // output — is bit-identical.
+    val eDeg = e.join(
+        e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")), Seq("__src"))
       .localCheckpoint(eager = true)
     var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
-      .localCheckpoint(eager = true)
+    // the loop stays fully LAZY: with a small fixed iteration count the
+    // caller's single action executes the whole chain as one job whose
+    // per-round exchanges pipeline — the old per-round eager
+    // localCheckpoint paid a blocking job + block materialization per
+    // iteration to cut lineage that is only `iters` levels deep. The
+    // driver still holds only the loop counter (Pregel-lite).
     for (_ <- 1 to iters) {
       val contribs = ranks
-        .join(outdeg, col("node") === col("__src"))
-        .join(e, Seq("__src"))
+        .join(eDeg, col("node") === col("__src"))
         .select(col("__dst").as("node"), (col("rank") / col("__deg")).as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__in"))
@@ -69,7 +80,6 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true)
     }
     ranks
   }
@@ -122,17 +132,26 @@ object Graph {
       .localCheckpoint(eager = true) // every round re-reads the edges
     var labels = e.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
-      .localCheckpoint(eager = true)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("__c").desc, col("community"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       labels = e
         .join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .groupBy(col("a").as("node"), col("community"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-        .select(col("node"), col("community"))
-        .localCheckpoint(eager = true)
+        // mode-with-smallest-label-tiebreak as ONE hash aggregate:
+        // min(struct(-c, community)) is lexicographic (largest count,
+        // then smallest label) — exactly the row the old
+        // row_number-over-(c desc, community) window kept, without the
+        // window's per-round sort (hash agg with map-side partials
+        // instead; the node-keyed exchange is the same either way)
+        .groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("__nc"),
+          col("community"))).as("__m"))
+        .select(col("node"), col("__m.community").as("community"))
+      // the rounds chain LAZILY (one job, exchanges pipeline); lineage
+      // is cut only when a deep custom iteration count would grow the
+      // plan — the old shape paid an eager checkpoint job every round
+      if (i % 5 == 0 && i < iters)
+        labels = labels.localCheckpoint(eager = true)
     }
     labels
   }

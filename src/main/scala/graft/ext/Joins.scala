@@ -352,8 +352,9 @@ object Joins {
     * a Bloom filter over the DIMENSION side's join keys and drop fact
     * rows that cannot match BEFORE the exchange, so the shuffle carries
     * the ~selectivity fraction instead of the whole fact table. The
-    * filter is engine-portable (`k` md5-derived bit positions per key,
-    * [[PortableHash]]'s family) and plan-literal: the `mBits/64` words
+    * filter hashes natively (`k` salted xxhash64 bit positions per key —
+    * no oracle replays the bit array, so the hash family owes nothing to
+    * engine portability) and is plan-literal: the `mBits/64` words
     * broadcast as an array literal, each probe is k codegen'd
     * element_at + bit tests — no join, no shuffle added. No false
     * negatives by construction, so `filtered ⨝ dim == fact ⨝ dim`
@@ -378,9 +379,15 @@ object Joins {
       s"mBits above 1<<22 would embed a ${mBits / 64}-word plan literal " +
         s"and collect up to $mBits driver rows: $mBits")
     require(k >= 1 && k <= 8, s"k out of range: $k")
+    // xxhash64 with a per-function literal salt: the j-th hash is
+    // hash("blj", key) — native, codegen, no string materialization.
+    // Engine portability is NOT needed here: no oracle replays the bit
+    // array (the Bloom guarantee — zero false negatives — holds for ANY
+    // hash family, so gates compare against the PLAIN join); the old
+    // md5-over-string-cast form cost ~3 md5s + 3 string casts per fact
+    // row, the dominant CPU of the pre-filter it exists to make cheap.
     def pos(j: Int, key: Column): Column =
-      pmod(PortableHash.md5Prefix15(
-        concat(lit(s"bl$j:"), key.cast("string"))), lit(mBits.toLong))
+      pmod(xxhash64(lit(s"bl$j"), key), lit(mBits.toLong))
     // distinct set positions: ≤ mBits values (the collect bound is the
     // filter SIZE, not the dimension row count)
     val setBits = dim.select(explode(array(

@@ -132,32 +132,40 @@ object StoreMaintenance {
     val b = base.select(graft.functions.Cols.qcol(idCol).cast("long").as("__id"))
       .distinct().withColumn("__b", lit(1))
       .localCheckpoint(eager = true) // joined once per store
-    stores.map { ref =>
-      val r = b.join(liveIds(spark, ref).withColumn("__l", lit(1)),
+    // per-store audits run CONCURRENTLY, each ONE job over a lazy frame
+    // that folds the membership counters AND the shard-set torn count
+    // into a single aggregate — the old shape ran a blocking `.head()`
+    // per store plus a separate torn count per shard set, N+1 sequential
+    // driver round trips of almost pure scheduling floor (r21 baseline:
+    // x_store_fsck 79 stages / 5.5 s wall at 2.7 cpu-s). Results are
+    // identical: independent deterministic counters, same rows/types.
+    graft.util.Par.all(math.min(8, stores.size))(stores.map { ref => () =>
+      // shard sets carry a second integrity axis beside membership: the
+      // per-shard manifest reconcile — a torn shard (count/checksum/
+      // extrema drift, a missing directory, an unmanifested extra) is
+      // inconsistent even when the surviving doc ids happen to match.
+      // Kept lazy: count(when(!consistent)) ≡ filter(!consistent).count.
+      val torn = ref.kind match {
+        case "shards" =>
+          ShardExport.verify(spark, ref.dir)
+            .agg(count(when(!col("consistent"), 1)).as("__torn"))
+        case _ => spark.range(1).select(lit(0L).as("__torn"))
+      }
+      b.join(liveIds(spark, ref).withColumn("__l", lit(1)),
           Seq("__id"), "full")
         .agg(count(col("__b")).as("__base"), count(col("__l")).as("__live"),
           count(when(col("__l").isNull, 1)).as("__missing"),
           count(when(col("__b").isNull, 1)).as("__orphans"))
-        .head()
-      val (nb, nl, miss, orph) =
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      // shard sets carry a second integrity axis beside membership: the
-      // per-shard manifest reconcile — a torn shard (count/checksum/
-      // extrema drift, a missing directory, an unmanifested extra) is
-      // inconsistent even when the surviving doc ids happen to match
-      val torn = ref.kind match {
-        case "shards" =>
-          ShardExport.verify(spark, ref.dir)
-            .filter(!col("consistent")).count()
-        case _ => 0L
-      }
-      spark.range(1).select(
-        lit(ref.name).as("store"), lit(ref.kind).as("kind"),
-        lit(nb).as("base_ids"), lit(nl).as("live_ids"),
-        lit(miss).as("missing_ids"), lit(orph).as("orphan_ids"),
-        lit(torn).as("torn_shards"),
-        lit(miss == 0L && orph == 0L && torn == 0L).as("consistent"))
-    }.reduce(_ unionByName _)
+        .crossJoin(torn) // 1×1: attaches the torn counter, never data
+        .select(
+          lit(ref.name).as("store"), lit(ref.kind).as("kind"),
+          col("__base").as("base_ids"), col("__live").as("live_ids"),
+          col("__missing").as("missing_ids"), col("__orphans").as("orphan_ids"),
+          col("__torn").as("torn_shards"),
+          (col("__missing") === 0L && col("__orphans") === 0L &&
+            col("__torn") === 0L).as("consistent"))
+        .localCheckpoint(eager = true)
+    }).reduce(_ unionByName _)
   }
 
   def sweep(spark: SparkSession, stores: Seq[StoreRef],

@@ -365,17 +365,22 @@ object TextIndex {
   def healthReport(spark: SparkSession,
       layouts: Seq[(String, String)]): DataFrame = {
     require(layouts.nonEmpty, "no layouts to report")
-    layouts.map { case (name, dir) =>
+    // concurrent one-job-per-store measurement over the lazy counter
+    // frames — see AnnIndex.healthReport (same restructure, same rows,
+    // same A/B evidence against the single-giant-union alternative)
+    graft.util.Par.all(8)(layouts.map { case (name, dir) => () =>
       val table =
         if (graft.util.Hfs.exists(spark, s"$dir/lens")) s"$dir/lens"
         else s"$dir/positions"
-      val (total, live) = AnnIndex.tableCounts(spark, dir, table)
-      val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
-      spark.range(1).select(lit(name).as("layout"),
-        lit(total).as("total_rows"), lit(live).as("live_rows"),
-        lit(total - live).as("dead_rows"),
-        lit(debt).as("tombstone_debt"))
-    }.reduce(_ unionByName _)
+      AnnIndex.tableCountsDf(spark, dir, table).select(lit(name).as("layout"),
+        col("__total").as("total_rows"), col("__live").as("live_rows"),
+        (col("__total") - col("__live")).as("dead_rows"),
+        when(col("__total") === 0L, lit(0.0))
+          .otherwise((col("__total") - col("__live")).cast("double") /
+            col("__total"))
+          .as("tombstone_debt"))
+        .localCheckpoint(eager = true)
+    }).reduce(_ unionByName _)
   }
 
   /** [[compact]] for the positional layout: live occurrence rows

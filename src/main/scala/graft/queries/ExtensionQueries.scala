@@ -5332,7 +5332,12 @@ object ExtensionQueries {
       "graph_alpha" -> (() => graft.ext.GraphAnn.topK(s, s"$idx/graphalpha", queries,
         "vec_id", "embedding", 5, beamWidth = 16, hops = 3)),
     )
-    val served = graft.util.Par.all(4)(layouts.map { case (n, f) =>
+    // one submission thread per leg (10 layouts): the legs are uneven —
+    // the 6-hop graph serve alone is most of the critical path — and at
+    // width 4 a slow leg queued behind three cheap ones; wall should
+    // track max(leg), not a 3-round schedule (results identical:
+    // independent deterministic plans)
+    val served = graft.util.Par.all(layouts.size)(layouts.map { case (n, f) =>
       () => n -> f().localCheckpoint(eager = true)
     })
     AnnIndex.recallReport(served, brute, 5)
@@ -6525,33 +6530,39 @@ object ExtensionQueries {
       StoreRef("text_inv", "text", s"$cf/text_inv"),
       StoreRef("text_pos", "text", s"$cf/text_pos"),
       StoreRef("dedup_sigs", "dedup", s"$cf/dedup_store"))
-    StoreMaintenance.fsck(s, survivors, "doc_id", stores)
-      .withColumn("scope", lit("survivors"))
-      .unionByName(StoreMaintenance.fsck(s, corpus, "doc_id", stores.take(1))
-        .withColumn("scope", lit("full")))
-      .unionByName(StoreMaintenance.fsck(s, retention, "doc_id", stores.drop(2))
-        .withColumn("scope", lit("retention")))
+    // staged BEFORE the parallel block: fixture staging is memoized but
+    // not designed for concurrent first-touch from sibling threads
+    val pt = PipelineQueries.stagePretrain(s, dir)
+    // the five scope audits are independent deterministic fleets — run
+    // them CONCURRENTLY (each fsck call materializes its per-store rows
+    // eagerly, so chaining them serialized five rounds of job floor);
+    // rows identical: same frames, same union order
+    graft.util.Par.all(5)(Seq[() => DataFrame](
+      () => StoreMaintenance.fsck(s, survivors, "doc_id", stores)
+        .withColumn("scope", lit("survivors")),
+      () => StoreMaintenance.fsck(s, corpus, "doc_id", stores.take(1))
+        .withColumn("scope", lit("full")),
+      () => StoreMaintenance.fsck(s, retention, "doc_id", stores.drop(2))
+        .withColumn("scope", lit("retention")),
       // the ANN family under the same audit: the cascade's forget
       // tombstoned the vec_ids of the takedown set, so the survivors
       // base is the embedding slice minus them
-      .unionByName(StoreMaintenance.fsck(s,
+      () => StoreMaintenance.fsck(s,
           Tables.embeddings(s, dir)
             .filter(col("vec_id") < 64 && col("vec_id") % 8 =!= 2)
             .select(col("vec_id")),
           "vec_id", Seq(StoreRef("ann_pq", "ann", s"$cf/ann_pq")))
-        .withColumn("scope", lit("survivors")))
+        .withColumn("scope", lit("survivors")),
       // the exported shard set joins the compliance dashboard: doc
       // membership vs the packed table it was exported from, plus the
       // manifest reconcile (torn shards) — the one persisted artifact
       // family that was outside the fsck until r16
-      .unionByName({
-        val pt = PipelineQueries.stagePretrain(s, dir)
-        StoreMaintenance.fsck(s,
-            s.read.parquet(s"$pt/packed").select(col("doc_id")),
-            "doc_id",
-            Seq(StoreRef("flagship_shards", "shards", s"$pt/shards")))
-          .withColumn("scope", lit("flagship"))
-      })
+      () => StoreMaintenance.fsck(s,
+          s.read.parquet(s"$pt/packed").select(col("doc_id")),
+          "doc_id",
+          Seq(StoreRef("flagship_shards", "shards", s"$pt/shards")))
+        .withColumn("scope", lit("flagship")),
+    )).reduce(_ unionByName _)
   }
 
   /** Scratch copies of four maintenance-history fixture stores plus one

@@ -764,11 +764,30 @@ object DocStreams {
     */
   def dedupStoreHealth(spark: SparkSession, name: String,
       storeDir: String): DataFrame = {
-    val (total, live) = dedupStoreCounts(spark, storeDir)
-    val debt = if (total == 0L) 0.0 else (total - live).toDouble / total
-    spark.range(1).select(lit(name).as("layout"),
-      lit(total).as("total_rows"), lit(live).as("live_rows"),
-      lit(total - live).as("dead_rows"), lit(debt).as("tombstone_debt"))
+    // lazy (no counter job at build time): the fleet dashboards union
+    // these one-row frames into ONE plan — see AnnIndex.healthReport
+    val sigsPath = s"$storeDir/sigs"
+    val counts =
+      if (!graft.util.Hfs.exists(spark, sigsPath))
+        spark.range(1).select(lit(0L).as("__total"), lit(0L).as("__live"))
+      else if (!graft.util.Hfs.exists(spark, idTombstonesPath(storeDir)))
+        spark.read.parquet(sigsPath).agg(count(lit(1)).as("__total"))
+          .select(col("__total"), col("__total").as("__live"))
+      else {
+        val t = spark.read.parquet(idTombstonesPath(storeDir)).distinct()
+        spark.read.parquet(sigsPath).select(col("__id"))
+          .join(broadcast(t.withColumn("__dead", lit(1))), Seq("__id"), "left")
+          .agg(count(lit(1)).as("__total"), count(col("__dead")).as("__dead_n"))
+          .select(col("__total"),
+            (col("__total") - col("__dead_n")).as("__live"))
+      }
+    counts.select(lit(name).as("layout"),
+      col("__total").as("total_rows"), col("__live").as("live_rows"),
+      (col("__total") - col("__live")).as("dead_rows"),
+      when(col("__total") === 0L, lit(0.0))
+        .otherwise((col("__total") - col("__live")).cast("double") /
+          col("__total"))
+        .as("tombstone_debt"))
   }
 
   /** The stored score column of a dedup store (est_jaccard or hamming),
