@@ -94,49 +94,60 @@ object CascadeDelete {
     // below.
     lazy val del = ids.select(qcol(idCol).cast("long").as("__id")).distinct()
       .localCheckpoint(eager = true)
-    val report = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)]
-    targets.annIndexes.foreach { dir =>
-      AnnIndex.deleteIds(spark, dir, del, "__id")
-      report += ((dir, "ann", AnnIndex.compactIfNeeded(spark, dir, compactThreshold)))
-    }
-    targets.textIndexes.foreach { dir =>
-      TextIndex.deleteDocs(spark, dir, del, "__id")
-      report += ((dir, "text", TextIndex.compactIfNeeded(spark, dir, compactThreshold)))
-    }
-    targets.dedupStores.foreach { dir =>
-      graft.streaming.DocStreams.deleteFromDedupStore(spark, dir, del, "__id")
-      val compacted =
-        graft.streaming.DocStreams.dedupStoreDebt(spark, dir) >= compactThreshold
-      if (compacted) graft.streaming.DocStreams.compactDedupStore(spark, dir)
-      report += ((dir, "dedup", compacted))
-    }
-    targets.quantileStores.foreach { t =>
-      // order statistics cannot subtract: rebuild from the survivors
-      // (a rebuild IS a full compaction — no tombstone debt remains).
-      // The delete set casts to the STORE key's native type, verified
-      // faithful: quantile keys are arbitrary expressions, and casting
-      // the CORPUS side to long turns a non-numeric key into null — an
-      // anti-join condition that is never true, so the "rebuild" would
-      // silently republish the full summary while reporting success.
-      val keyType = t.rows.select(qcol(t.keyCol)).schema.head.dataType
-      val delKeys = ids.select(qcol(idCol).as("__src"))
-        .filter(col("__src").isNotNull)
-        // try_cast: under ANSI an unrepresentable id must surface as a
-        // null we can refuse on, not an executor NumberFormatException
-        .select(col("__src"), col("__src").try_cast(keyType).as("__key"))
-        .localCheckpoint(eager = true)
-      val lost = delKeys.filter(col("__key").isNull).count()
-      require(lost == 0,
-        s"forget: $lost delete ids not representable in the quantile " +
-          s"store's key type $keyType (${t.storeDir}) — the anti-join " +
-          "would silently keep every row")
-      val live = t.rows.join(delKeys.select(col("__key")).distinct(),
-        qcol(t.keyCol) === col("__key"), "left_anti")
-      graft.streaming.EventStreams.rebuildQuantileStore(spark, t.storeDir,
-        live, qcol(t.keyCol), t.value, t.k, t.maxLevel)
-      report += ((t.storeDir, "qsketch", true))
-    }
+    // materialize the shared delete set BEFORE the fleet: Par legs
+    // racing an unmaterialized checkpoint would duplicate its compute
+    if (targets.annIndexes.nonEmpty || targets.textIndexes.nonEmpty ||
+        targets.dedupStores.nonEmpty) { val _ = del }
+    // each target is an INDEPENDENT store directory (distinct dirs by
+    // the caller contract), so the per-store delete+compact sequences
+    // run CONCURRENTLY — the takedown's wall tracks the slowest store
+    // instead of the sum of per-store job floors. Within one store the
+    // delete → debt-check → compact order is preserved inside its leg;
+    // report rows are identical (order-free content).
+    val legs: Seq[() => (String, String, Boolean)] =
+      targets.annIndexes.map { dir => () =>
+        AnnIndex.deleteIds(spark, dir, del, "__id")
+        (dir, "ann", AnnIndex.compactIfNeeded(spark, dir, compactThreshold))
+      } ++
+      targets.textIndexes.map { dir => () =>
+        TextIndex.deleteDocs(spark, dir, del, "__id")
+        (dir, "text", TextIndex.compactIfNeeded(spark, dir, compactThreshold))
+      } ++
+      targets.dedupStores.map { dir => () =>
+        graft.streaming.DocStreams.deleteFromDedupStore(spark, dir, del, "__id")
+        val compacted =
+          graft.streaming.DocStreams.dedupStoreDebt(spark, dir) >= compactThreshold
+        if (compacted) graft.streaming.DocStreams.compactDedupStore(spark, dir)
+        (dir, "dedup", compacted)
+      } ++
+      targets.quantileStores.map { t => () =>
+        // order statistics cannot subtract: rebuild from the survivors
+        // (a rebuild IS a full compaction — no tombstone debt remains).
+        // The delete set casts to the STORE key's native type, verified
+        // faithful: quantile keys are arbitrary expressions, and casting
+        // the CORPUS side to long turns a non-numeric key into null — an
+        // anti-join condition that is never true, so the "rebuild" would
+        // silently republish the full summary while reporting success.
+        val keyType = t.rows.select(qcol(t.keyCol)).schema.head.dataType
+        val delKeys = ids.select(qcol(idCol).as("__src"))
+          .filter(col("__src").isNotNull)
+          // try_cast: under ANSI an unrepresentable id must surface as a
+          // null we can refuse on, not an executor NumberFormatException
+          .select(col("__src"), col("__src").try_cast(keyType).as("__key"))
+          .localCheckpoint(eager = true)
+        val lost = delKeys.filter(col("__key").isNull).count()
+        require(lost == 0,
+          s"forget: $lost delete ids not representable in the quantile " +
+            s"store's key type $keyType (${t.storeDir}) — the anti-join " +
+            "would silently keep every row")
+        val live = t.rows.join(delKeys.select(col("__key")).distinct(),
+          qcol(t.keyCol) === col("__key"), "left_anti")
+        graft.streaming.EventStreams.rebuildQuantileStore(spark, t.storeDir,
+          live, qcol(t.keyCol), t.value, t.k, t.maxLevel)
+        (t.storeDir, "qsketch", true)
+      }
+    val report = graft.util.Par.all(math.min(8, legs.size))(legs)
     import spark.implicits._
-    report.toSeq.toDF("target", "kind", "compacted")
+    report.toDF("target", "kind", "compacted")
   }
 }

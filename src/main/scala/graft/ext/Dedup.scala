@@ -152,7 +152,10 @@ object Dedup {
       portable)
       // consumed by bucket sizing + both sides of the candidate self-join;
       // one signature row per doc is tiny — lineage-cut materialization
-      // (no cacheManager entry to leak; blocks GC-release with the frame)
+      // (no cacheManager entry to leak; blocks GC-release with the frame).
+      // EAGER deliberately (r21 A/B): lazy lost the materialized size
+      // stats and the bucket-cap/self-joins replanned away from broadcast
+      // (+10-13% on the minhash family)
       .localCheckpoint(eager = true)
 
     // (id, band, bandHash) — one shuffle key per band
@@ -211,7 +214,7 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sl = minhashSignatures(left, idCol, textCol, numHashes, shingleSize,
-      portable).localCheckpoint(eager = true)
+      portable).localCheckpoint(eager = true) // eager: size stats feed broadcast (r21 A/B)
     val sr = minhashSignatures(right, idCol, textCol, numHashes, shingleSize,
       portable).localCheckpoint(eager = true)
     val bl = minhashBanded(sl, numHashes, bands, portable)
@@ -256,7 +259,7 @@ object Dedup {
     val g = df.filter(qcol(textCol).isNotNull)
       .groupBy(md5(qcol(textCol)).as("__h"), qcol(srcCol).as("__src"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = true) // both sides of the source pairing
+      .localCheckpoint(eager = true) // both sides of the source pairing; eager: size stats feed the self-join strategy
     val a = g.select(col("__h"), col("__src").as("__sa"), col("__n").as("__na"))
     val b = g.select(col("__h"), col("__src").as("__sb"), col("__n").as("__nb"))
     a.join(b, Seq("__h"))
@@ -309,12 +312,12 @@ object Dedup {
     // groupBy collapses hot keys map-side instead.
     val ex = df.select(qcol(idCol).cast("long").as("__id"),
       explode(TextAnalysis.shingleHashes(qcol(textCol), shingleSize)).as("__s"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy: one returned plan
     val rare = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxShingleDf)
       .select(col("__s"))
     val exf = ex.join(rare, Seq("__s"), "left_semi")
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy: one returned plan
     val sizes = exf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val inter = exf.select(col("__id").as("id_a"), col("__s"))
       .join(exf.select(col("__id").as("id_b"), col("__s")), Seq("__s"))
@@ -397,7 +400,7 @@ object Dedup {
     // once (lineage cut, one long per doc)
     simhashPairsFromSigs(
       simhashSignatures(df, idCol, textCol, portable)
-        .localCheckpoint(eager = true),
+        .localCheckpoint(eager = false), // lazy: one returned plan
       maxHamming, maxBucketSize)
 
   /** Pigeonhole block join over precomputed (`__id`, `__sh`) signatures —
@@ -498,7 +501,7 @@ object Dedup {
           concat(lit("null:"), qcol(idCol).cast("string"))).as("__h"),
         coalesce(size(TextAnalysis.tokens(qcol(textCol))), lit(0))
           .cast("long").as("__n"))
-      .localCheckpoint(eager = true) // raw and canonical sides share it
+      .localCheckpoint(eager = true) // raw and canonical sides share it; eager: size stats survive
     val raw = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
     // canonical member per exact-text group: min (id, group, tokens) —
@@ -548,7 +551,7 @@ object Dedup {
             struct(lit(0).as("ns"), col("__comp").as("v")))
           .otherwise(struct(lit(1).as("ns"), col("__eid").as("v")))
           .as("__comp"))
-      .localCheckpoint(eager = true) // raw and canonical sides share it
+      .localCheckpoint(eager = true) // raw and canonical sides share it; eager: size stats survive
     val raw = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
     val canon = base
@@ -796,7 +799,7 @@ object Dedup {
       .select(col("doc_id"), col("__pos"),
         xxhash64(transform(array_sort(col("__slice")), e => e("__th"))).as("__h"))
       // consumed by the duplicate census AND the semi-join probe side
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy: one returned plan
     val dup = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("__h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))

@@ -52,7 +52,7 @@ object MaxSim {
     val idx = AnnIndex.readIvf(spark, indexDir)
     val qt = queryToks.select(col(qdocCol).cast("long").as("__qdoc"),
         col(qtokCol).cast("long").as("__qtok"), col(vecCol).as("__qv"))
-      .localCheckpoint(eager = true) // stage 1, the pair map and the refine share it
+      .localCheckpoint(eager = false) // stage 1, the pair map and the refine share it (lazy)
     // stage 1: per query token, top candidates through the partition-
     // pruned IVF path (each token is its own "query" to the index);
     // the doc predicate evaluates INSIDE the pruned scan via the ivf
@@ -68,7 +68,7 @@ object MaxSim {
       .select(col("__qdoc"), expr(s"neighbor_id div $cap").as("__doc"))
       .filter(col("__qdoc") =!= col("__doc"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy: one returned plan
     // stage 2: exact MaxSim over the candidates' FULL token bags — the
     // vectors scan is row-pruned to candidate docs via the broadcast
     // semi-join, never corpus-wide

@@ -64,13 +64,14 @@ object Mining {
       marginThresholdQ: Long): DataFrame = {
     // each leg feeds three consumers (its neighborhood aggregate and
     // both margin joins) and Spark does not dedupe common subplans —
-    // materialize once so the expensive kNN scans never re-run
+    // checkpoint so the expensive kNN scans never re-run. LAZY: every
+    // consumer is in the one returned plan; blocks still compute once
     val f = fwd.select(col("query_id").as("x_id"),
       col("neighbor_id").as("y_id"), cosQ(col("cosine")).as("__cq"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val b = bwd.select(col("query_id").as("y_id"),
       col("neighbor_id").as("x_id"), cosQ(col("cosine")).as("__cq"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     // per-side neighborhood mass: Σ of the side's top-k quantized
     // cosines + the actual neighbor count (≤ k on small corpora) —
     // integer sums, so reduction order cannot move the result

@@ -72,6 +72,9 @@ object Preference {
       gridQ: Long = 1000000L,
   ): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // EAGER checkpoints deliberately (r21 A/B): the fit's per-round
+    // joins broadcast w/m off their MATERIALIZED size statistics; the
+    // lazy form lost the stats and replanned to sort-merge (+5-16%)
     val m = matrix.select(col("item"), col("opp"),
         col("n_games").cast("long").as("n_games"),
         col("n_wins_vs_opp").cast("long").as("n_wins_vs_opp"))

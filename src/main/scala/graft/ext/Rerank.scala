@@ -83,7 +83,7 @@ object Rerank {
       .join(vecs.select(col("__vid").as("doc_id")), Seq("doc_id"),
         "left_semi")
       .select(col("query_id"), col("doc_id"), col("__cq"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy: loop is action-free, one final plan
     // pairwise candidate sims within each query's shortlist: two id joins
     // pull vectors, one self-join per query group builds the L² pairs
     val a = short.select(col("query_id"), col("doc_id").as("__aid"))
@@ -96,7 +96,7 @@ object Rerank {
       .filter(col("__aid") =!= col("__bid"))
       .select(col("query_id"), col("__aid"), col("__bid"),
         cosQ(round(Similarity.cosine(col("__av"), col("__bv")), 4)).as("__pq"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy: loop is action-free, one final plan
     val rel = lit(lambdaNum.toLong)
     val red = lit((lambdaDen - lambdaNum).toLong)
     val w = Window.partitionBy(col("query_id"))
@@ -122,9 +122,10 @@ object Rerank {
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("query_id"), lit(step).as("step"), col("doc_id"),
           col("mmr_q"))
-      // selected stays queries·k rows; checkpoint keeps each iteration's
-      // plan flat instead of k-deep
-      selected = selected.unionByName(pick).localCheckpoint(eager = true)
+      // selected stays queries·k rows; the LAZY checkpoint still cuts the
+      // plan flat (LogicalRDD) and shares blocks across the 3 references
+      // per next step — but no blocking driver job per step
+      selected = selected.unionByName(pick).localCheckpoint(eager = false)
     }
     selected
   }

@@ -384,22 +384,32 @@ object Sampling {
     val dBuckets = math.pow(16, prefixLen)
     // one gram pass over the raw corpus feeds BOTH the corpus bag model
     // and the per-document counts
+    // checkpoints are LAZY and the bag-model totals ride the plan as a
+    // 1×1 broadcast instead of two blocking .head() scalar pulls: the
+    // whole weight pipeline now executes inside the caller's single
+    // action (zero driver round trips), with the compute-once block
+    // sharing of every multiply-referenced frame intact. The arithmetic
+    // is unchanged — the totals are the same longs, promoted to double
+    // in the same expressions — so the weights are bit-identical.
     val rawGb = gramBuckets(raw, qcol(idCol), qcol(textCol), n, prefixLen)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // corpus bag model + per-doc counts
     val tgtGb = gramBuckets(target, lit(0L), qcol(targetTextCol), n, prefixLen)
     val rawCounts = rawGb.groupBy(col("__b")).agg(count(lit(1)).as("__rc"))
+      .localCheckpoint(eager = false) // consumed by the total AND the join
     val tgtCounts = tgtGb.groupBy(col("__b")).agg(count(lit(1)).as("__tc"))
-      .localCheckpoint(eager = true) // consumed by the total AND the join
-    val nr = rawCounts.agg(sum(col("__rc"))).head().getLong(0).toDouble
-    val nt = Option(tgtCounts.agg(sum(col("__tc"))).head().get(0))
-      .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+      .localCheckpoint(eager = false) // consumed by the total AND the join
+    val totals = rawCounts
+      .agg(coalesce(sum(col("__rc")), lit(0L)).cast("double").as("__nr"))
+      .crossJoin(tgtCounts
+        .agg(coalesce(sum(col("__tc")), lit(0L)).cast("double").as("__nt")))
     // every raw document's buckets appear in rawCounts by construction,
     // so the raw-side ratio table covers every bucket the weights touch;
     // buckets unseen in the TARGET take the smoothed zero
     val ratio = rawCounts.join(tgtCounts, Seq("__b"), "left")
+      .crossJoin(broadcast(totals)) // 1×1: the two bag totals, never data
       .select(col("__b"),
-        (log((coalesce(col("__tc"), lit(0L)) + smoothing) / (nt + smoothing * dBuckets))
-          - log((col("__rc") + smoothing) / (nr + smoothing * dBuckets))).as("__lr"))
+        (log((coalesce(col("__tc"), lit(0L)) + smoothing) / (col("__nt") + smoothing * dBuckets))
+          - log((col("__rc") + smoothing) / (col("__nr") + smoothing * dBuckets))).as("__lr"))
     val perDoc = rawGb.groupBy(col("__id"), col("__b"))
       .agg(count(lit(1)).as("__dc"))
       .join(broadcast(ratio), Seq("__b"))

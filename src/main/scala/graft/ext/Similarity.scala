@@ -554,7 +554,7 @@ object Similarity {
     */
   private[ext] def bqSearch(q: DataFrame, sigs: DataFrame, vecs: DataFrame,
       k: Int, shortlist: Int): DataFrame = {
-    val qc = q.localCheckpoint(eager = true) // tiny; consumed by both passes
+    val qc = q.localCheckpoint(eager = false) // tiny; consumed by both passes (lazy: one action)
     val ham = sigs.join(broadcast(qc.select(col("query_id"), col("__qs"))),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -60,7 +60,7 @@ object Stats {
         (col("__rk0") + floor(h)).as("__lo"),
         least(col("__rk0") + floor(h) + 1, col("__rk0") + col("__n") - 1).as("__hi"),
         (h - floor(h)).as("__frac"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy: all consumers in one plan
     // global ranks are unique across groups, so the pick joins on rank alone
     val wanted = targets
       .select(explode(array(col("__lo"), col("__hi"))).as("__rk")).distinct()
@@ -68,7 +68,7 @@ object Stats {
     // frame is group-count-sized, so its reuse below is trivial
     val picked = ranked.join(broadcast(wanted), Seq("__rk"))
       .select(col("__rk"), col("__v"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy: both pick joins in one plan
     val quantiles = targets
       .join(picked.select(col("__rk").as("__lo"), col("__v").as("__vlo")), Seq("__lo"))
       .join(picked.select(col("__rk").as("__hi"), col("__v").as("__vhi")), Seq("__hi"))

@@ -345,7 +345,7 @@ object TextAnalysis {
       tokens(qcol(textCol)).as("__t"))
     val ex = base.select(col("doc_id"), explode(col("__t")).as("__term"))
     val tc = ex.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__c"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true) // eager: size stats feed the scoring join's broadcast
     val tot = tc.agg(sum(col("__c")).as("__tt"), count(lit(1)).cast("double").as("__v"))
     val scored = ex.join(tc, Seq("__term"))
       .crossJoin(broadcast(tot))
@@ -418,7 +418,7 @@ object TextAnalysis {
           struct(element_at(col("__t"), i).as("__prev"),
             element_at(col("__t"), i + 1).as("__w")))).as("__b"))
       .select(col("doc_id"), col("__b.__prev"), col("__b.__w"))
-      .localCheckpoint(eager = true) // feeds both count tables and scoring
+      .localCheckpoint(eager = false) // feeds both count tables and scoring (lazy: one plan)
     val c2 = bg.groupBy(col("__prev"), col("__w"))
       .agg(count(lit(1)).cast("double").as("__c2"))
     val cp = bg.groupBy(col("__prev"))
@@ -473,7 +473,7 @@ object TextAnalysis {
       // NULL perplexity sorts after every real value (the
       // keepTopFraction null discipline, flipped for an ascending cut)
       .withColumn("__s", coalesce(col("ppl_q"), lit(Long.MaxValue)))
-      .localCheckpoint(eager = true) // histogram + final scan share it
+      .localCheckpoint(eager = false) // histogram + final scan share it (lazy: one plan)
     // per-source histogram + cumulative: histogram-sized, never a
     // per-source sort of the corpus rows
     val wsrc = Window.partitionBy(col("source"))

@@ -1639,7 +1639,7 @@ object ExtensionQueries {
     val index = AnnIndex.readIvfPq(s, s"$idx/ivfpq")
     val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-      .localCheckpoint(eager = true) // consumed by both recall joins
+      .localCheckpoint(eager = true) // consumed by both recall joins; eager: size stats feed the join strategy (r21 A/B: lazy cost +46% cpu)
     val refined = AnnIndex.ivfPqTopKRefined(s, index, queries,
         "vec_id", "embedding", 5, nprobe = 4, refine = 4)
       .select(col("query_id"), col("neighbor_id"), col("cosine").as("__rc"))
@@ -1763,7 +1763,7 @@ object ExtensionQueries {
         .join(broadcast(q_), col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           Similarity.cosine(col("__qv"), col("__cv")).as("__c"))
-        .localCheckpoint(eager = true) // consumed by both deviation joins
+        .localCheckpoint(eager = false) // consumed by both deviation joins (lazy: one action)
       // nprobe = nlist + unbounded k ⇒ every (query, corpus) pair scored
       def band(sub: String, avgName: String, maxName: String) =
         AnnIndex.ivfPqTopK(s, AnnIndex.readIvfPq(s, s"$idx/$sub"),
@@ -1872,12 +1872,12 @@ object ExtensionQueries {
       val idx = AnnIndex.readSq(s, s"$idxDir/sq")
       val scores = Similarity.sqScores(queries, "vec_id", "embedding",
           idx.bounds, idx.codes)
-        .localCheckpoint(eager = true) // consumed by top-k, k-th and probe joins
+        .localCheckpoint(eager = false) // consumed by top-k, k-th and probe joins (lazy: one action)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cosine_sq").desc, col("neighbor_id"))
       val top = scores.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= 5)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val kth = top.groupBy(col("query_id"))
         .agg(min(col("cosine_sq")).as("__kth"), max(col("__qbound")).as("__qb"))
       val q_ = queries.select(col("vec_id").cast("long").as("query_id"),
@@ -3101,7 +3101,7 @@ object ExtensionQueries {
       val bloom = CorpusClean.decontaminateBloom(docs, "doc_id", "text", eval_,
           "text", n = 13)
         .select(col("doc_id"))
-        .localCheckpoint(eager = true) // consumed by the subset AND eval checks
+        .localCheckpoint(eager = false) // consumed by the subset AND eval checks (lazy: one action)
       val subset = bloom.join(exact, Seq("doc_id"), "left")
         .agg((count(lit(1)) === count(col("__ex"))).as("__sub"))
       // eval docs long enough to shingle must screen themselves out
@@ -4351,7 +4351,7 @@ object ExtensionQueries {
       }
     val sigs = Multimodal.imagePhash(media).toDF()
       .select(col("id").as("__id"), col("phash").as("__sh"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // image decode once; lazy — one action
     Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, maxBucketSize = 1000000)
   }
 

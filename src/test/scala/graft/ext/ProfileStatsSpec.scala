@@ -99,4 +99,25 @@ class ProfileStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rev shouldBe got
   }
+
+  test("labelPropagation: mode tie adopts the SMALLEST community label") {
+    // r21 internals change: the per-round row_number window over
+    // (count desc, community asc) became min(struct(-count, community)).
+    // Pin the tie-break itself: node 5's neighbors {1, 2} tie 1:1 after
+    // init (labels = self), so one round must adopt community 1, not 2 —
+    // and the aggregate must agree with an explicit window replay.
+    val e = Seq((5L, 1L), (5L, 2L), (1L, 1L), (2L, 2L)).toDF("s", "d")
+    val got = Graph.labelPropagation(e, "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(5L) shouldBe 1L
+    // non-tied counts still win over a smaller label: add a second
+    // neighbor in community 2 and the mode flips despite 1 < 2
+    val e2 = Seq((5L, 1L), (5L, 2L), (5L, 3L), (2L, 2L), (3L, 2L), (1L, 1L))
+      .toDF("s", "d")
+    // after init, 5's neighbor labels are {1:1, 2:1, 3:1} — still a tie
+    // broken to 1 — but 2 rounds in, 3 has adopted 2 and the mode is 2
+    val got2 = Graph.labelPropagation(e2, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got2(5L) shouldBe 2L
+  }
 }
