@@ -33,6 +33,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and a gate invoked standalone (dev `SPARK_GRAFT_ONLY` loops,
   * `SPARK_GRAFT_SKIP_PREP=1`) builds its pool entry inline on first
   * touch — the oracle sees identical rows either way.
+  *
+  * Concurrency contract (r20 ADVICE, documented choice): the pool is
+  * SINGLE-PROCESS-per-pool-root by design — the world-shared /tmp path
+  * plus check-then-read can race two JVMs (e.g. an sbt test beside a
+  * bench); the rename-over swap keeps a reader from ever seeing a
+  * missing dir, but two concurrent BUILDERS of the same entry still
+  * waste a build. The sandbox runs one JVM at a time per sf dir; a
+  * multi-user deployment would fold `user.name` into [[root]].
   */
 object PooledReports {
 
